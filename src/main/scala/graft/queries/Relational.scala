@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational operator coverage (SURVEY.md §2.3 checklist) over the
+  * driver test tables, each with a DuckDB oracle.
+  *
+  * Numeric-determinism policy: every aggregated money/metric column is
+  * computed in exact decimal arithmetic (`cast(decimal)` → sum → cast
+  * double) so Spark and the DuckDB oracle produce bit-identical doubles
+  * regardless of per-partition summation order. Raw double columns are
+  * passed through untouched. Averages are expressed as exact-decimal sum
+  * divided by count (both engines then do one identical double division).
+  *
+  * Scale notes (100 TB design intent, verified on local plans):
+  *  - dimension joins (`part`, `nation`, `region`, `supplier`) are
+  *    explicitly `broadcast()` — no shuffle of the fact table for them;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key only
+  *    after filters are pushed below the join;
+  *  - window queries partition by high-cardinality keys (l_orderkey), so
+  *    state per partition stays tiny;
+  *  - no `collect()` anywhere; all top-k via `orderBy.limit` (Spark
+  *    plans TakeOrderedAndProject — no full sort at scale).
+  */
+object Relational {
+
+  private def dec(c: Column, p: Int = 18, s: Int = 2): Column =
+    c.cast(DecimalType(p, s))
+
+  /** Exact revenue term: price*(1-discount) in pure decimal arithmetic. */
+  private def discPrice(price: Column, disc: Column): Column =
+    dec(price, 12, 2) * (lit(1) - dec(disc, 4, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation over the fact table (reference: per-group set/stat
+    // rollups, SURVEY §2.3 "Aggregations"; shape of TPC-H Q1).
+    "q01_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- projection + predicate pushdown (reference: Mongo projections /
+    // find() filters, SURVEY T30). Filter and 4-column read reach the scan.
+    "q02_filter_pushdown" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+                $"l_shipdate" <  lit("1996-01-01").cast("timestamp") &&
+                $"l_discount" >= 0.05 && $"l_quantity" < 24)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+    },
+
+    // ---- broadcast hash join with small dim (reference: label↔Concept
+    // vocabulary joins, SURVEY T10/T12 — always broadcast).
+    "q03_broadcast_join_agg" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+             sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+             sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+        .orderBy($"p_brand")
+    },
+
+    // ---- multi-way join: fact⋈fact shuffled on key, dims broadcast
+    // (reference: custom_id request↔response join + vocab joins, T24/S8).
+    "q04_multi_join_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // ---- left semi join / EXISTS (reference: "are_all_requests_complete"
+    // pending gates, SURVEY T23).
+    "q05_semi_join_exists" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val bigOrders = Tables.load(s, dir, "orders")
+        .filter($"o_totalprice" > 400000.0).select($"o_custkey")
+      cust.join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // ---- left anti join / NOT EXISTS (reference: the incremental
+    // "missing work" frontier planner, SURVEY T23 — the core of the
+    // batch planner: expected LEFT ANTI JOIN ledger).
+    "q06_anti_join_frontier" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      val done = Tables.load(s, dir, "orders")
+        .filter($"o_totalprice" > 400000.0).select($"o_custkey")
+      cust.join(done, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // ---- first-row-per-group window (reference: "first chunk" selection
+    // + first-occurrence dedup, SURVEY T1 / §2.3 "Window functions").
+    "q07_first_per_group" -> { (s, dir) =>
+      import s.implicits._
+      // (l_orderkey, l_linenumber) is not unique in the test data — a
+      // total order over content columns keeps rn=1 deterministic.
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_linenumber", $"l_partkey", $"l_suppkey", $"l_extendedprice")
+      Tables.load(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"l_orderkey", $"l_partkey", $"l_quantity")
+        .orderBy($"l_orderkey")
+    },
+
+    // ---- running-sum window + bucket assignment (reference: the JSONL
+    // batch-file packer's token budget, SURVEY S6 — running total div
+    // limit → file bucket).
+    "q08_running_sum_pack" -> { (s, dir) =>
+      import s.implicits._
+      // Total order within each order (see q07) so running sums are
+      // deterministic; ties beyond these columns can only be rows whose
+      // swap leaves every running sum unchanged.
+      val ord = Seq($"l_linenumber", $"l_partkey", $"l_quantity", $"l_extendedprice")
+      val w = Window.partitionBy($"l_orderkey").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wBefore = Window.partitionBy($"l_orderkey").orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+          sum(dec($"l_quantity")).over(w).cast("double").as("run_qty"),
+          floor(coalesce(sum(dec($"l_quantity")).over(wBefore), lit(java.math.BigDecimal.ZERO))
+            .cast("double") / 100.0).cast("long").as("bucket"))
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey")
+    },
+
+    // ---- global top-k (reference: smallest-documents-first batch
+    // planning sort + limit, SURVEY T30). Plans as TakeOrderedAndProject.
+    "q09_topk_orders" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    // ---- set intersection on Datasets (reference: pervasive `&`/`|`/`-`
+    // set semantics, SURVEY §2.3 "Set ops").
+    "q10_set_intersect" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+      def brandsFor(flag: String): DataFrame =
+        li.filter($"l_returnflag" === flag)
+          .join(broadcast(part), $"l_partkey" === $"p_partkey")
+          .select($"p_brand").distinct()
+      brandsFor("R").intersect(brandsFor("A")).orderBy($"p_brand")
+    },
+
+    // ---- exact duplicate detection by full content (reference: T1
+    // exact-dup page drop — first occurrence kept; here grouped by value,
+    // keeper = min id, as the hash-groupBy dedup path scales to 100 TB).
+    "q11_exact_dedup_docs" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .groupBy($"text")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+        .select($"keep_id", $"dup_count")
+        .orderBy($"keep_id")
+    },
+
+    // ---- event-time bucketed aggregation (streaming-shaped; reference
+    // S4 queue cadence → Structured Streaming; batch-equivalent window).
+    "q12_event_time_window" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+             sum(dec($"value", 18, 2)).cast("double").as("sum_value"))
+        .orderBy($"hour_ts", $"event_type")
+    },
+
+    // ---- per-group distinct-set collection (reference: reconcile's
+    // set-union rollups per company, SURVEY T24/T25 → collect_set).
+    // Stringified lexicographically so the oracle compare is order-free.
+    "q13_group_collect_set" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(array_join(array_sort(collect_set($"l_suppkey".cast("string"))), ",")
+          .as("suppkeys"))
+        .orderBy($"l_orderkey")
+    },
+
+    // ---- JSON parse with schema (reference: from_json response parsing,
+    // SURVEY T9/T13 parse layer). Oracle uses an equivalent regex.
+    "q14_json_extract_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select(from_json($"props", lit("k INT")).getField("k").as("k"), $"value")
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n"),
+             sum(dec($"value", 18, 2)).cast("double").as("sum_value"))
+        .orderBy($"k")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin,
+
+    "q03_broadcast_join_agg" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "q04_multi_join_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q05_semi_join_exists" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q06_anti_join_frontier" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+
+    "q07_first_per_group" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_partkey, l_quantity,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
+
+    "q08_running_sum_pack" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_qty,
+        | CAST(FLOOR(CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) / 100.0) AS BIGINT) AS bucket
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q09_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q10_set_intersect" ->
+      """SELECT DISTINCT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_returnflag = 'R'
+        |INTERSECT
+        |SELECT DISTINCT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_returnflag = 'A'""".stripMargin,
+
+    "q11_exact_dedup_docs" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q12_event_time_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q13_group_collect_set" ->
+      """SELECT l_orderkey, string_agg(s, ',' ORDER BY s) AS suppkeys FROM (
+        |  SELECT DISTINCT l_orderkey, CAST(l_suppkey AS VARCHAR) AS s FROM lineitem)
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q14_json_extract_agg" ->
+      """SELECT CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}
