@@ -1,0 +1,42 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.{BpeishTokenizer, JsonRepair}
+import graft.ingest.{Blocks, CorpusDoc, Dedup}
+
+/** Sample usage of the ingest path at the library's public surface:
+  * combined scrape text → shredded corpus rows → exact-dup stubs +
+  * boilerplate strip. Run: `sbt "runMain graft.examples.IngestDemo"`.
+  */
+object IngestDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ingest-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val boiler = (b: String) => s"Nav\nLogo\nBanner\n$b\nFoot1\nFoot2\nFoot3"
+    val combinedA =
+      (0 until 5).map(i => Blocks.format(s"https://a.example/p$i", boiler(s"Page body $i"))).mkString +
+        Blocks.format("https://a.example/dup", boiler("Page body 0"))
+    val docs = Seq(
+      CorpusDoc("a.example", "v1", combinedA),
+      CorpusDoc("b.example", "v1", Blocks.format("https://b.example/", "solo body"))).toDS()
+
+    val pages = Blocks.shred(docs)
+    println(s"shredded pages: ${pages.count()}")
+    val deduped = Dedup.dedupCorpus(pages)
+    deduped.orderBy("etld1", "page_seq")
+      .select($"etld1", $"page_seq", $"url", $"body")
+      .show(20, truncate = false)
+
+    println("repaired: " + JsonRepair.repair("```json\n[\"Item with \"quotes\" inside\"]\n```"))
+    println("tokens: " + BpeishTokenizer.count("Hello, world! This is a test of 123 tokens."))
+    spark.stop()
+  }
+}
