@@ -37,6 +37,17 @@ object IngestDemo {
 
     println("repaired: " + JsonRepair.repair("```json\n[\"Item with \"quotes\" inside\"]\n```"))
     println("tokens: " + BpeishTokenizer.count("Hello, world! This is a test of 123 tokens."))
+
+    // Chunk the deduped corpus per the certificates strategy.
+    import graft.chunk.{Chunker, ChunkingStrat}
+    val chunkInput = deduped.filter(!_.body.startsWith("[duplicate"))
+      .groupByKey(p => (p.etld1, p.version_id))
+      .mapGroups((k, it) => (k._1, k._2, it.toSeq.sortBy(_.page_seq).map(_.body).mkString("\n")))
+    val chunks = Chunker.chunkDocs(
+      chunkInput, ChunkingStrat("certificates", 5, 0.0, 25), graft.functions.WhitespaceTokenizer)
+    chunks.orderBy("etld1", "chunk_start")
+      .select($"etld1", $"chunk_start", $"chunk_end", $"tokens")
+      .show(20, truncate = false)
     spark.stop()
   }
 }
