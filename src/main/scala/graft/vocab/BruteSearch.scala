@@ -1,0 +1,90 @@
+package graft.vocab
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Brute vocabulary search (SURVEY.md T8; reference
+  * `data_etl_app/src/data_etl_app/services/brute_search_service.py:9-29`):
+  * a concept matches a text when any of its `matchLabels` occurs
+  * case-insensitively at word boundaries — `(?<!\w)label(?=\W|$)`.
+  *
+  * The reference re-scans the text once per label per call. Here the
+  * matcher is a single left-to-right scan: label candidates are bucketed
+  * by first character, tried only at positions preceded by a non-word
+  * character, and confirmed with a region compare + trailing-boundary
+  * check. One pass over the text regardless of vocabulary size — the
+  * chunk × vocabulary hot path at 100 TB. The compiled matcher is built
+  * once per executor from the broadcast vocabulary (lazy in the UDF
+  * closure), never per row.
+  */
+final class LabelMatcher(labelToConcept: Seq[(String, String)]) extends Serializable {
+
+  /** (lowercased label, concept name), bucketed by first char. */
+  @transient private lazy val buckets: Map[Char, Array[(String, String)]] =
+    labelToConcept
+      .filter(_._1.nonEmpty)
+      .map { case (l, c) => (l.toLowerCase, c) }
+      .distinct
+      .groupBy(_._1.charAt(0))
+      .view.mapValues(_.toArray).toMap
+
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Names of concepts with ≥1 label match in `text` (dedup'd, sorted
+    * for deterministic downstream arrays).
+    */
+  def matchedConcepts(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val lower = text.toLowerCase
+    val found = scala.collection.mutable.SortedSet.empty[String]
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      if (i == 0 || !isWordChar(lower.charAt(i - 1))) {
+        buckets.get(lower.charAt(i)) match {
+          case Some(candidates) =>
+            var k = 0
+            while (k < candidates.length) {
+              val (label, concept) = candidates(k)
+              if (!found.contains(concept) &&
+                  lower.regionMatches(i, label, 0, label.length)) {
+                val end = i + label.length
+                if (end == n || !isWordChar(lower.charAt(end))) found += concept
+              }
+              k += 1
+            }
+          case None =>
+        }
+      }
+      i += 1
+    }
+    found.toSeq
+  }
+}
+
+object BruteSearch {
+
+  def matcherFor(concepts: Seq[Concept]): LabelMatcher =
+    new LabelMatcher(for {
+      c <- concepts
+      label <- c.matchLabels.toSeq
+    } yield (label, c.name))
+
+  /** Set-level parity surface with the reference's
+    * `brute_search(text, concepts) -> set[Concept]`.
+    */
+  def search(text: String, concepts: Seq[Concept]): Set[String] =
+    matcherFor(concepts).matchedConcepts(text).toSet
+
+  /** Chunk-level Dataset form: adds `brute_concepts: array<string>` of
+    * matched concept names. The vocabulary rides the UDF closure (it is
+    * broadcast with the task binary — ≤ a few thousand strings).
+    */
+  def searchColumn(df: DataFrame, textCol: String, concepts: Seq[Concept],
+      outCol: String = "brute_concepts"): DataFrame = {
+    val matcher = matcherFor(concepts)
+    val u = udf((text: String) => matcher.matchedConcepts(text))
+    df.withColumn(outCol, u(col(textCol)))
+  }
+}
