@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (BASELINE.json north star): image/audio/
+  * video ride as opaque `binary` columns with typed metadata; decode /
+  * feature-extract run as batch functions over `mapPartitions`.
+  *
+  * The actual codec layer is STUBBED (this container has no image/audio
+  * libraries): [[StubDecoder]] derives deterministic fake properties
+  * from the bytes. Everything Spark-side is real — schema, partition
+  * sizing, batch iteration shape — so swapping in a real decoder is a
+  * one-function change.
+  *
+  * Scale notes: media rows are orders of magnitude wider than text —
+  * partition budgets must be set by BYTES not rows
+  * (`spark.sql.files.maxPartitionBytes`, and `repartitionByRange` on a
+  * size column before heavy decode stages so one task never holds
+  * multiple 4K videos).
+  */
+object Multimodal {
+
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,           // image | audio | video
+      bytes: Array[Byte],
+      source: String)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      sha256: String,
+      width: Int,             // fake-decoded dimensions / duration
+      height: Int,
+      duration_ms: Long,
+      feature: Array[Float])  // fixed-width embedding-shaped vector
+
+  /** Deterministic fake decode: dimensions/duration/feature derived
+    * from a SHA-256 of the payload. Replace with a real codec in
+    * production; the signature (one batch in, one batch out) is the
+    * contract.
+    */
+  object StubDecoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val digest = java.security.MessageDigest.getInstance("SHA-256").digest(row.bytes)
+      val hex = digest.map("%02x".format(_)).mkString
+      def b(i: Int): Int = digest(i) & 0xff
+      MediaFeatures(
+        media_id = row.media_id,
+        kind = row.kind,
+        n_bytes = row.bytes.length.toLong,
+        sha256 = hex,
+        width = 64 + b(0) * 8,
+        height = 64 + b(1) * 8,
+        duration_ms = if (row.kind == "image") 0L else 1000L + b(2) * 500L,
+        feature = Array.tabulate(8)(i => (b(i) / 255.0f) * 2f - 1f))
+    }
+  }
+
+  /** Decode stage: batch iteration per partition (the shape a real
+    * vectorized decoder needs — amortized codec init per partition,
+    * streaming batches, no per-row JNI churn).
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // real impl: initialize the codec once here, then stream
+      rows.map(StubDecoder.decode)
+    }
+  }
+
+  /** Exact-duplicate media detection by payload hash — same hash-groupBy
+    * shape as text dedup, over binary.
+    */
+  def exactDupMedia(df: DataFrame, idCol: String, bytesCol: String): DataFrame =
+    df.groupBy(sha2(col(bytesCol), 256).as("payload_sha256"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Size-aware repartition before a heavy decode stage: range-partition
+    * by payload size so each task carries a similar byte budget.
+    */
+  def repartitionBySize(df: DataFrame, bytesCol: String, partitions: Int): DataFrame =
+    df.withColumn("__n_bytes", length(col(bytesCol)))
+      .repartitionByRange(partitions, col("__n_bytes"))
+      .drop("__n_bytes")
+}

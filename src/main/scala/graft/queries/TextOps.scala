@@ -30,8 +30,77 @@ object TextOps {
       BruteSearch.searchColumn(docs, "text", DemoVocab, "concepts")
         .select($"doc_id", explode($"concepts").as("concept"))
         .orderBy($"doc_id", $"concept")
+    },
+
+    // ---- exact n-gram Jaccard near-dup pairs (training-data dedup; the
+    // exhaustive oracle for the MinHash/SimHash approximations).
+    "q16_ngram_jaccard_pairs" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.NearDup.jaccardPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // ---- MinHash+LSH near-dup pairs with exact verification: the 100 TB
+    // scale path (no oracle: banding is probabilistic; its recall vs q16
+    // is asserted in NearDupSpec).
+    "q17_minhash_lsh_pairs" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.NearDup.minhashLshPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // ---- SimHash near-dup pairs (no oracle: hash-defined; subset/recall
+    // asserted in NearDupSpec).
+    "q18_simhash_pairs" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.NearDup.simhashPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, maxDistance = 3)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // ---- text quality features + score (pre-training filter signals).
+    "q19_text_quality" -> { (s, dir) =>
+      import s.implicits._
+      val feats = graft.textops.TextAnalysis.qualityFeatures(
+        Tables.load(s, dir, "documents"), "text")
+      feats.select($"doc_id", $"n_chars", $"n_words", $"avg_word_len",
+          $"distinct_ratio", $"stopword_hits",
+          graft.textops.TextAnalysis.qualityScore($"n_words", $"distinct_ratio").as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- language ID via stopword-profile argmax.
+    "q20_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", graft.textops.TextAnalysis.langIdCol($"text").as("lang_pred"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- document fingerprint: min-MD5 over word trigram shingles
+    // (a 1-perm MinHash — SQL-expressible because both engines share md5).
+    "q21_doc_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      docs.select($"doc_id",
+          explode(graft.textops.NearDup.shinglesCol($"text", 3)).as("shingle"))
+        .groupBy($"doc_id").agg(min(md5($"shingle")).as("fingerprint"))
+        .orderBy($"doc_id")
     }
   )
+
+  private val ShinglesCte =
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |  WHERE len(ws) >= 3
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q15_brute_vocab_search" ->
@@ -41,6 +110,58 @@ object TextOps {
         |  ('JoinOps',      '\b(joinops|join|merge)\b'),
         |  ('Filtering',    '\b(filtering|filter|scan)\b'),
         |  ('Windowing',    '\b(windowing|window)\b')) v(c, pat)
-        |WHERE regexp_matches(lower(text), pat)""".stripMargin
+        |WHERE regexp_matches(lower(text), pat)""".stripMargin,
+
+    "q16_ngram_jaccard_pairs" -> (ShinglesCte +
+      """, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
+
+    "q19_text_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id, n_chars, len(ws) AS n_words,
+        |  CASE WHEN len(ws) > 0
+        |       THEN CAST(n_chars - len(ws) + 1 AS DOUBLE) / len(ws) ELSE 0.0 END AS avg_word_len,
+        |  CASE WHEN len(ws) > 0
+        |       THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) ELSE 0.0 END AS distinct_ratio,
+        |  len(list_intersect(ws, ['the','and','of','to','in','is','a'])) AS stopword_hits,
+        |  round((CASE WHEN len(ws) BETWEEN 10 AND 100000 THEN 1.0
+        |              WHEN len(ws) > 0 THEN 0.5 ELSE 0.0 END)
+        |        * (0.5 + 0.5 * CASE WHEN len(ws) > 0
+        |             THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) ELSE 0.0 END), 6) AS quality
+        |FROM w""".stripMargin,
+
+    "q20_lang_id" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang, len(list_intersect(ws, markers)) AS hits
+        |  FROM w, (VALUES
+        |    ('de', ['der','die','und','das','ist','ein','nicht']),
+        |    ('en', ['the','and','of','to','in','is','a']),
+        |    ('es', ['el','la','los','de','que','es','una']),
+        |    ('fr', ['le','la','et','les','des','est','une'])) v(lang, markers)),
+        |best AS (
+        |  SELECT doc_id, lang, hits,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+        |  FROM scores)
+        |SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'unknown' END AS lang_pred
+        |FROM best WHERE rn = 1""".stripMargin,
+
+    "q21_doc_fingerprint" -> (ShinglesCte +
+      """
+        |SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""".stripMargin)
   )
 }

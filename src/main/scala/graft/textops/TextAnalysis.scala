@@ -1,0 +1,128 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Tokenizer
+
+/** Text analysis for training-data curation (BASELINE.json north star):
+  * language ID, quality scoring, token counting, document
+  * fingerprinting. Everything is `functions._`-first (codegen'd); UDFs
+  * only where a sequential scan is inherent (rolling hash).
+  */
+object TextAnalysis {
+
+  // ---- language ID (n-gram/stopword heuristic) ---------------------------
+
+  /** Tiny per-language marker profiles (top function words). A real
+    * deployment swaps in fastText-style profiles; the operator shape —
+    * score per language from a broadcast profile, argmax — is what
+    * matters at scale.
+    */
+  val Profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "una"))
+
+  /** Predicted language = argmax over profile-hit counts (ties: "und"
+    * alphabetically-first language wins, deterministic), or "unknown"
+    * when no marker occurs.
+    */
+  def langIdCol(text: Column): Column = {
+    val words = split(lower(text), "\\s+")
+    val scores = Profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(array_intersect(words, array(markers.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("unknown"))
+  }
+
+  // ---- quality scoring ---------------------------------------------------
+
+  /** Heuristic quality features (length, word stats, punctuation and
+    * stopword ratios) — the standard pre-training filter signals.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val stop = array(Profiles("en").map(lit): _*)
+    df
+      .withColumn("n_chars", length(text))
+      .withColumn("n_words", size(words))
+      .withColumn("avg_word_len",
+        when(size(words) > 0, (length(text) - size(words) + 1).cast("double") / size(words))
+          .otherwise(lit(0.0)))
+      .withColumn("distinct_ratio",
+        when(size(words) > 0, size(array_distinct(words)).cast("double") / size(words))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_hits", size(array_intersect(words, stop)))
+  }
+
+  /** Scalar quality score in [0,1]: penalize too-short/too-long docs and
+    * low lexical diversity. Thresholds follow the reference's validity
+    * gates in spirit (50 < tokens < 125k, BASELINE.md).
+    */
+  def qualityScore(nWords: Column, distinctRatio: Column): Column = {
+    val lengthOk = when(nWords >= 10 && nWords <= 100000, lit(1.0))
+      .when(nWords > 0, lit(0.5)).otherwise(lit(0.0))
+    round(lengthOk * (lit(0.5) + lit(0.5) * distinctRatio), 6)
+  }
+
+  // ---- token counting ----------------------------------------------------
+
+  /** Whitespace token count as a column (codegen'd). */
+  def wordCountCol(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => length(w) > 0))
+
+  /** Pluggable tokenizer count (BPE-ish by default) as a UDF — for
+    * budget checks that must agree with the chunker's tokenizer.
+    */
+  def tokenCountUdf(tok: Tokenizer): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => tok.count(s))
+
+  // ---- document fingerprinting -------------------------------------------
+
+  /** Polynomial rolling hash over a character window (Rabin-Karp).
+    * Returns all window hashes; [[winnow]] reduces them to a robust
+    * sketch.
+    */
+  def rollingHashes(text: String, window: Int): Vector[Long] = {
+    if (text.length < window) {
+      if (text.isEmpty) return Vector.empty
+      return Vector(text.foldLeft(0L)((h, c) => h * 257 + c))
+    }
+    val base = 257L
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow *= base; i += 1 }
+    val out = Vector.newBuilder[Long]
+    var h = 0L
+    i = 0
+    while (i < text.length) {
+      h = h * base + text.charAt(i)
+      if (i >= window) h -= pow * base * text.charAt(i - window)
+      if (i >= window - 1) out += h
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): keep the minimum
+    * hash of every sliding window of `w` consecutive hashes — a
+    * position-robust fingerprint set.
+    */
+  def winnow(hashes: Vector[Long], w: Int): Vector[Long] = {
+    if (hashes.isEmpty) return Vector.empty
+    if (hashes.length <= w) return Vector(hashes.min)
+    hashes.sliding(w).map(_.min).toVector.distinct
+  }
+
+  /** Fingerprint sketch as a column (UDF: the rolling scan is inherently
+    * sequential per document; documents parallelize).
+    */
+  def fingerprintUdf(window: Int, winnowWidth: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => winnow(rollingHashes(s, window), winnowWidth))
+}

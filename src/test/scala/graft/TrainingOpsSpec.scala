@@ -1,0 +1,219 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.textops.{NearDup, TextAnalysis}
+
+class ShinglesSpec extends SparkSpec {
+  test("wordShingles: n-grams, short-text fallback, empty") {
+    assert(NearDup.wordShingles("a b c d", 3) == Vector("a b c", "b c d"))
+    assert(NearDup.wordShingles("a b", 3) == Vector("a b"))
+    assert(NearDup.wordShingles("", 3).isEmpty)
+    assert(NearDup.wordShingles("A  B\nC", 2) == Vector("a b", "b c"))
+  }
+
+  test("shinglesCol matches wordShingles") {
+    import spark.implicits._
+    val texts = Seq("a b c d e", "one two", "", "x y z")
+    val got = texts.toDF("text")
+      .select(NearDup.shinglesCol(org.apache.spark.sql.functions.col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    texts.zip(got).foreach { case (t, sh) =>
+      assert(sh == NearDup.wordShingles(t, 3), s"text='$t'")
+    }
+  }
+}
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Synthetic corpus: exact dup pair, near-dup pair, distinct docs.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog every single day"),
+    (2L, "the quick brown fox jumps over the lazy dog every single day"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog every single night"),    // near dup of 1
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "spark query engines shuffle data between executors during wide joins")
+  ).toDF("doc_id", "text")
+
+  test("jaccardPairs finds exact and near dups, not distinct docs") {
+    val pairs = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLsh output ⊆ exact output and catches all exact pairs here") {
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = NearDup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact)}")
+    assert(lsh == exact, s"LSH missed: ${exact.diff(lsh)}") // high-prob params
+  }
+
+  test("minhash signature estimates Jaccard within tolerance") {
+    val a = (1 to 100).map(i => s"sh$i").map(s => scala.util.hashing.MurmurHash3.stringHash(s).toLong)
+    val b = (51 to 150).map(i => s"sh$i").map(s => scala.util.hashing.MurmurHash3.stringHash(s).toLong)
+    val est = NearDup.estimate(NearDup.signature(a, 128), NearDup.signature(b, 128))
+    val truth = 50.0 / 150.0
+    assert(math.abs(est - truth) < 0.15, s"est=$est truth=$truth")
+  }
+
+  test("simhash: identical texts distance 0, near texts small distance") {
+    val s1 = NearDup.simhash(docs.collect()(0).getString(1), 3)
+    val s2 = NearDup.simhash(docs.collect()(1).getString(1), 3)
+    val s3 = NearDup.simhash(docs.collect()(3).getString(1), 3)
+    assert(NearDup.hamming(s1, s2) == 0)
+    assert(NearDup.hamming(s1, s3) > 10)
+  }
+
+  test("simhashPairs finds the exact-dup pair via block bucketing") {
+    val pairs = NearDup.simhashPairs(docs, "doc_id", "text", 3, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("recall on real documents table: LSH ≥ 95% of exact pairs at sf0.001") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = NearDup.jaccardPairs(real, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = NearDup.minhashLshPairs(real, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.95, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
+    }
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("quality features and score") {
+    val df = Seq((1L, "the cat sat on the mat with the hat and a bat near it")).toDF("doc_id", "text")
+    val row = TextAnalysis.qualityFeatures(df, "text")
+      .select(col("n_words"), col("distinct_ratio"), col("stopword_hits")).collect().head
+    assert(row.getInt(0) == 14)
+    assert(row.getInt(2) == 3) // the, and, a
+  }
+
+  test("langId picks the profile with most hits; unknown when none") {
+    val got = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist ein tier",
+      "xyzzy qwerty plugh")
+      .toDF("text")
+      .select(TextAnalysis.langIdCol(col("text")).as("l")).as[String].collect()
+    assert(got(0) == "en" && got(1) == "de" && got(2) == "unknown")
+  }
+
+  test("rolling hashes + winnow: shared substrings share fingerprints") {
+    val a = TextAnalysis.winnow(TextAnalysis.rollingHashes(
+      "PREFIX common shared span of text SUFFIX-A", 8), 4).toSet
+    val b = TextAnalysis.winnow(TextAnalysis.rollingHashes(
+      "OTHER-- common shared span of text TAIL-BBB", 8), 4).toSet
+    assert(a.intersect(b).nonEmpty)
+    val c = TextAnalysis.winnow(TextAnalysis.rollingHashes(
+      "entirely unrelated words right here", 8), 4).toSet
+    assert(a.intersect(c).isEmpty)
+  }
+
+  test("winnow edge cases") {
+    assert(TextAnalysis.winnow(Vector.empty, 4).isEmpty)
+    assert(TextAnalysis.winnow(Vector(5L, 3L), 4) == Vector(3L))
+    assert(TextAnalysis.rollingHashes("", 8).isEmpty)
+    assert(TextAnalysis.rollingHashes("ab", 8).length == 1)
+  }
+}
+
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.vectors.Vectors
+
+  test("cosineCol: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 2f), Seq(1f, 2f), 1.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0)).toDF("a", "b", "want")
+    val rows = df.select(Vectors.cosineCol(col("a"), col("b")).as("cos"), col("want"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (cos, want) => assert(math.abs(cos - want) < 1e-9) }
+  }
+
+  test("bruteTopK on real embeddings: self excluded, ranks contiguous") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val top = Vectors.bruteTopK(emb, emb.filter($"vec_id" < 4), "vec_id", "embedding", 3)
+    val rows = top.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length == 12)
+    rows.foreach { case (q, _, n) => assert(q != n) }
+    val byQ = rows.groupBy(_._1)
+    byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+  }
+
+  test("lshTopK results ⊆ brute ranking candidates and recall is sane") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val brute = Vectors.bruteTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Vectors.lshTopK(emb, queries, "vec_id", "embedding", 3, planes = 4, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // LSH@3 recall vs brute@3 — random 64-dim embeddings are a hard case
+    // for hyperplane LSH; just assert it returns something plausible and
+    // every returned neighbor shares the query's bucket by construction.
+    assert(lsh.nonEmpty)
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall > 0.0, s"recall=$recall")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.multimodal.Multimodal
+  import graft.multimodal.Multimodal.MediaRow
+
+  private lazy val media = {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(20).collect()
+    docs.zipWithIndex.map { case (r, i) =>
+      MediaRow(r.getLong(0), if (i % 2 == 0) "image" else "video",
+        r.getString(1).getBytes("UTF-8"), r.getString(3))
+    }.toSeq
+  }
+
+  test("decodeFeatures: deterministic stub decode with real plumbing") {
+    val ds = spark.createDataset(media)
+    val feats = Multimodal.decodeFeatures(ds).collect()
+    assert(feats.length == media.length)
+    val f0 = feats.find(_.media_id == media.head.media_id).get
+    assert(f0.n_bytes == media.head.bytes.length)
+    assert(f0.sha256.length == 64)
+    assert(f0.feature.length == 8)
+    assert(f0.duration_ms == 0L) // image
+    // determinism: same bytes → same features
+    val again = Multimodal.decodeFeatures(ds).collect()
+      .find(_.media_id == media.head.media_id).get
+    assert(again.sha256 == f0.sha256 && again.width == f0.width)
+  }
+
+  test("exactDupMedia flags duplicated payloads") {
+    val withDup = media :+ media.head.copy(media_id = 9999L)
+    val dups = Multimodal.exactDupMedia(
+      spark.createDataset(withDup).toDF(), "media_id", "bytes").collect()
+    assert(dups.length == 1)
+    assert(dups.head.getAs[Long]("keep_id") == media.head.media_id)
+    assert(dups.head.getAs[Long]("dup_count") == 2)
+  }
+
+  test("repartitionBySize balances byte budgets") {
+    val df = Multimodal.repartitionBySize(
+      spark.createDataset(media).toDF(), "bytes", 4)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == media.length)
+  }
+}
