@@ -21,6 +21,14 @@ object TextOps {
     Concept("demo", "Filtering", "urn:demo/filter", Seq("filter", "scan"), Nil),
     Concept("demo", "Windowing", "urn:demo/window", Seq("window"), Nil))
 
+  /** `documents.parquet` is one row group per SF locally, so the scan
+    * yields 1 task no matter the core count; spread CPU-heavy per-doc
+    * work across the cluster. At real scale the table is many files and
+    * this becomes a no-op-ish round robin.
+    */
+  private def docsParallel(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute vocabulary search (SURVEY T8): single-pass multi-label
     // word-boundary matcher over every document.
@@ -37,7 +45,7 @@ object TextOps {
     "q16_ngram_jaccard_pairs" -> { (s, dir) =>
       import s.implicits._
       graft.textops.NearDup.jaccardPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+        docsParallel(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy($"id_a", $"id_b")
     },
 
@@ -47,7 +55,7 @@ object TextOps {
     "q17_minhash_lsh_pairs" -> { (s, dir) =>
       import s.implicits._
       graft.textops.NearDup.minhashLshPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
+        docsParallel(s, dir), "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy($"id_a", $"id_b")
     },
@@ -57,7 +65,7 @@ object TextOps {
     "q18_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
       graft.textops.NearDup.simhashPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text", n = 3, maxDistance = 3)
+        docsParallel(s, dir), "doc_id", "text", n = 3, maxDistance = 3)
         .orderBy($"id_a", $"id_b")
     },
 
@@ -65,7 +73,7 @@ object TextOps {
     "q19_text_quality" -> { (s, dir) =>
       import s.implicits._
       val feats = graft.textops.TextAnalysis.qualityFeatures(
-        Tables.load(s, dir, "documents"), "text")
+        docsParallel(s, dir), "text")
       feats.select($"doc_id", $"n_chars", $"n_words", $"avg_word_len",
           $"distinct_ratio", $"stopword_hits",
           graft.textops.TextAnalysis.qualityScore($"n_words", $"distinct_ratio").as("quality"))
@@ -75,7 +83,7 @@ object TextOps {
     // ---- language ID via stopword-profile argmax.
     "q20_lang_id" -> { (s, dir) =>
       import s.implicits._
-      Tables.load(s, dir, "documents")
+      docsParallel(s, dir)
         .select($"doc_id", graft.textops.TextAnalysis.langIdCol($"text").as("lang_pred"))
         .orderBy($"doc_id")
     },
@@ -84,7 +92,7 @@ object TextOps {
     // (a 1-perm MinHash — SQL-expressible because both engines share md5).
     "q21_doc_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
+      val docs = docsParallel(s, dir)
       docs.select($"doc_id",
           explode(graft.textops.NearDup.shinglesCol($"text", 3)).as("shingle"))
         .groupBy($"doc_id").agg(min(md5($"shingle")).as("fingerprint"))

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** S4/T29 analog — the queue-shaped intake as Structured Streaming.
+  *
+  * The reference's SQS loops (long-poll one message, process, delete on
+  * success — `extract_queue_util.py:22-95`, `new_extract_queue_bot.py:136-209`)
+  * provide at-least-once delivery with idempotency from keyed upserts.
+  * The Spark equivalent: any streaming source → `foreachBatch` → an
+  * idempotent MERGE keyed on the item id. Receipt-handle semantics
+  * disappear; exactly-once lands on the sink key instead
+  * (SURVEY.md §2.3 "Streaming": no watermarks/event-time state needed
+  * for parity — each message is independent).
+  *
+  * [[windowedEventStats]] additionally shows the engine's event-time
+  * path (watermark + tumbling window) for stream analytics beyond the
+  * reference's surface.
+  */
+object Intake {
+
+  /** An extract-queue item (reference `to_extract_item.py:8-27`). */
+  final case class IntakeItem(etld1: String, batch: String, enqueued_at: java.sql.Timestamp)
+
+  /** Run the intake: every micro-batch is deduplicated against the
+    * existing frontier parquet by key and appended insert-only — the
+    * MERGE shape of `Ledger.upsertRequests`, restated for streams.
+    * At-least-once source + insert-only-by-key sink = effectively-once.
+    */
+  def runIntake(
+      items: Dataset[IntakeItem],
+      frontierPath: String,
+      checkpointPath: String): StreamingQuery = {
+    items.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[IntakeItem], batchId: Long) =>
+        val spark = batch.sparkSession
+        val existing: DataFrame =
+          try spark.read.parquet(frontierPath).select("etld1")
+          catch { case _: Exception => spark.emptyDataFrame.withColumn("etld1", lit("")) }
+        batch.toDF()
+          .dropDuplicates("etld1") // within-batch redelivery
+          .join(existing, Seq("etld1"), "left_anti") // across-batch idempotency
+          .write.mode("append").parquet(frontierPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Event-time tumbling-window stats with a watermark: late events
+    * beyond the watermark are dropped, state is bounded.
+    */
+  def windowedEventStats(
+      events: DataFrame,
+      tsCol: String,
+      watermark: String = "10 minutes",
+      window: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+}

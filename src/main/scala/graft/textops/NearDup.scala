@@ -55,18 +55,23 @@ object NearDup {
       n: Int, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // The shingle relation is consumed twice (both join sides); persist
+    // so the tokenize+explode+distinct pipeline runs once. Set size is
+    // attached by window so no extra sizes join is needed. The cache is
+    // released by the ContextCleaner when the plan is collected.
+    val w = Window.partitionBy($"id")
     val sh = df.select(col(idCol).as("id"),
         explode(shinglesCol(col(textCol), n)).as("shingle"))
       .distinct()
-    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_shingles"))
-    val a = sh.toDF("id_a", "shingle")
-    val b = sh.toDF("id_b", "shingle")
-    val common = a.join(b, "shingle")
+      .withColumn("sz", count(lit(1)).over(w))
+      .persist()
+    val a = sh.select($"id".as("id_a"), $"shingle", $"sz".as("size_a"))
+    val b = sh.select($"id".as("id_b"), $"shingle", $"sz".as("size_b"))
+    a.join(b, "shingle")
       .filter($"id_a" < $"id_b")
-      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.toDF("id_a", "size_a"), "id_a")
-      .join(sizes.toDF("id_b", "size_b"), "id_b")
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_common"),
+           first($"size_a").as("size_a"), first($"size_b").as("size_b"))
       .withColumn("jaccard",
         $"n_common".cast("double") / ($"size_a" + $"size_b" - $"n_common").cast("double"))
       .filter($"jaccard" >= threshold)
@@ -84,8 +89,14 @@ object NearDup {
   }
 
   /** k-wide MinHash signature of a shingle-hash set. */
-  def signature(shingleHashes: Iterable[Long], k: Int): Array[Long] = {
-    val params = Array.tabulate(k)(perm)
+  def signature(shingleHashes: Iterable[Long], k: Int): Array[Long] =
+    signatureWith(shingleHashes, Array.tabulate(k)(perm))
+
+  /** Signature with precomputed permutation params (hoist the param
+    * table out of per-row UDF calls).
+    */
+  def signatureWith(shingleHashes: Iterable[Long], params: Array[(Long, Long)]): Array[Long] = {
+    val k = params.length
     val sig = Array.fill(k)(Long.MaxValue)
     shingleHashes.foreach { h =>
       val x = (h & Long.MaxValue) % MersennePrime
@@ -123,21 +134,24 @@ object NearDup {
     val spark = df.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
+    val params = Array.tabulate(k)(perm) // hoisted: built once, shipped in the closure
     val sigUdf = udf((shingles: Seq[String]) =>
-      signature(shingles.map(s => scala.util.hashing.MurmurHash3.stringHash(s).toLong), k))
+      signatureWith(shingles.map(s => scala.util.hashing.MurmurHash3.stringHash(s).toLong), params))
     val sigs = df.select(col(idCol).as("id"), shinglesCol(col(textCol), n).as("shingles"))
       .withColumn("sig", sigUdf($"shingles"))
-    // band key = hash of the band's signature slice
+    // band key = hash of the band's signature slice; persisted — both
+    // sides of the bucket self-join read it.
     val banded = sigs.select($"id", posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice($"sig", b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), b))).as(Seq("band", "band_key")))
+      .persist()
     val candidates = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" && $"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"))
       .distinct()
     // exact verify: compute true Jaccard only for candidate pairs
     val sh = df.select(col(idCol).as("id"),
-        explode(shinglesCol(col(textCol), n)).as("shingle")).distinct()
+        explode(shinglesCol(col(textCol), n)).as("shingle")).distinct().persist()
     val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_shingles"))
     val common = candidates
       .join(sh.toDF("id_a", "shingle"), "id_a")

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+
+import graft.SparkEntry
+
+/** Physical-plan audit: asserts every gate query compiles to the plan
+  * shape intended for scale (filters/projections reaching the parquet
+  * scan, dimension joins broadcast, top-k as TakeOrdered, no accidental
+  * cartesian products). Run:
+  * `sbt "runMain graft.tools.PlanCheck [sfDir]"` — exits nonzero on any
+  * violation so it can gate commits.
+  */
+object PlanCheck {
+
+  final case class Expectation(
+      query: String,
+      mustContain: Seq[String] = Nil,
+      mustNotContain: Seq[String] = Nil)
+
+  /** Per-query plan contracts. `CartesianProduct` is globally forbidden;
+    * broadcast nested-loop joins are allowed only where the query is
+    * an intentional small-side cross score (ANN top-k).
+    */
+  val expectations: Seq[Expectation] = Seq(
+    Expectation("q01_pricing_summary", mustContain = Seq("HashAggregate")),
+    Expectation("q02_filter_pushdown",
+      // filter and 4-column projection reach the scan
+      mustContain = Seq("PushedFilters: [IsNotNull(l_shipdate)", "ReadSchema: struct<l_orderkey")),
+    Expectation("q03_broadcast_join_agg", mustContain = Seq("BroadcastHashJoin")),
+    Expectation("q04_multi_join_revenue", mustContain = Seq("BroadcastHashJoin")),
+    Expectation("q05_semi_join_exists", mustContain = Seq("LeftSemi")),
+    Expectation("q06_anti_join_frontier", mustContain = Seq("LeftAnti")),
+    // rn=1 must plan as WindowGroupLimit (map-side partial top-1 per
+    // group before the shuffle — the thing that keeps this query viable
+    // at 100 TB instead of sorting every group's full contents).
+    Expectation("q07_first_per_group", mustContain = Seq("WindowGroupLimit")),
+    Expectation("q09_topk_orders", mustContain = Seq("TakeOrderedAndProject")),
+    Expectation("q22_cosine_topk", mustContain = Seq("BroadcastNestedLoopJoin")))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var failures = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val qe: QueryExecution = fn(spark, sfDir).queryExecution
+      val plan = qe.executedPlan.toString
+      val exp = expectations.find(_.query == name)
+        .getOrElse(Expectation(name))
+      val globallyForbidden =
+        if (name == "q22_cosine_topk" || name == "q23_lsh_topk") Nil
+        else Seq("CartesianProduct")
+      val missing = exp.mustContain.filterNot(plan.contains)
+      val present = (exp.mustNotContain ++ globallyForbidden).filter(plan.contains)
+      if (missing.isEmpty && present.isEmpty) println(s"PASS $name")
+      else {
+        failures += 1
+        println(s"FAIL $name missing=${missing.mkString("|")} forbidden=${present.mkString("|")}")
+      }
+    }
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

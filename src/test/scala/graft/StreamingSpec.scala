@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Intake
+import graft.streaming.Intake.IntakeItem
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("intake is idempotent across redelivery and across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-intake").toString
+    val frontier = s"$dir/frontier"
+    val checkpoint1 = s"$dir/cp1"
+
+    // batch 1: a.com delivered twice (SQS redelivery), b.com once
+    val stream1 = MemoryStream[IntakeItem]
+    stream1.addData(
+      IntakeItem("a.com", "b1", ts(1)),
+      IntakeItem("a.com", "b1", ts(2)),
+      IntakeItem("b.com", "b1", ts(3)))
+    val q1 = Intake.runIntake(stream1.toDS(), frontier, checkpoint1)
+    q1.awaitTermination(30000)
+
+    val after1 = spark.read.parquet(frontier).select("etld1").as[String].collect().sorted
+    assert(after1.toSeq == Seq("a.com", "b.com"))
+
+    // batch 2 (fresh query, fresh checkpoint — simulates a restart):
+    // a.com redelivered again + c.com new
+    val stream2 = MemoryStream[IntakeItem]
+    stream2.addData(IntakeItem("a.com", "b2", ts(4)), IntakeItem("c.com", "b2", ts(5)))
+    val q2 = Intake.runIntake(stream2.toDS(), frontier, s"$dir/cp2")
+    q2.awaitTermination(30000)
+
+    val after2 = spark.read.parquet(frontier).select("etld1").as[String].collect().sorted
+    assert(after2.toSeq == Seq("a.com", "b.com", "c.com"))
+  }
+
+  test("windowed event stats with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = stream.toDS().toDF("ts", "event_type", "value")
+    val agg = Intake.windowedEventStats(df, "ts", watermark = "1 minute", window = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("winstats")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(
+      (ts(0), "click", 1.0), (ts(60), "click", 2.0),   // window [0,300)
+      (ts(400), "view", 5.0))                          // window [300,600)
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n, sum_value FROM winstats ORDER BY event_type")
+      .as[(String, Long, Double)].collect()
+    q.stop()
+    assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+}
