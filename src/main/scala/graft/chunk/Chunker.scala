@@ -191,6 +191,38 @@ object Chunker {
     softLimit(text, total / divisions, overlapRatio, maxChunks, tok)
   }
 
+  /** T6 — split bytes at newline boundaries under a size cap (reference
+    * `chunk_util.py:12-69`): used when shipping JSONL payloads whose
+    * consumers cap request size; a line is never split (backward search
+    * window for the last newline, default 10 KB).
+    */
+  def splitBytesOnLineBoundaries(
+      data: Array[Byte],
+      maxChunkSize: Int,
+      newlineSearchWindow: Int = 10000): Vector[Array[Byte]] = {
+    if (data.isEmpty) return Vector.empty
+    if (data.length <= maxChunkSize) return Vector(data)
+    val out = Vector.newBuilder[Array[Byte]]
+    var offset = 0
+    while (offset < data.length) {
+      var chunkSize = math.min(maxChunkSize, data.length - offset)
+      if (offset + chunkSize < data.length) {
+        val chunkEnd = offset + chunkSize
+        val searchStart = math.max(offset, chunkEnd - newlineSearchWindow)
+        var lastNl = -1
+        var i = chunkEnd - 1
+        while (i >= searchStart && lastNl < 0) {
+          if (data(i) == '\n') lastNl = i
+          i -= 1
+        }
+        if (lastNl > offset) chunkSize = lastNl - offset + 1
+      }
+      out += java.util.Arrays.copyOfRange(data, offset, offset + chunkSize)
+      offset += chunkSize
+    }
+    out.result()
+  }
+
   /** Chunk whole documents into the `chunks` table for one field's
     * strategy. Input rows: (etld1, version_id, text).
     */

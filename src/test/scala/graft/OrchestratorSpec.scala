@@ -1,0 +1,82 @@
+package graft
+
+import graft.chunk.ChunkingStrat
+import graft.exchange.MockExchange
+import graft.functions.WhitespaceTokenizer
+import graft.pipeline.Orchestrator
+import graft.pipeline.Orchestrator.CompanyText
+import graft.vocab.Concept
+
+/** T27/T28 end-to-end: sequencing, gating, GT override, error
+  * isolation — all through MockExchange.
+  */
+class OrchestratorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Seq(
+    Concept("certificate", "ISO 9001", "urn:c/iso9001", Seq("ISO9001"), Nil))
+
+  private val texts = Seq(
+    CompanyText("maker.example", "v1", "We are ISO 9001 certified manufacturers.\nEmail sales@maker.example today."),
+    CompanyText("blog.example", "v1", "Just a blog about cooking.\nNothing industrial here."),
+    CompanyText("broken.example", "v1", "Parse failure company.\nStill has text."),
+    CompanyText("human-says-yes.example", "v1", "Machine calls this not a manufacturer.\nISO 9001 appears here."))
+
+  private val exchange = new MockExchange((id, body) => {
+    val etld1 = id.split(">")(0)
+    val field = id.split(">")(1)
+    field match {
+      case "is_manufacturer" => etld1 match {
+        case "maker.example" => """{"answer": true, "confidence": 90, "reason": "makes things"}"""
+        case "blog.example" => """{"answer": false, "confidence": 95, "reason": "a blog"}"""
+        case "broken.example" => "THIS IS NOT JSON {{{"
+        case _ => """{"answer": false, "confidence": 60, "reason": "unclear"}"""
+      }
+      case "business_desc" =>
+        s"""{"name": "${etld1.split('.').head}", "description": "About $etld1"}"""
+      case "addresses" =>
+        """[{"city":"Phoenix","state":"AZ","address_lines":["1 Main St"]}]"""
+      case "certificates" =>
+        if (id.contains("llm_search")) {
+          if (body.contains("ISO 9001")) """["ISO 9001"]""" else """[]"""
+        } else "{}"
+      case _ => null
+    }
+  })
+
+  private lazy val result = Orchestrator.process(
+    texts.toDS(), exchange, vocab,
+    conceptFields = Seq(ChunkingStrat("certificates", 50, 0.0, 25)),
+    tok = WhitespaceTokenizer,
+    gtBinary = Seq(("human-says-yes.example", true)).toDF("etld1", "human_answer"))
+
+  private lazy val rows = result.manufacturers.collect()
+    .map(r => r.getAs[String]("etld1") -> r).toMap
+
+  test("binary decision + GT override gate content extraction") {
+    assert(rows("maker.example").getAs[Boolean]("is_manufacturer"))
+    assert(!rows("blog.example").getAs[Boolean]("is_manufacturer"))
+    // human override flips the machine's false
+    assert(rows("human-says-yes.example").getAs[Boolean]("is_manufacturer"))
+  }
+
+  test("content fields only for passing companies") {
+    assert(rows("maker.example").getAs[scala.collection.Seq[String]]("certificates").toSeq == Seq("ISO 9001"))
+    assert(rows("human-says-yes.example").getAs[scala.collection.Seq[String]]("certificates").toSeq == Seq("ISO 9001"))
+    assert(rows("blog.example").getAs[scala.collection.Seq[String]]("certificates") == null)
+  }
+
+  test("always-on fields present for gated-out companies too") {
+    assert(rows("blog.example").getAs[String]("business_desc") == "About blog.example")
+    assert(rows("maker.example").getAs[scala.collection.Seq[String]]("email_addresses").toSeq ==
+      Seq("sales@maker.example"))
+    val addr = rows("blog.example").getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("addresses")
+    assert(addr.length == 1 && addr.head.getAs[String]("city") == "Phoenix")
+  }
+
+  test("binary parse failure aborts the company into errors") {
+    assert(!rows.contains("broken.example"))
+    val errs = result.errors.collect()
+    assert(errs.exists(e => e.etld1 == "broken.example" && e.field == "is_manufacturer"))
+  }
+}
