@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.vocab.{Concept, LabelMatcher}
+
+/** Native Catalyst expression for multi-pattern word-boundary vocabulary
+  * matching (the optional perf path SURVEY.md §7.4 reserves for T8).
+  *
+  * Versus the UDF route, this skips the ScalaUDF encoder round-trip
+  * (catalyst→Scala input conversion + output converter lookup per row)
+  * and keeps null handling native. The matcher itself is the same
+  * single-pass [[LabelMatcher]]; `@transient lazy` compiles it once per
+  * task deserialization. Evaluation is interpreted (`CodegenFallback`)
+  * — the match loop is data-dependent string scanning that codegen
+  * cannot specialize further; the surrounding projection still
+  * participates in whole-stage codegen via the fallback bridge.
+  */
+final case class VocabMatch(
+    child: Expression,
+    labelToConcept: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val matcher = new LabelMatcher(labelToConcept)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val names = matcher.matchedConcepts(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(names.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override def prettyName: String = "graft_vocab_match"
+  override protected def withNewChildInternal(newChild: Expression): VocabMatch =
+    copy(child = newChild)
+}
+
+object VocabMatch {
+  def forConcepts(concepts: Seq[Concept]): Seq[(String, String)] =
+    for { c <- concepts; label <- c.matchLabels.toSeq } yield (label, c.name)
+
+  /** Column form — drop-in for `BruteSearch.searchColumn`'s UDF.
+    * (Spark 4's unified `Column` wraps a ColumnNode; the classic bridge
+    * converts to/from catalyst expressions.)
+    */
+  def matchCol(text: Column, concepts: Seq[Concept]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(VocabMatch(ColumnBridge.expression(text), forConcepts(concepts)))
+  }
+}

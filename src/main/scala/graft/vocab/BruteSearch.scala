@@ -78,13 +78,23 @@ object BruteSearch {
     matcherFor(concepts).matchedConcepts(text).toSet
 
   /** Chunk-level Dataset form: adds `brute_concepts: array<string>` of
-    * matched concept names. The vocabulary rides the UDF closure (it is
-    * broadcast with the task binary — ≤ a few thousand strings).
+    * matched concept names. The vocabulary rides the expression/closure
+    * (it is broadcast with the task binary — ≤ a few thousand strings).
+    *
+    * Default path is the native Catalyst expression
+    * ([[graft.functions.VocabMatch]]) — no ScalaUDF encoder round-trip;
+    * `native = false` selects the UDF form (which maps null text to an
+    * empty array instead of null).
     */
   def searchColumn(df: DataFrame, textCol: String, concepts: Seq[Concept],
-      outCol: String = "brute_concepts"): DataFrame = {
-    val matcher = matcherFor(concepts)
-    val u = udf((text: String) => matcher.matchedConcepts(text))
-    df.withColumn(outCol, u(col(textCol)))
+      outCol: String = "brute_concepts", native: Boolean = true): DataFrame = {
+    if (native) {
+      df.withColumn(outCol,
+        graft.functions.VocabMatch.matchCol(col(textCol), concepts))
+    } else {
+      val matcher = matcherFor(concepts)
+      val u = udf((text: String) => matcher.matchedConcepts(text))
+      df.withColumn(outCol, u(col(textCol)))
+    }
   }
 }
