@@ -1,0 +1,85 @@
+package graft.exchange
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.{Ledger, Packer}
+
+/** The deferred/batch exchange — the reference's OpenAI Batch flow
+  * (SURVEY.md §3.3; `batch_file_station.py:120-420`) restated as two
+  * restartable jobs around a file boundary:
+  *
+  *  1. '''ship''': pending ledger rows (`batch_id` null) → JSONL files
+  *     under the packer limits → hand file paths to a [[BatchApi]] →
+  *     stamp `batch_id`;
+  *  2. '''collect''': read result JSONL (`spark.read.json`), MERGE
+  *     responses by `custom_id`, and reset `batch_id := null` on
+  *     requests the batch lost so the next ship re-sends them.
+  *
+  * Everything between the two calls lives in tables + files — the
+  * 24-hour completion window means each side must be runnable in a
+  * fresh session with no driver state (SURVEY.md §7.5 risk 2). The spec
+  * proves that by running ship and collect in separate "sessions" over
+  * the same parquet ledger.
+  */
+object BatchExchange {
+
+  /** External batch API boundary: receives request files, returns a
+    * batch id; later exposes result files per batch id. Local mock in
+    * tests; the real impl is driver-side HTTP (out of engine scope).
+    */
+  trait BatchApi extends Serializable {
+    def submit(requestFiles: Seq[String]): String
+    /** Paths of result JSONL files, or None while still running. */
+    def results(batchId: String): Option[Seq[String]]
+  }
+
+  /** Ship pending rows: pack → write one JSONL file per `file_id` →
+    * submit → return the ledger with `batch_id` stamped on shipped
+    * rows. `workDir` holds the request files.
+    */
+  def ship(ledger: DataFrame, api: BatchApi, workDir: String,
+      limits: Packer.PackLimits = Packer.StationLimits): (DataFrame, Option[String]) = {
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    val pending = Ledger.pendingForShipment(ledger)
+    if (pending.isEmpty) return (ledger, None)
+    val packed = Packer.pack(
+      pending.select("custom_id", "body_json", "input_tokens").coalesce(1), limits)
+    // one JSONL file per pack bucket
+    val outDir = s"$workDir/requests"
+    packed.select($"file_id", $"body_json").write.mode("overwrite")
+      .partitionBy("file_id").text(outDir)
+    val files = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("file_id="))
+      .map(_.getAbsolutePath).sorted.toSeq
+    val batchId = api.submit(files)
+    val shippedIds = packed.select($"custom_id").withColumn("__shipped", lit(true))
+    val stamped = ledger.join(shippedIds, Seq("custom_id"), "left")
+      .withColumn("batch_id",
+        when($"__shipped" && col("batch_id").isNull, lit(batchId))
+          .otherwise(col("batch_id")))
+      .drop("__shipped")
+    (stamped, Some(batchId))
+  }
+
+  /** Collect one batch's results (no-op while the API reports it
+    * running): ingest responses by custom_id; unanswered shipped rows
+    * get `batch_id` reset for re-ship.
+    */
+  def collect(ledger: DataFrame, api: BatchApi, batchId: String): DataFrame = {
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    api.results(batchId) match {
+      case None => ledger // still running
+      case Some(paths) =>
+        val raw = spark.read.text(paths: _*)
+        val responses = raw.select(
+          get_json_object($"value", "$.custom_id").as("custom_id"),
+          $"value".as("response_json"))
+          .filter($"custom_id".isNotNull)
+        val ingested = Ledger.ingestResponses(ledger, responses)
+        Ledger.resetMissing(ingested, batchId, responses.select("custom_id"))
+    }
+  }
+}

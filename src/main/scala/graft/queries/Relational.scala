@@ -225,6 +225,50 @@ object Relational {
         .agg(count(lit(1)).as("n"),
              sum(dec($"value", 18, 2)).cast("double").as("sum_value"))
         .orderBy($"k")
+    },
+
+    // ---- set difference on Datasets (reference `-` on result sets,
+    // SURVEY §2.3 "Set ops": results − remove, expected − completed).
+    "q25_set_except" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      def ordersFor(flag: String) =
+        li.filter($"l_returnflag" === flag).select($"l_orderkey").distinct()
+      ordersFor("N").except(ordersFor("R")).orderBy($"l_orderkey")
+    },
+
+    // ---- group-into-map (reference T12's known→unknowns grouping,
+    // `map_from_entries(collect_list(...))` shape, SURVEY §2.3
+    // "Aggregations"). Stringified sorted entries so the compare is
+    // engine-neutral (duplicate keys exist in the data).
+    "q26_group_into_map" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct($"l_linenumber".as("k"), $"l_suppkey".as("v")))),
+            e => concat_ws(":", e.getField("k"), e.getField("v"))), ",")
+          .as("line_supp_map"))
+        .orderBy($"l_orderkey")
+    },
+
+    // ---- rollup (hierarchical subtotals region→nation→total).
+    "q27_rollup_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_items"),
+             sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+        .orderBy($"r_name", $"n_name")
     }
   )
 
@@ -319,6 +363,27 @@ object Relational {
       """SELECT CAST(regexp_extract(props, '(\d+)', 1) AS INT) AS k,
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q25_set_except" ->
+      """SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+        |EXCEPT
+        |SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "q26_group_into_map" ->
+      """SELECT l_orderkey,
+        | string_agg(CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR),
+        |            ',' ORDER BY l_linenumber, l_suppkey) AS line_supp_map
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q27_rollup_revenue" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
   )
 }
