@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Differential fuzz: reference (Python) vs graft (Scala) on dedup and
+chunking. Generates random block corpora / texts, runs the REFERENCE
+implementation from /root/reference (read-only import), writes inputs +
+expected outputs, then `graft.tools.DifferentialCheck` replays them
+through the Scala engine and diffs byte-for-byte.
+
+Usage:
+  python3 tools/differential.py gen <dir> [n_cases]   # write cases + expected
+  (then) sbt "runMain graft.tools.DifferentialCheck <dir>"
+"""
+import importlib.util
+import json
+import os
+import random
+import sys
+import types
+
+# Load the reference modules standalone (stub the tokenizer import).
+mod = types.ModuleType("open_ai_key_app.utils.token_util")
+mod.num_tokens_from_string = lambda s: len(s.split())  # whitespace stub
+pkg = types.ModuleType("open_ai_key_app")
+pkgu = types.ModuleType("open_ai_key_app.utils")
+sys.modules["open_ai_key_app"] = pkg
+sys.modules["open_ai_key_app.utils"] = pkgu
+sys.modules["open_ai_key_app.utils.token_util"] = mod
+
+def load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+dedup = load("dedup_util",
+    "/root/reference/scraper_app/src/scraper_app/utils/dedup_util.py")
+chunk = load("chunk_util",
+    "/root/reference/data_etl_app/src/data_etl_app/utils/chunk_util.py")
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+
+
+def rand_line(rnd):
+    return " ".join(rnd.choice(WORDS) for _ in range(rnd.randint(0, 8)))
+
+
+def make_corpus(rnd):
+    n_pages = rnd.randint(0, 12)
+    header = "\n".join(rand_line(rnd) for _ in range(rnd.randint(0, 5)))
+    footer = "\n".join(rand_line(rnd) for _ in range(rnd.randint(0, 5)))
+    use_boiler = rnd.random() < 0.7
+    bodies = []
+    for i in range(n_pages):
+        core = "\n".join(rand_line(rnd) for _ in range(rnd.randint(0, 6)))
+        if rnd.random() < 0.25 and bodies:
+            bodies.append(bodies[rnd.randrange(len(bodies))])  # exact dup
+        elif use_boiler and rnd.random() < 0.9:
+            bodies.append(f"{header}\n{core}\n{footer}")
+        else:
+            bodies.append(core)
+    sep = "#" * 50
+    return "".join(f"{sep}\nhttps://t.example/p{i}\n\n{b}\n"
+                   for i, b in enumerate(bodies))
+
+
+def make_text(rnd):
+    return "\n".join(rand_line(rnd) for _ in range(rnd.randint(0, 40)))
+
+
+def main(outdir, n=200):
+    os.makedirs(outdir, exist_ok=True)
+    rnd = random.Random(1234)
+    cases = []
+    for i in range(n):
+        corpus = make_corpus(rnd)
+        expected = dedup.deduplicate_scraped_content(corpus)
+        text = make_text(rnd)
+        soft = rnd.choice([3, 5, 8, 20])
+        overlap = rnd.choice([0.0, 0.15, 0.25, 0.5])
+        maxc = rnd.choice([None, 2, 5, 100])
+        chunks = chunk.get_chunks_respecting_line_boundaries_sync(
+            text, soft, overlap, maxc)
+        cases.append({
+            "id": i,
+            "corpus": corpus, "dedup_expected": expected,
+            "text": text, "soft": soft, "overlap": overlap,
+            "max_chunks": maxc, "chunks_expected": chunks,
+        })
+    with open(f"{outdir}/cases.json", "w") as f:
+        json.dump(cases, f)
+    print(f"wrote {n} cases to {outdir}/cases.json")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 200)
