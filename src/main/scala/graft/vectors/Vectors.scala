@@ -64,6 +64,75 @@ object Vectors {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF (inverted-file) ANN top-k: partition the corpus into Voronoi
+    * cells around k-means centroids, then search only the `nProbe`
+    * cells nearest each query. The standard scale path when
+    * hyperplane LSH recall is poor (near-orthogonal high-dim data):
+    * cost ≈ corpus/nCentroids × nProbe per query instead of the full
+    * corpus. Centroids are fit once (seeded, deterministic) and
+    * broadcast; assignment is one pass.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int, nProbe: Int, seed: Int = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Fit centroids on a driver-side sample: nCentroids is small and
+    // Lloyd's iterations on a bounded sample avoid an MLlib dependency
+    // on the hot path. Deterministic: seeded sample + fixed iterations.
+    val sample = corpus.select(col(vecCol)).limit(10000)
+      .as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array.fill(nCentroids)(sample(rnd.nextInt(sample.length)).clone())
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val x = v(j) - cs(i)(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    for (_ <- 1 to 10) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Int](nCentroids)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(nCentroids) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    val cs = centroids
+    val assignUdf = udf((v: Seq[Float]) => nearest(v.map(_.toDouble).toArray, cs))
+    val probeUdf = udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble).toArray
+      cs.indices.map { i =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val x = vd(j) - cs(i)(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("cell", assignUdf(col("nv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv")))))
+    val scored = q.join(c, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("cosine", round(cosineCol($"qv", $"nv"), 6))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+  }
+
   /** Bucketed ANN top-k: exact ranking within the query's bucket. Trades
     * recall for a bucket join; [[bruteTopK]] is the recall oracle.
     */
