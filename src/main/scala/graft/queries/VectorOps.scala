@@ -36,11 +36,14 @@ object VectorOps {
     },
 
     // ---- embedding-cosine near-dup pairs (no oracle: LSH buckets).
+    // The synthetic embeddings are near-orthogonal (max pairwise cosine
+    // ≈ 0.51), so the demo threshold is 0.4; production near-dup
+    // thresholds (0.9+) plug into the same operator.
     "q24_embedding_near_dup" -> { (s, dir) =>
       import s.implicits._
       graft.textops.NearDup.embeddingPairs(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        planes = 6, threshold = 0.95)
+        planes = 4, threshold = 0.4)
         .orderBy($"id_a", $"id_b")
     }
   )

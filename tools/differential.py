@@ -35,6 +35,8 @@ dedup = load("dedup_util",
     "/root/reference/scraper_app/src/scraper_app/utils/dedup_util.py")
 chunk = load("chunk_util",
     "/root/reference/data_etl_app/src/data_etl_app/utils/chunk_util.py")
+strutil = load("str_util",
+    "/root/reference/core/src/core/utils/str_util.py")
 
 WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
          "kilo lima mike november oscar papa quebec romeo sierra tango").split()
@@ -67,6 +69,32 @@ def make_text(rnd):
     return "\n".join(rand_line(rnd) for _ in range(rnd.randint(0, 40)))
 
 
+def make_llm_response(rnd):
+    """Messy JSON-array-ish responses like a model would emit."""
+    items = []
+    for _ in range(rnd.randint(0, 5)):
+        w = " ".join(rnd.choice(WORDS) for _ in range(rnd.randint(1, 3)))
+        style = rnd.random()
+        if style < 0.25:
+            w = f'say "{w}" now'          # interior quotes
+        elif style < 0.35:
+            w = f"{w}\\\"esc"             # pre-escaped quote
+        items.append('"' + w + '"')
+    body = "[" + ", ".join(items) + "]"
+    deco = rnd.random()
+    if deco < 0.3:
+        body = f"```json\n{body}\n```"
+    elif deco < 0.4:
+        body = f"```{body}```"
+    elif deco < 0.5:
+        body = f"  {body} \n"
+    elif deco < 0.55:
+        body = body[:-1]                  # truncated array
+    elif deco < 0.6:
+        body = "not json at all " + body
+    return body
+
+
 def main(outdir, n=200):
     os.makedirs(outdir, exist_ok=True)
     rnd = random.Random(1234)
@@ -80,11 +108,14 @@ def main(outdir, n=200):
         maxc = rnd.choice([None, 2, 5, 100])
         chunks = chunk.get_chunks_respecting_line_boundaries_sync(
             text, soft, overlap, maxc)
+        resp = make_llm_response(rnd)
         cases.append({
             "id": i,
             "corpus": corpus, "dedup_expected": expected,
             "text": text, "soft": soft, "overlap": overlap,
             "max_chunks": maxc, "chunks_expected": chunks,
+            "llm_response": resp,
+            "repair_expected": strutil.make_json_array_parse_safe(resp),
         })
     with open(f"{outdir}/cases.json", "w") as f:
         json.dump(cases, f)
