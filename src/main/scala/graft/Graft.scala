@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.{BpeishTokenizer, Emails, JsonRepair, UrlUtil}
+import graft.textops.NearDup
+
+/** SQL-facing registration: makes the engine's scalar functions
+  * callable from `spark.sql` (and thus from any BI/SQL client attached
+  * to the session). DataFrame users call the Column forms directly;
+  * this is the parity surface for SQL-first users.
+  *
+  * {{{
+  * graft.Graft.registerAll(spark)
+  * spark.sql("SELECT graft_etld1(host), graft_emails(body) FROM corpus")
+  * }}}
+  */
+object Graft {
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("graft_etld1",
+      (h: String) => Option(h).map(UrlUtil.etld1FromHost).orNull)
+    spark.udf.register("graft_normalize_url",
+      (u: String) => Option(u).flatMap(s =>
+        try Some(UrlUtil.normalizeUrl(s)._2)
+        catch { case _: IllegalArgumentException => None }).orNull)
+    spark.udf.register("graft_json_repair",
+      (s: String) => JsonRepair.repair(s))
+    spark.udf.register("graft_emails",
+      (t: String) => Emails.validatedEmails(t))
+    spark.udf.register("graft_token_count",
+      (t: String) => Option(t).map(BpeishTokenizer.count).getOrElse(0))
+    spark.udf.register("graft_simhash",
+      (t: String) => Option(t).map(NearDup.simhash(_, 3)).getOrElse(0L))
+    spark.udf.register("graft_shingles",
+      (t: String, n: Int) => Option(t).map(NearDup.wordShingles(_, n)).getOrElse(Vector.empty))
+    spark.udf.register("graft_uri_strip",
+      (v: String) => Option(v).map(graft.emit.Triples.uriStrip).orNull)
+  }
+}
