@@ -232,10 +232,12 @@ object NearDup {
     import spark.implicits._
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", graft.vectors.Vectors.hyperplaneBucket(col("v"), planes, dim = 64))
+      .withColumn("norm", graft.vectors.Vectors.normCol(col("v")))
+      .persist() // both sides of the self-join read it
     bucketed.as("x").join(bucketed.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"),
-        graft.vectors.Vectors.cosineCol($"x.v", $"y.v").as("cosine"))
+        graft.vectors.Vectors.cosineWithNorms($"x.v", $"x.norm", $"y.v", $"y.norm").as("cosine"))
       .filter($"cosine" >= threshold)
   }
 }

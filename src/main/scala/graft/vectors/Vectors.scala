@@ -25,9 +25,21 @@ object Vectors {
 
   /** cosine = dot / (sqrt(dot_aa) * sqrt(dot_bb)) — mirrors the oracle
     * formulation exactly (same op order → bit-identical doubles).
+    * Join-heavy callers precompute [[normCol]] per side instead: the
+    * per-pair work drops from three dot products to one.
     */
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
+
+  /** Per-vector norm, computed once per row before a pair join. */
+  def normCol(v: Column): Column = sqrt(dotCol(v, v))
+
+  /** Cosine from a precomputed-norm pair: identical double sequence to
+    * [[cosineCol]] (sqrt once per vector instead of once per pair —
+    * same values, same rounding).
+    */
+  def cosineWithNorms(a: Column, normA: Column, b: Column, normB: Column): Column =
+    dotCol(a, b) / (normA * normB)
 
   /** Exact top-k neighbors for each query row. `queries` must be small
     * (it is broadcast); ranking is (rounded cosine desc, id asc) so ties
@@ -37,10 +49,12 @@ object Vectors {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", normCol($"qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nn", normCol($"nv"))
     val scored = q.join(c, $"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", round(cosineCol($"qv", $"nv"), 6))
+      .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -126,7 +140,7 @@ object Vectors {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv")))))
     val scored = q.join(c, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", round(cosineCol($"qv", $"nv"), 6))
+      .withColumn("cosine", round(cosineWithNorms($"qv", normCol($"qv"), $"nv", normCol($"nv")), 6))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -147,7 +161,8 @@ object Vectors {
     val c = withBucket(corpus, idCol, vecCol)
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(vecCol, "nv")
     val scored = q.join(c, Seq("bucket")).filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", round(cosineCol($"qv", $"nv"), 6))
+      .withColumn("qn", normCol($"qv")).withColumn("nn", normCol($"nv"))
+      .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
