@@ -35,8 +35,13 @@ object BatchExchange {
   }
 
   /** Ship pending rows: pack → write one JSONL file per `file_id` →
-    * submit → return the ledger with `batch_id` stamped on shipped
-    * rows. `workDir` holds the request files.
+    * write a manifest → submit → return the ledger with `batch_id`
+    * stamped on shipped rows. `workDir` holds the request files.
+    *
+    * The manifest (`_manifest.json`, written atomically via
+    * temp+rename AFTER the data files) is the commit record: a crash
+    * mid-write leaves no manifest, and the next ship overwrites the
+    * partial files — the API is only ever handed a completed file set.
     */
   def ship(ledger: DataFrame, api: BatchApi, workDir: String,
       limits: Packer.PackLimits = Packer.StationLimits): (DataFrame, Option[String]) = {
@@ -53,6 +58,8 @@ object BatchExchange {
     val files = new java.io.File(outDir).listFiles()
       .filter(_.getName.startsWith("file_id="))
       .map(_.getAbsolutePath).sorted.toSeq
+    val nRequests = packed.count()
+    writeManifest(outDir, files, nRequests)
     val batchId = api.submit(files)
     val shippedIds = packed.select($"custom_id").withColumn("__shipped", lit(true))
     val stamped = ledger.join(shippedIds, Seq("custom_id"), "left")
@@ -61,6 +68,30 @@ object BatchExchange {
           .otherwise(col("batch_id")))
       .drop("__shipped")
     (stamped, Some(batchId))
+  }
+
+  private def writeManifest(outDir: String, files: Seq[String], nRequests: Long): Unit = {
+    val json =
+      s"""{"n_files":${files.length},"n_requests":$nRequests,"files":[${
+        files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString(",")
+      }]}"""
+    val tmp = java.nio.file.Paths.get(outDir, "._manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outDir, "_manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The committed file set of the last completed ship, or None if no
+    * completed ship exists (crashed mid-write or never ran).
+    */
+  def readManifest(workDir: String): Option[(Seq[String], Long)] = {
+    val p = java.nio.file.Paths.get(s"$workDir/requests", "_manifest.json")
+    if (!java.nio.file.Files.exists(p)) return None
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
+    import scala.jdk.CollectionConverters._
+    Some((node.get("files").elements().asScala.map(_.asText()).toSeq,
+      node.get("n_requests").asLong()))
   }
 
   /** Collect one batch's results (no-op while the API reports it

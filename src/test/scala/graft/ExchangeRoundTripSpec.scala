@@ -84,6 +84,19 @@ class BatchExchangeSpec extends SparkSpec {
     assert(pending2 == Seq("b>F>mapping"))
   }
 
+  test("ship commits a manifest after the data files") {
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    val api = new LocalApi(dir, Set.empty)
+    BatchExchange.ship(freshLedger("a>F>mapping", "b>F>mapping"), api, dir,
+      Packer.PackLimits(1, 1000, 100000)) // 1 request/file → 2 files
+    val Some((files, n)) = BatchExchange.readManifest(dir): @unchecked
+    assert(files.length == 2 && n == 2)
+    files.foreach(f => assert(new java.io.File(f).exists(), f))
+    // crashed-mid-write simulation: no manifest → no committed file set
+    val dir2 = Files.createTempDirectory("graft-manifest2").toString
+    assert(BatchExchange.readManifest(dir2).isEmpty)
+  }
+
   test("ship with nothing pending is a no-op") {
     val answered = Seq(("a", "{}", 1, "b0", """{"done":1}"""))
       .toDF("custom_id", "body_json", "input_tokens", "batch_id", "response_json")
