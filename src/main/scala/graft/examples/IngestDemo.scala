@@ -26,9 +26,25 @@ object IngestDemo {
         Blocks.format("https://a.example/dup", boiler("Page body 0"))
     val docs = Seq(
       CorpusDoc("a.example", "v1", combinedA),
-      CorpusDoc("b.example", "v1", Blocks.format("https://b.example/", "solo body"))).toDS()
+      CorpusDoc("b.example", "v1", Blocks.format("https://b.example/", "solo body")),
+      CorpusDoc("timeout.example", "v1", Blocks.format("https://timeout.example/", "partial scrape"))).toDS()
 
-    val pages = Blocks.shred(docs)
+    // S1 validity gate: scrape stats filter invalid scrapes out of the
+    // corpus before extraction (tokens, success rate, timeout).
+    import graft.plans.{Merge => M}
+    val scrapeStats = Seq(
+      ("a.example", 500, 6, 0, false),
+      ("b.example", 40, 1, 0, false),
+      ("timeout.example", 900, 3, 2, true)) // timed out → invalid
+      .toDF("etld1", "tokens", "urls_scraped", "urls_failed", "timed_out")
+    val validCompanies = scrapeStats
+      .filter(M.scrapeValid($"tokens", $"urls_scraped", $"urls_failed", $"timed_out"))
+      .select($"etld1")
+    println("valid scrapes:")
+    validCompanies.show(false)
+    val validDocs = docs.join(validCompanies, "etld1").as[CorpusDoc]
+
+    val pages = Blocks.shred(validDocs)
     println(s"shredded pages: ${pages.count()}")
     val deduped = Dedup.dedupCorpus(pages)
     deduped.orderBy("etld1", "page_seq")

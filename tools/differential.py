@@ -95,9 +95,9 @@ def make_llm_response(rnd):
     return body
 
 
-def main(outdir, n=200):
+def main(outdir, n=200, seed=1234):
     os.makedirs(outdir, exist_ok=True)
-    rnd = random.Random(1234)
+    rnd = random.Random(seed)
     cases = []
     for i in range(n):
         corpus = make_corpus(rnd)
@@ -123,4 +123,5 @@ def main(outdir, n=200):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 200)
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 200,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 1234)
