@@ -145,4 +145,127 @@ object Dedup {
         }
       }
   }
+
+  /** Window/posexplode formulation of the same passes — the shape for a
+    * pathological company whose pages exceed one task's memory (the
+    * `flatMapGroups` form holds a company's pages in one group; this one
+    * never materializes per-company state, only per-LINE rows):
+    *
+    *  1. T1: first occurrence per (company, body hash) by `page_seq`
+    *     window → later occurrences become stubs;
+    *  2. T2: explode unique pages into (pos, line) rows; the longest
+    *     page (ties: lowest page_seq, like Python's `max`) is the
+    *     reference; per-position match counts against the reference
+    *     line give the ≥95% prefix/suffix runs; each page drops its
+    *     header/footer only when its own prefix/suffix equals the run
+    *     exactly.
+    *
+    * Equivalent to [[dedupCorpus]] (spec'd on seeded random corpora).
+    */
+  def dedupCorpusWindowed(pages: Dataset[CorpusPage]): Dataset[CorpusPage] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = pages.sparkSession
+    import spark.implicits._
+
+    val hashUdf = udf((b: String) => hashBody(b))
+    val linesUdf = udf((b: String) => Blocks.splitKeepEnds(b))
+
+    val base = pages.toDF()
+      .withColumn("h", hashUdf($"body"))
+    val dupW = Window.partitionBy($"etld1", $"version_id", $"h").orderBy($"page_seq")
+    val tagged = base.withColumn("is_stub", row_number().over(dupW) > 1)
+
+    val uniq = tagged.filter(!$"is_stub")
+      .withColumn("lines", linesUdf($"body"))
+      .withColumn("n_lines", size($"lines"))
+    val keyW = Window.partitionBy($"etld1", $"version_id")
+    val withTotal = uniq.withColumn("total", count(lit(1)).over(keyW))
+
+    // reference page: longest, ties to lowest page_seq
+    val refW = Window.partitionBy($"etld1", $"version_id")
+      .orderBy($"n_lines".desc, $"page_seq".asc)
+    val refPages = withTotal.withColumn("is_ref", row_number().over(refW) === 1)
+    val refLines = refPages.filter($"is_ref")
+      .select($"etld1", $"version_id", $"n_lines".as("ref_len"),
+        posexplode($"lines").as(Seq("pos", "ref_line")))
+
+    // per-line rows of every unique page, with end-relative index i (1-based)
+    val lineRows = refPages
+      .select($"etld1", $"version_id", $"page_seq", $"total", $"n_lines",
+        posexplode($"lines").as(Seq("pos", "line")))
+      .withColumn("i", $"n_lines" - $"pos")
+
+    // header: per-pos match rate vs the reference line
+    val posMatch = lineRows.join(refLines.drop("ref_len"), Seq("etld1", "version_id", "pos"))
+      .groupBy($"etld1", $"version_id", $"pos")
+      .agg(sum(when($"line" === $"ref_line", 1).otherwise(0)).as("matches"),
+        first($"total").as("total"))
+      .withColumn("ok", $"matches" >= lit(HeaderFooterThreshold) * $"total")
+    val headerLen = posMatch.groupBy($"etld1", $"version_id")
+      .agg(coalesce(min(when(!$"ok", $"pos")), max($"pos") + 1).as("header_len_raw"))
+
+    // footer: same from the end; reference line at i-from-end
+    val refLinesEnd = refLines.withColumn("i", $"ref_len" - $"pos")
+      .select($"etld1", $"version_id", $"i", $"ref_line".as("ref_line_end"))
+    val iMatch = lineRows.join(refLinesEnd, Seq("etld1", "version_id", "i"))
+      .groupBy($"etld1", $"version_id", $"i")
+      .agg(sum(when($"line" === $"ref_line_end", 1).otherwise(0)).as("matches"),
+        first($"total").as("total"))
+      .withColumn("ok", $"matches" >= lit(HeaderFooterThreshold) * $"total")
+    val footerLen = iMatch.groupBy($"etld1", $"version_id")
+      .agg((coalesce(min(when(!$"ok", $"i")), max($"i") + 1) - 1).as("footer_len_raw"))
+
+    val refLen = refPages.filter($"is_ref")
+      .select($"etld1", $"version_id", $"n_lines".as("ref_len"), $"total")
+    val runs = refLen
+      .join(headerLen, Seq("etld1", "version_id"), "left")
+      .join(footerLen, Seq("etld1", "version_id"), "left")
+      .withColumn("header_len",
+        when($"total" < 2, lit(0))
+          .when($"header_len_raw" >= MinRepeatedLines, $"header_len_raw").otherwise(lit(0)))
+      .withColumn("footer_len0",
+        when($"total" < 2, lit(0))
+          .when($"footer_len_raw" >= MinRepeatedLines, $"footer_len_raw").otherwise(lit(0)))
+      // overlap on short reference pages: header wins
+      .withColumn("footer_len",
+        when($"header_len" > 0 && $"footer_len0" > 0 &&
+             $"header_len" + $"footer_len0" >= $"ref_len", lit(0))
+          .otherwise($"footer_len0"))
+      .select($"etld1", $"version_id", $"header_len", $"footer_len")
+
+    // per page: does its own prefix/suffix equal the detected runs?
+    val hdrEq = lineRows.join(refLines.drop("ref_len"), Seq("etld1", "version_id", "pos"))
+      .join(runs, Seq("etld1", "version_id"))
+      .filter($"pos" < $"header_len")
+      .groupBy($"etld1", $"version_id", $"page_seq")
+      .agg(sum(when($"line" === $"ref_line", 1).otherwise(0)).as("hdr_matches"))
+    val ftrEq = lineRows.join(refLinesEnd, Seq("etld1", "version_id", "i"))
+      .join(runs, Seq("etld1", "version_id"))
+      .filter($"i" <= $"footer_len")
+      .groupBy($"etld1", $"version_id", $"page_seq")
+      .agg(sum(when($"line" === $"ref_line_end", 1).otherwise(0)).as("ftr_matches"))
+
+    val perPage = refPages
+      .select($"etld1", $"version_id", $"page_seq", $"url", $"n_lines", $"lines")
+      .join(runs, Seq("etld1", "version_id"), "left")
+      .join(hdrEq, Seq("etld1", "version_id", "page_seq"), "left")
+      .join(ftrEq, Seq("etld1", "version_id", "page_seq"), "left")
+      .na.fill(0, Seq("header_len", "footer_len", "hdr_matches", "ftr_matches"))
+      .withColumn("drop_head",
+        when($"header_len" > 0 && $"n_lines" >= $"header_len" &&
+             $"hdr_matches" === $"header_len", $"header_len").otherwise(lit(0)))
+      .withColumn("drop_tail",
+        when($"footer_len" > 0 && ($"n_lines" - $"drop_head") >= $"footer_len" &&
+             $"ftr_matches" === $"footer_len", $"footer_len").otherwise(lit(0)))
+      .withColumn("body",
+        array_join(slice($"lines", $"drop_head" + lit(1),
+          greatest($"n_lines" - $"drop_head" - $"drop_tail", lit(0))), ""))
+      .select($"etld1", $"version_id", $"page_seq", $"url", $"body")
+
+    val stubs = tagged.filter($"is_stub")
+      .select($"etld1", $"version_id", $"page_seq", $"url", lit(StubText).as("body"))
+
+    perPage.unionByName(stubs).as[CorpusPage]
+  }
 }
