@@ -121,8 +121,11 @@ object Chunker {
   }
 
   /** Hard-limit chunker: a chunk never exceeds `hardLimitTokens`; the
-    * next chunk backtracks whole lines until at least
-    * `hardLimitTokens*overlapRatio` tokens of overlap are replayed.
+    * next chunk backtracks whole lines until the required
+    * `hardLimitTokens*overlapRatio` overlap is covered. Per the
+    * reference's accounting, the pending (not-yet-emitted) line's
+    * tokens count toward that requirement — a large pending line can
+    * satisfy it alone, yielding zero replayed lines.
     *
     * NOTE — corrected vs the reference: the reference's
     * `get_chunks_respecting_line_boundaries_with_hard_limit`
@@ -131,7 +134,11 @@ object Chunker {
     * IndexError on any input needing >1 chunk, and has no call sites in
     * the reference tree. This implementation keeps its documented
     * contract (hard cap + backtracked overlap + `maxChunks`) with the
-    * accumulator reset it evidently intended.
+    * accumulator reset it evidently intended, and additionally clamps
+    * the backtrack to start AFTER the previous chunk's first line so
+    * every chunk makes forward progress (an unclamped backtrack can
+    * re-emit the same chunk until `maxChunks` and silently drop the
+    * tail of the document).
     */
   def hardLimit(
       text: String,
@@ -147,6 +154,7 @@ object Chunker {
     var cur = Vector.empty[LineInfo]
     var curTokens = 0
     var i = 0
+    var chunkStartIdx = 0 // index of the current chunk's first line
     while (i < lines.length) {
       val line = lines(i)
       if (curTokens + line.tokens <= hardLimitTokens || cur.isEmpty) {
@@ -159,14 +167,17 @@ object Chunker {
         out += Chunk(cur.head.start, cur.last.end, cur.map(_.text).mkString, curTokens)
         emitted += 1
         if (emitted >= maxChunks) return out.result()
-        // Backtrack whole lines until the required overlap is covered.
+        // Backtrack whole lines until the required overlap is covered,
+        // never past the first line after the emitted chunk's start
+        // (forward-progress clamp).
         var overlapTokens = line.tokens
         var j = i - 1
-        while (overlapTokens < overlapRequired && j >= 0) {
+        while (overlapTokens < overlapRequired && j > chunkStartIdx) {
           overlapTokens += lines(j).tokens
           j -= 1
         }
-        i = math.max(j + 1, 0)
+        i = math.max(j + 1, chunkStartIdx + 1)
+        chunkStartIdx = i
         cur = Vector.empty
         curTokens = 0
       }

@@ -51,12 +51,15 @@ object BatchExchange {
     if (pending.isEmpty) return (ledger, None)
     val packed = Packer.pack(
       pending.select("custom_id", "body_json", "input_tokens").coalesce(1), limits)
-    // one JSONL file per pack bucket
+    // one JSONL file per pack bucket; the API gets the actual data
+    // files, not the partition directories Spark writes them under
     val outDir = s"$workDir/requests"
     packed.select($"file_id", $"body_json").write.mode("overwrite")
       .partitionBy("file_id").text(outDir)
     val files = new java.io.File(outDir).listFiles()
       .filter(_.getName.startsWith("file_id="))
+      .flatMap(_.listFiles().filter(f =>
+        f.getName.startsWith("part-") && !f.getName.endsWith(".crc")))
       .map(_.getAbsolutePath).sorted.toSeq
     val nRequests = packed.count()
     writeManifest(outDir, files, nRequests)

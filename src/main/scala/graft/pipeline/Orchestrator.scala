@@ -119,7 +119,7 @@ object Orchestrator {
     val passing = alive.filter($"final_is_manufacturer").select($"etld1")
     val passingTexts = texts.join(passing, "etld1").as[CompanyText]
 
-    val conceptResults: Seq[(String, DataFrame)] = conceptFields.map { strat =>
+    val conceptResults: Seq[(String, DataFrame, Dataset[FieldError])] = conceptFields.map { strat =>
       val chunks = Chunker.chunkDocs(
         passingTexts.map(c => (c.etld1, c.version_id, c.text)), strat, tok)
       val withBrute = BruteSearch.searchColumn(chunks.toDF(), "text", vocab, "brute")
@@ -150,13 +150,27 @@ object Orchestrator {
           lit("<mapping prompt>"), lit(""), 7500))
       val mappingResponses = exchange.execute(mappingReqs)
         .withColumn("content", Ledger.responseContent($"response_json"))
-      val mappingDs = mappingReqs.join(mappingResponses, Seq("custom_id"), "left")
+      // Field-level error isolation: an unparseable mapping response
+      // drops this field for that company (recorded in errors) instead
+      // of failing the whole job inside reconcile's mapGroups.
+      val mappingParses = udf((s: String) =>
+        try { Parsers.parseMappingResponse(s); true }
+        catch { case _: Exception => false })
+      val mappingAll = mappingReqs.join(mappingResponses, Seq("custom_id"), "left")
         .select($"etld1", lit(strat.fieldType).as("field_type"),
           coalesce($"content", lit("{}")).as("response"))
+        .withColumn("__ok", mappingParses($"response"))
+      val mappingErrors = mappingAll.filter(!$"__ok")
+        .select($"etld1", lit(strat.fieldType).as("field"),
+          concat(lit("unparseable mapping response: "), substring($"response", 1, 80)).as("error"))
+        .as[FieldError]
+      val mappingDs = mappingAll.filter($"__ok")
+        .select($"etld1", $"field_type", $"response")
         .as[(String, String, String)]
       val recon = Reconcile.reconcileConceptsDs(vocab, evidence, mappingDs)
-      strat.fieldType -> recon.toDF()
-        .select($"etld1", $"result.results".as(strat.fieldType))
+      (strat.fieldType,
+        recon.toDF().select($"etld1", $"result.results".as(strat.fieldType)),
+        mappingErrors)
     }
 
     // ---- assemble the manufacturer rows ---------------------------------
@@ -165,12 +179,14 @@ object Orchestrator {
       .join(desc.select($"etld1", $"name", $"business_desc"), Seq("etld1"), "left")
       .join(addresses, Seq("etld1"), "left")
       .join(emails, Seq("etld1"), "left")
-    conceptResults.foreach { case (field, df) =>
+    conceptResults.foreach { case (_, df, _) =>
       mfg = mfg.join(df, Seq("etld1"), "left")
     }
     val descErrors = desc.filter($"desc_error".isNotNull)
       .select($"etld1", lit("business_desc").as("field"), $"desc_error".as("error"))
       .as[FieldError]
-    Result(mfg, binaryErrors.unionByName(descErrors))
+    val allErrors = conceptResults.map(_._3)
+      .foldLeft(binaryErrors.unionByName(descErrors))(_ unionByName _)
+    Result(mfg, allErrors)
   }
 }

@@ -49,6 +49,10 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    // right/full outer would duplicate unmatched right rows once per
+    // salt (the right side is replicated before the join)
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins, got $joinType")
     val saltedLeft = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
     val replicatedRight = right.withColumn("__salt",

@@ -40,7 +40,14 @@ object Intake {
         val spark = batch.sparkSession
         val existing: DataFrame =
           try spark.read.parquet(frontierPath).select("etld1")
-          catch { case _: Exception => spark.emptyDataFrame.withColumn("etld1", lit("")) }
+          catch {
+            // Only a missing frontier means "empty"; a transient read
+            // failure must FAIL the batch (falling back to empty would
+            // skip the anti-join and append duplicate keys).
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" =>
+              spark.emptyDataFrame.withColumn("etld1", lit(""))
+          }
         batch.toDF()
           .dropDuplicates("etld1") // within-batch redelivery
           .join(existing, Seq("etld1"), "left_anti") // across-batch idempotency

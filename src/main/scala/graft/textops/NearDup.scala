@@ -227,11 +227,11 @@ object NearDup {
     * building blocks live in `graft.vectors`.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, threshold: Double): DataFrame = {
+      planes: Int, threshold: Double, dim: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", graft.vectors.Vectors.hyperplaneBucket(col("v"), planes, dim = 64))
+      .withColumn("bucket", graft.vectors.Vectors.hyperplaneBucket(col("v"), planes, dim))
       .withColumn("norm", graft.vectors.Vectors.normCol(col("v")))
       .persist() // both sides of the self-join read it
     bucketed.as("x").join(bucketed.as("y"),

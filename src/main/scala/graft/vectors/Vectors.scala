@@ -94,7 +94,9 @@ object Vectors {
     // Fit centroids on a driver-side sample: nCentroids is small and
     // Lloyd's iterations on a bounded sample avoid an MLlib dependency
     // on the hot path. Deterministic: seeded sample + fixed iterations.
-    val sample = corpus.select(col(vecCol)).limit(10000)
+    // Deterministic sample: order by id before limiting (a bare limit
+    // takes whichever partitions answer first and varies across runs).
+    val sample = corpus.orderBy(col(idCol)).select(col(vecCol)).limit(10000)
       .as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
@@ -137,10 +139,12 @@ object Vectors {
     })
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .withColumn("cell", assignUdf(col("nv")))
+      .withColumn("nn", normCol(col("nv"))) // once per row, before the join
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(probeUdf(col("qv")))))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+      .withColumn("qn", normCol(col("qv"))))
     val scored = q.join(c, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
-      .withColumn("cosine", round(cosineWithNorms($"qv", normCol($"qv"), $"nv", normCol($"nv")), 6))
+      .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -155,13 +159,15 @@ object Vectors {
     val spark = corpus.sparkSession
     import spark.implicits._
     val withBucket = (df: DataFrame, id: String, v: String) =>
-      df.select(col(id), col(v), hyperplaneBucket(col(v), planes, dim).as("bucket"))
+      df.select(col(id), col(v), hyperplaneBucket(col(v), planes, dim).as("bucket"),
+        normCol(col(v)).as("__norm")) // norm once per ROW, before the join
     val q = broadcast(withBucket(queries, idCol, vecCol)
-      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qv"))
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qv")
+      .withColumnRenamed("__norm", "qn"))
     val c = withBucket(corpus, idCol, vecCol)
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(vecCol, "nv")
+      .withColumnRenamed("__norm", "nn")
     val scored = q.join(c, Seq("bucket")).filter($"query_id" =!= $"neighbor_id")
-      .withColumn("qn", normCol($"qv")).withColumn("nn", normCol($"nv"))
       .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))

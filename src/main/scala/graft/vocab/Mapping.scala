@@ -28,31 +28,30 @@ object Mapping {
     (matched, unmatched)
   }
 
-  /** T10 as a distributed join: input rows carry `resultsCol:
-    * array<string>`; output gains `matched_concepts` and
-    * `unmatched_keywords` (both sorted for determinism). Equivalent to
-    * [[matchAndSplit]]: a result is consumed iff it is a label of some
-    * known concept, and a concept matches iff any label is present.
-    * The label table is broadcast — never a shuffle of the fact side.
+  /** T10 per row over `resultsCol: array<string>`: output gains
+    * `matched_concepts` and `unmatched_keywords` (both sorted for
+    * determinism). The vocabulary rides the closure (broadcast with the
+    * task binary); the per-row set math is exactly [[matchAndSplit]].
+    *
+    * Deliberately NOT an explode + join-back-by-synthetic-id plan: a
+    * `monotonically_increasing_id` join key is recomputed independently
+    * on each side of the self-join and is unstable under
+    * nondeterministic upstream row order, which silently pairs rows
+    * with each other's results.
     */
   def matchAndSplitDf(
       df: DataFrame,
       resultsCol: String,
       known: Seq[Concept]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val labelRows = known.flatMap(c => c.matchLabels.toSeq.map(l => (l, c.name)))
-      .toDF("label", "concept_name")
-    val rowId = monotonically_increasing_id()
-    val withId = df.withColumn("__row_id", rowId)
-    val exploded = withId.select($"__row_id", explode_outer(col(resultsCol)).as("result"))
-    val joined = exploded.join(broadcast(labelRows), $"result" === $"label", "left")
-    val agg = joined.groupBy($"__row_id").agg(
-      sort_array(array_distinct(collect_list(when($"concept_name".isNotNull, $"concept_name"))))
-        .as("matched_concepts"),
-      sort_array(array_distinct(collect_list(when($"concept_name".isNull, $"result"))))
-        .as("unmatched_keywords"))
-    withId.join(agg, "__row_id").drop("__row_id")
+    val vocab = known
+    val split = udf((results: Seq[String]) => {
+      val (m, u) = matchAndSplit(vocab, Option(results).getOrElse(Nil).toSet)
+      (m.toSeq.sorted, u.toSeq.sorted)
+    })
+    df.withColumn("__split", split(col(resultsCol)))
+      .withColumn("matched_concepts", col("__split._1"))
+      .withColumn("unmatched_keywords", col("__split._2"))
+      .drop("__split")
   }
 
   /** T12 pure part — apply a raw LLM `{unknown -> known_label}` mapping

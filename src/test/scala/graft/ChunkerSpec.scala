@@ -112,6 +112,22 @@ class ChunkerSpec extends AnyFunSuite {
     assert(Chunker.hardLimit(text, 3, 0.0, 4, oneTokenPerLine).length == 4)
   }
 
+  test("hard limit: huge overlap requirement still makes forward progress") {
+    // regression: lines of 6 tokens, cap 10, overlap 0.8 (required=8):
+    // the backtrack could walk to/behind the previous chunk's start and
+    // re-emit the same chunk forever, dropping the document tail
+    val text = "aaaaaa one\nbbbbbb two"
+    val sixTokens = new graft.functions.Tokenizer {
+      override def count(s: String): Int = 6
+    }
+    val chunks = Chunker.hardLimit(text, 10, 0.8, 100, sixTokens)
+    assert(chunks.map(_.text) == Vector("aaaaaa one\n", "bbbbbb two"))
+    // every character of the input is covered
+    assert(chunks.map(c => text.substring(c.chunk_start, c.chunk_end)).mkString == text)
+    // and no two chunks are identical
+    assert(chunks.distinct.length == chunks.length)
+  }
+
   test("chunking strategies match the reference constants") {
     assert(ChunkingStrat.Certificate.softLimitTokens == 7500)
     assert(ChunkingStrat.Certificate.overlapRatio == 0.0)

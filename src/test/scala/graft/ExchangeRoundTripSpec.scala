@@ -31,12 +31,12 @@ class BatchExchangeSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$dir/results/$batchId")).toString
       val out = new java.io.PrintWriter(s"$outDir/out.jsonl")
       reqFiles.foreach { f =>
-        new java.io.File(f).listFiles().filter(_.getName.endsWith(".txt")).foreach { part =>
-          scala.io.Source.fromFile(part).getLines().foreach { line =>
-            val id = line.split("\"custom_id\":\"")(1).split("\"")(0)
-            if (!lose.contains(id))
-              out.println(s"""{"custom_id":"$id","response":{"status_code":200,"body":{"choices":[{"message":{"content":"[\\"ok\\"]"}}]}}}""")
-          }
+        // the API receives plain JSONL data files (not directories)
+        assert(new java.io.File(f).isFile, s"expected a data file, got $f")
+        scala.io.Source.fromFile(f).getLines().foreach { line =>
+          val id = line.split("\"custom_id\":\"")(1).split("\"")(0)
+          if (!lose.contains(id))
+            out.println(s"""{"custom_id":"$id","response":{"status_code":200,"body":{"choices":[{"message":{"content":"[\\"ok\\"]"}}]}}}""")
         }
       }
       out.close()
