@@ -52,17 +52,21 @@ object BatchExchange {
     val packed = Packer.pack(
       pending.select("custom_id", "body_json", "input_tokens").coalesce(1), limits)
     // one JSONL file per pack bucket; the API gets the actual data
-    // files, not the partition directories Spark writes them under
+    // files, not the partition directories Spark writes them under.
+    // File listing and the manifest go through the Hadoop FileSystem
+    // API so workDir may live on any filesystem, not just local disk.
     val outDir = s"$workDir/requests"
     packed.select($"file_id", $"body_json").write.mode("overwrite")
       .partitionBy("file_id").text(outDir)
-    val files = new java.io.File(outDir).listFiles()
-      .filter(_.getName.startsWith("file_id="))
-      .flatMap(_.listFiles().filter(f =>
-        f.getName.startsWith("part-") && !f.getName.endsWith(".crc")))
-      .map(_.getAbsolutePath).sorted.toSeq
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(outPath)
+      .filter(_.getPath.getName.startsWith("file_id="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted.toSeq
     val nRequests = packed.count()
-    writeManifest(outDir, files, nRequests)
+    writeManifest(fs, outDir, files, nRequests)
     val batchId = api.submit(files)
     val shippedIds = packed.select($"custom_id").withColumn("__shipped", lit(true))
     val stamped = ledger.join(shippedIds, Seq("custom_id"), "left")
@@ -73,25 +77,32 @@ object BatchExchange {
     (stamped, Some(batchId))
   }
 
-  private def writeManifest(outDir: String, files: Seq[String], nRequests: Long): Unit = {
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String, files: Seq[String], nRequests: Long): Unit = {
     val json =
       s"""{"n_files":${files.length},"n_requests":$nRequests,"files":[${
         files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").mkString(",")
       }]}"""
-    val tmp = java.nio.file.Paths.get(outDir, "._manifest.json.tmp")
-    java.nio.file.Files.writeString(tmp, json)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outDir, "_manifest.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new org.apache.hadoop.fs.Path(outDir, "._manifest.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val dst = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest rename failed: $tmp -> $dst")
   }
 
   /** The committed file set of the last completed ship, or None if no
     * completed ship exists (crashed mid-write or never ran).
     */
   def readManifest(workDir: String): Option[(Seq[String], Long)] = {
-    val p = java.nio.file.Paths.get(s"$workDir/requests", "_manifest.json")
-    if (!java.nio.file.Files.exists(p)) return None
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
+    val p = new org.apache.hadoop.fs.Path(s"$workDir/requests", "_manifest.json")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
     import scala.jdk.CollectionConverters._
     Some((node.get("files").elements().asScala.map(_.asText()).toSeq,
       node.get("n_requests").asLong()))

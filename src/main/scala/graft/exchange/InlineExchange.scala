@@ -54,8 +54,12 @@ object InlineExchange {
             var result: Option[String] = None
             var lastErr: Throwable = null
             while (result.isEmpty && attempt < r.maxAttempts) {
-              try result = Some(t.call(id, body))
-              catch {
+              try {
+                val content = t.call(id, body)
+                if (content == null)
+                  throw new NullPointerException("transport returned null")
+                result = Some(content)
+              } catch {
                 case e: Exception =>
                   lastErr = e
                   attempt += 1

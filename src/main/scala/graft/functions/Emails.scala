@@ -65,7 +65,7 @@ object Emails {
       validator: EmailValidator = SyntacticValidator): Column = {
     val v = validator
     val validateUdf = udf((cands: Seq[String]) =>
-      cands.flatMap(v.validate).distinct.sorted)
+      Option(cands).getOrElse(Nil).flatMap(v.validate).distinct.sorted)
     validateUdf(regexp_extract_all(text, lit("\\b" + CandidatePattern + "\\b"), lit(0)))
   }
 

@@ -40,9 +40,16 @@ object JsonRepair {
 
   private val Whitespace = Set(' ', '\n', '\t', '\r')
 
+  /** Delete fence markers and the literal `json` substring anywhere —
+    * the single owner of the reference's bug-compatible cleanup, shared
+    * by every parser (no trim; callers trim as the reference does).
+    */
+  def stripFenceMarkers(s: String): String =
+    s.replace("```", "").replace("json", "")
+
   def repair(response: String): String = {
     if (response == null || response.isEmpty) return response
-    val cleaned = response.replace("```", "").replace("json", "").trim
+    val cleaned = stripFenceMarkers(response).trim
     if (parses(cleaned)) return cleaned
     if (!(cleaned.startsWith("[") && cleaned.endsWith("]"))) return cleaned
 

@@ -78,6 +78,21 @@ object Blocks {
     else block.substring(sepEnd + 1, urlEnd).trim
   }
 
+  /** The region the reference's `_hash_block` hashes: everything after
+    * the URL line (INCLUDING the structural blank line — stripped before
+    * hashing anyway). Malformed blocks (no URL line) hash their full
+    * text. Distinct from [[bodyOf]]: a block missing the blank line
+    * still has a nonempty hash region here, so malformed blocks with
+    * different content never collide into false duplicates.
+    */
+  def hashRegionOf(block: String): String = {
+    val sepIdx = block.indexOf(Separator)
+    val sepEnd = if (sepIdx < 0) -1 else block.indexOf('\n', sepIdx)
+    if (sepEnd < 0) return block
+    val urlEnd = block.indexOf('\n', sepEnd + 1)
+    if (urlEnd < 0) block.substring(sepEnd + 1) else block.substring(urlEnd + 1)
+  }
+
   /** Body of a block: everything after the blank line following the URL,
     * endings verbatim ("" when the block has no body section).
     */

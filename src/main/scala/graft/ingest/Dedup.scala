@@ -119,13 +119,33 @@ object Dedup {
 
   /** Whole-string form — parity surface with the reference's
     * `deduplicate_scraped_content(combined) -> str`.
+    *
+    * The T1 hash covers the reference's `_hash_block` region
+    * (everything after the URL line), NOT [[Blocks.bodyOf]]: a
+    * malformed block missing its blank line has an empty `bodyOf` but a
+    * distinct hash region, and must not collapse into a false
+    * duplicate. Boilerplate detection and rebuild still use the
+    * body-lines view, which is empty for such blocks — they pass
+    * through verbatim, as in the reference.
     */
   def dedupCombined(combined: String): String = {
     if (combined == null || combined.trim.isEmpty) return combined
     val blocks = Blocks.iterBlocks(combined)
-    val results = dedupBodies(blocks.map(Blocks.bodyOf))
-    blocks.zip(results).map { case (block, r) =>
-      Blocks.prefixOf(block) + r.body
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val isStub = blocks.map(b => !seen.add(hashBody(Blocks.hashRegionOf(b))))
+    val uniqueLineLists = blocks.zip(isStub).collect {
+      case (b, false) => Blocks.splitKeepEnds(Blocks.bodyOf(b))
+    }
+    val (header, footer) =
+      if (uniqueLineLists.length < 2) (Vector.empty[String], Vector.empty[String])
+      else detectCommonHeaderFooter(uniqueLineLists)
+    blocks.zip(isStub).map {
+      case (block, true) => Blocks.prefixOf(block) + StubText
+      case (block, false) =>
+        if (header.nonEmpty || footer.nonEmpty)
+          Blocks.prefixOf(block) +
+            stripBoilerplate(Blocks.splitKeepEnds(Blocks.bodyOf(block)), header, footer).mkString
+        else block
     }.mkString
   }
 

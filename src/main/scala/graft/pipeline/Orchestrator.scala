@@ -74,9 +74,13 @@ object Orchestrator {
       firstChunkRequests(texts, "is_manufacturer", firstChunkBudget, tok, "<binary prompt>")
         .unionByName(firstChunkRequests(texts, "business_desc", firstChunkBudget, tok, "<desc prompt>"))
         .unionByName(firstChunkRequests(texts, "addresses", firstChunkBudget, tok, "<address prompt>"))
+    // Persist at the exchange boundary: downstream plans reference these
+    // results from several actions, and an un-persisted lineage would
+    // re-invoke the transport per action (replay hazard + cost).
     val r1Responses = exchange.execute(r1Requests)
       .withColumn("content", Ledger.responseContent($"response_json"))
       .select($"custom_id", $"content")
+      .persist()
     val r1 = r1Requests.join(r1Responses, Seq("custom_id"), "left")
       .withColumn("field", split($"custom_id", ">").getItem(1))
       .select($"etld1", $"field", $"content")
@@ -133,6 +137,7 @@ object Orchestrator {
       val responses = exchange.execute(reqs)
         .withColumn("content", Ledger.responseContent($"response_json"))
         .select($"custom_id", $"content")
+        .persist()
       val evidence = withBrute
         .withColumn("custom_id", concat_ws(">", $"etld1", lit(strat.fieldType),
           lit("llm_search"), lit("chunk"),
@@ -150,6 +155,7 @@ object Orchestrator {
           lit("<mapping prompt>"), lit(""), 7500))
       val mappingResponses = exchange.execute(mappingReqs)
         .withColumn("content", Ledger.responseContent($"response_json"))
+        .persist()
       // Field-level error isolation: an unparseable mapping response
       // drops this field for that company (recorded in errors) instead
       // of failing the whole job inside reconcile's mapGroups.

@@ -60,8 +60,11 @@ object Ledger {
     * response_json).
     */
   def ingestResponses(ledger: DataFrame, responses: DataFrame): DataFrame = {
+    // one response per key: a duplicated result line (API retry,
+    // re-collected batch) must not multiply ledger rows through the join
     val resp = responses
-      .select(col("custom_id"), col("response_json").as("__new_response"))
+      .groupBy(col("custom_id"))
+      .agg(org.apache.spark.sql.functions.min(col("response_json")).as("__new_response"))
     ledger.join(resp, Seq("custom_id"), "left")
       .withColumn("response_json",
         coalesce(col("__new_response"), col("response_json")))

@@ -34,7 +34,7 @@ object GroundTruth {
   def overlay(results: Column, remove: Column, add: Column): Column =
     when(remove.isNull && add.isNull, results)
       .otherwise(array_union(
-        array_except(results, coalesce(remove, array())),
+        array_except(coalesce(results, array()), coalesce(remove, array())),
         coalesce(add, array())))
 
   /** Binary decision precedence: human overrides machine. */

@@ -27,7 +27,7 @@ object Parsers {
     new ObjectMapper().enable(DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
 
   private def stripFences(s: String): String =
-    s.replace("```", "").replace("json", "")
+    JsonRepair.stripFenceMarkers(s)
 
   def parseSearchResponse(response: String): Set[String] = {
     if (response == null || response.isEmpty) return Set.empty

@@ -136,8 +136,11 @@ object NearDup {
     val k = bands * rowsPerBand
     val params = Array.tabulate(k)(perm) // hoisted: built once, shipped in the closure
     val sigUdf = udf((shingles: Seq[String]) =>
-      signatureWith(shingles.map(s => scala.util.hashing.MurmurHash3.stringHash(s).toLong), params))
-    val sigs = df.select(col(idCol).as("id"), shinglesCol(col(textCol), n).as("shingles"))
+      signatureWith(Option(shingles).getOrElse(Nil)
+        .map(s => scala.util.hashing.MurmurHash3.stringHash(s).toLong), params))
+    // null texts carry no shingles — skip them like jaccardPairs does
+    val sigs = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), shinglesCol(col(textCol), n).as("shingles"))
       .withColumn("sig", sigUdf($"shingles"))
     // band key = hash of the band's signature slice; persisted — both
     // sides of the bucket self-join read it.
@@ -203,7 +206,9 @@ object NearDup {
     import spark.implicits._
     val blocks = maxDistance + 1
     val fpUdf = udf((t: String) => simhash(t, n))
-    val fps = df.select(col(idCol).as("id"), fpUdf(col(textCol)).as("fp"))
+    // null texts have no fingerprint — skip them like jaccardPairs does
+    val fps = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), fpUdf(col(textCol)).as("fp"))
     val width = 64 / blocks
     val mask = if (width >= 64) -1L else (1L << width) - 1
     val blockKeysUdf = udf((fp: Long) =>

@@ -25,9 +25,11 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
     "es" -> Seq("el", "la", "los", "de", "que", "es", "una"))
 
-  /** Predicted language = argmax over profile-hit counts (ties: "und"
-    * alphabetically-first language wins, deterministic), or "unknown"
-    * when no marker occurs.
+  /** Predicted language = argmax over profile-hit counts (ties: the
+    * alphabetically LAST language wins — struct max compares the lang
+    * string after hits; the DuckDB oracle mirrors this with
+    * `ORDER BY hits DESC, lang DESC`), or "unknown" when no marker
+    * occurs.
     */
   def langIdCol(text: Column): Column = {
     val words = split(lower(text), "\\s+")

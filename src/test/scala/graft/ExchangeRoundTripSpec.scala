@@ -31,9 +31,11 @@ class BatchExchangeSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$dir/results/$batchId")).toString
       val out = new java.io.PrintWriter(s"$outDir/out.jsonl")
       reqFiles.foreach { f =>
-        // the API receives plain JSONL data files (not directories)
-        assert(new java.io.File(f).isFile, s"expected a data file, got $f")
-        scala.io.Source.fromFile(f).getLines().foreach { line =>
+        // the API receives plain JSONL data files (not directories);
+        // paths are FileSystem URIs (file:/... locally)
+        val local = new java.io.File(new java.net.URI(f))
+        assert(local.isFile, s"expected a data file, got $f")
+        scala.io.Source.fromFile(local).getLines().foreach { line =>
           val id = line.split("\"custom_id\":\"")(1).split("\"")(0)
           if (!lose.contains(id))
             out.println(s"""{"custom_id":"$id","response":{"status_code":200,"body":{"choices":[{"message":{"content":"[\\"ok\\"]"}}]}}}""")
@@ -91,7 +93,7 @@ class BatchExchangeSpec extends SparkSpec {
       Packer.PackLimits(1, 1000, 100000)) // 1 request/file → 2 files
     val Some((files, n)) = BatchExchange.readManifest(dir): @unchecked
     assert(files.length == 2 && n == 2)
-    files.foreach(f => assert(new java.io.File(f).exists(), f))
+    files.foreach(f => assert(new java.io.File(new java.net.URI(f)).exists(), f))
     // crashed-mid-write simulation: no manifest → no committed file set
     val dir2 = Files.createTempDirectory("graft-manifest2").toString
     assert(BatchExchange.readManifest(dir2).isEmpty)

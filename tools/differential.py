@@ -61,8 +61,14 @@ def make_corpus(rnd):
         else:
             bodies.append(core)
     sep = "#" * 50
-    return "".join(f"{sep}\nhttps://t.example/p{i}\n\n{b}\n"
-                   for i, b in enumerate(bodies))
+    parts = []
+    for i, b in enumerate(bodies):
+        if rnd.random() < 0.1:
+            # malformed block: no blank line between URL and body
+            parts.append(f"{sep}\nhttps://t.example/p{i}\n{b}\n")
+        else:
+            parts.append(f"{sep}\nhttps://t.example/p{i}\n\n{b}\n")
+    return "".join(parts)
 
 
 def make_text(rnd):
