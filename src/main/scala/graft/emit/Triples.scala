@@ -202,9 +202,9 @@ object Triples {
         out += res(country, RdfType, s"${SDK}Country")
         out += lit(country, RdfsLabel, addr.country)
         out += res(geo, s"${SDK}locatedInCountry", country)
-        addr.phone_numbers.filter(p => p != null && p.nonEmpty)
+        Option(addr.phone_numbers).getOrElse(Nil).filter(p => p != null && p.nonEmpty)
           .foreach(p => out += lit(geo, s"${Schema}telephone", p))
-        addr.fax_numbers.filter(f => f != null && f.nonEmpty)
+        Option(addr.fax_numbers).getOrElse(Nil).filter(f => f != null && f.nonEmpty)
           .foreach(f => out += lit(geo, s"${Schema}faxNumber", f))
         (addr.latitude, addr.longitude) match {
           case (Some(lat), Some(lng)) =>

@@ -96,9 +96,13 @@ object BatchExchange {
   /** The committed file set of the last completed ship, or None if no
     * completed ship exists (crashed mid-write or never ran).
     */
-  def readManifest(workDir: String): Option[(Seq[String], Long)] = {
+  def readManifest(workDir: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Option[(Seq[String], Long)] = {
+    // pass the session's hadoopConfiguration for non-default filesystems
+    // (s3a credentials etc.) — the same conf ship() wrote with
     val p = new org.apache.hadoop.fs.Path(s"$workDir/requests", "_manifest.json")
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()

@@ -24,6 +24,22 @@ trait Exchange extends Serializable {
   def execute(requests: DataFrame): DataFrame
 }
 
+object Exchange {
+  /** The OpenAI-batch result-line envelope around an assistant message
+    * — single owner; `Ledger.responseContent` reads the matching path.
+    */
+  def wrapContent(customId: org.apache.spark.sql.Column,
+      content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    to_json(struct(
+      customId.as("custom_id"),
+      struct(
+        lit(200).as("status_code"),
+        struct(
+          array(struct(struct(content.as("content")).as("message"))).as("choices")
+        ).as("body")
+      ).as("response")))
+}
+
 /** Deterministic mock: `respond(customId, bodyJson)` returns the
   * assistant message content, or null to simulate a request the batch
   * lost (exercises the `batch_id` reset path — FIXTURES.md §5 requires
@@ -41,18 +57,7 @@ final class MockExchange(respond: (String, String) => String) extends Exchange {
     requests
       .withColumn("__content", contentUdf(col("custom_id"), col("body_json")))
       .filter(col("__content").isNotNull)
-      .select(
-        col("custom_id"),
-        to_json(struct(
-          col("custom_id").as("custom_id"),
-          struct(
-            lit(200).as("status_code"),
-            struct(
-              array(struct(
-                struct(col("__content").as("content")).as("message")
-              )).as("choices")
-            ).as("body")
-          ).as("response")
-        )).as("response_json"))
+      .select(col("custom_id"),
+        Exchange.wrapContent(col("custom_id"), col("__content")).as("response_json"))
   }
 }

@@ -35,7 +35,15 @@ object InlineExchange {
       retry: RetryPolicy = RetryPolicy(),
       cache: Option[DataFrame] = None): Exchange = new Exchange {
 
-    override def execute(requests: DataFrame): DataFrame = {
+    override def execute(requests: DataFrame): DataFrame =
+      executeWithErrors(requests)._1
+
+    /** (responses, errors): errors carry (custom_id, error) for
+      * requests that exhausted retries — callers must be able to tell
+      * "lost, re-ship" apart from "permanently failing" or they will
+      * retry poison requests forever.
+      */
+    def executeWithErrors(requests: DataFrame): (DataFrame, DataFrame) = {
       val spark = requests.sparkSession
       import spark.implicits._
       val cached = cache.map(_.select("custom_id", "response_json"))
@@ -74,16 +82,13 @@ object InlineExchange {
           }
         }
         .toDF("custom_id", "__content", "__error")
-      val ok = fresh.filter($"__content".isNotNull)
+      val fresh2 = fresh.persist() // both branches read it
+      val ok = fresh2.filter($"__content".isNotNull)
         .select($"custom_id",
-          to_json(struct(
-            $"custom_id".as("custom_id"),
-            struct(
-              lit(200).as("status_code"),
-              struct(array(struct(struct($"__content".as("content")).as("message")))
-                .as("choices")).as("body")
-            ).as("response"))).as("response_json"))
-      cached match {
+          Exchange.wrapContent($"custom_id", $"__content").as("response_json"))
+      val errors = fresh2.filter($"__content".isNull)
+        .select($"custom_id", $"__error".as("error"))
+      val responses = cached match {
         case Some(c) =>
           // answered-from-cache rows join the fresh ones
           val replay = requests.select("custom_id")
@@ -91,6 +96,7 @@ object InlineExchange {
           ok.unionByName(replay)
         case None => ok
       }
+      (responses, errors)
     }
   }
 }

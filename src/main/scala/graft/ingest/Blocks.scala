@@ -127,21 +127,37 @@ object Blocks {
     }
   }
 
-  /** Split a string into lines, keeping each line's terminator — the
-    * `splitlines(keepends=True)` the dedup/chunk algorithms are built on.
-    * (Handles \n and \r\n; the corpus format is \n-terminated.)
+  /** Split a string into lines, keeping each line's terminator —
+    * Python's `splitlines(keepends=True)`, which the dedup/chunk
+    * algorithms are built on. Python's terminator set is wider than
+    * `\n`: `\r\n` (one terminator), `\r`, `\v`, `\f`, `\x1c`-`\x1e`,
+    * `\x85`, U+2028, U+2029 — scraped text contains lone `\r` and
+    * unicode separators, and a narrower split would shift chunk
+    * offsets (identity!) off the reference's.
     */
   def splitKeepEnds(s: String): Vector[String] = {
     if (s.isEmpty) return Vector.empty
+    def isTerm(c: Char): Boolean = c match {
+      case '\n' | '\r' | '\u000B' | '\u000C' |
+           '\u001C' | '\u001D' | '\u001E' | '\u0085' |
+           '\u2028' | '\u2029' => true
+      case _ => false
+    }
     val out = Vector.newBuilder[String]
     var start = 0
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\n') {
-        out += s.substring(start, i + 1)
-        start = i + 1
+      val c = s.charAt(i)
+      if (isTerm(c)) {
+        val end =
+          if (c == '\r' && i + 1 < s.length && s.charAt(i + 1) == '\n') i + 2
+          else i + 1
+        out += s.substring(start, end)
+        start = end
+        i = end
+      } else {
+        i += 1
       }
-      i += 1
     }
     if (start < s.length) out += s.substring(start)
     out.result()

@@ -74,6 +74,7 @@ object Orchestrator {
       firstChunkRequests(texts, "is_manufacturer", firstChunkBudget, tok, "<binary prompt>")
         .unionByName(firstChunkRequests(texts, "business_desc", firstChunkBudget, tok, "<desc prompt>"))
         .unionByName(firstChunkRequests(texts, "addresses", firstChunkBudget, tok, "<address prompt>"))
+        .persist() // chunking runs once, not once per downstream branch
     // Persist at the exchange boundary: downstream plans reference these
     // results from several actions, and an un-persisted lineage would
     // re-invoke the transport per action (replay hazard + cost).
@@ -126,12 +127,14 @@ object Orchestrator {
     val conceptResults: Seq[(String, DataFrame, Dataset[FieldError])] = conceptFields.map { strat =>
       val chunks = Chunker.chunkDocs(
         passingTexts.map(c => (c.etld1, c.version_id, c.text)), strat, tok)
+      // custom_id hoisted so requests and evidence share one definition,
+      // and the chunk+brute pipeline is persisted — it feeds both.
       val withBrute = BruteSearch.searchColumn(chunks.toDF(), "text", vocab, "brute")
-      val reqs = withBrute.select(
-          $"etld1",
-          concat_ws(">", $"etld1", lit(strat.fieldType), lit("llm_search"), lit("chunk"),
-            concat($"chunk_start", lit(":"), $"chunk_end")).as("custom_id"),
-          $"text")
+        .withColumn("custom_id", concat_ws(">", $"etld1", lit(strat.fieldType),
+          lit("llm_search"), lit("chunk"),
+          concat($"chunk_start", lit(":"), $"chunk_end")))
+        .persist()
+      val reqs = withBrute.select($"etld1", $"custom_id", $"text")
         .withColumn("body_json", RequestBlob.bodyJson($"custom_id", "gpt-4o-mini",
           lit(s"<${strat.fieldType} search prompt>"), $"text", 7500))
       val responses = exchange.execute(reqs)
@@ -139,9 +142,6 @@ object Orchestrator {
         .select($"custom_id", $"content")
         .persist()
       val evidence = withBrute
-        .withColumn("custom_id", concat_ws(">", $"etld1", lit(strat.fieldType),
-          lit("llm_search"), lit("chunk"),
-          concat($"chunk_start", lit(":"), $"chunk_end")))
         .join(responses, Seq("custom_id"), "inner")
         .select($"etld1", lit(strat.fieldType).as("field_type"),
           $"chunk_start", $"chunk_end", $"brute", $"content".as("search_response"))

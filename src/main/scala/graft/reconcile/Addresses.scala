@@ -39,14 +39,17 @@ final case class Address(
   */
 object AddressMerge {
 
+  private def seqOf(s: Seq[String]): Seq[String] = Option(s).getOrElse(Nil)
+
   def canMerge(a: Address, b: Address, lineUnionQuirk: Boolean = true): Boolean = {
     if (a.baseHash != b.baseHash) return false
     if (a.postal_code != null && a.postal_code.nonEmpty &&
         b.postal_code != null && b.postal_code.nonEmpty &&
         a.postal_code != b.postal_code) return false
-    if (a.address_lines.isEmpty || b.address_lines.isEmpty) return true
-    if (lineUnionQuirk) (a.address_lines.toSet ++ b.address_lines.toSet).nonEmpty
-    else a.address_lines.toSet.intersect(b.address_lines.toSet).nonEmpty
+    val (al, bl) = (seqOf(a.address_lines), seqOf(b.address_lines))
+    if (al.isEmpty || bl.isEmpty) return true
+    if (lineUnionQuirk) (al.toSet ++ bl.toSet).nonEmpty
+    else al.toSet.intersect(bl.toSet).nonEmpty
   }
 
   private def firstNonNull(a: String, b: String): String =
@@ -59,14 +62,14 @@ object AddressMerge {
       city = firstNonNull(a.city, b.city),
       state = firstNonNull(a.state, b.state),
       country = firstNonNull(a.country, b.country),
-      address_lines = if (a.address_lines.nonEmpty) a.address_lines else b.address_lines,
+      address_lines = if (seqOf(a.address_lines).nonEmpty) a.address_lines else b.address_lines,
       county = firstNonNull(a.county, b.county),
       postal_code = firstNonNull(a.postal_code, b.postal_code),
       latitude = a.latitude,    // A's coordinates win
       longitude = a.longitude,
       place_id = firstNonNull(a.place_id, b.place_id),
-      phone_numbers = a.phone_numbers.toSet.intersect(b.phone_numbers.toSet).toSeq.sorted,
-      fax_numbers = a.fax_numbers.toSet.intersect(b.fax_numbers.toSet).toSeq.sorted))
+      phone_numbers = seqOf(a.phone_numbers).toSet.intersect(seqOf(b.phone_numbers).toSet).toSeq.sorted,
+      fax_numbers = seqOf(a.fax_numbers).toSet.intersect(seqOf(b.fax_numbers).toSet).toSeq.sorted))
   }
 
   /** Reference loop shape: merge adjacent survivors in place. */

@@ -17,8 +17,15 @@ import sys
 import types
 
 # Load the reference modules standalone (stub the tokenizer import).
+import re as _re
 mod = types.ModuleType("open_ai_key_app.utils.token_util")
-mod.num_tokens_from_string = lambda s: len(s.split())  # whitespace stub
+# whitespace stub matching the Scala WhitespaceTokenizer EXACTLY (Java
+# regex \S = [^ \t\n\x0b\f\r]): tokenizers are injectable test stubs,
+# not the system under test — both sides must share one definition or
+# chunk-boundary diffs reflect stub skew, not algorithm divergence.
+# (python str.split() would differ: it also treats \x85/\u2028 etc.
+# as whitespace.)
+mod.num_tokens_from_string = lambda s: len(_re.findall(r"[^ \t\n\x0b\x0c\r]+", s))
 pkg = types.ModuleType("open_ai_key_app")
 pkgu = types.ModuleType("open_ai_key_app.utils")
 sys.modules["open_ai_key_app"] = pkg
@@ -42,8 +49,18 @@ WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
          "kilo lima mike november oscar papa quebec romeo sierra tango").split()
 
 
+TERMINATORS = ["\r", "\x0b", "\x0c", "\x85", "\u2028", "\u2029", "\r\n"]
+
+
 def rand_line(rnd):
-    return " ".join(rnd.choice(WORDS) for _ in range(rnd.randint(0, 8)))
+    line = " ".join(rnd.choice(WORDS) for _ in range(rnd.randint(0, 8)))
+    # occasionally embed a non-\n line terminator mid-line: Python
+    # splitlines() treats these as line breaks, and the Scala engine must
+    # agree or chunk offsets / dedup line lists diverge
+    if rnd.random() < 0.15 and line:
+        pos = rnd.randrange(len(line))
+        line = line[:pos] + rnd.choice(TERMINATORS) + line[pos:]
+    return line
 
 
 def make_corpus(rnd):
