@@ -50,8 +50,9 @@ object TextOps {
     },
 
     // ---- MinHash+LSH near-dup pairs with exact verification: the 100 TB
-    // scale path (no oracle: banding is probabilistic; its recall vs q16
-    // is asserted in NearDupSpec).
+    // scale path (oracled: the seeded hash family is plain integer
+    // arithmetic mirrored into DuckDB SQL; recall vs q16 additionally
+    // asserted in NearDupSpec).
     "q17_minhash_lsh_pairs" -> { (s, dir) =>
       import s.implicits._
       graft.textops.NearDup.minhashLshPairs(
@@ -60,8 +61,7 @@ object TextOps {
         .orderBy($"id_a", $"id_b")
     },
 
-    // ---- SimHash near-dup pairs (no oracle: hash-defined; subset/recall
-    // asserted in NearDupSpec).
+    // ---- SimHash near-dup pairs (oracled like q17).
     "q18_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
       graft.textops.NearDup.simhashPairs(
@@ -110,6 +110,93 @@ object TextOps {
       |  WHERE len(ws) >= 3
       |)""".stripMargin
 
+  /** Multiplicity-keeping variant (simhash weights repeated shingles). */
+  private val ShinglesAllCte =
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
+      |  FROM documents
+      |), sha AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |  WHERE len(ws) >= 3
+      |)""".stripMargin
+
+  /** The 60-bit cross-engine shingle hash — DuckDB mirror of
+    * [[graft.textops.NearDup.shingleHash60]].
+    */
+  private val HashSql = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+
+  /** DuckDB mirror of [[graft.textops.NearDup.minhashLshPairs]], generated
+    * from the SAME permutation params so both engines hash identically.
+    * Params must match the q17 queries entry (bands=16, r=4, thr=0.5).
+    */
+  private def minhashOracleSql(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val P = graft.textops.NearDup.MinhashPrime
+    val params = graft.textops.NearDup.minhashParams(bands * rowsPerBand)
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * x + $b) % $P) AS m$i"
+    }.mkString(", ")
+    val bandRows = (0 until bands).map { j =>
+      val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => s"m$i").mkString(", ")
+      s"SELECT doc_id, $j AS band, concat_ws('_', $cols) AS band_key FROM sigs"
+    }.mkString(" UNION ALL ")
+    ShinglesCte + s""", xs AS (
+      |  SELECT doc_id, $HashSql % $P AS x FROM sh
+      |), sigs AS (
+      |  SELECT doc_id, $mins FROM xs GROUP BY doc_id
+      |), bands AS ($bandRows
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT id_a, id_b, COUNT(*) AS cnt
+      |  FROM cand
+      |    JOIN sh sa ON sa.doc_id = id_a
+      |    JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |       CAST(COALESCE(cnt, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(cnt, 0)) AS jaccard
+      |FROM cand LEFT JOIN common USING (id_a, id_b)
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(COALESCE(cnt, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(cnt, 0)) >= $threshold""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.textops.NearDup.simhashPairs]] (q18:
+    * maxDistance=3). Same 60-bit hash, same per-bit sign sums, same
+    * pigeonhole block bucketing.
+    */
+  private def simhashOracleSql(maxDistance: Int): String = {
+    val bits = graft.textops.NearDup.SimhashBits
+    val blocks = maxDistance + 1
+    val width = bits / blocks
+    val mask = (1L << width) - 1
+    val sums = (0 until bits).map { i =>
+      s"SUM(CASE WHEN ((x >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS c$i"
+    }.mkString(", ")
+    val fp = (0 until bits).map { i =>
+      s"(CASE WHEN c$i > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val blockVals = (0 until blocks).map(b => s"($b)").mkString(", ")
+    ShinglesAllCte + s""", xs AS (
+      |  SELECT doc_id, $HashSql AS x FROM sha
+      |), counts AS (
+      |  SELECT doc_id, $sums FROM xs GROUP BY doc_id
+      |), fps AS (
+      |  SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM counts
+      |), keyed AS (
+      |  SELECT doc_id, fp, block, (fp >> (block * $width)) & $mask AS key
+      |  FROM fps, (VALUES $blockVals) b(block)
+      |)
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS distance
+      |FROM keyed a JOIN keyed b
+      |  ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= $maxDistance""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q15_brute_vocab_search" ->
       """SELECT doc_id, c AS concept
@@ -133,6 +220,10 @@ object TextOps {
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
+
+    "q17_minhash_lsh_pairs" -> minhashOracleSql(bands = 16, rowsPerBand = 4, threshold = 0.5),
+
+    "q18_simhash_pairs" -> simhashOracleSql(maxDistance = 3),
 
     "q19_text_quality" ->
       """WITH w AS (

@@ -24,8 +24,9 @@ object VectorOps {
         .orderBy($"query_id", $"rnk")
     },
 
-    // ---- LSH-bucketed ANN (no oracle: bucket membership is
-    // hash-defined; recall vs q22 asserted in VectorsSpec).
+    // ---- LSH-bucketed ANN (oracled: the hyperplane constants are
+    // embedded into the DuckDB SQL from the same seeded array; recall
+    // vs q22 additionally asserted in VectorsSpec).
     "q23_lsh_topk" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.load(s, dir, "embeddings")
@@ -35,7 +36,7 @@ object VectorOps {
         .orderBy($"query_id", $"rnk")
     },
 
-    // ---- embedding-cosine near-dup pairs (no oracle: LSH buckets).
+    // ---- embedding-cosine near-dup pairs (oracled like q23).
     // The synthetic embeddings are near-orthogonal (max pairwise cosine
     // ≈ 0.51), so the demo threshold is 0.4; production near-dup
     // thresholds (0.9+) plug into the same operator.
@@ -48,7 +49,49 @@ object VectorOps {
     }
   )
 
+  /** Hyperplane-bucket expression over a DOUBLE[] column `v`, generated
+    * from [[Vectors.hyperplanes]] — the SAME constants the Spark side
+    * buckets with (Double.toString round-trips exactly, and only the
+    * dot-product SIGN feeds the bucket, so engine agreement is robust).
+    * Params must match q23/q24's queries entries (planes=4, dim=64).
+    */
+  private def bucketSql(v: String, planes: Int = 4, dim: Int = 64): String =
+    Vectors.hyperplanes(planes, dim).zipWithIndex.map { case (plane, p) =>
+      s"(CASE WHEN list_dot_product($v, [${plane.mkString(", ")}]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q23_lsh_topk" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv
+        |  FROM embeddings),
+        |qb AS (SELECT query_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+        |cb AS (SELECT neighbor_id, nv, ${bucketSql("nv")} AS bucket FROM c),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_dot_product(qv, nv) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cosine
+        |  FROM qb JOIN cb USING (bucket) WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    "q24_embedding_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+        |pairs AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |         round(list_dot_product(x.v, y.v) /
+        |               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin,
+
     "q22_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

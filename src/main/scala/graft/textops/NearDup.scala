@@ -78,36 +78,61 @@ object NearDup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  // ---- cross-engine hashing ----------------------------------------------
+
+  /** 60-bit shingle hash both engines can compute identically: the first
+    * 15 hex chars of md5 parsed as an integer. Spark: conv(substr(md5)).
+    * DuckDB mirror: `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)`.
+    * md5 is codegen'd, so the whole hash stays inside whole-stage
+    * codegen (no UDF on the hot path).
+    */
+  def shingleHash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Scalar twin of [[shingleHash60]] for row-level callers. */
+  def shingleHash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
-  private val MersennePrime = (1L << 61) - 1
+  /** Modulus of the affine MinHash family: the Mersenne prime 2^31−1.
+    * Small enough that a*x + b stays well inside a signed 64-bit value
+    * (a, b, x < 2^31 → a*x + b < 2^62 + 2^31) — the property that makes
+    * the family expressible in ANY engine with plain BIGINT arithmetic
+    * (the DuckDB oracle runs the very same formulas).
+    */
+  val MinhashPrime: Long = (1L << 31) - 1
 
-  /** Deterministic affine hash family over 64-bit shingle hashes. */
-  private def perm(seed: Int): (Long, Long) = {
-    val rnd = new scala.util.Random(seed * 1000003 + 12345)
-    (math.abs(rnd.nextLong()) % MersennePrime + 1, math.abs(rnd.nextLong()) % MersennePrime)
+  /** Deterministic affine-permutation params (a, b) over Z_MinhashPrime.
+    * The DuckDB oracle SQL is generated from the same array, so both
+    * engines hash identically by construction.
+    */
+  def minhashParams(k: Int, seed: Int = 7): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k)((rnd.between(1L, MinhashPrime), rnd.between(0L, MinhashPrime)))
   }
 
   /** k-wide MinHash signature of a shingle-hash set. */
   def signature(shingleHashes: Iterable[Long], k: Int): Array[Long] =
-    signatureWith(shingleHashes, Array.tabulate(k)(perm))
+    signatureWith(shingleHashes, minhashParams(k))
 
   /** Signature with precomputed permutation params (hoist the param
-    * table out of per-row UDF calls).
+    * table out of per-row calls). floorMod: row-level callers may pass
+    * negative hashes; the DataFrame path feeds non-negative 60-bit
+    * values where % and floorMod agree.
     */
   def signatureWith(shingleHashes: Iterable[Long], params: Array[(Long, Long)]): Array[Long] = {
     val k = params.length
     val sig = Array.fill(k)(Long.MaxValue)
     shingleHashes.foreach { h =>
-      val x = (h & Long.MaxValue) % MersennePrime
+      val x = java.lang.Math.floorMod(h, MinhashPrime)
       var i = 0
       while (i < k) {
         val (a, b) = params(i)
-        // (a*x + b) mod p via Math.multiplyHigh-free BigInt-less route:
-        // 61-bit prime keeps products in unsigned 125 bits; use
-        // Math.floorMod on the 64-bit wrap of a*x+b — still a valid
-        // deterministic hash family (wrap is itself a bijection mix).
-        val v = java.lang.Math.floorMod(a * x + b, MersennePrime)
+        val v = (a * x + b) % MinhashPrime
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -123,38 +148,47 @@ object NearDup {
     * `bands × rowsPerBand = k`. Probability a pair with true Jaccard s
     * becomes a candidate: 1 − (1 − s^r)^b.
     *
-    * Plan shape at scale: shingle explode → per-doc signature
-    * (one aggregation) → band explode (docs × b rows) → bucket groupBy
-    * → within-bucket pairs (buckets are tiny unless data is degenerate)
-    * → verify on exact shingle join restricted to candidates (a
-    * broadcast-able set at sane candidate counts, else a semi-join).
+    * Plan shape at scale: shingle explode → per-doc signature (ONE
+    * aggregation with k min() columns, map-side partial) → band explode
+    * (docs × b rows) → bucket self-join (buckets are tiny unless data is
+    * degenerate) → verify on exact shingle join restricted to candidates.
+    *
+    * Entirely `functions`-built (no UDF): the md5-based hash family is
+    * plain integer arithmetic, so every stage is whole-stage-codegen'd
+    * AND the identical formulas run in DuckDB as the correctness oracle
+    * (q17 in the driver gate).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val k = bands * rowsPerBand
-    val params = Array.tabulate(k)(perm) // hoisted: built once, shipped in the closure
-    val sigUdf = udf((shingles: Seq[String]) =>
-      signatureWith(Option(shingles).getOrElse(Nil)
-        .map(s => scala.util.hashing.MurmurHash3.stringHash(s).toLong), params))
-    // null texts carry no shingles — skip them like jaccardPairs does
-    val sigs = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), shinglesCol(col(textCol), n).as("shingles"))
-      .withColumn("sig", sigUdf($"shingles"))
-    // band key = hash of the band's signature slice; persisted — both
-    // sides of the bucket self-join read it.
-    val banded = sigs.select($"id", posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice($"sig", b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)), b))).as(Seq("band", "band_key")))
+    val params = minhashParams(bands * rowsPerBand)
+    // Distinct (doc, shingle) pairs feed the signatures AND the verify
+    // join — persist so tokenize+explode+distinct runs once. Null texts
+    // carry no shingles, like jaccardPairs. The cache is released by the
+    // ContextCleaner when the plan is collected.
+    val sh = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(shinglesCol(col(textCol), n)).as("shingle"))
+      .distinct().persist()
+    val mins = params.toSeq.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * $"x" + lit(b)) % MinhashPrime).as(s"m$i")
+    }
+    val sigs = sh.withColumn("x", shingleHash60($"shingle") % MinhashPrime)
+      .groupBy($"id").agg(mins.head, mins.tail: _*)
+    // band key = the band's r signature values joined as a string (a
+    // cross-engine bucket id); persisted — both sides of the self-join.
+    val bandStructs = (0 until bands).map { j =>
+      val slots = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(j).as("band"), concat_ws("_", slots: _*).as("band_key"))
+    }
+    val banded = sigs.select($"id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
       .persist()
     val candidates = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" && $"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"))
       .distinct()
     // exact verify: compute true Jaccard only for candidate pairs
-    val sh = df.select(col(idCol).as("id"),
-        explode(shinglesCol(col(textCol), n)).as("shingle")).distinct().persist()
     val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_shingles"))
     val common = candidates
       .join(sh.toDF("id_a", "shingle"), "id_a")
@@ -173,53 +207,71 @@ object NearDup {
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over word n-gram shingles: per bit, sum +1/−1 by
-    * shingle-hash bit, sign → fingerprint bit.
+  /** Fingerprint width: 60 bits — the span of [[shingleHash60]], so the
+    * scalar and DataFrame forms (and the DuckDB oracle) share one hash.
+    */
+  val SimhashBits: Int = 60
+
+  /** SimHash over word n-gram shingles (multiplicity kept): per bit,
+    * sum +1/−1 by shingle-hash bit, sign → fingerprint bit.
     */
   def simhash(text: String, n: Int): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](SimhashBits)
     wordShingles(text, n).foreach { s =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(s.reverse).toLong & 0xffffffffL)
+      val h = shingleHash60(s)
       var i = 0
-      while (i < 64) {
+      while (i < SimhashBits) {
         if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
         i += 1
       }
     }
     var fp = 0L
     var i = 0
-    while (i < 64) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+    while (i < SimhashBits) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
     fp
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDistance.
-    * Bucketing: split the 64-bit fingerprint into `maxDistance + 1`
-    * blocks — any pair within distance d agrees on ≥1 block (pigeonhole)
-    * — and bucket-join per block. Never a full cross join.
+    * Bucketing: split the fingerprint into `maxDistance + 1` blocks —
+    * any pair within distance d agrees on ≥1 block (pigeonhole) — and
+    * bucket-join per block. Never a full cross join.
+    *
+    * Entirely `functions`-built (no UDF): the fingerprint is one
+    * aggregation with 60 per-bit sign-sum columns over the exploded
+    * shingles, then pure bit arithmetic — codegen'd in Spark and
+    * mirrored verbatim by the DuckDB oracle (q18 in the driver gate).
+    * Docs with no shingles (empty text) carry no fingerprint.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDistance: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val blocks = maxDistance + 1
-    val fpUdf = udf((t: String) => simhash(t, n))
-    // null texts have no fingerprint — skip them like jaccardPairs does
-    val fps = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), fpUdf(col(textCol)).as("fp"))
-    val width = 64 / blocks
-    val mask = if (width >= 64) -1L else (1L << width) - 1
-    val blockKeysUdf = udf((fp: Long) =>
-      Array.tabulate(blocks)(b => (fp >>> (b * width)) & mask))
-    val keyed = fps.select($"id", $"fp",
-      posexplode(blockKeysUdf($"fp")).as(Seq("block", "key")))
-    val hammingUdf = udf((a: Long, b: Long) => hamming(a, b))
+    val width = SimhashBits / blocks
+    val mask = (1L << width) - 1
+    // shingles WITH multiplicity (simhash weights repeated shingles)
+    val sh = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(shinglesCol(col(textCol), n)).as("shingle"))
+      .withColumn("x", shingleHash60($"shingle"))
+    val bitSums = (0 until SimhashBits).map { i =>
+      sum(when(shiftright($"x", i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"c$i")
+    }
+    val fpExpr = (0 until SimhashBits).map { i =>
+      when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val fps = sh.groupBy($"id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"id", fpExpr.as("fp"))
+    val blockKeys = array((0 until blocks).map { b =>
+      shiftright($"fp", b * width).bitwiseAND(lit(mask))
+    }: _*)
+    val keyed = fps.select($"id", $"fp", posexplode(blockKeys).as(Seq("block", "key")))
+      .persist() // both sides of the self-join read it
     keyed.as("x").join(keyed.as("y"),
         $"x.block" === $"y.block" && $"x.key" === $"y.key" && $"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"),
-        hammingUdf($"x.fp", $"y.fp").as("distance"))
+        bit_count($"x.fp".bitwiseXOR($"y.fp")).as("distance"))
       .distinct()
       .filter($"distance" <= maxDistance)
   }
@@ -229,7 +281,9 @@ object NearDup {
   /** Pairs of vectors with cosine ≥ threshold, via LSH bucketing on
     * random-hyperplane signs (see [[graft.vectors.Vectors.hyperplaneBucket]])
     * then exact verify. Exposed here for the dedup suite; the generic
-    * building blocks live in `graft.vectors`.
+    * building blocks live in `graft.vectors`. Cosine is rounded to 6
+    * decimals before the threshold filter — the repo float policy that
+    * keeps the output bit-identical to the DuckDB oracle (q24).
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       planes: Int, threshold: Double, dim: Int = 64): DataFrame = {
@@ -242,7 +296,7 @@ object NearDup {
     bucketed.as("x").join(bucketed.as("y"),
         $"x.bucket" === $"y.bucket" && $"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"),
-        graft.vectors.Vectors.cosineWithNorms($"x.v", $"x.norm", $"y.v", $"y.norm").as("cosine"))
+        round(graft.vectors.Vectors.cosineWithNorms($"x.v", $"x.norm", $"y.v", $"y.norm"), 6).as("cosine"))
       .filter($"cosine" >= threshold)
   }
 }

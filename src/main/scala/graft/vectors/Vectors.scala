@@ -61,15 +61,23 @@ object Vectors {
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
   }
 
+  /** Deterministic random hyperplane constants (fixed seed). Public so
+    * the DuckDB oracle SQL is generated from the SAME array — both
+    * engines bucket with literally identical plane coefficients.
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Int = 42): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
   /** Deterministic random hyperplanes (fixed seed) → sign-bit bucket.
     * `planes` bits; vectors in the same bucket are ANN candidates.
     * Collision probability for angle θ: (1 − θ/π)^planes.
     */
   def hyperplaneBucket(v: Column, planes: Int, dim: Int, seed: Int = 42): Column = {
-    val rnd = new scala.util.Random(seed)
-    val hyperplanes = Array.fill(planes, dim)(rnd.nextGaussian())
+    val planesArr = hyperplanes(planes, dim, seed)
     val bits = (0 until planes).map { p =>
-      val plane = hyperplanes(p)
+      val plane = planesArr(p)
       val dot = aggregate(
         zip_with(v, lit(plane), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
