@@ -146,11 +146,28 @@ object Orchestrator {
         .select($"etld1", lit(strat.fieldType).as("field_type"),
           $"chunk_start", $"chunk_end", $"brute", $"content".as("search_response"))
         .as[ChunkEvidence]
-      // mapping request per company (dummy "{}" when nothing unmatched is
-      // decided inside the exchange mock / batch planner; here we always
-      // ask and let T12 drop what doesn't map)
-      val mappingReqs = passingTexts.map(c =>
+      // T26 — dummy-completion short-circuit (reference
+      // `extract_concept_deferred_service.py:261-335`): compute each
+      // company's unmatched-keyword set from the search responses; only
+      // companies with a non-empty set cost a mapping exchange round, the
+      // rest get the fabricated completed "{}" response. An unparseable
+      // search response conservatively counts as unmatched (ask anyway) —
+      // reconcile records its own parse error either way.
+      val unmatchedUdf = udf((s: String) =>
+        try graft.vocab.Mapping.matchAndSplit(vocab,
+          Parsers.parseSearchResponse(s))._2.toSeq.sorted
+        catch { case _: Exception => Seq("__unparseable__") })
+      val companyUnmatched = withBrute.join(responses, Seq("custom_id"), "inner")
+        .select($"etld1", explode_outer(unmatchedUdf($"content")).as("kw"))
+        .groupBy($"etld1").agg(collect_set($"kw").as("unmatched"))
+      val allMapping = passingTexts.map(c =>
           (c.etld1, s"${c.etld1}>${strat.fieldType}>mapping")).toDF("etld1", "custom_id")
+        .join(companyUnmatched, Seq("etld1"), "left")
+        .withColumn("unmatched", coalesce($"unmatched", array()))
+        .withColumn("dummy", graft.vocab.Mapping.dummyMappingResponse("unmatched"))
+        .persist() // feeds both the request filter and the response join
+      val mappingReqs = allMapping.filter($"dummy".isNull)
+        .select($"etld1", $"custom_id")
         .withColumn("body_json", RequestBlob.bodyJson($"custom_id", "gpt-4o-mini",
           lit("<mapping prompt>"), lit(""), 7500))
       val mappingResponses = exchange.execute(mappingReqs)
@@ -162,9 +179,9 @@ object Orchestrator {
       val mappingParses = udf((s: String) =>
         try { Parsers.parseMappingResponse(s); true }
         catch { case _: Exception => false })
-      val mappingAll = mappingReqs.join(mappingResponses, Seq("custom_id"), "left")
+      val mappingAll = allMapping.join(mappingResponses, Seq("custom_id"), "left")
         .select($"etld1", lit(strat.fieldType).as("field_type"),
-          coalesce($"content", lit("{}")).as("response"))
+          coalesce($"content", $"dummy", lit("{}")).as("response"))
         .withColumn("__ok", mappingParses($"response"))
       val mappingErrors = mappingAll.filter(!$"__ok")
         .select($"etld1", lit(strat.fieldType).as("field"),

@@ -79,4 +79,43 @@ class OrchestratorSpec extends SparkSpec {
     val errs = result.errors.collect()
     assert(errs.exists(e => e.etld1 == "broken.example" && e.field == "is_manufacturer"))
   }
+
+  test("T26: fully-matched companies skip the mapping exchange round") {
+    val t26texts = Seq(
+      CompanyText("allknown.example", "v1", "We are ISO 9001 certified."),
+      CompanyText("unknowns.example", "v1", "We hold the FancyCert credential."))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val inner = new MockExchange((id, body) => {
+      id.split(">")(1) match {
+        case "is_manufacturer" => """{"answer": true, "confidence": 90, "reason": "yes"}"""
+        case "business_desc" => """{"name": "x", "description": "y"}"""
+        case "addresses" => "[]"
+        case "certificates" =>
+          if (id.contains("llm_search")) {
+            if (body.contains("ISO 9001")) """["ISO 9001"]""" else """["FancyCert"]"""
+          } else """{"FancyCert": "ISO9001"}"""
+        case _ => null
+      }
+    })
+    val recording = new graft.exchange.Exchange {
+      override def execute(requests: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        seen ++= requests.select("custom_id").collect().map(_.getString(0))
+        inner.execute(requests)
+      }
+    }
+    val r = Orchestrator.process(
+      t26texts.toDS(), recording, vocab,
+      conceptFields = Seq(ChunkingStrat("certificates", 50, 0.0, 25)),
+      tok = WhitespaceTokenizer,
+      gtBinary = Seq.empty[(String, Boolean)].toDF("etld1", "human_answer"))
+    val rs = r.manufacturers.collect().map(r => r.getAs[String]("etld1") -> r).toMap
+    // only the company with an unmatched keyword cost a mapping request
+    assert(seen.filter(_.endsWith(">mapping")).toSeq ==
+      Seq("unknowns.example>certificates>mapping"))
+    // and both companies still reconcile to the right concepts
+    assert(rs("allknown.example").getAs[scala.collection.Seq[String]]("certificates").toSeq ==
+      Seq("ISO 9001"))
+    assert(rs("unknowns.example").getAs[scala.collection.Seq[String]]("certificates").toSeq ==
+      Seq("ISO 9001"))
+  }
 }
