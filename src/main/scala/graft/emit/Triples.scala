@@ -25,7 +25,10 @@ final case class MfgOut(
     industries: Seq[String],
     process_caps: Seq[String],
     material_caps: Seq[String],
-    addresses: Seq[Address])
+    addresses: Seq[Address],
+    business_statuses: Seq[String] = Nil,
+    primary_naics: Option[String] = None,
+    secondary_naics: Seq[String] = Nil)
 
 /** T21 — triple generation (reference
   * `core/src/core/services/ttl_generator_service.py:77-632`) and the
@@ -89,6 +92,12 @@ object Triples {
     def required(field: String, ok: Boolean)(body: => Unit): Unit =
       if (!ok) { if (strict) throw new IllegalArgumentException(s"$field cannot be empty") }
       else body
+    // Reference `add_manufacturer_triples` (`ttl_generator_service.py:576-586`)
+    // hardcodes strict=False for founded_in / emails / num_employees /
+    // business statuses / NAICS / addresses / business description —
+    // missing values skip even in strict mode; only element-level
+    // emptiness raises.
+    def optional(ok: Boolean)(body: => Unit): Unit = if (ok) body
 
     required("name", m.name != null && m.name.nonEmpty) {
       out += lit(mfg, RdfsLabel, m.name)
@@ -100,16 +109,13 @@ object Triples {
       out += lit(wa, s"${SDK}hasVirtualLocationIdentifierValue", m.web_address)
       out += res(mfg, s"${SDK}hasWebAddress", wa)
     }
-    required("founded in year", m.founded_in.nonEmpty) {
+    optional(m.founded_in.nonEmpty) {
       out += lit(mfg, s"${SDK}hasOrganizationYearOfEstablishment",
         m.founded_in.get.toString, XsdInt)
     }
-    required("number of employees", m.num_employees.nonEmpty) {
-      out += lit(mfg, s"${SDK}hasTotalNumberOfEmployee",
-        m.num_employees.get.toString, XsdInt)
-    }
-    required("email addresses", m.email_addresses != null) {
+    optional(m.email_addresses != null) {
       m.email_addresses.foreach { email =>
+        require(email != null && email.nonEmpty, "Email address cannot be empty")
         val e = s"$SDK$stripped-email-${uriStrip(email)}-instance"
         out += res(e, RdfType, s"${SDK}VirtualLocationIdentifier")
         out += res(e, RdfType, s"${SDK}EmailAddress")
@@ -117,7 +123,50 @@ object Triples {
         out += res(mfg, s"${SDK}hasEmailAddress", e)
       }
     }
-    required("business description", m.business_desc != null && m.business_desc.nonEmpty) {
+    optional(m.num_employees.nonEmpty) {
+      out += lit(mfg, s"${SDK}hasTotalNumberOfEmployee",
+        m.num_employees.get.toString, XsdInt)
+    }
+
+    // Ownership-status lookup includes altLabels (reference
+    // `ontology_service.py:318-329`); NAICS concepts are name-keyed with
+    // names like "NAICS 332710" (`:360-367`), so the shared
+    // `conceptsByName` map serves the "NAICS " + code lookup directly.
+    lazy val ownershipByLabel: Map[String, Concept] =
+      conceptsByName.values.filter(_.scheme == "ownership")
+        .flatMap(c => (c.name +: c.altLabels).map(_ -> c)).toMap
+    optional(m.business_statuses != null && m.business_statuses.nonEmpty) {
+      m.business_statuses.foreach { label =>
+        require(label != null && label.nonEmpty, "Business ownership status cannot be empty")
+        val c = ownershipByLabel.getOrElse(label, throw new IllegalArgumentException(
+          s"Ownership status '$label' not found in ontology."))
+        val ind = s"$SDK${uriStrip(c.name)}-ownership-status-individual"
+        out += res(ind, RdfType, c.uri)
+        out += res(mfg, s"${SDK}hasOwnershipStatusClassifier", ind)
+      }
+    }
+
+    def conceptOf(name: String, what: String): Concept =
+      conceptsByName.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown $what concept: $name"))
+
+    optional(m.primary_naics.exists(c => c != null && c.nonEmpty)) {
+      val c = conceptOf("NAICS " + m.primary_naics.get, "NAICS code")
+      val ind = s"$SDK${uriStrip(c.name)}-individual"
+      out += res(ind, RdfType, c.uri)
+      out += res(mfg, s"${SDK}hasPrimaryNAICSClassifier", ind)
+    }
+    optional(m.secondary_naics != null && m.secondary_naics.nonEmpty) {
+      m.secondary_naics.foreach { code =>
+        require(code != null && code.nonEmpty, "Secondary NAICS code cannot be empty")
+        val c = conceptOf("NAICS " + code, "NAICS code")
+        val ind = s"$SDK${uriStrip(c.name)}-individual"
+        out += res(ind, RdfType, c.uri)
+        out += res(mfg, s"${SDK}hasSecondaryNAICSClassifier", ind)
+      }
+    }
+
+    optional(m.business_desc != null && m.business_desc.nonEmpty) {
       val d = s"$SDK$stripped-business-description-instance"
       out += res(d, RdfType, s"${SDK}BusinessDescription")
       out += lit(d, s"${IofScro}hasTextValue", m.business_desc)
@@ -132,10 +181,6 @@ object Triples {
         out += res(mfg, s"${SDK}manufactures", p)
       }
     }
-
-    def conceptOf(name: String, what: String): Concept =
-      conceptsByName.getOrElse(name,
-        throw new IllegalArgumentException(s"unknown $what concept: $name"))
 
     // Certificates/industries: SHARED individuals (keyed by concept name
     // only); process/material capabilities: PER-COMPANY instances.
@@ -172,7 +217,7 @@ object Triples {
       }
     }
 
-    required("addresses", m.addresses != null && m.addresses.nonEmpty) {
+    optional(m.addresses != null && m.addresses.nonEmpty) {
       AddressMerge.dedupe(m.addresses).zipWithIndex.foreach { case (addr, idx) =>
         val i = idx + 1
         val geo = s"$SDK$stripped-geolocation-$i-instance"

@@ -174,7 +174,10 @@ class TriplesSpec extends AnyFunSuite {
     Concept("certificate", "ISO 9001", "urn:c/iso9001", Nil, Nil),
     Concept("industry", "Aerospace", "urn:i/aero", Nil, Nil),
     Concept("process", "CNC Machining", "urn:p/cnc", Nil, Nil),
-    Concept("material", "Aluminum", "urn:m/al", Nil, Nil))
+    Concept("material", "Aluminum", "urn:m/al", Nil, Nil),
+    Concept("naics", "NAICS 332710", "urn:n/332710", Nil, Nil),
+    Concept("naics", "NAICS 336411", "urn:n/336411", Nil, Nil),
+    Concept("ownership", "Woman-Owned", "urn:o/woman-owned", Seq("WOSB"), Nil))
   private val byName = vocab.map(c => c.name -> c).toMap
 
   private val mfg = graft.emit.MfgOut(
@@ -186,7 +189,10 @@ class TriplesSpec extends AnyFunSuite {
     certificates = Seq("ISO 9001"), industries = Seq("Aerospace"),
     process_caps = Seq("CNC Machining"), material_caps = Seq("Aluminum"),
     addresses = Seq(Address("HQ", "Phoenix", "AZ", "US", Seq("123 Main St"),
-      null, "85001", Some(33.4), Some(-112.0), null, Seq("555-1"), Nil)))
+      null, "85001", Some(33.4), Some(-112.0), null, Seq("555-1"), Nil)),
+    business_statuses = Seq("WOSB"),
+    primary_naics = Some("332710"),
+    secondary_naics = Seq("336411"))
 
   test("golden manufacturer emits the expected structure") {
     val ts = Triples.forManufacturer(mfg, byName)
@@ -209,6 +215,39 @@ class TriplesSpec extends AnyFunSuite {
     // founded year is a typed int literal
     val founded = ts.find(_.p == s"${Triples.SDK}hasOrganizationYearOfEstablishment").get
     assert(founded.o == "1984" && founded.datatype == Triples.XsdInt)
+    // ownership status resolves via altLabel to a GLOBAL individual named
+    // by the concept (reference ttl_generator_service.py:201-206)
+    has(mfgUri, s"${Triples.SDK}hasOwnershipStatusClassifier",
+      s"${Triples.SDK}Woman-Owned-ownership-status-individual")
+    has(s"${Triples.SDK}Woman-Owned-ownership-status-individual",
+      Triples.RdfType, "urn:o/woman-owned")
+    // NAICS lookup key is "NAICS " + code; individual is {name}-individual
+    has(mfgUri, s"${Triples.SDK}hasPrimaryNAICSClassifier",
+      s"${Triples.SDK}NAICS%20332710-individual")
+    has(s"${Triples.SDK}NAICS%20332710-individual", Triples.RdfType, "urn:n/332710")
+    has(mfgUri, s"${Triples.SDK}hasSecondaryNAICSClassifier",
+      s"${Triples.SDK}NAICS%20336411-individual")
+    has(s"${Triples.SDK}NAICS%20336411-individual", Triples.RdfType, "urn:n/336411")
+  }
+
+  test("NAICS/ownership lenient skip, element raise, unknown-concept raise") {
+    // strict=true with all three families missing: skipped, not raised
+    // (reference hardcodes strict=False for them)
+    val none = mfg.copy(business_statuses = Nil, primary_naics = None,
+      secondary_naics = Nil)
+    val ts = Triples.forManufacturer(none, byName, strict = true)
+    assert(!ts.exists(_.p.endsWith("NAICSClassifier")) &&
+      !ts.exists(_.p.endsWith("hasOwnershipStatusClassifier")))
+    // empty element raises even lenient
+    assertThrows[IllegalArgumentException](
+      Triples.forManufacturer(mfg.copy(secondary_naics = Seq("")), byName))
+    assertThrows[IllegalArgumentException](
+      Triples.forManufacturer(mfg.copy(business_statuses = Seq("")), byName))
+    // a code/status absent from the ontology raises regardless of strict
+    assertThrows[IllegalArgumentException](
+      Triples.forManufacturer(mfg.copy(primary_naics = Some("999999")), byName))
+    assertThrows[IllegalArgumentException](
+      Triples.forManufacturer(mfg.copy(business_statuses = Seq("Nonesuch")), byName))
   }
 
   test("latitude range check raises") {
