@@ -58,6 +58,15 @@ object Orchestrator {
         lit(prompt), $"context", 7500))
   }
 
+  /** @param present T27 skip-if-present pairs (etld1, field_type): fields
+    *   the manufacturer record already holds. No requests are created for
+    *   these pairs (reference `manufacturer_extraction_orchestrator.py:59-78`
+    *   — the ledger-side cleanup shapes are `Ledger.nullPresentFields` /
+    *   `deletePresentRequests` / `deleteEmptyDeferred`). A company with
+    *   `is_manufacturer` present must have its stored decision supplied
+    *   through `gtBinary` — the same overlay precedence the reference bot
+    *   applies at gate time.
+    */
   def process(
       texts: Dataset[CompanyText],
       exchange: Exchange,
@@ -65,15 +74,22 @@ object Orchestrator {
       conceptFields: Seq[ChunkingStrat],
       tok: Tokenizer,
       gtBinary: DataFrame, // (etld1, human_answer boolean) — may be empty
-      firstChunkBudget: Int = 100000): Result = {
+      firstChunkBudget: Int = 100000,
+      present: Option[DataFrame] = None): Result = {
     val spark = texts.sparkSession
     import spark.implicits._
 
+    val presentPairs = present.getOrElse(
+      Seq.empty[(String, String)].toDF("etld1", "field_type"))
+    def withoutPresent(reqs: DataFrame, label: String): DataFrame =
+      reqs.join(presentPairs.filter($"field_type" === label).select($"etld1"),
+        Seq("etld1"), "left_anti")
+
     // ---- round 1: binary / desc / address requests ----------------------
     val r1Requests =
-      firstChunkRequests(texts, "is_manufacturer", firstChunkBudget, tok, "<binary prompt>")
-        .unionByName(firstChunkRequests(texts, "business_desc", firstChunkBudget, tok, "<desc prompt>"))
-        .unionByName(firstChunkRequests(texts, "addresses", firstChunkBudget, tok, "<address prompt>"))
+      withoutPresent(firstChunkRequests(texts, "is_manufacturer", firstChunkBudget, tok, "<binary prompt>"), "is_manufacturer")
+        .unionByName(withoutPresent(firstChunkRequests(texts, "business_desc", firstChunkBudget, tok, "<desc prompt>"), "business_desc"))
+        .unionByName(withoutPresent(firstChunkRequests(texts, "addresses", firstChunkBudget, tok, "<address prompt>"), "addresses"))
         .persist() // chunking runs once, not once per downstream branch
     // Persist at the exchange boundary: downstream plans reference these
     // results from several actions, and an un-persisted lineage would
@@ -95,10 +111,21 @@ object Orchestrator {
       catch { case e: Exception => (null: String, null: String, e.getMessage) })
     val parseAddrs = udf((s: String) => AddressMerge.dedupe(Parsers.parseAddressesResponse(s)))
 
+    // Companies whose is_manufacturer was skipped-as-present still flow
+    // through the gate (decision supplied via the gtBinary overlay).
+    val skippedBinary = texts.toDF()
+      .join(presentPairs.filter($"field_type" === "is_manufacturer").select($"etld1"),
+        Seq("etld1"), "left_semi")
+      .select($"etld1",
+        lit(null).cast("boolean").as("is_manufacturer"),
+        lit(null).cast("int").as("confidence"),
+        lit(null).cast("string").as("reason"),
+        lit(null).cast("string").as("binary_error"))
     val binary = r1.filter($"field" === "is_manufacturer")
       .select($"etld1", parseBinary($"content").as("b"))
       .select($"etld1", $"b._1".as("is_manufacturer"), $"b._2".as("confidence"),
         $"b._3".as("reason"), $"b._4".as("binary_error"))
+      .unionByName(skippedBinary)
     val desc = r1.filter($"field" === "business_desc")
       .select($"etld1", parseDesc($"content").as("d"))
       .select($"etld1", $"d._1".as("name"), $"d._2".as("business_desc"),
@@ -125,8 +152,14 @@ object Orchestrator {
     val passingTexts = texts.join(passing, "etld1").as[CompanyText]
 
     val conceptResults: Seq[(String, DataFrame, Dataset[FieldError])] = conceptFields.map { strat =>
+      // T27: companies that already have this concept field skip the
+      // whole brute/search/mapping pipeline for it.
+      val fieldTexts = passingTexts.toDF()
+        .join(presentPairs.filter($"field_type" === strat.fieldType).select($"etld1"),
+          Seq("etld1"), "left_anti")
+        .as[CompanyText]
       val chunks = Chunker.chunkDocs(
-        passingTexts.map(c => (c.etld1, c.version_id, c.text)), strat, tok)
+        fieldTexts.map(c => (c.etld1, c.version_id, c.text)), strat, tok)
       // custom_id hoisted so requests and evidence share one definition,
       // and the chunk+brute pipeline is persisted — it feeds both.
       val withBrute = BruteSearch.searchColumn(chunks.toDF(), "text", vocab, "brute")
@@ -160,7 +193,7 @@ object Orchestrator {
       val companyUnmatched = withBrute.join(responses, Seq("custom_id"), "inner")
         .select($"etld1", explode_outer(unmatchedUdf($"content")).as("kw"))
         .groupBy($"etld1").agg(collect_set($"kw").as("unmatched"))
-      val allMapping = passingTexts.map(c =>
+      val allMapping = fieldTexts.map(c =>
           (c.etld1, s"${c.etld1}>${strat.fieldType}>mapping")).toDF("etld1", "custom_id")
         .join(companyUnmatched, Seq("etld1"), "left")
         .withColumn("unmatched", coalesce($"unmatched", array()))

@@ -91,4 +91,45 @@ object Ledger {
     */
   def responseContent(responseJson: Column): Column =
     get_json_object(responseJson, "$.response.body.choices[0].message.content")
+
+  // ---- T27 skip-if-present intake parity ---------------------------------
+  // Reference `manufacturer_extraction_orchestrator.py:59-78`: a mfg that
+  // already has data for a field sets deferred.<field> = None and
+  // bulk-deletes that (mfg, field)'s batch requests; after all fields the
+  // deferred row is deleted when every tracked field is None
+  // (`deferred_manufacturer_service.py:49-85`). `present` rows:
+  // (etld1, field_type) pairs the mfg already has.
+
+  /** Null the deferred columns named in `fields` for (etld1, field) pairs
+    * in `present` — `MERGE ... WHEN MATCHED UPDATE SET field = null`.
+    */
+  def nullPresentFields(deferred: DataFrame, present: DataFrame,
+      fields: Seq[String]): DataFrame = {
+    val flags = present.groupBy(col("etld1"))
+      .agg(collect_set(col("field_type")).as("__present"))
+    val outCols = deferred.columns.map { c =>
+      if (fields.contains(c))
+        when(array_contains(col("__present"), c), lit(null)).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    deferred.join(flags, Seq("etld1"), "left")
+      .select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Bulk-delete ledger requests for (etld1, field_type) pairs the mfg
+    * already has — `DELETE WHERE (etld1, field_type) IN present`, i.e. a
+    * left anti join (reference
+    * `gpt_batch_request_service.py` bulk_delete_..._by_mfg_etld1_and_field).
+    */
+  def deletePresentRequests(ledger: DataFrame, present: DataFrame): DataFrame =
+    ledger.join(present.select(col("etld1"), col("field_type")),
+      Seq("etld1", "field_type"), "left_anti")
+
+  /** Drop deferred rows whose tracked fields are ALL null (reference
+    * `is_deferred_manufacturer_empty` + delete,
+    * `deferred_manufacturer_service.py:49-85`).
+    */
+  def deleteEmptyDeferred(deferred: DataFrame, fields: Seq[String]): DataFrame =
+    deferred.filter(fields.map(col(_).isNotNull)
+      .reduceOption(_ || _).getOrElse(lit(false)))
 }

@@ -80,6 +80,51 @@ class OrchestratorSpec extends SparkSpec {
     assert(errs.exists(e => e.etld1 == "broken.example" && e.field == "is_manufacturer"))
   }
 
+  test("T27: pre-populated fields produce zero new requests, gate still works") {
+    val t27texts = Seq(
+      CompanyText("haskw.example", "v1", "We are ISO 9001 certified."),
+      CompanyText("fresh.example", "v1", "We are ISO 9001 certified too."))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val inner = new MockExchange((id, body) => {
+      id.split(">")(1) match {
+        case "is_manufacturer" => """{"answer": true, "confidence": 90, "reason": "yes"}"""
+        case "business_desc" => """{"name": "x", "description": "y"}"""
+        case "addresses" => "[]"
+        case "certificates" =>
+          if (id.contains("llm_search")) """["ISO 9001"]""" else "{}"
+        case _ => null
+      }
+    })
+    val recording = new graft.exchange.Exchange {
+      override def execute(requests: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        seen ++= requests.select("custom_id").collect().map(_.getString(0))
+        inner.execute(requests)
+      }
+    }
+    // haskw.example already has certificates AND its binary decision;
+    // its stored is_manufacturer=true arrives via the gtBinary overlay.
+    val r = Orchestrator.process(
+      t27texts.toDS(), recording, vocab,
+      conceptFields = Seq(ChunkingStrat("certificates", 50, 0.0, 25)),
+      tok = WhitespaceTokenizer,
+      gtBinary = Seq(("haskw.example", true)).toDF("etld1", "human_answer"),
+      present = Some(Seq(
+        ("haskw.example", "certificates"),
+        ("haskw.example", "is_manufacturer")).toDF("etld1", "field_type")))
+    val rs = r.manufacturers.collect().map(r => r.getAs[String]("etld1") -> r).toMap
+    // no requests of any kind for haskw.example's present fields
+    assert(!seen.exists(id => id.startsWith("haskw.example>certificates>")))
+    assert(!seen.exists(id => id.startsWith("haskw.example>is_manufacturer>")))
+    // but its non-present fields were still requested, and the gate let
+    // it through on the stored decision
+    assert(seen.exists(id => id.startsWith("haskw.example>business_desc>")))
+    assert(rs("haskw.example").getAs[Boolean]("is_manufacturer"))
+    assert(rs("haskw.example").getAs[scala.collection.Seq[String]]("certificates") == null)
+    // the untouched company still extracts everything
+    assert(rs("fresh.example").getAs[scala.collection.Seq[String]]("certificates").toSeq ==
+      Seq("ISO 9001"))
+  }
+
   test("T26: fully-matched companies skip the mapping exchange round") {
     val t26texts = Seq(
       CompanyText("allknown.example", "v1", "We are ISO 9001 certified."),

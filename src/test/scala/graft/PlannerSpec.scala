@@ -85,6 +85,40 @@ class LedgerSpec extends SparkSpec {
     assert(out("c").contains("b2"))
   }
 
+  test("T27: nullPresentFields / deletePresentRequests / deleteEmptyDeferred") {
+    val deferred = Seq(
+      ("a.com", "v1", """{"deferred":1}""", """["kw"]"""),
+      ("b.com", "v1", """{"deferred":2}""", null))
+      .toDF("etld1", "version_id", "certificates", "products")
+    val present = Seq(("a.com", "certificates")).toDF("etld1", "field_type")
+    val fields = Seq("certificates", "products")
+
+    // a.com's certificates nulled, its products kept; b.com untouched
+    val nulled = Ledger.nullPresentFields(deferred, present, fields)
+    val byId = nulled.select("etld1", "certificates", "products")
+      .as[(String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId("a.com") == (None, Some("""["kw"]""")))
+    assert(byId("b.com") == (Some("""{"deferred":2}"""), None))
+
+    // a.com's certificate requests deleted, everything else survives
+    val ledger = Seq(
+      ("a.com", "certificates", "a.com>certificates>mapping"),
+      ("a.com", "products", "a.com>products>llm_search>chunk>0:5"),
+      ("b.com", "certificates", "b.com>certificates>mapping"))
+      .toDF("etld1", "field_type", "custom_id")
+    val kept = Ledger.deletePresentRequests(ledger, present)
+      .select("custom_id").as[String].collect().toSet
+    assert(kept == Set("a.com>products>llm_search>chunk>0:5", "b.com>certificates>mapping"))
+
+    // a fully-null deferred row is deleted; partially-filled rows stay
+    import org.apache.spark.sql.functions.{lit, when}
+    val emptied = Ledger.deleteEmptyDeferred(
+      nulled.withColumn("products",
+        when($"etld1" === "a.com", lit(null)).otherwise($"products")), fields)
+    assert(emptied.select("etld1").as[String].collect().toSeq == Seq("b.com"))
+  }
+
   test("responseContent extracts the assistant message") {
     val blob = """{"custom_id":"x","response":{"status_code":200,"body":{"choices":[{"message":{"content":"[\"ISO 9001\"]"}}]}}}"""
     val got = Seq(blob).toDF("response_json")
