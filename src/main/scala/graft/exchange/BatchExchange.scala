@@ -44,10 +44,18 @@ object BatchExchange {
     * partial files — the API is only ever handed a completed file set.
     */
   def ship(ledger: DataFrame, api: BatchApi, workDir: String,
-      limits: Packer.PackLimits = Packer.StationLimits): (DataFrame, Option[String]) = {
+      limits: Packer.PackLimits = Packer.StationLimits,
+      maxBatchRequests: Long = Long.MaxValue): (DataFrame, Option[String]) = {
     val spark = ledger.sparkSession
     import spark.implicits._
-    val pending = Ledger.pendingForShipment(ledger)
+    // maxBatchRequests caps the WHOLE batch (the key's daily queue
+    // quota, reference api_key_bundle.batch_queue_limit) as opposed to
+    // the per-file packer limits; which rows make the cut is arbitrary,
+    // like the reference's iteration order — the rest stay pending.
+    val pendingAll = Ledger.pendingForShipment(ledger)
+    val pending =
+      if (maxBatchRequests < Long.MaxValue) pendingAll.limit(maxBatchRequests.toInt)
+      else pendingAll
     if (pending.isEmpty) return (ledger, None)
     val packed = Packer.pack(
       pending.select("custom_id", "body_json", "input_tokens").coalesce(1), limits)
@@ -97,10 +105,11 @@ object BatchExchange {
     * completed ship exists (crashed mid-write or never ran).
     */
   def readManifest(workDir: String,
-      hadoopConf: org.apache.hadoop.conf.Configuration =
-        new org.apache.hadoop.conf.Configuration()): Option[(Seq[String], Long)] = {
-    // pass the session's hadoopConfiguration for non-default filesystems
-    // (s3a credentials etc.) — the same conf ship() wrote with
+      hadoopConf: org.apache.hadoop.conf.Configuration): Option[(Seq[String], Long)] = {
+    // the caller must supply the session's hadoopConfiguration — the
+    // same conf ship() wrote with — so non-default filesystems (s3a
+    // credentials etc.) resolve; a bare `new Configuration()` default
+    // silently dropped them
     val p = new org.apache.hadoop.fs.Path(s"$workDir/requests", "_manifest.json")
     val fs = p.getFileSystem(hadoopConf)
     if (!fs.exists(p)) return None

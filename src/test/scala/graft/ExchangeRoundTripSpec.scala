@@ -91,12 +91,13 @@ class BatchExchangeSpec extends SparkSpec {
     val api = new LocalApi(dir, Set.empty)
     BatchExchange.ship(freshLedger("a>F>mapping", "b>F>mapping"), api, dir,
       Packer.PackLimits(1, 1000, 100000)) // 1 request/file → 2 files
-    val Some((files, n)) = BatchExchange.readManifest(dir): @unchecked
+    val Some((files, n)) = BatchExchange.readManifest(dir,
+      spark.sparkContext.hadoopConfiguration): @unchecked
     assert(files.length == 2 && n == 2)
     files.foreach(f => assert(new java.io.File(new java.net.URI(f)).exists(), f))
     // crashed-mid-write simulation: no manifest → no committed file set
     val dir2 = Files.createTempDirectory("graft-manifest2").toString
-    assert(BatchExchange.readManifest(dir2).isEmpty)
+    assert(BatchExchange.readManifest(dir2, spark.sparkContext.hadoopConfiguration).isEmpty)
   }
 
   test("ship with nothing pending is a no-op") {
