@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,15 +17,16 @@ import graft.vocab.{Concept, LabelMatcher}
   * (catalyst→Scala input conversion + output converter lookup per row)
   * and keeps null handling native. The matcher itself is the same
   * single-pass [[LabelMatcher]]; `@transient lazy` compiles it once per
-  * task deserialization. Evaluation is interpreted (`CodegenFallback`)
-  * — the match loop is data-dependent string scanning that codegen
-  * cannot specialize further; the surrounding projection still
-  * participates in whole-stage codegen via the fallback bridge.
+  * task deserialization. `doGenCode` emits a direct call into the
+  * matcher's UTF8String→ArrayData entry point through the codegen
+  * reference array, so a projection containing this expression stays
+  * inside whole-stage codegen (a CodegenFallback here used to split the
+  * q15 stage).
   */
 final case class VocabMatch(
     child: Expression,
     labelToConcept: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val matcher = new LabelMatcher(labelToConcept)
 
@@ -35,6 +36,11 @@ final case class VocabMatch(
   override def nullSafeEval(input: Any): Any = {
     val names = matcher.matchedConcepts(input.asInstanceOf[UTF8String].toString)
     new GenericArrayData(names.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("labelMatcher", matcher, classOf[LabelMatcher].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $m.matchedConceptsArrayData($c);")
   }
 
   override def prettyName: String = "graft_vocab_match"

@@ -61,6 +61,17 @@ final class LabelMatcher(labelToConcept: Seq[(String, String)]) extends Serializ
     }
     found.toSeq
   }
+
+  /** Codegen entry point ([[graft.functions.VocabMatch]]'s generated
+    * Java calls this): UTF8String in, Catalyst array of UTF8String out —
+    * no per-row encoder conversions.
+    */
+  def matchedConceptsArrayData(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val names = matchedConcepts(text.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      names.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+  }
 }
 
 object BruteSearch {
