@@ -167,6 +167,22 @@ object Relational {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     },
 
+    // ---- T30 random sample (reference `$sample size: 1`,
+    // `manufacturer_service.py:68-86`). Engine-portable determinism:
+    // order by md5 of a salted key — a uniform pseudorandom permutation
+    // both engines compute identically (same trick as the dedup-suite
+    // hashes), so the sample is oracled exactly instead of rows-only.
+    // Plans as TakeOrderedAndProject: one-pass map-side partial top-k,
+    // never a full sort — the sample shape that survives 100 TB.
+    "q28_random_sample" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .withColumn("smpl", md5(concat(lit("sample:"), $"o_orderkey".cast("string"))))
+        .orderBy($"smpl")
+        .limit(100)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
     // ---- set intersection on Datasets (reference: pervasive `&`/`|`/`-`
     // set semantics, SURVEY §2.3 "Set ops").
     "q10_set_intersect" -> { (s, dir) =>
@@ -336,6 +352,10 @@ object Relational {
     "q09_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q28_random_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY md5('sample:' || CAST(o_orderkey AS VARCHAR)) LIMIT 100""".stripMargin,
 
     "q10_set_intersect" ->
       """SELECT DISTINCT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey

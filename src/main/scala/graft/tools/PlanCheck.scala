@@ -37,6 +37,8 @@ object PlanCheck {
     // at 100 TB instead of sorting every group's full contents).
     Expectation("q07_first_per_group", mustContain = Seq("WindowGroupLimit")),
     Expectation("q09_topk_orders", mustContain = Seq("TakeOrderedAndProject")),
+    // the hash-order sample must be a one-pass top-k, not a global sort
+    Expectation("q28_random_sample", mustContain = Seq("TakeOrderedAndProject")),
     Expectation("q22_cosine_topk", mustContain = Seq("BroadcastNestedLoopJoin")))
 
   def main(args: Array[String]): Unit = {
