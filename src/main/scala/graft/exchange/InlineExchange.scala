@@ -30,10 +30,16 @@ object InlineExchange {
 
   final case class RetryPolicy(maxAttempts: Int = 3, backoffMs: Long = 100)
 
+  /** @param caches lifecycle owner for the per-execute persisted result
+    *   frame (replay safety requires the persist; pass a scope and call
+    *   `release()` after the consuming actions so a long-lived session
+    *   doesn't accumulate one cached frame per exchange round).
+    */
   def apply(transport: Transport,
       maxParallelism: Int = 8,
       retry: RetryPolicy = RetryPolicy(),
-      cache: Option[DataFrame] = None): Exchange = new Exchange {
+      cache: Option[DataFrame] = None,
+      caches: graft.util.CacheScope = new graft.util.CacheScope): Exchange = new Exchange {
 
     override def execute(requests: DataFrame): DataFrame =
       executeWithErrors(requests)._1
@@ -46,7 +52,12 @@ object InlineExchange {
     def executeWithErrors(requests: DataFrame): (DataFrame, DataFrame) = {
       val spark = requests.sparkSession
       import spark.implicits._
-      val cached = cache.map(_.select("custom_id", "response_json"))
+      // dedup the replay cache by custom_id (a cache table holding
+      // duplicate rows for a key must not multiply response rows through
+      // the replay join) — same min() rule as Ledger.ingestResponses
+      val cached = cache.map(_.select("custom_id", "response_json")
+        .groupBy($"custom_id")
+        .agg(min($"response_json").as("response_json")))
       val toCall = cached match {
         case Some(c) => requests.join(c.select("custom_id"), Seq("custom_id"), "left_anti")
         case None => requests
@@ -82,7 +93,7 @@ object InlineExchange {
           }
         }
         .toDF("custom_id", "__content", "__error")
-      val fresh2 = fresh.persist() // both branches read it
+      val fresh2 = caches.persistDf(fresh) // both branches read it
       val ok = fresh2.filter($"__content".isNotNull)
         .select($"custom_id",
           Exchange.wrapContent($"custom_id", $"__content").as("response_json"))

@@ -41,7 +41,14 @@ object Orchestrator {
 
   final case class FieldError(etld1: String, field: String, error: String)
 
-  final case class Result(manufacturers: DataFrame, errors: Dataset[FieldError])
+  /** `release()` unpersists every frame the orchestration cached —
+    * call AFTER materializing `manufacturers`/`errors`; releasing
+    * earlier recomputes lineage through the exchange (replay hazard).
+    */
+  final case class Result(manufacturers: DataFrame, errors: Dataset[FieldError],
+      caches: graft.util.CacheScope) {
+    def release(): Unit = caches.release()
+  }
 
   /** Build the round-1 single-chunk request rows for one label. */
   private def firstChunkRequests(
@@ -79,6 +86,7 @@ object Orchestrator {
     val spark = texts.sparkSession
     import spark.implicits._
 
+    val caches = new graft.util.CacheScope
     val presentPairs = present.getOrElse(
       Seq.empty[(String, String)].toDF("etld1", "field_type"))
     def withoutPresent(reqs: DataFrame, label: String): DataFrame =
@@ -90,14 +98,14 @@ object Orchestrator {
       withoutPresent(firstChunkRequests(texts, "is_manufacturer", firstChunkBudget, tok, "<binary prompt>"), "is_manufacturer")
         .unionByName(withoutPresent(firstChunkRequests(texts, "business_desc", firstChunkBudget, tok, "<desc prompt>"), "business_desc"))
         .unionByName(withoutPresent(firstChunkRequests(texts, "addresses", firstChunkBudget, tok, "<address prompt>"), "addresses"))
-        .persist() // chunking runs once, not once per downstream branch
+        .transform(caches.persistDf) // chunking runs once, not once per downstream branch
     // Persist at the exchange boundary: downstream plans reference these
     // results from several actions, and an un-persisted lineage would
     // re-invoke the transport per action (replay hazard + cost).
     val r1Responses = exchange.execute(r1Requests)
       .withColumn("content", Ledger.responseContent($"response_json"))
       .select($"custom_id", $"content")
-      .persist()
+      .transform(caches.persistDf)
     val r1 = r1Requests.join(r1Responses, Seq("custom_id"), "left")
       .withColumn("field", split($"custom_id", ">").getItem(1))
       .select($"etld1", $"field", $"content")
@@ -166,14 +174,14 @@ object Orchestrator {
         .withColumn("custom_id", concat_ws(">", $"etld1", lit(strat.fieldType),
           lit("llm_search"), lit("chunk"),
           concat($"chunk_start", lit(":"), $"chunk_end")))
-        .persist()
+        .transform(caches.persistDf)
       val reqs = withBrute.select($"etld1", $"custom_id", $"text")
         .withColumn("body_json", RequestBlob.bodyJson($"custom_id", "gpt-4o-mini",
           lit(s"<${strat.fieldType} search prompt>"), $"text", 7500))
       val responses = exchange.execute(reqs)
         .withColumn("content", Ledger.responseContent($"response_json"))
         .select($"custom_id", $"content")
-        .persist()
+        .transform(caches.persistDf)
       val evidence = withBrute
         .join(responses, Seq("custom_id"), "inner")
         .select($"etld1", lit(strat.fieldType).as("field_type"),
@@ -198,14 +206,14 @@ object Orchestrator {
         .join(companyUnmatched, Seq("etld1"), "left")
         .withColumn("unmatched", coalesce($"unmatched", array()))
         .withColumn("dummy", graft.vocab.Mapping.dummyMappingResponse("unmatched"))
-        .persist() // feeds both the request filter and the response join
+        .transform(caches.persistDf) // feeds both the request filter and the response join
       val mappingReqs = allMapping.filter($"dummy".isNull)
         .select($"etld1", $"custom_id")
         .withColumn("body_json", RequestBlob.bodyJson($"custom_id", "gpt-4o-mini",
           lit("<mapping prompt>"), lit(""), 7500))
       val mappingResponses = exchange.execute(mappingReqs)
         .withColumn("content", Ledger.responseContent($"response_json"))
-        .persist()
+        .transform(caches.persistDf)
       // Field-level error isolation: an unparseable mapping response
       // drops this field for that company (recorded in errors) instead
       // of failing the whole job inside reconcile's mapGroups.
@@ -243,6 +251,6 @@ object Orchestrator {
       .as[FieldError]
     val allErrors = conceptResults.map(_._3)
       .foldLeft(binaryErrors.unionByName(descErrors))(_ unionByName _)
-    Result(mfg, allErrors)
+    Result(mfg, allErrors, caches)
   }
 }

@@ -134,14 +134,16 @@ object TextOps {
     val P = graft.textops.NearDup.MinhashPrime
     val params = graft.textops.NearDup.minhashParams(bands * rowsPerBand)
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      s"MIN(($a * x + $b) % $P) AS m$i"
+      s"MIN(($a * (h % $P) + $b) % $P) AS m$i"
     }.mkString(", ")
     val bandRows = (0 until bands).map { j =>
       val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => s"m$i").mkString(", ")
       s"SELECT doc_id, $j AS band, concat_ws('_', $cols) AS band_key FROM sigs"
     }.mkString(" UNION ALL ")
+    // verify joins on the 60-bit shingle HASH (like the Spark side) —
+    // identical values both engines, so even collisions agree
     ShinglesCte + s""", xs AS (
-      |  SELECT doc_id, $HashSql % $P AS x FROM sh
+      |  SELECT DISTINCT doc_id, $HashSql AS h FROM sh
       |), sigs AS (
       |  SELECT doc_id, $mins FROM xs GROUP BY doc_id
       |), bands AS ($bandRows
@@ -149,12 +151,12 @@ object TextOps {
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM xs GROUP BY doc_id),
       |common AS (
       |  SELECT id_a, id_b, COUNT(*) AS cnt
       |  FROM cand
-      |    JOIN sh sa ON sa.doc_id = id_a
-      |    JOIN sh sb ON sb.doc_id = id_b AND sb.shingle = sa.shingle
+      |    JOIN xs sa ON sa.doc_id = id_a
+      |    JOIN xs sb ON sb.doc_id = id_b AND sb.h = sa.h
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b,
       |       CAST(COALESCE(cnt, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(cnt, 0)) AS jaccard

@@ -163,17 +163,25 @@ object NearDup {
     val spark = df.sparkSession
     import spark.implicits._
     val params = minhashParams(bands * rowsPerBand)
-    // Distinct (doc, shingle) pairs feed the signatures AND the verify
-    // join — persist so tokenize+explode+distinct runs once. Null texts
-    // carry no shingles, like jaccardPairs. The cache is released by the
-    // ContextCleaner when the plan is collected.
+    // Distinct (doc, shingle-HASH) pairs feed the signatures AND the
+    // verify join: hashing BEFORE the distinct means every shuffle and
+    // join in the query moves 8-byte longs, never shingle strings. The
+    // verify Jaccard is computed over hashed shingles in BOTH engines
+    // (the oracle joins on the same md5-derived values), so results are
+    // identical by construction — even a hash collision collides
+    // identically on both sides. Null texts carry no shingles, like
+    // jaccardPairs; persisted — feeds signatures + verify twice.
     val sh = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), explode(shinglesCol(col(textCol), n)).as("shingle"))
+      .select(col(idCol).as("id"),
+        explode(shinglesCol(col(textCol), n)).as("shingle"))
+      .select($"id", shingleHash60($"shingle").as("h"))
       .distinct().persist()
+    // x = h mod P projected ONCE, not repeated inside all k min-exprs —
+    // keeps the already-wide aggregate plan as small as possible
     val mins = params.toSeq.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * $"x" + lit(b)) % MinhashPrime).as(s"m$i")
     }
-    val sigs = sh.withColumn("x", shingleHash60($"shingle") % MinhashPrime)
+    val sigs = sh.select($"id", ($"h" % MinhashPrime).as("x"))
       .groupBy($"id").agg(mins.head, mins.tail: _*)
     // band key = the band's r signature values joined as a string (a
     // cross-engine bucket id); persisted — both sides of the self-join.
@@ -188,12 +196,12 @@ object NearDup {
         $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" && $"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"))
       .distinct()
-    // exact verify: compute true Jaccard only for candidate pairs
+    // exact verify: compute true Jaccard (over hashed shingles) only for
+    // candidate pairs
     val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_shingles"))
     val common = candidates
-      .join(sh.toDF("id_a", "shingle"), "id_a")
-      .join(sh.toDF("id_b", "shingle2").withColumnRenamed("shingle2", "shingle"),
-        Seq("id_b", "shingle"))
+      .join(sh.toDF("id_a", "h"), "id_a")
+      .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
       .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("n_common"))
     candidates.join(common, Seq("id_a", "id_b"), "left")
       .na.fill(0, Seq("n_common"))

@@ -123,6 +123,14 @@ class OrchestratorSpec extends SparkSpec {
     // the untouched company still extracts everything
     assert(rs("fresh.example").getAs[scala.collection.Seq[String]]("certificates").toSeq ==
       Seq("ISO 9001"))
+    // caller-managed cache lifecycle: release drops every frame this
+    // orchestration persisted (checked per-frame — the session is
+    // shared with other suites, so a global cache-empty check is racy)
+    val tracked = r.caches.snapshot
+    assert(tracked.nonEmpty)
+    r.release()
+    tracked.foreach(df =>
+      assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
   }
 
   test("T26: fully-matched companies skip the mapping exchange round") {
