@@ -76,6 +76,15 @@ object Triples {
   private def lit(s: String, p: String, o: String, dt: String = null) =
     Triple(s, p, o, objectIsLiteral = true, datatype = dt)
 
+  /** Ownership-status lookup including altLabels (reference
+    * `ontology_service.py:318-329`). [[emit]] builds this ONCE and
+    * passes it through the per-row overload — rebuilding an
+    * O(|ontology|) map per manufacturer row would dominate at scale.
+    */
+  def ownershipMap(conceptsByName: Map[String, Concept]): Map[String, Concept] =
+    conceptsByName.values.filter(_.scheme == "ownership")
+      .flatMap(c => (c.name +: c.altLabels).map(_ -> c)).toMap
+
   /** All triples for one manufacturer. `conceptsByName` resolves
     * certificate/industry/process/material names to ontology concepts
     * for typed individuals.
@@ -83,7 +92,15 @@ object Triples {
   def forManufacturer(
       m: MfgOut,
       conceptsByName: Map[String, Concept],
-      strict: Boolean = false): Vector[Triple] = {
+      strict: Boolean = false): Vector[Triple] =
+    forManufacturer(m, conceptsByName, ownershipMap(conceptsByName), strict)
+
+  /** Per-row form with the ownership lookup precomputed (see [[emit]]). */
+  def forManufacturer(
+      m: MfgOut,
+      conceptsByName: Map[String, Concept],
+      ownershipByLabel: Map[String, Concept],
+      strict: Boolean): Vector[Triple] = {
     require(m.etld1 != null && m.etld1.nonEmpty, "manufacturer must have a valid etld1")
     val (mfg, stripped) = mfgInstanceUri(m.etld1)
     val out = Vector.newBuilder[Triple]
@@ -128,13 +145,9 @@ object Triples {
         m.num_employees.get.toString, XsdInt)
     }
 
-    // Ownership-status lookup includes altLabels (reference
-    // `ontology_service.py:318-329`); NAICS concepts are name-keyed with
-    // names like "NAICS 332710" (`:360-367`), so the shared
-    // `conceptsByName` map serves the "NAICS " + code lookup directly.
-    lazy val ownershipByLabel: Map[String, Concept] =
-      conceptsByName.values.filter(_.scheme == "ownership")
-        .flatMap(c => (c.name +: c.altLabels).map(_ -> c)).toMap
+    // NAICS concepts are name-keyed with names like "NAICS 332710"
+    // (`ontology_service.py:360-367`), so the shared `conceptsByName`
+    // map serves the "NAICS " + code lookup directly.
     optional(m.business_statuses != null && m.business_statuses.nonEmpty) {
       m.business_statuses.foreach { label =>
         require(label != null && label.nonEmpty, "Business ownership status cannot be empty")
@@ -289,7 +302,8 @@ object Triples {
     val spark = mfgs.sparkSession
     import spark.implicits._
     val byName = concepts.map(c => c.name -> c).toMap
-    mfgs.flatMap(m => forManufacturer(m, byName, strict))
+    val ownership = ownershipMap(byName) // built once, rides the closure
+    mfgs.flatMap(m => forManufacturer(m, byName, ownership, strict))
   }
 
   /** T19 — RDF sanity validation (reference

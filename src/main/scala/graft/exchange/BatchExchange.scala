@@ -45,20 +45,35 @@ object BatchExchange {
     */
   def ship(ledger: DataFrame, api: BatchApi, workDir: String,
       limits: Packer.PackLimits = Packer.StationLimits,
-      maxBatchRequests: Long = Long.MaxValue): (DataFrame, Option[String]) = {
+      maxBatchTokens: Long = Long.MaxValue): (DataFrame, Option[String]) = {
     val spark = ledger.sparkSession
     import spark.implicits._
-    // maxBatchRequests caps the WHOLE batch (the key's daily queue
-    // quota, reference api_key_bundle.batch_queue_limit) as opposed to
-    // the per-file packer limits; which rows make the cut is arbitrary,
-    // like the reference's iteration order — the rest stay pending.
+    // maxBatchTokens caps the WHOLE batch in the quota's real dimension:
+    // the reference wires api_key_bundle.batch_queue_limit into the
+    // packer as max_tokens_per_file with max_files=1
+    // (`batch_file_station.py:450`). Rows are taken in custom_id order
+    // until the running token total hits the cap — a DETERMINISTIC
+    // subset: an unordered limit() here would re-evaluate differently
+    // per downstream action, shipping one subset to the API while
+    // stamping another onto the ledger.
     val pendingAll = Ledger.pendingForShipment(ledger)
     val pending =
-      if (maxBatchRequests < Long.MaxValue) pendingAll.limit(maxBatchRequests.toInt)
-      else pendingAll
+      if (maxBatchTokens < Long.MaxValue) {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("custom_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        pendingAll
+          .withColumn("__cum", sum(col("input_tokens")).over(w))
+          .filter(col("__cum") <= maxBatchTokens)
+          .drop("__cum")
+      } else pendingAll
     if (pending.isEmpty) return (ledger, None)
+    // persisted so ONE materialized pack feeds the file write, the
+    // manifest count, and the batch_id stamp
     val packed = Packer.pack(
       pending.select("custom_id", "body_json", "input_tokens").coalesce(1), limits)
+      .persist()
     // one JSONL file per pack bucket; the API gets the actual data
     // files, not the partition directories Spark writes them under.
     // File listing and the manifest go through the Hadoop FileSystem
@@ -73,11 +88,15 @@ object BatchExchange {
       .flatMap(d => fs.listStatus(d.getPath))
       .filter(_.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted.toSeq
-    val nRequests = packed.count()
-    writeManifest(fs, outDir, files, nRequests)
+    // one batch's ids are control-plane sized (≤ packer maxRequests);
+    // collecting them pins the exact shipped set for the stamp join and
+    // lets the pack cache release before returning
+    val shippedIds = packed.select($"custom_id").as[String].collect().toSeq
+    packed.unpersist()
+    writeManifest(fs, outDir, files, shippedIds.length.toLong)
     val batchId = api.submit(files)
-    val shippedIds = packed.select($"custom_id").withColumn("__shipped", lit(true))
-    val stamped = ledger.join(shippedIds, Seq("custom_id"), "left")
+    val shippedDf = shippedIds.toDF("custom_id").withColumn("__shipped", lit(true))
+    val stamped = ledger.join(broadcast(shippedDf), Seq("custom_id"), "left")
       .withColumn("batch_id",
         when($"__shipped" && col("batch_id").isNull, lit(batchId))
           .otherwise(col("batch_id")))
@@ -125,19 +144,26 @@ object BatchExchange {
     * running): ingest responses by custom_id; unanswered shipped rows
     * get `batch_id` reset for re-ship.
     */
-  def collect(ledger: DataFrame, api: BatchApi, batchId: String): DataFrame = {
-    val spark = ledger.sparkSession
-    import spark.implicits._
+  def collect(ledger: DataFrame, api: BatchApi, batchId: String): DataFrame =
     api.results(batchId) match {
       case None => ledger // still running
-      case Some(paths) =>
-        val raw = spark.read.text(paths: _*)
-        val responses = raw.select(
-          get_json_object($"value", "$.custom_id").as("custom_id"),
-          $"value".as("response_json"))
-          .filter($"custom_id".isNotNull)
-        val ingested = Ledger.ingestResponses(ledger, responses)
-        Ledger.resetMissing(ingested, batchId, responses.select("custom_id"))
+      case Some(paths) => ingestResults(ledger, batchId, paths)
     }
+
+  /** Ingest already-downloaded result files for one batch — split out of
+    * [[collect]] so callers that fetch the result paths themselves (the
+    * station pass gates on the fetch succeeding BEFORE marking the batch
+    * processed) do not hit the API a second time.
+    */
+  def ingestResults(ledger: DataFrame, batchId: String, paths: Seq[String]): DataFrame = {
+    val spark = ledger.sparkSession
+    import spark.implicits._
+    val raw = spark.read.text(paths: _*)
+    val responses = raw.select(
+      get_json_object($"value", "$.custom_id").as("custom_id"),
+      $"value".as("response_json"))
+      .filter($"custom_id".isNotNull)
+    val ingested = Ledger.ingestResponses(ledger, responses)
+    Ledger.resetMissing(ingested, batchId, responses.select("custom_id"))
   }
 }

@@ -162,21 +162,32 @@ object BatchStation {
           markProcessed(s.batches, bid, now),
           applyCooldown(removeTokensInUse(s.keys, label, tokens), label, now,
             CooldownFailedSecs))
-      else if (Status.ResultFamily(status) && api.results(bid).isDefined)
-        State(
-          BatchExchange.collect(s.ledger, api, bid),
-          markProcessed(s.batches, bid, now),
-          applyCooldown(removeTokensInUse(s.keys, label, tokens), label, now,
-            CooldownCompletedSecs))
-      else s // in flight, or results not yet downloadable — retry next pass
+      else if (Status.ResultFamily(status))
+        // fetch ONCE; mark processed only when the results actually
+        // arrived — a failed/None fetch leaves the batch pending so the
+        // next pass retries instead of recording it processed with
+        // nothing ingested
+        api.results(bid) match {
+          case None => s
+          case Some(paths) =>
+            State(
+              BatchExchange.ingestResults(s.ledger, bid, paths),
+              markProcessed(s.batches, bid, now),
+              applyCooldown(removeTokensInUse(s.keys, label, tokens), label, now,
+                CooldownCompletedSecs))
+        }
+      else s // validating / in_progress / finalizing — still in flight
     }
   }
 
   /** Ship pending ledger rows on the first available key — no-op
     * `(state, None)` when every key is cooling down or busy (the
     * reference skips the key and waits for the next poll). The key's
-    * `batch_queue_limit` caps the pack's request count; shipped tokens
-    * go in flight on the key and the batch is recorded `validating`.
+    * `batch_queue_limit` caps the batch's TOKEN total — the dimension
+    * the reference enforces it in (`batch_file_station.py:450` passes it
+    * to the packer as max_tokens_per_file with max_files=1); shipped
+    * tokens go in flight on the key and the batch is recorded
+    * `validating`.
     */
   def shipIfAvailable(st: State, api: BatchExchange.BatchApi, workDir: String,
       now: Timestamp,
@@ -190,7 +201,7 @@ object BatchStation {
         val (label, queueLimit) = (keyRow.getString(0), keyRow.getInt(1))
         val (stamped, shippedId) =
           BatchExchange.ship(st.ledger, api, workDir, limits,
-            maxBatchRequests = queueLimit.toLong)
+            maxBatchTokens = queueLimit.toLong)
         shippedId match {
           case None => (st, None) // nothing pending
           case Some(bid) =>

@@ -33,10 +33,10 @@ final case class VocabMatch(
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val names = matcher.matchedConcepts(input.asInstanceOf[UTF8String].toString)
-    new GenericArrayData(names.map(UTF8String.fromString).toArray[Any])
-  }
+  // same entry point as the generated code — interpreted and codegen'd
+  // evaluation cannot diverge
+  override def nullSafeEval(input: Any): Any =
+    matcher.matchedConceptsArrayData(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("labelMatcher", matcher, classOf[LabelMatcher].getName)

@@ -89,15 +89,18 @@ object Orchestrator {
     val caches = new graft.util.CacheScope
     val presentPairs = present.getOrElse(
       Seq.empty[(String, String)].toDF("etld1", "field_type"))
-    def withoutPresent(reqs: DataFrame, label: String): DataFrame =
-      reqs.join(presentPairs.filter($"field_type" === label).select($"etld1"),
-        Seq("etld1"), "left_anti")
+    // filter BEFORE chunking: with a large present overlay (the re-run
+    // case) the tokenizer flatMap must not run for work that is then
+    // anti-joined away
+    def textsWithout(label: String): Dataset[CompanyText] =
+      texts.join(presentPairs.filter($"field_type" === label).select($"etld1"),
+        Seq("etld1"), "left_anti").as[CompanyText]
 
     // ---- round 1: binary / desc / address requests ----------------------
     val r1Requests =
-      withoutPresent(firstChunkRequests(texts, "is_manufacturer", firstChunkBudget, tok, "<binary prompt>"), "is_manufacturer")
-        .unionByName(withoutPresent(firstChunkRequests(texts, "business_desc", firstChunkBudget, tok, "<desc prompt>"), "business_desc"))
-        .unionByName(withoutPresent(firstChunkRequests(texts, "addresses", firstChunkBudget, tok, "<address prompt>"), "addresses"))
+      firstChunkRequests(textsWithout("is_manufacturer"), "is_manufacturer", firstChunkBudget, tok, "<binary prompt>")
+        .unionByName(firstChunkRequests(textsWithout("business_desc"), "business_desc", firstChunkBudget, tok, "<desc prompt>"))
+        .unionByName(firstChunkRequests(textsWithout("addresses"), "addresses", firstChunkBudget, tok, "<address prompt>"))
         .transform(caches.persistDf) // chunking runs once, not once per downstream branch
     // Persist at the exchange boundary: downstream plans reference these
     // results from several actions, and an un-persisted lineage would

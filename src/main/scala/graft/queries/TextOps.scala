@@ -100,14 +100,23 @@ object TextOps {
     }
   )
 
+  // Both CTEs mirror NearDup.shinglesCol EXACTLY, including the
+  // short-document rule: a doc with 1..n-1 words contributes ONE
+  // shingle of all its words joined (a missing UNION ALL branch here
+  // would silently drop short docs on the oracle side only — invisible
+  // until the generator emits one, then a gate hash mismatch).
   private val ShinglesCte =
     """WITH words AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
       |  FROM documents
       |), sh AS (
-      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
-      |  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
-      |  WHERE len(ws) >= 3
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |    FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      |    WHERE len(ws) >= 3
+      |    UNION ALL
+      |    SELECT doc_id, array_to_string(ws, ' ') AS shingle
+      |    FROM words WHERE len(ws) BETWEEN 1 AND 2)
       |)""".stripMargin
 
   /** Multiplicity-keeping variant (simhash weights repeated shingles). */
@@ -119,6 +128,9 @@ object TextOps {
       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       |  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
       |  WHERE len(ws) >= 3
+      |  UNION ALL
+      |  SELECT doc_id, array_to_string(ws, ' ') AS shingle
+      |  FROM words WHERE len(ws) BETWEEN 1 AND 2
       |)""".stripMargin
 
   /** The 60-bit cross-engine shingle hash — DuckDB mirror of

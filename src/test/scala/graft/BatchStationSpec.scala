@@ -80,14 +80,18 @@ class BatchStationSpec extends SparkSpec {
     assert(st3.ledger.filter($"batch_id" === bid).count() == 2)
   }
 
-  test("batch_queue_limit caps one batch's requests") {
+  test("batch_queue_limit caps one batch's token total") {
     val dir = Files.createTempDirectory("graft-station").toString
     val api = new LocalApi(dir)
+    // rows are 10 tokens each; a 25-token quota ships exactly 2 of 3,
+    // and the shipped set matches what was stamped (deterministic cut)
     val st = State(ledger("a", "b", "c"), emptyBatches,
-      keys(("k1", 2, 0L, at(-1))))
+      keys(("k1", 25, 0L, at(-1))))
     val (st2, Some(bid)) = BatchStation.shipIfAvailable(st, api, dir, t0): @unchecked
     assert(st2.ledger.filter($"batch_id" === bid).count() == 2)
     assert(st2.ledger.filter($"batch_id".isNull).count() == 1)
+    assert(st2.keys.filter($"label" === "k1").select("tokens_in_use")
+      .as[Long].head() == 20L)
   }
 
   test("completed batch: results ingested, lost ids reset, 10-min cooldown") {
