@@ -17,11 +17,14 @@ import org.apache.spark.sql.expressions.Window
 object Vectors {
 
   /** Sequential-order dot product in double precision: deterministic
-    * across engines and partitionings (array order is fixed).
+    * across engines and partitionings (array order is fixed). Native
+    * codegen'd expression — the previous `aggregate(zip_with(...))`
+    * form was CodegenFallback (HOFs don't codegen) and paid interpreted
+    * lambda dispatch per element on every scored pair; identical double
+    * sequence, so oracle hashes are unchanged.
     */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
   /** cosine = dot / (sqrt(dot_aa) * sqrt(dot_bb)) — mirrors the oracle
     * formulation exactly (same op order → bit-identical doubles).
@@ -77,10 +80,7 @@ object Vectors {
   def hyperplaneBucket(v: Column, planes: Int, dim: Int, seed: Int = 42): Column = {
     val planesArr = hyperplanes(planes, dim, seed)
     val bits = (0 until planes).map { p =>
-      val plane = planesArr(p)
-      val dot = aggregate(
-        zip_with(v, lit(plane), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = dotCol(v, lit(planesArr(p)))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
