@@ -40,6 +40,12 @@ class StreamingSpec extends SparkSpec {
 
     val after2 = spark.read.parquet(frontier).select("etld1").as[String].collect().sorted
     assert(after2.toSeq == Seq("a.com", "b.com", "c.com"))
+
+    // the frontier is laid out hash-bucketed so each micro-batch's
+    // anti-join read prunes to the touched partition directories
+    val bucketDirs = new java.io.File(frontier).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
   }
 
   test("windowed event stats with watermark over a memory stream") {

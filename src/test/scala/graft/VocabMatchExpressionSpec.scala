@@ -59,3 +59,35 @@ class VocabMatchExpressionSpec extends SparkSpec {
     assert(tNative > 0 && tUdf > 0)
   }
 }
+
+class DotProductExpressionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.DotProduct
+
+  test("native dot product ≡ HOF formulation bit-for-bit; null propagates") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5, -1.0, 2.0)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.3, 0.2, 0.1)))
+      .toDF("fv", "dv")
+    val hof = df.select(
+      aggregate(zip_with($"fv", $"dv", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d")).as[Double].collect()
+    val native = df.select(DotProduct.dot($"fv", $"dv").as("d")).as[Double].collect()
+    // bit-identical, not just approximately equal — the float policy
+    // the oracle hash compare rests on
+    assert(native.map(java.lang.Double.doubleToLongBits).toSeq ==
+      hof.map(java.lang.Double.doubleToLongBits).toSeq)
+    // null array → null result
+    val withNull = Seq((null: Array[Float], Array(1.0))).toDF("fv", "dv")
+    assert(withNull.select(DotProduct.dot($"fv", $"dv")).collect().head.isNullAt(0))
+    // double×double and float×float also type-check
+    assert(Seq((Array(2.0), Array(3.0))).toDF("a", "b")
+      .select(DotProduct.dot($"a", $"b")).as[Double].head() == 6.0)
+    // non-numeric arrays are rejected at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array("x"), Array(1.0))).toDF("a", "b")
+        .select(DotProduct.dot($"a", $"b")).collect()
+    }
+  }
+}
