@@ -171,11 +171,18 @@ object NearDup {
     // identical by construction — even a hash collision collides
     // identically on both sides. Null texts carry no shingles, like
     // jaccardPairs; persisted — feeds signatures + verify twice.
+    // ONE exchange hash-partitioned by id serves the whole query:
+    // HashPartitioning(id) satisfies the clustering needs of the
+    // (id, h) dedup, the signature groupBy(id), the sizes groupBy(id),
+    // and the id-keyed verify joins — a plain distinct() would shuffle
+    // by (id, h) and then AGAIN by id for the aggregations.
     val sh = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(shinglesCol(col(textCol), n)).as("shingle"))
       .select($"id", shingleHash60($"shingle").as("h"))
-      .distinct().persist()
+      .repartition($"id")
+      .dropDuplicates("id", "h")
+      .persist()
     // x = h mod P projected ONCE, not repeated inside all k min-exprs —
     // keeps the already-wide aggregate plan as small as possible
     val mins = params.toSeq.zipWithIndex.map { case ((a, b), i) =>
