@@ -34,8 +34,18 @@ object Parsers {
     val cleaned = try JsonRepair.repair(response) catch { case _: Exception => return Set.empty }
     try {
       val node = mapper.readTree(cleaned)
-      if (!node.isArray) return Set.empty
-      node.elements().asScala.map(_.asText()).toSet
+      // Bug-compatible `set(json.loads(x))` (`llm_search_service.py:70`):
+      // Python's set() iterates whatever it got — an array yields its
+      // elements, an OBJECT yields its field names, a STRING yields its
+      // characters; scalars raise (→ empty set). Non-string array
+      // elements project through asText — the differential harness's
+      // canonical form (they can never match a string vocabulary label
+      // either way).
+      if (node == null) Set.empty
+      else if (node.isArray) node.elements().asScala.map(_.asText()).toSet
+      else if (node.isObject) node.fieldNames().asScala.toSet
+      else if (node.isTextual) node.textValue.toCharArray.map(_.toString).toSet
+      else Set.empty
     } catch { case _: Exception => Set.empty }
   }
 
@@ -52,8 +62,11 @@ object Parsers {
       }
     require(node != null && node.isObject,
       s"parseMappingResponse: expected a JSON object, got: $response")
+    // non-string values canonicalize to null: the reference keeps the
+    // raw JSON value, but a non-string can never match a (string)
+    // vocabulary label in applyMapping — null is the equivalent form
     node.properties().asScala.map { e =>
-      e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+      e.getKey -> (if (e.getValue.isTextual) e.getValue.textValue else null)
     }.toMap
   }
 
@@ -68,10 +81,12 @@ object Parsers {
         throw new IllegalArgumentException(s"parseBinaryResponse: invalid response: $response", e)
       }
     require(node.isObject, s"parseBinaryResponse: expected object: $response")
+    // pydantic model validation (`ChunkBinaryClassificationResult`):
+    // required fields raise when missing; lax coercion per field type
     BinaryResult(
-      answer = node.path("answer").asBoolean(),
-      confidence = node.path("confidence").asInt(),
-      reason = node.path("reason").asText(null))
+      answer = PydanticLax.bool(node.get("answer")),
+      confidence = PydanticLax.int(node.get("confidence")),
+      reason = PydanticLax.str(node.get("reason")))
   }
 
   final case class BusinessDesc(name: String, description: String)
@@ -85,9 +100,12 @@ object Parsers {
         throw new IllegalArgumentException(s"parseBusinessDescResponse: invalid response: $response", e)
       }
     require(node.isObject, s"parseBusinessDescResponse: expected object: $response")
+    // `BusinessDescriptionResult(name: Optional[str], description:
+    // Optional[str])` — str-or-null ONLY (pydantic lax str is strict:
+    // a numeric name raises, it does not stringify)
     BusinessDesc(
-      name = node.path("name").asText(null),
-      description = node.path("description").asText(null))
+      name = PydanticLax.optStr(node.get("name")),
+      description = PydanticLax.optStr(node.get("description")))
   }
 
   def parseAddressesResponse(response: String): Seq[Address] = {
@@ -96,35 +114,39 @@ object Parsers {
     val node = try mapper.readTree(cleaned) catch { case _: Exception => return Nil }
     if (node == null || !node.isArray) return Nil
     node.elements().asScala.flatMap { a =>
+      // any failure skips THIS entry, like the reference's per-address
+      // try block (`extract_basic_service.py:141-152`)
       try {
-        if (!a.isObject) None
+        if (!a.isObject) None // .get on a non-dict raises → skipped
         else {
-          def str(f: String): String = {
-            val v = a.path(f)
-            if (v.isMissingNode || v.isNull) null else v.asText()
-          }
-          def dbl(f: String): Option[Double] = {
-            val v = a.path(f)
-            if (v.isMissingNode || v.isNull) None else Some(v.asDouble())
-          }
-          def arr(f: String): Seq[String] = {
-            val v = a.path(f)
-            if (v.isArray) v.elements().asScala.map(_.asText()).toSeq else Nil
-          }
-          val rawCountry = str("country")
+          // country pre-step (`:143-148`): Python-falsy values (null,
+          // "", false, 0) default to "US"; a truthy NON-string hits
+          // .upper() → AttributeError → entry skipped
+          val c = a.get("country")
+          val country =
+            if (c == null || c.isNull) "US"
+            else if (c.isTextual) {
+              if (c.textValue.isEmpty) "US" else c.textValue.toUpperCase
+            }
+            else if (c.isBoolean && !c.booleanValue) "US"
+            else if (c.isNumber && c.doubleValue == 0.0) "US"
+            else if ((c.isArray || c.isObject) && c.isEmpty) "US"
+            else throw new PydanticLax.Invalid(s"country: $c")
+          // pydantic Address validation: city/state required strict str;
+          // the rest Optional (lax per type)
           Some(Address(
-            name = str("name"),
-            city = str("city"),
-            state = str("state"),
-            country = if (rawCountry == null || rawCountry.isEmpty) "US" else rawCountry.toUpperCase,
-            address_lines = arr("address_lines"),
-            county = str("county"),
-            postal_code = str("postal_code"),
-            latitude = dbl("latitude"),
-            longitude = dbl("longitude"),
-            place_id = str("place_id"),
-            phone_numbers = arr("phone_numbers"),
-            fax_numbers = arr("fax_numbers")))
+            name = PydanticLax.optStr(a.get("name")),
+            city = PydanticLax.str(a.get("city")),
+            state = PydanticLax.str(a.get("state")),
+            country = country,
+            address_lines = PydanticLax.optListStr(a.get("address_lines")),
+            county = PydanticLax.optStr(a.get("county")),
+            postal_code = PydanticLax.optStr(a.get("postal_code")),
+            latitude = PydanticLax.optFloat(a.get("latitude")),
+            longitude = PydanticLax.optFloat(a.get("longitude")),
+            place_id = PydanticLax.optStr(a.get("place_id")),
+            phone_numbers = PydanticLax.optListStr(a.get("phone_numbers")),
+            fax_numbers = PydanticLax.optListStr(a.get("fax_numbers"))))
         }
       } catch { case _: Exception => None }
     }.toSeq
