@@ -79,6 +79,28 @@ ns["ChunkBinaryClassificationResult"] = ChunkBinaryClassificationResult
 ns["Address"] = Address
 ns["BusinessDescriptionResult"] = BusinessDescriptionResult
 
+from functools import cached_property  # noqa: E402
+from typing_extensions import TypedDict  # noqa: E402
+import types as _types  # noqa: E402
+
+concept_ns = dict(base_ns)
+concept_ns["cached_property"] = cached_property
+concept_ns["URIRef"] = str  # annotation-only in the extracted class
+(Concept,) = extract(
+    f"{REF}/data_etl_app/src/data_etl_app/models/skos_concept.py",
+    ["Concept"], concept_ns)
+ns["Concept"] = Concept
+ns["TypedDict"] = TypedDict
+ns["MfgETLDType"] = str
+ns["ConceptTypeEnum"] = _types.SimpleNamespace  # only .name is read (logging)
+
+(match_and_split,) = extract(
+    f"{REF}/data_etl_app/src/data_etl_app/services/llm_powered/extraction/extract_concept_service.py",
+    ["get_matched_concepts_and_unmatched_keywords"], ns)
+(LLMMappingResult, apply_mapping) = extract(
+    f"{REF}/data_etl_app/src/data_etl_app/services/llm_powered/map/map_known_to_unknown_service.py",
+    ["LLMMappingResult", "get_mapped_known_concepts_and_unmapped_keywords"], ns)
+
 (parse_search,) = extract(
     f"{REF}/data_etl_app/src/data_etl_app/services/llm_powered/search/llm_search_service.py",
     ["parse_llm_search_response"], ns)
@@ -217,6 +239,67 @@ def gen_addresses(r):
     return wrap(r, payload)
 
 
+def gen_vocab(r):
+    """Concepts with UNIQUE labels across the vocabulary (the reference
+    builds its label map from a SET of concepts, so a duplicate label's
+    winner is nondeterministic there — the repo's ontology loader
+    rejects duplicates at load time anyway)."""
+    labels = r.sample(WORDS, r.randint(2, 8))
+    concepts = []
+    while labels:
+        take = min(len(labels), r.randint(1, 3))
+        name, alts = labels[0], labels[1:take]
+        labels = labels[take:]
+        concepts.append({"name": name, "altLabels": alts})
+    return concepts
+
+
+def keywords_for(r, concepts):
+    pool = [l for c in concepts for l in [c["name"]] + c["altLabels"]]
+    pool += ["unknown-" + w for w in r.sample(WORDS, 3)] + ["", "zzz"]
+    return [r.choice(pool) for _ in range(r.randint(0, 6))]
+
+
+def gen_match_split(r):
+    concepts = gen_vocab(r)
+    return {"concepts": concepts, "results": keywords_for(r, concepts)}
+
+
+def gen_apply_mapping(r):
+    concepts = gen_vocab(r)
+    kws = keywords_for(r, concepts)
+    labels = [l for c in concepts for l in [c["name"]] + c["altLabels"]]
+    mapping = {}
+    for _ in range(r.randint(0, 5)):
+        mu = r.choice(kws + ["hallucinated-" + r.choice(WORDS)]) if kws else "hallucinated"
+        mapping[mu] = r.choice(labels + [None, "", "not-a-label"])
+    return {"concepts": concepts, "keywords_to_map": kws, "raw_mapping": mapping}
+
+
+def to_ref_concepts(spec):
+    return {Concept(name=c["name"], uri="urn:x", altLabels=c["altLabels"], ancestors=[])
+            for c in spec}
+
+
+def run_match_split(inp):
+    matched, unmatched = match_and_split(to_ref_concepts(inp["concepts"]),
+                                         set(inp["results"]))
+    return {"value": {"matched": sorted(c.name for c in matched),
+                      "unmatched": sorted(unmatched)}}
+
+
+def run_apply_mapping(inp):
+    out = apply_mapping(
+        mfg_etld1="x.example", known_concepts=to_ref_concepts(inp["concepts"]),
+        keywords_to_map=set(inp["keywords_to_map"]),
+        raw_gpt_mapping=inp["raw_mapping"],
+        concept_type=_types.SimpleNamespace(name="certificates"))
+    return {"value": {
+        "known_to_unknowns": {c.name: sorted(v)
+                              for c, v in out["known_to_unknowns"].items()},
+        "unmapped": sorted(out["unmapped_unknowns"])}}
+
+
 # ---- expected-output serialization ----------------------------------------
 
 def jackson_text(x):
@@ -280,6 +363,13 @@ def main():
             inp = gen(r)
             cases.append({"id": f"{kind}-{i}", "kind": kind, "input": inp,
                           "expected": run(kind, fn, inp)})
+    # vocabulary match/split + unknown→known mapping (structured inputs)
+    for kind, gen, runner in [("match_split", gen_match_split, run_match_split),
+                              ("apply_mapping", gen_apply_mapping, run_apply_mapping)]:
+        for i in range(n):
+            inp = gen(r)
+            cases.append({"id": f"{kind}-{i}", "kind": kind, "input": inp,
+                          "expected": runner(inp)})
     import os
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/parser_cases.json", "w") as f:
