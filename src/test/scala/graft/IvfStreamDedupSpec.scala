@@ -71,4 +71,41 @@ class StreamDedupSpec extends SparkSpec {
     q.stop()
     assert(ids.toSeq == Seq(1L, 2L, 4L))
   }
+
+  test("streaming near-dup emits banded candidates within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDS().toDF("ts", "doc_id", "text")
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    val far = "completely unrelated text about industrial anodizing processes here"
+    val cands = StreamDedup.nearDupStream(df, "doc_id", "text", "ts",
+      horizon = "10 minutes")
+    val q = cands.writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: docs 1+2 identical (every band collides), doc 3 unrelated
+    stream.addData((ts(0), 1L, near), (ts(5), 2L, near), (ts(10), 3L, far))
+    q.processAllAvailable()
+    // batch 2: doc 4 near-dups batch-1 docs ACROSS the batch boundary
+    // (bucket state retained); doc 5 unrelated
+    stream.addData((ts(60), 4L, near + " extra"), (ts(65), 5L, "other thing entirely"))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past the horizon (evicts the
+    // old buckets), then batch 4: doc 6 repeats the near text but must
+    // NOT pair with the expired docs
+    stream.addData((ts(3000), 7L, "watermark advancer text"))
+    q.processAllAvailable()
+    stream.addData((ts(3010), 6L, near))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT id_a, id_b, max(est_jaccard) FROM neardup_out GROUP BY 1,2")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    q.stop()
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1.0) // identical docs
+    assert(out.contains((1L, 4L)) && out.contains((2L, 4L))) // cross-batch
+    assert(out((1L, 4L)) > 0.5)
+    // the unrelated docs never became candidates with anything
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L || a == 5L || b == 5L })
+    // horizon eviction: doc 6's identical text pairs with NOBODY — the
+    // matching buckets expired with the watermark
+    assert(!out.keys.exists { case (a, b) => a == 6L || b == 6L })
+  }
 }
