@@ -25,6 +25,9 @@ final case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // the result is null for length-mismatched inputs / null elements even
+  // when the input columns themselves are non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   private def elemType(e: Expression): DataType =
@@ -40,15 +43,22 @@ final case class DotProduct(left: Expression, right: Expression)
           s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
+  // Null semantics match the replaced `aggregate(zip_with(...))` form
+  // exactly: zip_with pads a length mismatch with nulls and any null
+  // element nulls the whole sum — so mismatched lengths or null slots
+  // yield NULL here too (a truncated embedding must stay excluded from
+  // ranking, not get a bogus partial score).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -65,12 +75,17 @@ final case class DotProduct(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.$getL($i) * (double) $b.$getR($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $a.$getL($i) * (double) $b.$getR($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

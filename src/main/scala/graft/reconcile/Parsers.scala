@@ -44,7 +44,11 @@ object Parsers {
       if (node == null) Set.empty
       else if (node.isArray) node.elements().asScala.map(_.asText()).toSet
       else if (node.isObject) node.fieldNames().asScala.toSet
-      else if (node.isTextual) node.textValue.toCharArray.map(_.toString).toSet
+      else if (node.isTextual)
+        // code POINTS, not UTF-16 chars: Python iterates a string by
+        // code point, so an emoji stays one element, not two surrogates
+        node.textValue.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toSet
       else Set.empty
     } catch { case _: Exception => Set.empty }
   }

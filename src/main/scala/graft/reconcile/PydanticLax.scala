@@ -32,13 +32,17 @@ object PydanticLax {
     n != null && !n.isMissingNode
 
   /** Python int-literal / float-literal parse (underscores between
-    * digits allowed); returns the double value when valid.
+    * digits allowed, including after the decimal point: ".5_5" → 0.55);
+    * returns the double value when valid. Infinities/NaN are handled by
+    * [[float]] only — Python `int("inf")` raises.
     */
   private def pyNumeric(s0: String): Option[Double] = {
     val s = s0.trim
     if (s.isEmpty) return None
-    // validate underscore placement: only between digits
-    if (s.contains('_') && !s.matches("[+-]?\\d(_?\\d)*(\\.\\d(_?\\d)*)?([eE][+-]?\\d(_?\\d)*)?"))
+    // validate underscore placement: only between digits (either side
+    // of the decimal point / exponent)
+    if (s.contains('_') &&
+        !s.matches("[+-]?(\\d(_?\\d)*)?(\\.\\d(_?\\d)*)?([eE][+-]?\\d(_?\\d)*)?"))
       return None
     val clean = s.replace("_", "")
     if (clean.matches("[+-]?\\d+")) Some(java.lang.Double.parseDouble(clean))
@@ -46,6 +50,28 @@ object PydanticLax {
       Some(java.lang.Double.parseDouble(clean))
     else None
   }
+
+  /** Exact long from a Python int-literal-shaped string, if it is one
+    * (the double round-trip in [[pyNumeric]] loses precision past 2^53).
+    */
+  private def pyIntExact(s0: String): Option[Long] = {
+    val s = s0.trim
+    if (s.contains('_') && !s.matches("[+-]?\\d(_?\\d)*")) None
+    else {
+      val clean = s.replace("_", "")
+      if (clean.matches("[+-]?\\d+"))
+        try Some(java.lang.Long.parseLong(clean)) catch { case _: Exception => None }
+      else None
+    }
+  }
+
+  private def toIntExact(v: Long, what: String): Int =
+    if (v >= Int.MinValue && v <= Int.MaxValue) v.toInt
+    // DOCUMENTED NARROWING: Python ints are unbounded; model fields here
+    // are JVM Ints, so a value outside Int range raises instead of
+    // silently wrapping (Jackson intValue() would wrap 3000000000 to a
+    // negative number)
+    else fail(s"$what: $v outside Int range")
 
   def bool(n: JsonNode): Boolean =
     if (!present(n) || n.isNull) fail("bool: missing/null")
@@ -62,13 +88,16 @@ object PydanticLax {
   def int(n: JsonNode): Int =
     if (!present(n) || n.isNull) fail("int: missing/null")
     else if (n.isBoolean) { if (n.booleanValue) 1 else 0 }
-    else if (n.isIntegralNumber) n.intValue
+    else if (n.isIntegralNumber) toIntExact(n.longValue, "int")
     else if (n.isFloatingPointNumber) {
       val d = n.doubleValue
-      if (d.isWhole) d.toInt else fail(s"int: $n")
-    } else if (n.isTextual) pyNumeric(n.textValue) match {
-      case Some(d) if d.isWhole => d.toInt
-      case _ => fail(s"int: '${n.textValue}'")
+      if (d.isWhole) toIntExact(d.toLong, "int") else fail(s"int: $n")
+    } else if (n.isTextual) pyIntExact(n.textValue) match {
+      case Some(v) => toIntExact(v, "int")
+      case None => pyNumeric(n.textValue) match {
+        case Some(d) if d.isWhole && !d.isInfinite => toIntExact(d.toLong, "int")
+        case _ => fail(s"int: '${n.textValue}'")
+      }
     } else fail(s"int: $n")
 
   def str(n: JsonNode): String =
@@ -78,8 +107,18 @@ object PydanticLax {
     if (!present(n) || n.isNull) fail("float: missing/null")
     else if (n.isBoolean) { if (n.booleanValue) 1.0 else 0.0 }
     else if (n.isNumber) n.doubleValue
-    else if (n.isTextual) pyNumeric(n.textValue).getOrElse(fail(s"float: '${n.textValue}'"))
-    else fail(s"float: $n")
+    else if (n.isTextual) {
+      // Python float() also accepts inf/infinity/nan with optional sign
+      val t = n.textValue.trim.toLowerCase
+      val (sign, body) =
+        if (t.startsWith("+")) (1.0, t.drop(1))
+        else if (t.startsWith("-")) (-1.0, t.drop(1)) else (1.0, t)
+      body match {
+        case "inf" | "infinity" => sign * Double.PositiveInfinity
+        case "nan" => Double.NaN
+        case _ => pyNumeric(n.textValue).getOrElse(fail(s"float: '${n.textValue}'"))
+      }
+    } else fail(s"float: $n")
 
   // ---- Optional[...] = None fields: missing and null both → None ---------
 

@@ -54,24 +54,36 @@ object Intake {
         val withBucket = batch.toDF()
           .dropDuplicates("etld1") // within-batch redelivery
           .withColumn("bucket", pmod(xxhash64(col("etld1")), lit(nBuckets.toLong)))
-        // ≤ nBuckets distinct values — a driver-side list for the
-        // partition-pruning filter
-        val touched = withBucket.select($"bucket").distinct().as[Long].collect()
-        val existing: DataFrame =
-          try spark.read.parquet(frontierPath)
-            .filter(col("bucket").isin(touched: _*)) // prunes to touched dirs
-            .select("etld1")
-          catch {
-            // Only a missing frontier means "empty"; a transient read
-            // failure must FAIL the batch (falling back to empty would
-            // skip the anti-join and append duplicate keys).
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getCondition == "PATH_NOT_FOUND" =>
-              spark.emptyDataFrame.withColumn("etld1", lit(""))
-          }
-        withBucket
-          .join(existing, Seq("etld1"), "left_anti") // across-batch idempotency
-          .write.mode("append").partitionBy("bucket").parquet(frontierPath)
+          .persist() // feeds the touched-bucket collect AND the write
+        try {
+          // ≤ nBuckets distinct values — a driver-side list for the
+          // partition-pruning filter
+          val touched = withBucket.select($"bucket").distinct().as[Long].collect()
+          // missing frontier → empty; a frontier written by the
+          // pre-bucketing layout (no `bucket` column) → full-scan
+          // anti-join and KEEP the flat layout (mixing bucket= dirs
+          // into a flat frontier would break partition discovery).
+          // Any other read failure must FAIL the batch: falling back
+          // to empty would skip the anti-join and append duplicates.
+          val (existing: DataFrame, bucketed: Boolean) =
+            try {
+              val f = spark.read.parquet(frontierPath)
+              if (f.columns.contains("bucket"))
+                (f.filter(col("bucket").isin(touched: _*)) // prunes to touched dirs
+                  .select("etld1"), true)
+              else (f.select("etld1"), false)
+            } catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition == "PATH_NOT_FOUND" =>
+                (spark.emptyDataFrame.withColumn("etld1", lit("")), true)
+            }
+          val fresh = withBucket
+            .join(existing, Seq("etld1"), "left_anti") // across-batch idempotency
+          if (bucketed)
+            fresh.write.mode("append").partitionBy("bucket").parquet(frontierPath)
+          else
+            fresh.drop("bucket").write.mode("append").parquet(frontierPath)
+        } finally withBucket.unpersist()
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -79,6 +79,12 @@ object StreamDedup {
         element_at(col("__sig"), j * rowsPerBand + i + 1))): _*))
     val banded = stream
       .withWatermark(tsCol, horizon)
+      // shingle-less docs (null/empty/short text) carry NO signature,
+      // like the batch twin — without this filter their all-MaxValue
+      // sentinel signatures would pair every empty doc with every other
+      // empty doc at est_jaccard 1.0
+      .filter(col(textCol).isNotNull &&
+        size(NearDup.shinglesCol(col(textCol), n)) > 0)
       .withColumn("__sig", sigUdf(col(textCol)))
       .select(explode(bandKeys).as("band_key"),
         col(idCol).cast("long").as("doc_id"),
@@ -87,17 +93,17 @@ object StreamDedup {
       .as[BandRow]
     banded
       .groupByKey((r: BandRow) => r.band_key)
-      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupCandidate](
+      .flatMapGroupsWithState[(Long, List[(Long, Seq[Long])]), NearDupCandidate](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, rows: Iterator[BandRow],
-            state: GroupState[List[(Long, Seq[Long])]]) =>
+            state: GroupState[(Long, List[(Long, Seq[Long])])]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var seen = state.getOption.getOrElse(Nil)
+            var (maxEventMs, seen) = state.getOption
+              .getOrElse((Long.MinValue, List.empty[(Long, Seq[Long])]))
             val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
-            var maxEventMs = Long.MinValue
             rows.foreach { r =>
               maxEventMs = math.max(maxEventMs, r.event_ts.getTime)
               seen.foreach { case (oid, osig) =>
@@ -113,11 +119,14 @@ object StreamDedup {
               seen = ((r.doc_id, r.sig) :: seen.filterNot(_._1 == r.doc_id))
                 .take(maxPerBucket)
             }
-            state.update(seen)
-            // evict once the watermark passes the bucket's newest event
-            // by the horizon (NOT currentWatermark + horizon: the
-            // watermark lags a batch, and is 0 on the first one — state
-            // would expire before the second batch arrived)
+            state.update((maxEventMs, seen))
+            // evict once the watermark passes the bucket's newest-EVER
+            // event by the horizon. The max rides in state: using only
+            // this batch's max would let a late-but-admitted row move
+            // the eviction time BACKWARDS and expire newer members
+            // early; using currentWatermark + horizon would expire
+            // everything after the first batch (the watermark lags a
+            // batch and starts at zero).
             state.setTimeoutTimestamp(maxEventMs + horizonMs)
             out.iterator
           }

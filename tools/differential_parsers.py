@@ -150,6 +150,19 @@ def wrap(r, payload):
     return s
 
 
+def rnd_search_scalar(r):
+    """Collision-free under BOTH Python set() equality (False==0, True==1)
+    and the jackson_text projection (5 vs "5"): no bools, no digit
+    strings, floats kept non-integral exact binary fractions — so the
+    expected set and the Scala set have the same cardinality and the
+    harness cannot produce false divergences."""
+    return r.choice([
+        None, r.randint(10, 99) + 100,  # ints disjoint from float/str pools
+        r.choice([0.125, 0.375, 2.625, 7.875]),
+        r.choice(WORDS), "",
+    ])
+
+
 def gen_search(r):
     roll = r.random()
     if roll < 0.5:
@@ -157,7 +170,7 @@ def gen_search(r):
     elif roll < 0.65:
         payload = json.dumps({"not": "an array"})
     elif roll < 0.8:
-        payload = json.dumps([rnd_scalar(r) for _ in range(r.randint(1, 3))])
+        payload = json.dumps([rnd_search_scalar(r) for _ in range(r.randint(1, 3))])
     else:
         payload = r.choice(["", "garbage {{{", "[\"unterminated", "null", "[]"])
     return wrap(r, payload)
