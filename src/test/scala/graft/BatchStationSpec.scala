@@ -155,6 +155,41 @@ class BatchStationSpec extends SparkSpec {
     }
   }
 
+  test("lifecycle drill: fail → re-ship → complete; collect is idempotent") {
+    val dir = Files.createTempDirectory("graft-station").toString
+    val api = new LocalApi(dir)
+    val st0 = State(ledger("a>F>mapping", "b>F>mapping"), emptyBatches,
+      keys(("k1", 1000, 0L, at(-1))))
+    // ship #1, then the API fails the batch → requests unpaired,
+    // key cooling 30 min
+    val (st1, Some(b1)) = BatchStation.shipIfAvailable(st0, api, dir, t0): @unchecked
+    val failed = BatchStation.step(
+      st1.copy(batches = BatchStation.updateStatus(st1.batches, b1, Status.Failed)),
+      api, at(60))
+    assert(failed.ledger.filter($"batch_id".isNull).count() == 2)
+    // during cooldown nothing ships; after it lapses the SAME rows ship
+    // again under a new batch id
+    val (same, none) = BatchStation.shipIfAvailable(failed, api, dir, at(120))
+    assert(none.isEmpty)
+    val afterCooldown = at(60 + BatchStation.CooldownFailedSecs + 1)
+    val (st2, Some(b2)) = BatchStation.shipIfAvailable(same, api, dir,
+      afterCooldown): @unchecked
+    assert(b2 != b1)
+    assert(st2.ledger.filter($"batch_id" === b2).count() == 2)
+    // complete: both answered this time
+    val done = BatchStation.step(
+      st2.copy(batches = BatchStation.updateStatus(st2.batches, b2, Status.Completed)),
+      api, at(7200))
+    assert(done.ledger.filter($"response_json".isNotNull).count() == 2)
+    assert(done.batches.filter($"processing_completed_at".isNull).count() == 0)
+    // collect idempotency: re-ingesting the same batch's results changes
+    // nothing (the restartability contract — a crashed run can re-collect)
+    val again = BatchExchange.collect(done.ledger, api, b2)
+    val l1 = done.ledger.orderBy("custom_id").collect().toSeq
+    val l2 = again.orderBy("custom_id").collect().toSeq
+    assert(l1 == l2)
+  }
+
   test("cooldown guard: not applied when remaining cooldown exceeds 30 min") {
     val k = keys(("k1", 100, 0L, at(31 * 60))) // 31 min of cooldown pending
     val after = BatchStation.applyCooldown(k, "k1", t0, 600)
