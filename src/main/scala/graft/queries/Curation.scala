@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.temporal.Temporal
+import graft.textops.CurationOps
+
+/** Corpus-curation and event-time operator coverage (q29-q34): the
+  * training-data-pipeline surface beyond dedup/ANN — repetition
+  * filters, benchmark decontamination, stratified sampling, TF-IDF
+  * keywords, sessionization, and as-of joins. Every query is
+  * DuckDB-oracled; floating-point outputs are exact integer ratios or
+  * decimal-summed, per the engine-wide float policy.
+  */
+object Curation {
+
+  private def docsParallel(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
+  /** Every 10th document plays the "held-out benchmark" for the
+    * decontamination check — mirrored literally in the oracle SQL.
+    */
+  private val BenchMod = 10
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Gopher-style repetition signals: pure per-row array math,
+    // zero shuffles (PlanCheck asserts no aggregate in the plan).
+    "q29_repetition_stats" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.repetitionStats(docsParallel(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
+    // ---- n-gram-collision decontamination of the corpus against a
+    // benchmark subset (broadcast the benchmark shingle hashes).
+    "q30_decontamination" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      CurationOps.decontaminate(
+          docs.filter($"doc_id" % BenchMod =!= 0),
+          docs.filter($"doc_id" % BenchMod === 0),
+          "doc_id", "text", n = 3)
+        .orderBy($"doc_id")
+    },
+
+    // ---- TF-IDF top-3 characteristic terms per document (exact linear
+    // idf — see CurationOps.tfidfTopK for the determinism argument).
+    "q31_tfidf_topk" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.tfidfTopK(docsParallel(s, dir), "doc_id", "text", k = 3)
+        .orderBy($"doc_id", $"rk")
+    },
+
+    // ---- deterministic stratified sample: 20 docs per language by
+    // salted-md5 rank (reproducible training-mix balancing).
+    "q32_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.stratifiedSample(
+          Tables.load(s, dir, "documents"), "doc_id", "lang", k = 20, salt = "strat")
+        .select($"doc_id", $"lang", $"rk")
+        .orderBy($"lang", $"rk")
+    },
+
+    // ---- gap-based sessionization of the event stream (30-minute
+    // inactivity gap), via Spark's native session_window.
+    "q33_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      Temporal.sessionize(
+          Tables.load(s, dir, "events"), "user_id", "ts", "value", "30 minutes")
+        .orderBy($"user_id", $"session_start")
+    },
+
+    // ---- as-of join: each purchase matched to the user's most recent
+    // view at-or-before it (union + running-last window — one shuffle,
+    // no range join).
+    "q34_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts".as("purchase_ts"))
+      val views = e.filter($"event_type" === "view")
+        .select($"event_id".as("view_event_id"), $"user_id", $"ts")
+      Temporal.asofJoin(
+          purchases, views, keyCol = "user_id",
+          leftTsCol = "purchase_ts", rightTsCol = "ts",
+          pickCols = Seq("view_event_id" -> "view_event_id", "ts" -> "view_ts"))
+        .orderBy($"event_id")
+    }
+  )
+
+  // The words/ws CTE matches CurationOps.wordsCol exactly (lower,
+  // whitespace split, empties dropped) — same contract as TextOps.
+  private val WordsCte =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Micros-truncated event view: Spark reads ts as ns and truncates to
+    * micros in Tables.load, so the oracle must compare/aggregate at the
+    * SAME precision — truncate FIRST, then do gap arithmetic, or an
+    * event pair a few ns under the gap could sessionize differently.
+    */
+  private val EventsUsCte =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |  FROM events
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q29_repetition_stats" -> (WordsCte +
+      """, g AS (
+        |  SELECT doc_id, ws,
+        |    list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]) AS gs
+        |  FROM w)
+        |SELECT doc_id, len(ws) AS n_words,
+        |  CASE WHEN len(ws) > 0 THEN
+        |    CAST(list_max(list_transform(list_distinct(ws),
+        |                                 w2 -> len(list_filter(ws, x -> x = w2)))) AS DOUBLE)
+        |      / len(ws) ELSE 0.0 END AS top_word_frac,
+        |  CASE WHEN len(gs) > 0 THEN
+        |    CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
+        |    ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN (CASE WHEN len(ws) > 0 THEN
+        |               CAST(list_max(list_transform(list_distinct(ws),
+        |                             w2 -> len(list_filter(ws, x -> x = w2)))) AS DOUBLE)
+        |                 / len(ws) ELSE 0.0 END) > 0.2
+        |         OR (CASE WHEN len(gs) > 0 THEN
+        |               CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
+        |               ELSE 0.0 END) > 0.6
+        |    THEN 1 ELSE 0 END AS repetitive
+        |FROM g""".stripMargin),
+
+    "q30_decontamination" -> (TextOps.ShinglesCte +
+      s""", xs AS (
+        |  SELECT DISTINCT doc_id, ${TextOps.HashSql} AS h FROM sh
+        |), bench AS (
+        |  SELECT doc_id AS bench_id, h FROM xs WHERE doc_id % $BenchMod = 0
+        |), corpus AS (
+        |  SELECT doc_id, h FROM xs WHERE doc_id % $BenchMod <> 0
+        |)
+        |SELECT c.doc_id,
+        |       COUNT(DISTINCT c.h) AS n_shared_shingles,
+        |       COUNT(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM corpus c JOIN bench b ON c.h = b.h
+        |GROUP BY 1""".stripMargin),
+
+    "q31_tfidf_topk" -> (WordsCte +
+      """, t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |         CAST(tf * n_docs * 1000000 AS DOUBLE) / df AS score
+        |  FROM tf JOIN dfreq USING (term), n)
+        |SELECT doc_id, term, score, rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3""".stripMargin),
+
+    "q32_stratified_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin,
+
+    // New-session rule is STRICT `>`: Spark merges touching session
+    // windows, so an event exactly `gap` after the previous one still
+    // extends the session (pinned by TemporalSpec).
+    "q33_sessionize" -> (EventsUsCte +
+      """, marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sessions AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin),
+
+    "q34_asof_join" -> (EventsUsCte +
+      """, p AS (
+        |  SELECT event_id, user_id, ts AS purchase_ts FROM e
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id AS view_event_id, user_id, ts FROM e
+        |  WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.purchase_ts,
+        |       v.view_event_id, v.ts AS view_ts
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.ts <= p.purchase_ts""".stripMargin)
+  )
+}

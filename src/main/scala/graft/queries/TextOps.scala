@@ -105,7 +105,7 @@ object TextOps {
   // shingle of all its words joined (a missing UNION ALL branch here
   // would silently drop short docs on the oracle side only — invisible
   // until the generator emits one, then a gate hash mismatch).
-  private val ShinglesCte =
+  private[queries] val ShinglesCte =
     """WITH words AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
       |  FROM documents
@@ -136,7 +136,7 @@ object TextOps {
   /** The 60-bit cross-engine shingle hash — DuckDB mirror of
     * [[graft.textops.NearDup.shingleHash60]].
     */
-  private val HashSql = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+  private[queries] val HashSql = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
 
   /** DuckDB mirror of [[graft.textops.NearDup.minhashLshPairs]], generated
     * from the SAME permutation params so both engines hash identically.

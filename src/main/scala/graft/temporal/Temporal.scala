@@ -1,0 +1,77 @@
+package graft.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators: gap-based sessionization and as-of joins.
+  *
+  * Both are shapes the reference's event pipelines need (activity
+  * rollups per user / latest-state-at-time lookups) expressed in the
+  * form that scales:
+  *  - sessionization uses Spark's native `session_window` aggregate
+  *    (the same operator Structured Streaming uses, so the batch and
+  *    streaming forms share semantics);
+  *  - the as-of join is the union + running-`last` window formulation —
+  *    one shuffle by key, linear scan per partition — instead of a
+  *    range join, whose candidate explosion is quadratic in events per
+  *    key.
+  */
+object Temporal {
+
+  /** Gap-based sessions per key: events at most `gap` after the previous
+    * one chain into the same session — Spark merges TOUCHING session
+    * windows, so an event exactly `gap` later still extends the session;
+    * only a strictly larger gap splits. `session_end` is last event +
+    * `gap` (the `[start, last + gap)` window). Emits per-session
+    * start/end, event count, and an exact-decimal value sum.
+    */
+  def sessionize(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      gap: String): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** As-of join: for each left row, the single most recent right row of
+    * the same key with `right.ts <= left.ts` (inclusive). Returns the
+    * left columns plus `pickCols` from the matched right row (null when
+    * no prior right row exists — left-join semantics).
+    *
+    * Implementation: tag both sides, union, and take a running
+    * `last(..., ignoreNulls)` over a window ordered by (ts, tag) with
+    * right rows tagged 0 so a right row at the identical timestamp is
+    * visible to the left row (the `<=` tie rule). One hash shuffle on
+    * the key, one sort, no join operator at all — the plan a range join
+    * can't match at scale.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      pickCols: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns
+    val picked = struct(pickCols.map { case (c, a) => col(c).as(a) }: _*)
+    val r = right.select(
+      Seq(col(keyCol), col(rightTsCol).as("__ts"), lit(0).as("__tag"), picked.as("__pick")) ++
+        leftCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      Seq(col(keyCol), col(leftTsCol).as("__ts"), lit(1).as("__tag"),
+        lit(null).cast(r.schema("__pick").dataType).as("__pick")) ++
+        leftCols.filterNot(c => c == keyCol).map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = r.unionByName(l)
+      .withColumn("__m", last(col("__pick"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    matched.select(
+      leftCols.map(col) ++ pickCols.map { case (_, a) => col("__m").getField(a).as(a) }: _*)
+  }
+}

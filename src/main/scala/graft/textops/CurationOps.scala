@@ -1,0 +1,135 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for pre-training data pipelines:
+  * repetition signals (Gopher-style), benchmark decontamination,
+  * deterministic stratified sampling, and TF-IDF keyword extraction.
+  *
+  * All four are column-first (whole-stage codegen'd) with the shuffle
+  * structure chosen for the 100 TB case:
+  *  - repetition stats are pure per-row array math — zero shuffles;
+  *  - decontamination broadcasts the (small) benchmark shingle set;
+  *  - stratified sampling and TF-IDF top-k use `row_number` filters
+  *    that Spark rewrites to `WindowGroupLimit` (map-side partial
+  *    top-k before the shuffle).
+  */
+object CurationOps {
+
+  /** Lower-cased whitespace tokens, empty strings dropped — the same
+    * tokenization the near-dup/quality suite uses, so signals compose.
+    */
+  private def wordsCol(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  // ---- repetition signals (Gopher-style) ---------------------------------
+
+  /** Per-document repetition signals, the standard pre-training filters
+    * from the Gopher/MassiveText rules: the frequency share of the most
+    * common word and the duplicate fraction among word bigrams. Both are
+    * exact integer ratios (one double division) so the DuckDB oracle is
+    * bit-identical. `repetitive` flags documents past the published-ish
+    * thresholds (top word > 20 %, duplicate bigrams > 60 %).
+    *
+    * Shape note: everything is per-row array arithmetic — no explode, no
+    * aggregate, no shuffle. The top-word count is O(words × distinct)
+    * per row, which is the right trade at scale: documents are chunked
+    * upstream (SURVEY T4-T7) so row length is bounded, and the
+    * alternative (explode + two groupBys) shuffles every token.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = wordsCol(col(textCol))
+    val nw = size(ws)
+    val topCnt = array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
+    val bigrams = when(nw >= 2,
+      transform(sequence(lit(0), nw - 2), i => concat_ws(" ", slice(ws, i + lit(1), lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(
+        col(idCol),
+        nw.as("n_words"),
+        when(nw > 0, topCnt.cast("double") / nw).otherwise(lit(0.0)).as("top_word_frac"),
+        when(size(bigrams) > 0,
+            (size(bigrams) - size(array_distinct(bigrams))).cast("double") / size(bigrams))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      .withColumn("repetitive",
+        (col("top_word_frac") > 0.2 || col("dup_bigram_frac") > 0.6).cast("int"))
+  }
+
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** Flags corpus documents sharing any word n-gram with a benchmark
+    * set — the GPT-3/Llama-style n-gram-collision decontamination
+    * check. Returns one row per contaminated corpus document with the
+    * number of shared distinct shingles and of benchmark documents hit.
+    *
+    * Scale shape: shingles are reduced to the engine-wide 60-bit md5
+    * hash ([[NearDup.shingleHash60]]) and the benchmark side — small by
+    * definition (eval sets are MBs, the corpus is TBs) — is broadcast,
+    * so the corpus is scanned once with no shuffle.
+    */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def hashes(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+          explode(NearDup.shinglesCol(col(textCol), n)).as("shingle"))
+        .select(col(as), NearDup.shingleHash60(col("shingle")).as("h"))
+        .distinct()
+    hashes(corpus, idCol)
+      .join(broadcast(hashes(benchmark, "bench_id")), "h")
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("h")).as("n_shared_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  // ---- deterministic stratified sampling ---------------------------------
+
+  /** Up to `k` rows per stratum, chosen by md5 rank over a salted key —
+    * deterministic across engines and runs (the md5 hex string orders
+    * identically everywhere), so a sampled corpus is reproducible and
+    * oracle-checkable. This is the language/source-balancing primitive
+    * for training mixes.
+    *
+    * The `rk <= k` filter over `row_number` plans as `WindowGroupLimit`:
+    * each map task keeps at most k rows per stratum before the shuffle,
+    * so a 100 TB stratum moves only k × tasks rows, not its full volume.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String, k: Int, salt: String): DataFrame = {
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  // ---- TF-IDF keyword extraction -----------------------------------------
+
+  /** Top-k characteristic terms per document by tf·idf with the linear
+    * idf variant `idf = N / df` (scaled by 1e6): the whole score is one
+    * exact integer product followed by a single double division, so
+    * ranking and emitted values are bit-identical across engines — the
+    * `log`-idf variant would hinge on libm ulp agreement. Ranking order
+    * is unchanged for any monotone idf when comparing within a document
+    * against ties broken alphabetically.
+    *
+    * Shuffle structure: one groupBy for term frequencies, one for
+    * document frequencies (both map-side combined), a broadcast of the
+    * single-row corpus count, and a `WindowGroupLimit`-planned top-k.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(wordsCol(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, "term")
+      .join(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs") * lit(1000000L)).cast("double") / col("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rk"))
+  }
+}

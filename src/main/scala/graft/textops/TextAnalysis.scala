@@ -127,4 +127,44 @@ object TextAnalysis {
     */
   def fingerprintUdf(window: Int, winnowWidth: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => winnow(rollingHashes(s, window), winnowWidth))
+
+  // ---- PII redaction -----------------------------------------------------
+
+  /** Email addresses (case-insensitive, the practical subset: no quoted
+    * local parts), chained `regexp_replace`s stay codegen'd.
+    */
+  private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** US-style phone numbers: optional +1/1 country code, 3-3-4 groups
+    * with space/dot/dash separators or a parenthesized area code.
+    * Guarded on both sides so digits inside longer numbers don't match.
+    */
+  private val PhoneRe =
+    "(?<![0-9])(?:\\+?1[ .-]?)?(?:\\([0-9]{3}\\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}(?![0-9])"
+
+  /** SSN-shaped 3-2-4 digit groups with dashes. */
+  private val SsnRe = "(?<![0-9-])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9-])"
+
+  /** Masks emails, phone numbers, and SSNs with typed placeholder
+    * tokens — the standard pre-release PII scrub for training corpora.
+    * Order matters: SSNs first (a phone pattern could otherwise eat a
+    * 3-2-4 group's prefix), then phones, then emails. Pure chained
+    * `regexp_replace` — whole-stage codegen'd, no UDF.
+    *
+    * This is intentionally a recall-oriented regex pass (names/addresses
+    * need an NER model — out of engine scope, pluggable upstream like
+    * the geocoder trait).
+    */
+  def redactPii(text: Column): Column = {
+    val ssn = regexp_replace(text, SsnRe, "<SSN>")
+    val phone = regexp_replace(ssn, PhoneRe, "<PHONE>")
+    regexp_replace(phone, EmailRe, "<EMAIL>")
+  }
+
+  /** Count of PII hits per kind, for audit reports before/after a scrub. */
+  def piiCounts(text: Column): Column =
+    struct(
+      size(split(text, EmailRe, -1)) - 1 as "emails",
+      size(split(text, PhoneRe, -1)) - 1 as "phones",
+      size(split(text, SsnRe, -1)) - 1 as "ssns")
 }

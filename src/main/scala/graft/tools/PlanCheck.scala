@@ -39,7 +39,22 @@ object PlanCheck {
     Expectation("q09_topk_orders", mustContain = Seq("TakeOrderedAndProject")),
     // the hash-order sample must be a one-pass top-k, not a global sort
     Expectation("q28_random_sample", mustContain = Seq("TakeOrderedAndProject")),
-    Expectation("q22_cosine_topk", mustContain = Seq("BroadcastNestedLoopJoin")))
+    Expectation("q22_cosine_topk", mustContain = Seq("BroadcastNestedLoopJoin")),
+    // repetition signals are pure per-row array math — any aggregate in
+    // the plan means an accidental explode/groupBy crept in
+    Expectation("q29_repetition_stats", mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")),
+    // the benchmark shingle set must broadcast (the corpus side never
+    // shuffles for this join)
+    Expectation("q30_decontamination",
+      mustContain = Seq("BroadcastHashJoin"), mustNotContain = Seq("SortMergeJoin")),
+    // top-k per doc / per stratum must keep the map-side partial limit
+    Expectation("q31_tfidf_topk", mustContain = Seq("WindowGroupLimit")),
+    Expectation("q32_stratified_sample", mustContain = Seq("WindowGroupLimit")),
+    // the as-of join is the union+window formulation: NO join operator
+    // (a range join would explode at scale)
+    Expectation("q34_asof_join",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

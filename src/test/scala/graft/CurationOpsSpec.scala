@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.textops.CurationOps
+
+/** Unit coverage for the corpus-curation operators (q29-q32): exact
+  * hand-computed values on crafted micro-corpora, plus determinism of
+  * the stratified sample.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("repetitionStats computes exact top-word and dup-bigram fractions") {
+    val out = CurationOps.repetitionStats(docs(1L -> "a a a b"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Int]("n_words") === 4)
+    assert(out.getAs[Double]("top_word_frac") === 0.75)
+    // bigrams: "a a", "a a", "a b" -> 3 total, 2 distinct -> 1/3 dup
+    assert(out.getAs[Double]("dup_bigram_frac") === 1.0 / 3)
+    assert(out.getAs[Int]("repetitive") === 1) // 0.75 > 0.2
+  }
+
+  test("repetitionStats degenerate docs: empty and single-word") {
+    val out = CurationOps.repetitionStats(
+      docs(1L -> "", 2L -> "word", 3L -> "   "), "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Int]("n_words") === 0)
+    assert(out(0).getAs[Double]("top_word_frac") === 0.0)
+    assert(out(0).getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(out(0).getAs[Int]("repetitive") === 0)
+    assert(out(1).getAs[Int]("n_words") === 1)
+    assert(out(1).getAs[Double]("top_word_frac") === 1.0) // 1/1 > 0.2
+    assert(out(1).getAs[Int]("repetitive") === 1)
+    assert(out(2).getAs[Int]("n_words") === 0) // whitespace-only
+  }
+
+  test("repetitionStats is case-insensitive like the rest of the text suite") {
+    val out = CurationOps.repetitionStats(docs(1L -> "The THE the x"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Double]("top_word_frac") === 0.75)
+  }
+
+  test("decontaminate flags only corpus docs sharing an n-gram with the benchmark") {
+    val corpus = docs(
+      10L -> "alpha beta gamma delta", // shares "alpha beta gamma" + "beta gamma delta"? bench has only first
+      11L -> "totally different words here",
+      12L -> "alpha beta gamma")
+    val bench = docs(90L -> "alpha beta gamma zeta", 91L -> "alpha beta gamma")
+    val out = CurationOps.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy($"doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 12L))
+    val d10 = out(0)
+    // doc 10 shingles: {a b g, b g d}; shared: "alpha beta gamma" only,
+    // which occurs in BOTH bench docs
+    assert(d10.getAs[Long]("n_shared_shingles") === 1L)
+    assert(d10.getAs[Long]("n_bench_docs") === 2L)
+  }
+
+  test("decontaminate counts multiple shared shingles once per distinct shingle") {
+    val corpus = docs(1L -> "x y z w v")        // shingles: xyz yzw zwv
+    val bench = docs(2L -> "x y z w")           // shingles: xyz yzw
+    val out = CurationOps.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .collect().head
+    assert(out.getAs[Long]("n_shared_shingles") === 2L)
+    assert(out.getAs[Long]("n_bench_docs") === 1L)
+  }
+
+  test("stratifiedSample caps per stratum, is deterministic, and rk is dense") {
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = CurationOps.stratifiedSample(df, "doc_id", "lang", k = 7, salt = "s")
+    val s2 = CurationOps.stratifiedSample(df, "doc_id", "lang", k = 7, salt = "s")
+    val rows = s1.orderBy($"lang", $"rk").collect()
+    assert(rows.length === 14)
+    assert(rows.groupBy(_.getString(1)).forall(_._2.map(_.getAs[Int]("rk")).toSeq == (1 to 7)))
+    assert(s1.orderBy($"lang", $"rk").collect().toSeq ===
+      s2.orderBy($"lang", $"rk").collect().toSeq)
+    // different salt -> (almost surely) different pick for a 7-of-50 draw
+    val s3 = CurationOps.stratifiedSample(df, "doc_id", "lang", k = 7, salt = "other")
+    assert(s3.select($"doc_id").collect().map(_.getLong(0)).toSet !=
+      s1.select($"doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("stratifiedSample returns whole stratum when k exceeds its size") {
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
+    val out = CurationOps.stratifiedSample(df, "doc_id", "lang", k = 10, salt = "s")
+    assert(out.count() === 3)
+  }
+
+  test("tfidfTopK scores exactly tf * N * 1e6 / df and ranks desc, ties by term") {
+    val df = docs(1L -> "x x y", 2L -> "y z")
+    val out = CurationOps.tfidfTopK(df, "doc_id", "text", k = 3)
+      .orderBy($"doc_id", $"rk").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getAs[String]("term"), r.getAs[Double]("score"))).toSeq ===
+      Seq("x" -> 4000000.0, "y" -> 1000000.0)) // tf=2*N=2*1e6/df=1; tf=1*2*1e6/2
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getAs[String]("term"), r.getAs[Double]("score"))).toSeq ===
+      Seq("z" -> 2000000.0, "y" -> 1000000.0))
+  }
+
+  test("tfidfTopK keeps at most k terms per doc") {
+    val df = docs(1L -> "a b c d e f g")
+    val out = CurationOps.tfidfTopK(df, "doc_id", "text", k = 3)
+    assert(out.count() === 3)
+  }
+
+  test("redactPii masks emails, phones, and SSNs with typed tokens") {
+    import graft.textops.TextAnalysis
+    val df = Seq(
+      "write to John.Doe+spam@Example.co.uk today",
+      "call (555) 123-4567 or 555-123-4567 or +1 555 123 4567",
+      "ssn 123-45-6789 ok",
+      "not a phone: 12345-123-4567x, not an ssn: 1123-45-6789",
+      "clean text stays untouched").toDF("t")
+    val out = df.select(TextAnalysis.redactPii($"t").as("r")).collect().map(_.getString(0))
+    assert(out(0) === "write to <EMAIL> today")
+    assert(out(1) === "call <PHONE> or <PHONE> or <PHONE>")
+    assert(out(2) === "ssn <SSN> ok")
+    assert(out(3) === "not a phone: 12345-123-4567x, not an ssn: 1123-45-6789")
+    assert(out(4) === "clean text stays untouched")
+  }
+
+  test("piiCounts reports per-kind hit counts") {
+    import graft.textops.TextAnalysis
+    val df = Seq("a@b.com and c@d.org, call 555-123-4567, ssn 123-45-6789").toDF("t")
+    val row = df.select(TextAnalysis.piiCounts($"t").as("c")).select("c.*").collect().head
+    assert(row.getAs[Int]("emails") === 2)
+    assert(row.getAs[Int]("phones") === 1)
+    assert(row.getAs[Int]("ssns") === 1)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.temporal.Temporal
+
+/** Unit coverage for sessionization and the as-of join (q33-q34),
+  * pinning the boundary semantics the DuckDB oracles mirror:
+  *  - a gap of EXACTLY the session gap starts a new session (Spark's
+  *    half-open `[start, last+gap)` windows);
+  *  - the as-of match is inclusive (`right.ts <= left.ts`).
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, String, Double)*) =
+    rows.map { case (u, t, k, v) => (u, ts(t), k, v) }
+      .toDF("user_id", "ts", "event_type", "value")
+
+  test("sessionize merges at exactly the gap (touching windows) and splits past it") {
+    val df = events(
+      (1L, "2024-01-01 00:00:00", "view", 1.0),
+      (1L, "2024-01-01 00:29:59", "view", 2.0),   // 29:59 after previous -> same session
+      (1L, "2024-01-01 00:59:59", "view", 4.0),   // EXACTLY 30:00 after -> still merged
+      (1L, "2024-01-01 01:30:00", "view", 8.0),   // 30:01 after -> new session
+      (2L, "2024-01-01 10:00:00", "view", 16.0))
+    val out = Temporal.sessionize(df, "user_id", "ts", "value", "30 minutes")
+      .orderBy($"user_id", $"session_start").collect()
+    assert(out.length === 3)
+    val s1 = out(0)
+    assert(s1.getAs[Timestamp]("session_start") === ts("2024-01-01 00:00:00"))
+    assert(s1.getAs[Timestamp]("session_end") === ts("2024-01-01 01:29:59"))
+    assert(s1.getAs[Long]("n_events") === 3L)
+    assert(s1.getAs[Double]("sum_value") === 7.0)
+    val s2 = out(1)
+    assert(s2.getAs[Timestamp]("session_start") === ts("2024-01-01 01:30:00"))
+    assert(s2.getAs[Timestamp]("session_end") === ts("2024-01-01 02:00:00"))
+    assert(s2.getAs[Long]("n_events") === 1L)
+    assert(out(2).getAs[Long]("user_id") === 2L)
+  }
+
+  test("sessionize sums value in exact decimal") {
+    val df = events(
+      (1L, "2024-01-01 00:00:00", "view", 0.1),
+      (1L, "2024-01-01 00:00:01", "view", 0.2))
+    val out = Temporal.sessionize(df, "user_id", "ts", "value", "30 minutes").collect()
+    assert(out.head.getAs[Double]("sum_value") === 0.3) // not 0.30000000000000004
+  }
+
+  test("asofJoin picks the latest right row at-or-before, inclusive on ties") {
+    val purchases = events(
+      (1L, "2024-01-01 00:10:00", "purchase", 0),
+      (1L, "2024-01-01 00:20:00", "purchase", 0),
+      (2L, "2024-01-01 00:05:00", "purchase", 0))
+      .select($"user_id", $"ts".as("purchase_ts"),
+        monotonically_increasing_id().as("pid"))
+    val views = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 100L), // tie with first purchase -> matches it
+      (1L, ts("2024-01-01 00:15:00"), 101L),
+      (3L, ts("2024-01-01 00:00:00"), 102L))
+      .toDF("user_id", "ts", "view_id")
+    val out = Temporal.asofJoin(
+        purchases, views, keyCol = "user_id",
+        leftTsCol = "purchase_ts", rightTsCol = "ts",
+        pickCols = Seq("view_id" -> "view_id", "ts" -> "view_ts"))
+      .orderBy($"purchase_ts").collect()
+    assert(out.length === 3)
+    // ordered by ts: user2@00:05 (no view at all), user1@00:10, user1@00:20
+    assert(out(0).isNullAt(out(0).fieldIndex("view_id")))
+    assert(out(1).getAs[Long]("view_id") === 100L)      // inclusive tie
+    assert(out(2).getAs[Long]("view_id") === 101L)      // latest prior, not first
+    assert(out(2).getAs[Timestamp]("view_ts") === ts("2024-01-01 00:15:00"))
+  }
+
+  test("asofJoin is a LEFT join: no prior right row yields nulls, rows kept") {
+    val purchases = events((2L, "2024-01-01 00:05:00", "purchase", 0))
+      .select($"user_id", $"ts".as("purchase_ts"))
+    val views = Seq((2L, ts("2024-01-01 00:06:00"), 200L)) // AFTER the purchase
+      .toDF("user_id", "ts", "view_id")
+    val out = Temporal.asofJoin(
+        purchases, views, "user_id", "purchase_ts", "ts",
+        Seq("view_id" -> "view_id")).collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("view_id")))
+  }
+
+  test("asofJoin preserves all left columns and plans without a join operator") {
+    val purchases = events((1L, "2024-01-01 00:10:00", "purchase", 7.5))
+      .select($"user_id", $"ts".as("purchase_ts"), $"value", $"event_type")
+    val views = Seq((1L, ts("2024-01-01 00:01:00"), 300L)).toDF("user_id", "ts", "view_id")
+    val df = Temporal.asofJoin(
+      purchases, views, "user_id", "purchase_ts", "ts", Seq("view_id" -> "view_id"))
+    val row = df.collect().head
+    assert(row.getAs[Double]("value") === 7.5)
+    assert(row.getAs[String]("event_type") === "purchase")
+    assert(row.getAs[Long]("view_id") === 300L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join operator, got:\n$plan")
+  }
+}
