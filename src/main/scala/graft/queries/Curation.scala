@@ -16,8 +16,7 @@ import graft.textops.CurationOps
   */
 object Curation {
 
-  private def docsParallel(s: SparkSession, dir: String) =
-    Tables.load(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+  import TextOps.docsParallel
 
   /** Every 10th document plays the "held-out benchmark" for the
     * decontamination check — mirrored literally in the oracle SQL.
@@ -90,13 +89,9 @@ object Curation {
     }
   )
 
-  // The words/ws CTE matches CurationOps.wordsCol exactly (lower,
-  // whitespace split, empties dropped) — same contract as TextOps.
-  private val WordsCte =
-    """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
-      |  FROM documents
-      |)""".stripMargin
+  // The shared words CTE (TextOps.WordsCte) is the DuckDB twin of
+  // TextTokens.wordsCol — one definition for every tokenizing oracle.
+  private val WordsCte = TextOps.WordsCte
 
   /** Micros-truncated event view: Spark reads ts as ns and truncates to
     * micros in Tables.load, so the oracle must compare/aggregate at the
@@ -114,7 +109,7 @@ object Curation {
       """, g AS (
         |  SELECT doc_id, ws,
         |    list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]) AS gs
-        |  FROM w)
+        |  FROM words)
         |SELECT doc_id, len(ws) AS n_words,
         |  CASE WHEN len(ws) > 0 THEN
         |    CAST(list_max(list_transform(list_distinct(ws),
@@ -148,13 +143,13 @@ object Curation {
         |GROUP BY 1""".stripMargin),
 
     "q31_tfidf_topk" -> (WordsCte +
-      """, t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      """, t AS (SELECT doc_id, unnest(ws) AS term FROM words),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
         |scored AS (
         |  SELECT doc_id, term,
-        |         CAST(tf * n_docs * 1000000 AS DOUBLE) / df AS score
+        |         CAST(tf AS DOUBLE) * n_docs * 1000000 / df AS score
         |  FROM tf JOIN dfreq USING (term), n)
         |SELECT doc_id, term, score, rk FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id

@@ -24,9 +24,10 @@ object TextOps {
   /** `documents.parquet` is one row group per SF locally, so the scan
     * yields 1 task no matter the core count; spread CPU-heavy per-doc
     * work across the cluster. At real scale the table is many files and
-    * this becomes a no-op-ish round robin.
+    * this becomes a no-op-ish round robin. (Shared with the curation
+    * query set.)
     */
-  private def docsParallel(s: SparkSession, dir: String) =
+  private[queries] def docsParallel(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -100,16 +101,23 @@ object TextOps {
     }
   )
 
+  /** DuckDB twin of [[graft.textops.TextTokens.wordsCol]] — the single
+    * words CTE every oracle that tokenizes builds on (shingles here,
+    * repetition/TF-IDF in the curation set).
+    */
+  private[queries] val WordsCte =
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
+      |  FROM documents
+      |)""".stripMargin
+
   // Both CTEs mirror NearDup.shinglesCol EXACTLY, including the
   // short-document rule: a doc with 1..n-1 words contributes ONE
   // shingle of all its words joined (a missing UNION ALL branch here
   // would silently drop short docs on the oracle side only — invisible
   // until the generator emits one, then a gate hash mismatch).
-  private[queries] val ShinglesCte =
-    """WITH words AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
-      |  FROM documents
-      |), sh AS (
+  private[queries] val ShinglesCte = WordsCte +
+    """, sh AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       |    FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
@@ -120,11 +128,8 @@ object TextOps {
       |)""".stripMargin
 
   /** Multiplicity-keeping variant (simhash weights repeated shingles). */
-  private val ShinglesAllCte =
-    """WITH words AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
-      |  FROM documents
-      |), sha AS (
+  private val ShinglesAllCte = WordsCte +
+    """, sha AS (
       |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       |  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
       |  WHERE len(ws) >= 3

@@ -43,14 +43,21 @@ object Temporal {
   /** As-of join: for each left row, the single most recent right row of
     * the same key with `right.ts <= left.ts` (inclusive). Returns the
     * left columns plus `pickCols` from the matched right row (null when
-    * no prior right row exists — left-join semantics).
+    * no prior right row exists — left-join semantics). Right rows with a
+    * null key or null timestamp are dropped up front: a join-key NULL
+    * never equals anything (SQL equality-join semantics), so they could
+    * never legitimately match — and in the window formulation they WOULD
+    * otherwise leak into null-key left partitions.
     *
     * Implementation: tag both sides, union, and take a running
-    * `last(..., ignoreNulls)` over a window ordered by (ts, tag) with
-    * right rows tagged 0 so a right row at the identical timestamp is
-    * visible to the left row (the `<=` tie rule). One hash shuffle on
-    * the key, one sort, no join operator at all — the plan a range join
-    * can't match at scale.
+    * `last(..., ignoreNulls)` over a window ordered by (ts, tag, pick)
+    * with right rows tagged 0 so a right row at the identical timestamp
+    * is visible to the left row (the `<=` tie rule); the pick struct as
+    * the final sort key makes the choice among right rows tied on
+    * (key, ts) deterministic (the struct-wise largest wins) instead of
+    * partition-order-dependent. One hash shuffle on the key, one sort,
+    * no join operator at all — the plan a range join can't match at
+    * scale.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame, keyCol: String,
@@ -58,15 +65,17 @@ object Temporal {
       pickCols: Seq[(String, String)]): DataFrame = {
     val leftCols = left.columns
     val picked = struct(pickCols.map { case (c, a) => col(c).as(a) }: _*)
-    val r = right.select(
-      Seq(col(keyCol), col(rightTsCol).as("__ts"), lit(0).as("__tag"), picked.as("__pick")) ++
-        leftCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTsCol).isNotNull)
+      .select(
+        Seq(col(keyCol), col(rightTsCol).as("__ts"), lit(0).as("__tag"), picked.as("__pick")) ++
+          leftCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
       Seq(col(keyCol), col(leftTsCol).as("__ts"), lit(1).as("__tag"),
         lit(null).cast(r.schema("__pick").dataType).as("__pick")) ++
         leftCols.filterNot(c => c == keyCol).map(col): _*)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts"), col("__tag"))
+      .orderBy(col("__ts"), col("__tag"), col("__pick"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = r.unionByName(l)
       .withColumn("__m", last(col("__pick"), ignoreNulls = true).over(w))

@@ -18,11 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
-  /** Lower-cased whitespace tokens, empty strings dropped — the same
-    * tokenization the near-dup/quality suite uses, so signals compose.
+  /** The engine-wide tokenization (see [[TextTokens]]) so curation
+    * signals compose with the near-dup/quality suite.
     */
-  private def wordsCol(text: Column): Column =
-    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+  private def wordsCol(text: Column): Column = TextTokens.wordsCol(text)
 
   // ---- repetition signals (Gopher-style) ---------------------------------
 
@@ -40,18 +39,28 @@ object CurationOps {
     * alternative (explode + two groupBys) shuffles every token.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = wordsCol(col(textCol))
-    val nw = size(ws)
-    val topCnt = array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
-    val bigrams = when(nw >= 2,
-      transform(sequence(lit(0), nw - 2), i => concat_ws(" ", slice(ws, i + lit(1), lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    df.select(
+    // Tokenize and build bigrams in staged projections: the HOFs here
+    // are CodegenFallback with no cross-expression CSE, so referencing
+    // the raw expressions from every output column would re-tokenize the
+    // document 3-4x per row. Staged aliases are NOT collapsed back by
+    // CollapseProject (the expressions are non-cheap, multi-referenced).
+    val ws = col("__ws")
+    val gs = col("__gs")
+    df.select(col(idCol), wordsCol(col(textCol)).as("__ws"))
+      .select(col(idCol), ws,
+        when(size(ws) >= 2,
+          transform(sequence(lit(0), size(ws) - 2),
+            i => concat_ws(" ", slice(ws, i + lit(1), lit(2)))))
+          .otherwise(array().cast("array<string>")).as("__gs"))
+      .select(
         col(idCol),
-        nw.as("n_words"),
-        when(nw > 0, topCnt.cast("double") / nw).otherwise(lit(0.0)).as("top_word_frac"),
-        when(size(bigrams) > 0,
-            (size(bigrams) - size(array_distinct(bigrams))).cast("double") / size(bigrams))
+        size(ws).as("n_words"),
+        when(size(ws) > 0,
+            array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
+              .cast("double") / size(ws))
+          .otherwise(lit(0.0)).as("top_word_frac"),
+        when(size(gs) > 0,
+            (size(gs) - size(array_distinct(gs))).cast("double") / size(gs))
           .otherwise(lit(0.0)).as("dup_bigram_frac"))
       .withColumn("repetitive",
         (col("top_word_frac") > 0.2 || col("dup_bigram_frac") > 0.6).cast("int"))
@@ -76,9 +85,13 @@ object CurationOps {
       df.select(col(idCol).as(as),
           explode(NearDup.shinglesCol(col(textCol), n)).as("shingle"))
         .select(col(as), NearDup.shingleHash60(col("shingle")).as("h"))
-        .distinct()
+    // Only the (small) benchmark side is deduped pre-join; the corpus
+    // side flows straight into the broadcast join with NO shuffle — a
+    // pre-join corpus distinct would shuffle every corpus shingle, and
+    // both final aggregates are countDistinct so it buys nothing
+    // (shinglesCol already emits distinct shingles per doc anyway).
     hashes(corpus, idCol)
-      .join(broadcast(hashes(benchmark, "bench_id")), "h")
+      .join(broadcast(hashes(benchmark, "bench_id").distinct()), "h")
       .groupBy(col(idCol))
       .agg(
         countDistinct(col("h")).as("n_shared_shingles"),
@@ -107,12 +120,15 @@ object CurationOps {
   // ---- TF-IDF keyword extraction -----------------------------------------
 
   /** Top-k characteristic terms per document by tf·idf with the linear
-    * idf variant `idf = N / df` (scaled by 1e6): the whole score is one
-    * exact integer product followed by a single double division, so
-    * ranking and emitted values are bit-identical across engines — the
-    * `log`-idf variant would hinge on libm ulp agreement. Ranking order
-    * is unchanged for any monotone idf when comparing within a document
-    * against ties broken alphabetically.
+    * idf variant `idf = N / df` (scaled by 1e6): the score is a chain of
+    * IEEE double multiplies and one divide in a fixed order, so ranking
+    * and emitted values are bit-identical across engines — the `log`-idf
+    * variant would hinge on libm ulp agreement. Computed in DOUBLE from
+    * the start (not long): long `tf * N * 1e6` would silently wrap past
+    * 2^63 at large corpus counts in Spark while DuckDB raises — double
+    * degrades gracefully (rounds above 2^53, identically on both
+    * engines). Ranking order is unchanged for any monotone idf when
+    * comparing within a document against ties broken alphabetically.
     *
     * Shuffle structure: one groupBy for term frequencies, one for
     * document frequencies (both map-side combined), a broadcast of the
@@ -127,7 +143,8 @@ object CurationOps {
     val scored = tf
       .join(dfreq, "term")
       .join(broadcast(n))
-      .withColumn("score", (col("tf") * col("n_docs") * lit(1000000L)).cast("double") / col("df"))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") * lit(1000000.0) / col("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col(idCol), col("term"), col("score"), col("rk"))

@@ -35,7 +35,7 @@ object NearDup {
 
   /** Column form: `shingles(text, n)` as array<string>. */
   def shinglesCol(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
-    val words = filter(split(lower(text), "\\s+"), w => length(w) > 0)
+    val words = TextTokens.wordsCol(text)
     when(size(words) < n, when(size(words) === 0, array()).otherwise(array(array_join(words, " "))))
       .otherwise(
         // transform over sliding windows: index i -> words[i..i+n-1]

@@ -147,18 +147,21 @@ object TextAnalysis {
 
   /** Masks emails, phone numbers, and SSNs with typed placeholder
     * tokens — the standard pre-release PII scrub for training corpora.
-    * Order matters: SSNs first (a phone pattern could otherwise eat a
-    * 3-2-4 group's prefix), then phones, then emails. Pure chained
-    * `regexp_replace` — whole-stage codegen'd, no UDF.
+    * Order matters twice: emails FIRST, so a digit-run inside an email's
+    * local part can't be eaten by the narrower masks and leak the
+    * surrounding address ("john.555-123-4567@x.com" must become
+    * "<EMAIL>", not "john.<PHONE>@x.com"); then SSNs before phones (a
+    * phone pattern could otherwise eat a 3-2-4 group's prefix). Pure
+    * chained `regexp_replace` — whole-stage codegen'd, no UDF.
     *
     * This is intentionally a recall-oriented regex pass (names/addresses
     * need an NER model — out of engine scope, pluggable upstream like
     * the geocoder trait).
     */
   def redactPii(text: Column): Column = {
-    val ssn = regexp_replace(text, SsnRe, "<SSN>")
-    val phone = regexp_replace(ssn, PhoneRe, "<PHONE>")
-    regexp_replace(phone, EmailRe, "<EMAIL>")
+    val email = regexp_replace(text, EmailRe, "<EMAIL>")
+    val ssn = regexp_replace(email, SsnRe, "<SSN>")
+    regexp_replace(ssn, PhoneRe, "<PHONE>")
   }
 
   /** Count of PII hits per kind, for audit reports before/after a scrub. */

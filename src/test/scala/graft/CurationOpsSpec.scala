@@ -115,13 +115,17 @@ class CurationOpsSpec extends SparkSpec {
       "call (555) 123-4567 or 555-123-4567 or +1 555 123 4567",
       "ssn 123-45-6789 ok",
       "not a phone: 12345-123-4567x, not an ssn: 1123-45-6789",
-      "clean text stays untouched").toDF("t")
+      "clean text stays untouched",
+      "mail john.555-123-4567@gmail.com and 123-45-6789@corp.example.com").toDF("t")
     val out = df.select(TextAnalysis.redactPii($"t").as("r")).collect().map(_.getString(0))
     assert(out(0) === "write to <EMAIL> today")
     assert(out(1) === "call <PHONE> or <PHONE> or <PHONE>")
     assert(out(2) === "ssn <SSN> ok")
     assert(out(3) === "not a phone: 12345-123-4567x, not an ssn: 1123-45-6789")
     assert(out(4) === "clean text stays untouched")
+    // emails mask FIRST: a phone/ssn-shaped local part must not leak
+    // the surrounding address
+    assert(out(5) === "mail <EMAIL> and <EMAIL>")
   }
 
   test("piiCounts reports per-kind hit counts") {

@@ -88,6 +88,41 @@ class TemporalSpec extends SparkSpec {
     assert(out.head.isNullAt(out.head.fieldIndex("view_id")))
   }
 
+  test("asofJoin breaks (key, ts) ties deterministically by the pick struct") {
+    val purchases = Seq((1L, ts("2024-01-01 00:10:00")))
+      .toDF("user_id", "purchase_ts")
+    // two views tied at the same (user, ts): the struct-wise largest
+    // pick must win, independent of input/partition order
+    val views = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 7L),
+      (1L, ts("2024-01-01 00:05:00"), 9L))
+      .toDF("user_id", "ts", "view_id")
+    def run(v: org.apache.spark.sql.DataFrame) = Temporal.asofJoin(
+      purchases, v, "user_id", "purchase_ts", "ts", Seq("view_id" -> "view_id"))
+      .collect().head.getAs[Long]("view_id")
+    assert(run(views) === 9L)
+    assert(run(views.orderBy($"view_id".desc)) === 9L)
+    assert(run(views.repartition(3)) === 9L)
+  }
+
+  test("asofJoin: null join keys never match (SQL equality semantics)") {
+    val purchases = Seq(
+      (Option.empty[Long], ts("2024-01-01 00:10:00")),
+      (Some(1L), ts("2024-01-01 00:10:00")))
+      .toDF("user_id", "purchase_ts")
+    val views = Seq(
+      (Option.empty[Long], ts("2024-01-01 00:01:00"), 50L), // null-key view: dropped
+      (Some(1L), ts("2024-01-01 00:02:00"), 51L))
+      .toDF("user_id", "ts", "view_id")
+    val out = Temporal.asofJoin(
+        purchases, views, "user_id", "purchase_ts", "ts",
+        Seq("view_id" -> "view_id"))
+      .orderBy($"user_id".asc_nulls_first).collect()
+    assert(out.length === 2) // left rows always kept
+    assert(out(0).isNullAt(out(0).fieldIndex("view_id"))) // null key -> no match
+    assert(out(1).getAs[Long]("view_id") === 51L)
+  }
+
   test("asofJoin preserves all left columns and plans without a join operator") {
     val purchases = events((1L, "2024-01-01 00:10:00", "purchase", 7.5))
       .select($"user_id", $"ts".as("purchase_ts"), $"value", $"event_type")
