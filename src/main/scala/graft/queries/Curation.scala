@@ -86,6 +86,18 @@ object Curation {
           leftTsCol = "purchase_ts", rightTsCol = "ts",
           pickCols = Seq("view_event_id" -> "view_event_id", "ts" -> "view_ts"))
         .orderBy($"event_id")
+    },
+
+    // ---- dedup clustering: MinHash-LSH pairs (q17's exact parameters)
+    // -> connected components -> cluster id + canonical-keep flag. The
+    // step that turns pair detection into an actual dedup decision.
+    "q35_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = graft.textops.NearDup.minhashLshPairs(
+        docsParallel(s, dir), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      graft.graph.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
+        .orderBy($"doc_id")
     }
   )
 
@@ -185,6 +197,27 @@ object Curation {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid""".stripMargin),
+
+    // Connected components in SQL: symmetrize the q17 pair list, take
+    // the transitive closure as a recursive CTE (UNION dedup guarantees
+    // termination), then label = min reachable id. Fine at oracle scale;
+    // the Spark side's label propagation is the form that scales.
+    "q35_dedup_clusters" ->
+      (TextOps.minhashPairsCte(bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT id_a AS s, id_b AS d FROM mh_pairs
+          |  UNION
+          |  SELECT id_b, id_a FROM mh_pairs
+          |), reach(s, d) AS (
+          |  SELECT s, d FROM edges
+          |  UNION
+          |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+          |)
+          |SELECT s AS doc_id,
+          |       LEAST(s, MIN(d)) AS cluster_id,
+          |       CASE WHEN LEAST(s, MIN(d)) = s THEN 1 ELSE 0 END AS keep
+          |FROM reach GROUP BY s""".stripMargin),
 
     "q34_asof_join" -> (EventsUsCte +
       """, p AS (

@@ -147,7 +147,12 @@ object TextOps {
     * from the SAME permutation params so both engines hash identically.
     * Params must match the q17 queries entry (bands=16, r=4, thr=0.5).
     */
-  private def minhashOracleSql(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+  /** The q17 pair derivation as a reusable CTE chain ending in
+    * `mh_pairs(id_a, id_b, jaccard)` — q17 selects from it directly;
+    * the dedup-clustering oracle (q35) stacks a recursive
+    * connected-components CTE on top of it.
+    */
+  private[queries] def minhashPairsCte(bands: Int, rowsPerBand: Int, threshold: Double): String = {
     val P = graft.textops.NearDup.MinhashPrime
     val params = graft.textops.NearDup.minhashParams(bands * rowsPerBand)
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
@@ -174,14 +179,20 @@ object TextOps {
       |  FROM cand
       |    JOIN xs sa ON sa.doc_id = id_a
       |    JOIN xs sb ON sb.doc_id = id_b AND sb.h = sa.h
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |       CAST(COALESCE(cnt, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(cnt, 0)) AS jaccard
-      |FROM cand LEFT JOIN common USING (id_a, id_b)
-      |  JOIN sizes sa ON sa.doc_id = id_a
-      |  JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE CAST(COALESCE(cnt, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(cnt, 0)) >= $threshold""".stripMargin
+      |  GROUP BY 1, 2),
+      |mh_pairs AS (
+      |  SELECT id_a, id_b,
+      |         CAST(COALESCE(cnt, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(cnt, 0)) AS jaccard
+      |  FROM cand LEFT JOIN common USING (id_a, id_b)
+      |    JOIN sizes sa ON sa.doc_id = id_a
+      |    JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(COALESCE(cnt, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(cnt, 0)) >= $threshold
+      |)""".stripMargin
   }
+
+  private def minhashOracleSql(bands: Int, rowsPerBand: Int, threshold: Double): String =
+    minhashPairsCte(bands, rowsPerBand, threshold) +
+      "\nSELECT id_a, id_b, jaccard FROM mh_pairs"
 
   /** DuckDB mirror of [[graft.textops.NearDup.simhashPairs]] (q18:
     * maxDistance=3). Same 60-bit hash, same per-bit sign sums, same
