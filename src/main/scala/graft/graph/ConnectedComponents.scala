@@ -29,14 +29,61 @@ object ConnectedComponents {
     * node id reachable from it: output `(node, label)`, one row per
     * distinct endpoint. Edge direction and duplicate edges are
     * irrelevant (symmetrized + deduped internally).
+    *
+    * Graphs with at most `localEdgeLimit` (distinct, directed) edges
+    * are solved by driver-side union-find instead of iterating — each
+    * distributed round costs whole Spark jobs of fixed latency, which
+    * dwarfs a sub-second exact solve for small pair lists (the same
+    * bounded-driver-work trade as the IVF centroid sample). The default
+    * cap (~1M edges, tens of MB collected) is far below driver memory;
+    * pass 0 to force the distributed path.
     */
-  def labels(edges: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 30): DataFrame = {
+  def labels(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30, localEdgeLimit: Long = 1L << 20): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // materialize the (symmetrized) edge list ONCE: the input is
     // typically the output of the whole MinHash pipeline, which must
     // not be recomputed every propagation round
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .localCheckpoint()
+    if (sym.count() <= localEdgeLimit) labelsLocal(sym)
+    else labelsDistributed(sym, maxIter)
+  }
+
+  /** Driver-side union-find with path halving; min element becomes the
+    * component label. Exact and deterministic — the distributed path
+    * must agree with it (spec'd both ways).
+    */
+  private def labelsLocal(sym: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    sym.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by label order so the root IS the minimum element
+      if (cmp(ra, rb) < 0) parent(rb) = ra
+      else if (cmp(rb, ra) < 0) parent(ra) = rb
+    }
+    val spark = sym.sparkSession
+    val nodeType = sym.schema.head.dataType
+    val rows = parent.keys.toSeq.map(n =>
+      org.apache.spark.sql.Row(n, find(n)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("label", nodeType))))
+  }
+
+  private def labelsDistributed(sym: DataFrame, maxIter: Int): DataFrame = {
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
