@@ -35,12 +35,17 @@ object ConnectedComponents {
     * distributed round costs whole Spark jobs of fixed latency, which
     * dwarfs a sub-second exact solve for small pair lists (the same
     * bounded-driver-work trade as the IVF centroid sample). The default
-    * cap (~1M edges, tens of MB collected) is far below driver memory;
-    * pass 0 to force the distributed path.
+    * cap (~128k edges ⇒ tens of MB of collected rows + boxed map
+    * entries) keeps the transient driver footprint small even under a
+    * default 1g driver heap; pass 0 to force the distributed path.
+    *
+    * Mixed src/dst column types are fine: the symmetrizing union
+    * widens both endpoints to their common type before either path
+    * runs, so local and distributed paths see identical values.
     */
   def labels(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30, localEdgeLimit: Long = 1L << 20): DataFrame = {
+      maxIter: Int = 30, localEdgeLimit: Long = 1L << 17): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // materialize the (symmetrized) edge list ONCE: the input is
     // typically the output of the whole MinHash pipeline, which must
@@ -57,7 +62,14 @@ object ConnectedComponents {
     */
   private def labelsLocal(sym: DataFrame): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
-    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // Strings must sort by CODE POINT (= UTF-8 byte order), matching
+    // Spark's UTF8String / DuckDB collation on the distributed path;
+    // Java String.compareTo is UTF-16 code-unit order, which ranks
+    // supplementary characters (surrogate pairs) below U+E000..U+FFFF.
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) => compareCodePoints(x, y)
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
     def find(x: Any): Any = {
       var r = x
       while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
@@ -83,13 +95,29 @@ object ConnectedComponents {
         org.apache.spark.sql.types.StructField("label", nodeType))))
   }
 
+  private def compareCodePoints(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
   private def labelsDistributed(sym: DataFrame, maxIter: Int): DataFrame = {
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
+    // maxIter bounds the rounds that IMPROVE a label; the final round
+    // that merely observes zero change is not counted, so a graph whose
+    // diameter needs exactly maxIter improvements still converges.
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    while (!converged) {
       // propagate each node's label to its neighbors, then take the min
       // of (own label, neighbor labels)
       val msgs = sym.join(labels, sym("src") === labels("node"))
@@ -99,11 +127,14 @@ object ConnectedComponents {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") < col("old")).count()
-      labels = next
       converged = changed == 0
-      iter += 1
+      if (!converged) {
+        labels = next
+        iter += 1
+        require(iter <= maxIter,
+          s"connected components did not converge in $maxIter rounds")
+      }
     }
-    require(converged, s"connected components did not converge in $maxIter rounds")
     labels
   }
 

@@ -143,10 +143,6 @@ object TextOps {
     */
   private[queries] val HashSql = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
 
-  /** DuckDB mirror of [[graft.textops.NearDup.minhashLshPairs]], generated
-    * from the SAME permutation params so both engines hash identically.
-    * Params must match the q17 queries entry (bands=16, r=4, thr=0.5).
-    */
   /** The q17 pair derivation as a reusable CTE chain ending in
     * `mh_pairs(id_a, id_b, jaccard)` — q17 selects from it directly;
     * the dedup-clustering oracle (q35) stacks a recursive
@@ -190,6 +186,10 @@ object TextOps {
       |)""".stripMargin
   }
 
+  /** DuckDB mirror of [[graft.textops.NearDup.minhashLshPairs]], generated
+    * from the SAME permutation params so both engines hash identically.
+    * Params must match the q17 queries entry (bands=16, r=4, thr=0.5).
+    */
   private def minhashOracleSql(bands: Int, rowsPerBand: Int, threshold: Double): String =
     minhashPairsCte(bands, rowsPerBand, threshold) +
       "\nSELECT id_a, id_b, jaccard FROM mh_pairs"

@@ -46,6 +46,50 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("a path needing exactly maxIter improvement rounds still converges") {
+    // path 1-2-...-6: label 1 travels one hop per round, so node 6
+    // improves on round 5 — maxIter = 5 must succeed (the final
+    // zero-change detection round is not counted against the budget)
+    val e = edges((1L to 5L).map(i => i -> (i + 1)): _*)
+    val out = ConnectedComponents.labels(e, "a", "b", maxIter = 5, localEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 6 && out.values.toSet === Set(1L))
+  }
+
+  test("mixed src/dst numeric types are widened before either path") {
+    // IntegerType src vs LongType dst: the symmetrizing union widens
+    // both endpoints to long, so the local fast path collects uniform
+    // values and both paths emit LongType output
+    val e = Seq((1, 2L), (2, 3L), (10, 11L)).toDF("a", "b")
+    val outs = Seq(
+      ConnectedComponents.labels(e, "a", "b"),
+      ConnectedComponents.labels(e, "a", "b", localEdgeLimit = 0))
+    outs.foreach { df =>
+      assert(df.schema.fields.map(_.dataType).toSeq ===
+        Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType))
+      val out = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    }
+  }
+
+  test("string ids with supplementary characters agree across paths") {
+    // U+FFFF sorts below U+10000 in code-point (= UTF-8 byte) order —
+    // Spark/DuckDB collation — but Java's UTF-16 compareTo disagrees;
+    // the local path must use code-point order to match
+    // a component holding ONLY {U+FFFF, U+10000} discriminates: Java
+    // compareTo would label it U+10000 (surrogate 0xD800 < 0xFFFF)
+    val hi = "𐀀" // U+10000 as a surrogate pair
+    val e = Seq(("￿", hi), ("a", "b")).toDF("a", "b")
+    val expected = Map("￿" -> "￿", hi -> "￿", "a" -> "a", "b" -> "a")
+    Seq(
+      ConnectedComponents.labels(e, "a", "b"),
+      ConnectedComponents.labels(e, "a", "b", localEdgeLimit = 0))
+      .foreach { df =>
+        val out = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(out === expected)
+      }
+  }
+
   test("dedupClusters marks exactly one canonical keeper per cluster") {
     val pairs = Seq((3L, 7L), (7L, 9L), (20L, 21L)).toDF("id_a", "id_b")
     val out = ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
