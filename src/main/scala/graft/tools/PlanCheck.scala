@@ -71,7 +71,14 @@ object PlanCheck {
       val df = fn(spark, sfDir)
       // codegen stage markers (*) only exist in the FINAL adaptive plan,
       // so the codegen assertion needs the query executed first
-      if (name == "q15_brute_vocab_search") df.collect()
+      val codegenAsserted = Map(
+        // native vocab-match expression (T8 perf path)
+        "q15_brute_vocab_search" -> "graft_vocab_match",
+        // fused hyperplane-bucket expression (ANN bucket key)
+        "q23_lsh_topk" -> "graft_hyperplane_buckets",
+        // fused L2-norm expression (per-row norm before the pair join)
+        "q24_embedding_near_dup" -> "graft_norm_l2")
+      if (codegenAsserted.contains(name)) df.collect()
       val qe: QueryExecution = df.queryExecution
       val plan = qe.executedPlan.toString
       val exp = expectations.find(_.query == name)
@@ -81,16 +88,15 @@ object PlanCheck {
         else Seq("CartesianProduct")
       val missing = exp.mustContain.filterNot(plan.contains)
       val present = (exp.mustNotContain ++ globallyForbidden).filter(plan.contains)
-      // q15: the native vocab-match expression must stay INSIDE
-      // whole-stage codegen — its operator line carries the `*(n)`
-      // codegen marker (a CodegenFallback impl would split the stage).
-      val codegenBroken = name == "q15_brute_vocab_search" &&
-        !plan.linesIterator.exists(l =>
-          l.contains("graft_vocab_match") && l.contains("*("))
-      if (missing.isEmpty && present.isEmpty && !codegenBroken) println(s"PASS $name")
+      // native expressions must stay INSIDE whole-stage codegen — their
+      // operator line carries the `*(n)` codegen marker (a
+      // CodegenFallback impl would split the stage).
+      val codegenBroken = codegenAsserted.get(name).filterNot(expr =>
+        plan.linesIterator.exists(l => l.contains(expr) && l.contains("*(")))
+      if (missing.isEmpty && present.isEmpty && codegenBroken.isEmpty) println(s"PASS $name")
       else {
         failures += 1
-        val cg = if (codegenBroken) " vocab_match_not_codegen" else ""
+        val cg = codegenBroken.map(e => s" not_codegen=$e").getOrElse("")
         println(s"FAIL $name missing=${missing.mkString("|")} forbidden=${present.mkString("|")}$cg")
       }
     }

@@ -34,8 +34,11 @@ object Vectors {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (sqrt(dotCol(a, a)) * sqrt(dotCol(b, b)))
 
-  /** Per-vector norm, computed once per row before a pair join. */
-  def normCol(v: Column): Column = sqrt(dotCol(v, v))
+  /** Per-vector norm, computed once per row before a pair join. Fused
+    * native expression (one traversal instead of `sqrt(dot(v, v))`'s
+    * two); same double sequence, so values are bit-identical.
+    */
+  def normCol(v: Column): Column = graft.functions.NormL2.norm(v)
 
   /** Cosine from a precomputed-norm pair: identical double sequence to
     * [[cosineCol]] (sqrt once per vector instead of once per pair —
@@ -77,14 +80,9 @@ object Vectors {
     * `planes` bits; vectors in the same bucket are ANN candidates.
     * Collision probability for angle θ: (1 − θ/π)^planes.
     */
-  def hyperplaneBucket(v: Column, planes: Int, dim: Int, seed: Int = 42): Column = {
-    val planesArr = hyperplanes(planes, dim, seed)
-    val bits = (0 until planes).map { p =>
-      val dot = dotCol(v, lit(planesArr(p)))
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def hyperplaneBucket(v: Column, planes: Int, dim: Int, seed: Int = 42): Column =
+    graft.functions.HyperplaneBuckets.bucket(
+      v, hyperplanes(planes, dim, seed).toSeq.map(_.toSeq))
 
   /** IVF (inverted-file) ANN top-k: partition the corpus into Voronoi
     * cells around k-means centroids, then search only the `nProbe`

@@ -60,6 +60,56 @@ class VocabMatchExpressionSpec extends SparkSpec {
   }
 }
 
+class FusedVectorExpressionSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.{DotProduct, HyperplaneBuckets, NormL2}
+
+  test("fused norm ≡ sqrt(dot(v, v)) bit-for-bit; null propagates") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val composed = emb.select(sqrt(DotProduct.dot($"embedding", $"embedding")).as("n"))
+      .as[Double].collect()
+    val fused = emb.select(NormL2.norm($"embedding").as("n")).as[Double].collect()
+    assert(fused.length > 0)
+    assert(fused.map(java.lang.Double.doubleToLongBits).toSeq ==
+      composed.map(java.lang.Double.doubleToLongBits).toSeq)
+    // null array and null element both yield NULL, like the composed form
+    val withNulls = Seq(
+      (1L, null: Array[java.lang.Double]),
+      (2L, Array[java.lang.Double](1.0, null, 3.0)),
+      (3L, Array[java.lang.Double](3.0, 4.0))).toDF("id", "v")
+    val out = withNulls.select($"id", NormL2.norm($"v").as("n")).orderBy($"id").collect()
+    assert(out(0).isNullAt(1) && out(1).isNullAt(1) && out(2).getDouble(1) == 5.0)
+  }
+
+  test("fused hyperplane bucket ≡ composed dot/sign form, incl. null→0 quirk") {
+    val planesArr = graft.vectors.Vectors.hyperplanes(16, 64).toSeq.map(_.toSeq)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // re-create the pre-fusion composed form inline
+    val composedBits = planesArr.zipWithIndex.map { case (p, i) =>
+      val dot = DotProduct.dot($"embedding", lit(p.toArray))
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val composed = emb.select($"vec_id", composedBits.as("b")).orderBy($"vec_id")
+      .as[(Long, Long)].collect()
+    val fused = emb.select($"vec_id",
+        HyperplaneBuckets.bucket($"embedding", planesArr).as("b"))
+      .orderBy($"vec_id").as[(Long, Long)].collect()
+    assert(fused.length > 0 && fused.toSeq == composed.toSeq)
+    // null vector, null element, and dim-mismatch all land in bucket 0
+    // (the composed form's when/otherwise quirk), never NULL
+    val degenerate = Seq(
+      (1L, null: Array[java.lang.Double]),
+      (2L, Array[java.lang.Double](1.0, null)),
+      (3L, Array[java.lang.Double](1.0, 2.0, 3.0))).toDF("id", "v")
+    val planes2 = Seq(Seq(1.0, 1.0), Seq(-1.0, 1.0))
+    val got = degenerate.select($"id", HyperplaneBuckets.bucket($"v", planes2).as("b"))
+      .orderBy($"id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+    assert(!degenerate.select(HyperplaneBuckets.bucket($"v", planes2)).schema.head.nullable)
+  }
+}
+
 class DotProductExpressionSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.DotProduct
