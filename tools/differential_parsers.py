@@ -11,6 +11,9 @@ Covered (reference → graft):
   parse_chunk_binary_classification_result_*     → parseBinaryResponse
   parse_business_desc_result_from_gpt_response   → parseBusinessDescResponse
   parse_address_list_from_gpt_response           → parseAddressesResponse
+  get_matched_concepts_and_unmatched_keywords    → Mapping.matchAndSplit
+  get_mapped_known_concepts_and_unmapped_*       → Mapping.applyMapping
+  ConceptReconcileNode.reconcile (pure core)     → Reconcile.reconcileConcepts
 
 The binary/desc/address parsers construct pydantic models, so the
 expected outputs bake in pydantic v2 lax-coercion semantics (bool from
@@ -289,6 +292,68 @@ def gen_apply_mapping(r):
     return {"concepts": concepts, "keywords_to_map": kws, "raw_mapping": mapping}
 
 
+def gen_reconcile(r):
+    """Whole-company concept reconcile: vocabulary + 1-4 chunks of
+    (bounds, brute labels, raw search response) + ONE raw mapping
+    response — the composition ConceptReconcileNode.reconcile runs
+    (concept_reconcile_node.py:88-199) over the same pure functions the
+    per-function cases above already pin down."""
+    concepts = gen_vocab(r)
+    labels = [l for c in concepts for l in [c["name"]] + c["altLabels"]]
+    pool = labels + ["bbb", "zzz"]
+    chunks = []
+    for s in sorted(r.sample(range(0, 50), r.randint(1, 4))):
+        chunks.append({
+            "chunk_start": s * 100,
+            "chunk_end": s * 100 + r.randint(1, 99),
+            # unique per chunk: the repo canonicalizes brute to
+            # distinct+sorted (SURVEY §7.5 risk 3), the reference keeps
+            # the raw list — generating unique lists keeps the compare
+            # about reconcile logic, not that documented canonicalization
+            "brute": sorted(r.sample(pool, r.randint(0, min(3, len(pool))))),
+            "search_response": gen_search(r),
+        })
+    return {"concepts": concepts, "chunks": chunks,
+            "mapping_response": gen_mapping(r)}
+
+
+def run_reconcile(inp):
+    known = to_ref_concepts(inp["concepts"])
+    raw = parse_mapping(inp["mapping_response"])  # parse error → reconcile raises
+    ct = _types.SimpleNamespace(name="certificates")
+    final_results = set()
+    unmatched_all = set()
+    chunk_stats = {}
+    for ch in inp["chunks"]:
+        llm = parse_search(ch["search_response"])  # never raises (see "search")
+        matched, unmatched = match_and_split(known, llm)
+        cm = apply_mapping(
+            mfg_etld1="x.example", known_concepts=known,
+            keywords_to_map=unmatched, raw_gpt_mapping=raw,
+            concept_type=ct, keywords_to_map_are_per_chunk=True)
+        results = ({c.name for c in matched}
+                   | {c.name for c in cm["known_to_unknowns"]})
+        chunk_stats[f'{ch["chunk_start"]}:{ch["chunk_end"]}'] = {
+            "results": sorted(results),
+            "brute": sorted(ch["brute"]),
+            "llm": sorted(jackson_text(x) for x in llm),
+            "mapping": {c.name: sorted(jackson_text(x) for x in v)
+                        for c, v in cm["known_to_unknowns"].items()},
+            "unmapped": sorted(jackson_text(x) for x in cm["unmapped_unknowns"]),
+        }
+        unmatched_all |= unmatched
+        final_results |= results
+    g = apply_mapping(mfg_etld1="x.example", known_concepts=known,
+                      keywords_to_map=unmatched_all, raw_gpt_mapping=raw,
+                      concept_type=ct)
+    return {"value": {
+        "results": sorted(final_results),
+        "mapping": {c.name: sorted(jackson_text(x) for x in v)
+                    for c, v in g["known_to_unknowns"].items()},
+        "unmapped": sorted(jackson_text(x) for x in g["unmapped_unknowns"]),
+        "chunks": chunk_stats}}
+
+
 def to_ref_concepts(spec):
     return {Concept(name=c["name"], uri="urn:x", altLabels=c["altLabels"], ancestors=[])
             for c in spec}
@@ -376,13 +441,19 @@ def main():
             inp = gen(r)
             cases.append({"id": f"{kind}-{i}", "kind": kind, "input": inp,
                           "expected": run(kind, fn, inp)})
-    # vocabulary match/split + unknown→known mapping (structured inputs)
+    # vocabulary match/split + unknown→known mapping + whole-company
+    # reconcile composition (structured inputs)
     for kind, gen, runner in [("match_split", gen_match_split, run_match_split),
-                              ("apply_mapping", gen_apply_mapping, run_apply_mapping)]:
+                              ("apply_mapping", gen_apply_mapping, run_apply_mapping),
+                              ("reconcile", gen_reconcile, run_reconcile)]:
         for i in range(n):
             inp = gen(r)
+            try:
+                expected = runner(inp)
+            except Exception:
+                expected = {"raises": True}
             cases.append({"id": f"{kind}-{i}", "kind": kind, "input": inp,
-                          "expected": runner(inp)})
+                          "expected": expected})
     import os
     os.makedirs(out_dir, exist_ok=True)
     with open(f"{out_dir}/parser_cases.json", "w") as f:
