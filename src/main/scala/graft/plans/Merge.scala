@@ -37,15 +37,17 @@ object Merge {
   }
 
   /** Scrape validity predicate (reference
-    * `url_scraper_service.py:96-102`): tokens > 30, success rate > 0.8,
-    * not timed out.
+    * `url_scraper_service.py:87-102`): tokens > 30, success rate > 0.8,
+    * not timed out. Zero attempted URLs is a 0.0 success rate in the
+    * reference (`get_success_rate`'s else-branch), so such scrapes are
+    * INVALID — token count alone cannot rescue them.
     */
   def scrapeValid(tokens: Column, urlsScraped: Column, urlsFailed: Column,
       timedOut: Column): Column = {
     val attempted = urlsScraped + urlsFailed
-    tokens > 30 &&
-      (attempted === 0 || urlsScraped.cast("double") / attempted.cast("double") > 0.8) &&
-      !timedOut
+    val rate = when(attempted === 0, lit(0.0))
+      .otherwise(urlsScraped.cast("double") / attempted.cast("double"))
+    tokens > 30 && rate > 0.8 && !timedOut
   }
 
   /** Extractable-document gate (reference `new_extract_queue_bot.py:81-82`):

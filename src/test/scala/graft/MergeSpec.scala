@@ -31,7 +31,7 @@ class MergeSpec extends SparkSpec {
       (20, 9, 1, false, false),   // too few tokens
       (100, 7, 3, false, false),  // success rate 0.7
       (100, 9, 1, true, false),   // timed out
-      (31, 0, 0, false, true))    // no urls attempted → rate check skipped
+      (31, 0, 0, false, false))   // no urls attempted → rate 0.0 → invalid
       .toDF("tokens", "ok", "fail", "timeout", "want")
     val got = rows.withColumn("valid",
       Merge.scrapeValid($"tokens", $"ok", $"fail", $"timeout"))
