@@ -203,6 +203,11 @@ final case class HyperplaneBuckets(
     planes: Seq[Seq[Double]])
     extends UnaryExpression {
 
+  require(planes.nonEmpty && planes.forall(_.length == planes.head.length)
+    && planes.head.nonEmpty,
+    s"$prettyName requires a non-empty rectangular plane matrix, " +
+      s"got ${planes.size} rows of lengths ${planes.map(_.length).distinct.mkString(",")}")
+
   @transient private lazy val matrix: Array[Array[Double]] =
     planes.map(_.toArray).toArray
 
@@ -249,7 +254,12 @@ final case class HyperplaneBuckets(
         s += v * plane(j)
         j += 1
       }
-      if (s >= 0) bucket |= (1L << p)
+      // !(s < 0), not s >= 0: Spark's `dot >= 0` routes doubles through
+      // SQLOrderingUtil.compareDoubles, where NaN >= 0 is TRUE (NaN
+      // orders above everything, as in DuckDB) — a NaN dot must SET the
+      // bit to match the composed form and the oracle. (-0.0 sets the
+      // bit under both formulations.)
+      if (!(s < 0)) bucket |= (1L << p)
       p += 1
     }
     bucket

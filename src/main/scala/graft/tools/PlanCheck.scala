@@ -56,6 +56,18 @@ object PlanCheck {
       mustContain = Seq("Window"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct")))
 
+  /** Native expressions that must stay INSIDE whole-stage codegen in
+    * the named query's executed plan — a static contract alongside
+    * `expectations` above.
+    */
+  val codegenAsserted: Map[String, String] = Map(
+    // native vocab-match expression (T8 perf path)
+    "q15_brute_vocab_search" -> "graft_vocab_match",
+    // fused hyperplane-bucket expression (ANN bucket key)
+    "q23_lsh_topk" -> "graft_hyperplane_buckets",
+    // fused L2-norm expression (per-row norm before the pair join)
+    "q24_embedding_near_dup" -> "graft_norm_l2")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -71,13 +83,6 @@ object PlanCheck {
       val df = fn(spark, sfDir)
       // codegen stage markers (*) only exist in the FINAL adaptive plan,
       // so the codegen assertion needs the query executed first
-      val codegenAsserted = Map(
-        // native vocab-match expression (T8 perf path)
-        "q15_brute_vocab_search" -> "graft_vocab_match",
-        // fused hyperplane-bucket expression (ANN bucket key)
-        "q23_lsh_topk" -> "graft_hyperplane_buckets",
-        // fused L2-norm expression (per-row norm before the pair join)
-        "q24_embedding_near_dup" -> "graft_norm_l2")
       if (codegenAsserted.contains(name)) df.collect()
       val qe: QueryExecution = df.queryExecution
       val plan = qe.executedPlan.toString

@@ -108,6 +108,35 @@ class FusedVectorExpressionSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
     assert(!degenerate.select(HyperplaneBuckets.bucket($"v", planes2)).schema.head.nullable)
   }
+
+  test("NaN dot products SET every bit, matching Spark comparison semantics") {
+    // Spark's `dot >= 0` routes doubles through compareDoubles: NaN
+    // orders above everything (as in DuckDB), so the composed form set
+    // the bit on a NaN dot — the fused loop must agree
+    val planes2 = Seq(Seq(1.0, 1.0), Seq(-1.0, 1.0))
+    val df = Seq((1L, Array(Double.NaN, 2.0)), (2L, Array(1.0, 2.0))).toDF("id", "v")
+    val composedBits = planes2.zipWithIndex.map { case (p, i) =>
+      val dot = DotProduct.dot($"v", lit(p.toArray))
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val rows = df.select($"id",
+        HyperplaneBuckets.bucket($"v", planes2).as("fused"),
+        composedBits.as("composed"))
+      .orderBy($"id").collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+    assert(rows(0).getLong(1) == 3L) // NaN dots → both bits set
+  }
+
+  test("empty or ragged plane matrices are rejected at construction") {
+    val v = Seq((1L, Array(1.0, 2.0))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      HyperplaneBuckets.bucket($"v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      HyperplaneBuckets.bucket($"v", Seq(Seq(1.0, 2.0), Seq(3.0)))
+    }
+    assert(v.select(HyperplaneBuckets.bucket($"v", Seq(Seq(1.0, -1.0)))).count() == 1)
+  }
 }
 
 class DotProductExpressionSpec extends SparkSpec {
