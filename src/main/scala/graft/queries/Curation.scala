@@ -98,6 +98,15 @@ object Curation {
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
       graft.graph.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
         .orderBy($"doc_id")
+    },
+
+    // ---- Gopher-rule composite quality gate: every signal an exact
+    // integer ratio, keep = AND of the published thresholds (pure
+    // per-row array math, zero shuffles like q29).
+    "q36_quality_gate" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.qualityGate(docsParallel(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
     }
   )
 
@@ -218,6 +227,56 @@ object Curation {
           |       LEAST(s, MIN(d)) AS cluster_id,
           |       CASE WHEN LEAST(s, MIN(d)) = s THEN 1 ELSE 0 END AS keep
           |FROM reach GROUP BY s""".stripMargin),
+
+    // Signals computed in a subquery so `keep` can reference them once
+    // (bit-identical doubles: every ratio is int/int in one division,
+    // thresholds are the same literals on both engines).
+    "q36_quality_gate" -> (WordsCte +
+      """, g AS (
+        |  SELECT doc_id, ws,
+        |    list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]) AS gs
+        |  FROM words),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |sig AS (
+        |  SELECT g.doc_id AS doc_id, len(ws) AS n_words,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws)
+        |      ELSE 0.0 END AS avg_word_len,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+        |        / len(ws) ELSE 0.0 END AS symbol_word_frac,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* ')
+        |                                    OR starts_with(x, '• '))) AS DOUBLE)
+        |        / len(ls) ELSE 0.0 END AS bullet_line_frac,
+        |    CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE)
+        |        / len(ls) ELSE 0.0 END AS ellipsis_line_frac,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |        / len(ws) ELSE 0.0 END AS alpha_word_frac,
+        |    len(list_intersect(ws, ['the','and','of','to','in','is','a'])) AS stop_hits,
+        |    CASE WHEN len(ws) > 0 THEN
+        |      CAST(list_max(list_transform(list_distinct(ws),
+        |                                   w2 -> len(list_filter(ws, x -> x = w2)))) AS DOUBLE)
+        |        / len(ws) ELSE 0.0 END AS top_word_frac,
+        |    CASE WHEN len(gs) > 0 THEN
+        |      CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs)
+        |      ELSE 0.0 END AS dup_bigram_frac
+        |  FROM g JOIN l ON g.doc_id = l.doc_id)
+        |SELECT doc_id, n_words, avg_word_len, symbol_word_frac, bullet_line_frac,
+        |  ellipsis_line_frac, alpha_word_frac, stop_hits, top_word_frac, dup_bigram_frac,
+        |  CASE WHEN n_words BETWEEN 50 AND 100000
+        |        AND avg_word_len BETWEEN 3.0 AND 10.0
+        |        AND symbol_word_frac <= 0.1
+        |        AND bullet_line_frac < 0.9
+        |        AND ellipsis_line_frac < 0.3
+        |        AND alpha_word_frac >= 0.8
+        |        AND stop_hits >= 2
+        |        AND top_word_frac <= 0.2
+        |        AND dup_bigram_frac <= 0.6
+        |    THEN 1 ELSE 0 END AS keep
+        |FROM sig""".stripMargin),
 
     "q34_asof_join" -> (EventsUsCte +
       """, p AS (

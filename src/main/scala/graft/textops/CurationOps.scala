@@ -38,6 +38,26 @@ object CurationOps {
     * upstream (SURVEY T4-T7) so row length is bounded, and the
     * alternative (explode + two groupBys) shuffles every token.
     */
+  /** Word bigrams of a token array ("a b", "b c", …); empty below 2. */
+  private def bigramsExpr(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Frequency share of the most common word (0.0 for empty docs). */
+  private def topWordFracExpr(ws: Column): Column =
+    when(size(ws) > 0,
+        array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
+          .cast("double") / size(ws))
+      .otherwise(lit(0.0))
+
+  /** Duplicate fraction among word bigrams (0.0 when fewer than 2). */
+  private def dupBigramFracExpr(gs: Column): Column =
+    when(size(gs) > 0,
+        (size(gs) - size(array_distinct(gs))).cast("double") / size(gs))
+      .otherwise(lit(0.0))
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Tokenize and build bigrams in staged projections: the HOFs here
     // are CodegenFallback with no cross-expression CSE, so referencing
@@ -47,23 +67,71 @@ object CurationOps {
     val ws = col("__ws")
     val gs = col("__gs")
     df.select(col(idCol), wordsCol(col(textCol)).as("__ws"))
-      .select(col(idCol), ws,
-        when(size(ws) >= 2,
-          transform(sequence(lit(0), size(ws) - 2),
-            i => concat_ws(" ", slice(ws, i + lit(1), lit(2)))))
-          .otherwise(array().cast("array<string>")).as("__gs"))
+      .select(col(idCol), ws, bigramsExpr(ws).as("__gs"))
       .select(
         col(idCol),
         size(ws).as("n_words"),
-        when(size(ws) > 0,
-            array_max(transform(array_distinct(ws), w => size(filter(ws, x => x === w))))
-              .cast("double") / size(ws))
-          .otherwise(lit(0.0)).as("top_word_frac"),
-        when(size(gs) > 0,
-            (size(gs) - size(array_distinct(gs))).cast("double") / size(gs))
-          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        topWordFracExpr(ws).as("top_word_frac"),
+        dupBigramFracExpr(gs).as("dup_bigram_frac"))
       .withColumn("repetitive",
         (col("top_word_frac") > 0.2 || col("dup_bigram_frac") > 0.6).cast("int"))
+  }
+
+  // ---- composite quality gate (Gopher rules) -----------------------------
+
+  /** Gopher/MassiveText-style composite document filter (Rae et al.
+    * 2021, appendix A1.1), adapted to the engine's exact-integer-ratio
+    * float policy so every signal — and therefore the keep decision —
+    * is bit-identical in the DuckDB oracle:
+    *
+    *  - 50 ≤ word count ≤ 100,000
+    *  - 3 ≤ mean word length ≤ 10
+    *  - symbol-word fraction ('#' or '...') ≤ 0.1
+    *  - bullet-started line fraction < 0.9
+    *  - ellipsis-ended line fraction < 0.3
+    *  - ≥ 80 % of words contain an [a-z] letter
+    *  - ≥ 2 distinct English stop words present
+    *  - not repetitive: top-word share ≤ 0.2, duplicate bigrams ≤ 0.6
+    *
+    * Same zero-shuffle shape as [[repetitionStats]]: per-row array math
+    * only. Lines are split with limit -1 (trailing empty lines kept, as
+    * DuckDB's string_split does).
+    */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = col("__ws")
+    val gs = col("__gs")
+    val ls = col("__ls")
+    val stop = array(TextAnalysis.Profiles("en").map(lit): _*)
+    def frac(n: Column, d: Column): Column =
+      when(d > 0, n.cast("double") / d).otherwise(lit(0.0))
+    df.select(col(idCol), col(textCol), wordsCol(col(textCol)).as("__ws"))
+      .select(col(idCol), ws, bigramsExpr(ws).as("__gs"),
+        split(col(textCol), "\n", -1).as("__ls"))
+      .select(
+        col(idCol),
+        size(ws).as("n_words"),
+        frac(aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x), size(ws))
+          .as("avg_word_len"),
+        frac(size(filter(ws, w => w.contains("#") || w.contains("..."))), size(ws))
+          .as("symbol_word_frac"),
+        frac(size(filter(ls, l => l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))),
+          size(ls)).as("bullet_line_frac"),
+        frac(size(filter(ls, l => l.endsWith("...") || l.endsWith("…"))), size(ls))
+          .as("ellipsis_line_frac"),
+        frac(size(filter(ws, w => w.rlike("[a-z]"))), size(ws)).as("alpha_word_frac"),
+        size(array_intersect(ws, stop)).as("stop_hits"),
+        topWordFracExpr(ws).as("top_word_frac"),
+        dupBigramFracExpr(gs).as("dup_bigram_frac"))
+      .withColumn("keep",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("avg_word_len") >= 3.0 && col("avg_word_len") <= 10.0 &&
+          col("symbol_word_frac") <= 0.1 &&
+          col("bullet_line_frac") < 0.9 &&
+          col("ellipsis_line_frac") < 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("stop_hits") >= 2 &&
+          col("top_word_frac") <= 0.2 &&
+          col("dup_bigram_frac") <= 0.6).cast("int"))
   }
 
   // ---- benchmark decontamination -----------------------------------------

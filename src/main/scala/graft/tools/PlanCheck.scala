@@ -43,6 +43,8 @@ object PlanCheck {
     // repetition signals are pure per-row array math — any aggregate in
     // the plan means an accidental explode/groupBy crept in
     Expectation("q29_repetition_stats", mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")),
+    // the composite quality gate is likewise pure per-row array math
+    Expectation("q36_quality_gate", mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")),
     // the benchmark shingle set must broadcast (the corpus side never
     // shuffles for this join)
     Expectation("q30_decontamination",

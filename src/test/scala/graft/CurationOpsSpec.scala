@@ -23,6 +23,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.getAs[Int]("repetitive") === 1) // 0.75 > 0.2
   }
 
+  test("qualityGate: each Gopher rule independently rejects") {
+    // a healthy base document: 60 distinct-ish words, normal lengths,
+    // stopwords present, no bullets/ellipses/symbols
+    val healthy = (1 to 50).map(i => s"word$i").mkString(" ") +
+      " the and of to in is a one two three"
+    val rows = Seq(
+      1L -> healthy,                                           // keep
+      2L -> "the and of short",                                // too few words
+      3L -> (healthy + " #a #b #c #d" * 3),                    // symbol words 12/72 > 10%
+      4L -> ((1 to 30).map(i => s"- item$i the and").mkString("\n")), // bullet lines
+      5L -> healthy.replace(" ", "... \n").take(healthy.length), // ellipsis lines
+      6L -> (1 to 60).map(_.toString).mkString(" "),           // no alpha, no stopwords
+      7L -> ("the " * 60))                                     // top word 100%
+    val out = CurationOps.qualityGate(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Int]("keep") === 1, out(0).toString)
+    assert(out.drop(1).forall(_.getAs[Int]("keep") == 0),
+      out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).mkString(","))
+    // signal spot checks
+    assert(out(0).getAs[Int]("stop_hits") >= 2)
+    assert(out(1).getAs[Int]("n_words") === 4)
+    assert(out(6).getAs[Double]("top_word_frac") === 1.0)
+    assert(out(5).getAs[Double]("alpha_word_frac") === 0.0)
+  }
+
+  test("qualityGate: mean word length and line fractions are exact ratios") {
+    // "aa bbbb" -> (2+4)/2 = 3.0; lines: one bullet of two lines = 0.5
+    val out = CurationOps.qualityGate(
+      docs(1L -> "aa bbbb", 2L -> "- bullet line\nplain line",
+           3L -> "ends with dots...\nalso this one…\nplain"),
+      "doc_id", "text").orderBy($"doc_id").collect()
+    assert(out(0).getAs[Double]("avg_word_len") === 3.0)
+    assert(out(1).getAs[Double]("bullet_line_frac") === 0.5)
+    assert(out(2).getAs[Double]("ellipsis_line_frac") === 2.0 / 3)
+  }
+
   test("repetitionStats degenerate docs: empty and single-word") {
     val out = CurationOps.repetitionStats(
       docs(1L -> "", 2L -> "word", 3L -> "   "), "doc_id", "text")
