@@ -40,6 +40,21 @@ object Temporal {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming twin of [[sessionize]]: the SAME `session_window`
+    * aggregate over a watermarked source — semantics shared by
+    * construction, which is the point of using Spark's native session
+    * operator instead of hand-rolled state. In append mode a session is
+    * emitted exactly once, when the watermark passes its end (last
+    * event + gap); state per key is bounded by the watermark horizon.
+    * Late events inside the watermark re-open/merge sessions before
+    * finalization; later ones are dropped by the watermark like every
+    * Structured Streaming aggregate.
+    */
+  def sessionizeStream(
+      events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      gap: String, watermark: String): DataFrame =
+    sessionize(events.withWatermark(tsCol, watermark), keyCol, tsCol, valueCol, gap)
+
   /** As-of join: for each left row, the single most recent right row of
     * the same key with `right.ts <= left.ts` (inclusive). Returns the
     * left columns plus `pickCols` from the matched right row (null when

@@ -48,6 +48,41 @@ class StreamingSpec extends SparkSpec {
     assert(bucketDirs.nonEmpty)
   }
 
+  test("streaming sessionize finalizes sessions past the watermark, matching batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = stream.toDS().toDF("ts", "user_id", "value")
+    val sessions = graft.temporal.Temporal.sessionizeStream(
+      df, "user_id", "ts", "value", gap = "5 minutes", watermark = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    // u1: events 100s apart chain into one session; u2: one event
+    val closed = Seq(
+      (ts(1000), "u1", 1.5), (ts(1100), "u1", 2.5), (ts(1030), "u2", 4.0))
+    stream.addData(closed: _*)
+    q.processAllAvailable()
+    // nothing finalized yet — watermark has not passed session ends
+    assert(spark.table("sessions").isEmpty)
+    // an event far past end+watermark closes both sessions; its own
+    // session stays open and must NOT be emitted
+    stream.addData((ts(9000), "u1", 9.9))
+    q.processAllAvailable()
+    val got = spark.table("sessions")
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"sum_value")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().sortBy(_._1)
+    q.stop()
+    val batch = graft.temporal.Temporal.sessionize(
+        closed.toDF("ts", "user_id", "value"), "user_id", "ts", "value", "5 minutes")
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"sum_value")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == batch.toSeq)
+    assert(got.map(_._1).toSeq == Seq("u1", "u2"))
+    assert(got(0)._4 == 2 && got(0)._5 == 4.0) // u1: two events, 1.5+2.5
+  }
+
   test("windowed event stats with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
