@@ -107,8 +107,24 @@ object Curation {
       import s.implicits._
       CurationOps.qualityGate(docsParallel(s, dir), "doc_id", "text")
         .orderBy($"doc_id")
+    },
+
+    // ---- token-budget training mix: per-language budgets consumed in
+    // salted-md5 order (deterministic mixture sampling by token count).
+    "q37_token_budget_mix" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.tokenBudgetMix(
+          Tables.load(s, dir, "documents"), "doc_id", "lang", "text",
+          budgets = MixBudgets, salt = "mix")
+        .orderBy($"lang", $"cum_tokens")
     }
   )
+
+  /** Per-language token budgets for q37 — mirrored literally into the
+    * oracle's CASE expression.
+    */
+  private val MixBudgets: Map[String, Long] =
+    Map("en" -> 2000L, "de" -> 1000L, "fr" -> 1000L, "es" -> 500L)
 
   // The shared words CTE (TextOps.WordsCte) is the DuckDB twin of
   // TextTokens.wordsCol — one definition for every tokenizing oracle.
@@ -277,6 +293,22 @@ object Curation {
         |        AND dup_bigram_frac <= 0.6
         |    THEN 1 ELSE 0 END AS keep
         |FROM sig""".stripMargin),
+
+    "q37_token_budget_mix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY lang
+        |           ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM cum
+        |WHERE cum_tokens <= CASE lang
+        |  WHEN 'de' THEN 1000 WHEN 'en' THEN 2000
+        |  WHEN 'es' THEN 500 WHEN 'fr' THEN 1000 ELSE 0 END""".stripMargin,
 
     "q34_asof_join" -> (EventsUsCte +
       """, p AS (

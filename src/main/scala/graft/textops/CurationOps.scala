@@ -185,6 +185,39 @@ object CurationOps {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  // ---- token-budget corpus mixing ----------------------------------------
+
+  /** Deterministic training-mix sampling: within each stratum (source/
+    * language), walk documents in salted-md5 order and keep them while
+    * the running token total stays within that stratum's budget — the
+    * "mix 30% code, 60% web, 10% books by token count" primitive.
+    * Strata without a budget contribute nothing. Reproducible across
+    * engines and runs (same md5 order as [[stratifiedSample]]; the
+    * running sum is exact integer arithmetic).
+    *
+    * Scale shape: one shuffle on the stratum, one sort per partition
+    * for the running sum. The cut is by CUMULATIVE tokens, so unlike
+    * `stratifiedSample` there is no map-side group limit — the window
+    * must see the stratum in order; budget-sized strata keep this
+    * bounded (the output is at most budget tokens per stratum, and the
+    * sort is the same one the sample would need anyway).
+    */
+  def tokenBudgetMix(
+      df: DataFrame, idCol: String, stratumCol: String, textCol: String,
+      budgets: Map[String, Long], salt: String): DataFrame = {
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (stratum, b)) =>
+        when(col(stratumCol) === stratum, lit(b)).otherwise(acc)
+      }
+    df.select(col(idCol), col(stratumCol),
+        size(wordsCol(col(textCol))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   // ---- TF-IDF keyword extraction -----------------------------------------
 
   /** Top-k characteristic terms per document by tf·idf with the linear

@@ -59,6 +59,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("ellipsis_line_frac") === 2.0 / 3)
   }
 
+  test("tokenBudgetMix keeps exactly the md5-order prefix within each budget") {
+    import org.apache.spark.sql.functions.{concat, lit, md5}
+    val df = (1L to 20L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", ("w " * (i % 5 + 1).toInt).trim))
+      .toDF("doc_id", "lang", "text")
+    val out = CurationOps.tokenBudgetMix(df, "doc_id", "lang", "text",
+        budgets = Map("a" -> 10L), salt = "s")
+      .orderBy($"cum_tokens").collect()
+    // only the budgeted stratum appears; running total stays in budget
+    assert(out.nonEmpty && out.forall(_.getAs[String]("lang") == "a"))
+    assert(out.last.getAs[Long]("cum_tokens") <= 10L)
+    // the kept set is exactly the maximal md5-order prefix with cum <= 10
+    val ordered = df.filter($"lang" === "a")
+      .withColumn("k", md5(concat(lit("s"), $"doc_id".cast("string"))))
+      .orderBy($"k", $"doc_id")
+      .select($"doc_id", graft.textops.TextAnalysis.wordCountCol($"text").as("n"))
+      .as[(Long, Int)].collect()
+    val expected = ordered
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, n)) => (id, cum + n) }
+      .drop(1).takeWhile(_._2 <= 10L).map(_._1).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expected)
+    // determinism: a second run returns the identical selection
+    val again = CurationOps.tokenBudgetMix(df, "doc_id", "lang", "text",
+        Map("a" -> 10L), "s").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == expected)
+  }
+
   test("repetitionStats degenerate docs: empty and single-word") {
     val out = CurationOps.repetitionStats(
       docs(1L -> "", 2L -> "word", 3L -> "   "), "doc_id", "text")
