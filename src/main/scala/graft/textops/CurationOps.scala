@@ -185,6 +185,36 @@ object CurationOps {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Contamination FILTER for unbounded/streaming corpora: drop any
+    * document sharing a word n-gram with the benchmark set. The
+    * benchmark's shingle hashes — small by definition — are collected
+    * once and broadcast as a probe set; each document is then a pure
+    * per-row membership test, so the same call works on a batch frame
+    * and on a streaming one (no state, no watermark, no shuffle —
+    * exactly how decontamination survives an unbounded feed).
+    *
+    * Uses the scalar twin of the engine-wide 60-bit md5 shingle hash,
+    * so a document is dropped here iff [[decontaminate]] flags it
+    * (spec'd batch-equal; the UDF probe is the per-row price of
+    * statelessness — the batch form stays the codegen'd join).
+    */
+  def decontaminationFilter(
+      docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchHashes = benchmark
+      .select(explode(NearDup.shinglesCol(col(textCol), n)).as("s"))
+      .select(NearDup.shingleHash60(col("s")).as("h"))
+      .distinct().as[Long].collect().toSet
+    val bc = spark.sparkContext.broadcast(benchHashes)
+    val contaminated = udf((text: String) =>
+      text != null &&
+        NearDup.wordShingles(text, n)
+          .exists(s => bc.value.contains(NearDup.shingleHash60(s))))
+    docs.filter(!contaminated(col(textCol)))
+  }
+
   // ---- token-budget corpus mixing ----------------------------------------
 
   /** Deterministic training-mix sampling: within each stratum (source/

@@ -59,6 +59,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("ellipsis_line_frac") === 2.0 / 3)
   }
 
+  test("decontaminationFilter drops exactly the docs decontaminate flags") {
+    val corpus = docs(
+      1L -> "alpha bravo charlie delta echo",
+      2L -> "totally unrelated words here now",
+      3L -> "echo foxtrot golf hotel india")
+    val bench = docs(100L -> "bravo charlie delta", 101L -> "golf hotel india")
+    val flagged = CurationOps.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    val kept = CurationOps.decontaminationFilter(corpus, bench, "doc_id", "text", n = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(flagged == Set(1L, 3L))
+    assert(kept == corpus.select($"doc_id").as[Long].collect().toSet -- flagged)
+  }
+
+  test("decontaminationFilter is stateless over a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val bench = docs(100L -> "bravo charlie delta")
+    val stream = MemoryStream[(Long, String)]
+    val filtered = CurationOps.decontaminationFilter(
+      stream.toDS().toDF("doc_id", "text"), bench, "doc_id", "text", n = 3)
+    val q = filtered.writeStream.format("memory").queryName("decontam").start()
+    stream.addData(
+      (1L, "alpha bravo charlie delta echo"), // shares "bravo charlie delta"
+      (2L, "totally unrelated words here now"))
+    q.processAllAvailable()
+    stream.addData((3L, "more clean content arrives later"))
+    q.processAllAvailable()
+    val kept = spark.table("decontam").select($"doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(2L, 3L))
+  }
+
   test("tokenBudgetMix keeps exactly the md5-order prefix within each budget") {
     import org.apache.spark.sql.functions.{concat, lit, md5}
     val df = (1L to 20L)
