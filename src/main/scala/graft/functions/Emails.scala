@@ -34,7 +34,7 @@ object Emails {
     override def validate(email: String): Option[String] = {
       val at = email.indexOf('@')
       if (at <= 0 || at != email.lastIndexOf('@') || at == email.length - 1) return None
-      val (local, domain) = (email.substring(0, at), email.substring(at + 1).toLowerCase)
+      val (local, domain) = (email.substring(0, at), email.substring(at + 1).toLowerCase(java.util.Locale.ROOT))
       if (local.startsWith(".") || local.endsWith(".") || local.contains("..")) return None
       val labels = domain.split('.')
       if (labels.length < 2) return None

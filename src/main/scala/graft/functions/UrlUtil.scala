@@ -47,7 +47,7 @@ object UrlUtil {
     if (cleaned.isEmpty || cleaned.contains("::") || cleaned.count(_ == ':') > 1)
       return cleaned // IPv6 literal
     try {
-      val idn = InternetDomainName.from(cleaned.toLowerCase)
+      val idn = InternetDomainName.from(cleaned.toLowerCase(java.util.Locale.ROOT))
       if (idn.isPublicSuffix) idn.toString
       else if (idn.isUnderPublicSuffix) idn.topPrivateDomain().toString
       else cleaned // no recognized suffix: intranet name
@@ -79,13 +79,13 @@ object UrlUtil {
       catch { case e: Exception =>
         throw new IllegalArgumentException(s"Invalid URL: $completeUrl", e)
       }
-    val scheme = Option(uri.getScheme).map(_.toLowerCase).getOrElse(
+    val scheme = Option(uri.getScheme).map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse(
       throw new IllegalArgumentException("URL must start with http:// or https://"))
     require(scheme == "http" || scheme == "https",
       "URL must start with http:// or https://")
     val rawHost = Option(uri.getHost).getOrElse(
       throw new IllegalArgumentException("Invalid URL: no valid hostname found."))
-    val hostname = rawHost.replaceAll("\\.+$", "").toLowerCase
+    val hostname = rawHost.replaceAll("\\.+$", "").toLowerCase(java.util.Locale.ROOT)
     val idn =
       try InternetDomainName.from(hostname)
       catch { case e: IllegalArgumentException =>

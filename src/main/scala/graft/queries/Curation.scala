@@ -114,7 +114,7 @@ object Curation {
     "q37_token_budget_mix" -> { (s, dir) =>
       import s.implicits._
       CurationOps.tokenBudgetMix(
-          Tables.load(s, dir, "documents"), "doc_id", "lang", "text",
+          docsParallel(s, dir), "doc_id", "lang", "text",
           budgets = MixBudgets, salt = "mix")
         .orderBy($"lang", $"cum_tokens")
     }
@@ -306,9 +306,10 @@ object Curation {
         |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
         |  FROM toks)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM cum
-        |WHERE cum_tokens <= CASE lang
-        |  WHEN 'de' THEN 1000 WHEN 'en' THEN 2000
-        |  WHEN 'es' THEN 500 WHEN 'fr' THEN 1000 ELSE 0 END""".stripMargin,
+        |WHERE lang IN ('de', 'en', 'es', 'fr')
+        |  AND cum_tokens <= CASE lang
+        |    WHEN 'de' THEN 1000 WHEN 'en' THEN 2000
+        |    WHEN 'es' THEN 500 WHEN 'fr' THEN 1000 ELSE 0 END""".stripMargin,
 
     "q34_asof_join" -> (EventsUsCte +
       """, p AS (

@@ -79,7 +79,7 @@ object PydanticLax {
     else if (n.isNumber) {
       val d = n.doubleValue
       if (d == 1.0) true else if (d == 0.0) false else fail(s"bool: $n")
-    } else if (n.isTextual) n.textValue.trim.toLowerCase match {
+    } else if (n.isTextual) n.textValue.trim.toLowerCase(java.util.Locale.ROOT) match {
       case "true" | "t" | "yes" | "y" | "on" | "1" => true
       case "false" | "f" | "no" | "n" | "off" | "0" => false
       case other => fail(s"bool: '$other'")
@@ -109,7 +109,7 @@ object PydanticLax {
     else if (n.isNumber) n.doubleValue
     else if (n.isTextual) {
       // Python float() also accepts inf/infinity/nan with optional sign
-      val t = n.textValue.trim.toLowerCase
+      val t = n.textValue.trim.toLowerCase(java.util.Locale.ROOT)
       val (sign, body) =
         if (t.startsWith("+")) (1.0, t.drop(1))
         else if (t.startsWith("-")) (-1.0, t.drop(1)) else (1.0, t)

@@ -25,19 +25,6 @@ object CurationOps {
 
   // ---- repetition signals (Gopher-style) ---------------------------------
 
-  /** Per-document repetition signals, the standard pre-training filters
-    * from the Gopher/MassiveText rules: the frequency share of the most
-    * common word and the duplicate fraction among word bigrams. Both are
-    * exact integer ratios (one double division) so the DuckDB oracle is
-    * bit-identical. `repetitive` flags documents past the published-ish
-    * thresholds (top word > 20 %, duplicate bigrams > 60 %).
-    *
-    * Shape note: everything is per-row array arithmetic — no explode, no
-    * aggregate, no shuffle. The top-word count is O(words × distinct)
-    * per row, which is the right trade at scale: documents are chunked
-    * upstream (SURVEY T4-T7) so row length is bounded, and the
-    * alternative (explode + two groupBys) shuffles every token.
-    */
   /** Word bigrams of a token array ("a b", "b c", …); empty below 2. */
   private def bigramsExpr(ws: Column): Column =
     when(size(ws) >= 2,
@@ -58,6 +45,19 @@ object CurationOps {
         (size(gs) - size(array_distinct(gs))).cast("double") / size(gs))
       .otherwise(lit(0.0))
 
+  /** Per-document repetition signals, the standard pre-training filters
+    * from the Gopher/MassiveText rules: the frequency share of the most
+    * common word and the duplicate fraction among word bigrams. Both are
+    * exact integer ratios (one double division) so the DuckDB oracle is
+    * bit-identical. `repetitive` flags documents past the published-ish
+    * thresholds (top word > 20 %, duplicate bigrams > 60 %).
+    *
+    * Shape note: everything is per-row array arithmetic — no explode, no
+    * aggregate, no shuffle. The top-word count is O(words × distinct)
+    * per row, which is the right trade at scale: documents are chunked
+    * upstream (SURVEY T4-T7) so row length is bounded, and the
+    * alternative (explode + two groupBys) shuffles every token.
+    */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Tokenize and build bigrams in staged projections: the HOFs here
     // are CodegenFallback with no cross-expression CSE, so referencing
@@ -242,7 +242,10 @@ object CurationOps {
       .foldLeft(lit(0L)) { case (acc, (stratum, b)) =>
         when(col(stratumCol) === stratum, lit(b)).otherwise(acc)
       }
-    df.select(col(idCol), col(stratumCol),
+    // membership check FIRST: without it a zero-token document in an
+    // unbudgeted stratum would pass `cum_tokens (0) <= budget (0)`
+    df.filter(col(stratumCol).isInCollection(budgets.keys.toSeq))
+      .select(col(idCol), col(stratumCol),
         size(wordsCol(col(textCol))).as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budget)

@@ -27,7 +27,7 @@ object NearDup {
 
   /** Word n-gram shingles (lowercased, whitespace-tokenized). */
   def wordShingles(text: String, n: Int): Vector[String] = {
-    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     if (words.length < n) {
       if (words.isEmpty) Vector.empty else Vector(words.mkString(" "))
     } else words.sliding(n).map(_.mkString(" ")).toVector
@@ -89,11 +89,23 @@ object NearDup {
   def shingleHash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Scalar twin of [[shingleHash60]] for row-level callers. */
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Scalar twin of [[shingleHash60]] for row-level callers (streaming
+    * UDF hot path): the first 15 hex chars are the top 60 bits of the
+    * big-endian first 8 digest bytes, extracted with shifts — no hex
+    * string, no per-call MessageDigest construction (thread-local;
+    * digest() resets it).
+    */
   def shingleHash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    val hex = d.take(8).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val d = Md5Local.get().digest(s.getBytes("UTF-8"))
+    var l = 0L
+    var i = 0
+    while (i < 8) { l = (l << 8) | (d(i) & 0xffL); i += 1 }
+    l >>> 4
   }
 
   // ---- MinHash + LSH -----------------------------------------------------

@@ -23,7 +23,7 @@ final class LabelMatcher(labelToConcept: Seq[(String, String)]) extends Serializ
   @transient private lazy val buckets: Map[Char, Array[(String, String)]] =
     labelToConcept
       .filter(_._1.nonEmpty)
-      .map { case (l, c) => (l.toLowerCase, c) }
+      .map { case (l, c) => (l.toLowerCase(java.util.Locale.ROOT), c) }
       .distinct
       .groupBy(_._1.charAt(0))
       .view.mapValues(_.toArray).toMap
@@ -36,7 +36,7 @@ final class LabelMatcher(labelToConcept: Seq[(String, String)]) extends Serializ
     */
   def matchedConcepts(text: String): Seq[String] = {
     if (text == null || text.isEmpty) return Nil
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val found = scala.collection.mutable.SortedSet.empty[String]
     var i = 0
     val n = lower.length

@@ -28,12 +28,21 @@ class CurationOpsSpec extends SparkSpec {
     // stopwords present, no bullets/ellipses/symbols
     val healthy = (1 to 50).map(i => s"word$i").mkString(" ") +
       " the and of to in is a one two three"
+    // docs 4 and 5 are constructed so ONLY the bullet / ellipsis rule
+    // rejects them: every other signal is inside its threshold, which
+    // the per-signal asserts below pin down (so deleting either line
+    // conjunct from the keep expression fails this test)
+    val bulletDoc = (1 to 60)
+      .map(i => s"- the and word${i}a word${i}b word${i}c").mkString("\n")
+    val ellipsisDoc = (1 to 10)
+      .map(i => s"the and word${i}a word${i}b word${i}c" + (if (i % 2 == 0) "…" else ""))
+      .mkString("\n")
     val rows = Seq(
       1L -> healthy,                                           // keep
       2L -> "the and of short",                                // too few words
       3L -> (healthy + " #a #b #c #d" * 3),                    // symbol words 12/72 > 10%
-      4L -> ((1 to 30).map(i => s"- item$i the and").mkString("\n")), // bullet lines
-      5L -> healthy.replace(" ", "... \n").take(healthy.length), // ellipsis lines
+      4L -> bulletDoc,                                         // bullet lines only
+      5L -> ellipsisDoc,                                       // ellipsis lines only
       6L -> (1 to 60).map(_.toString).mkString(" "),           // no alpha, no stopwords
       7L -> ("the " * 60))                                     // top word 100%
     val out = CurationOps.qualityGate(rows.toDF("doc_id", "text"), "doc_id", "text")
@@ -41,6 +50,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0).getAs[Int]("keep") === 1, out(0).toString)
     assert(out.drop(1).forall(_.getAs[Int]("keep") == 0),
       out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).mkString(","))
+    // the bullet/ellipsis docs violate ONLY their own rule
+    def passesAllBut(r: org.apache.spark.sql.Row, except: String): Unit = {
+      val checks = Map[String, Boolean](
+        "n_words" -> { val n = r.getAs[Int]("n_words"); n >= 50 && n <= 100000 },
+        "avg_word_len" -> { val a = r.getAs[Double]("avg_word_len"); a >= 3.0 && a <= 10.0 },
+        "symbol_word_frac" -> (r.getAs[Double]("symbol_word_frac") <= 0.1),
+        "bullet_line_frac" -> (r.getAs[Double]("bullet_line_frac") < 0.9),
+        "ellipsis_line_frac" -> (r.getAs[Double]("ellipsis_line_frac") < 0.3),
+        "alpha_word_frac" -> (r.getAs[Double]("alpha_word_frac") >= 0.8),
+        "stop_hits" -> (r.getAs[Int]("stop_hits") >= 2),
+        "top_word_frac" -> (r.getAs[Double]("top_word_frac") <= 0.2),
+        "dup_bigram_frac" -> (r.getAs[Double]("dup_bigram_frac") <= 0.6))
+      checks.foreach { case (name, ok) =>
+        if (name == except) assert(!ok, s"$name should be the violated rule: $r")
+        else assert(ok, s"$name unexpectedly violated: $r")
+      }
+    }
+    passesAllBut(out(3), "bullet_line_frac")
+    passesAllBut(out(4), "ellipsis_line_frac")
     // signal spot checks
     assert(out(0).getAs[Int]("stop_hits") >= 2)
     assert(out(1).getAs[Int]("n_words") === 4)
@@ -94,8 +122,11 @@ class CurationOpsSpec extends SparkSpec {
 
   test("tokenBudgetMix keeps exactly the md5-order prefix within each budget") {
     import org.apache.spark.sql.functions.{concat, lit, md5}
-    val df = (1L to 20L)
+    val df = ((1L to 20L)
       .map(i => (i, if (i % 2 == 0) "a" else "b", ("w " * (i % 5 + 1).toInt).trim))
+      // a zero-token doc in an UNBUDGETED stratum: must never appear
+      // (0 <= budget-0 would otherwise admit it)
+      :+ ((21L, "c", "")))
       .toDF("doc_id", "lang", "text")
     val out = CurationOps.tokenBudgetMix(df, "doc_id", "lang", "text",
         budgets = Map("a" -> 10L), salt = "s")
