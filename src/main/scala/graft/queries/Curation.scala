@@ -117,6 +117,16 @@ object Curation {
           docsParallel(s, dir), "doc_id", "lang", "text",
           budgets = MixBudgets, salt = "mix")
         .orderBy($"lang", $"cum_tokens")
+    },
+
+    // ---- per-stratum corpus length statistics: the distribution
+    // summary that tunes curation thresholds (percentile_cont is the
+    // SQL-standard linear interpolation on exact integer token counts,
+    // so values agree across engines).
+    "q38_length_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.lengthPercentiles(docsParallel(s, dir), "doc_id", "lang", "text")
+        .orderBy($"lang")
     }
   )
 
@@ -310,6 +320,20 @@ object Curation {
         |  AND cum_tokens <= CASE lang
         |    WHEN 'de' THEN 1000 WHEN 'en' THEN 2000
         |    WHEN 'es' THEN 500 WHEN 'fr' THEN 1000 ELSE 0 END""".stripMargin,
+
+    "q38_length_percentiles" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       MIN(n_tokens) AS min_tokens,
+        |       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+        |       quantile_cont(n_tokens, 0.9) AS p90_tokens,
+        |       quantile_cont(n_tokens, 0.99) AS p99_tokens,
+        |       MAX(n_tokens) AS max_tokens,
+        |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+        |FROM toks GROUP BY lang""".stripMargin,
 
     "q34_asof_join" -> (EventsUsCte +
       """, p AS (

@@ -251,6 +251,31 @@ object CurationOps {
       .filter(col("cum_tokens") <= budget)
   }
 
+  // ---- corpus length statistics ------------------------------------------
+
+  /** Per-stratum token-count distribution summary (min/p50/p90/p99/max,
+    * mean, docs) — the numbers that set curation thresholds (length
+    * gates, chunk budgets). `percentile_cont` is the SQL-standard
+    * linear interpolation over exact integer token counts, computed
+    * identically by Spark and DuckDB; the mean goes through an exact
+    * integer sum divided once.
+    *
+    * One map-side-combined aggregation per stratum; the percentile
+    * aggregate sorts within each (small) group.
+    */
+  def lengthPercentiles(
+      df: DataFrame, idCol: String, stratumCol: String, textCol: String): DataFrame =
+    df.select(col(stratumCol), size(wordsCol(col(textCol))).as("n_tokens"))
+      .groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens)").as("p50_tokens"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens)").as("p90_tokens"),
+        expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY n_tokens)").as("p99_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"))
+
   // ---- TF-IDF keyword extraction -----------------------------------------
 
   /** Top-k characteristic terms per document by tf·idf with the linear

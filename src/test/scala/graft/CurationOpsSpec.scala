@@ -150,6 +150,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == expected)
   }
 
+  test("lengthPercentiles: exact interpolated quantiles per stratum") {
+    // stratum "a": token counts 1..5 -> p50 = 3.0, p90 = 1 + 0.9*4 = 4.6
+    val df = (1 to 5).map(i => (i.toLong, "a", ("w " * i).trim)) :+ ((9L, "b", "x y"))
+    val out = CurationOps.lengthPercentiles(
+        df.toDF("doc_id", "lang", "text"), "doc_id", "lang", "text")
+      .orderBy($"lang").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_docs") === 5)
+    assert(a.getAs[Int]("min_tokens") === 1 && a.getAs[Int]("max_tokens") === 5)
+    assert(a.getAs[Double]("p50_tokens") === 3.0)
+    assert(a.getAs[Double]("p90_tokens") === 4.6)
+    assert(a.getAs[Double]("mean_tokens") === 3.0)
+    assert(out(1).getAs[Double]("p50_tokens") === 2.0) // single doc
+  }
+
   test("repetitionStats degenerate docs: empty and single-word") {
     val out = CurationOps.repetitionStats(
       docs(1L -> "", 2L -> "word", 3L -> "   "), "doc_id", "text")
