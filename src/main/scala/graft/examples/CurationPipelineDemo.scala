@@ -1,0 +1,78 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.ConnectedComponents
+import graft.textops.{CurationOps, NearDup}
+
+/** The full training-corpus curation flow, chained over the test
+  * `documents` table — the composition a 100 TB pipeline runs, at
+  * demo scale. Run: `sbt "runMain graft.examples.CurationPipelineDemo"`.
+  *
+  * Stage order matters and mirrors production practice:
+  *  1. quality gate FIRST (cheapest per row, kills the most volume);
+  *  2. decontamination next (broadcast probe, no shuffle);
+  *  3. near-dup clustering on the survivors (the expensive stage runs
+  *     on the smallest corpus);
+  *  4. token-budget mix LAST so budgets are filled with clean,
+  *     deduplicated documents only.
+  */
+object CurationPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-curation-pipeline")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .repartition(4, $"doc_id")
+    val total = docs.count()
+
+    // 1. Gopher-rule quality gate
+    val keepIds = CurationOps.qualityGate(docs, "doc_id", "text")
+      .filter($"keep" === 1).select($"doc_id")
+    val quality = docs.join(keepIds, "doc_id")
+    val nQuality = quality.count()
+
+    // 2. benchmark decontamination (every 10th doc plays the eval set).
+    // 8-gram collision: the synthetic corpus draws from a small
+    // vocabulary, so short shingles collide everywhere — real pipelines
+    // use 8-13-gram windows for exactly this reason (only genuinely
+    // shared passages match).
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val clean = CurationOps.decontaminationFilter(
+      quality.filter($"doc_id" % 10 =!= 0), bench, "doc_id", "text", n = 8)
+    val nClean = clean.count()
+
+    // 3. near-dup clustering -> drop non-canonical copies
+    val pairs = NearDup.minhashLshPairs(
+      clean, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    val dropIds = ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
+      .filter($"keep" === 0).select($"doc_id")
+    val deduped = clean.join(dropIds, Seq("doc_id"), "left_anti")
+    val nDeduped = deduped.count()
+
+    // 4. per-language token-budget mix
+    val mixed = CurationOps.tokenBudgetMix(
+      deduped, "doc_id", "lang", "text",
+      budgets = Map("en" -> 2000L, "de" -> 1000L, "fr" -> 1000L, "es" -> 500L),
+      salt = "demo")
+
+    println(f"corpus:        $total%6d docs")
+    println(f"quality gate:  $nQuality%6d kept")
+    println(f"decontaminated:$nClean%6d kept (bench = every 10th doc)")
+    println(f"deduplicated:  $nDeduped%6d kept")
+    println("mixed corpus by language:")
+    mixed.groupBy($"lang")
+      .agg(count(lit(1)).as("docs"), sum($"n_tokens").as("tokens"))
+      .orderBy($"lang").show(false)
+    spark.stop()
+  }
+}
