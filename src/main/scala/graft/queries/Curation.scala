@@ -127,6 +127,16 @@ object Curation {
       import s.implicits._
       CurationOps.lengthPercentiles(docsParallel(s, dir), "doc_id", "lang", "text")
         .orderBy($"lang")
+    },
+
+    // ---- concat-and-chop sequence packing: each doc's global token
+    // span and training-sequence range in deterministic per-language
+    // order (512-token sequences).
+    "q39_sequence_pack" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.sequencePack(docsParallel(s, dir), "doc_id", "lang", "text",
+          seqLen = 512, salt = "pack")
+        .orderBy($"lang", $"start_offset")
     }
   )
 
@@ -334,6 +344,23 @@ object Curation {
         |       MAX(n_tokens) AS max_tokens,
         |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
         |FROM toks GROUP BY lang""".stripMargin,
+
+    "q39_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY lang
+        |           ORDER BY md5('pack' || CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS end_offset
+        |  FROM toks WHERE n_tokens > 0)
+        |SELECT doc_id, lang, n_tokens, end_offset,
+        |       end_offset - n_tokens AS start_offset,
+        |       CAST(FLOOR((end_offset - n_tokens) / 512) AS BIGINT) AS first_seq,
+        |       CAST(FLOOR((end_offset - 1) / 512) AS BIGINT) AS last_seq
+        |FROM cum""".stripMargin,
 
     "q34_asof_join" -> (EventsUsCte +
       """, p AS (

@@ -251,6 +251,37 @@ object CurationOps {
       .filter(col("cum_tokens") <= budget)
   }
 
+  // ---- sequence packing (concat-and-chop) --------------------------------
+
+  /** GPT-style sequence packing offsets: documents are concatenated in
+    * deterministic (salted-md5, id) order within each stratum and
+    * chopped into fixed `seqLen`-token training sequences; each document
+    * gets its global token span and the range of sequences it lands in
+    * (a doc may straddle a boundary — the attention mask handles that
+    * downstream, which is why concat-and-chop wastes no tokens).
+    * Zero-token documents are dropped (they occupy no span).
+    *
+    * All arithmetic is exact integers, so the assignment is
+    * reproducible and oracle-checkable. One shuffle per stratum for the
+    * running sum — the same per-shard packing shape production uses
+    * (each shard packs its own stream; no global order exists at 100 TB
+    * and none is needed).
+    */
+  def sequencePack(
+      df: DataFrame, idCol: String, stratumCol: String, textCol: String,
+      seqLen: Int, salt: String): DataFrame = {
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(stratumCol),
+        size(wordsCol(col(textCol))).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("end_offset") - col("n_tokens"))
+      .withColumn("first_seq", floor(col("start_offset") / seqLen).cast("long"))
+      .withColumn("last_seq", floor((col("end_offset") - 1) / seqLen).cast("long"))
+  }
+
   // ---- corpus length statistics ------------------------------------------
 
   /** Per-stratum token-count distribution summary (min/p50/p90/p99/max,

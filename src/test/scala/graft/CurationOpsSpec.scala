@@ -150,6 +150,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == expected)
   }
 
+  test("sequencePack: contiguous spans, boundary straddling, empty docs dropped") {
+    import org.apache.spark.sql.functions.{concat, lit, md5}
+    val df = Seq(
+      (1L, "a", "w w w"),       // 3 tokens
+      (2L, "a", "w w w w"),     // 4 tokens
+      (3L, "a", ""),            // dropped
+      (4L, "a", "w w"),         // 2 tokens
+      (5L, "b", "w w w w w w")) // own stratum: 6 tokens -> seqs 0..1
+      .toDF("doc_id", "lang", "text")
+    val out = CurationOps.sequencePack(df, "doc_id", "lang", "text", seqLen = 5, salt = "s")
+      .orderBy($"lang", $"start_offset").collect()
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(3L))
+    // spans are contiguous within a stratum: start(k) == end(k-1)
+    val aRows = out.filter(_.getAs[String]("lang") == "a")
+    assert(aRows.head.getAs[Long]("start_offset") === 0L)
+    aRows.sliding(2).foreach {
+      case Array(p, n) =>
+        assert(n.getAs[Long]("start_offset") === p.getAs[Long]("end_offset"))
+      case _ =>
+    }
+    // total 9 tokens in "a" -> last end_offset 9; a doc spanning the
+    // 5-token boundary straddles sequences (first_seq < last_seq)
+    assert(aRows.last.getAs[Long]("end_offset") === 9L)
+    val straddler = aRows.find(r =>
+      r.getAs[Long]("start_offset") < 5 && r.getAs[Long]("end_offset") > 5)
+    straddler.foreach { r =>
+      assert(r.getAs[Long]("first_seq") === 0L && r.getAs[Long]("last_seq") === 1L)
+    }
+    // every row: first_seq = start/5, last_seq = (end-1)/5
+    out.foreach { r =>
+      assert(r.getAs[Long]("first_seq") === r.getAs[Long]("start_offset") / 5)
+      assert(r.getAs[Long]("last_seq") === (r.getAs[Long]("end_offset") - 1) / 5)
+    }
+    // the b stratum packs independently from offset 0
+    val b = out.filter(_.getAs[String]("lang") == "b").head
+    assert(b.getAs[Long]("start_offset") === 0L && b.getAs[Long]("last_seq") === 1L)
+  }
+
   test("lengthPercentiles: exact interpolated quantiles per stratum") {
     // stratum "a": token counts 1..5 -> p50 = 3.0, p90 = 1 + 0.9*4 = 4.6
     val df = (1 to 5).map(i => (i.toLong, "a", ("w " * i).trim)) :+ ((9L, "b", "x y"))
