@@ -47,8 +47,12 @@ object CurationPipelineDemo {
     // use 8-13-gram windows for exactly this reason (only genuinely
     // shared passages match).
     val bench = docs.filter($"doc_id" % 10 === 0)
+    // persist: everything downstream (LSH pairs, counts, the mix) reads
+    // the survivors several times — without this the quality gate and
+    // the shingle-probe UDF recompute per action
     val clean = CurationOps.decontaminationFilter(
       quality.filter($"doc_id" % 10 =!= 0), bench, "doc_id", "text", n = 8)
+      .persist()
     val nClean = clean.count()
 
     // 3. near-dup clustering -> drop non-canonical copies
@@ -56,7 +60,7 @@ object CurationPipelineDemo {
       clean, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
     val dropIds = ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
       .filter($"keep" === 0).select($"doc_id")
-    val deduped = clean.join(dropIds, Seq("doc_id"), "left_anti")
+    val deduped = clean.join(dropIds, Seq("doc_id"), "left_anti").persist()
     val nDeduped = deduped.count()
 
     // 4. per-language token-budget mix

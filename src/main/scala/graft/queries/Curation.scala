@@ -125,7 +125,7 @@ object Curation {
     // so values agree across engines).
     "q38_length_percentiles" -> { (s, dir) =>
       import s.implicits._
-      CurationOps.lengthPercentiles(docsParallel(s, dir), "doc_id", "lang", "text")
+      CurationOps.lengthPercentiles(docsParallel(s, dir), "lang", "text")
         .orderBy($"lang")
     },
 
@@ -149,6 +149,18 @@ object Curation {
   // The shared words CTE (TextOps.WordsCte) is the DuckDB twin of
   // TextTokens.wordsCol — one definition for every tokenizing oracle.
   private val WordsCte = TextOps.WordsCte
+
+  /** Per-doc token COUNTS as a CTE — the DuckDB twin of
+    * `size(TextTokens.wordsCol(text))`. ONE definition for q37/q38/q39:
+    * a tokenizer change that drifts from the Spark side is a silent
+    * gate hash mismatch, so no oracle inlines its own copy.
+    */
+  private val ToksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tokens
+      |  FROM documents
+      |)""".stripMargin
 
   /** Micros-truncated event view: Spark reads ts as ns and truncates to
     * micros in Tables.load, so the oracle must compare/aggregate at the
@@ -314,12 +326,8 @@ object Curation {
         |    THEN 1 ELSE 0 END AS keep
         |FROM sig""".stripMargin),
 
-    "q37_token_budget_mix" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |         len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tokens
-        |  FROM documents),
-        |cum AS (
+    "q37_token_budget_mix" -> (ToksCte +
+      """, cum AS (
         |  SELECT doc_id, lang, n_tokens,
         |         SUM(n_tokens) OVER (PARTITION BY lang
         |           ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id
@@ -329,13 +337,10 @@ object Curation {
         |WHERE lang IN ('de', 'en', 'es', 'fr')
         |  AND cum_tokens <= CASE lang
         |    WHEN 'de' THEN 1000 WHEN 'en' THEN 2000
-        |    WHEN 'es' THEN 500 WHEN 'fr' THEN 1000 ELSE 0 END""".stripMargin,
+        |    WHEN 'es' THEN 500 WHEN 'fr' THEN 1000 ELSE 0 END""".stripMargin),
 
-    "q38_length_percentiles" ->
-      """WITH toks AS (
-        |  SELECT lang,
-        |         len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tokens
-        |  FROM documents)
+    "q38_length_percentiles" -> (ToksCte +
+      """
         |SELECT lang, COUNT(*) AS n_docs,
         |       MIN(n_tokens) AS min_tokens,
         |       quantile_cont(n_tokens, 0.5) AS p50_tokens,
@@ -343,14 +348,10 @@ object Curation {
         |       quantile_cont(n_tokens, 0.99) AS p99_tokens,
         |       MAX(n_tokens) AS max_tokens,
         |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
-        |FROM toks GROUP BY lang""".stripMargin,
+        |FROM toks GROUP BY lang""".stripMargin),
 
-    "q39_sequence_pack" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |         len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0)) AS n_tokens
-        |  FROM documents),
-        |cum AS (
+    "q39_sequence_pack" -> (ToksCte +
+      """, cum AS (
         |  SELECT doc_id, lang, n_tokens,
         |         SUM(n_tokens) OVER (PARTITION BY lang
         |           ORDER BY md5('pack' || CAST(doc_id AS VARCHAR)), doc_id
@@ -358,9 +359,9 @@ object Curation {
         |  FROM toks WHERE n_tokens > 0)
         |SELECT doc_id, lang, n_tokens, end_offset,
         |       end_offset - n_tokens AS start_offset,
-        |       CAST(FLOOR((end_offset - n_tokens) / 512) AS BIGINT) AS first_seq,
-        |       CAST(FLOOR((end_offset - 1) / 512) AS BIGINT) AS last_seq
-        |FROM cum""".stripMargin,
+        |       (end_offset - n_tokens) // 512 AS first_seq,
+        |       (end_offset - 1) // 512 AS last_seq
+        |FROM cum""".stripMargin),
 
     "q34_asof_join" -> (EventsUsCte +
       """, p AS (

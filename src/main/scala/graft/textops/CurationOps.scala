@@ -261,7 +261,9 @@ object CurationOps {
     * downstream, which is why concat-and-chop wastes no tokens).
     * Zero-token documents are dropped (they occupy no span).
     *
-    * All arithmetic is exact integers, so the assignment is
+    * All arithmetic is exact integers (`div`, not double division — a
+    * per-shard stream past 2^53 cumulative tokens would silently lose
+    * boundary exactness in a double mantissa), so the assignment is
     * reproducible and oracle-checkable. One shuffle per stratum for the
     * running sum — the same per-shard packing shape production uses
     * (each shard packs its own stream; no global order exists at 100 TB
@@ -278,8 +280,8 @@ object CurationOps {
       .filter(col("n_tokens") > 0)
       .withColumn("end_offset", sum(col("n_tokens")).over(w))
       .withColumn("start_offset", col("end_offset") - col("n_tokens"))
-      .withColumn("first_seq", floor(col("start_offset") / seqLen).cast("long"))
-      .withColumn("last_seq", floor((col("end_offset") - 1) / seqLen).cast("long"))
+      .withColumn("first_seq", expr(s"start_offset div $seqLen"))
+      .withColumn("last_seq", expr(s"(end_offset - 1) div $seqLen"))
   }
 
   // ---- corpus length statistics ------------------------------------------
@@ -295,7 +297,7 @@ object CurationOps {
     * aggregate sorts within each (small) group.
     */
   def lengthPercentiles(
-      df: DataFrame, idCol: String, stratumCol: String, textCol: String): DataFrame =
+      df: DataFrame, stratumCol: String, textCol: String): DataFrame =
     df.select(col(stratumCol), size(wordsCol(col(textCol))).as("n_tokens"))
       .groupBy(col(stratumCol))
       .agg(

@@ -192,7 +192,7 @@ class CurationOpsSpec extends SparkSpec {
     // stratum "a": token counts 1..5 -> p50 = 3.0, p90 = 1 + 0.9*4 = 4.6
     val df = (1 to 5).map(i => (i.toLong, "a", ("w " * i).trim)) :+ ((9L, "b", "x y"))
     val out = CurationOps.lengthPercentiles(
-        df.toDF("doc_id", "lang", "text"), "doc_id", "lang", "text")
+        df.toDF("doc_id", "lang", "text"), "lang", "text")
       .orderBy($"lang").collect()
     val a = out(0)
     assert(a.getAs[Long]("n_docs") === 5)
