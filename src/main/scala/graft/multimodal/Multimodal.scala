@@ -72,6 +72,57 @@ object Multimodal {
     }
   }
 
+  final case class FrameRow(
+      media_id: Long,
+      frame_index: Int,
+      ts_ms: Long,
+      frame_sha256: String)   // stub frame payload id (real: decoded pixels)
+
+  /** Fixed-stride frame sampling for video rows: one output row per
+    * sampled timestamp (`everyMs` apart, from 0 up to the decoded
+    * duration). The row-explosion plumbing is real — output cardinality
+    * is duration-bounded, each frame row carries its timestamp and a
+    * deterministic frame id — while the pixel decode is the honest stub
+    * (a real impl slices the decoded stream at ts_ms inside the same
+    * mapPartitions, with the codec opened once per partition).
+    *
+    * Non-video rows emit nothing; a task's output is bounded by its
+    * input BYTE budget (see [[repartitionBySize]]), not row count.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
+    require(everyMs > 0, s"frame stride must be positive, got $everyMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      rows.filter(_.kind == "video").flatMap { row =>
+        val f = StubDecoder.decode(row)
+        (0L to f.duration_ms by everyMs).iterator.zipWithIndex.map { case (ts, i) =>
+          // stub frame id: payload digest + timestamp (deterministic)
+          sha.reset()
+          sha.update(row.bytes)
+          sha.update(java.nio.ByteBuffer.allocate(8).putLong(ts).array())
+          FrameRow(row.media_id, i, ts, sha.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** Batched decode/inference shape: partitions stream through in
+    * `batchSize` groups, the contract a vectorized model runner needs
+    * (one device transfer per batch, bounded peak memory — never the
+    * whole partition materialized). The batch function sees at most
+    * `batchSize` rows per call and every row exactly once.
+    */
+  def decodeBatched(
+      media: Dataset[MediaRow], batchSize: Int)(
+      batchFn: Seq[MediaRow] => Seq[MediaFeatures]): Dataset[MediaFeatures] = {
+    require(batchSize > 0, s"batch size must be positive, got $batchSize")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(batchFn))
+  }
+
   /** Exact-duplicate media detection by payload hash — same hash-groupBy
     * shape as text dedup, over binary.
     */

@@ -216,4 +216,40 @@ class MultimodalSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 4)
     assert(df.count() == media.length)
   }
+
+  test("sampleFrames: stride-spaced, duration-bounded, video-only, deterministic") {
+    val ds = spark.createDataset(media)
+    val frames = Multimodal.sampleFrames(ds, everyMs = 500L).collect()
+    val videos = media.filter(_.kind == "video")
+    assert(frames.map(_.media_id).toSet == videos.map(_.media_id).toSet)
+    val durations = Multimodal.decodeFeatures(ds).collect()
+      .map(f => f.media_id -> f.duration_ms).toMap
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      val sorted = fs.sortBy(_.frame_index)
+      // frames at 0, 500, 1000, ... up to duration — count matches stride
+      assert(sorted.map(_.ts_ms).toSeq ==
+        (0L to durations(id) by 500L).toSeq, s"media $id")
+      assert(sorted.map(_.frame_index).toSeq == sorted.indices.toSeq)
+      assert(fs.map(_.frame_sha256).distinct.length == fs.length) // per-frame ids differ
+    }
+    // determinism
+    val again = Multimodal.sampleFrames(ds, everyMs = 500L).collect()
+    assert(again.map(f => (f.media_id, f.frame_index, f.frame_sha256)).toSet ==
+      frames.map(f => (f.media_id, f.frame_index, f.frame_sha256)).toSet)
+  }
+
+  test("decodeBatched: every row exactly once, batches never exceed the cap") {
+    val ds = spark.createDataset(media).repartition(2)
+    val seen = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val out = Multimodal.decodeBatched(ds, batchSize = 3) { batch =>
+      seen.add(batch.length)
+      batch.map(Multimodal.StubDecoder.decode)
+    }.collect()
+    assert(out.length == media.length)
+    assert(out.map(_.media_id).toSet == media.map(_.media_id).toSet)
+    import scala.jdk.CollectionConverters._
+    val sizes = seen.value.asScala.toSeq
+    assert(sizes.nonEmpty && sizes.forall(s => s > 0 && s <= 3))
+    assert(sizes.sum == media.length)
+  }
 }
