@@ -101,6 +101,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == corpus.select($"doc_id").as[Long].collect().toSet -- flagged)
   }
 
+  test("qualityGate is stateless and applies unchanged to a streaming frame") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val healthy = (1 to 50).map(i => s"word$i").mkString(" ") +
+      " the and of to in is a one two three"
+    val stream = MemoryStream[(Long, String)]
+    val gated = CurationOps.qualityGate(
+        stream.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .filter($"keep" === 1).select($"doc_id")
+    val q = gated.writeStream.format("memory").queryName("qgate").start()
+    stream.addData((1L, healthy), (2L, "too short"))
+    q.processAllAvailable()
+    val kept = spark.table("qgate").as[Long].collect().toSeq
+    q.stop()
+    assert(kept == Seq(1L))
+  }
+
   test("decontaminationFilter is stateless over a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
