@@ -137,8 +137,61 @@ object Curation {
       CurationOps.sequencePack(docsParallel(s, dir), "doc_id", "lang", "text",
           seqLen = 512, salt = "pack")
         .orderBy($"lang", $"start_offset")
+    },
+
+    // ---- C4-style cross-document segment dedup: repeated 3-word spans
+    // removed from every doc but their first (doc_id, seg_idx) holder,
+    // with the cleaned text reconstructed.
+    "q40_segment_dedup" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.segmentDedup(docsParallel(s, dir), "doc_id", "text", segWords = SegWords)
+        .orderBy($"doc_id")
+    },
+
+    // ---- PII scrub over a contact blob derived from real customer
+    // columns (the synthetic corpus carries no digits or addresses, so
+    // the fixture column manufactures deterministic emails/phones/SSNs
+    // from c_custkey — including a phone-shaped digit run INSIDE an
+    // email local part every third row, which is exactly the case the
+    // email-first redaction order exists for).
+    "q41_pii_scrub" -> { (s, dir) =>
+      import s.implicits._
+      val k = $"c_custkey"
+      val blob = concat(
+        $"c_name", lit(" "),
+        lower(regexp_replace($"c_name", "Customer#", "c")), lit("@corp.example call "),
+        format_string("(%03d) %03d-%04d", k % 1000, (k * 7) % 1000, k % 10000),
+        lit(" ssn "),
+        format_string("%03d-%02d-%04d", (k * 3) % 1000, k % 100, (k * 11) % 10000),
+        when(k % 3 === 0,
+            concat(lit(" alt x555."), format_string("%03d", (k % 900) + 100), lit("."),
+              format_string("%04d", k % 10000), lit("@mail.example")))
+          .otherwise(lit("")))
+      val counts = graft.textops.TextAnalysis.piiCounts($"text")
+      Tables.load(s, dir, "customer")
+        .select(k, blob.as("text"))
+        .select(k,
+          counts.getField("emails").as("emails"),
+          counts.getField("phones").as("phones"),
+          counts.getField("ssns").as("ssns"),
+          graft.textops.TextAnalysis.redactPii($"text").as("redacted"))
+        .orderBy(k)
+    },
+
+    // ---- unigram surprisal in whole bits: the exact-integer surrogate
+    // for LM-perplexity quality scoring (rare-word-heavy docs score
+    // high).
+    "q42_unigram_surprisal" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.unigramSurprisal(docsParallel(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
     }
   )
+
+  /** q40's segment width in words — mirrored into the oracle's slicing
+    * arithmetic.
+    */
+  private val SegWords = 3
 
   /** Per-language token budgets for q37 — mirrored literally into the
     * oracle's CASE expression.
@@ -362,6 +415,75 @@ object Curation {
         |       (end_offset - n_tokens) // 512 AS first_seq,
         |       (end_offset - 1) // 512 AS last_seq
         |FROM cum""".stripMargin),
+
+    // Oracle-side first-occurrence uses a ROW_NUMBER window — semantically
+    // the argmin(struct) the Spark side computes (the (doc_id, seg_idx)
+    // order is total), just in the form DuckDB optimizes; both engines
+    // bucket by the SAME 60-bit md5 hash so even a hash collision
+    // resolves identically.
+    "q40_segment_dedup" -> (WordsCte +
+      s""", segs AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(ws[(i*$SegWords+1):((i+1)*$SegWords)], ' ') AS seg
+        |  FROM words, unnest(generate_series(0, CAST(ceil(len(ws)/$SegWords.0) AS INT) - 1)) t(i)
+        |), hashed AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS h
+        |  FROM segs
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) AS rn
+        |  FROM hashed)
+        |SELECT doc_id, COUNT(*) AS n_segs,
+        |       CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       COALESCE(array_to_string(list(seg ORDER BY seg_idx) FILTER (WHERE rn = 1), ' '),
+        |                '') AS kept_text
+        |FROM ranked GROUP BY doc_id""".stripMargin),
+
+    // The blob, patterns, and replacement order mirror the Spark side
+    // exactly; the oracle regexes drop the Java-only (?<!…)/(?!…) digit
+    // guards (RE2 has no lookaround), which is sound here because every
+    // manufactured phone/SSN in the blob is whitespace- or
+    // punctuation-delimited — the guarded and unguarded patterns agree
+    // on this data (guard semantics are pinned by CurationOpsSpec).
+    "q41_pii_scrub" ->
+      """WITH blob AS (
+        |  SELECT c_custkey,
+        |    c_name || ' ' || lower(replace(c_name, 'Customer#', 'c')) || '@corp.example'
+        |      || ' call ' || printf('(%03d) %03d-%04d',
+        |                            c_custkey % 1000, (c_custkey * 7) % 1000, c_custkey % 10000)
+        |      || ' ssn ' || printf('%03d-%02d-%04d',
+        |                           (c_custkey * 3) % 1000, c_custkey % 100, (c_custkey * 11) % 10000)
+        |      || CASE WHEN c_custkey % 3 = 0
+        |              THEN ' alt x555.' || printf('%03d', (c_custkey % 900) + 100) || '.'
+        |                   || printf('%04d', c_custkey % 10000) || '@mail.example'
+        |              ELSE '' END AS text
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS emails,
+        |  len(regexp_extract_all(text,
+        |      '(\+?1[ .-]?)?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}')) AS phones,
+        |  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS ssns,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |    '(\+?1[ .-]?)?(\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}',
+        |    '<PHONE>', 'g') AS redacted
+        |FROM blob""".stripMargin,
+
+    // Same tf-compressed algebra as the Spark side: per-(doc, term)
+    // counts first, then the frequency join — sum(tf * bits) over that
+    // equals the per-token sum exactly.
+    "q42_unigram_surprisal" -> (WordsCte +
+      """, t AS (SELECT doc_id, unnest(ws) AS term FROM words),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |freq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(tf * len(bin(total // cnt))) AS BIGINT) AS sum_bits,
+        |       CAST(SUM(tf * len(bin(total // cnt))) AS DOUBLE) / SUM(tf) AS mean_bits
+        |FROM tf JOIN freq USING (term), tot
+        |GROUP BY doc_id""".stripMargin),
 
     "q34_asof_join" -> (EventsUsCte +
       """, p AS (

@@ -309,6 +309,95 @@ object CurationOps {
         max(col("n_tokens")).as("max_tokens"),
         (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"))
 
+  // ---- cross-document segment dedup (C4-style, keep first) ---------------
+
+  /** C4-style cross-document span deduplication: each document is cut
+    * into consecutive `segWords`-word segments (the last may be short),
+    * and every segment that already occurred earlier in the corpus —
+    * "earlier" meaning the globally smallest `(doc_id, seg_idx)` — is
+    * dropped from later documents. Returns per-document segment counts
+    * and the reconstructed text with only first-occurrence segments, the
+    * repeated-span removal C4 applies at three-sentence granularity
+    * (Raffel et al. 2020 §2.2; fixed word windows here because span
+    * semantics, not sentence splitting, is the operator).
+    *
+    * Scale shape: segments reduce to the engine-wide 60-bit md5 hash and
+    * the first occurrence per hash is `min(struct(doc_id, seg_idx))` — a
+    * map-side-combinable aggregate, so a boilerplate segment repeated
+    * 10^6 times still combines to one row per map task BEFORE the
+    * shuffle. (A `row_number` window over the hash would sort each
+    * hash's full multiplicity in one task — exactly the skew this
+    * avoids.) Then one hash-join back and one groupBy per document for
+    * the rebuild. Empty documents carry no segments and are dropped.
+    */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String, segWords: Int): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    val ws = col("__ws")
+    // Guarded: sequence(0, -1) yields a DESCENDING [0, -1] array, so an
+    // empty doc must short-circuit to an empty segment list instead.
+    val nSegs = ceil(size(ws) / lit(segWords.toDouble)).cast("long")
+    val segsExpr = when(size(ws) > 0,
+        transform(sequence(lit(0L), nSegs - 1),
+          i => concat_ws(" ", slice(ws, (i * segWords + 1).cast("int"), lit(segWords)))))
+      .otherwise(array().cast("array<string>"))
+    val segs = df
+      .select(col(idCol), wordsCol(col(textCol)).as("__ws"))
+      .select(col(idCol), posexplode(segsExpr).as(Seq("seg_idx", "seg")))
+      .withColumn("__h", NearDup.shingleHash60(col("seg")))
+    val firsts = segs
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("fid"), col("seg_idx").as("fidx"))).as("__first"))
+    segs.join(firsts, "__h")
+      .withColumn("__keep",
+        col(idCol) === col("__first.fid") && col("seg_idx") === col("__first.fidx"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        (count(lit(1)) - sum(col("__keep").cast("long"))).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("__keep"), struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg"))).as("kept_text"))
+  }
+
+  // ---- unigram surprisal scoring -----------------------------------------
+
+  /** Per-document mean unigram surprisal in whole bits: each token
+    * scores `floor-ish log2(total_tokens / count(token))` computed as
+    * the BINARY DIGIT COUNT of the integer quotient — `length(bin(total
+    * div cnt))` — so the signal is exact integer arithmetic end to end
+    * and bit-identical across engines. This is the cross-engine-exact
+    * surrogate for LM-perplexity filtering (CCNet/DCLM score documents
+    * with a real LM; a libm `log` would hinge on ulp agreement between
+    * engines, so the quantized form is the policy-compliant shape —
+    * swap in a model UDF upstream for production scoring). High mean
+    * bits = rare-word-heavy (or noisy) document; low = common-word
+    * prose.
+    *
+    * Scale shape: tokens are first reduced to per-document term counts
+    * (map-side combined, like [[tfidfTopK]]), so the frequency join
+    * moves distinct (doc, term) pairs rather than every token; the
+    * corpus total is a broadcast single row. The term join relies on
+    * AQE for hot-term skew; the frequency table itself is 1 row per
+    * distinct term.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(wordsCol(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    tf.join(freq, "term")
+      .join(broadcast(total))
+      .withColumn("__bits", length(bin(expr("total div cnt"))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("__bits")).as("sum_bits"),
+        (sum(col("tf") * col("__bits")).cast("double") / sum(col("tf"))).as("mean_bits"))
+  }
+
   // ---- TF-IDF keyword extraction -----------------------------------------
 
   /** Top-k characteristic terms per document by tf·idf with the linear

@@ -56,7 +56,16 @@ object PlanCheck {
     // (a range join would explode at scale)
     Expectation("q34_asof_join",
       mustContain = Seq("Window"),
-      mustNotContain = Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct")),
+    // first-occurrence must stay a map-side-combinable min(struct)
+    // aggregate — a Window over the segment hash would sort each hash's
+    // full multiplicity in one task (boilerplate-segment skew)
+    Expectation("q40_segment_dedup",
+      mustContain = Seq("HashAggregate"), mustNotContain = Seq("Window ")),
+    // PII scrub is chained regexp_replace — pure per-row, no aggregates
+    Expectation("q41_pii_scrub",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")),
+    Expectation("q42_unigram_surprisal", mustContain = Seq("HashAggregate")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -333,4 +333,60 @@ class CurationOpsSpec extends SparkSpec {
     assert(row.getAs[Int]("phones") === 1)
     assert(row.getAs[Int]("ssns") === 1)
   }
+
+  test("segmentDedup keeps only the first (doc_id, seg_idx) holder of each segment") {
+    val df = docs(
+      1L -> "a b c d e f", // segs: "a b c", "d e f" — both first occurrences
+      2L -> "a b c x y",   // "a b c" repeats doc 1 seg 0; "x y" is a short first
+      3L -> "x y",         // exactly doc 2's short segment -> dropped entirely
+      4L -> "")            // no words -> no segments -> absent from output
+    val out = CurationOps.segmentDedup(df, "doc_id", "text", segWords = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_dropped"), r.getAs[String]("kept_text"))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((2L, 0L, "a b c d e f")))
+    assert(out(2L) === ((2L, 1L, "x y")))
+    assert(out(3L) === ((1L, 1L, "")))
+  }
+
+  test("segmentDedup drops within-document repeats after the first") {
+    val df = docs(7L -> "p q r p q r p q")
+    // segs: "p q r" (kept), "p q r" (dup), "p q" (short, first)
+    val row = CurationOps.segmentDedup(df, "doc_id", "text", segWords = 3).collect().head
+    assert(row.getAs[Long]("n_segs") === 3L)
+    assert(row.getAs[Long]("n_dropped") === 1L)
+    assert(row.getAs[String]("kept_text") === "p q r p q")
+  }
+
+  test("segmentDedup reconstruction preserves segment order") {
+    val df = docs(
+      1L -> "z z z",
+      2L -> "h h h z z z t t t") // middle segment dropped, ends kept in order
+    val out = CurationOps.segmentDedup(df, "doc_id", "text", segWords = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("kept_text")).toMap
+    assert(out(2L) === "h h h t t t")
+  }
+
+  test("unigramSurprisal: exact whole-bit scores from corpus counts") {
+    // counts: a=6, b=1, c=1; total=8
+    // bits(term) = length(bin(total div cnt)): a -> bin(1)="1" -> 1;
+    // b, c -> bin(8)="1000" -> 4
+    val df = docs(1L -> "a a a a", 2L -> "a a b c")
+    val out = CurationOps.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_bits"), r.getAs[Double]("mean_bits"))))
+      .toMap
+    assert(out(1L) === ((4L, 4L, 1.0)))
+    assert(out(2L) === ((4L, 10L, 2.5)))
+  }
+
+  test("unigramSurprisal ranks a rare-word doc above common-word prose") {
+    val common = (1 to 20).map(_ => "the cat sat").mkString(" ")
+    val rare = "qwyjibo zxqv flurble the cat sat"
+    val out = CurationOps.unigramSurprisal(
+        docs(1L -> common, 2L -> rare), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_bits")).toMap
+    assert(out(2L) > out(1L))
+  }
 }
