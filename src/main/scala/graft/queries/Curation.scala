@@ -185,8 +185,52 @@ object Curation {
       import s.implicits._
       CurationOps.unigramSurprisal(docsParallel(s, dir), "doc_id", "text")
         .orderBy($"doc_id")
+    },
+
+    // ---- boundary-preserving next-fit packing: q39's complement for
+    // objectives that must not split documents; sequential fold made
+    // scalable by per-(lang, shard) secondary sort.
+    "q43_pack_next_fit" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.packNextFit(docsParallel(s, dir), "doc_id", "lang", "text",
+          seqLen = 512, nShards = PackShards, salt = "packfit")
+        .withColumnRenamed("stratum", "lang")
+        .orderBy($"lang", $"shard", $"bin_idx", $"bin_offset")
+    },
+
+    // ---- bucketed time-proximity range join: views within ±5 minutes
+    // of each purchase (any user) — the equi-join form of a non-equi
+    // |Δt| predicate.
+    "q44_time_proximity" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"event_id", $"ts".as("purchase_ts"))
+      val views = e.filter($"event_type" === "view").select($"ts")
+      graft.temporal.Temporal.proximityAgg(
+          purchases, views, Seq("event_id"), "purchase_ts", "ts", radiusSec = 300)
+        .withColumnRenamed("n_near", "n_near_views")
+        .orderBy($"event_id")
+    },
+
+    // ---- lead/lag inter-event gaps per user: the dwell-time signal
+    // (windows over the (user, ts, event_id) total order — deterministic
+    // tiebreak, so both engines agree row-for-row).
+    "q47_event_gaps" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts", $"event_type",
+          (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))).as("prev_gap_us"),
+          (unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts")).as("next_gap_us"),
+          lag($"event_type", 1).over(w).as("prev_type"))
+        .orderBy($"event_id")
     }
   )
+
+  /** q43's shard fan-out per language — mirrored into the oracle. */
+  private val PackShards = 4
 
   /** q40's segment width in words — mirrored into the oracle's slicing
     * arithmetic.
@@ -484,6 +528,55 @@ object Curation {
         |       CAST(SUM(tf * len(bin(total // cnt))) AS DOUBLE) / SUM(tf) AS mean_bits
         |FROM tf JOIN freq USING (term), tot
         |GROUP BY doc_id""".stripMargin),
+
+    // Sequential fold as a recursive CTE: one step per row within each
+    // (lang, shard) group, chained on the ROW_NUMBER of the same salted
+    // order the Spark side secondary-sorts by. `fill` carries the
+    // running bin occupancy; the CASE mirrors the next-fit rule
+    // (close-and-open on overflow, oversized doc occupies a bin alone).
+    "q43_pack_next_fit" -> (ToksCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", ord AS (
+        |  SELECT doc_id, lang, doc_id % $PackShards AS shard, n_tokens,
+        |         ROW_NUMBER() OVER (PARTITION BY lang, doc_id % $PackShards
+        |           ORDER BY md5('packfit' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM toks WHERE n_tokens > 0
+        |), pack AS (
+        |  SELECT doc_id, lang, shard, n_tokens, rn,
+        |         CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS bin_offset,
+        |         CAST(n_tokens AS BIGINT) AS fill
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.lang, o.shard, o.n_tokens, o.rn,
+        |    CASE WHEN p.fill + o.n_tokens <= 512 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+        |    CASE WHEN p.fill + o.n_tokens <= 512 THEN p.fill ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN p.fill + o.n_tokens <= 512 THEN p.fill + o.n_tokens
+        |         ELSE CAST(o.n_tokens AS BIGINT) END
+        |  FROM pack p JOIN ord o
+        |    ON o.lang = p.lang AND o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT doc_id, lang, shard, n_tokens, bin_idx, bin_offset FROM pack""".stripMargin),
+
+    // The naive form of the Spark side's bucketed equi join — DuckDB
+    // plans the |Δt| predicate as an IEJoin, fine at oracle scale.
+    "q44_time_proximity" -> (EventsUsCte +
+      """, p AS (
+        |  SELECT event_id, ts AS purchase_ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT ts AS view_ts FROM e WHERE event_type = 'view')
+        |SELECT p.event_id, p.purchase_ts,
+        |       COUNT(v.view_ts) AS n_near_views,
+        |       MIN(ABS(epoch_us(v.view_ts) - epoch_us(p.purchase_ts))) AS min_gap_us
+        |FROM p LEFT JOIN v
+        |  ON ABS(epoch_us(v.view_ts) - epoch_us(p.purchase_ts)) <= 300000000
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q47_event_gaps" -> (EventsUsCte +
+      """
+        |SELECT event_id, user_id, ts, event_type,
+        |  epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS prev_gap_us,
+        |  epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS next_gap_us,
+        |  LAG(event_type) OVER w AS prev_type
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin),
 
     "q34_asof_join" -> (EventsUsCte +
       """, p AS (

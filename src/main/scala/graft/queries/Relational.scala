@@ -285,6 +285,18 @@ object Relational {
         .agg(count(lit(1)).as("n_items"),
              sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
         .orderBy($"r_name", $"n_name")
+    },
+
+    // ---- CUBE over two group keys: all four grouping sets in ONE pass
+    // over the fact table (each map task emits partial aggregates per
+    // set — no re-scan per set, which is the point of cube at scale).
+    "q46_cube_revenue" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+             sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
+        .orderBy($"l_returnflag", $"l_linestatus")
     }
   )
 
@@ -404,6 +416,12 @@ object Relational {
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q46_cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
   )
 }

@@ -98,6 +98,16 @@ object TextOps {
           explode(graft.textops.NearDup.shinglesCol($"text", 3)).as("shingle"))
         .groupBy($"doc_id").agg(min(md5($"shingle")).as("fingerprint"))
         .orderBy($"doc_id")
+    },
+
+    // ---- edit-distance similarity self-join (fuzzy entity matching on
+    // short keys): symmetric-delete candidates, exact levenshtein verify
+    // — the equi-join shape of a string-similarity join.
+    "q45_editdist_pairs" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.EditDistance.similarPairs(
+          Tables.load(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+        .orderBy($"id_a", $"id_b")
     }
   )
 
@@ -291,6 +301,16 @@ object TextOps {
 
     "q21_doc_fingerprint" -> (ShinglesCte +
       """
-        |SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""".stripMargin)
+        |SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""".stripMargin),
+
+    // All-pairs levenshtein — the naive form of the Spark side's
+    // symmetric-delete candidate join; fine at oracle scale.
+    "q45_editdist_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(len(a.c_name) - len(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
   )
 }

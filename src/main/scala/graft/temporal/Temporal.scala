@@ -55,6 +55,45 @@ object Temporal {
       gap: String, watermark: String): DataFrame =
     sessionize(events.withWatermark(tsCol, watermark), keyCol, tsCol, valueCol, gap)
 
+  /** Bucketed time-proximity join-aggregate: for each left row, how many
+    * right rows lie within ±`radiusSec` seconds of it (regardless of
+    * key — a global temporal-correlation probe, unlike the per-key
+    * [[asofJoin]]), plus the closest such gap in microseconds (null when
+    * nothing is near). Left rows with no nearby right rows are kept with
+    * a zero count.
+    *
+    * Scale shape: the naive `abs(l.ts - r.ts) <= r` predicate is a
+    * non-equi join — Spark can only plan BroadcastNestedLoopJoin,
+    * O(|L|·|R|). Quantizing timestamps into radius-width buckets turns
+    * it into an equi join: each left row probes its own bucket and the
+    * two adjacent ones (a 3-element explode), every true pair meets in
+    * exactly the right row's own bucket (so no pair dedup is needed),
+    * and the exact |Δt| predicate prunes the bucket-boundary corners.
+    * Shuffle volume is 3·|L| + |R| rows hashed on bucket id; a hot
+    * bucket (event burst) is an AQE skew-split, not a plan change.
+    */
+  def proximityAgg(
+      left: DataFrame, right: DataFrame, leftIdCols: Seq[String],
+      leftTsCol: String, rightTsCol: String, radiusSec: Long): DataFrame = {
+    require(radiusSec > 0, s"radiusSec must be positive, got $radiusSec")
+    val radiusUs = radiusSec * 1000000L
+    val l = left
+      .select(leftIdCols.map(col) :+ col(leftTsCol): _*)
+      .withColumn("__lus", unix_micros(col(leftTsCol)))
+      .withColumn("__cand",
+        explode(array((-1 to 1).map(d => expr(s"__lus div $radiusUs") + d): _*)))
+    val r = right
+      .select(unix_micros(col(rightTsCol)).as("__rus"))
+      .withColumn("__b", expr(s"__rus div $radiusUs"))
+    val near = col("__gap") <= radiusUs
+    l.join(r, col("__cand") === col("__b"), "left_outer")
+      .withColumn("__gap", abs(col("__rus") - col("__lus")))
+      .groupBy(leftIdCols.map(col) :+ col(leftTsCol): _*)
+      .agg(
+        count(when(near, lit(1))).as("n_near"),
+        min(when(near, col("__gap"))).as("min_gap_us"))
+  }
+
   /** As-of join: for each left row, the single most recent right row of
     * the same key with `right.ts <= left.ts` (inclusive). Returns the
     * left columns plus `pickCols` from the matched right row (null when

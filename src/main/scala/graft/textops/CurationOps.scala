@@ -284,6 +284,72 @@ object CurationOps {
       .withColumn("last_seq", expr(s"(end_offset - 1) div $seqLen"))
   }
 
+  // ---- sequence packing (boundary-preserving next-fit) -------------------
+
+  /** Row shape entering the per-group packing fold. */
+  case class PackIn(doc_id: Long, stratum: String, shard: Long, n_tokens: Long)
+
+  /** [[packNextFit]] output: bin assignment within (stratum, shard). */
+  case class PackOut(doc_id: Long, stratum: String, shard: Long,
+      n_tokens: Long, bin_idx: Long, bin_offset: Long)
+
+  /** Boundary-preserving next-fit sequence packing: the complement of
+    * [[sequencePack]] for objectives that must NOT split a document
+    * (contrastive pairs, instruction tuning). Documents are walked in
+    * deterministic (salted-md5, id) order and appended to the current
+    * `seqLen`-token bin while they fit; a doc that does not fit closes
+    * the bin and opens the next (next-fit, the streaming-friendly bin
+    * packing rule). A doc longer than `seqLen` occupies a bin alone —
+    * the same oversized-isolation call the JSONL packer makes
+    * (reference loops forever there; see Packer).
+    *
+    * The fold is inherently sequential, so scale comes from sharding,
+    * not windows: docs are split into `nShards` sub-streams per stratum
+    * (`doc_id % nShards` — numeric ids; mirrored literally in the
+    * oracle), each (stratum, shard) group is hash-shuffled to one
+    * partition, secondary-sorted, and packed in a single forward pass
+    * (`sortWithinPartitions` + `mapPartitions` — the classic secondary
+    * sort; no group ever needs to fit in memory, the fold carries three
+    * longs of state). Bins are per-shard, which production packing
+    * accepts anyway: no global order exists across a 100 TB corpus, and
+    * next-fit quality is unaffected by sharding. Zero-token docs are
+    * dropped (they occupy no span).
+    */
+  def packNextFit(
+      df: DataFrame, idCol: String, stratumCol: String, textCol: String,
+      seqLen: Int, nShards: Int, salt: String): DataFrame = {
+    require(seqLen > 0 && nShards > 0, s"seqLen/nShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df
+      .select(col(idCol).cast("long").as("doc_id"), col(stratumCol).as("stratum"),
+        size(wordsCol(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .withColumn("__k", md5(concat(lit(salt), col("doc_id").cast("string"))))
+    toks
+      .repartition(col("stratum"), col("shard"))
+      .sortWithinPartitions(col("stratum"), col("shard"), col("__k"), col("doc_id"))
+      .select($"doc_id", $"stratum", $"shard", $"n_tokens").as[PackIn]
+      .mapPartitions { it =>
+        // several (stratum, shard) groups share a partition; the fold
+        // resets on every group-key change (rows arrive group-contiguous
+        // by the secondary sort above)
+        var key: (String, Long) = null
+        var bin = 0L
+        var fill = 0L
+        it.map { r =>
+          val k = (r.stratum, r.shard)
+          if (k != key) { key = k; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + r.n_tokens > seqLen) { bin += 1; fill = 0L }
+          val off = fill
+          fill += r.n_tokens
+          PackOut(r.doc_id, r.stratum, r.shard, r.n_tokens, bin, off)
+        }
+      }
+      .toDF()
+  }
+
   // ---- corpus length statistics ------------------------------------------
 
   /** Per-stratum token-count distribution summary (min/p50/p90/p99/max,

@@ -1,0 +1,66 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join via symmetric deletion variants
+  * (FastSS, Bocek et al. 2007; the SymSpell index): every string
+  * generates each variant obtainable by deleting up to `maxDist`
+  * characters, two strings within levenshtein `maxDist` of each other
+  * are guaranteed to share at least one variant, and the exact distance
+  * check prunes the (small) overshoot.
+  *
+  * This joins the engine's family of bucketed similarity joins (MinHash
+  * bands for Jaccard, pigeonhole blocks for Hamming, hyperplane buckets
+  * for cosine — see [[NearDup]]): candidates come from an EQUI join on
+  * a derived key, never from a cross join, and the exact verify runs
+  * only on candidates. Index size is O(N·L) rows for `maxDist` = 1
+  * (each string of length L emits L+1 variants), O(N·L²) for 2 —
+  * the known FastSS trade, fine for the short keys (names, codes,
+  * phones) edit-distance joins are used on. A popular variant key is a
+  * genuine near-dup cluster, so join skew tracks true similarity — AQE
+  * splits it rather than a plan change.
+  */
+object EditDistance {
+
+  /** All strings reachable by deleting at most one character: the string
+    * itself plus each single-char deletion, deduplicated (repeated chars
+    * produce identical deletions). Pure per-row array math.
+    */
+  private[graft] def deletionVariants1(s: Column): Column =
+    array_union(
+      array(s),
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+
+  /** All unordered pairs `(id_a < id_b)` with `levenshtein <= maxDist`,
+    * as `(id_a, id_b, dist)`. Only `maxDist = 1` is implemented (the
+    * deletion-neighborhood of order 1); deeper radii would generate the
+    * k-deletion neighborhood the same way.
+    *
+    * Shape: explode variants → self equi-join on the variant string →
+    * `distinct` collapses pairs that met through several shared variants
+    * (at most L+1) BEFORE the verify, so levenshtein runs once per
+    * candidate pair → exact filter. No cross join anywhere; the length
+    * filter inside the join condition discards the len-diff > maxDist
+    * corner early.
+    */
+  def similarPairs(
+      df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist == 1, s"only maxDist=1 is implemented, got $maxDist")
+    val vars = df
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__v", explode(deletionVariants1(col("__s"))))
+    val a = vars.select(col("__id").as("id_a"), col("__s").as("__sa"), col("__v"))
+    val b = vars.select(col("__id").as("id_b"), col("__s").as("__sb"), col("__v"))
+    a.join(b,
+        a("__v") === b("__v") && col("id_a") < col("id_b") &&
+          abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

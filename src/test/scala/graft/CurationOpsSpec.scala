@@ -205,6 +205,55 @@ class CurationOpsSpec extends SparkSpec {
     assert(b.getAs[Long]("start_offset") === 0L && b.getAs[Long]("last_seq") === 1L)
   }
 
+  test("packNextFit matches a driver-side replay of the salted-order fold") {
+    // 12 docs, 1-7 tokens, two strata; differential against an
+    // in-memory replay of the same (md5(salt||id), id) order and
+    // next-fit rule — the exact semantics the DuckDB oracle mirrors.
+    val docs = (1L to 12L).map { i =>
+      (i, if (i % 3 == 0) "b" else "a", Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "lang", "text")
+    val seqLen = 8
+    val nShards = 2
+    val out = CurationOps.packNextFit(df, "doc_id", "lang", "text", seqLen, nShards, "s")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("bin_idx"), r.getAs[Long]("bin_offset")))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs
+      .map { case (id, lang, text) => (id, lang, id % nShards, text.split(" ").length.toLong) }
+      .groupBy { case (id, lang, shard, _) => (lang, shard) }
+      .flatMap { case (_, rows) =>
+        var bin = 0L; var fill = 0L
+        rows.sortBy { case (id, _, _, _) => (md5hex("s" + id), id) }.map {
+          case (id, _, _, n) =>
+            if (fill > 0 && fill + n > seqLen) { bin += 1; fill = 0L }
+            val off = fill; fill += n
+            id -> (bin, off)
+        }
+      }
+    assert(out === expected)
+  }
+
+  test("packNextFit: oversized doc occupies a bin alone; zero-token docs dropped") {
+    val df = Seq(
+      (1L, "a", Seq.fill(10)("w").mkString(" ")), // > seqLen: alone in its bin
+      (2L, "a", "w w"),
+      (3L, "a", ""))                              // dropped
+      .toDF("doc_id", "lang", "text")
+    val out = CurationOps.packNextFit(df, "doc_id", "lang", "text",
+        seqLen = 4, nShards = 1, salt = "s")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bin_idx"), r.getAs[Long]("bin_offset")))).toMap
+    assert(!out.contains(3L))
+    val (bin1, off1) = out(1L)
+    val (bin2, off2) = out(2L)
+    assert(off1 === 0L)     // oversized always starts its own bin
+    assert(bin1 !== bin2)   // nothing shares the oversized bin
+    assert(off2 === 0L)
+  }
+
   test("lengthPercentiles: exact interpolated quantiles per stratum") {
     // stratum "a": token counts 1..5 -> p50 = 3.0, p90 = 1 + 0.9*4 = 4.6
     val df = (1 to 5).map(i => (i.toLong, "a", ("w " * i).trim)) :+ ((9L, "b", "x y"))

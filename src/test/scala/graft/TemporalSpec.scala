@@ -136,4 +136,38 @@ class TemporalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"expected no join operator, got:\n$plan")
   }
+
+  test("proximityAgg: inclusive radius, adjacent-bucket matches, zero-match rows kept") {
+    val left = events(
+      (1L, "2024-01-01 00:01:00", "purchase", 0),
+      (2L, "2024-01-01 05:00:00", "purchase", 0)) // nothing near
+      .select($"user_id".as("event_id"), $"ts".as("purchase_ts"))
+    val right = events(
+      (9L, "2024-01-01 00:00:10", "view", 0), // 50s before: bucket b-1 of left
+      (9L, "2024-01-01 00:02:00", "view", 0), // EXACTLY 60s after: inclusive
+      (9L, "2024-01-01 00:02:01", "view", 0)) // 61s after: out
+      .select($"ts")
+    val out = Temporal.proximityAgg(
+        left, right, Seq("event_id"), "purchase_ts", "ts", radiusSec = 60)
+      .orderBy($"event_id").collect()
+    assert(out.length === 2) // zero-match left row kept
+    assert(out(0).getAs[Long]("n_near") === 2L)
+    assert(out(0).getAs[Long]("min_gap_us") === 50000000L) // closest: 50s before
+    assert(out(1).getAs[Long]("n_near") === 0L)
+    assert(out(1).isNullAt(out(1).fieldIndex("min_gap_us")))
+  }
+
+  test("proximityAgg counts each pair once and plans an equi join, not a nested loop") {
+    // right row in the SAME bucket as left: still exactly one count even
+    // though the left explodes three candidate buckets
+    val left = events((1L, "2024-01-01 00:00:30", "purchase", 0))
+      .select($"user_id".as("event_id"), $"ts".as("purchase_ts"))
+    val right = events((9L, "2024-01-01 00:00:40", "view", 0)).select($"ts")
+    val df = Temporal.proximityAgg(
+      left, right, Seq("event_id"), "purchase_ts", "ts", radiusSec = 60)
+    assert(df.collect().head.getAs[Long]("n_near") === 1L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"expected bucketed equi join, got:\n$plan")
+  }
 }
