@@ -297,8 +297,29 @@ object Relational {
         .agg(count(lit(1)).as("n_items"),
              sum(discPrice($"l_extendedprice", $"l_discount")).cast("double").as("revenue"))
         .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // ---- Z-order layout key: the multi-dimensional clustering value a
+    // 100 TB table sorts/buckets by for data skipping on (customer,
+    // date) predicates at once. Pure per-row bit math (codegen'd, no
+    // shuffle beyond the gate's orderBy); zbucket = top 6 z-bits = the
+    // 64-way range shard a writer would target.
+    "q48_zorder_layout" -> { (s, dir) =>
+      import s.implicits._
+      val days = datediff($"o_orderdate".cast("date"), lit("1970-01-01").cast("date"))
+      val z = graft.plans.ZOrder.zValue(Seq($"o_custkey", days), bits = ZBits)
+      Tables.load(s, dir, "orders")
+        .select($"o_orderkey", z.as("zval"))
+        .withColumn("zbucket", shiftright($"zval", 2 * ZBits - 6))
+        .orderBy($"o_orderkey")
     }
   )
+
+  /** Bits per dimension for q48 — 15 covers o_custkey and the epoch-day
+    * range at the gate/bench SFs; larger keys quantize modulo 2^15,
+    * identically on both engines (see ZOrder.zValue).
+    */
+  private val ZBits = 15
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -422,6 +443,14 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
-        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // Generated from the SAME interleave loop as the Spark side
+    // (ZOrder.zValueSql), like the MinHash oracle.
+    "q48_zorder_layout" -> {
+      val days = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+      val z = graft.plans.ZOrder.zValueSql(Seq("o_custkey", days), bits = 15)
+      s"""SELECT o_orderkey, ($z) AS zval, (($z) >> 24) AS zbucket FROM orders"""
+    }
   )
 }

@@ -38,12 +38,15 @@ object EditDistance {
     * deletion-neighborhood of order 1); deeper radii would generate the
     * k-deletion neighborhood the same way.
     *
-    * Shape: explode variants → self equi-join on the variant string →
-    * `distinct` collapses pairs that met through several shared variants
-    * (at most L+1) BEFORE the verify, so levenshtein runs once per
-    * candidate pair → exact filter. No cross join anywhere; the length
-    * filter inside the join condition discards the len-diff > maxDist
-    * corner early.
+    * Shape: explode variants → self equi-join on the 64-bit HASH of the
+    * variant (the shuffle and the join compare 8-byte longs, never the
+    * variant strings; a hash collision only widens the candidate set
+    * the verify prunes anyway) → `distinct` collapses pairs that met
+    * through several shared variants (at most L+1) BEFORE the verify →
+    * threshold-bounded levenshtein (early-exits past `maxDist` instead
+    * of filling the full DP matrix) → exact filter. No cross join
+    * anywhere; the length filter inside the join condition discards the
+    * len-diff > maxDist corner early.
     */
   def similarPairs(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
@@ -52,15 +55,16 @@ object EditDistance {
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
       .withColumn("__v", explode(deletionVariants1(col("__s"))))
-    val a = vars.select(col("__id").as("id_a"), col("__s").as("__sa"), col("__v"))
-    val b = vars.select(col("__id").as("id_b"), col("__s").as("__sb"), col("__v"))
+      .select(col("__id"), col("__s"), xxhash64(col("__v")).as("__vh"))
+    val a = vars.select(col("__id").as("id_a"), col("__s").as("__sa"), col("__vh"))
+    val b = vars.select(col("__id").as("id_b"), col("__s").as("__sb"), col("__vh"))
     a.join(b,
-        a("__v") === b("__v") && col("id_a") < col("id_b") &&
+        a("__vh") === b("__vh") && col("id_a") < col("id_b") &&
           abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
       .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
       .distinct()
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist + 1))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }
