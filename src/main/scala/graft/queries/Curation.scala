@@ -213,6 +213,21 @@ object Curation {
         .orderBy($"event_id")
     },
 
+    // ---- hopping (sliding) event-time window: 10-minute windows every
+    // 5 minutes — each event lands in exactly size/slide windows (the
+    // overlap factor is the explode cost, the knob a 100 TB stream
+    // tunes). Same `window()` operator Structured Streaming uses.
+    "q50_hopping_window" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select($"w.start".as("w_start"), $"w.end".as("w_end"),
+          $"event_type", $"n_events", $"sum_value")
+        .orderBy($"w_start", $"event_type")
+    },
+
     // ---- lead/lag inter-event gaps per user: the dwell-time signal
     // (windows over the (user, ts, event_id) total order — deterministic
     // tiebreak, so both engines agree row-for-row).
@@ -568,6 +583,18 @@ object Curation {
         |FROM p LEFT JOIN v
         |  ON ABS(epoch_us(v.view_ts) - epoch_us(p.purchase_ts)) <= 300000000
         |GROUP BY 1, 2""".stripMargin),
+
+    // Each event expands to its two covering window starts (k = 0, 1
+    // slide steps back), mirroring Spark's epoch-aligned assignment.
+    "q50_hopping_window" -> (EventsUsCte +
+      """, exp AS (
+        |  SELECT make_timestamp(((epoch_us(ts) // 300000000) - k) * 300000000) AS w_start,
+        |         make_timestamp(((epoch_us(ts) // 300000000) - k + 2) * 300000000) AS w_end,
+        |         event_type, value
+        |  FROM e, (VALUES (0), (1)) t(k))
+        |SELECT w_start, w_end, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM exp GROUP BY 1, 2, 3""".stripMargin),
 
     "q47_event_gaps" -> (EventsUsCte +
       """

@@ -312,8 +312,26 @@ object Relational {
         .select($"o_orderkey", z.as("zval"))
         .withColumn("zbucket", shiftright($"zval", 2 * ZBits - 6))
         .orderBy($"o_orderkey")
+    },
+
+    // ---- PIVOT: wide per-status revenue by priority in ONE aggregation
+    // pass (explicit value list, so no extra distinct-values job and a
+    // deterministic column set).
+    "q49_pivot_priority" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .pivot("o_orderpriority", OrderPriorities)
+        .agg(sum(dec($"o_totalprice")).cast("double"))
+        .orderBy($"o_orderstatus")
     }
   )
+
+  /** TPC-H order priorities — the explicit pivot column set for q49,
+    * mirrored into the oracle's CASE aggregates.
+    */
+  private val OrderPriorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
   /** Bits per dimension for q48 — 15 covers o_custkey and the epoch-day
     * range at the gate/bench SFs; larger keys quantize modulo 2^15,
@@ -451,6 +469,15 @@ object Relational {
       val days = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
       val z = graft.plans.ZOrder.zValueSql(Seq("o_custkey", days), bits = 15)
       s"""SELECT o_orderkey, ($z) AS zval, (($z) >> 24) AS zbucket FROM orders"""
+    },
+
+    // One CASE aggregate per pivot column — generated from the same
+    // value list as the Spark pivot.
+    "q49_pivot_priority" -> {
+      val cols = OrderPriorities.map { p =>
+        s"""CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "$p""""
+      }.mkString(",\n ")
+      s"SELECT o_orderstatus,\n $cols\nFROM orders GROUP BY o_orderstatus"
     }
   )
 }

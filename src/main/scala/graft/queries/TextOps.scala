@@ -108,6 +108,17 @@ object TextOps {
       graft.textops.EditDistance.similarPairs(
           Tables.load(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
         .orderBy($"id_a", $"id_b")
+    },
+
+    // ---- triangle counting over the edit-distance similarity graph:
+    // the cluster-density signal (degree-ordered orientation — the
+    // hub-safe plan; see Triangles).
+    "q51_editdist_triangles" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = graft.textops.EditDistance.similarPairs(
+        Tables.load(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+      graft.graph.Triangles.perNodeCounts(pairs, "id_a", "id_b")
+        .orderBy($"node")
     }
   )
 
@@ -311,6 +322,27 @@ object TextOps {
         |FROM customer a JOIN customer b
         |  ON a.c_custkey < b.c_custkey
         | AND abs(len(a.c_name) - len(b.c_name)) <= 1
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // Triangles once each as x < y < z over the normalized (s < t) edge
+    // list; orientation is irrelevant to the COUNT, so the naive form
+    // checks the Spark side's degree-ordered plan exactly.
+    "q51_editdist_triangles" ->
+      """WITH e AS (
+        |  SELECT a.c_custkey AS s, b.c_custkey AS t
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |   AND abs(len(a.c_name) - len(b.c_name)) <= 1
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |tri AS (
+        |  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+        |  FROM e e1
+        |    JOIN e e2 ON e2.s = e1.t
+        |    JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |nodes AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node, COUNT(*) AS n_tri FROM nodes GROUP BY node""".stripMargin
   )
 }

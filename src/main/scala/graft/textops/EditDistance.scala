@@ -51,9 +51,14 @@ object EditDistance {
   def similarPairs(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
     require(maxDist == 1, s"only maxDist=1 is implemented, got $maxDist")
+    // the source is often a single file split (one task); candidate
+    // generation + verify is the CPU-heavy part, so spread it — one
+    // narrow round-robin exchange of the raw rows buys a fully parallel
+    // explode/join/levenshtein chain
     val vars = df
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("__v", explode(deletionVariants1(col("__s"))))
       .select(col("__id"), col("__s"), xxhash64(col("__v")).as("__vh"))
     val a = vars.select(col("__id").as("id_a"), col("__s").as("__sa"), col("__vh"))
@@ -61,10 +66,9 @@ object EditDistance {
     a.join(b,
         a("__vh") === b("__vh") && col("id_a") < col("id_b") &&
           abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
-      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
+      .filter(col("dist") <= maxDist)
       .distinct()
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist + 1))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }
