@@ -102,39 +102,10 @@ object Vectors {
     // on the hot path. Deterministic: seeded sample + fixed iterations.
     // Deterministic sample: order by id before limiting (a bare limit
     // takes whichever partitions answer first and varies across runs).
-    val sample = corpus.orderBy(col(idCol)).select(col(vecCol)).limit(10000)
-      .as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
-    require(sample.nonEmpty, "empty corpus")
+    val sample = boundedSample(corpus, idCol, vecCol)
     val dim = sample.head.length
-    val rnd = new scala.util.Random(seed)
-    var centroids = Array.fill(nCentroids)(sample(rnd.nextInt(sample.length)).clone())
-    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var i = 0
-      while (i < cs.length) {
-        var d = 0.0; var j = 0
-        while (j < dim) { val x = v(j) - cs(i)(j); d += x * x; j += 1 }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    }
-    for (_ <- 1 to 10) {
-      val sums = Array.fill(nCentroids)(new Array[Double](dim))
-      val counts = new Array[Int](nCentroids)
-      sample.foreach { v =>
-        val c = nearest(v, centroids)
-        counts(c) += 1
-        var j = 0
-        while (j < dim) { sums(c)(j) += v(j); j += 1 }
-      }
-      centroids = Array.tabulate(nCentroids) { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
-      }
-    }
-    val cs = centroids
-    val assignUdf = udf((v: Seq[Float]) => nearest(v.map(_.toDouble).toArray, cs))
+    val cs = kmeansFit(sample, nCentroids, seed)
+    val assignUdf = udf((v: Seq[Float]) => nearestIdx(v.map(_.toDouble).toArray, cs))
     val probeUdf = udf((v: Seq[Float]) => {
       val vd = v.map(_.toDouble).toArray
       cs.indices.map { i =>
@@ -154,6 +125,138 @@ object Vectors {
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+  }
+
+  /** Deterministic bounded codebook-training sample: ordered by id
+    * before the limit (a bare limit takes whichever partitions answer
+    * first and varies run to run). ≤10k × dim doubles on the driver —
+    * the same bounded-driver-work trade as the IVF centroid fit.
+    */
+  private def boundedSample(corpus: DataFrame, idCol: String, vecCol: String): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.orderBy(col(idCol)).select(col(vecCol)).limit(10000)
+      .as[Seq[Float]].collect().map(_.map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    sample
+  }
+
+  private def nearestIdx(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val x = v(j) - cs(i)(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Seeded Lloyd's iterations on a driver-side sample (deterministic:
+    * seeded init + fixed iteration count; empty cells keep their old
+    * centroid).
+    */
+  private def kmeansFit(sample: Array[Array[Double]], k: Int, seed: Int,
+      iters: Int = 10): Array[Array[Double]] = {
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestIdx(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Product-quantization ANN top-k (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * COMPRESSION scale path beside LSH's and IVF's pruning paths. The
+    * vector is split into `m` subspaces, each quantized to its nearest
+    * of `ksub` per-subspace centroids, so the corpus scan reads `m`
+    * one-byte codes per vector (32× smaller than `dim` floats at
+    * m=8, dim=64) — at 100 TB that is the difference between an
+    * in-memory shortlist scan and re-reading parquet. Scoring is ADC
+    * (asymmetric distance): each query precomputes its m×ksub table of
+    * subspace dot products ONCE, then every corpus row costs m lookups
+    * + adds; the approximate top `k·shortlistFactor` are re-ranked with
+    * the EXACT cosine, so emitted scores are identical to [[bruteTopK]]
+    * for the ids it finds (recall is spec'd against it).
+    *
+    * Production composition is IVF cells + PQ codes within each cell
+    * (IVF-PQ) — both halves exist here independently and compose by
+    * substituting this scorer for ivfTopK's exact one.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 256, shortlistFactor: Int = 8,
+      seed: Int = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = boundedSample(corpus, idCol, vecCol)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => kmeansFit(sample.map(v => v.slice(j * sub, (j + 1) * sub)), ksub, seed + j))
+    val encodeUdf = udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble).toArray
+      (0 until m).map(j => nearestIdx(vd.slice(j * sub, (j + 1) * sub), codebooks(j)))
+    })
+    // per-QUERY lookup table: dot(q_subvector_j, centroid_{j,c}) for all
+    // (j, c), flattened j*ksub + c
+    val tableUdf = udf((qv: Seq[Float]) => {
+      val qd = qv.map(_.toDouble).toArray
+      val t = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) {
+          var s = 0.0; var i = 0
+          while (i < sub) { s += qd(j * sub + i) * codebooks(j)(c)(i); i += 1 }
+          t(j * ksub + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      t.toSeq
+    })
+    val adcUdf = udf((table: Seq[Double], codes: Seq[Int]) => {
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += table(j * ksub + codes(j)); j += 1 }
+      s
+    })
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qtab", tableUdf($"qv"))
+      .withColumn("qn", normCol($"qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("codes", encodeUdf($"nv"))
+      .withColumn("nn", normCol($"nv"))
+    // approximate COSINE: ADC reconstructs the dot product; dividing by
+    // the exact stored neighbor norm makes the shortlist metric match
+    // the re-rank metric (a raw-dot shortlist would bias toward
+    // large-norm vectors and tank recall)
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("approx", adcUdf($"qtab", $"codes") / $"nn")
+    val wa = Window.partitionBy($"query_id").orderBy($"approx".desc, $"neighbor_id".asc)
+    scored.withColumn("arank", row_number().over(wa))
+      .filter($"arank" <= k * shortlistFactor)
+      .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
+      .filter($"rank" <= k)
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
   }
 

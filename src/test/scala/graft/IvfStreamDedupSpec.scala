@@ -45,6 +45,35 @@ class IvfSpec extends SparkSpec {
       .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
     assert(ivf == brute)
   }
+
+  test("pqTopK: deterministic, exact re-ranked scores, decent recall at 32x compression") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val brute = Vectors.bruteTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val pq = Vectors.pqTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    // shape: ≤3 per query, contiguous ranks, no self-matches
+    pq.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      rs.foreach { case (_, _, n, _) => assert(n != q) }
+    }
+    // re-ranked scores are the EXACT cosine: every (q, n) pq shares
+    // with brute carries the identical rounded value
+    val bruteScore = brute.map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (q, _, n, cos) =>
+      bruteScore.get((q, n)).foreach(b => assert(b === cos)) }
+    val recall = pq.map(r => (r._1, r._3)).toSet
+      .intersect(brute.map(r => (r._1, r._2)).toSet).size.toDouble / brute.length
+    info(f"PQ recall@3 = $recall%.2f (m=8, ksub=256, shortlist 8k)")
+    assert(recall >= 0.6, s"recall=$recall")
+    val again = Vectors.pqTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(again.toSet == pq.toSet)
+  }
 }
 
 class StreamDedupSpec extends SparkSpec {
