@@ -123,6 +123,68 @@ object Multimodal {
     media.mapPartitions(_.grouped(batchSize).flatMap(batchFn))
   }
 
+  /** Resize/transcode stage: each media row's payload is rewritten to
+    * the target dimensions. The Spark-side contract is real — a
+    * payload-rewriting `mapPartitions` stage whose OUTPUT byte budget
+    * differs from its input (the reason resize runs before shuffle-heavy
+    * stages: move small thumbnails, not 4K sources); the pixel work is
+    * the honest stub (deterministic bytes derived from payload + target
+    * box, sized ∝ target area, aspect preserved within the box like a
+    * real thumbnailer).
+    */
+  def resizeStub(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    require(maxW > 0 && maxH > 0, s"target box must be positive: ${maxW}x$maxH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { row =>
+        val f = StubDecoder.decode(row)
+        // aspect-preserving fit into the box, never upscale
+        val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+        val (w, h) = (math.max(1, (f.width * scale).toInt), math.max(1, (f.height * scale).toInt))
+        sha.reset()
+        sha.update(row.bytes)
+        sha.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+        f.copy(width = w, height = h,
+          n_bytes = w.toLong * h * 3, // stub: RGB byte count of the target
+          sha256 = sha.digest().map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  final case class AudioSegment(
+      media_id: Long,
+      seg_index: Int,
+      start_ms: Long,
+      end_ms: Long,
+      seg_sha256: String)     // stub segment payload id (real: PCM slice)
+
+  /** Fixed-window audio segmentation — [[sampleFrames]]'s twin for
+    * audio rows: one row per `windowMs` window up to the decoded
+    * duration (last window may be short). Same bounded-explosion
+    * plumbing; non-audio rows emit nothing.
+    */
+  def segmentAudio(media: Dataset[MediaRow], windowMs: Long): Dataset[AudioSegment] = {
+    require(windowMs > 0, s"window must be positive, got $windowMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      rows.filter(_.kind == "audio").flatMap { row =>
+        val f = StubDecoder.decode(row)
+        (0L until f.duration_ms by windowMs).iterator.zipWithIndex.map { case (start, i) =>
+          sha.reset()
+          sha.update(row.bytes)
+          sha.update(java.nio.ByteBuffer.allocate(8).putLong(start).array())
+          AudioSegment(row.media_id, i, start,
+            math.min(start + windowMs, f.duration_ms),
+            sha.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   /** Exact-duplicate media detection by payload hash — same hash-groupBy
     * shape as text dedup, over binary.
     */

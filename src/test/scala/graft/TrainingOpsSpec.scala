@@ -238,6 +238,64 @@ class MultimodalSpec extends SparkSpec {
       frames.map(f => (f.media_id, f.frame_index, f.frame_sha256)).toSet)
   }
 
+  test("resizeStub: aspect-preserving fit, never upscales, deterministic payload id") {
+    val ds = spark.createDataset(media)
+    val orig = Multimodal.decodeFeatures(ds).collect().map(f => f.media_id -> f).toMap
+    val resized = Multimodal.resizeStub(ds, maxW = 128, maxH = 128).collect()
+    assert(resized.length == media.length)
+    resized.foreach { r =>
+      val o = orig(r.media_id)
+      assert(r.width <= 128 && r.height <= 128)
+      assert(r.width <= o.width && r.height <= o.height) // never upscale
+      // aspect preserved within integer truncation
+      val scale = math.min(1.0, math.min(128.0 / o.width, 128.0 / o.height))
+      assert(r.width == math.max(1, (o.width * scale).toInt))
+      assert(r.height == math.max(1, (o.height * scale).toInt))
+      assert(r.n_bytes == r.width.toLong * r.height * 3) // output byte budget
+      assert(r.sha256 != o.sha256) // payload rewritten
+    }
+    val again = Multimodal.resizeStub(ds, maxW = 128, maxH = 128).collect()
+    assert(again.map(r => (r.media_id, r.sha256)).toSet ==
+      resized.map(r => (r.media_id, r.sha256)).toSet)
+  }
+
+  test("segmentAudio: window coverage with short tail, audio-only") {
+    val withAudio = media.zipWithIndex.map { case (m, i) =>
+      if (i % 3 == 0) m.copy(kind = "audio") else m
+    }
+    val ds = spark.createDataset(withAudio)
+    val segs = Multimodal.segmentAudio(ds, windowMs = 700L).collect()
+    val audio = withAudio.filter(_.kind == "audio")
+    assert(segs.map(_.media_id).toSet == audio.map(_.media_id).toSet)
+    val durations = Multimodal.decodeFeatures(ds).collect()
+      .map(f => f.media_id -> f.duration_ms).toMap
+    segs.groupBy(_.media_id).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_.seg_index)
+      // contiguous coverage: starts at 0, each window abuts the next,
+      // last window ends exactly at the duration
+      assert(sorted.head.start_ms == 0L)
+      sorted.sliding(2).foreach {
+        case Array(p, n) => assert(n.start_ms == p.end_ms)
+        case _ =>
+      }
+      assert(sorted.last.end_ms == durations(id))
+      assert(sorted.forall(s => s.end_ms - s.start_ms <= 700L))
+    }
+  }
+
+  test("stub features compose with the embedding near-dup suite") {
+    // duplicate payloads produce identical features -> the hyperplane
+    // bucket join finds exactly the duplicated pair (hash-stub features
+    // carry no semantic locality, so ONLY exact dups should pair)
+    val withDup = media :+ media.head.copy(media_id = 9999L)
+    val feats = Multimodal.decodeFeatures(spark.createDataset(withDup))
+      .select($"media_id", $"feature")
+    val pairs = graft.textops.NearDup.embeddingPairs(
+        feats.toDF(), "media_id", "feature", planes = 8, threshold = 0.999, dim = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((media.head.media_id, 9999L)))
+  }
+
   test("decodeBatched: every row exactly once, batches never exceed the cap") {
     val ds = spark.createDataset(media).repartition(2)
     val seen = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
