@@ -35,5 +35,23 @@ object Graft {
       (t: String, n: Int) => Option(t).map(NearDup.wordShingles(_, n)).getOrElse(Vector.empty))
     spark.udf.register("graft_uri_strip",
       (v: String) => Option(v).map(graft.emit.Triples.uriStrip).orNull)
+    // Morton/Z-order key of two non-negative dims (see plans.ZOrder):
+    // the clustering value `OPTIMIZE ZORDER BY`-style layouts sort by
+    spark.udf.register("graft_zvalue2",
+      (x: Long, y: Long, bits: Int) => {
+        var z = 0L
+        var i = 0
+        while (i < bits) {
+          z |= ((x >> i) & 1L) << (2 * i)
+          z |= ((y >> i) & 1L) << (2 * i + 1)
+          i += 1
+        }
+        z
+      })
+    spark.udf.register("graft_deletion_variants",
+      (s: String) => Option(s).map { str =>
+        (str +: (0 until str.length).map(i =>
+          str.substring(0, i) + str.substring(i + 1))).distinct
+      }.getOrElse(Seq.empty))
   }
 }

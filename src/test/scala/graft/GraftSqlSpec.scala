@@ -37,4 +37,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getAs[Long]("h") != 0L)
     assert(r.getAs[scala.collection.Seq[String]]("s").toSeq == Seq("a b c", "b c d"))
   }
+
+  test("zvalue + deletion variants from SQL") {
+    Graft.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_zvalue2(3, 1, 4) AS z,
+        |       graft_deletion_variants('abc') AS v""".stripMargin).collect().head
+    assert(r.getAs[Long]("z") == 7L) // matches ZOrder.zValue bit layout
+    assert(r.getAs[scala.collection.Seq[String]]("v").toSet ==
+      Set("abc", "bc", "ac", "ab"))
+    // SQL twin agrees with the Column form used by q48
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val both = Seq((123L, 456L)).toDF("x", "y")
+      .select(graft.plans.ZOrder.zValue(Seq(col("x"), col("y")), bits = 15).as("a"),
+        expr("graft_zvalue2(x, y, 15)").as("b"))
+      .as[(Long, Long)].head()
+    assert(both._1 == both._2)
+  }
 }
