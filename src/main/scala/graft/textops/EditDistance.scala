@@ -25,9 +25,16 @@ object EditDistance {
 
   /** All strings reachable by deleting at most one character: the string
     * itself plus each single-char deletion, deduplicated (repeated chars
-    * produce identical deletions). Pure per-row array math.
+    * produce identical deletions). Native codegen'd expression — the
+    * HOF form below is its spec'd-equal reference.
     */
   private[graft] def deletionVariants1(s: Column): Column =
+    graft.functions.DeletionVariants.variants(s)
+
+  /** The composed-`functions` reference form (CodegenFallback HOFs):
+    * kept only as the parity baseline for the native expression.
+    */
+  private[graft] def deletionVariants1Hof(s: Column): Column =
     array_union(
       array(s),
       transform(sequence(lit(1), length(s)),

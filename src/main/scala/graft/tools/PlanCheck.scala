@@ -77,7 +77,10 @@ object PlanCheck {
     // fused hyperplane-bucket expression (ANN bucket key)
     "q23_lsh_topk" -> "graft_hyperplane_buckets",
     // fused L2-norm expression (per-row norm before the pair join)
-    "q24_embedding_near_dup" -> "graft_norm_l2")
+    "q24_embedding_near_dup" -> "graft_norm_l2",
+    // native deletion-variant expression (the edit-distance join's
+    // fan-out stage; the HOF reference form would be CodegenFallback)
+    "q45_editdist_pairs" -> "graft_deletion_variants")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

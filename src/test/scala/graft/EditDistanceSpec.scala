@@ -53,6 +53,22 @@ class EditDistanceSpec extends SparkSpec {
     assert(EditDistance.similarPairs(df, "id", "name", maxDist = 1).isEmpty)
   }
 
+  test("native deletion variants equal the HOF reference form, incl. unicode") {
+    val inputs = Seq("abc", "aa", "", "a", "naïve", "x😀y😀z", "Customer#000000042")
+    val df = inputs.toDF("s")
+    val native = df.select(EditDistance.deletionVariants1($"s").as("v"))
+      .as[Seq[String]].collect()
+    val hof = df.select(EditDistance.deletionVariants1Hof($"s").as("v"))
+      .as[Seq[String]].collect()
+    inputs.indices.foreach { i =>
+      assert(native(i) === hof(i), s"input '${inputs(i)}'")
+    }
+    // and the null path
+    val n = Seq[String](null).toDF("s")
+      .select(EditDistance.deletionVariants1($"s").as("v")).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("null strings are dropped, not joined") {
     val df = Seq((1L, "cat"), (2L, null), (3L, "cat")).toDF("id", "name")
     val out = EditDistance.similarPairs(df, "id", "name", maxDist = 1)
