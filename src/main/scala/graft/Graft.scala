@@ -39,6 +39,9 @@ object Graft {
     // the clustering value `OPTIMIZE ZORDER BY`-style layouts sort by
     spark.udf.register("graft_zvalue2",
       (x: Long, y: Long, bits: Int) => {
+        // same bound the Column form enforces — past it the 2*i shift
+        // would wrap mod 64 and silently corrupt low bits
+        require(bits > 0 && bits * 2 <= 63, s"bits*2 must fit a signed long: $bits")
         var z = 0L
         var i = 0
         while (i < bits) {
@@ -49,9 +52,8 @@ object Graft {
         z
       })
     spark.udf.register("graft_deletion_variants",
-      (s: String) => Option(s).map { str =>
-        (str +: (0 until str.length).map(i =>
-          str.substring(0, i) + str.substring(i + 1))).distinct
-      }.getOrElse(Seq.empty))
+      (s: String) => Option(s)
+        .map(graft.functions.DeletionVariants.neighborhood)
+        .getOrElse(IndexedSeq.empty))
   }
 }

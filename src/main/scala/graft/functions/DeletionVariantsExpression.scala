@@ -43,25 +43,10 @@ final case class DeletionVariants(child: Expression) extends UnaryExpression {
 
   /** Shared by interpreted eval and generated code. */
   def variantsJava(s: UTF8String): ArrayData = {
-    val str = s.toString
-    val cps = str.codePoints().toArray
-    val out = new java.util.LinkedHashSet[String]()
-    out.add(str)
-    var i = 0
-    while (i < cps.length) {
-      val sb = new java.lang.StringBuilder(str.length)
-      var j = 0
-      while (j < cps.length) {
-        if (j != i) sb.appendCodePoint(cps(j))
-        j += 1
-      }
-      out.add(sb.toString)
-      i += 1
-    }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
+    val out = DeletionVariants.neighborhood(s.toString)
+    val arr = new Array[Any](out.length)
     var k = 0
-    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    while (k < out.length) { arr(k) = UTF8String.fromString(out(k)); k += 1 }
     new GenericArrayData(arr)
   }
 
@@ -78,5 +63,29 @@ object DeletionVariants {
   def variants(s: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(DeletionVariants(ColumnBridge.expression(s)))
+  }
+
+  /** The order-1 deletion neighborhood on plain strings — ONE definition
+    * of the code-point deletion semantics, shared by the expression and
+    * the `graft_deletion_variants` SQL UDF (a UTF-16 re-implementation
+    * would emit lone-surrogate variants for non-BMP input).
+    */
+  def neighborhood(str: String): IndexedSeq[String] = {
+    val cps = str.codePoints().toArray
+    val out = new java.util.LinkedHashSet[String]()
+    out.add(str)
+    var i = 0
+    while (i < cps.length) {
+      val sb = new java.lang.StringBuilder(str.length)
+      var j = 0
+      while (j < cps.length) {
+        if (j != i) sb.appendCodePoint(cps(j))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    out.asScala.toIndexedSeq
   }
 }

@@ -44,7 +44,12 @@ object Triangles {
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-      .persist() // wedge legs + closing edge: three reads of one frame
+      // wedge legs + closing edge read this frame three times; eager
+      // localCheckpoint (like ConnectedComponents) materializes it once
+      // and lets the ContextCleaner reclaim the blocks — a persist()
+      // here would pin cache entries for the application's lifetime
+      // with no handle for the caller to unpersist
+      .localCheckpoint()
     val w1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
     val w2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
     // heads ordered by the SAME (degree, id) order the orientation uses,

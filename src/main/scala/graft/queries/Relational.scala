@@ -467,8 +467,8 @@ object Relational {
     // (ZOrder.zValueSql), like the MinHash oracle.
     "q48_zorder_layout" -> {
       val days = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
-      val z = graft.plans.ZOrder.zValueSql(Seq("o_custkey", days), bits = 15)
-      s"""SELECT o_orderkey, ($z) AS zval, (($z) >> 24) AS zbucket FROM orders"""
+      val z = graft.plans.ZOrder.zValueSql(Seq("o_custkey", days), bits = ZBits)
+      s"""SELECT o_orderkey, ($z) AS zval, (($z) >> ${2 * ZBits - 6}) AS zbucket FROM orders"""
     },
 
     // One CASE aggregate per pivot column — generated from the same

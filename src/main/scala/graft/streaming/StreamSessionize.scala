@@ -23,28 +23,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * evicted by event-time timeout — bounded by the watermark horizon,
   * the only correct shape for an unbounded feed.
   *
-  * Arithmetic mirrors the batch form's float policy: values accumulate
-  * as exact cents (`decimal(18,2) · 100` as long; nulls as 0), the
-  * emitted `sum_value` is one double division — identical to
-  * `sum(decimal).cast(double)`.
+  * Arithmetic mirrors the batch form's float policy AND null
+  * semantics: values accumulate as exact cents (`decimal(18,2) · 100`
+  * as long), null values contribute nothing, and a session whose
+  * values are ALL null emits a NULL sum — exactly
+  * `sum(decimal).cast(double)` over that group; otherwise the emitted
+  * `sum_value` is one double division.
   */
 object StreamSessionize {
 
   // carries the watermarked timestamp column itself (dropping it for a
   // derived long would strip the event-time watermark from the plan)
-  final case class SessEvent(key: Long, ts: Timestamp, cents: Long)
+  final case class SessEvent(key: Long, ts: Timestamp, cents: Long, has_value: Boolean)
 
   private def microsFromTs(t: Timestamp): Long =
     t.getTime / 1000 * 1000000 + t.getNanos / 1000
 
   /** An open (not yet emitted) session in state, all times in micros. */
-  final case class OpenSession(start_us: Long, last_us: Long, n: Long, cents: Long)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long,
+      cents: Long, n_values: Long)
 
   final case class SessState(open: List[OpenSession])
 
   /** Matches the batch sessionize output row (column-for-column). */
   final case class SessionRow(user_id: Long, session_start: Timestamp,
-      session_end: Timestamp, n_events: Long, sum_value: Double)
+      session_end: Timestamp, n_events: Long, sum_value: Option[Double])
 
   private def tsFromMicros(us: Long): Timestamp = {
     val t = new Timestamp(us / 1000000 * 1000)
@@ -67,7 +70,8 @@ object StreamSessionize {
     sessions.sortBy(s => (s.start_us, s.last_us)).foldLeft(List.empty[OpenSession]) {
       case (cur :: rest, next) if next.start_us <= cur.last_us + gapUs =>
         OpenSession(cur.start_us, math.max(cur.last_us, next.last_us),
-          cur.n + next.n, cur.cents + next.cents) :: rest
+          cur.n + next.n, cur.cents + next.cents,
+          cur.n_values + next.n_values) :: rest
       case (acc, next) => next :: acc
     }.reverse
 
@@ -81,7 +85,8 @@ object StreamSessionize {
       .select(col(keyCol).cast("long").as("key"),
         col(tsCol).as("ts"),
         coalesce((col(valueCol).cast("decimal(18,2)") * 100).cast("long"), lit(0L))
-          .as("cents"))
+          .as("cents"),
+        col(valueCol).isNotNull.as("has_value"))
       .as[SessEvent]
     src.groupByKey(_.key)
       .flatMapGroupsWithState[SessState, SessionRow](
@@ -89,7 +94,7 @@ object StreamSessionize {
         (key: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
           val arrived = rows.map { e =>
             val us = microsFromTs(e.ts)
-            OpenSession(us, us, 1L, e.cents)
+            OpenSession(us, us, 1L, e.cents, if (e.has_value) 1L else 0L)
           }.toList
           val open = mergeAll(
             state.getOption.map(_.open).getOrElse(Nil) ::: arrived, gapUs)
@@ -108,8 +113,11 @@ object StreamSessionize {
               stillOpen.map(s => s.last_us + gapUs).min / 1000 + 1)
           }
           closed.sortBy(_.start_us).iterator.map { s =>
+            // all-null values -> NULL sum, matching the batch
+            // sum(decimal) over an all-null group
             SessionRow(key, tsFromMicros(s.start_us),
-              tsFromMicros(s.last_us + gapUs), s.n, s.cents / 100.0)
+              tsFromMicros(s.last_us + gapUs), s.n,
+              if (s.n_values == 0) None else Some(s.cents / 100.0))
           }
       }
   }

@@ -60,7 +60,9 @@ object Temporal {
     * key — a global temporal-correlation probe, unlike the per-key
     * [[asofJoin]]), plus the closest such gap in microseconds (null when
     * nothing is near). Left rows with no nearby right rows are kept with
-    * a zero count.
+    * a zero count. `(leftIdCols, leftTsCol)` must uniquely identify left
+    * rows — the final aggregate groups by them, so colliding rows would
+    * silently merge into one output row with combined counts.
     *
     * Scale shape: the naive `abs(l.ts - r.ts) <= r` predicate is a
     * non-equi join — Spark can only plan BroadcastNestedLoopJoin,

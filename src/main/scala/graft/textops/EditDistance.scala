@@ -48,10 +48,10 @@ object EditDistance {
     * Shape: explode variants → self equi-join on the 64-bit HASH of the
     * variant (the shuffle and the join compare 8-byte longs, never the
     * variant strings; a hash collision only widens the candidate set
-    * the verify prunes anyway) → `distinct` collapses pairs that met
-    * through several shared variants (at most L+1) BEFORE the verify →
-    * threshold-bounded levenshtein (early-exits past `maxDist` instead
-    * of filling the full DP matrix) → exact filter. No cross join
+    * the verify prunes anyway) → one plain-levenshtein filter →
+    * `distinct` collapses pairs that met through several shared
+    * variants (at most L+1). The 3-arg threshold levenshtein was
+    * measured SLOWER here and rejected — see SCALING.md. No cross join
     * anywhere; the length filter inside the join condition discards the
     * len-diff > maxDist corner early.
     */

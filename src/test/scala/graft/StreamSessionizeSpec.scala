@@ -93,4 +93,27 @@ class StreamSessionizeSpec extends SparkSpec {
     val got = run(Seq(closed, Seq((ts(9000), 1L, 0.0))))
     assert(got.head._5 == 0.3)
   }
+
+  test("all-null values emit a NULL sum, matching batch sum(decimal)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, java.lang.Double)]
+    val df = stream.toDS().toDF("ts", "user_id", "value")
+    val name = s"fm_sessions_null_${System.nanoTime()}"
+    val q = StreamSessionize.sessionize(df, "user_id", "ts", "value",
+        "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    stream.addData((ts(1000), 1L, null), (ts(1001), 1L, null),
+      (ts(1000), 2L, null), (ts(1001), 2L, java.lang.Double.valueOf(5.0)))
+    q.processAllAvailable()
+    stream.addData((ts(9000), 1L, java.lang.Double.valueOf(0.0)))
+    q.processAllAvailable()
+    val got = spark.table(name)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Option[Double])]
+      .collect().sortBy(_._1)
+    q.stop()
+    assert(got.length == 2)
+    assert(got(0)._5.isEmpty)        // all-null session -> NULL
+    assert(got(1)._5.contains(5.0))  // null + value -> value
+  }
 }
