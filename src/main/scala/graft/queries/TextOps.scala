@@ -119,6 +119,25 @@ object TextOps {
         Tables.load(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
       graft.graph.Triangles.perNodeCounts(pairs, "id_a", "id_b")
         .orderBy($"node")
+    },
+
+    // ---- multimodal decode stage through the driver gate: binary
+    // payloads (documents as stand-in media) through the batched
+    // mapPartitions decode; the stub codec is SHA-derived, so DuckDB
+    // computes the same properties and the whole binary-column
+    // plumbing is hash-verified, not just spec'd.
+    "q52_media_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = docsParallel(s, dir).select(
+          $"doc_id".as("media_id"),
+          when($"doc_id" % 2 === 0, "image").otherwise("video").as("kind"),
+          $"text".cast("binary").as("bytes"),
+          $"source")
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.decodeFeatures(media).toDF()
+        .select($"media_id", $"kind", $"n_bytes", $"sha256",
+          $"width", $"height", $"duration_ms")
+        .orderBy($"media_id")
     }
   )
 
@@ -323,6 +342,20 @@ object TextOps {
         |  ON a.c_custkey < b.c_custkey
         | AND abs(len(a.c_name) - len(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // DuckDB mirror of StubDecoder: sha256 over the SAME UTF-8 bytes,
+    // dimensions from the digest's first bytes (hex-pair parses).
+    "q52_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS sha256,
+        |  64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) * 8 AS width,
+        |  64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) * 8 AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 0
+        |       ELSE 1000 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) * 500
+        |  END AS duration_ms
+        |FROM documents""".stripMargin,
 
     // Triangles once each as x < y < z over the normalized (s < t) edge
     // list; orientation is irrelevant to the COUNT, so the naive form
