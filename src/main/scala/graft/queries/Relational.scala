@@ -324,6 +324,30 @@ object Relational {
         .pivot("o_orderpriority", OrderPriorities)
         .agg(sum(dec($"o_totalprice")).cast("double"))
         .orderBy($"o_orderstatus")
+    },
+
+    // ---- BAG semantics: EXCEPT ALL preserves multiplicity (q25 is the
+    // set form) — order keys with their line counts minus the returned
+    // lines' multiset.
+    "q53_except_all" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      li.select($"l_orderkey")
+        .exceptAll(li.filter($"l_returnflag" === "R").select($"l_orderkey"))
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+        .orderBy($"l_orderkey")
+    },
+
+    // ---- ordered string aggregation (LISTAGG): deterministic via the
+    // explicit sort inside the aggregate, same UTF8-binary order both
+    // engines.
+    "q54_string_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list($"c_name")), "|").as("names"))
+        .orderBy($"c_mktsegment")
     }
   )
 
@@ -478,6 +502,18 @@ object Relational {
         s"""CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "$p""""
       }.mkString(",\n ")
       s"SELECT o_orderstatus,\n $cols\nFROM orders GROUP BY o_orderstatus"
-    }
+    },
+
+    "q53_except_all" ->
+      """WITH x AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT l_orderkey, COUNT(*) AS n FROM x GROUP BY l_orderkey""".stripMargin,
+
+    "q54_string_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |       string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM customer GROUP BY c_mktsegment""".stripMargin
   )
 }
