@@ -260,6 +260,84 @@ object Vectors {
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
   }
 
+  /** IVF-PQ: the production ANN composition — IVF cells PRUNE (each
+    * query scores only its `nProbe` nearest cells' members, an EQUI
+    * join on the cell id, never a corpus scan) and PQ codes COMPRESS
+    * (members are scored from `m` one-byte codes via the query's ADC
+    * table). Shortlist + exact re-rank as in [[pqTopK]], so emitted
+    * scores are exact cosines. Codebooks are seeded identically to
+    * [[pqTopK]]'s: with `nProbe = nCentroids` the candidate set (and
+    * therefore the output) equals pqTopK's — the spec pins that, and
+    * recall at partial probe is spec'd against [[bruteTopK]].
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int, nProbe: Int,
+      m: Int = 8, ksub: Int = 256, shortlistFactor: Int = 8,
+      seed: Int = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = boundedSample(corpus, idCol, vecCol)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val coarse = kmeansFit(sample, nCentroids, seed)
+    val codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => kmeansFit(sample.map(v => v.slice(j * sub, (j + 1) * sub)), ksub, seed + j))
+    val encodeUdf = udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble).toArray
+      (0 until m).map(j => nearestIdx(vd.slice(j * sub, (j + 1) * sub), codebooks(j)))
+    })
+    val assignUdf = udf((v: Seq[Float]) => nearestIdx(v.map(_.toDouble).toArray, coarse))
+    val probeUdf = udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble).toArray
+      coarse.indices.map { i =>
+        var d = 0.0; var j = 0
+        while (j < dim) { val x = vd(j) - coarse(i)(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    val tableUdf = udf((qv: Seq[Float]) => {
+      val qd = qv.map(_.toDouble).toArray
+      val t = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) {
+          var s = 0.0; var i = 0
+          while (i < sub) { s += qd(j * sub + i) * codebooks(j)(c)(i); i += 1 }
+          t(j * ksub + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      t.toSeq
+    })
+    val adcUdf = udf((table: Seq[Double], codes: Seq[Int]) => {
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += table(j * ksub + codes(j)); j += 1 }
+      s
+    })
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("cell", assignUdf($"nv"))
+      .withColumn("codes", encodeUdf($"nv"))
+      .withColumn("nn", normCol($"nv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeUdf($"qv")))
+      .withColumn("qtab", tableUdf($"qv"))
+      .withColumn("qn", normCol($"qv")))
+    val scored = q.join(c, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("approx", adcUdf($"qtab", $"codes") / $"nn")
+    val wa = Window.partitionBy($"query_id").orderBy($"approx".desc, $"neighbor_id".asc)
+    scored.withColumn("arank", row_number().over(wa))
+      .filter($"arank" <= k * shortlistFactor)
+      .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"cosine")
+  }
+
   /** Bucketed ANN top-k: exact ranking within the query's bucket. Trades
     * recall for a bucket join; [[bruteTopK]] is the recall oracle.
     */

@@ -74,6 +74,29 @@ class IvfSpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect()
     assert(again.toSet == pq.toSet)
   }
+
+  test("ivfPqTopK: full probe equals pqTopK; partial probe keeps decent recall") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val pq = Vectors.pqTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // probing every cell scores the full corpus with the SAME codebooks
+    // -> identical shortlist -> identical output
+    val full = Vectors.ivfPqTopK(emb, queries, "vec_id", "embedding", 3,
+        nCentroids = 8, nProbe = 8)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == pq)
+    val brute = Vectors.bruteTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val half = Vectors.ivfPqTopK(emb, queries, "vec_id", "embedding", 3,
+        nCentroids = 8, nProbe = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    val recall = half.map(r => (r._1, r._3)).toSet.intersect(brute).size.toDouble / brute.size
+    info(f"IVF-PQ recall@3 = $recall%.2f (probing 4/8 cells, 8-byte codes)")
+    assert(recall >= 0.5, s"recall=$recall")
+  }
 }
 
 class StreamDedupSpec extends SparkSpec {
