@@ -438,4 +438,32 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_bits")).toMap
     assert(out(2L) > out(1L))
   }
+
+  test("approx_count_distinct corpus stats stay within the HLL error bound") {
+    // SURVEY §7.2 item 9: distinct-term corpus stats via HLL sketches —
+    // the ONLY mergeable shape at 100 TB (an exact countDistinct
+    // shuffles every distinct term; the sketch is fixed-size per
+    // partition and map-side combined). Not gate-oracled: sketch
+    // estimates are engine-specific. Pinned here instead: within the
+    // configured relative error of exact on the real documents table,
+    // per language and overall.
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, explode}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val terms = docs.select($"lang",
+      explode(graft.textops.TextTokens.wordsCol($"text")).as("term"))
+    val overall = terms.agg(
+        countDistinct($"term").as("exact"),
+        approx_count_distinct($"term", 0.02).as("approx"))
+      .as[(Long, Long)].head()
+    assert(math.abs(overall._2 - overall._1).toDouble / overall._1 <= 0.05,
+      s"overall exact=${overall._1} approx=${overall._2}")
+    val perLang = terms.groupBy($"lang").agg(
+        countDistinct($"term").as("exact"),
+        approx_count_distinct($"term", 0.02).as("approx"))
+      .as[(String, Long, Long)].collect()
+    perLang.foreach { case (lang, exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"$lang exact=$exact approx=$approx")
+    }
+  }
 }
