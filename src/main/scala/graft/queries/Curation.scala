@@ -228,6 +228,16 @@ object Curation {
         .orderBy($"w_start", $"event_type")
     },
 
+    // ---- PPS systematic sample: token-weighted document selection in
+    // exact integer arithmetic (every 500th token plants a sampling
+    // point; the doc covering it is selected).
+    "q55_pps_sample" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.ppsSample(docsParallel(s, dir), "doc_id", "lang", "text",
+          step = 500, salt = "pps")
+        .orderBy($"lang", $"pick_point")
+    },
+
     // ---- lead/lag inter-event gaps per user: the dwell-time signal
     // (windows over the (user, ts, event_id) total order — deterministic
     // tiebreak, so both engines agree row-for-row).
@@ -595,6 +605,19 @@ object Curation {
         |SELECT w_start, w_end, event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM exp GROUP BY 1, 2, 3""".stripMargin),
+
+    "q55_pps_sample" -> (ToksCte +
+      """, cum AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY lang
+        |           ORDER BY md5('pps' || CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS end_offset
+        |  FROM toks WHERE n_tokens > 0)
+        |SELECT doc_id, lang, n_tokens, end_offset,
+        |       end_offset - n_tokens AS start_offset,
+        |       ((end_offset - n_tokens + 499) // 500) * 500 AS pick_point
+        |FROM cum
+        |WHERE ((end_offset - n_tokens + 499) // 500) * 500 < end_offset""".stripMargin),
 
     "q47_event_gaps" -> (EventsUsCte +
       """

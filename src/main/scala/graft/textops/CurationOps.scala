@@ -350,6 +350,37 @@ object CurationOps {
       .toDF()
   }
 
+  // ---- PPS systematic sampling -------------------------------------------
+
+  /** Systematic sampling proportional to size (PPS): walk each
+    * stratum's documents in deterministic salted-md5 order, lay their
+    * token counts end to end, and select every document whose span
+    * covers a sampling point (multiples of `step` tokens, from 0).
+    * Inclusion probability ∝ min(1, tokens/step) — the weighted
+    * sampling primitive for token-weighted corpus audits/evals, in
+    * exact integer arithmetic (no `u^(1/w)` floats, so the DuckDB
+    * oracle is bit-identical). A doc longer than `step` covers several
+    * points but is selected once (`pick_point` = its first).
+    *
+    * Same shuffle shape as [[tokenBudgetMix]]: one window per stratum.
+    */
+  def ppsSample(
+      df: DataFrame, idCol: String, stratumCol: String, textCol: String,
+      step: Long, salt: String): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(stratumCol),
+        size(wordsCol(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("end_offset") - col("n_tokens"))
+      .withColumn("pick_point",
+        expr(s"((start_offset + $step - 1) div $step) * $step"))
+      .filter(col("pick_point") < col("end_offset"))
+  }
+
   // ---- corpus length statistics ------------------------------------------
 
   /** Per-stratum token-count distribution summary (min/p50/p90/p99/max,
