@@ -187,6 +187,16 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // ---- bigram conditional surprisal: next-token predictability in
+    // whole bits — the exact-integer surrogate for LM-perplexity
+    // filtering one model order up from q42 (incoherent word salad
+    // scores high even when every individual word is common).
+    "q56_bigram_surprisal" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.bigramSurprisal(docsParallel(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
     // ---- boundary-preserving next-fit packing: q39's complement for
     // objectives that must not split documents; sequential fold made
     // scalable by per-(lang, shard) secondary sort.
@@ -552,6 +562,22 @@ object Curation {
         |       CAST(SUM(tf * len(bin(total // cnt))) AS BIGINT) AS sum_bits,
         |       CAST(SUM(tf * len(bin(total // cnt))) AS DOUBLE) / SUM(tf) AS mean_bits
         |FROM tf JOIN freq USING (term), tot
+        |GROUP BY doc_id""".stripMargin),
+
+    // Bigrams by 1-based list index (range(1, len) is empty below two
+    // words, dropping short docs exactly like the Spark zip_with form);
+    // prefix counts roll up from the bigram table so both engines
+    // aggregate the identical integer quotients.
+    "q56_bigram_surprisal" -> (WordsCte +
+      """, idx AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM words),
+        |big AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM idx),
+        |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM big GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cnt2 FROM tf GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY 1)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(tf * len(bin(cnt1 // cnt2))) AS BIGINT) AS sum_bits,
+        |       CAST(SUM(tf * len(bin(cnt1 // cnt2))) AS DOUBLE) / SUM(tf) AS mean_bits
+        |FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY doc_id""".stripMargin),
 
     // Sequential fold as a recursive CTE: one step per row within each

@@ -495,6 +495,52 @@ object CurationOps {
         (sum(col("tf") * col("__bits")).cast("double") / sum(col("tf"))).as("mean_bits"))
   }
 
+  /** Adjacent word pairs as (w1, w2) structs; empty below 2 words.
+    * `zip_with` pads the shifted copy with nulls past its end, so the
+    * final (last-word, null) pair is filtered off.
+    */
+  private def bigramPairsCol(ws: Column): Column =
+    filter(
+      zip_with(ws, slice(ws, lit(2), size(ws)),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+
+  /** Per-document mean CONDITIONAL (bigram) surprisal in whole bits:
+    * each adjacent pair (w1, w2) scores the binary digit count of
+    * `prefix_count(w1) div bigram_count(w1, w2)` — an exact-integer
+    * surrogate for −log2 P(w2 | w1), the next-token-predictability
+    * signal a real LM perplexity filter (CCNet/DCLM-style) computes
+    * with a trained model. Context counts are the bigram-PREFIX totals
+    * (occurrences of w1 followed by anything), not raw unigram counts,
+    * so the quotient is ≥ 1 and the estimate is a proper conditional
+    * distribution over observed continuations. Everything up to the
+    * final per-doc mean is integer arithmetic — bit-identical across
+    * engines per the float policy. Documents with fewer than two
+    * tokens contribute no bigrams and are absent from the output.
+    *
+    * Scale shape: tokens reduce to per-document bigram counts first
+    * (map-side combined), so the frequency joins move distinct
+    * (doc, w1, w2) triples rather than every token; the corpus bigram
+    * and prefix tables are one row per distinct bigram / prefix. Hot
+    * prefixes ("the", "of") are skewed join keys — AQE skew-join
+    * handles them, same contract as [[unigramSurprisal]].
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf2 = df
+      .select(col(idCol), explode(bigramPairsCol(wordsCol(col(textCol)))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cnt2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))
+    tf2.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("__bits", length(bin(expr("cnt1 div cnt2"))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("__bits")).as("sum_bits"),
+        (sum(col("tf") * col("__bits")).cast("double") / sum(col("tf"))).as("mean_bits"))
+  }
+
   // ---- TF-IDF keyword extraction -----------------------------------------
 
   /** Top-k characteristic terms per document by tf·idf with the linear

@@ -65,7 +65,10 @@ object PlanCheck {
     // PII scrub is chained regexp_replace — pure per-row, no aggregates
     Expectation("q41_pii_scrub",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")),
-    Expectation("q42_unigram_surprisal", mustContain = Seq("HashAggregate")))
+    Expectation("q42_unigram_surprisal", mustContain = Seq("HashAggregate")),
+    // bigram surprisal must reduce to per-doc bigram counts before the
+    // frequency joins (a per-token join would move the whole corpus)
+    Expectation("q56_bigram_surprisal", mustContain = Seq("HashAggregate")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

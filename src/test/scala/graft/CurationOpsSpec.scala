@@ -439,6 +439,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L) > out(1L))
   }
 
+  test("bigramSurprisal: exact whole-bit conditional scores from corpus counts") {
+    // bigrams: doc1 (a,b)x2 (b,a)x1; doc2 (a,b) (b,c)
+    // c2: (a,b)=3 (b,a)=1 (b,c)=1; prefix c1: a=3, b=2
+    // bits: (a,b) 3 div 3 = 1 -> "1" -> 1; (b,a) 2 div 1 = 2 -> "10" -> 2;
+    //       (b,c) 2 div 1 = 2 -> 2
+    val df = docs(1L -> "a b a b", 2L -> "a b c")
+    val out = CurationOps.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_bits"), r.getAs[Double]("mean_bits"))))
+      .toMap
+    assert(out(1L) === ((3L, 4L, 4.0 / 3.0)))
+    assert(out(2L) === ((2L, 3L, 1.5)))
+  }
+
+  test("bigramSurprisal drops docs below two tokens and scores predictability") {
+    // "x y" repeated: after the corpus sees it, every continuation is
+    // near-certain -> low bits; the same words shuffled break the
+    // chain -> higher bits, even though unigram stats are identical
+    val predictable = (1 to 10).map(_ => "x y").mkString(" ")
+    val scrambled = "x x y y x y y x x y x y y x x y y x y x"
+    val out = CurationOps.bigramSurprisal(
+        docs(1L -> predictable, 2L -> scrambled, 3L -> "solo"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_bits")).toMap
+    assert(!out.contains(3L), "single-token doc must contribute no bigrams")
+    assert(out(2L) > out(1L))
+  }
+
   test("approx_count_distinct corpus stats stay within the HLL error bound") {
     // SURVEY §7.2 item 9: distinct-term corpus stats via HLL sketches —
     // the ONLY mergeable shape at 100 TB (an exact countDistinct
