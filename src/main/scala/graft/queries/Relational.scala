@@ -299,6 +299,30 @@ object Relational {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
 
+    // ---- weighted PageRank on the supplier→customer nation trade
+    // graph, in fixed-point integer arithmetic (bit-identical BIGINT
+    // ranks across engines — see graph/PageRank for the float-policy
+    // argument). The per-round join+agg on the node id is the plan
+    // shape that runs at billions of edges; here the graph is the
+    // 25-nation trade network extracted by the same star joins as q04.
+    "q57_pagerank_trade" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val sup = Tables.load(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+      val ord = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val cust = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+      val edges = li
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy($"s_nationkey", $"c_nationkey")
+        .agg(count(lit(1)).as("w"))
+        .select($"s_nationkey".as("src"), $"c_nationkey".as("dst"), $"w")
+      val nodes = Tables.load(s, dir, "nation").select($"n_nationkey".as("node"))
+      graft.graph.PageRank.ranks(nodes, "node", edges, "src", "dst", "w", iters = PrIters)
+        .orderBy($"node")
+    },
+
     // ---- Z-order layout key: the multi-dimensional clustering value a
     // 100 TB table sorts/buckets by for data skipping on (customer,
     // date) predicates at once. Pure per-row bit math (codegen'd, no
@@ -362,6 +386,13 @@ object Relational {
     * identically on both engines (see ZOrder.zValue).
     */
   private val ZBits = 15
+
+  /** q57 PageRank rounds + fixed-point scale — mirrored literally into
+    * the oracle's unrolled iteration CTEs (damping 85/100, base
+    * (1−d)·scale; see graph/PageRank for the integer semantics).
+    */
+  private val PrIters = 3
+  private val PrScale = 1000000000000L
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -486,6 +517,34 @@ object Relational {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // Iterations unrolled as CTEs from the SAME constants as the Spark
+    // side; every arithmetic step is BIGINT multiply/divide, so both
+    // engines produce identical ranks (`//` and Spark `div` both
+    // truncate, and all operands here are positive).
+    "q57_pagerank_trade" -> {
+      val base = PrScale * 15 / 100
+      def iter(i: Int) =
+        s"""r$i AS (
+           |  SELECT n.node, CAST($base + (COALESCE(s.s, 0) * 85) // 100 AS BIGINT) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, CAST(SUM((r.rank * e.w) // e.tw) AS BIGINT) AS s
+           |    FROM ew e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) s
+           |  ON s.dst = n.node)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM lineitem l
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2),
+         |tw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM e0 GROUP BY 1),
+         |ew AS (SELECT e0.src, e0.dst, e0.w, tw.tw FROM e0 JOIN tw USING (src)),
+         |nodes AS (SELECT n_nationkey AS node FROM nation),
+         |r0 AS (SELECT node, CAST($PrScale AS BIGINT) AS rank FROM nodes),
+         |${(1 to PrIters).map(iter).mkString(",\n")}
+         |SELECT node, rank FROM r$PrIters""".stripMargin
+    },
 
     // Generated from the SAME interleave loop as the Spark side
     // (ZOrder.zValueSql), like the MinHash oracle.

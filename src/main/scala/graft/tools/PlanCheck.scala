@@ -68,7 +68,10 @@ object PlanCheck {
     Expectation("q42_unigram_surprisal", mustContain = Seq("HashAggregate")),
     // bigram surprisal must reduce to per-doc bigram counts before the
     // frequency joins (a per-token join would move the whole corpus)
-    Expectation("q56_bigram_surprisal", mustContain = Seq("HashAggregate")))
+    Expectation("q56_bigram_surprisal", mustContain = Seq("HashAggregate")),
+    // the trade-graph extraction must broadcast its dimension sides
+    // (supplier/customer/nation), like q04
+    Expectation("q57_pagerank_trade", mustContain = Seq("BroadcastHashJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
