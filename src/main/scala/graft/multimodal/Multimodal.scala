@@ -185,6 +185,48 @@ object Multimodal {
     }
   }
 
+  /** Feature-extraction stage producing an embedding of ARBITRARY
+    * width, so media rows feed the whole vector suite (knnGraph /
+    * ivfTopK / embeddingPairs want dim ≥ 64; the 8-float
+    * [[MediaFeatures]] vector is too narrow). Output:
+    * `(media_id, kind, embedding: array<float>)` — the same shape as
+    * the `embeddings` table, by design.
+    *
+    * The extractor is the honest stub (SHA-256 in counter mode:
+    * `digest(bytes ‖ ctr)` yields 32 bytes per round until `dim` floats
+    * in [−1, 1] are filled — deterministic, so exact-duplicate payloads
+    * and ONLY they get cosine 1.0); a real image/audio encoder drops
+    * into the same mapPartitions slot, initialized once per partition,
+    * batched via [[decodeBatched]] if it wants device-sized groups.
+    */
+  def embedStub(media: Dataset[MediaRow], dim: Int): DataFrame = {
+    require(dim > 0, s"embedding width must be positive, got $dim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { row =>
+        val out = new Array[Float](dim)
+        var filled = 0
+        var ctr = 0
+        while (filled < dim) {
+          sha.reset()
+          sha.update(row.bytes)
+          sha.update(java.nio.ByteBuffer.allocate(4).putInt(ctr).array())
+          val d = sha.digest()
+          var i = 0
+          while (i < d.length && filled < dim) {
+            out(filled) = ((d(i) & 0xff) / 255.0f) * 2f - 1f
+            filled += 1
+            i += 1
+          }
+          ctr += 1
+        }
+        (row.media_id, row.kind, out)
+      }
+    }.toDF("media_id", "kind", "embedding")
+  }
+
   /** Exact-duplicate media detection by payload hash — same hash-groupBy
     * shape as text dedup, over binary.
     */

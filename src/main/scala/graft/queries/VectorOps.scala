@@ -36,6 +36,18 @@ object VectorOps {
         .orderBy($"query_id", $"rnk")
     },
 
+    // ---- NN-Descent k-NN graph: every vector's top-3 neighbors after
+    // seeding from 3 independent LSH tables + 2 co-neighbor refinement
+    // rounds (the HNSW-flavored third scale path; oracled by unrolling
+    // the rounds as CTEs with the same constants).
+    "q58_knn_graph" -> { (s, dir) =>
+      import s.implicits._
+      Vectors.knnGraph(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, planes = KnnPlanes, dim = 64, rounds = 2, tables = KnnTables)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy($"query_id", $"rnk")
+    },
+
     // ---- embedding-cosine near-dup pairs (oracled like q23).
     // The synthetic embeddings are near-orthogonal (max pairwise cosine
     // ≈ 0.51), so the demo threshold is 0.4; production near-dup
@@ -55,8 +67,15 @@ object VectorOps {
     * dot-product SIGN feeds the bucket, so engine agreement is robust).
     * Params must match q23/q24's queries entries (planes=4, dim=64).
     */
-  private def bucketSql(v: String, planes: Int = 4, dim: Int = 64): String =
-    Vectors.hyperplanes(planes, dim).zipWithIndex.map { case (plane, p) =>
+  /** q58 constants: 3 independent tables of 3-plane buckets measured
+    * best on the near-orthogonal synthetic embeddings (recall@3 0.60 at
+    * sf0.001 vs 0.26 for one 4-plane table; see VectorsSpec).
+    */
+  private val KnnTables = 3
+  private val KnnPlanes = 3
+
+  private def bucketSql(v: String, planes: Int = 4, dim: Int = 64, seed: Int = 42): String =
+    Vectors.hyperplanes(planes, dim, seed).zipWithIndex.map { case (plane, p) =>
       s"(CASE WHEN list_dot_product($v, [${plane.mkString(", ")}]) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -81,6 +100,48 @@ object VectorOps {
         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
         |  FROM scored)
         |SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // NN-Descent rounds unrolled as CTEs; UNION (not UNION ALL)
+    // mirrors the Spark side's union+distinct candidate sets, and the
+    // same round-6 + id tiebreak makes each round's top-k selection
+    // identical, so the fixed point of the iteration matches exactly.
+    "q58_knn_graph" -> {
+      val k = 3
+      def topkSql(pairs: String, out: String) =
+        s"""${out}s AS (
+           |  SELECT p.src, p.dst,
+           |         round(list_dot_product(x.v, y.v) /
+           |               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+           |  FROM $pairs p JOIN e x ON x.id = p.src JOIN e y ON y.id = p.dst),
+           |$out AS (
+           |  SELECT src, dst, cosine, rnk FROM (
+           |    SELECT src, dst, cosine,
+           |           ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+           |    FROM ${out}s) WHERE rnk <= $k)""".stripMargin
+      def roundSql(i: Int) =
+        s"""u$i AS (SELECT src, dst FROM g${i - 1} UNION SELECT dst, src FROM g${i - 1}),
+           |p$i AS (
+           |  SELECT a.dst AS src, b.dst AS dst FROM u$i a JOIN u$i b ON a.src = b.src
+           |  WHERE a.dst <> b.dst
+           |  UNION SELECT src, dst FROM g${i - 1}),
+           |${topkSql(s"p$i", s"g$i")}""".stripMargin
+      val seedJoins = (0 until KnnTables).map { t =>
+        s"""SELECT x.id AS src, y.id AS dst
+           |    FROM bt$t x JOIN bt$t y ON x.bucket = y.bucket AND x.id <> y.id"""
+          .stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${(0 until KnnTables).map(t =>
+              s"bt$t AS (SELECT id, ${bucketSql("v", planes = KnnPlanes, seed = 42 + t)} AS bucket FROM e)")
+            .mkString(",\n")},
+         |p0 AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    $seedJoins)),
+         |${topkSql("p0", "g0")},
+         |${roundSql(1)},
+         |${roundSql(2)}
+         |SELECT src AS query_id, rnk, dst AS neighbor_id, cosine FROM g2""".stripMargin
+    },
 
     "q24_embedding_near_dup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

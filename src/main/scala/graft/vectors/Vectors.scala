@@ -341,6 +341,79 @@ object Vectors {
   /** Bucketed ANN top-k: exact ranking within the query's bucket. Trades
     * recall for a bucket join; [[bruteTopK]] is the recall oracle.
     */
+  /** NN-Descent-flavored k-NN GRAPH construction: every corpus vector
+    * gets its k nearest neighbors, refined iteratively — the batch
+    * analogue of HNSW's neighbor-graph layer and the third scale path
+    * beside LSH and IVF (Dong et al., "Efficient K-Nearest Neighbor
+    * Graph Construction for Generic Similarity Measures", WWW'11).
+    *
+    * Round 0 seeds each node's list with exact-scored candidates from
+    * its buckets in `tables` INDEPENDENT hyperplane-LSH tables
+    * (consecutive seeds). Independence is load-bearing, not a recall
+    * tweak: a single table decomposes the seed graph into per-bucket
+    * connected components, and co-neighbor proposals can never leave a
+    * component — refinement would be a provable no-op. Overlapping
+    * tables make the seed graph connected, which is what gives the
+    * descent something to mix.
+    *
+    * Each refinement round then exploits "a neighbor of my neighbor is
+    * likely my neighbor": symmetrize the current graph, propose every
+    * pair of co-neighbors (u, w) sharing a pivot v (the local join),
+    * union the incumbent edges, re-score exactly, and keep the top k
+    * per node. A fixed round count (not convergence detection) keeps
+    * the result a total, deterministic function of the input —
+    * bit-identical across engines with the round-6 cosine + id
+    * tiebreak, so the gate can hash it.
+    *
+    * Scale shape: proposals per round are Σ_v |B(v)|² ≤ N·(2k)² — linear
+    * in N for fixed k, never a cross join; every stage shuffles on a
+    * node id. Exact scoring touches candidate pairs only. The vector
+    * relation is persisted once and re-read by each round's two score
+    * joins (multi-consumer convention, like NearDup's shingles).
+    */
+  def knnGraph(corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int, dim: Int,
+      rounds: Int, tables: Int = 2, seed: Int = 42): DataFrame = {
+    require(tables >= 1, s"need at least one LSH table: $tables")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", normCol($"v"))
+      .persist()
+    def topk(pairs: DataFrame): DataFrame = {
+      val scored = pairs
+        .join(c.select($"id".as("src"), $"v".as("sv"), $"n".as("sn")), "src")
+        .join(c.select($"id".as("dst"), $"v".as("dv"), $"n".as("dn")), "dst")
+        .withColumn("cosine", round(cosineWithNorms($"sv", $"sn", $"dv", $"dn"), 6))
+      val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst".asc)
+      scored.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+        .select($"src", $"rank", $"dst", $"cosine")
+    }
+    val seedPairs = (0 until tables).map { t =>
+      val b = c.select($"id", hyperplaneBucket($"v", planes, dim, seed + t).as("bucket"))
+      b.as("x").join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("src"), col("y.id").as("dst"))
+    }.reduce(_ union _)
+    // each round reads the previous graph three times (two symmetrize
+    // branches + the incumbent union) — without cutting lineage every
+    // round, recomputation nests EXPONENTIALLY in `rounds`; same
+    // per-round localCheckpoint as the ConnectedComponents loop
+    var g = topk(seedPairs.distinct()).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val edges = g.select($"src", $"dst")
+      val undirected = edges
+        .union(edges.select($"dst".as("src"), $"src".as("dst"))).distinct()
+      val proposals = undirected.as("a")
+        .join(undirected.as("b"), col("a.src") === col("b.src"))
+        .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+        .filter($"src" =!= $"dst")
+      g = topk(proposals.union(edges).distinct()).localCheckpoint()
+    }
+    g.select($"src".as("query_id"), $"rank", $"dst".as("neighbor_id"), $"cosine")
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
     val spark = corpus.sparkSession

@@ -170,6 +170,40 @@ class VectorsSpec extends SparkSpec {
     val recall = lsh.intersect(brute).size.toDouble / brute.size
     assert(recall > 0.0, s"recall=$recall")
   }
+
+  test("knnGraph refinement rounds strictly improve recall over LSH seeding") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Vectors.bruteTopK(emb, emb, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(rounds: Int): Double = {
+      val g = Vectors.knnGraph(emb, "vec_id", "embedding",
+          k = 3, planes = 3, dim = 64, rounds = rounds, tables = 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      g.intersect(brute).size.toDouble / brute.size
+    }
+    val seeded = recallAt(0) // = multi-table LSH candidates only
+    val refined = recallAt(2)
+    // co-neighbor proposals must buy real recall even on the
+    // near-orthogonal synthetic embeddings — the worst case for the
+    // descent, since "neighbor of neighbor" carries little signal when
+    // no cluster structure exists (observed 0.55 -> 0.60 at sf0.001;
+    // bounds left slack so a generator reroll doesn't flap the suite)
+    assert(refined > seeded, s"seeded=$seeded refined=$refined")
+    assert(refined >= 0.5, s"refined recall too low: $refined")
+  }
+
+  test("knnGraph emits exactly k ranked rows per node with no self-edges") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter($"vec_id" < 50)
+    val g = Vectors.knnGraph(emb, "vec_id", "embedding",
+        k = 3, planes = 2, dim = 64, rounds = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+    g.foreach { case (q, _, n) => assert(q != n) }
+    g.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+      assert(rs.length <= 3)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -294,6 +328,44 @@ class MultimodalSpec extends SparkSpec {
         feats.toDF(), "media_id", "feature", planes = 8, threshold = 0.999, dim = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((media.head.media_id, 9999L)))
+  }
+
+  test("embedStub widths feed the ANN suite; dups are rank-1 with cosine 1") {
+    val withDup = media :+ media.head.copy(media_id = 9999L)
+    val emb = Multimodal.embedStub(spark.createDataset(withDup), dim = 64)
+    val row = emb.filter($"media_id" === media.head.media_id)
+      .select($"embedding").as[Array[Float]].head()
+    assert(row.length == 64 && row.forall(v => v >= -1f && v <= 1f))
+    // counter-mode expansion: the first 32 floats (one digest) must not
+    // simply repeat in the second digest's range
+    assert(row.slice(0, 32).toSeq != row.slice(32, 64).toSeq)
+    // media -> embedding -> NN-Descent graph: the duplicated payload
+    // must surface as its twin's rank-1 neighbor at cosine 1.0
+    val g = graft.vectors.Vectors.knnGraph(emb, "media_id", "embedding",
+        k = 2, planes = 2, dim = 64, rounds = 1, tables = 2)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    val top = g.filter(r => r._1 == 9999L && r._2 == 1).head
+    assert(top._3 == media.head.media_id && top._4 == 1.0, s"got $top")
+  }
+
+  test("decodeBatched call count is exactly the sum of per-partition ceilings") {
+    val ds = spark.createDataset(media).repartition(3)
+    val perPart = ds.rdd.mapPartitionsWithIndex((i, it) => Iterator(i -> it.size))
+      .collect().toMap
+    val calls = spark.sparkContext.collectionAccumulator[(Int, Int)]("calls")
+    Multimodal.decodeBatched(ds, batchSize = 4) { batch =>
+      calls.add(org.apache.spark.TaskContext.getPartitionId() -> batch.length)
+      batch.map(Multimodal.StubDecoder.decode)
+    }.count()
+    import scala.jdk.CollectionConverters._
+    val byPart = calls.value.asScala.toSeq.groupBy(_._1)
+    perPart.filter(_._2 > 0).foreach { case (p, n) =>
+      val sizes = byPart(p).map(_._2)
+      assert(sizes.length == (n + 3) / 4, s"partition $p: $sizes for $n rows")
+      // every batch full except possibly the last
+      assert(sizes.count(_ < 4) <= 1 && sizes.sum == n)
+    }
   }
 
   test("decodeBatched: every row exactly once, batches never exceed the cap") {
