@@ -100,6 +100,20 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- corpus-wide heavy-hitter trigrams: the n-gram frequency
+    // table contamination checks and LM smoothing start from. Partial
+    // map-side counts + one global top-k — the count shuffle moves
+    // distinct trigrams, the final sort only k rows
+    // (TakeOrderedAndProject, plan-asserted).
+    "q59_top_ngrams" -> { (s, dir) =>
+      import s.implicits._
+      docsParallel(s, dir)
+        .select(explode(graft.textops.NearDup.shinglesCol($"text", 3)).as("trigram"))
+        .groupBy($"trigram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"trigram".asc)
+        .limit(20)
+    },
+
     // ---- edit-distance similarity self-join (fuzzy entity matching on
     // short keys): symmetric-delete candidates, exact levenshtein verify
     // — the equi-join shape of a string-similarity join.
@@ -332,6 +346,14 @@ object TextOps {
     "q21_doc_fingerprint" -> (ShinglesCte +
       """
         |SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""".stripMargin),
+
+    // Multiplicity-keeping shingles (sha), not the DISTINCT per-doc set:
+    // frequency tables count every occurrence. Full ORDER BY + LIMIT is
+    // deterministic under the (n DESC, trigram ASC) total order.
+    "q59_top_ngrams" -> (ShinglesAllCte +
+      """
+        |SELECT shingle AS trigram, COUNT(*) AS n FROM sha
+        |GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin),
 
     // All-pairs levenshtein — the naive form of the Spark side's
     // symmetric-delete candidate join; fine at oracle scale.

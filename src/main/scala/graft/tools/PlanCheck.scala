@@ -71,7 +71,10 @@ object PlanCheck {
     Expectation("q56_bigram_surprisal", mustContain = Seq("HashAggregate")),
     // the trade-graph extraction must broadcast its dimension sides
     // (supplier/customer/nation), like q04
-    Expectation("q57_pagerank_trade", mustContain = Seq("BroadcastHashJoin")))
+    Expectation("q57_pagerank_trade", mustContain = Seq("BroadcastHashJoin")),
+    // the heavy-hitter top-k must be a one-pass TakeOrdered over the
+    // counted trigrams, never a global sort of the frequency table
+    Expectation("q59_top_ngrams", mustContain = Seq("TakeOrderedAndProject")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
