@@ -166,6 +166,50 @@ object CurationOps {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Bloom-filter decontamination pre-pass — [[decontaminate]]'s scale
+    * path when the benchmark side outgrows a broadcast hash set. An
+    * exact-set broadcast carries 8+ bytes per distinct benchmark
+    * shingle; the Bloom filter carries ~14 bits per item at 0.1% fpp
+    * (~5× smaller, constant-time probe, no join at all on the corpus
+    * side — the probe is a per-row map, so the corpus never shuffles
+    * and never explodes into join rows).
+    *
+    * The filter is built DISTRIBUTED (`stat.bloomFilter` merges
+    * per-partition sketches, the same mergeable-sketch shape as HLL)
+    * and broadcast once. Guarantee: NO false negatives — every doc the
+    * exact join would flag is flagged here, so running [[decontaminate]]
+    * on only the flagged docs equals running it on the full corpus
+    * (spec-pinned). False positives are bounded by `fpp` per probe and
+    * only cost wasted verify work, never a missed contamination.
+    *
+    * The probe is a Scala UDF: Spark's bloom-probe expression
+    * (`BloomFilterMightContain`) is internal to runtime row-group
+    * filtering and not public API. One boxed call per corpus shingle is
+    * the price of the no-join shape; flagged rows then re-verify
+    * exactly. Not gate-oracled: Bloom bit layouts are
+    * implementation-specific (DuckDB cannot reproduce them) — the
+    * containment and composition properties are spec-pinned instead.
+    */
+  def decontaminateBloomFlags(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, fpp: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchHashes = benchmark
+      .select(explode(NearDup.shinglesCol(col(textCol), n)).as("shingle"))
+      .select(NearDup.shingleHash60(col("shingle")).as("h"))
+      .distinct()
+    val expected = math.max(1L, benchHashes.count())
+    val bf = benchHashes.stat.bloomFilter("h", expected, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    corpus
+      .select(col(idCol), explode(NearDup.shinglesCol(col(textCol), n)).as("shingle"))
+      .select(col(idCol), NearDup.shingleHash60(col("shingle")).as("h"))
+      .filter(mightContain(col("h")))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("h")).as("n_suspect_shingles"))
+  }
+
   // ---- deterministic stratified sampling ---------------------------------
 
   /** Up to `k` rows per stratum, chosen by md5 rank over a salted key —

@@ -13,4 +13,11 @@ import org.apache.spark.sql.functions._
 object TextTokens {
   def wordsCol(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Plain-Scala twin of [[wordsCol]] (lowercase, whitespace-split,
+    * empties dropped) for executor-side code that tokenizes outside a
+    * Column expression (BPE segmentation, tokenizer impls).
+    */
+  def words(s: String): IndexedSeq[String] =
+    s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toIndexedSeq
 }

@@ -101,6 +101,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == corpus.select($"doc_id").as[Long].collect().toSet -- flagged)
   }
 
+  test("bloom pre-pass has no false negatives; verify-on-flagged ≡ exact on full") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = real.filter($"doc_id" % 10 === 0)
+    val corpus = real.filter($"doc_id" % 10 =!= 0)
+    val exact = CurationOps.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_shared_shingles").as[(Long, Long)].collect().toMap
+    val bloom = CurationOps.decontaminateBloomFlags(
+        corpus, bench, "doc_id", "text", n = 3, fpp = 0.01)
+      .select($"doc_id", $"n_suspect_shingles").as[(Long, Long)].collect().toMap
+    // no false negatives: every exactly-contaminated doc is flagged,
+    // with at least the exact shared-shingle count
+    exact.foreach { case (id, nShared) =>
+      assert(bloom.contains(id), s"doc $id missed by the bloom pre-pass")
+      assert(bloom(id) >= nShared, s"doc $id: bloom ${bloom(id)} < exact $nShared")
+    }
+    // composition: exact verify restricted to bloom-flagged docs equals
+    // exact on the full corpus (this is the two-phase production shape)
+    val flaggedOnly = corpus.filter($"doc_id".isin(bloom.keys.toSeq: _*))
+    val twoPhase = CurationOps.decontaminate(flaggedOnly, bench, "doc_id", "text", n = 3)
+      .select($"doc_id", $"n_shared_shingles").as[(Long, Long)].collect().toMap
+    assert(twoPhase == exact)
+    // false positives exist only within the fpp budget (generous bound:
+    // flagged-but-clean docs are a small fraction of the corpus)
+    val falsePos = bloom.keySet -- exact.keySet
+    val nCorpus = corpus.count().toDouble
+    assert(falsePos.size / nCorpus <= 0.10,
+      s"${falsePos.size} false-positive docs of ${nCorpus.toInt}")
+  }
+
   test("qualityGate is stateless and applies unchanged to a streaming frame") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
