@@ -522,4 +522,51 @@ class CurationOpsSpec extends SparkSpec {
         s"$lang exact=$exact approx=$approx")
     }
   }
+
+  test("count-min sketch term frequencies overestimate-only within epsilon") {
+    // The third mergeable sketch beside HLL (distinct counts) and Bloom
+    // (membership): CMS answers "how often does term X occur" from a
+    // fixed-size table that merges across partitions — the 100 TB shape
+    // for hot-term stats without shuffling every token. Guarantee pinned:
+    // estimates NEVER undercount, and overshoot ≤ eps·N with probability
+    // 1−delta (we assert the common-case bound on every frequent term).
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val terms = docs.select(
+      explode(graft.textops.TextTokens.wordsCol($"text")).as("term"))
+    val eps = 0.001
+    val cms = terms.stat.countMinSketch(
+      "term", eps = eps, confidence = 0.99, seed = 42)
+    val exact = terms.groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc).limit(50)
+      .as[(String, Long)].collect()
+    val n = terms.count()
+    exact.foreach { case (term, cnt) =>
+      val est = cms.estimateCount(term)
+      assert(est >= cnt, s"CMS undercounted '$term': $est < $cnt")
+      assert(est <= cnt + (eps * n).toLong,
+        s"'$term' overshoot beyond eps*N: est=$est exact=$cnt N=$n")
+    }
+  }
+
+  test("approx percentiles track exact within 1 rank point on doc lengths") {
+    // approx_percentile is the mergeable companion to q38's EXACT
+    // percentiles: at 100 TB the exact form shuffles every length once
+    // (fine, it's one long per doc), but the sketch answers from
+    // fixed-size state and merges into incremental/streaming rollups
+    // where a global sort pass cannot run. Accuracy pinned against the
+    // exact quantiles on the real table at accuracy=10000 (error
+    // ≤ 1/accuracy of the rank ⇒ near-exact here).
+    val lens = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(size(graft.textops.TextTokens.wordsCol($"text")).cast("long").as("len"))
+    val qs = Array(0.1, 0.5, 0.9, 0.99)
+    val approx = lens.stat.approxQuantile("len", qs, 1.0 / 10000)
+    val sorted = lens.orderBy($"len").as[Long].collect()
+    qs.zip(approx).foreach { case (q, a) =>
+      // rank of the approximate answer must be within 1% of the target
+      // rank (the approxQuantile contract, with slack for ties)
+      val lo = sorted(math.max(0, (q - 0.01) * (sorted.length - 1)).toInt)
+      val hi = sorted(math.min(sorted.length - 1, ((q + 0.01) * (sorted.length - 1)).toInt + 1))
+      assert(a >= lo && a <= hi, s"q=$q approx=$a outside [$lo, $hi]")
+    }
+  }
 }
