@@ -248,6 +248,20 @@ object Curation {
         .orderBy($"lang", $"pick_point")
     },
 
+    // ---- ordered funnel staging: the farthest view → click → purchase
+    // chain each user completes IN ORDER (a purchase before any view
+    // does not count). Two stacked cumulative-max windows over the same
+    // (user, ts, event_id) total order — strictly-before frames, ONE
+    // shuffle, then the per-user rollup; never a self-join of the event
+    // log against itself per stage.
+    "q60_funnel_stages" -> { (s, dir) =>
+      import s.implicits._
+      Temporal.funnelStages(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type",
+          stages = Seq("view", "click", "purchase"))
+        .orderBy($"user_id")
+    },
+
     // ---- lead/lag inter-event gaps per user: the dwell-time signal
     // (windows over the (user, ts, event_id) total order — deterministic
     // tiebreak, so both engines agree row-for-row).
@@ -644,6 +658,31 @@ object Curation {
         |       ((end_offset - n_tokens + 499) // 500) * 500 AS pick_point
         |FROM cum
         |WHERE ((end_offset - n_tokens + 499) // 500) * 500 < end_offset""".stripMargin),
+
+    // Same strictly-before cumulative-max windows over the identical
+    // (user, ts, event_id) total order; GREATEST of the stage maxima.
+    "q60_funnel_stages" -> (EventsUsCte +
+      """, s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    COALESCE(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS view_before
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND view_before = 1
+        |                 THEN 1 ELSE 0 END AS chain_click FROM s1),
+        |s3 AS (
+        |  SELECT *, COALESCE(MAX(chain_click) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS click_chain_before
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND click_chain_before = 1
+        |                 THEN 1 ELSE 0 END AS chain_purchase FROM s3)
+        |SELECT user_id,
+        |  GREATEST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END),
+        |           MAX(chain_click) * 2, MAX(chain_purchase) * 3) AS funnel_stage
+        |FROM s4 GROUP BY user_id""".stripMargin),
 
     "q47_event_gaps" -> (EventsUsCte +
       """

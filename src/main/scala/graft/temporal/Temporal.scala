@@ -139,4 +139,41 @@ object Temporal {
     matched.select(
       leftCols.map(col) ++ pickCols.map { case (_, a) => col("__m").getField(a).as(a) }: _*)
   }
+
+  /** Ordered funnel staging: per key, the farthest prefix of `stages`
+    * completed IN event-time order (stage i+1 only counts strictly
+    * AFTER a completed stage-i chain; a purchase before any view is not
+    * a conversion). Output `(key, funnel_stage)` — 0 = none, i = the
+    * 1-based deepest stage reached, for every key in `events`.
+    *
+    * Shape: one cumulative-max window per stage transition, all over
+    * the SAME (key, ts, id) total order — one shuffle + one sort
+    * regardless of funnel depth, then a per-key rollup. Never the
+    * per-stage self-join of the event log that naive funnel SQL writes
+    * (which is quadratic in stages and joins the full log each time).
+    * The (ts, id) tiebreak makes staging deterministic under
+    * same-timestamp events, so the result is gate-hashable.
+    */
+  def funnelStages(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    var df = events
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val chain = s"__chain_$i"
+      if (i == 0)
+        df = df.withColumn(chain, when(col(typeCol) === st, 1).otherwise(0))
+      else
+        df = df
+          .withColumn(s"__before_$i",
+            coalesce(max(col(s"__chain_${i - 1}")).over(wPrev), lit(0)))
+          .withColumn(chain,
+            when(col(typeCol) === st && col(s"__before_$i") === 1, 1).otherwise(0))
+    }
+    val maxima = stages.indices.map(i => max(col(s"__chain_$i")) * (i + 1))
+    df.groupBy(col(keyCol))
+      .agg((if (maxima.length == 1) maxima.head else greatest(maxima: _*)).as("funnel_stage"))
+  }
 }

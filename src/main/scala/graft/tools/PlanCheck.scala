@@ -74,7 +74,12 @@ object PlanCheck {
     Expectation("q57_pagerank_trade", mustContain = Seq("BroadcastHashJoin")),
     // the heavy-hitter top-k must be a one-pass TakeOrdered over the
     // counted trigrams, never a global sort of the frequency table
-    Expectation("q59_top_ngrams", mustContain = Seq("TakeOrderedAndProject")))
+    Expectation("q59_top_ngrams", mustContain = Seq("TakeOrderedAndProject")),
+    // funnel staging is windows + one rollup — any join operator means
+    // a per-stage self-join of the event log crept in
+    Expectation("q60_funnel_stages",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

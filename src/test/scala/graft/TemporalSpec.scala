@@ -170,4 +170,45 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"expected bucketed equi join, got:\n$plan")
   }
+
+  test("funnelStages counts stages only in order (purchase before view ≠ conversion)") {
+    val df = events(
+      // user 1: purchase BEFORE the chain, then full view->click->purchase
+      (1L, "2024-01-01 00:00:01", "purchase", 1.0),
+      (1L, "2024-01-01 00:00:02", "view", 1.0),
+      (1L, "2024-01-01 00:00:03", "click", 1.0),
+      (1L, "2024-01-01 00:00:04", "purchase", 1.0),
+      // user 2: click precedes its view; purchase after an unchained click
+      (2L, "2024-01-01 00:00:01", "click", 1.0),
+      (2L, "2024-01-01 00:00:02", "view", 1.0),
+      (2L, "2024-01-01 00:00:03", "purchase", 1.0),
+      // user 3: view then click, no purchase
+      (3L, "2024-01-01 00:00:01", "view", 1.0),
+      (3L, "2024-01-01 00:00:02", "click", 1.0),
+      // user 4: never enters the funnel
+      (4L, "2024-01-01 00:00:01", "error", 1.0))
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = Temporal.funnelStages(df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
+  }
+
+  test("funnelStages: same-row stage cannot satisfy two steps; depth generalizes") {
+    // strictly-before frame: a single event is never both the view and
+    // the click of its own chain even if types collide in one instant
+    val df = events(
+      (1L, "2024-01-01 00:00:01", "a", 1.0),
+      (1L, "2024-01-01 00:00:01", "b", 1.0), // same ts — id breaks the tie
+      (1L, "2024-01-01 00:00:02", "c", 1.0),
+      (1L, "2024-01-01 00:00:03", "d", 1.0))
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = Temporal.funnelStages(df, "user_id", "ts", "event_id", "event_type",
+        Seq("a", "b", "c", "d"))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 4))
+    val single = Temporal.funnelStages(df, "user_id", "ts", "event_id", "event_type",
+        Seq("c")).as[(Long, Int)].collect().toMap
+    assert(single == Map(1L -> 1))
+  }
 }
