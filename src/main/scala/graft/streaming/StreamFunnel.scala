@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming funnel staging: the `flatMapGroupsWithState` twin of
+  * [[graft.temporal.Temporal.funnelStages]].
+  *
+  * State per key is ONE integer — the length of the completed stage
+  * PREFIX — advanced greedily on each qualifying event. Greedy
+  * earliest-completion equals the batch windows' deepest chain when a
+  * key's events are processed in event-time order: taking the earliest
+  * qualifying event for stage i never blocks stage i+1 (any later
+  * chain's stage-i event is no earlier, so everything after it remains
+  * available — the standard exchange argument), and one event advances
+  * at most one stage, matching the batch strictly-before frame.
+  *
+  * Ordering contract: events are sorted by (ts, id) WITHIN each
+  * micro-batch; across batches the fold relies on per-key event-time
+  * arrival order. A straggler older than an already-processed
+  * later event cannot retroactively deepen a chain — the one
+  * divergence from batch, inherent to single-pass state (the batch
+  * form remains the backfill truth; this is the live view).
+  *
+  * Emission: one `(key, funnel_stage)` row whenever a key's depth
+  * deepens (Update mode) — per-key emitted depths are strictly
+  * increasing. State is an Int per key; `idleTimeout` evicts keys idle
+  * past the watermark horizon (pass null to keep state forever).
+  */
+object StreamFunnel {
+
+  final case class FunnelEvent(key: Long, ts: Timestamp, event_id: Long, event_type: String)
+  final case class FunnelUpdate(user_id: Long, funnel_stage: Int)
+
+  def funnelStages(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, stages: Seq[String], watermark: String,
+      idleTimeout: String = null): Dataset[FunnelUpdate] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val src = events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("event_id"), col(typeCol).as("event_type"))
+      .as[FunnelEvent]
+    val timeoutKind =
+      if (idleTimeout == null) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[Int, FunnelUpdate](OutputMode.Update, timeoutKind) {
+        (key: Long, rows: Iterator[FunnelEvent], state: GroupState[Int]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var depth = state.getOption.getOrElse(0)
+            val before = depth
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+              .foreach { e =>
+                if (depth < stages.length && e.event_type == stages(depth)) depth += 1
+              }
+            if (depth > before) state.update(depth)
+            if (idleTimeout != null) state.setTimeoutDuration(idleTimeout)
+            if (depth > before) Iterator(FunnelUpdate(key, depth)) else Iterator.empty
+          }
+      }
+  }
+}

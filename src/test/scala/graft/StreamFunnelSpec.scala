@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamFunnel
+
+/** Streaming funnel: greedy single-int state, batch-equal final depths
+  * under event-time-ordered arrival (the exchange-argument claim in the
+  * scaladoc, replayed against the batch window form), monotone emitted
+  * updates, cross-batch chains.
+  */
+class StreamFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Stages = Seq("view", "click", "purchase")
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  /** Runs batches through the stream, returns every emitted update in
+    * order per key plus the final depth map.
+    */
+  private def run(batches: Seq[Seq[(java.sql.Timestamp, Long, Long, String)]]) = {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val df = stream.toDS().toDF("ts", "user_id", "event_id", "event_type")
+    val name = s"fm_funnel_${System.nanoTime()}"
+    val q = StreamFunnel.funnelStages(
+        df, "user_id", "ts", "event_id", "event_type", Stages, watermark = "1 minute")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    val got = spark.table(name).as[(Long, Int)].collect().toSeq
+    q.stop()
+    got
+  }
+
+  private def batchStages(rows: Seq[(java.sql.Timestamp, Long, Long, String)]): Map[Long, Int] =
+    graft.temporal.Temporal.funnelStages(
+        rows.toDF("ts", "user_id", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", Stages)
+      .as[(Long, Int)].collect().toMap
+
+  test("final streamed depth equals batch funnelStages; zero-stage keys silent") {
+    val rows = Seq(
+      (ts(10), 1L, 1L, "purchase"), // out of order: not a conversion
+      (ts(20), 1L, 2L, "view"),
+      (ts(30), 1L, 3L, "click"),
+      (ts(40), 1L, 4L, "purchase"),
+      (ts(10), 2L, 5L, "click"),
+      (ts(20), 2L, 6L, "view"),
+      (ts(30), 2L, 7L, "purchase"),
+      (ts(10), 3L, 8L, "error"))
+    val got = run(Seq(rows))
+    val finals = got.groupBy(_._1).map { case (k, us) => k -> us.map(_._2).max }
+    val batch = batchStages(rows)
+    assert(finals == batch.filter(_._2 > 0), s"stream=$finals batch=$batch")
+    assert(!finals.contains(3L)) // never entered the funnel -> no update rows
+  }
+
+  test("chains complete across micro-batches and updates are strictly increasing") {
+    val b1 = Seq((ts(10), 1L, 1L, "view"))
+    val b2 = Seq((ts(20), 1L, 2L, "click"))
+    val b3 = Seq((ts(30), 1L, 3L, "purchase"), (ts(30), 2L, 4L, "view"))
+    val got = run(Seq(b1, b2, b3))
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq(1, 2, 3))
+    assert(got.filter(_._1 == 2L).map(_._2) == Seq(1))
+    // batch over the union agrees with the streamed final state
+    assert(batchStages(b1 ++ b2 ++ b3) == Map(1L -> 3, 2L -> 1))
+  }
+
+  test("a whole chain inside one micro-batch advances all stages at once") {
+    val rows = Seq(
+      (ts(10), 7L, 1L, "view"),
+      (ts(11), 7L, 2L, "click"),
+      (ts(12), 7L, 3L, "purchase"))
+    val got = run(Seq(rows))
+    // one batch -> one emitted update carrying the final depth
+    assert(got == Seq((7L, 3)))
+  }
+
+  test("same-timestamp events fold in event_id order (tiebreak parity with batch)") {
+    val rows = Seq(
+      (ts(10), 5L, 2L, "click"),  // same instant, higher id than the view
+      (ts(10), 5L, 1L, "view"))
+    val got = run(Seq(rows))
+    val finals = got.groupBy(_._1).map { case (k, us) => k -> us.map(_._2).max }
+    assert(finals == Map(5L -> 2))
+    assert(batchStages(rows) == Map(5L -> 2))
+  }
+}
