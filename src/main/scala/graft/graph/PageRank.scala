@@ -49,6 +49,12 @@ object PageRank {
     val n = nodes.select(col(nodeCol).as("node"))
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("long").as("w"))
+    // enforce the documented positive-weight precondition up front: a
+    // zero/negative weight would make some tw ≤ 0 and the div NULL or
+    // sign-corrupted — plausible-looking wrong ranks instead of an
+    // error. One bounded extra job (limit 1 stops at the first hit).
+    require(e.filter(col("w") <= 0 || col("w").isNull).limit(1).count() == 0L,
+      "edge weights must be positive integers")
     val tw = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
     // read once per round by every iteration's join — persist (same
     // multi-consumer convention as NearDup's shingle relation)

@@ -104,10 +104,14 @@ object TextOps {
     // table contamination checks and LM smoothing start from. Partial
     // map-side counts + one global top-k — the count shuffle moves
     // distinct trigrams, the final sort only k rows
-    // (TakeOrderedAndProject, plan-asserted).
+    // (TakeOrderedAndProject, plan-asserted). Docs under 3 words are
+    // EXCLUDED: shinglesCol's whole-text fallback is a fingerprinting
+    // rule, and letting it leak one-word docs into a frequency table
+    // would report unigrams as top "trigrams".
     "q59_top_ngrams" -> { (s, dir) =>
       import s.implicits._
       docsParallel(s, dir)
+        .filter(size(graft.textops.TextTokens.wordsCol($"text")) >= 3)
         .select(explode(graft.textops.NearDup.shinglesCol($"text", 3)).as("trigram"))
         .groupBy($"trigram").agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"trigram".asc)
@@ -347,12 +351,16 @@ object TextOps {
       """
         |SELECT doc_id, MIN(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""".stripMargin),
 
-    // Multiplicity-keeping shingles (sha), not the DISTINCT per-doc set:
+    // Multiplicity-keeping TRUE trigrams only (the len >= 3 branch —
+    // no whole-short-doc fallback, mirroring the Spark-side filter):
     // frequency tables count every occurrence. Full ORDER BY + LIMIT is
     // deterministic under the (n DESC, trigram ASC) total order.
-    "q59_top_ngrams" -> (ShinglesAllCte +
-      """
-        |SELECT shingle AS trigram, COUNT(*) AS n FROM sha
+    "q59_top_ngrams" -> (WordsCte +
+      """, tg AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS trigram
+        |  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+        |  WHERE len(ws) >= 3)
+        |SELECT trigram, COUNT(*) AS n FROM tg
         |GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin),
 
     // All-pairs levenshtein — the naive form of the Spark side's

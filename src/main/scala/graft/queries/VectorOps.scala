@@ -61,12 +61,6 @@ object VectorOps {
     }
   )
 
-  /** Hyperplane-bucket expression over a DOUBLE[] column `v`, generated
-    * from [[Vectors.hyperplanes]] — the SAME constants the Spark side
-    * buckets with (Double.toString round-trips exactly, and only the
-    * dot-product SIGN feeds the bucket, so engine agreement is robust).
-    * Params must match q23/q24's queries entries (planes=4, dim=64).
-    */
   /** q58 constants: 3 independent tables of 3-plane buckets measured
     * best on the near-orthogonal synthetic embeddings (recall@3 0.60 at
     * sf0.001 vs 0.26 for one 4-plane table; see VectorsSpec).
@@ -74,6 +68,13 @@ object VectorOps {
   private val KnnTables = 3
   private val KnnPlanes = 3
 
+  /** Hyperplane-bucket expression over a DOUBLE[] column `v`, generated
+    * from [[Vectors.hyperplanes]] — the SAME constants the Spark side
+    * buckets with (Double.toString round-trips exactly, and only the
+    * dot-product SIGN feeds the bucket, so engine agreement is robust).
+    * Defaults must match q23/q24's queries entries (planes=4, dim=64);
+    * q58 passes its own planes and per-table seeds.
+    */
   private def bucketSql(v: String, planes: Int = 4, dim: Int = 64, seed: Int = 42): String =
     Vectors.hyperplanes(planes, dim, seed).zipWithIndex.map { case (plane, p) =>
       s"(CASE WHEN list_dot_product($v, [${plane.mkString(", ")}]) >= 0 THEN ${1L << p} ELSE 0 END)"

@@ -27,8 +27,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Emission: one `(key, funnel_stage)` row whenever a key's depth
   * deepens (Update mode) — per-key emitted depths are strictly
-  * increasing. State is an Int per key; `idleTimeout` evicts keys idle
-  * past the watermark horizon (pass null to keep state forever).
+  * increasing while the key's state lives. State is an Int per key;
+  * `idleTimeout` is an EVENT-TIME eviction (same
+  * `EventTimeTimeout`-from-watermark shape as StreamSessionize): a key
+  * with no event for `idleTimeout` of event time past the watermark is
+  * dropped. An evicted key that re-enters restarts at depth 0 — the
+  * same single-pass caveat as the straggler rule above, so emitted
+  * depths can reset across an eviction boundary, never within one
+  * lifetime. Pass null to keep state forever.
   */
 object StreamFunnel {
 
@@ -47,9 +53,17 @@ object StreamFunnel {
       .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
         col(idCol).cast("long").as("event_id"), col(typeCol).as("event_type"))
       .as[FunnelEvent]
+    val idleUs =
+      if (idleTimeout == null) -1L
+      else {
+        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+        require(iv.months == 0, s"idleTimeout must be day-scale or finer: $idleTimeout")
+        iv.days * 24L * 3600 * 1000000 + iv.microseconds
+      }
     val timeoutKind =
       if (idleTimeout == null) GroupStateTimeout.NoTimeout
-      else GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.EventTimeTimeout
     src.groupByKey(_.key)
       .flatMapGroupsWithState[Int, FunnelUpdate](OutputMode.Update, timeoutKind) {
         (key: Long, rows: Iterator[FunnelEvent], state: GroupState[Int]) =>
@@ -64,7 +78,13 @@ object StreamFunnel {
                 if (depth < stages.length && e.event_type == stages(depth)) depth += 1
               }
             if (depth > before) state.update(depth)
-            if (idleTimeout != null) state.setTimeoutDuration(idleTimeout)
+            if (idleUs >= 0 && state.exists) {
+              // evict `idleTimeout` of EVENT time past the current
+              // watermark; must be strictly beyond the watermark, so
+              // anchor there rather than on this batch's max event ts
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + idleUs / 1000 + 1)
+            }
             if (depth > before) Iterator(FunnelUpdate(key, depth)) else Iterator.empty
           }
       }

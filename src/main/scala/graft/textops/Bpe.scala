@@ -48,10 +48,23 @@ object Bpe {
   }
 
   /** Segment one word with a learned merge list (applied in learned
-    * order — the order IS the vocabulary priority).
+    * order — the order IS the vocabulary priority). Splits by CODE
+    * POINT, matching the training side's `split(w, '')` (Java regex
+    * zero-width splits advance by code point, never inside a surrogate
+    * pair) — a per-char split would break emoji/rare-CJK into surrogate
+    * halves that no learned merge could ever match.
     */
   def segment(word: String, merges: Seq[(String, String)]): IndexedSeq[String] = {
-    var syms: IndexedSeq[String] = word.map(_.toString)
+    var syms: IndexedSeq[String] = {
+      val buf = scala.collection.immutable.IndexedSeq.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      buf.result()
+    }
     merges.foreach { case (a, b) => if (syms.length > 1) syms = applyMerge(syms, a, b) }
     syms
   }

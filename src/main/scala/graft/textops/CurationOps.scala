@@ -198,6 +198,7 @@ object CurationOps {
       .select(explode(NearDup.shinglesCol(col(textCol), n)).as("shingle"))
       .select(NearDup.shingleHash60(col("shingle")).as("h"))
       .distinct()
+      .persist() // consumed twice: sizing count + filter build
     val expected = math.max(1L, benchHashes.count())
     val bf = benchHashes.stat.bloomFilter("h", expected, fpp)
     val bfB = spark.sparkContext.broadcast(bf)

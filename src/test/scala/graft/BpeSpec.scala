@@ -37,6 +37,19 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("segment splits by code point: learned emoji merges apply at inference") {
+    // the training side's split(w, '') never splits inside a surrogate
+    // pair; segment must agree or merges touching non-BMP chars can
+    // never match
+    val emoji = new String(Character.toChars(0x1F600)) // outside the BMP
+    val word = "a" + emoji
+    assert(Bpe.segment(word, Nil) == IndexedSeq("a", emoji))
+    val merges = Bpe.train(corpus(s"$word $word $word"), "text", numMerges = 1)
+    assert(merges == Seq(("a", emoji)))
+    assert(Bpe.segment(word, merges) == IndexedSeq(word))
+    assert(BpeTokenizer(merges).count(word) == 1)
+  }
+
   test("minFreq stops training before hapax pairs are merged") {
     // every pair occurs once -> nothing reaches minFreq=2
     val merges = Bpe.train(corpus("xy zw"), "text", numMerges = 5)
