@@ -262,6 +262,26 @@ object Curation {
         .orderBy($"user_id")
     },
 
+    // ---- weekly retention cohorts: users bucketed by first-activity
+    // week × how many return in week 0, +1, +2, … — the engagement
+    // matrix behind every retention curve. Two aggregations keyed on
+    // user_id (AQE reuses the hash partitioning), then a broadcast-size
+    // rollup; week offsets are exact integer day arithmetic on
+    // week-truncated dates, so both engines agree bit-for-bit.
+    "q61_retention_cohorts" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+      val cohorts = e.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      val active = e.distinct()
+      active.join(cohorts, "user_id")
+        .withColumn("week_offset",
+          (datediff($"week", $"cohort_week") / 7).cast("int"))
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+
     // ---- lead/lag inter-event gaps per user: the dwell-time signal
     // (windows over the (user, ts, event_id) total order — deterministic
     // tiebreak, so both engines agree row-for-row).
@@ -658,6 +678,18 @@ object Curation {
         |       ((end_offset - n_tokens + 499) // 500) * 500 AS pick_point
         |FROM cum
         |WHERE ((end_offset - n_tokens + 499) // 500) * 500 < end_offset""".stripMargin),
+
+    // Same week-truncation + integer day/7 offsets; DISTINCT user-weeks
+    // before the rollup mirrors the Spark-side distinct.
+    "q61_retention_cohorts" -> (EventsUsCte +
+      """, uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM e),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |       CAST(date_diff('day', c.cohort_week, uw.week) // 7 AS INTEGER) AS week_offset,
+        |       COUNT(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin),
 
     // Same strictly-before cumulative-max windows over the identical
     // (user, ts, event_id) total order; GREATEST of the stage maxima.

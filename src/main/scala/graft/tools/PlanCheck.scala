@@ -79,7 +79,11 @@ object PlanCheck {
     // a per-stage self-join of the event log crept in
     Expectation("q60_funnel_stages",
       mustContain = Seq("Window"),
-      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // cohort join is an equi join on user_id — never a nested loop
+    Expectation("q61_retention_cohorts",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
