@@ -36,6 +36,57 @@ object Merge {
       .drop("__rn", "__src")
   }
 
+  /** SCD type-2 apply: merge a batch of attribute updates into a
+    * validity-interval history table (`valid_from`/`valid_to`, open
+    * rows have `valid_to` NULL). The warehouse-standard dimension
+    * history — on Delta a two-branch `MERGE INTO` (close + insert);
+    * this is the equivalent window formulation, one shuffle on the key.
+    *
+    * Semantics per key, with updates applied in `tsCol` order:
+    *  - an update whose attributes differ from the in-effect row closes
+    *    it (`valid_to` = update ts) and opens a new row;
+    *  - an update equal to the in-effect attributes is a no-op, so
+    *    replaying a batch is idempotent;
+    *  - already-closed history rows pass through untouched.
+    *
+    * Stale updates — older than the key's open row's `valid_from` —
+    * are DROPPED (the standard CDC guard: history is never rewritten
+    * retroactively). This is also what makes replaying an
+    * already-applied batch a true no-op: without it, a replayed update
+    * would sit before the now-open row and resurrect a stale interval.
+    * An update at EXACTLY the open row's `valid_from` supersedes it,
+    * leaving a zero-length interval. Same-ts updates tie-break
+    * deterministically (prior state first, then attribute order), so
+    * the merged history is gate-hashable.
+    */
+  def scd2Apply(history: DataFrame, updates: DataFrame, key: String,
+      attrCols: Seq[String], tsCol: String): DataFrame = {
+    require(attrCols.nonEmpty, "SCD2 needs at least one tracked attribute")
+    val attrs = attrCols.map(col)
+    val closed = history.filter(col("valid_to").isNotNull)
+    val open = history.filter(col("valid_to").isNull)
+      .select(col(key) +: attrs :+ col("valid_from").as("__ts") :+ lit(1).as("__state"): _*)
+    val ups = updates
+      .select(col(key) +: attrs :+ col(tsCol).as("__ts") :+ lit(0).as("__state"): _*)
+      .join(open.select(col(key), col("__ts").as("__open_from")), Seq(key), "left")
+      .filter(col("__open_from").isNull || col("__ts") >= col("__open_from"))
+      .drop("__open_from")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__state").desc, struct(attrs: _*).asc)
+    val cand = open.unionByName(ups)
+      .withColumn("__prev", lag(struct(attrs: _*), 1).over(w))
+      .withColumn("__changed",
+        col("__prev").isNull || col("__prev") =!= struct(attrs: _*))
+      .filter(col("__changed"))
+    val w2 = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__state").desc, struct(attrs: _*).asc)
+    cand
+      .withColumn("valid_from", col("__ts"))
+      .withColumn("valid_to", lead(col("__ts"), 1).over(w2))
+      .select(col(key) +: attrs :+ col("valid_from") :+ col("valid_to"): _*)
+      .unionByName(closed.select(col(key) +: attrs :+ col("valid_from") :+ col("valid_to"): _*))
+  }
+
   /** Scrape validity predicate (reference
     * `url_scraper_service.py:87-102`): tokens > 30, success rate > 0.8,
     * not timed out. Zero attempted URLs is a 0.0 success rate in the

@@ -45,4 +45,55 @@ class MergeSpec extends SparkSpec {
       assert(r.getAs[Boolean]("valid") == r.getAs[Boolean]("want"), r.toString)
     }
   }
+
+  private def hist(rows: (String, String, Long, Option[Long])*) =
+    rows.toDF("etld1", "status", "valid_from", "valid_to")
+
+  private def ups(rows: (String, String, Long)*) = rows.toDF("etld1", "status", "ts")
+
+  private def snap(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, String, Long, Option[Long])].collect().toSet
+
+  test("scd2Apply: a changed attribute closes the open row and opens a new one") {
+    val history = hist(("a.com", "active", 10L, None))
+    val out = Merge.scd2Apply(history, ups(("a.com", "dormant", 20L)),
+      "etld1", Seq("status"), "ts")
+    assert(snap(out) == Set(
+      ("a.com", "active", 10L, Some(20L)),
+      ("a.com", "dormant", 20L, None)))
+  }
+
+  test("scd2Apply: no-op updates are dropped and replay is idempotent") {
+    val history = hist(("a.com", "active", 10L, None), ("b.com", "old", 1L, Some(5L)))
+    val updates = ups(("a.com", "active", 20L), ("a.com", "dormant", 30L))
+    val once = Merge.scd2Apply(history, updates, "etld1", Seq("status"), "ts")
+    assert(snap(once) == Set(
+      ("b.com", "old", 1L, Some(5L)),          // closed history untouched
+      ("a.com", "active", 10L, Some(30L)),     // equal update at 20 ignored
+      ("a.com", "dormant", 30L, None)))
+    val twice = Merge.scd2Apply(once, updates, "etld1", Seq("status"), "ts")
+    assert(snap(twice) == snap(once))
+  }
+
+  test("scd2Apply: several updates per key chain intervals in ts order") {
+    val out = Merge.scd2Apply(
+      hist(), ups(("n.com", "s1", 10L), ("n.com", "s2", 20L), ("n.com", "s3", 30L)),
+      "etld1", Seq("status"), "ts")
+    assert(snap(out) == Set(
+      ("n.com", "s1", 10L, Some(20L)),
+      ("n.com", "s2", 20L, Some(30L)),
+      ("n.com", "s3", 30L, None)))
+  }
+
+  test("scd2Apply: new keys insert as open rows; multiple attrs compare as a struct") {
+    val history = hist()
+    val updates = Seq(("x.com", "a", 1, 100L), ("x.com", "a", 2, 200L))
+      .toDF("etld1", "status", "tier", "ts")
+    val out = Merge.scd2Apply(history.withColumn("tier", lit(0)).limit(0),
+      updates, "etld1", Seq("status", "tier"), "ts")
+    val rows = out.as[(String, String, Int, Long, Option[Long])].collect().toSet
+    assert(rows == Set(
+      ("x.com", "a", 1, 100L, Some(200L)),   // tier change alone reopens
+      ("x.com", "a", 2, 200L, None)))
+  }
 }
