@@ -69,10 +69,26 @@ object CurationPipelineDemo {
       budgets = Map("en" -> 2000L, "de" -> 1000L, "fr" -> 1000L, "es" -> 500L),
       salt = "demo")
 
+    // 5. train a BPE vocabulary on the SURVIVING corpus (tokenizers are
+    // learned after curation, not before — contaminated/duplicate text
+    // would skew the merge statistics) and report the compression the
+    // learned vocabulary buys over whitespace tokens.
+    val merges = graft.textops.Bpe.train(deduped, "text", numMerges = 50)
+    val bpeTok = graft.textops.BpeTokenizer(merges)
+    val bpeCountUdf = udf((t: String) => bpeTok.count(t))
+    val tokStats = deduped
+      .select(size(graft.textops.TextTokens.wordsCol($"text")).cast("long").as("words"),
+        bpeCountUdf($"text").cast("long").as("bpe"),
+        length($"text").cast("long").as("chars"))
+      .agg(sum($"words").as("words"), sum($"bpe").as("bpe"), sum($"chars").as("chars"))
+      .as[(Long, Long, Long)].head()
+
     println(f"corpus:        $total%6d docs")
     println(f"quality gate:  $nQuality%6d kept")
     println(f"decontaminated:$nClean%6d kept (bench = every 10th doc)")
     println(f"deduplicated:  $nDeduped%6d kept")
+    println(s"BPE (50 merges): ${tokStats._3} chars -> ${tokStats._2} tokens " +
+      s"(whitespace words: ${tokStats._1})")
     println("mixed corpus by language:")
     mixed.groupBy($"lang")
       .agg(count(lit(1)).as("docs"), sum($"n_tokens").as("tokens"))
