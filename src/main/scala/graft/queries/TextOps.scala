@@ -100,6 +100,28 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- inverted index: term → sorted postings list, bounded to the
+    // useful document-frequency band as a FRACTION of the corpus (scale
+    // -stable: ≥1% of docs drops hapax noise, ≤90% drops stopword-scale
+    // terms whose postings would be one giant skewed row — a production
+    // layout shards those into delta-encoded blocks). Integer-exact
+    // band arithmetic; distinct (doc, term) first (map-side combined),
+    // then one ordered collect per term.
+    "q62_inverted_index" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val n = docs.select(countDistinct($"doc_id").as("n_docs"))
+      docs
+        .select($"doc_id", explode(graft.textops.TextTokens.wordsCol($"text")).as("term"))
+        .distinct()
+        .groupBy($"term")
+        .agg(count(lit(1)).as("df"), sort_array(collect_set($"doc_id")).as("postings"))
+        .join(broadcast(n))
+        .filter($"df" * 100 >= $"n_docs" && $"df" * 10 <= $"n_docs" * 9)
+        .select($"term", $"df", $"postings")
+        .orderBy($"term")
+    },
+
     // ---- corpus-wide heavy-hitter trigrams: the n-gram frequency
     // table contamination checks and LM smoothing start from. Partial
     // map-side counts + one global top-k — the count shuffle moves
@@ -200,6 +222,7 @@ object TextOps {
     * [[graft.textops.NearDup.shingleHash60]].
     */
   private[queries] val HashSql = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+
 
   /** The q17 pair derivation as a reusable CTE chain ending in
     * `mh_pairs(id_a, id_b, jaccard)` — q17 selects from it directly;
@@ -355,6 +378,17 @@ object TextOps {
     // no whole-short-doc fallback, mirroring the Spark-side filter):
     // frequency tables count every occurrence. Full ORDER BY + LIMIT is
     // deterministic under the (n DESC, trigram ASC) total order.
+    // DISTINCT (doc, term) then an ordered list aggregate; the HAVING
+    // band mirrors the Spark side's integer-exact corpus-fraction
+    // bounds (df ≥ N/100, df ≤ 0.9·N).
+    "q62_inverted_index" -> (WordsCte +
+      """, dt AS (SELECT DISTINCT doc_id, unnest(ws) AS term FROM words),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+         |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         |       list(doc_id ORDER BY doc_id) AS postings
+         |FROM dt, nd GROUP BY term, n_docs
+         |HAVING COUNT(*) * 100 >= n_docs AND COUNT(*) * 10 <= n_docs * 9""".stripMargin),
+
     "q59_top_ngrams" -> (WordsCte +
       """, tg AS (
         |  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS trigram

@@ -83,7 +83,11 @@ object PlanCheck {
     // cohort join is an equi join on user_id — never a nested loop
     Expectation("q61_retention_cohorts",
       mustContain = Seq("HashAggregate"),
-      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // postings collect is the object-hash aggregate; the n_docs side
+    // must broadcast (never a shuffled join for a 1-row bound)
+    Expectation("q62_inverted_index",
+      mustContain = Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
