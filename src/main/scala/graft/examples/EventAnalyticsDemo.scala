@@ -20,6 +20,7 @@ object EventAnalyticsDemo {
       .master("local[4]")
       .appName("graft-event-analytics")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC") // date_trunc cohorts
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,12 +35,7 @@ object EventAnalyticsDemo {
       .orderBy($"funnel_stage").show(false)
 
     println("== weekly retention (cohort week x offset) ==")
-    val weeks = events.select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
-    val cohorts = weeks.groupBy($"user_id").agg(min($"week").as("cohort_week"))
-    weeks.distinct().join(cohorts, "user_id")
-      .groupBy($"cohort_week",
-        (datediff($"week", $"cohort_week") / 7).cast("int").as("week_offset"))
-      .agg(countDistinct($"user_id").as("n_users"))
+    Temporal.retentionCohorts(events, "user_id", "ts")
       .orderBy($"cohort_week", $"week_offset").show(false)
 
     println("== sessions per user (30 min gap): top 5 ==")

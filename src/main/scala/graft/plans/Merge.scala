@@ -49,15 +49,18 @@ object Merge {
     *    replaying a batch is idempotent;
     *  - already-closed history rows pass through untouched.
     *
-    * Stale updates — older than the key's open row's `valid_from` —
-    * are DROPPED (the standard CDC guard: history is never rewritten
-    * retroactively). This is also what makes replaying an
+    * Stale updates — older than the key's latest known transition
+    * (`max(coalesce(valid_to, valid_from))` over ALL its history rows,
+    * open or closed) — are DROPPED (the standard CDC guard: history is
+    * never rewritten retroactively, including re-opening inside an
+    * already-closed interval). This is also what makes replaying an
     * already-applied batch a true no-op: without it, a replayed update
     * would sit before the now-open row and resurrect a stale interval.
-    * An update at EXACTLY the open row's `valid_from` supersedes it,
-    * leaving a zero-length interval. Same-ts updates tie-break
-    * deterministically (prior state first, then attribute order), so
-    * the merged history is gate-hashable.
+    * Conflicting same-(key, ts) updates in one batch resolve to the
+    * greatest attribute tuple (deterministic; CDC input with no total
+    * order has no "right" answer, so the pick is stable rather than
+    * meaningful). An update at EXACTLY the open row's `valid_from`
+    * supersedes it, leaving a zero-length interval.
     */
   def scd2Apply(history: DataFrame, updates: DataFrame, key: String,
       attrCols: Seq[String], tsCol: String): DataFrame = {
@@ -66,11 +69,17 @@ object Merge {
     val closed = history.filter(col("valid_to").isNotNull)
     val open = history.filter(col("valid_to").isNull)
       .select(col(key) +: attrs :+ col("valid_from").as("__ts") :+ lit(1).as("__state"): _*)
+    // CDC guard bound: the latest transition the key has EVER seen
+    val bound = history.groupBy(col(key))
+      .agg(max(coalesce(col("valid_to"), col("valid_from"))).as("__bound"))
+    val wTie = Window.partitionBy(col(key), col(tsCol))
+      .orderBy(struct(attrCols.map(col): _*).desc)
     val ups = updates
+      .withColumn("__tie", row_number().over(wTie)).filter(col("__tie") === 1)
       .select(col(key) +: attrs :+ col(tsCol).as("__ts") :+ lit(0).as("__state"): _*)
-      .join(open.select(col(key), col("__ts").as("__open_from")), Seq(key), "left")
-      .filter(col("__open_from").isNull || col("__ts") >= col("__open_from"))
-      .drop("__open_from")
+      .join(bound, Seq(key), "left")
+      .filter(col("__bound").isNull || col("__ts") >= col("__bound"))
+      .drop("__bound")
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts").asc, col("__state").desc, struct(attrs: _*).asc)
     val cand = open.unionByName(ups)
@@ -78,11 +87,9 @@ object Merge {
       .withColumn("__changed",
         col("__prev").isNull || col("__prev") =!= struct(attrs: _*))
       .filter(col("__changed"))
-    val w2 = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__state").desc, struct(attrs: _*).asc)
     cand
       .withColumn("valid_from", col("__ts"))
-      .withColumn("valid_to", lead(col("__ts"), 1).over(w2))
+      .withColumn("valid_to", lead(col("__ts"), 1).over(w))
       .select(col(key) +: attrs :+ col("valid_from") :+ col("valid_to"): _*)
       .unionByName(closed.select(col(key) +: attrs :+ col("valid_from") :+ col("valid_to"): _*))
   }

@@ -270,15 +270,7 @@ object Curation {
     // week-truncated dates, so both engines agree bit-for-bit.
     "q61_retention_cohorts" -> { (s, dir) =>
       import s.implicits._
-      val e = Tables.load(s, dir, "events")
-        .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
-      val cohorts = e.groupBy($"user_id").agg(min($"week").as("cohort_week"))
-      val active = e.distinct()
-      active.join(cohorts, "user_id")
-        .withColumn("week_offset",
-          (datediff($"week", $"cohort_week") / 7).cast("int"))
-        .groupBy($"cohort_week", $"week_offset")
-        .agg(countDistinct($"user_id").as("n_users"))
+      Temporal.retentionCohorts(Tables.load(s, dir, "events"), "user_id", "ts")
         .orderBy($"cohort_week", $"week_offset")
     },
 

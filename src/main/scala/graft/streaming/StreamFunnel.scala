@@ -41,6 +41,12 @@ object StreamFunnel {
   final case class FunnelEvent(key: Long, ts: Timestamp, event_id: Long, event_type: String)
   final case class FunnelUpdate(user_id: Long, funnel_stage: Int)
 
+  /** depth = completed stage prefix; lastMs = the key's latest event
+    * time, the idle-eviction anchor (anchoring on the watermark instead
+    * would evict a key up to one watermark-advance early).
+    */
+  final case class FunnelState(depth: Int, lastMs: Long)
+
   def funnelStages(
       events: DataFrame, keyCol: String, tsCol: String, idCol: String,
       typeCol: String, stages: Seq[String], watermark: String,
@@ -65,27 +71,32 @@ object StreamFunnel {
       if (idleTimeout == null) GroupStateTimeout.NoTimeout
       else GroupStateTimeout.EventTimeTimeout
     src.groupByKey(_.key)
-      .flatMapGroupsWithState[Int, FunnelUpdate](OutputMode.Update, timeoutKind) {
-        (key: Long, rows: Iterator[FunnelEvent], state: GroupState[Int]) =>
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](OutputMode.Update, timeoutKind) {
+        (key: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var depth = state.getOption.getOrElse(0)
-            val before = depth
+            val prev = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            var depth = prev.depth
+            var lastMs = prev.lastMs
             rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
               .foreach { e =>
                 if (depth < stages.length && e.event_type == stages(depth)) depth += 1
+                lastMs = math.max(lastMs, e.ts.getTime)
               }
-            if (depth > before) state.update(depth)
+            val deepened = depth > prev.depth
+            if (deepened || (idleUs >= 0 && lastMs > prev.lastMs && state.exists))
+              state.update(FunnelState(depth, lastMs))
             if (idleUs >= 0 && state.exists) {
-              // evict `idleTimeout` of EVENT time past the current
-              // watermark; must be strictly beyond the watermark, so
-              // anchor there rather than on this batch's max event ts
+              // evict after `idleTimeout` of EVENT time past the key's
+              // LAST event — anchoring on the watermark alone would
+              // evict up to one watermark-advance early; the watermark
+              // floor keeps the timestamp legal (must exceed it)
               state.setTimeoutTimestamp(
-                state.getCurrentWatermarkMs() + idleUs / 1000 + 1)
+                math.max(state.getCurrentWatermarkMs() + 1, lastMs + idleUs / 1000))
             }
-            if (depth > before) Iterator(FunnelUpdate(key, depth)) else Iterator.empty
+            if (deepened) Iterator(FunnelUpdate(key, depth)) else Iterator.empty
           }
       }
   }

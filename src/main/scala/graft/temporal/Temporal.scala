@@ -140,6 +140,24 @@ object Temporal {
       leftCols.map(col) ++ pickCols.map { case (_, a) => col("__m").getField(a).as(a) }: _*)
   }
 
+  /** Weekly retention cohorts: keys bucketed by first-activity week ×
+    * how many are active at each week offset. Both aggregations shuffle
+    * on the key (AQE reuses the partitioning); offsets are exact
+    * integer day arithmetic on week-truncated dates. Sessions-TZ
+    * sensitive via `date_trunc` — run under UTC like every engine
+    * entrypoint, or cohort boundaries drift.
+    */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val weeks = events.select(
+      col(keyCol), date_trunc("week", col(tsCol)).cast("date").as("week"))
+    val cohorts = weeks.groupBy(col(keyCol)).agg(min(col("week")).as("cohort_week"))
+    weeks.distinct().join(cohorts, keyCol)
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
+
   /** Ordered funnel staging: per key, the farthest prefix of `stages`
     * completed IN event-time order (stage i+1 only counts strictly
     * AFTER a completed stage-i chain; a purchase before any view is not

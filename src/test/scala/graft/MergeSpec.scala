@@ -85,6 +85,28 @@ class MergeSpec extends SparkSpec {
       ("n.com", "s3", 30L, None)))
   }
 
+  test("scd2Apply: conflicting same-ts updates resolve to the greatest tuple, idempotently") {
+    val updates = ups(("k.com", "aaa", 20L), ("k.com", "zzz", 20L))
+    val once = Merge.scd2Apply(hist(), updates, "etld1", Seq("status"), "ts")
+    assert(snap(once) == Set(("k.com", "zzz", 20L, None)))
+    val twice = Merge.scd2Apply(once, updates, "etld1", Seq("status"), "ts")
+    assert(snap(twice) == snap(once))
+  }
+
+  test("scd2Apply: a key with only closed rows rejects retroactive updates") {
+    val history = hist(("c.com", "active", 10L, Some(50L)))
+    // ts=30 falls inside the closed interval -> dropped, never reopens
+    val inside = Merge.scd2Apply(history, ups(("c.com", "dormant", 30L)),
+      "etld1", Seq("status"), "ts")
+    assert(snap(inside) == Set(("c.com", "active", 10L, Some(50L))))
+    // ts=50 (at the close boundary) legitimately resumes the history
+    val resume = Merge.scd2Apply(history, ups(("c.com", "dormant", 50L)),
+      "etld1", Seq("status"), "ts")
+    assert(snap(resume) == Set(
+      ("c.com", "active", 10L, Some(50L)),
+      ("c.com", "dormant", 50L, None)))
+  }
+
   test("scd2Apply: new keys insert as open rows; multiple attrs compare as a struct") {
     val history = hist()
     val updates = Seq(("x.com", "a", 1, 100L), ("x.com", "a", 2, 200L))
