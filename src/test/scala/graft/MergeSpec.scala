@@ -107,6 +107,25 @@ class MergeSpec extends SparkSpec {
       ("c.com", "dormant", 50L, None)))
   }
 
+  test("scd2Apply: applying time-ordered batches split or combined gives one history") {
+    // the CDC invariant incremental appliers rely on: as long as batch
+    // boundaries respect event-time order, HOW updates are batched
+    // cannot change the merged history
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val updates = (1 to 40).map { i =>
+        (s"k${rnd.nextInt(4)}.com", s"s${rnd.nextInt(3)}", i.toLong * 10)
+      }
+      val cut = 10 + rnd.nextInt(20)
+      val (b1, b2) = updates.splitAt(cut) // ts-ordered, so every b2 ts > every b1 ts
+      val combined = Merge.scd2Apply(hist(), ups(updates: _*), "etld1", Seq("status"), "ts")
+      val split = Merge.scd2Apply(
+        Merge.scd2Apply(hist(), ups(b1: _*), "etld1", Seq("status"), "ts"),
+        ups(b2: _*), "etld1", Seq("status"), "ts")
+      assert(snap(split) == snap(combined), s"trial $trial diverged at cut $cut")
+    }
+  }
+
   test("scd2Apply: new keys insert as open rows; multiple attrs compare as a struct") {
     val history = hist()
     val updates = Seq(("x.com", "a", 1, 100L), ("x.com", "a", 2, 200L))

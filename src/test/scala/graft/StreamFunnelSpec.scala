@@ -80,6 +80,29 @@ class StreamFunnelSpec extends SparkSpec {
     assert(got == Seq((7L, 3)))
   }
 
+  test("randomized event logs: streamed finals equal batch at any time-ordered split") {
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val types = Array("view", "click", "purchase", "error")
+      val rows = (1 to 60).map { i =>
+        (ts(i.toLong), rnd.nextInt(5).toLong, i.toLong, types(rnd.nextInt(types.length)))
+      }
+      // split into 3 event-time-ordered micro-batches at random cuts
+      val c1 = 10 + rnd.nextInt(20)
+      val c2 = c1 + 5 + rnd.nextInt(20)
+      val batches = Seq(rows.slice(0, c1), rows.slice(c1, c2), rows.slice(c2, rows.length))
+      val got = run(batches)
+      val finals = got.groupBy(_._1).map { case (k, us) => k -> us.map(_._2).max }
+      val batch = batchStages(rows)
+      assert(finals == batch.filter(_._2 > 0),
+        s"trial $trial cuts ($c1,$c2): stream=$finals batch=$batch")
+      // emissions strictly increase per key
+      got.groupBy(_._1).values.foreach { us =>
+        assert(us.map(_._2) == us.map(_._2).sorted.distinct)
+      }
+    }
+  }
+
   test("idle eviction is event-time: an evicted key restarts at depth 0") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
