@@ -262,6 +262,18 @@ object Curation {
         .orderBy($"user_id")
     },
 
+    // ---- windowed funnel: q60 with a 30-minute conversion horizon per
+    // transition — chain flags become chain-completion timestamps so
+    // "within horizon of the closest prior completion" stays a
+    // cumulative-max window (still one shuffle, no self-join).
+    "q63_funnel_windowed" -> { (s, dir) =>
+      import s.implicits._
+      Temporal.funnelStagesWithin(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type",
+          stages = Seq("view", "click", "purchase"), horizonSec = 1800L)
+        .orderBy($"user_id")
+    },
+
     // ---- weekly retention cohorts: users bucketed by first-activity
     // week × how many return in week 0, +1, +2, … — the engagement
     // matrix behind every retention curve. Two aggregations keyed on
@@ -670,6 +682,35 @@ object Curation {
         |       ((end_offset - n_tokens + 499) // 500) * 500 AS pick_point
         |FROM cum
         |WHERE ((end_offset - n_tokens + 499) // 500) * 500 < end_offset""".stripMargin),
+
+    // Chain-completion timestamps as running maxima over the identical
+    // strictly-before frames; epoch_us mirrors unix_micros exactly.
+    "q63_funnel_windowed" -> (EventsUsCte +
+      """, s0 AS (
+        |  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS c0
+        |  FROM e),
+        |s1 AS (
+        |  SELECT *, MAX(c0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p1
+        |  FROM s0),
+        |s1c AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND p1 IS NOT NULL
+        |                  AND us - p1 <= 1800 * 1000000 THEN us END AS c1
+        |  FROM s1),
+        |s2 AS (
+        |  SELECT *, MAX(c1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p2
+        |  FROM s1c),
+        |s2c AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND p2 IS NOT NULL
+        |                  AND us - p2 <= 1800 * 1000000 THEN us END AS c2
+        |  FROM s2)
+        |SELECT user_id,
+        |  GREATEST(CASE WHEN MAX(c0) IS NOT NULL THEN 1 ELSE 0 END,
+        |           CASE WHEN MAX(c1) IS NOT NULL THEN 2 ELSE 0 END,
+        |           CASE WHEN MAX(c2) IS NOT NULL THEN 3 ELSE 0 END) AS funnel_stage
+        |FROM s2c GROUP BY user_id""".stripMargin),
 
     // Same week-truncation + integer day/7 offsets; DISTINCT user-weeks
     // before the rollup mirrors the Spark-side distinct.

@@ -158,6 +158,42 @@ object Temporal {
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
 
+  /** [[funnelStages]] with a CONVERSION HORIZON: stage i+1 only counts
+    * within `horizonSec` of a completed stage-i chain (the way funnels
+    * are actually measured — an unbounded funnel credits a purchase
+    * months after the click). The chain flags become chain-completion
+    * TIMESTAMPS: each transition keeps the running max of the previous
+    * stage's completion times over the strictly-before frame — event
+    * time is monotone in that frame, so the max is the closest
+    * completion, and "closest within horizon" is exactly "exists
+    * within horizon". Same one-shuffle shape as the unbounded form;
+    * micros arithmetic is integer-exact on both engines.
+    */
+  def funnelStagesWithin(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, stages: Seq[String], horizonSec: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(horizonSec > 0, s"horizon must be positive: $horizonSec")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    var df = events.withColumn("__us", unix_micros(col(tsCol)))
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val chain = s"__chain_$i"
+      if (i == 0)
+        df = df.withColumn(chain, when(col(typeCol) === st, col("__us")))
+      else
+        df = df
+          .withColumn(s"__p$i", max(col(s"__chain_${i - 1}")).over(wPrev))
+          .withColumn(chain,
+            when(col(typeCol) === st && col(s"__p$i").isNotNull &&
+              col("__us") - col(s"__p$i") <= horizonSec * 1000000L, col("__us")))
+    }
+    val maxima = stages.indices.map(i =>
+      when(max(col(s"__chain_$i")).isNotNull, i + 1).otherwise(0))
+    df.groupBy(col(keyCol))
+      .agg((if (maxima.length == 1) maxima.head else greatest(maxima: _*)).as("funnel_stage"))
+  }
+
   /** Ordered funnel staging: per key, the farthest prefix of `stages`
     * completed IN event-time order (stage i+1 only counts strictly
     * AFTER a completed stage-i chain; a purchase before any view is not

@@ -80,6 +80,10 @@ object PlanCheck {
     Expectation("q60_funnel_stages",
       mustContain = Seq("Window"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // the windowed funnel keeps q60's no-join contract
+    Expectation("q63_funnel_windowed",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
     // cohort join is an equi join on user_id — never a nested loop
     Expectation("q61_retention_cohorts",
       mustContain = Seq("HashAggregate"),

@@ -194,6 +194,42 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
   }
 
+  test("funnelStagesWithin uses the CLOSEST prior completion, not the first") {
+    // view@1, view@51, click@101 with a 60 s horizon: a single-depth
+    // greedy that latched onto view@1 would reject the click (100 s
+    // later); the window form keeps the running max completion
+    // (view@51) and converts. Purchase@700 is beyond horizon of the
+    // click -> stage stays 2.
+    val df = events(
+      (1L, "2024-01-01 00:00:01", "view", 1.0),
+      (1L, "2024-01-01 00:00:51", "view", 1.0),
+      (1L, "2024-01-01 00:01:41", "click", 1.0),
+      (1L, "2024-01-01 00:11:40", "purchase", 1.0))
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = Temporal.funnelStagesWithin(df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), horizonSec = 60L)
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 2))
+  }
+
+  test("funnelStagesWithin horizon is inclusive and matches unbounded when huge") {
+    val df = events(
+      (1L, "2024-01-01 00:00:00", "view", 1.0),
+      (1L, "2024-01-01 00:01:00", "click", 1.0), // exactly 60 s later
+      (2L, "2024-01-01 00:00:00", "view", 1.0),
+      (2L, "2024-01-01 00:01:01", "click", 1.0)) // 61 s -> expired
+      .withColumn("event_id", monotonically_increasing_id())
+    val out = Temporal.funnelStagesWithin(df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click"), horizonSec = 60L)
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 2, 2L -> 1))
+    val unbounded = Temporal.funnelStages(df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click")).as[(Long, Int)].collect().toMap
+    val huge = Temporal.funnelStagesWithin(df, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click"), horizonSec = 1000000L).as[(Long, Int)].collect().toMap
+    assert(huge == unbounded)
+  }
+
   test("funnelStages: same-row stage cannot satisfy two steps; depth generalizes") {
     // strictly-before frame: a single event is never both the view and
     // the click of its own chain even if types collide in one instant
