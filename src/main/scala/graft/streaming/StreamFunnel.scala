@@ -47,6 +47,63 @@ object StreamFunnel {
     */
   final case class FunnelState(depth: Int, lastMs: Long)
 
+  private def microsFromTs(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000
+
+  /** Per-stage last-completion micros; UnsetMs marks "never". The state
+    * the HORIZON variant needs: a depth-only greedy latches onto the
+    * FIRST stage-i completion, but a later repeat of stage i can be the
+    * one that puts stage i+1 in horizon — tracking the running max
+    * completion per stage is exactly the batch form's cumulative-max
+    * window, so stream and batch agree under event-time order.
+    */
+  final case class FunnelWinState(lastMs: Seq[Long])
+  private val UnsetMs = Long.MinValue
+
+  /** Streaming twin of [[graft.temporal.Temporal.funnelStagesWithin]]:
+    * stage i+1 counts only within `horizonSec` of the closest stage-i
+    * completion. Same arrival-order contract and Update-mode emission
+    * as [[funnelStages]]; state is one Long per stage per key.
+    */
+  def funnelStagesWithin(
+      events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      typeCol: String, stages: Seq[String], horizonSec: Long,
+      watermark: String): Dataset[FunnelUpdate] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(horizonSec > 0, s"horizon must be positive: $horizonSec")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // micros end to end: the batch twin compares unix_micros, and a
+    // millis truncation here could flip an exactly-at-horizon event
+    val horizonUs = horizonSec * 1000000L
+    val src = events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("event_id"), col(typeCol).as("event_type"))
+      .as[FunnelEvent]
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelWinState, FunnelUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelWinState]) =>
+          val last = state.getOption
+            .map(_.lastMs.toArray)
+            .getOrElse(Array.fill(stages.length)(UnsetMs))
+          def depth = last.lastIndexWhere(_ != UnsetMs) + 1
+          val before = depth
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              val i = stages.indexOf(e.event_type)
+              val us = microsFromTs(e.ts)
+              if (i == 0) last(0) = math.max(last(0), us)
+              else if (i > 0 && last(i - 1) != UnsetMs && us - last(i - 1) <= horizonUs)
+                last(i) = math.max(last(i), us)
+            }
+          val after = depth
+          if (last.exists(_ != UnsetMs)) state.update(FunnelWinState(last.toSeq))
+          if (after > before) Iterator(FunnelUpdate(key, after)) else Iterator.empty
+      }
+  }
+
   def funnelStages(
       events: DataFrame, keyCol: String, tsCol: String, idCol: String,
       typeCol: String, stages: Seq[String], watermark: String,

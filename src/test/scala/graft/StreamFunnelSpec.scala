@@ -135,6 +135,46 @@ class StreamFunnelSpec extends SparkSpec {
     assert(u1 == Seq(2, 1), s"expected pre-eviction [2] then restart [1], got $u1")
   }
 
+  test("windowed stream funnel: closest-completion state, batch-equal at random splits") {
+    implicit val sqlCtx = spark.sqlContext
+    def runWin(batches: Seq[Seq[(java.sql.Timestamp, Long, Long, String)]], horizonSec: Long) = {
+      val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+      val df = stream.toDS().toDF("ts", "user_id", "event_id", "event_type")
+      val name = s"fm_funnel_win_${System.nanoTime()}"
+      val q = StreamFunnel.funnelStagesWithin(
+          df, "user_id", "ts", "event_id", "event_type", Stages, horizonSec,
+          watermark = "1 minute")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table(name).as[(Long, Int)].collect().toSeq
+      q.stop()
+      got
+    }
+    // the depth-only-greedy trap: the SECOND view puts the click in
+    // horizon, and the chain completes across a batch boundary
+    val trap = Seq(
+      Seq((ts(1), 1L, 1L, "view"), (ts(51), 1L, 2L, "view")),
+      Seq((ts(101), 1L, 3L, "click")))
+    assert(runWin(trap, horizonSec = 60L).filter(_._1 == 1L).map(_._2) == Seq(1, 2))
+    // randomized parity with the batch operator
+    val rnd = new scala.util.Random(29)
+    (1 to 2).foreach { trial =>
+      val types = Array("view", "click", "purchase", "error")
+      val rows = (1 to 50).map { i =>
+        (ts(i.toLong * 7), rnd.nextInt(4).toLong, i.toLong, types(rnd.nextInt(types.length)))
+      }
+      val cut = 10 + rnd.nextInt(30)
+      val got = runWin(Seq(rows.take(cut), rows.drop(cut)), horizonSec = 20L)
+      val finals = got.groupBy(_._1).map { case (k, us) => k -> us.map(_._2).max }
+      val batch = graft.temporal.Temporal.funnelStagesWithin(
+          rows.toDF("ts", "user_id", "event_id", "event_type"),
+          "user_id", "ts", "event_id", "event_type", Stages, horizonSec = 20L)
+        .as[(Long, Int)].collect().toMap
+      assert(finals == batch.filter(_._2 > 0), s"trial $trial: stream=$finals batch=$batch")
+    }
+  }
+
   test("same-timestamp events fold in event_id order (tiebreak parity with batch)") {
     val rows = Seq(
       (ts(10), 5L, 2L, "click"),  // same instant, higher id than the view
