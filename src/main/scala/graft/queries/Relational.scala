@@ -323,6 +323,22 @@ object Relational {
         .orderBy($"node")
     },
 
+    // ---- data-quality constraint report: four Deequ-style checks over
+    // lineitem in ONE aggregation pass (completeness, composite-key
+    // uniqueness — (orderkey, linenumber) is deliberately NOT unique in
+    // this generator, the report proves it — range and set membership).
+    // All metrics are exact long counts divided once in double.
+    "q64_quality_report" -> { (s, dir) =>
+      import s.implicits._
+      import graft.plans.Constraints._
+      report(Tables.load(s, dir, "lineitem"), Seq(
+          Completeness("l_shipdate") -> 1.0,
+          Uniqueness(Seq("l_orderkey", "l_linenumber")) -> 0.9,
+          RangeConformance("l_discount", 0.0, 0.1) -> 1.0,
+          Membership("l_returnflag", Seq("A", "N", "R")) -> 1.0))
+        .orderBy($"check")
+    },
+
     // ---- Z-order layout key: the multi-dimensional clustering value a
     // 100 TB table sorts/buckets by for data skipping on (customer,
     // date) predicates at once. Pure per-row bit math (codegen'd, no
@@ -517,6 +533,34 @@ object Relational {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // One UNION ALL branch per check; names/thresholds mirror the
+    // Constraints definitions literally.
+    "q64_quality_report" ->
+      """SELECT * FROM (
+        |  SELECT 'completeness(l_shipdate)' AS "check",
+        |         CAST(COUNT(l_shipdate) AS DOUBLE) / COUNT(*) AS metric,
+        |         CAST(COUNT(l_shipdate) AS DOUBLE) / COUNT(*) >= 1.0 AS passed
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'uniqueness(l_orderkey,l_linenumber)',
+        |         CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / COUNT(*),
+        |         CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / COUNT(*) >= 0.9
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range(l_discount,[0.0,0.1])',
+        |         CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / SUM(CASE WHEN l_discount IS NOT NULL THEN 1 ELSE 0 END),
+        |         CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / SUM(CASE WHEN l_discount IS NOT NULL THEN 1 ELSE 0 END) >= 1.0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'membership(l_returnflag)',
+        |         CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / SUM(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END),
+        |         CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / SUM(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) >= 1.0
+        |  FROM lineitem)""".stripMargin,
 
     // Iterations unrolled as CTEs from the SAME constants as the Spark
     // side; every arithmetic step is BIGINT multiply/divide, so both

@@ -80,6 +80,10 @@ object PlanCheck {
     Expectation("q60_funnel_stages",
       mustContain = Seq("Window"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // the whole quality report is ONE aggregation pass over the scan
+    Expectation("q64_quality_report",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
     // the windowed funnel keeps q60's no-join contract
     Expectation("q63_funnel_windowed",
       mustContain = Seq("Window"),
