@@ -38,4 +38,14 @@ class PageRankSpec extends SparkSpec {
     val out = run(Seq(5L, 6L), Seq((5L, 6L, 2L)), iters = 0)
     assert(out === Map(5L -> Scale, 6L -> Scale))
   }
+
+  test("non-positive edge weights are rejected up front, not folded into wrong ranks") {
+    val bad = intercept[IllegalArgumentException] {
+      run(Seq(1L, 2L), Seq((1L, 2L, 0L)), iters = 1)
+    }
+    assert(bad.getMessage.contains("positive"))
+    intercept[IllegalArgumentException] {
+      run(Seq(1L, 2L), Seq((1L, 2L, -3L)), iters = 1)
+    }
+  }
 }
