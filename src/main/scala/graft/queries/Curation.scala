@@ -280,9 +280,14 @@ object Curation {
     // user_id (AQE reuses the hash partitioning), then a broadcast-size
     // rollup; week offsets are exact integer day arithmetic on
     // week-truncated dates, so both engines agree bit-for-bit.
+    // cohort_week ships as an ISO yyyy-MM-dd STRING at the gate: a DATE
+    // column round-trips as datetime.date from Spark parquet but as a
+    // midnight Timestamp from DuckDB's pandas materialization — strings
+    // are identical under any harness (operator itself stays DateType).
     "q61_retention_cohorts" -> { (s, dir) =>
       import s.implicits._
       Temporal.retentionCohorts(Tables.load(s, dir, "events"), "user_id", "ts")
+        .withColumn("cohort_week", date_format($"cohort_week", "yyyy-MM-dd"))
         .orderBy($"cohort_week", $"week_offset")
     },
 
@@ -496,12 +501,15 @@ object Curation {
         |    THEN 1 ELSE 0 END AS keep
         |FROM sig""".stripMargin),
 
+    // CAST the window SUM to BIGINT: DuckDB's SUM(BIGINT) OVER returns
+    // HUGEINT, which pandas materializes as float64 — the driver harness
+    // then hashes "2000.0" against Spark's "2000" and mismatches.
     "q37_token_budget_mix" -> (ToksCte +
       """, cum AS (
         |  SELECT doc_id, lang, n_tokens,
-        |         SUM(n_tokens) OVER (PARTITION BY lang
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY lang
         |           ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)), doc_id
-        |           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM toks)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM cum
         |WHERE lang IN ('de', 'en', 'es', 'fr')
@@ -520,12 +528,14 @@ object Curation {
         |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
         |FROM toks GROUP BY lang""".stripMargin),
 
+    // CAST as in q37: keep every offset column BIGINT end-to-end so the
+    // driver's pandas read never sees a HUGEINT→float64 promotion.
     "q39_sequence_pack" -> (ToksCte +
       """, cum AS (
         |  SELECT doc_id, lang, n_tokens,
-        |         SUM(n_tokens) OVER (PARTITION BY lang
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY lang
         |           ORDER BY md5('pack' || CAST(doc_id AS VARCHAR)), doc_id
-        |           ROWS UNBOUNDED PRECEDING) AS end_offset
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
         |  FROM toks WHERE n_tokens > 0)
         |SELECT doc_id, lang, n_tokens, end_offset,
         |       end_offset - n_tokens AS start_offset,
@@ -670,12 +680,13 @@ object Curation {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM exp GROUP BY 1, 2, 3""".stripMargin),
 
+    // CAST as in q37/q39 — HUGEINT window SUM must not leak to pandas.
     "q55_pps_sample" -> (ToksCte +
       """, cum AS (
         |  SELECT doc_id, lang, n_tokens,
-        |         SUM(n_tokens) OVER (PARTITION BY lang
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY lang
         |           ORDER BY md5('pps' || CAST(doc_id AS VARCHAR)), doc_id
-        |           ROWS UNBOUNDED PRECEDING) AS end_offset
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
         |  FROM toks WHERE n_tokens > 0)
         |SELECT doc_id, lang, n_tokens, end_offset,
         |       end_offset - n_tokens AS start_offset,
@@ -714,11 +725,13 @@ object Curation {
 
     // Same week-truncation + integer day/7 offsets; DISTINCT user-weeks
     // before the rollup mirrors the Spark-side distinct.
+    // cohort_week as ISO VARCHAR — mirrors the Spark side's date_format
+    // so neither harness's date/timestamp materialization can diverge.
     "q61_retention_cohorts" -> (EventsUsCte +
       """, uw AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM e),
         |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
-        |SELECT c.cohort_week,
+        |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
         |       CAST(date_diff('day', c.cohort_week, uw.week) // 7 AS INTEGER) AS week_offset,
         |       COUNT(DISTINCT uw.user_id) AS n_users
         |FROM uw JOIN c USING (user_id)

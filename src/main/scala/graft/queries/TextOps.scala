@@ -106,7 +106,9 @@ object TextOps {
     // terms whose postings would be one giant skewed row — a production
     // layout shards those into delta-encoded blocks). Integer-exact
     // band arithmetic; distinct (doc, term) first (map-side combined),
-    // then one ordered collect per term.
+    // then one ordered collect per term. Postings ship as a comma-joined
+    // string (sorted numerically BEFORE stringifying) — the gate harness
+    // hashes flat cells, not nested arrays.
     "q62_inverted_index" -> { (s, dir) =>
       import s.implicits._
       val docs = docsParallel(s, dir)
@@ -115,7 +117,9 @@ object TextOps {
         .select($"doc_id", explode(graft.textops.TextTokens.wordsCol($"text")).as("term"))
         .distinct()
         .groupBy($"term")
-        .agg(count(lit(1)).as("df"), sort_array(collect_set($"doc_id")).as("postings"))
+        .agg(count(lit(1)).as("df"),
+             array_join(transform(sort_array(collect_set($"doc_id")), _.cast("string")), ",")
+               .as("postings"))
         .join(broadcast(n))
         .filter($"df" * 100 >= $"n_docs" && $"df" * 10 <= $"n_docs" * 9)
         .select($"term", $"df", $"postings")
@@ -380,12 +384,14 @@ object TextOps {
     // deterministic under the (n DESC, trigram ASC) total order.
     // DISTINCT (doc, term) then an ordered list aggregate; the HAVING
     // band mirrors the Spark side's integer-exact corpus-fraction
-    // bounds (df ≥ N/100, df ≤ 0.9·N).
+    // bounds (df ≥ N/100, df ≤ 0.9·N). Postings serialize to a
+    // comma-joined string (ordered numerically first) — pandas cannot
+    // hash ndarray cells, so both sides ship flat strings.
     "q62_inverted_index" -> (WordsCte +
       """, dt AS (SELECT DISTINCT doc_id, unnest(ws) AS term FROM words),
          |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
          |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-         |       list(doc_id ORDER BY doc_id) AS postings
+         |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
          |FROM dt, nd GROUP BY term, n_docs
          |HAVING COUNT(*) * 100 >= n_docs AND COUNT(*) * 10 <= n_docs * 9""".stripMargin),
 
