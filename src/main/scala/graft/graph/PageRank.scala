@@ -15,22 +15,41 @@ import org.apache.spark.sql.functions._
   *
   *   contrib(u→v) = (rank(u) * w(u,v)) div totalW(u)
   *   rank'(v)     = (scale * (dampDen − dampNum)) div dampDen
-  *                + (Σ contrib(·→v) * dampNum) div dampDen
+  *                + ((Σ contrib(·→v) [+ dangling share]) * dampNum) div dampDen
   *
-  * Dangling mass (nodes with no out-edges) leaks rather than being
-  * redistributed — the common "PageRank with leak" variant; with a
-  * fixed iteration count the result is still a total, deterministic
-  * function of the graph.
+  * Dangling mass (nodes with no out-edges): by default it LEAKS — the
+  * common "PageRank with leak" variant, kept as the q57 gate contract.
+  * With `redistributeDangling = true` each round adds the equal share
+  * `danglingMass div nNodes` to every node before damping (the standard
+  * Brin–Page formulation), which conserves total mass up to integer
+  * truncation: each edge contribution loses < 1 micro-unit to `div`,
+  * the share loses < nNodes per round — bounded and spec-pinned
+  * (`PageRankSpec`), never a float drift. Either way a fixed iteration
+  * count is a total, deterministic function of the graph.
   *
   * Scale shape: each round is one join (edges ⋈ ranks on src) and one
   * sum-aggregate (on dst) — both shuffle on the node id, so AQE reuses
   * the same hash partitioning round over round, exactly like
-  * [[ConnectedComponents]]. The weighted edge list (with its prefused
-  * out-weight column) is persisted once and reused every round; the
-  * driver holds no data. Overflow headroom: rank(u) ≤ nNodes·scale, so
-  * rank·w must stay under 2^63 — for trillion-edge graphs normalize
-  * weights (e.g. divide by their GCD or bucket to per-mille shares)
-  * before calling, which preserves exactness.
+  * [[ConnectedComponents]]. Lineage handling is depth-aware: past
+  * `checkpointInterval` rounds the weighted edge list is cut once with
+  * an eager localCheckpoint and the rank frame every interval —
+  * without the cut the plan nests `iters` joins deep and
+  * analysis/optimization cost blows up at real PageRank depths (20–50
+  * rounds); checkpoint blocks are ContextCleaner-reclaimable, unlike a
+  * persist() with no unpersist handle (the ConnectedComponents/
+  * knnGraph/Triangles convention). At-or-under the interval the LEAK
+  * path stays fully LAZY — shallow runs keep their callers' plan shape
+  * visible (q57's broadcast-join contract), and ReusedExchange /
+  * ReusedBroadcast dedupe the per-round re-reads of the edge subtree
+  * within the one action. The REDISTRIBUTED path cuts every round
+  * regardless: it reads the rank frame twice per round (contribution
+  * join + dangling-mass aggregate), so a lazy chain would double the
+  * plan per round — 2^iters subtrees. The dangling share is a 1-row aggregate
+  * cross-joined back (broadcast) — no driver-side collect in the loop.
+  * Overflow headroom: rank(u) ≤ nNodes·scale, so rank·w must stay
+  * under 2^63 — for trillion-edge graphs normalize weights (e.g.
+  * divide by their GCD or bucket to per-mille shares) before calling,
+  * which preserves exactness.
   */
 object PageRank {
 
@@ -43,9 +62,12 @@ object PageRank {
       edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
       iters: Int,
       scale: Long = 1000000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      redistributeDangling: Boolean = false,
+      checkpointInterval: Int = 8): DataFrame = {
     require(iters >= 0, s"iters must be non-negative: $iters")
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen not in (0,1)")
+    require(checkpointInterval > 0, s"checkpointInterval must be positive: $checkpointInterval")
     val n = nodes.select(col(nodeCol).as("node"))
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("long").as("w"))
@@ -55,19 +77,53 @@ object PageRank {
     // error. One bounded extra job (limit 1 stops at the first hit).
     require(e.filter(col("w") <= 0 || col("w").isNull).limit(1).count() == 0L,
       "edge weights must be positive integers")
+    // The redistributed path reads the rank frame TWICE per round (the
+    // contribution join and the dangling-mass aggregate) — left lazy,
+    // the plan would DOUBLE per round (2^iters subtrees), so it always
+    // cuts per round; the leak path references r once per round (linear
+    // plan depth) and cuts only past checkpointInterval.
+    val deep = redistributeDangling || iters > checkpointInterval
     val tw = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
-    // read once per round by every iteration's join — persist (same
-    // multi-consumer convention as NearDup's shingle relation)
-    val ew = e.join(tw, "src").persist()
+    // deep runs: one eager, reclaimable materialization re-read every
+    // round; shallow runs stay lazy (ReusedExchange dedupes the re-reads)
+    val ewLazy = e.join(tw, "src")
+    val ew = if (deep) ewLazy.localCheckpoint() else ewLazy
+    // nodes with no out-edges, whose rank mass would otherwise vanish;
+    // materialized once — every round re-reads it
+    val dangling =
+      if (redistributeDangling)
+        n.join(ew.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+          .localCheckpoint()
+      else null
+    // bounded driver scalar (like knnGraph's plane constants): the
+    // equal-share divisor for the dangling mass
+    val nNodes = if (redistributeDangling) math.max(1L, n.count()) else 1L
     val base = (scale * (dampDen - dampNum)) / dampDen
     var r = n.withColumn("rank", lit(scale))
+    var round = 0
     for (_ <- 1 to iters) {
       val sums = ew.join(r, ew("src") === r("node"))
         .select(col("dst"), expr("(rank * w) div tw").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = n.join(sums, n("node") === sums("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"(coalesce(s, 0L) * $dampNum) div $dampDen")).as("rank"))
+      val next =
+        if (redistributeDangling) {
+          val dmass = r.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+          n.join(sums, n("node") === sums("dst"), "left")
+            .join(broadcast(dmass))
+            .select(col("node"),
+              (lit(base) + expr(
+                s"((coalesce(s, 0L) + dmass div $nNodes) * $dampNum) div $dampDen")).as("rank"))
+        } else {
+          n.join(sums, n("node") === sums("dst"), "left")
+            .select(col("node"),
+              (lit(base) + expr(s"(coalesce(s, 0L) * $dampNum) div $dampDen")).as("rank"))
+        }
+      round += 1
+      r =
+        if (redistributeDangling) next.localCheckpoint() // double-ref: cut every round
+        else if (deep && round % checkpointInterval == 0) next.localCheckpoint()
+        else next
     }
     r
   }

@@ -51,12 +51,17 @@ object VectorOps {
     // ---- embedding-cosine near-dup pairs (oracled like q23).
     // The synthetic embeddings are near-orthogonal (max pairwise cosine
     // ≈ 0.51), so the demo threshold is 0.4; production near-dup
-    // thresholds (0.9+) plug into the same operator.
+    // thresholds (0.9+) plug into the same operator. The AUTO variant:
+    // plane count derives from the corpus size (bucket count ∝ N — a
+    // fixed plane count is quadratic in N within buckets) and two
+    // independent tables union their candidates; the oracle computes
+    // the identical plane count from COUNT(*) and masks the same
+    // seeded hyperplane ladder.
     "q24_embedding_near_dup" -> { (s, dir) =>
       import s.implicits._
-      graft.textops.NearDup.embeddingPairs(
+      graft.textops.NearDup.embeddingPairsAuto(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        planes = 4, threshold = 0.4)
+        threshold = 0.4)
         .orderBy($"id_a", $"id_b")
     }
   )
@@ -72,13 +77,37 @@ object VectorOps {
     * from [[Vectors.hyperplanes]] — the SAME constants the Spark side
     * buckets with (Double.toString round-trips exactly, and only the
     * dot-product SIGN feeds the bucket, so engine agreement is robust).
-    * Defaults must match q23/q24's queries entries (planes=4, dim=64);
-    * q58 passes its own planes and per-table seeds.
+    * Defaults must match q23's queries entry (planes=4, dim=64);
+    * q58 passes its own planes and per-table seeds; q24 uses the
+    * masked data-dependent form below.
     */
   private def bucketSql(v: String, planes: Int = 4, dim: Int = 64, seed: Int = 42): String =
     Vectors.hyperplanes(planes, dim, seed).zipWithIndex.map { case (plane, p) =>
       s"(CASE WHEN list_dot_product($v, [${plane.mkString(", ")}]) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** q24's data-dependent twin of [[bucketSql]]: emits the full
+    * `maxPlanes` hyperplane ladder (prefix-stable — `Vectors.hyperplanes`
+    * draws rows sequentially from one seeded stream, so plane p is the
+    * same array for any total count) with each bit MASKED by
+    * `p < nplanes`, where `nplanes` comes from a COUNT(*) CTE via the
+    * same integer formula as `NearDup.autoPlanes`.
+    */
+  private def maskedBucketSql(v: String, maxPlanes: Int, dim: Int, seed: Int): String =
+    Vectors.hyperplanes(maxPlanes, dim, seed).zipWithIndex.map { case (plane, p) =>
+      s"(CASE WHEN $p < nplanes AND list_dot_product($v, [${plane.mkString(", ")}]) >= 0" +
+        s" THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** `NearDup.autoPlanes` in DuckDB: ceil(log2(N/target)) as integer
+    * bit arithmetic — `len(bin(q))` is 1 for q=0 ('0') and the bit
+    * length otherwise, exactly `64 - numberOfLeadingZeros` — clamped
+    * the same way (LEAST outside GREATEST).
+    */
+  private def autoPlanesSql(nExpr: String): String =
+    s"LEAST(${graft.textops.NearDup.EmbedMaxPlanes}, " +
+      s"GREATEST(${graft.textops.NearDup.EmbedMinPlanes}, " +
+      s"len(bin((GREATEST($nExpr, 1) - 1) // ${graft.textops.NearDup.EmbedTargetBucket}))))"
 
   val oracle: Map[String, String] = Map(
     "q23_lsh_topk" ->
@@ -144,14 +173,30 @@ object VectorOps {
          |SELECT src AS query_id, rnk, dst AS neighbor_id, cosine FROM g2""".stripMargin
     },
 
+    // Mirrors NearDup.embeddingPairsAuto: nplanes from COUNT(*) (same
+    // integer formula as autoPlanes), two independent masked hyperplane
+    // tables (seeds 42/43), DISTINCT candidate union, then one exact
+    // cosine verify over the vectors joined back.
     "q24_embedding_near_dup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+        |np AS (SELECT ${autoPlanesSql("COUNT(*)")} AS nplanes FROM e),
+        |b AS (
+        |  SELECT vec_id, v, 0 AS tbl,
+        |         ${maskedBucketSql("v", graft.textops.NearDup.EmbedMaxPlanes, 64, 42)} AS bucket
+        |  FROM e, np
+        |  UNION ALL
+        |  SELECT vec_id, v, 1 AS tbl,
+        |         ${maskedBucketSql("v", graft.textops.NearDup.EmbedMaxPlanes, 64, 43)} AS bucket
+        |  FROM e, np),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM b x JOIN b y
+        |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
         |pairs AS (
-        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-        |         round(list_dot_product(x.v, y.v) /
-        |               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
-        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |  SELECT c.id_a, c.id_b,
+        |         round(list_dot_product(a.v, z.v) /
+        |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(z.v, z.v))), 6) AS cosine
+        |  FROM cand c JOIN e a ON c.id_a = a.vec_id JOIN e z ON c.id_b = z.vec_id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin,
 
     "q22_cosine_topk" ->

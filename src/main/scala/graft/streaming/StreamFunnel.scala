@@ -56,19 +56,37 @@ object StreamFunnel {
     * one that puts stage i+1 in horizon — tracking the running max
     * completion per stage is exactly the batch form's cumulative-max
     * window, so stream and batch agree under event-time order.
+    * `lastSeenMs` is the idle-eviction anchor: the key's latest event
+    * of ANY type (a completion-only anchor would evict a key that is
+    * active but stalled mid-funnel).
     */
-  final case class FunnelWinState(lastMs: Seq[Long])
+  final case class FunnelWinState(lastMs: Seq[Long], lastSeenMs: Long)
   private val UnsetMs = Long.MinValue
+
+  /** `idleTimeout` interval string → micros, or -1 for null (no
+    * eviction). Shared by both funnel variants.
+    */
+  private def idleTimeoutUs(idleTimeout: String): Long =
+    if (idleTimeout == null) -1L
+    else {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+      require(iv.months == 0, s"idleTimeout must be day-scale or finer: $idleTimeout")
+      iv.days * 24L * 3600 * 1000000 + iv.microseconds
+    }
 
   /** Streaming twin of [[graft.temporal.Temporal.funnelStagesWithin]]:
     * stage i+1 counts only within `horizonSec` of the closest stage-i
-    * completion. Same arrival-order contract and Update-mode emission
-    * as [[funnelStages]]; state is one Long per stage per key.
+    * completion. Same arrival-order contract, Update-mode emission, and
+    * event-time `idleTimeout` eviction as [[funnelStages]] — without
+    * eviction the per-key state (one Long per stage) would grow with
+    * key cardinality forever; pass null to keep state for the stream's
+    * lifetime.
     */
   def funnelStagesWithin(
       events: DataFrame, keyCol: String, tsCol: String, idCol: String,
       typeCol: String, stages: Seq[String], horizonSec: Long,
-      watermark: String): Dataset[FunnelUpdate] = {
+      watermark: String, idleTimeout: String = null): Dataset[FunnelUpdate] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(horizonSec > 0, s"horizon must be positive: $horizonSec")
     val spark = events.sparkSession
@@ -76,6 +94,10 @@ object StreamFunnel {
     // micros end to end: the batch twin compares unix_micros, and a
     // millis truncation here could flip an exactly-at-horizon event
     val horizonUs = horizonSec * 1000000L
+    val idleUs = idleTimeoutUs(idleTimeout)
+    val timeoutKind =
+      if (idleTimeout == null) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.EventTimeTimeout
     val src = events
       .withWatermark(tsCol, watermark)
       .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
@@ -83,24 +105,38 @@ object StreamFunnel {
       .as[FunnelEvent]
     src.groupByKey(_.key)
       .flatMapGroupsWithState[FunnelWinState, FunnelUpdate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutKind) {
         (key: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelWinState]) =>
-          val last = state.getOption
-            .map(_.lastMs.toArray)
-            .getOrElse(Array.fill(stages.length)(UnsetMs))
-          def depth = last.lastIndexWhere(_ != UnsetMs) + 1
-          val before = depth
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-            .foreach { e =>
-              val i = stages.indexOf(e.event_type)
-              val us = microsFromTs(e.ts)
-              if (i == 0) last(0) = math.max(last(0), us)
-              else if (i > 0 && last(i - 1) != UnsetMs && us - last(i - 1) <= horizonUs)
-                last(i) = math.max(last(i), us)
-            }
-          val after = depth
-          if (last.exists(_ != UnsetMs)) state.update(FunnelWinState(last.toSeq))
-          if (after > before) Iterator(FunnelUpdate(key, after)) else Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            val last = prev.map(_.lastMs.toArray)
+              .getOrElse(Array.fill(stages.length)(UnsetMs))
+            var lastSeen = prev.map(_.lastSeenMs).getOrElse(Long.MinValue)
+            def depth = last.lastIndexWhere(_ != UnsetMs) + 1
+            val before = depth
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+              .foreach { e =>
+                val i = stages.indexOf(e.event_type)
+                val us = microsFromTs(e.ts)
+                if (i == 0) last(0) = math.max(last(0), us)
+                else if (i > 0 && last(i - 1) != UnsetMs && us - last(i - 1) <= horizonUs)
+                  last(i) = math.max(last(i), us)
+                lastSeen = math.max(lastSeen, e.ts.getTime)
+              }
+            val after = depth
+            if (last.exists(_ != UnsetMs))
+              state.update(FunnelWinState(last.toSeq, lastSeen))
+            if (idleUs >= 0 && state.exists)
+              // same anchor rule as funnelStages: `idleTimeout` of EVENT
+              // time past the key's last event, floored above the
+              // current watermark to stay legal
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, lastSeen + idleUs / 1000))
+            if (after > before) Iterator(FunnelUpdate(key, after)) else Iterator.empty
+          }
       }
   }
 
@@ -116,14 +152,7 @@ object StreamFunnel {
       .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
         col(idCol).cast("long").as("event_id"), col(typeCol).as("event_type"))
       .as[FunnelEvent]
-    val idleUs =
-      if (idleTimeout == null) -1L
-      else {
-        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-          org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
-        require(iv.months == 0, s"idleTimeout must be day-scale or finer: $idleTimeout")
-        iv.days * 24L * 3600 * 1000000 + iv.microseconds
-      }
+    val idleUs = idleTimeoutUs(idleTimeout)
     val timeoutKind =
       if (idleTimeout == null) GroupStateTimeout.NoTimeout
       else GroupStateTimeout.EventTimeTimeout

@@ -199,9 +199,16 @@ object CurationOps {
       .select(NearDup.shingleHash60(col("shingle")).as("h"))
       .distinct()
       .persist() // consumed twice: sizing count + filter build
-    val expected = math.max(1L, benchHashes.count())
-    val bf = benchHashes.stat.bloomFilter("h", expected, fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
+    val bfB =
+      try {
+        val expected = math.max(1L, benchHashes.count())
+        val bf = benchHashes.stat.bloomFilter("h", expected, fpp)
+        spark.sparkContext.broadcast(bf)
+      } finally {
+        // both consumers are actions that completed above; the returned
+        // plan reads only the broadcast filter, never this frame
+        benchHashes.unpersist()
+      }
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     corpus
       .select(col(idCol), explode(NearDup.shinglesCol(col(textCol), n)).as("shingle"))

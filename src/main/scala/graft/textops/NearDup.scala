@@ -55,16 +55,19 @@ object NearDup {
       n: Int, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // The shingle relation is consumed twice (both join sides); persist
-    // so the tokenize+explode+distinct pipeline runs once. Set size is
-    // attached by window so no extra sizes join is needed. The cache is
-    // released by the ContextCleaner when the plan is collected.
+    // The shingle relation is consumed twice (both join sides); eager
+    // localCheckpoint so the tokenize+explode+distinct pipeline runs
+    // once AND the blocks are ContextCleaner-reclaimable — persist()
+    // here pinned cache for the session's lifetime (no unpersist
+    // handle), which under a 64-query bench session accumulated into
+    // re-materialization pressure. Set size is attached by window so no
+    // extra sizes join is needed.
     val w = Window.partitionBy($"id")
     val sh = df.select(col(idCol).as("id"),
         explode(shinglesCol(col(textCol), n)).as("shingle"))
       .distinct()
       .withColumn("sz", count(lit(1)).over(w))
-      .persist()
+      .localCheckpoint()
     val a = sh.select($"id".as("id_a"), $"shingle", $"sz".as("size_a"))
     val b = sh.select($"id".as("id_b"), $"shingle", $"sz".as("size_b"))
     a.join(b, "shingle")
@@ -194,7 +197,7 @@ object NearDup {
       .select($"id", shingleHash60($"shingle").as("h"))
       .repartition($"id")
       .dropDuplicates("id", "h")
-      .persist()
+      .localCheckpoint() // reclaimable multi-consumer cut (Triangles convention)
     // x = h mod P projected ONCE, not repeated inside all k min-exprs —
     // keeps the already-wide aggregate plan as small as possible
     val mins = params.toSeq.zipWithIndex.map { case ((a, b), i) =>
@@ -210,7 +213,7 @@ object NearDup {
     }
     val banded = sigs.select($"id", explode(array(bandStructs: _*)).as("bk"))
       .select($"id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
-      .persist()
+      .localCheckpoint() // both self-join sides; reclaimable
     val candidates = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" && $"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"))
@@ -294,7 +297,7 @@ object NearDup {
       shiftright($"fp", b * width).bitwiseAND(lit(mask))
     }: _*)
     val keyed = fps.select($"id", $"fp", posexplode(blockKeys).as(Seq("block", "key")))
-      .persist() // both sides of the self-join read it
+      .localCheckpoint() // both self-join sides; reclaimable
     keyed.as("x").join(keyed.as("y"),
         $"x.block" === $"y.block" && $"x.key" === $"y.key" && $"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"),
@@ -305,25 +308,95 @@ object NearDup {
 
   // ---- embedding-cosine near-dup -----------------------------------------
 
+  /** Constants for [[embeddingPairsAuto]]'s data-dependent bucketing,
+    * mirrored verbatim into the q24 oracle SQL (`queries/VectorOps`).
+    */
+  val EmbedTargetBucket: Int = 128
+  val EmbedMinPlanes: Int = 2
+  val EmbedMaxPlanes: Int = 24
+  val EmbedTables: Int = 2
+
+  /** Plane count for N vectors so mean bucket occupancy stays ≤
+    * `targetBucketSize`: the smallest p with 2^p · target ≥ N, i.e.
+    * ceil(log2(N / target)) — computed with INTEGER bit arithmetic
+    * (`len(bin((N-1) // target))` in the DuckDB mirror) so both engines
+    * agree exactly even at power-of-two boundaries where floating log2
+    * could round either way. Clamped to [minPlanes, maxPlanes].
+    */
+  def autoPlanes(n: Long,
+      targetBucketSize: Int = EmbedTargetBucket,
+      minPlanes: Int = EmbedMinPlanes,
+      maxPlanes: Int = EmbedMaxPlanes): Int = {
+    val q = (math.max(n, 1L) - 1L) / targetBucketSize
+    val bits = if (q <= 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q)
+    math.min(maxPlanes, math.max(minPlanes, bits))
+  }
+
   /** Pairs of vectors with cosine ≥ threshold, via LSH bucketing on
     * random-hyperplane signs (see [[graft.vectors.Vectors.hyperplaneBucket]])
     * then exact verify. Exposed here for the dedup suite; the generic
     * building blocks live in `graft.vectors`. Cosine is rounded to 6
     * decimals before the threshold filter — the repo float policy that
     * keeps the output bit-identical to the DuckDB oracle (q24).
+    *
+    * Fixed-plane single-table form (spec/back-compat surface). A fixed
+    * plane count means a FIXED bucket count: within-bucket pair work
+    * grows (N / 2^planes)² — quadratic in N. Production callers use
+    * [[embeddingPairsAuto]], which scales the bucket count with N.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int, threshold: Double, dim: Int = 64): DataFrame = {
-    val spark = df.sparkSession
+      planes: Int, threshold: Double, dim: Int = 64): DataFrame =
+    pairsFromBase(checkpointBase(df, idCol, vecCol), planes, threshold, dim,
+      tables = 1, seed = 42)
+
+  /** Scale-safe [[embeddingPairs]]: derives the plane count from the
+    * corpus size via [[autoPlanes]] (bucket count ∝ N, so expected
+    * candidate pairs stay ≈ N · targetBucketSize / 2 per table — linear
+    * in N), and unions candidates from `tables` INDEPENDENT hyperplane
+    * tables (seeds seed, seed+1, …) before one exact verify — the same
+    * recall-vs-cost ladder as [[minhashLshPairs]]'s bands: a true pair
+    * split by one table's planes still collides in another.
+    */
+  def embeddingPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int = 64,
+      targetBucketSize: Int = EmbedTargetBucket,
+      tables: Int = EmbedTables, seed: Int = 42): DataFrame = {
+    val base = checkpointBase(df, idCol, vecCol)
+    val planes = autoPlanes(base.count(), targetBucketSize)
+    pairsFromBase(base, planes, threshold, dim, tables, seed)
+  }
+
+  /** One eager materialization of (id, v) reused by every table's two
+    * join sides and the verify rejoin. localCheckpoint, NOT persist: the
+    * blocks are ContextCleaner-reclaimable once the caller's plan is
+    * collected (the Triangles convention) — a persist() here would pin
+    * executor memory for the session's lifetime with no unpersist handle.
+    */
+  private def checkpointBase(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
+
+  private def pairsFromBase(base: DataFrame, planes: Int, threshold: Double,
+      dim: Int, tables: Int, seed: Int): DataFrame = {
+    val spark = base.sparkSession
     import spark.implicits._
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", graft.vectors.Vectors.hyperplaneBucket(col("v"), planes, dim))
-      .withColumn("norm", graft.vectors.Vectors.normCol(col("v")))
-      .persist() // both sides of the self-join read it
-    bucketed.as("x").join(bucketed.as("y"),
-        $"x.bucket" === $"y.bucket" && $"x.id" < $"y.id")
-      .select($"x.id".as("id_a"), $"y.id".as("id_b"),
-        round(graft.vectors.Vectors.cosineWithNorms($"x.v", $"x.norm", $"y.v", $"y.norm"), 6).as("cosine"))
+    val keyed = (0 until tables).map { t =>
+      base.select($"id", lit(t).as("tbl"),
+        graft.vectors.Vectors.hyperplaneBucket($"v", planes, dim, seed + t).as("bucket"))
+    }.reduce(_ union _)
+    // candidates first (ids only through the shuffle), THEN one exact
+    // verify with the vectors joined back — a pair colliding in several
+    // tables is verified once
+    val cands = keyed.as("x").join(keyed.as("y"),
+        $"x.tbl" === $"y.tbl" && $"x.bucket" === $"y.bucket" && $"x.id" < $"y.id")
+      .select($"x.id".as("id_a"), $"y.id".as("id_b"))
+      .distinct()
+    val wn = base.withColumn("norm", graft.vectors.Vectors.normCol($"v"))
+    cands
+      .join(wn.select($"id".as("id_a"), $"v".as("va"), $"norm".as("na")), "id_a")
+      .join(wn.select($"id".as("id_b"), $"v".as("vb"), $"norm".as("nb")), "id_b")
+      .select($"id_a", $"id_b",
+        round(graft.vectors.Vectors.cosineWithNorms($"va", $"na", $"vb", $"nb"), 6).as("cosine"))
       .filter($"cosine" >= threshold)
   }
 }

@@ -411,6 +411,11 @@ object Vectors {
         .filter($"src" =!= $"dst")
       g = topk(proposals.union(edges).distinct()).localCheckpoint()
     }
+    // every consumer of the vector cache ran inside the loop (the final
+    // localCheckpoint above is eager), so release its blocks before
+    // handing back the checkpoint-backed result — otherwise the cache
+    // stays pinned for the session with no caller-side handle
+    c.unpersist()
     g.select($"src".as("query_id"), $"rank", $"dst".as("neighbor_id"), $"cosine")
   }
 

@@ -38,6 +38,30 @@ class ConstraintsSpec extends SparkSpec {
     assert(out("uniqueness(id,name)") == ((1.0, true)))
   }
 
+  test("all-NULL columns pass range/membership vacuously instead of NULL limbo") {
+    // 0 non-null values -> 0/0; the explicit policy is metric 1.0 and
+    // passed=true (nullness is Completeness's job), never a NULL
+    // `passed` that is neither pass nor fail
+    val withNull = df.withColumn("empty", org.apache.spark.sql.functions.lit(null).cast("double"))
+    val out = report(withNull, Seq(
+        RangeConformance("empty", 0.0, 1.0) -> 1.0,
+        Membership("empty", Seq("x")) -> 1.0,
+        Completeness("empty") -> 1.0))
+      .as[(String, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("range(empty,[0.0,1.0])") == ((1.0, true)))
+    assert(out("membership(empty)") == ((1.0, true)))
+    assert(out("completeness(empty)") == ((0.0, false))) // the honest signal
+  }
+
+  test("a quote in a column name is data, not SQL syntax") {
+    val quoted = df.withColumnRenamed("v", "v'al")
+    val out = report(quoted, Seq(RangeConformance("v'al", 0.0, 50.0) -> 1.0))
+      .as[(String, Double, Boolean)].collect()
+    assert(out.length == 1)
+    assert(out.head._1 == "range(v'al,[0.0,50.0])")
+    assert(out.head._2 == 0.75)
+  }
+
   test("the whole report is one aggregate pass: no joins, no reshuffles") {
     val plan = report(df, Seq(
         Completeness("name") -> 1.0,

@@ -175,6 +175,36 @@ class StreamFunnelSpec extends SparkSpec {
     }
   }
 
+  test("windowed funnel evicts idle keys by event time, like funnelStages") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val df = stream.toDS().toDF("ts", "user_id", "event_id", "event_type")
+    val name = s"fm_funnel_win_evict_${System.nanoTime()}"
+    val q = StreamFunnel.funnelStagesWithin(
+        df, "user_id", "ts", "event_id", "event_type", Stages, horizonSec = 3600L,
+        watermark = "0 seconds", idleTimeout = "10 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    // user 1 reaches depth 2 within horizon
+    stream.addData((ts(10), 1L, 1L, "view"), (ts(11), 1L, 2L, "click"))
+    q.processAllAvailable()
+    // watermark jumps far past the idle horizon; next batch fires eviction
+    stream.addData((ts(1000), 2L, 3L, "view"))
+    q.processAllAvailable()
+    stream.addData((ts(2000), 2L, 4L, "error"))
+    q.processAllAvailable()
+    // evicted: a purchase alone cannot resume at depth 3; a fresh view
+    // restarts the chain at depth 1
+    stream.addData((ts(2001), 1L, 5L, "purchase"))
+    q.processAllAvailable()
+    stream.addData((ts(2002), 1L, 6L, "view"))
+    q.processAllAvailable()
+    val got = spark.table(name).as[(Long, Int)].collect().toSeq
+    q.stop()
+    val u1 = got.filter(_._1 == 1L).map(_._2)
+    assert(u1 == Seq(2, 1), s"expected pre-eviction [2] then restart [1], got $u1")
+  }
+
   test("same-timestamp events fold in event_id order (tiebreak parity with batch)") {
     val rows = Seq(
       (ts(10), 5L, 2L, "click"),  // same instant, higher id than the view
