@@ -44,13 +44,20 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) dt else -1.0
       }
-      name -> (if (reps.contains(-1.0)) -1.0 else reps.sorted.apply(2))
+      (name, if (reps.contains(-1.0)) -1.0 else reps.sorted.apply(2), reps)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-rep raw times alongside the medians: a median outlier is then
+    // attributable from the artifact alone (one slow rep = GC/AQE
+    // accident; all reps slow = a real plan/caching regression)
+    val reps = results.map { case (k, _, rs) =>
+      "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // failures carry -1 markers per query; they don't pollute the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * video ride as opaque `binary` columns with typed metadata; decode /
   * feature-extract run as batch functions over `mapPartitions`.
   *
-  * The actual codec layer is STUBBED (this container has no image/audio
-  * libraries): [[StubDecoder]] derives deterministic fake properties
-  * from the bytes. Everything Spark-side is real — schema, partition
-  * sizing, batch iteration shape — so swapping in a real decoder is a
-  * one-function change.
+  * Codec layer: IMAGE headers decode for real via the JDK's
+  * `javax.imageio` ([[ImageHeaderDecoder]] — PNG/JPEG/GIF/BMP width/
+  * height from actual headers, no external deps); audio/video remain
+  * STUBBED (this container ships no AV codecs): [[StubDecoder]] derives
+  * deterministic fake properties from the bytes, and undecodable image
+  * payloads fall back to it. Everything Spark-side is real — schema,
+  * partition sizing, batch iteration shape — so swapping in a full
+  * pixel/AV codec is a one-function change.
   *
   * Scale notes: media rows are orders of magnitude wider than text —
   * partition budgets must be set by BYTES not rows
@@ -37,10 +40,54 @@ object Multimodal {
       duration_ms: Long,
       feature: Array[Float])  // fixed-width embedding-shaped vector
 
+  /** REAL image header decode via `javax.imageio` (JDK-built-in, no
+    * external deps): width/height come from the actual PNG/JPEG/GIF/BMP
+    * headers — `ImageReader.getWidth/getHeight(0)` parses headers only,
+    * never the pixel payload, so this is a metadata-cheap scan stage.
+    * Returns None for payloads no registered reader accepts (then the
+    * caller falls back to [[StubDecoder]], which is still the honest
+    * stand-in for audio/video — the container ships no AV codecs).
+    */
+  object ImageHeaderDecoder {
+    def dimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (in == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } catch {
+            case _: java.io.IOException => None // truncated/corrupt header
+          } finally r.dispose()
+        }
+      } finally in.close()
+    }
+
+    /** Full decode contract: real header dimensions when the payload IS
+      * an image a JDK reader recognizes; [[StubDecoder]] values (and
+      * kinds other than image) otherwise.
+      */
+    def decode(row: MediaRow): MediaFeatures = {
+      val stub = StubDecoder.decode(row)
+      if (row.kind != "image") stub
+      else dimensions(row.bytes) match {
+        case Some((w, h)) => stub.copy(width = w, height = h)
+        case None => stub
+      }
+    }
+  }
+
   /** Deterministic fake decode: dimensions/duration/feature derived
-    * from a SHA-256 of the payload. Replace with a real codec in
-    * production; the signature (one batch in, one batch out) is the
-    * contract.
+    * from a SHA-256 of the payload. The stand-in for codecs the
+    * container doesn't ship (audio/video); image rows get REAL header
+    * dimensions via [[ImageHeaderDecoder]]. The signature (one batch
+    * in, one batch out) is the contract.
     */
   object StubDecoder {
     def decode(row: MediaRow): MediaFeatures = {
@@ -61,14 +108,17 @@ object Multimodal {
 
   /** Decode stage: batch iteration per partition (the shape a real
     * vectorized decoder needs — amortized codec init per partition,
-    * streaming batches, no per-row JNI churn).
+    * streaming batches, no per-row JNI churn). Image rows decode REAL
+    * header dimensions ([[ImageHeaderDecoder]]); undecodable payloads
+    * and audio/video fall back to the deterministic stub.
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // real impl: initialize the codec once here, then stream
-      rows.map(StubDecoder.decode)
+      // codec/reader registry is JVM-wide; per-row reader instances are
+      // disposed inside ImageHeaderDecoder
+      rows.map(ImageHeaderDecoder.decode)
     }
   }
 

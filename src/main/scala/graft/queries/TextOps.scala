@@ -167,9 +167,12 @@ object TextOps {
 
     // ---- multimodal decode stage through the driver gate: binary
     // payloads (documents as stand-in media) through the batched
-    // mapPartitions decode; the stub codec is SHA-derived, so DuckDB
-    // computes the same properties and the whole binary-column
-    // plumbing is hash-verified, not just spec'd.
+    // mapPartitions decode. Image rows try a REAL javax.imageio header
+    // decode first; these text payloads are not decodable images, so
+    // every row takes the deterministic SHA-derived fallback, which
+    // DuckDB mirrors — the whole binary-column plumbing is
+    // hash-verified, not just spec'd (real-image decode is pinned by
+    // MultimodalSpec on generated PNG/JPEG bytes).
     "q52_media_decode" -> { (s, dir) =>
       import s.implicits._
       val media = docsParallel(s, dir).select(

@@ -55,11 +55,13 @@ object NearDup {
       n: Int, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // The shingle relation is consumed twice (both join sides); eager
+    // The shingle relation is consumed twice (both join sides); LAZY
     // localCheckpoint so the tokenize+explode+distinct pipeline runs
-    // once AND the blocks are ContextCleaner-reclaimable — persist()
-    // here pinned cache for the session's lifetime (no unpersist
-    // handle), which under a 64-query bench session accumulated into
+    // once, pipelined into the first action (an eager cut would run a
+    // separate blocking job first — measured ~2× on the gate bench),
+    // AND the blocks are ContextCleaner-reclaimable — persist() here
+    // pinned cache for the session's lifetime (no unpersist handle),
+    // which under a 64-query bench session accumulated into
     // re-materialization pressure. Set size is attached by window so no
     // extra sizes join is needed.
     val w = Window.partitionBy($"id")
@@ -67,7 +69,7 @@ object NearDup {
         explode(shinglesCol(col(textCol), n)).as("shingle"))
       .distinct()
       .withColumn("sz", count(lit(1)).over(w))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val a = sh.select($"id".as("id_a"), $"shingle", $"sz".as("size_a"))
     val b = sh.select($"id".as("id_b"), $"shingle", $"sz".as("size_b"))
     a.join(b, "shingle")
@@ -197,7 +199,7 @@ object NearDup {
       .select($"id", shingleHash60($"shingle").as("h"))
       .repartition($"id")
       .dropDuplicates("id", "h")
-      .localCheckpoint() // reclaimable multi-consumer cut (Triangles convention)
+      .localCheckpoint(eager = false) // reclaimable multi-consumer cut, pipelined into the first action
     // x = h mod P projected ONCE, not repeated inside all k min-exprs —
     // keeps the already-wide aggregate plan as small as possible
     val mins = params.toSeq.zipWithIndex.map { case ((a, b), i) =>
@@ -213,7 +215,7 @@ object NearDup {
     }
     val banded = sigs.select($"id", explode(array(bandStructs: _*)).as("bk"))
       .select($"id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
-      .localCheckpoint() // both self-join sides; reclaimable
+      .localCheckpoint(eager = false) // both self-join sides; reclaimable, pipelined
     val candidates = banded.as("x").join(banded.as("y"),
         $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" && $"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"))
@@ -297,7 +299,7 @@ object NearDup {
       shiftright($"fp", b * width).bitwiseAND(lit(mask))
     }: _*)
     val keyed = fps.select($"id", $"fp", posexplode(blockKeys).as(Seq("block", "key")))
-      .localCheckpoint() // both self-join sides; reclaimable
+      .localCheckpoint(eager = false) // both self-join sides; reclaimable, pipelined
     keyed.as("x").join(keyed.as("y"),
         $"x.block" === $"y.block" && $"x.key" === $"y.key" && $"x.id" < $"y.id")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"),
@@ -366,15 +368,17 @@ object NearDup {
     pairsFromBase(base, planes, threshold, dim, tables, seed)
   }
 
-  /** One eager materialization of (id, v) reused by every table's two
-    * join sides and the verify rejoin. localCheckpoint, NOT persist: the
-    * blocks are ContextCleaner-reclaimable once the caller's plan is
-    * collected (the Triangles convention) — a persist() here would pin
-    * executor memory for the session's lifetime with no unpersist handle.
+  /** One materialization of (id, v) reused by every table's two join
+    * sides and the verify rejoin. Lazy localCheckpoint, NOT persist:
+    * blocks compute inside the first consuming action (for
+    * [[embeddingPairsAuto]] that is its sizing count) and are
+    * ContextCleaner-reclaimable once the caller's plan is collected
+    * (the Triangles convention) — a persist() here would pin executor
+    * memory for the session's lifetime with no unpersist handle.
     */
   private def checkpointBase(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   private def pairsFromBase(base: DataFrame, planes: Int, threshold: Double,
       dim: Int, tables: Int, seed: Int): DataFrame = {

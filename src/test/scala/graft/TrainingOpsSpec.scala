@@ -235,6 +235,37 @@ class MultimodalSpec extends SparkSpec {
     assert(again.sha256 == f0.sha256 && again.width == f0.width)
   }
 
+  private def encodeImage(format: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, x * 31 + y)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("image rows decode REAL header dimensions (png + jpeg), not stub values") {
+    val png = MediaRow(1L, "image", encodeImage("png", 7, 5), "t")
+    val jpg = MediaRow(2L, "image", encodeImage("jpg", 3, 2), "t")
+    val onePx = MediaRow(3L, "image", encodeImage("png", 1, 1), "t")
+    val garbage = MediaRow(4L, "image", Array[Byte](1, 2, 3, 4), "t")
+    val video = MediaRow(5L, "video", encodeImage("png", 9, 9), "t")
+    val feats = Multimodal.decodeFeatures(
+        spark.createDataset(Seq(png, jpg, onePx, garbage, video)))
+      .collect().map(f => f.media_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height) == ((7, 5)))
+    assert((feats(2L).width, feats(2L).height) == ((3, 2)))
+    assert((feats(3L).width, feats(3L).height) == ((1, 1)))
+    // undecodable image payloads fall back to the deterministic stub
+    val stubG = Multimodal.StubDecoder.decode(garbage)
+    assert((feats(4L).width, feats(4L).height) == ((stubG.width, stubG.height)))
+    // non-image kinds never take the image path, even with image bytes
+    val stubV = Multimodal.StubDecoder.decode(video)
+    assert((feats(5L).width, feats(5L).height) == ((stubV.width, stubV.height)))
+    // payload-derived fields are unchanged by the real decode
+    assert(feats(1L).n_bytes == png.bytes.length && feats(1L).sha256.length == 64)
+  }
+
   test("exactDupMedia flags duplicated payloads") {
     val withDup = media :+ media.head.copy(media_id = 9999L)
     val dups = Multimodal.exactDupMedia(
