@@ -42,6 +42,13 @@ object Bench {
                  catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // clearCache only drops catalog-cached tables; localCheckpoint
+        // blocks are RDD-level persists that otherwise linger until a
+        // driver GC lets ContextCleaner reclaim them — which lands mid-
+        // measurement on whatever query runs next. Prior reps' RDDs see
+        // no further actions, so dropping their blocks is safe here.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (ok) dt else -1.0
       }
       (name, if (reps.contains(-1.0)) -1.0 else reps.sorted.apply(2), reps)
