@@ -304,6 +304,49 @@ object Curation {
           (unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts")).as("next_gap_us"),
           lag($"event_type", 1).over(w).as("prev_type"))
         .orderBy($"event_id")
+    },
+
+    // ---- fastText-shaped hashed linear classifier: tokens hash into
+    // weight buckets, document score = mean bucket weight. Weights are
+    // derived from the bucket id (oracle-mirrorable stand-in for
+    // trained parameters); the plan is the production shape — broadcast
+    // weight join + one map-side-combined aggregate.
+    "q65_quality_classifier" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.hashedLinearScore(docsParallel(s, dir), "doc_id", "text",
+          buckets = ClassifierBuckets)
+        .orderBy($"doc_id")
+    },
+
+    // ---- Zipf frequency-spectrum fit over the corpus vocabulary:
+    // ln(freq) ~ ln(rank) by the explicit moment formula (identical
+    // sums both engines — a builtin regr_slope is free to use a
+    // different update scheme per engine).
+    "q66_zipf_law" -> { (s, dir) =>
+      CurationOps.zipfSlope(docsParallel(s, dir), "text")
+    },
+
+    // ---- alpha=0.5 temperature mixture over sources: per-stratum
+    // token targets proportional to sqrt(stratum mass), filled in
+    // salted-md5 order. Integer-quantized weights keep the target
+    // arithmetic exact across engines.
+    "q67_temperature_mix" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.temperatureMix(docsParallel(s, dir), "doc_id", "source",
+          "text", totalBudget = TempMixBudget, salt = "temp")
+        .orderBy($"source", $"cum_tokens")
+    },
+
+    // ---- per-document character entropy: zero-shuffle per-row array
+    // math (the q29/q36 convention) — the gibberish/boilerplate signal.
+    "q68_char_entropy" -> { (s, dir) =>
+      import s.implicits._
+      import graft.textops.TextAnalysis
+      docsParallel(s, dir).select($"doc_id",
+          length($"text").as("n_chars"),
+          TextAnalysis.charAlphabetCol($"text").as("n_alphabet"),
+          TextAnalysis.charEntropyCol($"text").as("entropy"))
+        .orderBy($"doc_id")
     }
   )
 
@@ -320,6 +363,12 @@ object Curation {
     */
   private val MixBudgets: Map[String, Long] =
     Map("en" -> 2000L, "de" -> 1000L, "fr" -> 1000L, "es" -> 500L)
+
+  /** q65's weight-table width — mirrored into the oracle's hash-mod. */
+  private val ClassifierBuckets = 1024
+
+  /** q67's corpus-wide token budget — mirrored into the oracle. */
+  private val TempMixBudget = 5000L
 
   // The shared words CTE (TextOps.WordsCte) is the DuckDB twin of
   // TextTokens.wordsCol — one definition for every tokenizing oracle.
@@ -781,6 +830,98 @@ object Curation {
         |SELECT p.event_id, p.user_id, p.purchase_ts,
         |       v.view_event_id, v.ts AS view_ts
         |FROM p ASOF LEFT JOIN v
-        |  ON p.user_id = v.user_id AND v.ts <= p.purchase_ts""".stripMargin)
+        |  ON p.user_id = v.user_id AND v.ts <= p.purchase_ts""".stripMargin),
+
+    // Mirrors CurationOps.hashedLinearScore: the 60-bit md5 hash mod
+    // bucket count, derived centi-weight (bucket % 201 - 100), one
+    // division at the end. SUMs cast to BIGINT (DuckDB HUGEINT turns
+    // into float64 in the driver's pandas harness); keep compares the
+    // ROUNDED score, like the Spark side.
+    "q65_quality_classifier" -> (WordsCte +
+      s""", tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+        |b AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $ClassifierBuckets AS bucket
+        |  FROM tok),
+        |scored AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(bucket % 201 - 100) AS BIGINT) AS raw_score,
+        |         ROUND(SUM(bucket % 201 - 100) / (COUNT(*) * 100.0), 6) AS score
+        |  FROM b GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, raw_score, score, score >= 0 AS keep
+        |FROM scored""".stripMargin),
+
+    // Mirrors CurationOps.zipfSlope: same rank tiebreak, same four
+    // moment sums, same explicit slope/intercept formula.
+    "q66_zipf_law" -> (WordsCte +
+      """, tok AS (SELECT unnest(ws) AS term FROM words),
+        |counts AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        |ranked AS (
+        |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk
+        |  FROM counts),
+        |sums AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+        |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         SUM(ln(rk)) AS sx, SUM(ln(c)) AS sy,
+        |         SUM(ln(rk) * ln(c)) AS sxy, SUM(ln(rk) * ln(rk)) AS sxx
+        |  FROM ranked)
+        |SELECT n_types, n_tokens,
+        |       ROUND((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 6)
+        |         AS zipf_slope,
+        |       ROUND((sy - ((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)) * sx)
+        |         / n_types, 6) AS zipf_intercept
+        |FROM sums""".stripMargin),
+
+    // Mirrors CurationOps.temperatureMix: integer-quantized sqrt
+    // weights, exact integer target division (// = Spark's div), the
+    // q37-style salted-md5 greedy fill. Strata keyed on source, not
+    // lang, so this needs its own toks CTE.
+    "q67_temperature_mix" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+        |                              w -> len(w) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tt AS (SELECT * FROM t WHERE n_tokens > 0),
+        |wts AS (
+        |  SELECT source,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS stratum_tokens,
+        |         CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM tt GROUP BY source),
+        |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts),
+        |tgt AS (
+        |  SELECT source, stratum_tokens,
+        |         (CAST($TempMixBudget AS BIGINT) * w) // tw AS target_tokens
+        |  FROM wts, tw),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY md5('temp' || CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM tt)
+        |SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens, g.target_tokens
+        |FROM cum c JOIN tgt g USING (source)
+        |WHERE c.cum_tokens <= g.target_tokens""".stripMargin,
+
+    // Mirrors TextAnalysis.charEntropyCol: per-char counts via the
+    // distinct-scan, Σ c·log2(c) in double, rounded at 6. Spaces are
+    // characters too (both sides split on '' and drop only empties).
+    "q68_char_entropy" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(text, ''), c -> len(c) > 0) AS chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(text) AS n_chars,
+        |       len(list_distinct(chars)) AS n_alphabet,
+        |       CASE WHEN len(chars) > 0 THEN
+        |         ROUND(log2(len(chars)) -
+        |           list_sum(list_transform(
+        |             list_transform(list_distinct(chars),
+        |               d -> CAST(len(list_filter(chars, c -> c = d)) AS DOUBLE)),
+        |             c -> c * log2(c))) / len(chars), 6)
+        |       ELSE 0.0 END AS entropy
+        |FROM cs""".stripMargin
   )
 }

@@ -625,4 +625,119 @@ object CurationOps {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col(idCol), col("term"), col("score"), col("rk"))
   }
+
+  // ---- hashed linear quality classifier ----------------------------------
+
+  /** fastText-shaped document scorer: every token hashes into one of
+    * `buckets` weight slots and the document's score is the mean slot
+    * weight. The weight table here is DERIVED (integer centi-weights
+    * from the bucket id — a deterministic, oracle-mirrorable stand-in
+    * for trained parameters); the plan shape is the production one: a
+    * BROADCAST join of the weight table against exploded tokens, one
+    * map-side-combined aggregate per document. Swapping in real learned
+    * weights changes the table, not the plan.
+    *
+    * Scoring is exact-integer until the single final division
+    * (`raw_score` is a sum of ints in [-100, 100]), so the gate hashes
+    * deterministic values; `keep` mirrors a calibrated threshold at 0.
+    */
+  def hashedLinearScore(
+      df: DataFrame, idCol: String, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    val weights = spark.range(buckets.toLong)
+      .select(col("id").as("bucket"), (col("id") % 201 - 100).as("w"))
+    val toks = df
+      .select(col(idCol), explode(wordsCol(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        (NearDup.shingleHash60(col("__tok")) % buckets).as("bucket"))
+    toks.join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("raw_score"))
+      .withColumn("score",
+        round(col("raw_score") / (col("n_tokens").cast("double") * 100.0), 6))
+      .withColumn("keep", col("score") >= 0)
+  }
+
+  // ---- temperature-weighted mixture sampling -----------------------------
+
+  /** Multinomial temperature resampling of a stratified corpus (the
+    * alpha=0.5 upsampling rule from multilingual pretraining): each
+    * stratum's share of `totalBudget` tokens is proportional to
+    * sqrt(stratum_tokens), then docs fill their stratum's target in
+    * salted-md5 order (same greedy window as [[tokenBudgetMix]], with
+    * the budget COMPUTED from the corpus instead of configured).
+    *
+    * Weights are integer-quantized — `floor(sqrt(tokens) * 1e6)` — so
+    * the target arithmetic is exact long division, reproducible across
+    * engines to the last token (a double Σweights would be
+    * summation-order-dependent in the final ulp, and a target one token
+    * off IS a different sample). IEEE sqrt is correctly rounded, so the
+    * quantized weights themselves are engine-independent. Envelope:
+    * totalBudget * Σw must stay under 2^63 — at 100 TB (Σw ≈ 1e12·1e6
+    * over all strata) drop the quantization factor accordingly.
+    *
+    * Shuffles: one stratum aggregate (map-side combined), a broadcast
+    * of the tiny per-stratum target table, one per-stratum window — the
+    * same scale shape as tokenBudgetMix.
+    */
+  def temperatureMix(
+      df: DataFrame, idCol: String, stratumCol: String, textCol: String,
+      totalBudget: Long, salt: String): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val toks = df.select(col(idCol), col(stratumCol),
+        size(wordsCol(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val weighted = toks.groupBy(col(stratumCol))
+      .agg(sum(col("n_tokens")).as("stratum_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("stratum_tokens").cast("double")) * 1e6).cast("long"))
+    val totalW = weighted.agg(sum(col("w")).as("tw"))
+    val targets = weighted.crossJoin(broadcast(totalW))
+      .withColumn("target_tokens", expr(s"($totalBudget * w) div tw"))
+      .select(col(stratumCol), col("stratum_tokens"), col("target_tokens"))
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val win = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .join(broadcast(targets), Seq(stratumCol))
+      .filter(col("cum_tokens") <= col("target_tokens"))
+      .select(col(idCol), col(stratumCol), col("n_tokens"),
+        col("cum_tokens"), col("target_tokens"))
+  }
+
+  // ---- corpus frequency-spectrum statistics ------------------------------
+
+  /** Zipf fit over the corpus vocabulary: regress ln(frequency) on
+    * ln(rank) and report the slope/intercept (a well-curated natural
+    * corpus slopes near -1; deviations flag synthetic or boilerplate
+    * text). The regression uses the explicit moment formula — both
+    * engines build the SAME four sums from the SAME per-row libm values,
+    * so the rounded result agrees (a builtin `regr_slope` is free to
+    * use a different update scheme per engine).
+    *
+    * Ranking is a single-partition window over the VOCABULARY (not the
+    * corpus) — bounded by distinct terms, the standard reduction; at
+    * web-corpus vocab sizes replace with a two-phase rank (per-partition
+    * pre-rank + offset merge) before this becomes the bottleneck.
+    */
+  def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df.select(explode(wordsCol(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("term"))))
+      .withColumn("x", log(col("rk").cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+    ranked.agg(
+        count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("n", col("n_types").cast("double"))
+      .select(col("n_types"), col("n_tokens"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          .as("zipf_intercept"))
+  }
 }

@@ -73,6 +73,34 @@ object TextAnalysis {
     round(lengthOk * (lit(0.5) + lit(0.5) * distinctRatio), 6)
   }
 
+  // ---- character entropy -------------------------------------------------
+
+  /** Shannon entropy (bits/char) of the character distribution, as pure
+    * per-row array math — zero shuffles, the q29/q36 convention; the
+    * gibberish/boilerplate signal quality gates threshold on (natural
+    * prose sits near 4 bits, base64 blobs near 6, repeated padding near
+    * 0). Computed as log2(n) − Σ c·log2(c) / n over per-char counts —
+    * one libm call per DISTINCT char, exact integer counts, rounded at
+    * 6 per the engine float policy (the Σ is over ≤ alphabet-size terms,
+    * so cross-engine summation-order ulps sit far below the rounding).
+    * The distinct-scan is O(alphabet × len) per row — alphabet is
+    * bounded (≤ a few hundred glyphs in any real corpus), so this stays
+    * linear in corpus size.
+    */
+  def charEntropyCol(text: Column): Column = {
+    val chars = filter(split(text, ""), c => length(c) > 0)
+    val n = size(chars)
+    val counts = transform(array_distinct(chars),
+      d => size(filter(chars, c => c === d)).cast("double"))
+    val sumClog = aggregate(counts, lit(0.0), (acc, c) => acc + c * log2(c))
+    when(n > 0, round(log2(n.cast("double")) - sumClog / n.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** Distinct-character count companion to [[charEntropyCol]]. */
+  def charAlphabetCol(text: Column): Column =
+    size(array_distinct(filter(split(text, ""), c => length(c) > 0)))
+
   // ---- token counting ----------------------------------------------------
 
   /** Whitespace token count as a column (codegen'd). */

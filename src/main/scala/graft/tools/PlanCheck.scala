@@ -95,7 +95,24 @@ object PlanCheck {
     // postings collect is the object-hash aggregate; the n_docs side
     // must broadcast (never a shuffled join for a 1-row bound)
     Expectation("q62_inverted_index",
-      mustContain = Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin")))
+      mustContain = Seq("ObjectHashAggregate", "BroadcastNestedLoopJoin")),
+    // the weight table must broadcast — a shuffled join on bucket would
+    // move the entire exploded token stream
+    Expectation("q65_quality_classifier",
+      mustContain = Seq("BroadcastHashJoin"), mustNotContain = Seq("SortMergeJoin")),
+    // vocabulary rank + four moment sums: aggregates only, no joins
+    Expectation("q66_zipf_law",
+      mustContain = Seq("HashAggregate", "Window"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // the per-stratum target table is tiny and must broadcast into the
+    // greedy fill (the corpus side keeps its window partitioning)
+    Expectation("q67_temperature_mix",
+      mustContain = Seq("BroadcastHashJoin", "Window"),
+      mustNotContain = Seq("SortMergeJoin")),
+    // per-row array math like q29/q36 — an aggregate means an
+    // accidental explode/groupBy crept in
+    Expectation("q68_char_entropy",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

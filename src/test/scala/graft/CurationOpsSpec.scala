@@ -569,4 +569,76 @@ class CurationOpsSpec extends SparkSpec {
       assert(a >= lo && a <= hi, s"q=$q approx=$a outside [$lo, $hi]")
     }
   }
+
+  test("hashedLinearScore matches a direct per-token computation") {
+    val buckets = 1024
+    def bucketOf(w: String): Long =
+      graft.textops.NearDup.shingleHash60(w) % buckets
+    def weightOf(w: String): Long = bucketOf(w) % 201 - 100
+    val d1 = "alpha beta gamma alpha"
+    val d2 = "delta"
+    val out = CurationOps.hashedLinearScore(
+        docs(1L -> d1, 2L -> d2, 3L -> ""), "doc_id", "text", buckets)
+      .orderBy($"doc_id").collect()
+    // the empty doc contributes no tokens and drops out entirely
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    val raw1 = d1.split(" ").map(weightOf).sum
+    assert(out(0).getAs[Long]("n_tokens") === 4L)
+    assert(out(0).getAs[Long]("raw_score") === raw1)
+    assert(out(0).getAs[Double]("score") ===
+      BigDecimal(raw1 / 400.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getAs[Boolean]("keep") === (out(0).getAs[Double]("score") >= 0))
+    // repeated tokens count every occurrence (fastText sums, not sets)
+    assert(raw1 === 2 * weightOf("alpha") + weightOf("beta") + weightOf("gamma"))
+    assert(out(1).getAs[Long]("raw_score") === weightOf("delta"))
+  }
+
+  test("temperatureMix: targets proportional to sqrt mass, greedy fill exact") {
+    val rows = Seq(
+      (1L, "a", "w w w w"), (2L, "a", "w w w w"),
+      (3L, "a", "w w w w"), (4L, "a", "w w w w"),   // stratum a: 16 tokens
+      (5L, "b", "w w w w"),                          // stratum b: 4 tokens
+      (6L, "b", ""))                                 // zero tokens: excluded
+    val out = CurationOps.temperatureMix(
+        rows.toDF("doc_id", "src", "text"), "doc_id", "src", "text",
+        totalBudget = 6L, salt = "t")
+      .orderBy($"src", $"cum_tokens").collect()
+    // w_a = floor(sqrt(16)*1e6) = 4e6, w_b = floor(sqrt(4)*1e6) = 2e6,
+    // tw = 6e6 -> target_a = 6*4e6 div 6e6 = 4, target_b = 2
+    val bySrc = out.groupBy(_.getAs[String]("src"))
+    assert(bySrc("a").head.getAs[Long]("target_tokens") === 4L)
+    // one 4-token doc fills stratum a exactly; b's target 2 < 4 admits none
+    assert(bySrc("a").map(_.getAs[Long]("cum_tokens")).toSeq === Seq(4L))
+    assert(!bySrc.contains("b"))
+    // deterministic: the same salt picks the same doc every run
+    val again = CurationOps.temperatureMix(
+        rows.toDF("doc_id", "src", "text"), "doc_id", "src", "text",
+        totalBudget = 6L, salt = "t").collect()
+    assert(again.map(_.getAs[Long]("doc_id")).toSeq ===
+      out.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("zipfSlope reproduces the closed-form regression on known counts") {
+    // counts: a=4, b=2, c=1 -> ranks 1, 2, 3
+    val out = CurationOps.zipfSlope(
+        docs(1L -> "a a a a b b c"), "text").collect().head
+    assert(out.getAs[Long]("n_types") === 3L)
+    assert(out.getAs[Long]("n_tokens") === 7L)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("zipf_slope") === r6(slope))
+    assert(out.getAs[Double]("zipf_intercept") === r6(icept))
+    // a perfect 1/rank spectrum slopes exactly -1
+    val perfect = CurationOps.zipfSlope(
+        docs(1L -> ("x " * 6 + "y " * 3 + "z " * 2)), "text").collect().head
+    assert(math.abs(perfect.getAs[Double]("zipf_slope") + 1.0) < 0.11,
+      s"expected near -1, got ${perfect.getAs[Double]("zipf_slope")}")
+  }
 }

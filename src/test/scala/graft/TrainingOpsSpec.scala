@@ -128,6 +128,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.rollingHashes("", 8).isEmpty)
     assert(TextAnalysis.rollingHashes("ab", 8).length == 1)
   }
+
+  test("charEntropy: exact values on crafted distributions") {
+    val got = Seq("aabb", "abcd", "aaaa", "a a", "")
+      .toDF("text")
+      .select(TextAnalysis.charEntropyCol(col("text")).as("h"),
+        TextAnalysis.charAlphabetCol(col("text")).as("k"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(got(0) === ((1.0, 2)))          // {a:2, b:2} over 4 -> 1 bit
+    assert(got(1) === ((2.0, 4)))          // uniform over 4 -> 2 bits
+    assert(got(2) === ((0.0, 1)))          // degenerate -> 0 bits
+    // spaces are characters: {a:2, ' ':1} over 3
+    val h = math.log(3) / math.log(2) - (2.0 * 1.0) / 3
+    assert(math.abs(got(3)._1 - h) < 1e-6 && got(3)._2 === 2)
+    assert(got(4) === ((0.0, 0)))          // empty text
+  }
 }
 
 class VectorsSpec extends SparkSpec {
