@@ -347,6 +347,40 @@ object Curation {
           TextAnalysis.charAlphabetCol($"text").as("n_alphabet"),
           TextAnalysis.charEntropyCol($"text").as("entropy"))
         .orderBy($"doc_id")
+    },
+
+    // ---- BM25 retrieval: rank the corpus against a bag of query terms
+    // (the query side of q62's inverted index). Corpus stream filtered
+    // to query terms pre-shuffle; df + corpus stats broadcast; top-k as
+    // TakeOrderedAndProject.
+    "q69_bm25_search" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.Retrieval.bm25TopK(docsParallel(s, dir), "doc_id", "text",
+          Bm25Query, k = Bm25K)
+        .orderBy($"rk")
+    },
+
+    // ---- canonical selection over q17's near-dup clusters: keep the
+    // highest-quality doc per cluster (the actual dedup decision q35's
+    // min-id convention approximates).
+    "q70_canonical_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val pairs = graft.textops.NearDup.minhashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      CurationOps.canonicalDedup(docs, "doc_id", "text", pairs, "id_a", "id_b")
+        .orderBy($"doc_id")
+    },
+
+    // ---- DSIR-style importance weights against the English subcorpus
+    // as the selection target: hashed unigram+bigram buckets, add-1
+    // smoothed log-likelihood ratio per doc.
+    "q71_importance_weights" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      CurationOps.importanceWeights(docs, docs.filter($"lang" === "en"),
+          "doc_id", "text", buckets = DsirBuckets)
+        .orderBy($"doc_id")
     }
   )
 
@@ -369,6 +403,15 @@ object Curation {
 
   /** q67's corpus-wide token budget — mirrored into the oracle. */
   private val TempMixBudget = 5000L
+
+  /** q69's query bag (terms that occur in the synthetic corpus — the
+    * DemoVocab labels) and result size, mirrored into the oracle.
+    */
+  private val Bm25Query = Seq("spark", "join", "window")
+  private val Bm25K = 20
+
+  /** q71's hashed-feature table width — mirrored into the oracle. */
+  private val DsirBuckets = 4096
 
   // The shared words CTE (TextOps.WordsCte) is the DuckDB twin of
   // TextTokens.wordsCol — one definition for every tokenizing oracle.
@@ -922,6 +965,99 @@ object Curation {
         |               d -> CAST(len(list_filter(chars, c -> c = d)) AS DOUBLE)),
         |             c -> c * log2(c))) / len(chars), 6)
         |       ELSE 0.0 END AS entropy
-        |FROM cs""".stripMargin
+        |FROM cs""".stripMargin,
+
+    // Mirrors Retrieval.bm25TopK literal for literal: k1/b enter only
+    // as the parsed constants 2.2 / 1.2 / 0.25 / 0.75, every other
+    // input is an exact integer, and rank is taken over the ROUNDED
+    // score with a doc-id tiebreak, so both engines order identically.
+    "q69_bm25_search" -> (WordsCte +
+      s""", base AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM words),
+        |qt AS (SELECT doc_id, dl, term FROM base
+        |       WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})),
+        |tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM qt GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |                 CAST(SUM(len(ws)) AS BIGINT) AS total_tokens FROM words),
+        |scored AS (
+        |  SELECT doc_id,
+        |         ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |               * tf * 2.2
+        |               / (tf + 1.2 * (0.25 + 0.75 * dl
+        |                   / (CAST(total_tokens AS DOUBLE) / n_docs)))), 6) AS score
+        |  FROM tf JOIN dfreq USING (term), stats
+        |  GROUP BY doc_id)
+        |SELECT doc_id, score, rk FROM (
+        |  SELECT doc_id, score,
+        |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= $Bm25K""".stripMargin),
+
+    // q35's recursive connected-components CTE + the q19 quality
+    // formula; the per-cluster pick windows on the ROUNDED quality with
+    // a doc-id tiebreak (same ordering key both engines).
+    "q70_canonical_dedup" ->
+      (TextOps.minhashPairsCte(bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT id_a AS s, id_b AS d FROM mh_pairs
+          |  UNION
+          |  SELECT id_b, id_a FROM mh_pairs
+          |), reach(s, d) AS (
+          |  SELECT s, d FROM edges
+          |  UNION
+          |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+          |), cl AS (
+          |  SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
+          |), qual AS (
+          |  SELECT doc_id,
+          |         round((CASE WHEN len(qws) BETWEEN 10 AND 100000 THEN 1.0
+          |                     WHEN len(qws) > 0 THEN 0.5 ELSE 0.0 END)
+          |               * (0.5 + 0.5 * CASE WHEN len(qws) > 0
+          |                    THEN CAST(len(list_distinct(qws)) AS DOUBLE) / len(qws)
+          |                    ELSE 0.0 END), 6) AS quality
+          |  FROM (SELECT doc_id,
+          |               list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS qws
+          |        FROM documents)
+          |), lab AS (
+          |  SELECT q.doc_id, COALESCE(cl.cluster_id, q.doc_id) AS cluster_id, q.quality
+          |  FROM qual q LEFT JOIN cl ON q.doc_id = cl.doc_id)
+          |SELECT doc_id, cluster_id, quality,
+          |       CASE WHEN ROW_NUMBER() OVER (PARTITION BY cluster_id
+          |              ORDER BY quality DESC, doc_id) = 1 THEN 1 ELSE 0 END AS keep
+          |FROM lab""".stripMargin),
+
+    // Mirrors CurationOps.importanceWeights: 60-bit md5 feature hash
+    // mod bucket count, add-1 smoothing, the ln-ratio formula written
+    // textually identically (the q66 libm precedent; per-doc sum
+    // rounded at 6).
+    "q71_importance_weights" ->
+      s"""WITH fw AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |         unnest(ws || list_transform(generate_series(1, len(ws) - 1),
+        |                                     i -> ws[i] || ' ' || ws[i+1])) AS feat
+        |  FROM fw),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT) % $DsirBuckets AS bucket
+        |  FROM f),
+        |tc AS (SELECT bucket, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, COUNT(*) AS cr FROM fb GROUP BY 1),
+        |tot AS (SELECT CAST((SELECT COALESCE(SUM(ct), 0) FROM tc) + $DsirBuckets AS DOUBLE) AS tb,
+        |               CAST((SELECT COALESCE(SUM(cr), 0) FROM rc) + $DsirBuckets AS DOUBLE) AS rb),
+        |scored AS (
+        |  SELECT fb.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |         ROUND(SUM(ln(((COALESCE(ct, 0) + 1.0) * rb) / ((cr + 1.0) * tb))), 6) AS log_ratio
+        |  FROM fb JOIN rc USING (bucket) LEFT JOIN tc USING (bucket), tot
+        |  GROUP BY fb.doc_id)
+        |SELECT doc_id, n_feats, log_ratio,
+        |       ROUND(log_ratio / n_feats, 6) AS avg_log_ratio,
+        |       log_ratio >= 0 AS keep
+        |FROM scored""".stripMargin
   )
 }

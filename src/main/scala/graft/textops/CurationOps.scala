@@ -706,6 +706,104 @@ object CurationOps {
         col("cum_tokens"), col("target_tokens"))
   }
 
+  // ---- canonical selection over near-dup clusters ------------------------
+
+  /** The production step AFTER near-dup clustering: keep exactly one
+    * document per cluster — the highest-quality member — instead of
+    * q35's arbitrary min-id convention. Singletons (docs in no pair)
+    * keep themselves.
+    *
+    * Quality is [[TextAnalysis.qualityScore]] (already rounded at 6, so
+    * the ordering key is engine-stable) with a doc-id tiebreak. The
+    * cluster labels come from [[graft.graph.ConnectedComponents]] — the
+    * same min-label frame q35 gates — and are a SMALL frame (one row
+    * per clustered doc, never the whole corpus), so the label join
+    * broadcasts; the per-cluster pick is one `row_number` window
+    * partitioned by cluster id. Shuffles: the component computation
+    * itself + one window over only the clustered docs' partitions.
+    */
+  def canonicalDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
+    val clusters = graft.graph.ConnectedComponents
+      .dedupClusters(pairs, idACol, idBCol)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val scored = df.select(col(idCol), size(words).as("__nw"),
+        when(size(words) > 0,
+            size(array_distinct(words)).cast("double") / size(words))
+          .otherwise(lit(0.0)).as("__dr"))
+      .select(col(idCol),
+        TextAnalysis.qualityScore(col("__nw"), col("__dr")).as("quality"))
+    val win = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col(idCol))
+    scored.join(broadcast(clusters), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("keep", (row_number().over(win) === 1).cast("int"))
+      .select(col(idCol), col("cluster_id"), col("quality"), col("keep"))
+  }
+
+  // ---- hashed n-gram importance weights (data selection) -----------------
+
+  /** DSIR-style importance weights: score every corpus document by how
+    * much its hashed n-gram distribution looks like a TARGET corpus
+    * versus the raw corpus — the data-selection signal for steering a
+    * pretraining mix toward a quality domain. Features are unigrams +
+    * bigrams hashed into `buckets` slots; the weight is the summed
+    * log-likelihood ratio under add-1-smoothed bucket distributions,
+    *
+    *   Σ_f ln( (ct_f + 1) · (R + B) / ((cr_f + 1) · (T + B)) )
+    *
+    * over every feature OCCURRENCE f in the doc (ct/cr = target/raw
+    * bucket counts, T/R their totals, B = bucket count).
+    *
+    * Scale shape: two corpus-wide bucket aggregates (map-side combined,
+    * at most `buckets` rows each), broadcast of the merged bucket table
+    * + the 1-row totals into the per-doc scoring join, one final
+    * aggregate per doc. No shuffle ever carries more than the exploded
+    * feature stream, and that only once.
+    *
+    * Determinism: counts are exact integers; the single ln per distinct
+    * (bucket) row is the q66 libm precedent, with the final per-doc sum
+    * rounded at 6. Every corpus feature's bucket exists in the raw
+    * counts by construction, so the stats join is inner with a
+    * coalesced target side.
+    */
+  def importanceWeights(
+      corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def feats(df: DataFrame) = {
+      val ws = wordsCol(col(textCol))
+      df.select(col(idCol), ws.as("__ws"))
+        .select(col(idCol),
+          explode(concat(col("__ws"), bigramsExpr(col("__ws")))).as("__f"))
+        .select(col(idCol),
+          (NearDup.shingleHash60(col("__f")) % buckets).as("bucket"))
+    }
+    val tCounts = feats(target).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+    val rCounts = feats(corpus).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"))
+    val stats = rCounts.join(tCounts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+    // empty target degrades to uniform p_t = 1/B (coalesced 0 totals)
+    val totals = tCounts.agg(coalesce(sum(col("ct")), lit(0L)).as("t_tot"))
+      .crossJoin(rCounts.agg(coalesce(sum(col("cr")), lit(0L)).as("r_tot")))
+      .select((col("t_tot") + buckets).cast("double").as("tb"),
+        (col("r_tot") + buckets).cast("double").as("rb"))
+    feats(corpus).join(broadcast(stats), "bucket")
+      .join(broadcast(totals))
+      // textually mirrored in the oracle
+      .withColumn("__lr",
+        log(((col("ct") + lit(1.0)) * col("rb")) / ((col("cr") + lit(1.0)) * col("tb"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("__lr")), 6).as("log_ratio"))
+      .withColumn("avg_log_ratio", round(col("log_ratio") / col("n_feats"), 6))
+      .withColumn("keep", col("log_ratio") >= 0)
+  }
+
   // ---- corpus frequency-spectrum statistics ------------------------------
 
   /** Zipf fit over the corpus vocabulary: regress ln(frequency) on

@@ -112,7 +112,24 @@ object PlanCheck {
     // per-row array math like q29/q36 — an aggregate means an
     // accidental explode/groupBy crept in
     Expectation("q68_char_entropy",
-      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")))
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")),
+    // df + corpus stats are tiny frames that must broadcast into the
+    // scoring join; the top-k is an orderBy+limit the planner must run
+    // as per-partition heaps, never a global sort
+    Expectation("q69_bm25_search",
+      mustContain = Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
+      mustNotContain = Seq("SortMergeJoin")),
+    // cluster labels are one row per CLUSTERED doc (never the corpus)
+    // and must broadcast into the quality frame; the per-cluster pick
+    // is a single window
+    Expectation("q70_canonical_dedup",
+      mustContain = Seq("BroadcastHashJoin", "Window")),
+    // the merged bucket table (≤`buckets` rows) and 1-row totals must
+    // broadcast — a shuffled join on bucket would move the entire
+    // exploded feature stream twice
+    Expectation("q71_importance_weights",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

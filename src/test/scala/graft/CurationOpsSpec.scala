@@ -641,4 +641,64 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(perfect.getAs[Double]("zipf_slope") + 1.0) < 0.11,
       s"expected near -1, got ${perfect.getAs[Double]("zipf_slope")}")
   }
+
+  test("canonicalDedup keeps the highest-quality doc per cluster") {
+    // docs 1-2 clustered; 1 is all-distinct (quality 1.0), 2 is one word
+    // repeated (distinct ratio 1/12); 3 is an untouched singleton
+    val corpus = docs(
+      1L -> "a b c d e f g h i j k l",
+      2L -> ("z " * 12).trim,
+      3L -> "m n o p q r s t u v w x")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = CurationOps.canonicalDedup(corpus, "doc_id", "text", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3)))).toMap
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L) // shared min-label cluster
+    assert(out(3L)._1 === 3L)                      // singleton keeps own id
+    assert(out(1L)._3 === 1 && out(2L)._3 === 0)   // higher quality wins
+    assert(out(3L)._3 === 1)
+    assert(out(1L)._2 === 1.0)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L)._2 === r6(0.5 + 0.5 / 12))
+  }
+
+  test("canonicalDedup breaks quality ties on the lower doc_id") {
+    val corpus = docs(
+      7L -> "a b c d e f g h i j",
+      4L -> "a b c d e f g h i j")
+    val pairs = Seq((4L, 7L)).toDF("id_a", "id_b")
+    val keeps = CurationOps.canonicalDedup(corpus, "doc_id", "text", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(keeps === Map(4L -> 1, 7L -> 0))
+  }
+
+  test("importanceWeights separates target-like from off-target docs") {
+    val corpus = docs(
+      1L -> "spark shuffle executor partition",
+      2L -> "spark shuffle broadcast join",
+      3L -> "cats dogs birds fish",
+      4L -> "dogs cats fish hamsters")
+    val target = corpus.filter($"doc_id" <= 2)
+    val out = CurationOps.importanceWeights(corpus, target, "doc_id", "text", buckets = 4096)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(4)))).toMap
+    // 4 unigrams + 3 bigrams per doc
+    assert(out.values.forall(_._1 === 7L))
+    assert(out(1L)._3 && out(2L)._3, "target-like docs must have keep=true")
+    assert(!out(3L)._3 && !out(4L)._3, "off-target docs must have keep=false")
+    assert(out(1L)._2 > out(3L)._2)
+  }
+
+  test("importanceWeights with an empty target degrades to the uniform prior") {
+    val corpus = docs(1L -> "a b c", 2L -> "a b c")
+    val target = corpus.filter($"doc_id" < 0)
+    val out = CurationOps.importanceWeights(corpus, target, "doc_id", "text", buckets = 16)
+      .collect()
+    assert(out.length === 2)
+    // p_t = 1/(0+B) uniform; cr >= 1 for every observed bucket makes the
+    // ratio ln(rb / ((cr+1) * tb)) finite and identical for the twin docs
+    val lrs = out.map(_.getDouble(2))
+    assert(lrs.forall(v => !v.isNaN && !v.isInfinite))
+    assert(lrs(0) === lrs(1))
+  }
 }

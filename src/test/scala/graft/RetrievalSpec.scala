@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.textops.Retrieval
+
+/** Unit coverage for BM25 retrieval (q69): exact scores against a
+  * direct reimplementation of the formula on a micro-corpus, plus the
+  * structural contract (k limit, dense ranks, non-matching docs
+  * excluded).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // dl: 3, 2, 3, 4 -> N = 4, total = 12, avgdl = 3
+  private lazy val docs = Seq(
+    (1L, "spark join spark"),
+    (2L, "spark window"),
+    (3L, "nothing relevant here"),
+    (4L, "join join join join")
+  ).toDF("doc_id", "text")
+
+  private val query = Seq("spark", "join", "window")
+
+  /** The BM25 contribution mirrored operation-for-operation from
+    * `Retrieval.bm25TopK` (k1 = 1.2, b = 0.75 pre-folded as the
+    * literals 2.2 / 1.2 / 0.25 / 0.75).
+    */
+  private def contrib(tf: Long, df: Long, dl: Long, n: Long, tot: Long): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+      (tf + 1.2 * (0.25 + 0.75 * dl / (tot.toDouble / n)))
+
+  test("bm25TopK scores match the direct formula") {
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", query, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // term -> df over the corpus: spark in {1,2}, join in {1,4}, window in {2}
+    val expected = Map(
+      1L -> (contrib(2, 2, 3, 4, 12) + contrib(1, 2, 3, 4, 12)), // spark x2, join x1
+      2L -> (contrib(1, 2, 2, 4, 12) + contrib(1, 1, 2, 4, 12)), // spark, window
+      4L -> contrib(4, 2, 4, 4, 12))                             // join x4
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, exp) =>
+      assert(math.abs(got(id) - exp) < 2e-6, s"doc $id")
+    }
+  }
+
+  test("bm25TopK excludes docs without query terms and respects k") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", query, k = 2).collect()
+    assert(out.length === 2)
+    assert(!out.map(_.getLong(0)).contains(3L))
+  }
+
+  test("bm25TopK ranks are dense and ordered by score desc, doc_id asc") {
+    val rows = Retrieval.bm25TopK(docs, "doc_id", "text", query, k = 10)
+      .collect().sortBy(_.getAs[Int]("rk"))
+    assert(rows.map(_.getAs[Int]("rk")).toSeq === (1 to rows.length))
+    val key = rows.map(r => (-r.getDouble(1), r.getLong(0))).toSeq
+    assert(key === key.sorted)
+  }
+
+  test("rare terms outscore common ones at equal tf and dl") {
+    // window (df=1) must contribute more than spark (df=2) for doc 2
+    assert(contrib(1, 1, 2, 4, 12) > contrib(1, 2, 2, 4, 12))
+  }
+}
