@@ -381,6 +381,18 @@ object Curation {
       CurationOps.importanceWeights(docs, docs.filter($"lang" === "en"),
           "doc_id", "text", buckets = DsirBuckets)
         .orderBy($"doc_id")
+    },
+
+    // ---- epoch-repeat upsampling: every source replayed whole toward
+    // a per-source token budget (integer epochs, capped) — the
+    // repetition half of a UniMax-style mixing policy.
+    "q73_epoch_repeat" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+        .withColumn("n_tokens", size(graft.textops.TextTokens.wordsCol($"text")))
+      CurationOps.epochRepeat(docs, "doc_id", "source", "n_tokens",
+          budgetPerStratum = EpochBudget, maxEpochs = EpochMax)
+        .orderBy($"doc_id", $"epoch")
     }
   )
 
@@ -412,6 +424,13 @@ object Curation {
 
   /** q71's hashed-feature table width — mirrored into the oracle. */
   private val DsirBuckets = 4096
+
+  /** q73's per-source token budget and epoch cap — mirrored into the
+    * oracle. ~3× the typical sf0.01 per-source mass (1.1-1.6k tokens),
+    * so epochs spread over 2..cap instead of saturating at 1.
+    */
+  private val EpochBudget = 4500L
+  private val EpochMax = 3
 
   // The shared words CTE (TextOps.WordsCte) is the DuckDB twin of
   // TextTokens.wordsCol — one definition for every tokenizing oracle.
@@ -1058,6 +1077,24 @@ object Curation {
         |SELECT doc_id, n_feats, log_ratio,
         |       ROUND(log_ratio / n_feats, 6) AS avg_log_ratio,
         |       log_ratio >= 0 AS keep
-        |FROM scored""".stripMargin
+        |FROM scored""".stripMargin,
+
+    // Mirrors CurationOps.epochRepeat: integer `//` division (exact on
+    // both engines where a double floor could wobble on a knife-edge
+    // quotient), LEAST/GREATEST clamps, unnest(generate_series) as the
+    // explode twin.
+    "q73_epoch_repeat" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)) AS n_tokens
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |         CAST(LEAST($EpochMax, GREATEST(1, $EpochBudget // SUM(n_tokens))) AS INT) AS n_copies
+        |  FROM toks GROUP BY source)
+        |SELECT doc_id, source,
+        |       CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch,
+        |       n_copies
+        |FROM toks JOIN m USING (source)""".stripMargin
   )
 }

@@ -63,8 +63,38 @@ object VectorOps {
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)
         .orderBy($"id_a", $"id_b")
+    },
+
+    // ---- hard-negative mining: each query's top-3 most-similar
+    // vectors with a DIFFERENT label (contrastive-training negatives),
+    // through the same oracled LSH bucket join as q23.
+    "q72_hard_negatives" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.hardNegatives(emb, emb.filter($"vec_id" < 8),
+        "vec_id", "embedding", "label", k = 3, planes = 4, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy($"query_id", $"rnk")
+    },
+
+    // ---- MMR diversity selection: greedy top-5 balancing relevance to
+    // a fixed seeded anchor against redundancy with the already-picked
+    // set (oracled by unrolling the 5 rounds as CTEs, the q58
+    // precedent).
+    "q74_mmr_select" -> { (s, dir) =>
+      import s.implicits._
+      Vectors.mmrSelect(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        MmrAnchor, lambda = MmrLambda, k = MmrK)
+        .orderBy($"rnk")
     }
   )
+
+  /** q74 constants — the anchor is one seeded hyperplane row (embedded
+    * literally in the oracle; `Double.toString` round-trips exactly).
+    */
+  private val MmrAnchor: Array[Double] = Vectors.hyperplanes(1, 64, seed = 7).head
+  private val MmrLambda = 0.5
+  private val MmrK = 5
 
   /** q58 constants: 3 independent tables of 3-plane buckets measured
     * best on the near-orthogonal synthetic embeddings (recall@3 0.60 at
@@ -198,6 +228,75 @@ object VectorOps {
         |               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(z.v, z.v))), 6) AS cosine
         |  FROM cand c JOIN e a ON c.id_a = a.vec_id JOIN e z ON c.id_b = z.vec_id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4""".stripMargin,
+
+    // q23's bucket join with the label carried through and the
+    // same-label rows dropped at the candidate stage.
+    "q72_hard_negatives" ->
+      s"""WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS nv, label AS nl
+        |  FROM embeddings),
+        |qb AS (SELECT query_id, qv, ql, ${bucketSql("qv")} AS bucket FROM q),
+        |cb AS (SELECT neighbor_id, nv, nl, ${bucketSql("nv")} AS bucket FROM c),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, nl,
+        |         round(list_dot_product(qv, nv) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cosine
+        |  FROM qb JOIN cb USING (bucket)
+        |  WHERE query_id <> neighbor_id AND ql <> nl),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, nl, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, neighbor_id, nl AS neighbor_label, cosine
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // MMR rounds unrolled as CTEs (the q58 precedent): each round
+    // recomputes the running max-similarity against the latest pick
+    // with the same GREATEST-of-rounded accumulation and takes the
+    // argmax of round(lam*rel - com*ms, 6) with an id tiebreak. The
+    // anchor vector, its norm, and the lambda/complement literals are
+    // interpolated from the SAME Scala doubles the operator computes
+    // with (Double.toString round-trips exactly).
+    "q74_mmr_select" -> {
+      val anchorLits = MmrAnchor.mkString(", ")
+      val anchorNorm = {
+        var s = 0.0; var i = 0
+        while (i < MmrAnchor.length) { s += MmrAnchor(i) * MmrAnchor(i); i += 1 }
+        math.sqrt(s)
+      }
+      val lam = MmrLambda.toString
+      val com = (1.0 - MmrLambda).toString
+      val rounds = (2 to MmrK).map { i =>
+        s"""r$i AS (
+           |  SELECT r.id, r.v, r.rel,
+           |         GREATEST(r.ms, round(list_dot_product(r.v, p.v) /
+           |           (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(p.v, p.v))), 6)) AS ms
+           |  FROM r${i - 1} r, p${i - 1} p WHERE r.id <> p.id),
+           |p$i AS (
+           |  SELECT id, v, rel, round($lam * rel - $com * ms, 6) AS score
+           |  FROM r$i ORDER BY score DESC, id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to MmrK).map(i =>
+        s"SELECT $i AS rnk, id AS vec_id, rel AS relevance, score AS mmr_score FROM p$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |r1 AS (
+         |  SELECT id, v,
+         |         round(list_dot_product(v, [$anchorLits]) /
+         |               (sqrt(list_dot_product(v, v)) * $anchorNorm), 6) AS rel,
+         |         0.0 AS ms
+         |  FROM e),
+         |p1 AS (
+         |  SELECT id, v, rel, round($lam * rel - 0.0, 6) AS score
+         |  FROM r1 ORDER BY score DESC, id LIMIT 1),
+         |$rounds
+         |SELECT rnk, vec_id, relevance, mmr_score FROM (
+         |  $out) ORDER BY rnk""".stripMargin
+    },
 
     "q22_cosine_topk" ->
       """WITH q AS (

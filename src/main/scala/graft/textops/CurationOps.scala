@@ -706,6 +706,35 @@ object CurationOps {
         col("cum_tokens"), col("target_tokens"))
   }
 
+  // ---- epoch-repeat upsampling (data mixing with repetition) -------------
+
+  /** UniMax-style epoch repetition: every stratum is replayed whole
+    * `min(maxEpochs, max(1, budget div mass))` times, so small strata
+    * get upsampled toward a per-stratum token budget while large ones
+    * run once — the integer-epoch half of a mixing policy (the
+    * fractional greedy fill is [[temperatureMix]]'s job).
+    *
+    * One map-side-combined mass aggregate (rows = strata), broadcast
+    * back, then a NARROW `explode(sequence(...))` — no shuffle ever
+    * carries more than the stratum table. `div` is exact integer
+    * division on both engines (a double `floor(budget / mass)` could
+    * round a knife-edge quotient differently).
+    */
+  def epochRepeat(
+      df: DataFrame, idCol: String, stratumCol: String, weightCol: String,
+      budgetPerStratum: Long, maxEpochs: Int): DataFrame = {
+    require(budgetPerStratum > 0, s"budget must be positive: $budgetPerStratum")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    val mass = df.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol)).cast("long").as("__mass"))
+      .withColumn("n_copies",
+        least(lit(maxEpochs.toLong),
+          greatest(lit(1L), expr(s"$budgetPerStratum div __mass"))).cast("int"))
+    df.join(broadcast(mass.select(col(stratumCol), col("n_copies"))), Seq(stratumCol))
+      .withColumn("epoch", explode(sequence(lit(1), col("n_copies"))))
+      .select(col(idCol), col(stratumCol), col("epoch"), col("n_copies"))
+  }
+
   // ---- canonical selection over near-dup clusters ------------------------
 
   /** The production step AFTER near-dup clustering: keep exactly one

@@ -129,7 +129,21 @@ object PlanCheck {
     // exploded feature stream twice
     Expectation("q71_importance_weights",
       mustContain = Seq("BroadcastHashJoin"),
-      mustNotContain = Seq("SortMergeJoin")))
+      mustNotContain = Seq("SortMergeJoin")),
+    // the broadcast query side joins the bucketed corpus stream once;
+    // same-label rows are dropped at the join, before the scorer
+    Expectation("q72_hard_negatives",
+      mustContain = Seq("BroadcastHashJoin", "Window"),
+      mustNotContain = Seq("SortMergeJoin")),
+    // per-stratum copy counts broadcast back into a narrow explode —
+    // nothing but the stratum table ever shuffles
+    Expectation("q73_epoch_repeat",
+      mustContain = Seq("BroadcastHashJoin", "Generate"),
+      mustNotContain = Seq("SortMergeJoin")),
+    // greedy MMR runs k bounded driver rounds (each a TakeOrdered over
+    // the checkpointed pool); the returned frame is the assembled picks
+    Expectation("q74_mmr_select",
+      mustContain = Seq("LocalTableScan")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
@@ -144,7 +158,9 @@ object PlanCheck {
     "q24_embedding_near_dup" -> "graft_norm_l2",
     // native deletion-variant expression (the edit-distance join's
     // fan-out stage; the HOF reference form would be CodegenFallback)
-    "q45_editdist_pairs" -> "graft_deletion_variants")
+    "q45_editdist_pairs" -> "graft_deletion_variants",
+    // q72 buckets with the same fused expression as q23
+    "q72_hard_negatives" -> "graft_hyperplane_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

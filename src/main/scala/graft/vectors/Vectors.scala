@@ -439,4 +439,100 @@ object Vectors {
       .filter(col("rank") <= k)
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
   }
+
+  /** Hard-negative mining for contrastive training: each query's k most
+    * similar corpus vectors carrying a DIFFERENT label — the "looks
+    * close but isn't" examples an embedding model trains against.
+    *
+    * Same shape as [[lshTopK]] (bucketed candidates, broadcast query
+    * side, per-query window top-k) with the label inequality applied at
+    * the candidate join, so same-label rows never reach the scorer. At
+    * scale the bucket join shuffles only the corpus's (bucket, id,
+    * vec, label) stream once; recall follows the LSH bucket recall
+    * (specs pin it against the brute-force filter).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, planes: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val withBucket = (df: DataFrame) =>
+      df.select(col(idCol), col(vecCol), col(labelCol),
+        hyperplaneBucket(col(vecCol), planes, dim).as("bucket"),
+        normCol(col(vecCol)).as("__norm"))
+    val q = broadcast(withBucket(queries)
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qv")
+      .withColumnRenamed(labelCol, "ql").withColumnRenamed("__norm", "qn"))
+    val c = withBucket(corpus)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(vecCol, "nv")
+      .withColumnRenamed(labelCol, "nl").withColumnRenamed("__norm", "nn")
+    val scored = q.join(c, Seq("bucket"))
+      .filter($"query_id" =!= $"neighbor_id" && $"ql" =!= $"nl")
+      .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select($"query_id", $"rank", $"neighbor_id", $"nl".as("neighbor_label"), $"cosine")
+  }
+
+  /** Maximal-marginal-relevance selection: greedily pick `k` vectors
+    * maximizing `lambda * relevance - (1 - lambda) * maxSimToPicked` —
+    * the diversity-aware subset selection used to de-redundify a
+    * retrieved or curated candidate pool.
+    *
+    * Each pick depends on the previous one, so the loop makes `k`
+    * driver rounds, each a broadcast of ONE picked vector into a narrow
+    * column update plus a 1-row `orderBy.limit(1)` collect (a
+    * TakeOrdered, never a global sort). Production use is over a
+    * bounded candidate pool (an ANN top-N, a stratum sample), which is
+    * what keeps `k` scans acceptable; the pool frame is
+    * localCheckpointed once so the rounds re-read materialized blocks.
+    *
+    * Relevance is cosine to `anchor`. Determinism: scores are rounded
+    * at 6 before each argmax with an id tiebreak — the oracle unrolls
+    * the same rounds as CTEs (the q58 precedent).
+    */
+  def mmrSelect(pool: DataFrame, idCol: String, vecCol: String,
+      anchor: Array[Double], lambda: Double, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val anchorCol = array(anchor.map(lit): _*)
+    val base = pool
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", normCol($"v"))
+      .withColumn("rel", round(cosineWithNorms($"v", $"n", anchorCol, lit(normOf(anchor))), 6))
+      .localCheckpoint(eager = false)
+    var remaining = base.withColumn("max_sim", lit(0.0))
+    val picks = Seq.newBuilder[(Long, Int, Double, Double)] // id, rnk, rel, score
+    for (rnd <- 1 to k) {
+      val scoreExpr = round6(lit(lambda) * $"rel" -
+        (if (rnd == 1) lit(0.0) else lit(1.0 - lambda) * $"max_sim"))
+      val top = remaining.withColumn("score", scoreExpr)
+        .orderBy($"score".desc, $"id".asc).limit(1)
+        .select($"id", $"rel", $"score", $"v", $"n").collect()
+      if (top.nonEmpty) {
+        val row = top.head
+        val pickedId = row.getLong(0)
+        picks += ((pickedId, rnd, row.getDouble(1), row.getDouble(2)))
+        val pv = row.getSeq[Double](3).toArray
+        val pvCol = array(pv.map(lit): _*)
+        remaining = remaining.filter($"id" =!= pickedId)
+          .withColumn("max_sim", greatest($"max_sim",
+            round(cosineWithNorms($"v", $"n", pvCol, lit(normOf(pv))), 6)))
+      }
+    }
+    picks.result().toDF("vec_id", "rnk", "relevance", "mmr_score")
+      .select($"rnk", $"vec_id", $"relevance", $"mmr_score")
+  }
+
+  private def round6(c: Column): Column = round(c, 6)
+
+  private def normOf(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
 }

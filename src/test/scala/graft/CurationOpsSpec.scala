@@ -689,6 +689,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2)
   }
 
+  test("epochRepeat: integer epochs from budget div mass, both clamps exact") {
+    // masses: s1 = 2 tokens -> 10 div 2 = 5, clamped to maxEpochs 3;
+    // s2 = 5 -> 2 epochs; s3 = 30 -> 0, clamped up to 1
+    val df = Seq(
+      (1L, "s1", "a b"),
+      (2L, "s2", "a b c"), (3L, "s2", "a b"),
+      (4L, "s3", ("x " * 30).trim)).toDF("doc_id", "source", "text")
+      .withColumn("n_tokens", size(split($"text", "\\s+")))
+    val out = CurationOps.epochRepeat(df, "doc_id", "source", "n_tokens",
+        budgetPerStratum = 10L, maxEpochs = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    val copies = out.groupBy(_._1)
+    assert(copies(1L).map(_._2).sorted.toSeq == Seq(1, 2, 3)) // capped at 3
+    assert(copies(2L).map(_._2).sorted.toSeq == Seq(1, 2))
+    assert(copies(3L).map(_._2).sorted.toSeq == Seq(1, 2))
+    assert(copies(4L).map(_._2).sorted.toSeq == Seq(1))       // floored to 1
+    assert(out.forall { case (id, _, n) => copies(id).length == n })
+  }
+
   test("importanceWeights with an empty target degrades to the uniform prior") {
     val corpus = docs(1L -> "a b c", 2L -> "a b c")
     val target = corpus.filter($"doc_id" < 0)

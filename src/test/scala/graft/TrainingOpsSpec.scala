@@ -171,6 +171,54 @@ class VectorsSpec extends SparkSpec {
     byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
   }
 
+  test("hardNegatives: no same-label neighbor, cosines exact, ranks dense") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val out = Vectors.hardNegatives(emb, emb.filter($"vec_id" < 8),
+        "vec_id", "embedding", "label", k = 3, planes = 4, dim = 64)
+      .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
+      .as[(Long, Int, Long, Int, Double)].collect()
+    out.foreach { case (q, _, n, nl, _) =>
+      assert(q != n)
+      assert(labels(q) != nl, s"query $q got same-label neighbor $n")
+      assert(labels(n) == nl)
+    }
+    out.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      // ordered by cosine desc, id asc within each query
+      val key = rs.sortBy(_._2).map(r => (-r._5, r._3)).toSeq
+      assert(key == key.sorted)
+    }
+  }
+
+  test("mmrSelect prefers diversity over a redundant higher-relevance pick") {
+    // anchor [1,0,0]: a and b are near-duplicates of each other
+    // (cos(a,b) ≈ 0.9989, above both relevances); c is less relevant
+    // but out of their plane. Round 2: b scores 0.5·0.9701 − 0.5·0.9989
+    // ≈ −0.014 while c scores 0.5·0.7001 − 0.5·0.6866 ≈ +0.007, so MMR
+    // must pick a, c, b — raw relevance order would be a, b, c.
+    val pool = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.0f)),
+      (2L, Seq(1.0f, 0.25f, 0.0f)),
+      (3L, Seq(0.7f, 0.0f, 0.714f))).toDF("vec_id", "embedding")
+    val out = Vectors.mmrSelect(pool, "vec_id", "embedding",
+        Array(1.0, 0.0, 0.0), lambda = 0.5, k = 3)
+      .select("rnk", "vec_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L))
+  }
+
+  test("mmrSelect returns fewer rows than k on a small pool, scores rounded") {
+    val pool = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Vectors.mmrSelect(pool, "vec_id", "embedding",
+        Array(1.0, 0.0), lambda = 0.5, k = 5).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val s = r.getAs[Double]("mmr_score")
+      assert(s == BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("lshTopK results ⊆ brute ranking candidates and recall is sane") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 8)
