@@ -393,6 +393,32 @@ object Curation {
       CurationOps.epochRepeat(docs, "doc_id", "source", "n_tokens",
           budgetPerStratum = EpochBudget, maxEpochs = EpochMax)
         .orderBy($"doc_id", $"epoch")
+    },
+
+    // ---- reciprocal-rank fusion: q69's BM25 list fused with a
+    // conjunctive term-coverage list (distinct query terms, then total
+    // tf — all-integer ordering) — rank-based hybrid retrieval. Both
+    // input lists are top-Bm25K frames, so fusion never touches
+    // corpus-sized data.
+    "q75_rrf_fusion" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsParallel(s, dir)
+      val bm = graft.textops.Retrieval.bm25TopK(docs, "doc_id", "text",
+        Bm25Query, k = Bm25K).select($"doc_id", $"rk")
+      val tf = docs
+        .select($"doc_id", explode(graft.textops.TextTokens.wordsCol($"text")).as("term"))
+        .filter($"term".isin(Bm25Query: _*))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val covW = Window.orderBy($"nq".desc, $"tft".desc, $"doc_id")
+      val cov = tf.groupBy($"doc_id")
+        .agg(countDistinct($"term").as("nq"), sum($"tf").as("tft"))
+        .orderBy($"nq".desc, $"tft".desc, $"doc_id").limit(Bm25K)
+        .withColumn("rk", row_number().over(covW))
+        .select($"doc_id", $"rk")
+      graft.textops.Retrieval.rrfFuse(Seq(bm, cov), "doc_id", "rk",
+          rrfK = RrfK, topK = RrfTopK)
+        .orderBy($"rk")
     }
   )
 
@@ -431,6 +457,10 @@ object Curation {
     */
   private val EpochBudget = 4500L
   private val EpochMax = 3
+
+  /** q75's RRF smoothing constant (the standard 60) and fused cut. */
+  private val RrfK = 60
+  private val RrfTopK = 10
 
   // The shared words CTE (TextOps.WordsCte) is the DuckDB twin of
   // TextTokens.wordsCol — one definition for every tokenizing oracle.
@@ -1095,6 +1125,47 @@ object Curation {
         |SELECT doc_id, source,
         |       CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch,
         |       n_copies
-        |FROM toks JOIN m USING (source)""".stripMargin
+        |FROM toks JOIN m USING (source)""".stripMargin,
+
+    // Mirrors Retrieval.rrfFuse over the q69 BM25 chain + the
+    // all-integer coverage ranking: contributions rounded at 9 and
+    // summed as DECIMAL (exact, order-independent), cast to double,
+    // ranked with a doc-id tiebreak.
+    "q75_rrf_fusion" -> (WordsCte +
+      s""", base AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM words),
+        |qt AS (SELECT doc_id, dl, term FROM base
+        |       WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})),
+        |tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM qt GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |                 CAST(SUM(len(ws)) AS BIGINT) AS total_tokens FROM words),
+        |scored AS (
+        |  SELECT doc_id,
+        |         ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |               * tf * 2.2
+        |               / (tf + 1.2 * (0.25 + 0.75 * dl
+        |                   / (CAST(total_tokens AS DOUBLE) / n_docs)))), 6) AS score
+        |  FROM tf JOIN dfreq USING (term), stats
+        |  GROUP BY doc_id),
+        |bm AS (SELECT doc_id, rk FROM (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored) WHERE rk <= $Bm25K),
+        |cov AS (SELECT doc_id, rk FROM (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY nq DESC, tft DESC, doc_id) AS rk
+        |  FROM (SELECT doc_id, COUNT(DISTINCT term) AS nq, SUM(tf) AS tft
+        |        FROM tf GROUP BY doc_id)) WHERE rk <= $Bm25K),
+        |u AS (SELECT doc_id, rk FROM bm UNION ALL SELECT doc_id, rk FROM cov),
+        |fused AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CAST(ROUND(1.0 / ($RrfK + rk), 9) AS DECIMAL(12,9))) AS DOUBLE) AS rrf_score,
+        |         CAST(COUNT(*) AS INT) AS n_lists
+        |  FROM u GROUP BY doc_id)
+        |SELECT doc_id, rrf_score, n_lists, rk FROM (
+        |  SELECT doc_id, rrf_score, n_lists,
+        |         ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+        |  FROM fused)
+        |WHERE rk <= $RrfTopK""".stripMargin)
   )
 }

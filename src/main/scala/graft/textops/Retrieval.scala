@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,5 +63,76 @@ object Retrieval {
       .limit(k)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+  }
+
+  /** Reciprocal-rank fusion: combine several rankings of the same id
+    * space into one, scoring each id by `Σ 1/(rrfK + rank)` over the
+    * lists it appears in — the standard score-agnostic hybrid-search
+    * combiner (lexical + dense, or any mix of retrievers).
+    *
+    * Scale shape: the input rankings are already top-k frames (tiny
+    * relative to the corpus), so the union + single hash aggregate
+    * never touches corpus-sized data; the final cut is an
+    * `orderBy(...).limit(...)` the planner runs as
+    * `TakeOrderedAndProject`.
+    *
+    * Determinism: each contribution `1/(rrfK + rank)` is a double of
+    * exact integer inputs rounded at 9 and summed as DECIMAL (exact,
+    * order-independent — the engine-wide money convention), then cast
+    * to double; ranking breaks ties by id.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      rrfK: Int, topK: Int): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK >= 1, s"rrfK must be positive, got $rrfK")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val tagged = rankings
+      .map(_.select(col(idCol), col(rankCol).cast("long").as("__rk")))
+      .reduce(_ unionByName _)
+    tagged
+      .withColumn("__contrib",
+        round(lit(1.0) / (lit(rrfK.toDouble) + col("__rk")), 9)
+          .cast("decimal(12,9)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).cast("double").as("rrf_score"),
+        count(lit(1)).cast("int").as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col(idCol))))
+  }
+
+  /** nDCG@k over a ranked result set with graded relevance — the
+    * retrieval-quality evaluator run over every ranking experiment in
+    * a data pipeline. One row per query: `dcg`, the ideal `idcg`
+    * (relevances re-sorted descending, original rank as tiebreak), and
+    * `ndcg = dcg / idcg` (0 when the query has no relevant result).
+    *
+    * Scale shape: input is (query, rank, relevance) — already top-k per
+    * query, so both windows and the aggregate partition by query over
+    * k-row groups; nothing corpus-sized shuffles.
+    *
+    * Determinism: gains `rel / log2(rank+1)` are rounded at 9 and
+    * summed as DECIMAL (exact, order-independent); `ndcg` rounds at 6.
+    * `log2` is the one libm call (the q66/q69 precedent): ulp noise
+    * sits ~1e-7 below the rounding grain.
+    */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val in = ranked.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(rankCol).cast("long").as("__rk"),
+        col(relCol).cast("double").as("__rel"))
+    val idealW = Window.partitionBy(col(queryCol))
+      .orderBy(col("__rel").desc, col("__rk").asc)
+    def gain(rk: Column) =
+      round(col("__rel") / log2(rk + lit(1.0)), 9).cast("decimal(18,9)")
+    in.withColumn("__irk", row_number().over(idealW))
+      .groupBy(col(queryCol))
+      .agg(sum(gain(col("__rk"))).cast("double").as("dcg"),
+        sum(gain(col("__irk"))).cast("double").as("idcg"))
+      .withColumn("ndcg",
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
+          .otherwise(lit(0.0)))
   }
 }
