@@ -342,8 +342,12 @@ object Curation {
     "q68_char_entropy" -> { (s, dir) =>
       import s.implicits._
       import graft.textops.TextAnalysis
+      // n_chars counts the SAME filtered char-split both engines use for
+      // the entropy (Spark length() is UTF-16 code units, DuckDB len()
+      // is code points — they diverge on non-BMP chars; the char-split
+      // count is code points by construction on both sides)
       docsParallel(s, dir).select($"doc_id",
-          length($"text").as("n_chars"),
+          size(filter(split($"text", ""), c => length(c) > 0)).as("n_chars"),
           TextAnalysis.charAlphabetCol($"text").as("n_alphabet"),
           TextAnalysis.charEntropyCol($"text").as("entropy"))
         .orderBy($"doc_id")
@@ -1005,7 +1009,7 @@ object Curation {
         |         list_filter(string_split(text, ''), c -> len(c) > 0) AS chars
         |  FROM documents)
         |SELECT doc_id,
-        |       len(text) AS n_chars,
+        |       len(chars) AS n_chars,
         |       len(list_distinct(chars)) AS n_alphabet,
         |       CASE WHEN len(chars) > 0 THEN
         |         ROUND(log2(len(chars)) -

@@ -745,18 +745,31 @@ object CurationOps {
     * Quality is [[TextAnalysis.qualityScore]] (already rounded at 6, so
     * the ordering key is engine-stable) with a doc-id tiebreak. The
     * cluster labels come from [[graft.graph.ConnectedComponents]] — the
-    * same min-label frame q35 gates — and are a SMALL frame (one row
-    * per clustered doc, never the whole corpus), so the label join
-    * broadcasts; the per-cluster pick is one `row_number` window
-    * partitioned by cluster id. Shuffles: the component computation
-    * itself + one window over only the clustered docs' partitions.
+    * same min-label frame q35 gates. The label frame is one row per
+    * CLUSTERED doc: on a duplicate-heavy web corpus (the workload
+    * canonical dedup exists for) that is a constant fraction of the
+    * corpus, NOT an always-small dimension — so the broadcast is
+    * SIZE-CONDITIONAL: the label frame (already materialized by the
+    * component solve, so the count is a cheap cached-RDD pass) gets the
+    * hint only when it has at most `broadcastLabelLimit` rows; above
+    * that the join ships unhinted and AQE picks shuffle-vs-broadcast
+    * from measured sizes (a forced hint would bypass
+    * `autoBroadcastJoinThreshold` and OOM at scale). The per-cluster
+    * pick is one `row_number` window partitioned by cluster id.
+    * Shuffles: the component computation itself, the label join when
+    * the hint is withheld and AQE declines to broadcast, + one window
+    * partitioned by cluster.
     */
   def canonicalDedup(
       df: DataFrame, idCol: String, textCol: String,
-      pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
-    val clusters = graft.graph.ConnectedComponents
+      pairs: DataFrame, idACol: String, idBCol: String,
+      broadcastLabelLimit: Long = 1L << 20): DataFrame = {
+    val labelFrame = graft.graph.ConnectedComponents
       .dedupClusters(pairs, idACol, idBCol)
       .select(col("doc_id").as(idCol), col("cluster_id"))
+    val clusters =
+      if (labelFrame.count() <= broadcastLabelLimit) broadcast(labelFrame)
+      else labelFrame
     val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     val scored = df.select(col(idCol), size(words).as("__nw"),
         when(size(words) > 0,
@@ -766,7 +779,7 @@ object CurationOps {
         TextAnalysis.qualityScore(col("__nw"), col("__dr")).as("quality"))
     val win = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col(idCol))
-    scored.join(broadcast(clusters), Seq(idCol), "left")
+    scored.join(clusters, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("keep", (row_number().over(win) === 1).cast("int"))
       .select(col(idCol), col("cluster_id"), col("quality"), col("keep"))
@@ -843,16 +856,43 @@ object CurationOps {
     * so the rounded result agrees (a builtin `regr_slope` is free to
     * use a different update scheme per engine).
     *
-    * Ranking is a single-partition window over the VOCABULARY (not the
-    * corpus) — bounded by distinct terms, the standard reduction; at
-    * web-corpus vocab sizes replace with a two-phase rank (per-partition
-    * pre-rank + offset merge) before this becomes the bottleneck.
+    * Ranking is a TWO-PHASE global rank over the VOCABULARY (not the
+    * corpus): range-partition on the rank order, `row_number` within
+    * each partition (a PARTITIONED window — every partition ranks in
+    * parallel), then add per-partition row-count offsets computed on
+    * the driver (one row per shuffle partition — control-plane sized)
+    * and broadcast back. Equivalent to the single-partition
+    * `Window.orderBy` reduction but with no stage that holds the whole
+    * vocabulary in one task — at web-corpus vocab sizes (10⁹ types)
+    * that single task is otherwise the job's bottleneck. The partition
+    * assignment is pinned with `localCheckpoint` because two downstream
+    * consumers (the size aggregate and the ranking window) must see the
+    * SAME pids — `repartitionByRange` samples its bounds, so a
+    * recompute could move rows across partitions between the two
+    * passes. Rank values are independent of where the range bounds
+    * fall, since (c desc, term) is a total order.
     */
   def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val counts = df.select(explode(wordsCol(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
-    val ranked = counts.withColumn("rk",
-        row_number().over(Window.orderBy(col("c").desc, col("term"))))
+    val parted = counts
+      .repartitionByRange(col("c").desc, col("term"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val sizes = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.map { case (pid, n) => val off = acc; acc += n; (pid, off) }
+    val offs = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val localWin = Window.partitionBy(col("__pid"))
+      .orderBy(col("c").desc, col("term"))
+    val ranked = parted
+      .withColumn("__lr", row_number().over(localWin))
+      .join(offs, "__pid")
+      .withColumn("rk", col("__lr") + col("__off"))
       .withColumn("x", log(col("rk").cast("double")))
       .withColumn("y", log(col("c").cast("double")))
     ranked.agg(

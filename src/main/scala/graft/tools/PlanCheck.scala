@@ -100,10 +100,14 @@ object PlanCheck {
     // move the entire exploded token stream
     Expectation("q65_quality_classifier",
       mustContain = Seq("BroadcastHashJoin"), mustNotContain = Seq("SortMergeJoin")),
-    // vocabulary rank + four moment sums: aggregates only, no joins
+    // two-phase vocabulary rank: the ranking window must be PARTITIONED
+    // (by __pid — "[__pid]" is the window's partition-spec bracket; an
+    // unpartitioned Window.orderBy would hold the whole vocabulary in
+    // one task) and the per-partition offset table must broadcast
     Expectation("q66_zipf_law",
-      mustContain = Seq("HashAggregate", "Window"),
-      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+      mustContain = Seq("HashAggregate", "Window",
+        "windowspecdefinition(__pid", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
     // the per-stratum target table is tiny and must broadcast into the
     // greedy fill (the corpus side keeps its window partitioning)
     Expectation("q67_temperature_mix",
@@ -143,7 +147,12 @@ object PlanCheck {
     // greedy MMR runs k bounded driver rounds (each a TakeOrdered over
     // the checkpointed pool); the returned frame is the assembled picks
     Expectation("q74_mmr_select",
-      mustContain = Seq("LocalTableScan")))
+      mustContain = Seq("LocalTableScan")),
+    // the BM25 input keeps its broadcast stats joins; the fused cut
+    // must stay a one-pass TakeOrdered, never a global sort
+    Expectation("q75_rrf_fusion",
+      mustContain = Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
+      mustNotContain = Seq("SortMergeJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

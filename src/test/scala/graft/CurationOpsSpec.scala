@@ -672,6 +672,55 @@ class CurationOpsSpec extends SparkSpec {
     assert(keeps === Map(4L -> 1, 7L -> 0))
   }
 
+  test("canonicalDedup withholds the broadcast hint above the label limit") {
+    val corpus = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> ("z " * 10).trim,
+      3L -> "m n o p q r s t u v")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    // broadcastLabelLimit = 0 withholds the hint; with auto-broadcast
+    // disabled the label join must then plan as a SHUFFLED join — the
+    // path a corpus-scale cluster frame takes (a forced hint would
+    // broadcast regardless of the threshold and OOM at scale)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = CurationOps.canonicalDedup(corpus, "doc_id", "text",
+        pairs, "id_a", "id_b", broadcastLabelLimit = 0L)
+      val rows = big.orderBy("doc_id").collect()
+      val plan = big.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"label join must not broadcast above the limit:\n$plan")
+      // and the shuffled plan returns the same answer as the hinted one
+      val hinted = CurationOps.canonicalDedup(corpus, "doc_id", "text",
+          pairs, "id_a", "id_b")
+        .orderBy("doc_id").collect()
+      assert(rows.toSeq === hinted.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("zipfSlope ranks through a partitioned window only") {
+    // the two-phase rank must leave NO unpartitioned WindowExec (an
+    // unpartitioned Window.orderBy holds the whole vocabulary in one
+    // task); traverse the non-adaptive physical plan so WindowExec
+    // nodes are visible to collect()
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = CurationOps.zipfSlope(
+        docs(1L -> "a a a a b b c", 2L -> "b c d d e f g"), "text")
+      import org.apache.spark.sql.execution.window.WindowExec
+      val wins = df.queryExecution.executedPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, "expected the ranking WindowExec in the plan")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned WindowExec in zipfSlope plan: $w"))
+      // and the two-phase rank computes the same regression as before
+      val out = df.collect().head
+      assert(out.getAs[Long]("n_types") === 7L)
+      assert(out.getAs[Long]("n_tokens") === 14L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("importanceWeights separates target-like from off-target docs") {
     val corpus = docs(
       1L -> "spark shuffle executor partition",
