@@ -423,6 +423,38 @@ object Curation {
       graft.textops.Retrieval.rrfFuse(Seq(bm, cov), "doc_id", "rk",
           rrfK = RrfK, topK = RrfTopK)
         .orderBy($"rk")
+    },
+
+    // ---- nDCG@k over the q69/q75 rankings: graded relevance = distinct
+    // query terms matched (exact integer both engines), so the evaluator
+    // runs on the same two top-k lists the retrieval suite produces. The
+    // coverage list ranks BY relevance (ties broken like the ideal
+    // order), so its ndcg is exactly 1 — a built-in sanity anchor; the
+    // BM25 list scores by tf/dl too, so its ndcg is a real < 1 value.
+    "q76_ndcg_eval" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = docsParallel(s, dir)
+      val bm = graft.textops.Retrieval.bm25TopK(docs, "doc_id", "text",
+          Bm25Query, k = Bm25K)
+        .select(lit("bm25").as("query_id"), $"doc_id", $"rk")
+      val tf = docs
+        .select($"doc_id", explode(graft.textops.TextTokens.wordsCol($"text")).as("term"))
+        .filter($"term".isin(Bm25Query: _*))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val covW = Window.orderBy($"nq".desc, $"tft".desc, $"doc_id")
+      val cov = tf.groupBy($"doc_id")
+        .agg(countDistinct($"term").as("nq"), sum($"tf").as("tft"))
+        .orderBy($"nq".desc, $"tft".desc, $"doc_id").limit(Bm25K)
+        .withColumn("rk", row_number().over(covW))
+        .select(lit("coverage").as("query_id"), $"doc_id", $"rk")
+      val rel = tf.groupBy($"doc_id")
+        .agg(countDistinct($"term").cast("double").as("rel"))
+      val ranked = bm.unionByName(cov)
+        .join(rel, Seq("doc_id"), "left")
+        .na.fill(0.0, Seq("rel"))
+      graft.textops.Retrieval.ndcgAtK(ranked, "query_id", "rk", "rel", k = NdcgK)
+        .orderBy($"query_id")
     }
   )
 
@@ -465,6 +497,9 @@ object Curation {
   /** q75's RRF smoothing constant (the standard 60) and fused cut. */
   private val RrfK = 60
   private val RrfTopK = 10
+
+  /** q76's evaluation cut — below Bm25K so the rank<=k filter is live. */
+  private val NdcgK = 10
 
   // The shared words CTE (TextOps.WordsCte) is the DuckDB twin of
   // TextTokens.wordsCol — one definition for every tokenizing oracle.
@@ -1170,6 +1205,57 @@ object Curation {
         |  SELECT doc_id, rrf_score, n_lists,
         |         ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
         |  FROM fused)
-        |WHERE rk <= $RrfTopK""".stripMargin)
+        |WHERE rk <= $RrfTopK""".stripMargin),
+
+    // Mirrors Retrieval.ndcgAtK over the q75 rank lists: gains
+    // rel/log2(rk+1) rounded at 9 and summed as DECIMAL (exact,
+    // order-independent), ideal rank = (rel DESC, rk ASC) row_number,
+    // ndcg rounded at 6 with the idcg=0 guard.
+    "q76_ndcg_eval" -> (WordsCte +
+      s""", base AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM words),
+        |qt AS (SELECT doc_id, dl, term FROM base
+        |       WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})),
+        |tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM qt GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |                 CAST(SUM(len(ws)) AS BIGINT) AS total_tokens FROM words),
+        |scored AS (
+        |  SELECT doc_id,
+        |         ROUND(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |               * tf * 2.2
+        |               / (tf + 1.2 * (0.25 + 0.75 * dl
+        |                   / (CAST(total_tokens AS DOUBLE) / n_docs)))), 6) AS score
+        |  FROM tf JOIN dfreq USING (term), stats
+        |  GROUP BY doc_id),
+        |bm AS (SELECT doc_id, rk FROM (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored) WHERE rk <= $Bm25K),
+        |cov AS (SELECT doc_id, rk FROM (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (ORDER BY nq DESC, tft DESC, doc_id) AS rk
+        |  FROM (SELECT doc_id, COUNT(DISTINCT term) AS nq, SUM(tf) AS tft
+        |        FROM tf GROUP BY doc_id)) WHERE rk <= $Bm25K),
+        |rel AS (SELECT doc_id, CAST(COUNT(DISTINCT term) AS DOUBLE) AS rel
+        |        FROM tf GROUP BY doc_id),
+        |rl AS (
+        |  SELECT 'bm25' AS query_id, bm.doc_id, bm.rk, COALESCE(rel, 0.0) AS rel
+        |  FROM bm LEFT JOIN rel USING (doc_id)
+        |  UNION ALL
+        |  SELECT 'coverage', cov.doc_id, cov.rk, COALESCE(rel, 0.0)
+        |  FROM cov LEFT JOIN rel USING (doc_id)),
+        |cut AS (
+        |  SELECT query_id, rk, rel,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY rel DESC, rk ASC) AS irk
+        |  FROM rl WHERE rk <= $NdcgK),
+        |agg AS (
+        |  SELECT query_id,
+        |    CAST(SUM(CAST(ROUND(rel / log2(rk + 1.0), 9) AS DECIMAL(18,9))) AS DOUBLE) AS dcg,
+        |    CAST(SUM(CAST(ROUND(rel / log2(irk + 1.0), 9) AS DECIMAL(18,9))) AS DOUBLE) AS idcg
+        |  FROM cut GROUP BY query_id)
+        |SELECT query_id, dcg, idcg,
+        |       CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) ELSE 0.0 END AS ndcg
+        |FROM agg""".stripMargin)
   )
 }

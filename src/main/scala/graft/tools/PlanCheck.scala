@@ -152,7 +152,11 @@ object PlanCheck {
     // must stay a one-pass TakeOrdered, never a global sort
     Expectation("q75_rrf_fusion",
       mustContain = Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
-      mustNotContain = Seq("SortMergeJoin")))
+      mustNotContain = Seq("SortMergeJoin")),
+    // the evaluator windows and aggregates per query over top-k-sized
+    // lists; the BM25 input keeps its broadcast stats joins
+    Expectation("q76_ndcg_eval",
+      mustContain = Seq("HashAggregate", "Window", "BroadcastHashJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

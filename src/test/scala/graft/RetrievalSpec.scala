@@ -62,4 +62,55 @@ class RetrievalSpec extends SparkSpec {
     // window (df=1) must contribute more than spark (df=2) for doc 2
     assert(contrib(1, 1, 2, 4, 12) > contrib(1, 2, 2, 4, 12))
   }
+
+  private def r(v: Double, scale: Int): BigDecimal =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+
+  /** Hand-computed DCG fixture: gains rel/log2(rank+1) rounded at 9,
+    * summed exactly, ndcg rounded at 6 — the ndcgAtK contract.
+    */
+  private def dcgOf(rels: Seq[Double], ranks: Seq[Long]): Double =
+    rels.zip(ranks)
+      .map { case (rel, rk) => r(rel / (math.log(rk + 1.0) / math.log(2.0)), 9) }
+      .sum.toDouble
+
+  test("ndcgAtK matches a hand-computed graded fixture") {
+    // query A ranked (3,2,3,0) by rel at ranks 1..4: NOT ideal order —
+    // ideal is (3,3,2,0) with the tied 3s keeping rank order (1 then 3)
+    val ranked = Seq(
+      ("A", 1L, 3.0), ("A", 2L, 2.0), ("A", 3L, 3.0), ("A", 4L, 0.0),
+      // query B already ideal (strictly descending) -> ndcg = 1
+      ("B", 1L, 2.0), ("B", 2L, 1.0)
+    ).toDF("query_id", "rk", "rel")
+    val out = Retrieval.ndcgAtK(ranked, "query_id", "rk", "rel", k = 10)
+      .collect().map(row => row.getString(0) ->
+        ((row.getDouble(1), row.getDouble(2), row.getDouble(3)))).toMap
+    val dcgA = dcgOf(Seq(3.0, 2.0, 3.0, 0.0), Seq(1L, 2L, 3L, 4L))
+    val idcgA = dcgOf(Seq(3.0, 3.0, 2.0, 0.0), Seq(1L, 2L, 3L, 4L))
+    assert(out("A")._1 === dcgA)
+    assert(out("A")._2 === idcgA)
+    assert(out("A")._3 === r(dcgA / idcgA, 6).toDouble)
+    assert(out("A")._3 < 1.0, "non-ideal order must score below 1")
+    assert(out("B")._1 === out("B")._2)
+    assert(out("B")._3 === 1.0)
+  }
+
+  test("ndcgAtK cuts at k and ideal-ranks ties by original rank") {
+    // rank 3 (rel=9) sits beyond k=2 and must not contribute
+    val ranked = Seq(
+      ("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 9.0)
+    ).toDF("query_id", "rk", "rel")
+    val out = Retrieval.ndcgAtK(ranked, "query_id", "rk", "rel", k = 2)
+      .collect().head
+    assert(out.getDouble(1) === dcgOf(Seq(1.0, 2.0), Seq(1L, 2L)))
+    assert(out.getDouble(2) === dcgOf(Seq(2.0, 1.0), Seq(1L, 2L)))
+  }
+
+  test("ndcgAtK returns ndcg = 0 for an all-zero-relevance query") {
+    val ranked = Seq(("A", 1L, 0.0), ("A", 2L, 0.0)).toDF("query_id", "rk", "rel")
+    val out = Retrieval.ndcgAtK(ranked, "query_id", "rk", "rel", k = 10)
+      .collect().head
+    assert(out.getDouble(1) === 0.0 && out.getDouble(2) === 0.0)
+    assert(out.getDouble(3) === 0.0, "idcg=0 guard must yield 0, not NaN")
+  }
 }
