@@ -55,19 +55,12 @@ object BatchExchange {
     // until the running token total hits the cap — a DETERMINISTIC
     // subset: an unordered limit() here would re-evaluate differently
     // per downstream action, shipping one subset to the API while
-    // stamping another onto the ledger.
+    // stamping another onto the ledger. See [[tokenCappedPrefix]] for
+    // why the running sum is two-phase.
     val pendingAll = Ledger.pendingForShipment(ledger)
     val pending =
-      if (maxBatchTokens < Long.MaxValue) {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy("custom_id")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        pendingAll
-          .withColumn("__cum", sum(col("input_tokens")).over(w))
-          .filter(col("__cum") <= maxBatchTokens)
-          .drop("__cum")
-      } else pendingAll
+      if (maxBatchTokens < Long.MaxValue) tokenCappedPrefix(pendingAll, maxBatchTokens)
+      else pendingAll
     if (pending.isEmpty) return (ledger, None)
     // persisted so ONE materialized pack feeds the file write, the
     // manifest count, and the batch_id stamp
@@ -102,6 +95,46 @@ object BatchExchange {
           .otherwise(col("batch_id")))
       .drop("__shipped")
     (stamped, Some(batchId))
+  }
+
+  /** The maximal custom_id-ordered prefix whose running `input_tokens`
+    * total stays within `maxBatchTokens`.
+    *
+    * The running sum is TWO-PHASE (the zipfSlope rank pattern):
+    * range-partition on custom_id, a PARTITIONED running-sum window,
+    * then per-partition token totals cumulated on the driver (one row
+    * per shuffle partition — control-plane sized) and broadcast back as
+    * offsets. The packed ship OUTPUT is control-plane sized, but this
+    * INPUT is the entire pending frontier — an unpartitioned
+    * `Window.orderBy` would pull all of it through one task. Partition
+    * assignment is pinned with `localCheckpoint` because the offset
+    * aggregate and the window must see the SAME pids
+    * (`repartitionByRange` samples its bounds). The selected prefix is
+    * identical to the single-window formulation: custom_id is a total
+    * order, so per-partition cumsum + preceding-partition offsets IS
+    * the global running sum.
+    */
+  private[graft] def tokenCappedPrefix(
+      pendingAll: DataFrame, maxBatchTokens: Long): DataFrame = {
+    val spark = pendingAll.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val parted = pendingAll
+      .repartitionByRange(col("custom_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val sums = parted.groupBy(col("__pid"))
+      .agg(sum(col("input_tokens")).cast("long").as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, t) => val off = acc; acc += t; (pid, off) }
+    val w = Window.partitionBy(col("__pid")).orderBy(col("custom_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(broadcast(offsets.toSeq.toDF("__pid", "__off")), "__pid")
+      .withColumn("__cum", sum(col("input_tokens")).over(w) + col("__off"))
+      .filter(col("__cum") <= maxBatchTokens)
+      .drop("__cum", "__pid", "__off")
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,

@@ -100,6 +100,44 @@ class BatchExchangeSpec extends SparkSpec {
     assert(BatchExchange.readManifest(dir2, spark.sparkContext.hadoopConfiguration).isEmpty)
   }
 
+  test("tokenCappedPrefix: exact custom_id prefix, partitioned window only") {
+    // 40 rows across many input partitions; tokens 1..40 in custom_id
+    // order (ids zero-padded so string order == numeric order). Cap 100
+    // admits ids 1..13 (sum 91) and rejects id 14 (would be 105).
+    val rows = (1 to 40).map(i => (f"id$i%03d", "{}", i, null: String, null: String))
+    val pending = spark.createDataFrame(rows).repartition(7)
+      .toDF("custom_id", "body_json", "input_tokens", "batch_id", "response_json")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cut = BatchExchange.tokenCappedPrefix(pending, maxBatchTokens = 100L)
+      val got = cut.select($"custom_id").as[String].collect().sorted.toSeq
+      assert(got === (1 to 13).map(i => f"id$i%03d"))
+      // the whole point of the two-phase cumsum: no unpartitioned window
+      import org.apache.spark.sql.execution.window.WindowExec
+      val wins = cut.queryExecution.executedPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, "expected the running-sum WindowExec")
+      wins.foreach(win => assert(win.partitionSpec.nonEmpty,
+        s"unpartitioned WindowExec in tokenCappedPrefix plan: $win"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("ship with a token cap stamps exactly the capped prefix") {
+    val dir = Files.createTempDirectory("graft-cap").toString
+    val api = new LocalApi(dir, Set.empty)
+    // 10-token rows, cap 25 → exactly the first 2 ids ship
+    val (out, Some(batchId)) = BatchExchange.ship(
+      freshLedger("a>F>mapping", "b>F>mapping", "c>F>mapping", "d>F>mapping"),
+      api, dir, Packer.PackLimits(100, 1000, 100000),
+      maxBatchTokens = 25L): @unchecked
+    val stamped = out.filter($"batch_id" === batchId)
+      .select("custom_id").as[String].collect().sorted.toSeq
+    assert(stamped === Seq("a>F>mapping", "b>F>mapping"))
+    val Some((_, n)) = BatchExchange.readManifest(dir,
+      spark.sparkContext.hadoopConfiguration): @unchecked
+    assert(n == 2, "manifest must record the same capped prefix")
+  }
+
   test("ship with nothing pending is a no-op") {
     val answered = Seq(("a", "{}", 1, "b0", """{"done":1}"""))
       .toDF("custom_id", "body_json", "input_tokens", "batch_id", "response_json")
