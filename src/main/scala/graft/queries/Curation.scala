@@ -455,6 +455,17 @@ object Curation {
         .na.fill(0.0, Seq("rel"))
       graft.textops.Retrieval.ndcgAtK(ranked, "query_id", "rk", "rel", k = NdcgK)
         .orderBy($"query_id")
+    },
+
+    // ---- winnowed-span cross-doc dedup: the shift-robust upgrade of
+    // q40 — chunk boundaries are content-defined local minima of
+    // shingle hashes, so a one-word insert upstream can't hide a
+    // duplicated tail (q40's fixed windows would all shift).
+    "q77_span_dedup" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.winnowedSpanDedup(docsParallel(s, dir), "doc_id", "text",
+          shingleWords = SpanK, winnowRadius = SpanR)
+        .orderBy($"doc_id")
     }
   )
 
@@ -500,6 +511,13 @@ object Curation {
 
   /** q76's evaluation cut — below Bm25K so the rank<=k filter is live. */
   private val NdcgK = 10
+
+  /** q77's shingle width and winnow radius — mirrored into the
+    * oracle's slicing and window-frame arithmetic. Boundary probability
+    * ≈ 1/(2·radius+1), so chunks average ~7 words.
+    */
+  private val SpanK = 3
+  private val SpanR = 3
 
   // The shared words CTE (TextOps.WordsCte) is the DuckDB twin of
   // TextTokens.wordsCol — one definition for every tokenizing oracle.
@@ -1256,6 +1274,47 @@ object Curation {
         |  FROM cut GROUP BY query_id)
         |SELECT query_id, dcg, idcg,
         |       CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) ELSE 0.0 END AS ndcg
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin),
+
+    // Mirrors winnowedSpanDedup stage for stage: same shingle md5s,
+    // same centered-min boundary rule (MIN ignores the null tail
+    // hashes on both engines), same running-count chunk ids, and the
+    // q40 first-occurrence convention (ROW_NUMBER over the chunk hash
+    // ordered by (doc_id, cid) = the Spark side's min(struct) argmin —
+    // both engines compare the identical md5 chunk key, so even a
+    // collision resolves identically).
+    "q77_span_dedup" -> (WordsCte +
+      s""", p AS (
+        |  SELECT doc_id, ws, CAST(t.j AS BIGINT) AS j
+        |  FROM words, unnest(generate_series(1, len(ws))) AS t(j)
+        |  WHERE len(ws) > 0
+        |), f AS (
+        |  SELECT doc_id, j, ws[j] AS word,
+        |         CASE WHEN j + $SpanK - 1 <= len(ws)
+        |              THEN md5(array_to_string(ws[j:(j + $SpanK - 1)], ' ')) END AS h
+        |  FROM p
+        |), m AS (
+        |  SELECT doc_id, j, word, h,
+        |         MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+        |           ROWS BETWEEN $SpanR PRECEDING AND $SpanR FOLLOWING) AS hmin
+        |  FROM f
+        |), c AS (
+        |  SELECT doc_id, j, word,
+        |         SUM(CASE WHEN j = 1 OR (h IS NOT NULL AND h = hmin)
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY j ROWS UNBOUNDED PRECEDING) - 1 AS cid
+        |  FROM m
+        |), chunks AS (
+        |  SELECT doc_id, cid, array_to_string(list(word ORDER BY j), ' ') AS chunk
+        |  FROM c GROUP BY doc_id, cid
+        |), ranked AS (
+        |  SELECT doc_id, cid, chunk,
+        |         ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, cid) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |       CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       COALESCE(array_to_string(list(chunk ORDER BY cid) FILTER (WHERE rn = 1), ' '),
+        |                '') AS kept_text
+        |FROM ranked GROUP BY doc_id""".stripMargin)
   )
 }

@@ -510,6 +510,88 @@ object CurationOps {
             s => s.getField("seg"))).as("kept_text"))
   }
 
+  // ---- winnowed-span cross-document dedup (shift-robust) ------------------
+
+  /** Shift-robust cross-document span deduplication — the
+    * arbitrary-offset upgrade of [[segmentDedup]]. Chunk boundaries are
+    * CONTENT-DEFINED: a word position opens a new chunk when its
+    * `shingleWords`-word shingle's md5 is the minimum over the centered
+    * `2*winnowRadius+1`-shingle window (the winnowing local-minimum
+    * selection of Schleimer/Wilkerson/Aiken SIGMOD'03, used here as the
+    * local-extremum boundary rule of content-defined chunking, Manber
+    * '94). Because a boundary depends only on the words around it,
+    * inserting one word early in a document shifts every fixed window
+    * [[segmentDedup]] hashes but leaves every boundary after the next
+    * local minimum in place — a duplicated tail still cuts into
+    * byte-identical chunks and dedups. First occurrence = globally
+    * smallest `(doc_id, chunk_idx)`, exactly [[segmentDedup]]'s
+    * convention.
+    *
+    * Scale shape: ONE shuffle on the doc id feeds both per-document
+    * windows (local-min scan + boundary running count — both
+    * PARTITIONED by doc, so a task holds at most one document's words,
+    * never a corpus-shaped partition); chunk first-occurrence is the
+    * same map-side-combinable `min(struct)` aggregate as
+    * [[segmentDedup]] (a boilerplate chunk repeated 10^6 times combines
+    * to one row per map task BEFORE the shuffle); then one equi-join
+    * back on the chunk hash and one per-document rebuild. Empty
+    * documents carry no words and are dropped, as in [[segmentDedup]].
+    */
+  def winnowedSpanDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, winnowRadius: Int): DataFrame = {
+    require(shingleWords > 0, s"shingleWords must be positive, got $shingleWords")
+    require(winnowRadius > 0, s"winnowRadius must be positive, got $winnowRadius")
+    val k = shingleWords
+    val ws = col("__ws")
+    // (word, shingle-hash) rows built array-side in ONE pass so the
+    // word array itself is never duplicated across exploded rows; the
+    // hash is null past the last full shingle (doc tail / short docs).
+    val perWord = df
+      .select(col(idCol), wordsCol(col(textCol)).as("__ws"))
+      .where(size(ws) > 0)
+      .select(col(idCol), posexplode(
+          transform(sequence(lit(0), size(ws) - 1), j =>
+            struct(
+              element_at(ws, (j + 1).cast("int")).as("word"),
+              when(j <= size(ws) - k,
+                md5(concat_ws(" ", slice(ws, (j + 1).cast("int"), lit(k))))).as("h"))))
+        .as(Seq("j", "__wh")))
+      .select(col(idCol), col("j"),
+        col("__wh.word").as("word"), col("__wh.h").as("__h"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("j"))
+    // a document always opens at word 0; min() ignores the null tail
+    // hashes, and an all-null frame (doc shorter than k) yields a null
+    // __hmin so only the forced word-0 boundary fires
+    val boundary = col("j") === 0 ||
+      (col("__h").isNotNull && col("__h") === col("__hmin"))
+    val chunked = perWord
+      .withColumn("__hmin",
+        min(col("__h")).over(byDoc.rowsBetween(-winnowRadius, winnowRadius)))
+      .withColumn("cid",
+        sum(boundary.cast("long")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    val chunks = chunked
+      .groupBy(col(idCol), col("cid"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("j"), col("word")))),
+          s => s.getField("word"))).as("chunk"))
+      .withColumn("__ch", md5(col("chunk")))
+    val firsts = chunks
+      .groupBy(col("__ch"))
+      .agg(min(struct(col(idCol).as("fid"), col("cid").as("fidx"))).as("__first"))
+    chunks.join(firsts, "__ch")
+      .withColumn("__keep",
+        col(idCol) === col("__first.fid") && col("cid") === col("__first.fidx"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        (count(lit(1)) - sum(col("__keep").cast("long"))).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("__keep"), struct(col("cid"), col("chunk"))))),
+            s => s.getField("chunk"))).as("kept_text"))
+  }
+
   // ---- unigram surprisal scoring -----------------------------------------
 
   /** Per-document mean unigram surprisal in whole bits: each token
