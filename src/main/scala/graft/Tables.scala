@@ -16,22 +16,39 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects at schema inference; an explicit user schema with
-      // ts as BIGINT reads the raw nanos per-query — no session-wide
-      // `spark.sql.legacy.parquet.nanosAsLong` mutation that would leak
-      // into unrelated nanos-typed reads — then truncate to micros
-      // (same truncation DuckDB applies when casting ns→TIMESTAMP).
+    if (name == "events") loadEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across generator versions, so probe the footer
+    * instead of assuming either:
+    *  - micros (possibly NTZ): read natively, cast to session-TZ
+    *    timestamp (all sessions pin spark.sql.session.timeZone=UTC, so
+    *    the NTZ→LTZ cast is value-identity and downstream window/
+    *    date_trunc math is unchanged);
+    *  - nanos: Spark's vectorized reader rejects it at schema
+    *    inference, so fall back to an explicit user schema with ts as
+    *    BIGINT — raw nanos per-query, no session-wide
+    *    `spark.sql.legacy.parquet.nanosAsLong` mutation that would leak
+    *    into unrelated nanos-typed reads — then truncate to micros
+    *    (the same truncation DuckDB applies casting ns→TIMESTAMP).
+    */
+  private def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val tsIsTimestamp = scala.util.Try {
+      val dt = spark.read.parquet(path).schema("ts").dataType
+      dt == TimestampType || dt == TimestampNTZType
+    }.getOrElse(false)
+    if (tsIsTimestamp)
+      spark.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
+    else {
       val df = spark.read
         .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING")
-        .parquet(s"$dir/$name.parquet")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+        .parquet(path)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     }
   }
 }
