@@ -34,7 +34,18 @@ object Bench {
     // ±20% with GC/AQE timing accidents, which buries real round-over-
     // round deltas; the median is the steady-state figure that
     // extrapolates to cluster scale.
+    // Fixed-work calibration run before each query: the same sum over
+    // 100M longs every time, so a contended box self-identifies in the
+    // artifact (calibration times drifting upward across the run =>
+    // environment load, not a plan regression — r3's q57+ tail would
+    // have been auto-attributable from this field alone).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cal = calibrate()
       val reps = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         // a crashing query must NOT masquerade as a fast one: record -1
@@ -51,20 +62,25 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         if (ok) dt else -1.0
       }
-      (name, if (reps.contains(-1.0)) -1.0 else reps.sorted.apply(2), reps)
+      (name, if (reps.contains(-1.0)) -1.0 else reps.sorted.apply(2), reps, cal)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-rep raw times alongside the medians: a median outlier is then
     // attributable from the artifact alone (one slow rep = GC/AQE
     // accident; all reps slow = a real plan/caching regression)
-    val reps = results.map { case (k, _, rs) =>
+    val reps = results.map { case (k, _, rs, _) =>
       "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // the per-query calibration series (same keys, chronological): flat
+    // = clean run; rising/spiky = contended environment
+    val cal = results.map { case (k, _, _, c) =>
+      "\"" + k + "\":" + f"$c%.3f"
     }.mkString("{", ",", "}")
     // failures carry -1 markers per query; they don't pollute the total
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,7 +45,10 @@ object ConnectedComponents {
     */
   def labels(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30, localEdgeLimit: Long = 1L << 17): DataFrame = {
+      maxIter: Int = 30, localEdgeLimit: Long = 1L << 17,
+      algorithm: String = "min-label"): DataFrame = {
+    require(algorithm == "min-label" || algorithm == "star",
+      s"unknown algorithm '$algorithm' (expected min-label | star)")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // materialize the (symmetrized) edge list ONCE: the input is
     // typically the output of the whole MinHash pipeline, which must
@@ -53,6 +56,7 @@ object ConnectedComponents {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .localCheckpoint()
     if (sym.count() <= localEdgeLimit) labelsLocal(sym)
+    else if (algorithm == "star") labelsStar(sym, maxIter)
     else labelsDistributed(sym, maxIter)
   }
 
@@ -136,6 +140,85 @@ object ConnectedComponents {
       }
     }
     labels
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): O(log² n) rounds on
+    * ANY graph, vs min-label's O(diameter) — the fallback for
+    * adversarial long-chain graphs where propagation would need
+    * hundreds of rounds. Same per-round shuffle shape (groupBy + join
+    * on node id), selected via `labels(..., algorithm = "star")`.
+    *
+    *  - large-star: every node connects its strictly-LARGER neighbors
+    *    to its minimum neighborhood element `m(u) = min(Γ(u) ∪ {u})` —
+    *    halves the height of tall trees without losing connectivity;
+    *  - small-star: every node connects its smaller-or-equal neighbors
+    *    (and itself) to `m(u)` — collapses what large-star left into
+    *    stars centered at component minima.
+    *
+    * Convergence = the canonical undirected edge set reaches a fixed
+    * point (a union of min-rooted stars); labels then read directly off
+    * the star edges. Each round is localCheckpointed so plans don't
+    * nest `maxIter` deep, mirroring the min-label loop.
+    */
+  private def labelsStar(sym: DataFrame, maxIter: Int): DataFrame = {
+    // canonical undirected form (lo, hi) for the fixed-point test
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("src"), col("dst")).as("lo"),
+               greatest(col("src"), col("dst")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+
+    // one star phase over the BIDIRECTED view of the canonical edges:
+    // m(u) = min(Γ(u) ∪ {u}); large connects v > u, small connects
+    // v <= u and u itself
+    def phase(cur: DataFrame, large: Boolean): DataFrame = {
+      val bidir = cur.select(col("lo").as("u"), col("hi").as("v"))
+        .union(cur.select(col("hi").as("u"), col("lo").as("v")))
+      val m = bidir.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val joined = bidir.join(m, "u")
+      val emitted =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+        else joined.filter(col("v") <= col("u"))
+          .select(col("v").as("src"), col("m").as("dst"))
+          .union(m.select(col("u").as("src"), col("m").as("dst")))
+      canon(emitted)
+    }
+
+    var cur = canon(sym).localCheckpoint()
+    var curCount = cur.count()
+    var iter = 0
+    var converged = curCount == 0
+    while (!converged) {
+      val next = phase(phase(cur, large = true), large = false).localCheckpoint()
+      val nextCount = next.count()
+      // fixed point: same canonical set (counts first — cheap — then an
+      // anti-join only when counts agree)
+      converged = nextCount == curCount &&
+        next.join(cur, Seq("lo", "hi"), "left_anti").isEmpty
+      cur = next
+      curCount = nextCount
+      if (!converged) {
+        iter += 1
+        require(iter <= maxIter,
+          s"star connected components did not converge in $maxIter rounds")
+      }
+    }
+    // fixed point is a union of min-rooted stars: (hi → lo) labels every
+    // non-root member, roots label themselves — one row per node, since
+    // at a fixed point each hi carries exactly one edge and no root
+    // appears as a hi (hi > lo = the component minimum).
+    val members = cur.select(col("hi").as("node"), col("lo").as("label"))
+    val roots = cur.select(col("lo").as("node"), col("lo").as("label")).distinct()
+    val labeled = members.union(roots).distinct()
+    // canon drops self-loops, so nodes whose ONLY edges were self-loops
+    // vanish from the star iteration — restore them as their own labels
+    // (min-label keeps them; the two paths must agree exactly)
+    val isolated = sym.select(col("src").as("node")).distinct()
+      .join(labeled.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    labeled.union(isolated)
   }
 
   /** Dedup clustering over a near-dup pair list: every document that

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * video ride as opaque `binary` columns with typed metadata; decode /
   * feature-extract run as batch functions over `mapPartitions`.
   *
-  * Codec layer: IMAGE headers decode for real via the JDK's
-  * `javax.imageio` ([[ImageHeaderDecoder]] — PNG/JPEG/GIF/BMP width/
-  * height from actual headers, no external deps); audio/video remain
-  * STUBBED (this container ships no AV codecs): [[StubDecoder]] derives
-  * deterministic fake properties from the bytes, and undecodable image
-  * payloads fall back to it. Everything Spark-side is real — schema,
-  * partition sizing, batch iteration shape — so swapping in a full
-  * pixel/AV codec is a one-function change.
+  * Codec layer: HEADERS decode for real, payload CONTENT is stubbed.
+  * Image headers via the JDK's `javax.imageio` ([[ImageHeaderDecoder]]
+  * — PNG/JPEG/GIF/BMP width/height, no external deps); video/audio
+  * CONTAINER headers via [[ContainerProbe]] (MP4 box walk, EBML/WebM
+  * element walk, WAV RIFF chunks → dimensions + duration). Only
+  * frame/sample content uses [[StubDecoder]]'s deterministic fake
+  * bytes (this box ships no AV codecs), and payloads with no parseable
+  * header fall back to it entirely. Everything Spark-side is real —
+  * schema, partition sizing, batch iteration shape — so swapping in a
+  * full pixel/AV codec is a one-function change.
   *
   * Scale notes: media rows are orders of magnitude wider than text —
   * partition budgets must be set by BYTES not rows
@@ -86,18 +88,217 @@ object Multimodal {
       } finally in.close()
     }
 
-    /** Full decode contract: real header dimensions when the payload IS
-      * an image a JDK reader recognizes; [[StubDecoder]] values (and
-      * kinds other than image) otherwise.
+    /** Full decode contract: real header metadata whenever the payload
+      * carries a parseable header — image dimensions via `javax.imageio`,
+      * video/audio dimensions+duration via [[ContainerProbe]]
+      * (MP4/EBML/WAV) — and [[StubDecoder]] values otherwise.
       */
     def decode(row: MediaRow): MediaFeatures = {
       val stub = StubDecoder.decode(row)
-      if (row.kind != "image") stub
-      else dimensions(row.bytes) match {
-        case Some((w, h)) => stub.copy(width = w, height = h)
-        case None => stub
+      row.kind match {
+        case "image" =>
+          dimensions(row.bytes) match {
+            case Some((w, h)) => stub.copy(width = w, height = h)
+            case None => stub
+          }
+        case "video" | "audio" =>
+          ContainerProbe.probe(row.bytes) match {
+            case Some(p) => stub.copy(
+              width = p.width.getOrElse(stub.width),
+              height = p.height.getOrElse(stub.height),
+              duration_ms = p.durationMs.getOrElse(stub.duration_ms))
+            case None => stub
+          }
+        case _ => stub
       }
     }
+  }
+
+  /** REAL video/audio CONTAINER header probes — no external deps, pure
+    * byte parsing of the three container families whose headers are
+    * self-describing, mirroring the r3 image treatment
+    * (`javax.imageio` headers): the container/page metadata is decoded
+    * for real; only frame/sample CONTENT stays stubbed (the box ships
+    * no AV codecs).
+    *
+    *  - ISO BMFF / MP4 (`....ftyp`): box walk `moov`→`mvhd` (timescale +
+    *    duration) and `moov`→`trak`→`tkhd` (16.16 fixed-point
+    *    width/height of the first visually-sized track).
+    *  - EBML / Matroska / WebM (`1A 45 DF A3`): element walk
+    *    `Segment`→`Info` (TimestampScale × Duration → ms) and
+    *    `Segment`→`Tracks`→`TrackEntry`→`Video` (PixelWidth/Height).
+    *  - WAV (`RIFF….WAVE`): `fmt ` byte-rate + `data` chunk size → ms.
+    *
+    * All parsers are bounds-checked against truncated/corrupt headers
+    * and return None rather than throw — a scan stage must never die on
+    * a hostile payload.
+    */
+  object ContainerProbe {
+    final case class Probe(
+        container: String,
+        width: Option[Int],
+        height: Option[Int],
+        durationMs: Option[Long])
+
+    def looksLikeMp4(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 &&
+        b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    def looksLikeEbml(b: Array[Byte]): Boolean =
+      b != null && b.length >= 4 &&
+        (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3
+
+    def looksLikeWav(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def probe(b: Array[Byte]): Option[Probe] =
+      if (looksLikeMp4(b)) mp4(b)
+      else if (looksLikeEbml(b)) ebml(b)
+      else if (looksLikeWav(b)) wav(b)
+      else None
+
+    private def be32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    private def be64(b: Array[Byte], off: Int): Long =
+      (be32(b, off) << 32) | be32(b, off + 4)
+
+    private def le32(b: Array[Byte], off: Int): Long =
+      ((b(off + 3) & 0xffL) << 24) | ((b(off + 2) & 0xffL) << 16) |
+        ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+
+    // ---- ISO BMFF ----------------------------------------------------
+    def mp4(b: Array[Byte]): Option[Probe] = {
+      var width, height = Option.empty[Int]
+      var durMs = Option.empty[Long]
+      def walk(start: Long, end: Long, depth: Int): Unit = {
+        if (depth > 8) return // malformed self-nesting guard
+        var off = start
+        while (off + 8 <= end) {
+          var size = be32(b, off.toInt)
+          var hdr = 8L
+          if (size == 1 && off + 16 <= end) { size = be64(b, off.toInt + 8); hdr = 16 }
+          else if (size == 0) size = end - off // last box runs to end
+          if (size < hdr || off + size > end) return // corrupt: stop walking
+          val typ = new String(b, off.toInt + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val body = (off + hdr).toInt
+          typ match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(off + hdr, off + size, depth + 1)
+            case "mvhd" if durMs.isEmpty =>
+              val v = b(body) & 0xff
+              if (v == 0 && body + 20 <= end) {
+                val scale = be32(b, body + 12)
+                if (scale > 0) durMs = Some(be32(b, body + 16) * 1000L / scale)
+              } else if (v == 1 && body + 32 <= end) {
+                val scale = be32(b, body + 20)
+                if (scale > 0) durMs = Some(be64(b, body + 24) * 1000L / scale)
+              }
+            case "tkhd" if width.isEmpty =>
+              val v = b(body) & 0xff
+              val wOff = if (v == 1) body + 88 else body + 76
+              if (wOff + 8 <= end) {
+                val w = (be32(b, wOff) >> 16).toInt     // 16.16 fixed point
+                val h = (be32(b, wOff + 4) >> 16).toInt
+                if (w > 0 && h > 0) { width = Some(w); height = Some(h) }
+              }
+            case _ => // leaf box we don't need
+          }
+          off += size
+        }
+      }
+      try walk(0, b.length.toLong, 0) catch { case _: RuntimeException => }
+      if (width.isEmpty && durMs.isEmpty) None
+      else Some(Probe("mp4", width, height, durMs))
+    }
+
+    // ---- EBML (Matroska / WebM) --------------------------------------
+    def ebml(b: Array[Byte]): Option[Probe] = {
+      var width, height = Option.empty[Int]
+      var tsScaleNs = 1000000L               // Matroska default
+      var durTicks = Option.empty[Double]
+      // (value, encodedLength); IDs keep the marker bits, sizes clear them
+      def vint(off: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+        if (off >= b.length) return None
+        val first = b(off) & 0xff
+        if (first == 0) return None          // >8-byte vint: out of spec here
+        val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+        if (off + len > b.length) return None
+        var v = (if (keepMarker) first else first & (0xff >>> len)).toLong
+        var i = 1
+        while (i < len) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+        Some((v, len))
+      }
+      def uint(off: Int, n: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < n) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+        v
+      }
+      def float(off: Int, n: Int): Option[Double] = n match {
+        case 4 => Some(java.lang.Float.intBitsToFloat(uint(off, 4).toInt).toDouble)
+        case 8 => Some(java.lang.Double.longBitsToDouble(uint(off, 8)))
+        case _ => None
+      }
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 8) return
+        var off = start
+        while (off < end) {
+          val id = vint(off, keepMarker = true) match {
+            case Some(x) => x; case None => return
+          }
+          val sz = vint(off + id._2, keepMarker = false) match {
+            case Some(x) => x; case None => return
+          }
+          val body = off + id._2 + sz._2
+          // all-ones size payload = "unknown size" (streamed Segment):
+          // runs to the parent's end
+          val unknown = sz._1 == (1L << (7 * sz._2)) - 1
+          val bodyEnd = if (unknown) end else body + sz._1.toInt
+          if (body > end || bodyEnd > end || bodyEnd < body) return
+          id._1 match {
+            case 0x18538067L | 0x1549A966L | 0x1654AE6BL | 0xAEL | 0xE0L =>
+              walk(body, bodyEnd, depth + 1)  // Segment/Info/Tracks/TrackEntry/Video
+            case 0x2AD7B1L => tsScaleNs = uint(body, (bodyEnd - body).min(8))
+            case 0x4489L   => durTicks = float(body, bodyEnd - body)
+            case 0xB0L if width.isEmpty  => width = Some(uint(body, (bodyEnd - body).min(8)).toInt)
+            case 0xBAL if height.isEmpty => height = Some(uint(body, (bodyEnd - body).min(8)).toInt)
+            case _ => // skip
+          }
+          off = bodyEnd
+        }
+      }
+      try walk(0, b.length, 0) catch { case _: RuntimeException => }
+      val durMs = durTicks.map(t => math.round(t * tsScaleNs / 1e6))
+      if (width.isEmpty && durMs.isEmpty) None
+      else Some(Probe("ebml", width, height, durMs))
+    }
+
+    // ---- WAV ---------------------------------------------------------
+    def wav(b: Array[Byte]): Option[Probe] = {
+      var byteRate = 0L
+      var dataBytes = -1L
+      var off = 12L
+      // declared chunk sizes are trusted for duration math even when the
+      // payload is a truncated prefix (headers are routinely probed from
+      // the first KB of a stream); reads stay bounds-checked
+      while (off + 8 <= b.length && (byteRate == 0 || dataBytes < 0)) {
+        val i = off.toInt
+        val id = new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val sz = le32(b, i + 4)
+        if (id == "fmt " && sz >= 16 && i + 20 <= b.length) byteRate = le32(b, i + 16)
+        else if (id == "data") dataBytes = sz
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      wavResult(byteRate, dataBytes)
+    }
+    private def wavResult(byteRate: Long, dataBytes: Long): Option[Probe] =
+      if (byteRate > 0 && dataBytes >= 0)
+        Some(Probe("wav", None, None, Some(dataBytes * 1000L / byteRate)))
+      else None
   }
 
   /** Deterministic fake decode: dimensions/duration/feature derived
@@ -163,7 +364,10 @@ object Multimodal {
     media.mapPartitions { rows =>
       val sha = java.security.MessageDigest.getInstance("SHA-256")
       rows.filter(_.kind == "video").flatMap { row =>
-        val f = StubDecoder.decode(row)
+        // header-aware: a real MP4/EBML container contributes its REAL
+        // duration (bounding the sampled-frame cardinality); payloads
+        // with no parseable container keep the deterministic stub
+        val f = ImageHeaderDecoder.decode(row)
         (0L to f.duration_ms by everyMs).iterator.zipWithIndex.map { case (ts, i) =>
           // stub frame id: payload digest + timestamp (deterministic)
           sha.reset()
@@ -239,7 +443,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       val sha = java.security.MessageDigest.getInstance("SHA-256")
       rows.filter(_.kind == "audio").flatMap { row =>
-        val f = StubDecoder.decode(row)
+        // header-aware, like sampleFrames: WAV/EBML duration when the
+        // container parses, deterministic stub otherwise
+        val f = ImageHeaderDecoder.decode(row)
         (0L until f.duration_ms by windowMs).iterator.zipWithIndex.map { case (start, i) =>
           sha.reset()
           sha.update(row.bytes)

@@ -10,14 +10,16 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   private def edges(rows: (Long, Long)*) = rows.toDF("a", "b")
 
-  /** Every graph is asserted on BOTH paths: driver union-find (the
-    * small-graph default) and distributed label propagation (forced
-    * with localEdgeLimit = 0) — they must agree exactly.
+  /** Every graph is asserted on ALL THREE paths: driver union-find (the
+    * small-graph default), distributed label propagation, and
+    * distributed large-star/small-star (both forced with
+    * localEdgeLimit = 0) — they must agree exactly.
     */
   private def bothPaths(e: org.apache.spark.sql.DataFrame): Seq[Map[Long, Long]] =
     Seq(
       ConnectedComponents.labels(e, "a", "b"),
-      ConnectedComponents.labels(e, "a", "b", localEdgeLimit = 0))
+      ConnectedComponents.labels(e, "a", "b", localEdgeLimit = 0),
+      ConnectedComponents.labels(e, "a", "b", localEdgeLimit = 0, algorithm = "star"))
       .map(_.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
 
   test("labels finds components across chains, direction-insensitively") {
@@ -88,6 +90,46 @@ class ConnectedComponentsSpec extends SparkSpec {
         val out = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
         assert(out === expected)
       }
+  }
+
+  test("star path agrees with union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 30
+      val pairs = Seq.fill(n)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val e = edges(pairs: _*)
+      val expected = ConnectedComponents.labels(e, "a", "b") // union-find
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = ConnectedComponents
+        .labels(e, "a", "b", localEdgeLimit = 0, algorithm = "star")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === expected, s"trial $trial")
+    }
+  }
+
+  test("star converges on a long chain within O(log^2 n) rounds where " +
+       "min-label's O(diameter) budget blows") {
+    // path graph 1-2-...-257: diameter 256. Min-label needs ~256
+    // improvement rounds, so maxIter = 12 must throw; the alternating
+    // algorithm must finish inside the same tiny budget.
+    val e = edges((1L to 256L).map(i => i -> (i + 1)): _*)
+    val star = ConnectedComponents
+      .labels(e, "a", "b", maxIter = 12, localEdgeLimit = 0, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size === 257 && star.values.toSet === Set(1L))
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.labels(e, "a", "b", maxIter = 12, localEdgeLimit = 0)
+        .collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("star path keeps self-loop-only nodes and their self labels") {
+    val e = edges(1L -> 2L, 9L -> 9L)
+    val star = ConnectedComponents
+      .labels(e, "a", "b", localEdgeLimit = 0, algorithm = "star")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
   }
 
   test("dedupClusters marks exactly one canonical keeper per cluster") {
