@@ -86,8 +86,31 @@ object VectorOps {
       Vectors.mmrSelect(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
         MmrAnchor, lambda = MmrLambda, k = MmrK)
         .orderBy($"rnk")
+    },
+
+    // ---- SemDeDup semantic dedup: centroid assignment (demo codebook
+    // = the first 8 vectors by id — production feeds kmeansFit/kmeans‖
+    // output through the same signature) + the paper's greedy
+    // keep-lowest-centroid-sim sweep at the q24 threshold. Oracled:
+    // assignment argmax, sweep rank, and the exists-earlier-neighbor
+    // predicate all mirror as window + join SQL.
+    "q78_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.semanticDedup(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < SemCentroids), "vec_id", "embedding",
+        threshold = SemThreshold)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy($"vec_id")
     }
   )
+
+  /** q78 constants: codebook = first 8 ids (mirrored as `vec_id < 8`),
+    * threshold from q24 (the synthetic embeddings are near-orthogonal;
+    * production near-dup thresholds (0.9+) plug in unchanged).
+    */
+  private val SemCentroids = 8
+  private val SemThreshold = 0.4
 
   /** q74 constants — the anchor is one seeded hyperplane row (embedded
     * literally in the oracle; `Double.toString` round-trips exactly).
@@ -315,6 +338,37 @@ object VectorOps {
         |         ROW_NUMBER() OVER (PARTITION BY query_id
         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
         |  FROM scored)
-        |SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3""".stripMargin
+        |SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // SemDeDup mirror: same codebook (vec_id < 8), same round-6 cosine
+    // op order, argmax assignment via (csim DESC, cid ASC) window,
+    // sweep rank via (csim ASC, id ASC) per cell, duplicate = exists an
+    // earlier in-cell item within threshold.
+    "q78_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+        |s AS (
+        |  SELECT id, v, cid,
+        |         round(list_dot_product(v, cv) /
+        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+        |  FROM e, c),
+        |a AS (
+        |  SELECT id, v, cid AS cell, csim AS centroid_sim FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |                                 ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM s) WHERE rn = 1),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+        |                               ORDER BY centroid_sim ASC, id ASC) AS rnk
+        |  FROM a),
+        |d AS (
+        |  SELECT DISTINCT x.id FROM r x JOIN r y
+        |    ON x.cell = y.cell AND y.rnk < x.rnk
+        |  WHERE round(list_dot_product(x.v, y.v) /
+        |              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+        |        >= 0.4)
+        |SELECT r.id AS vec_id, r.cell, r.rnk, r.centroid_sim,
+        |       CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS keep
+        |FROM r LEFT JOIN d ON r.id = d.id""".stripMargin
   )
 }

@@ -156,7 +156,15 @@ object PlanCheck {
     // the evaluator windows and aggregates per query over top-k-sized
     // lists; the BM25 input keeps its broadcast stats joins
     Expectation("q76_ndcg_eval",
-      mustContain = Seq("HashAggregate", "Window", "BroadcastHashJoin")))
+      mustContain = Seq("HashAggregate", "Window", "BroadcastHashJoin")),
+    // SemDeDup: the executed plan is checkpoint-truncated (the q58
+    // situation — assignment + sweep live behind the localCheckpoint),
+    // so the broadcast-codebook and partitioned-window contracts are
+    // asserted in VectorsSpec on the uncheckpointed plan; here, the
+    // visible pair phase must join partitioned BY CELL (sort-merge or
+    // shuffled-hash — never a cross product of the corpus with itself)
+    Expectation("q78_semantic_dedup",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -527,6 +527,71 @@ object Vectors {
       .select($"rnk", $"vec_id", $"relevance", $"mmr_score")
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate PRUNING by centroid clustering + greedy
+    * within-cluster similarity sweep — the embedding-space complement
+    * of MinHash dedup (which only catches lexical overlap).
+    *
+    * Semantics: every vector is assigned to its max-cosine centroid
+    * (ties → smallest centroid id). Within each cell, items are swept
+    * in (centroid_sim ASC, id ASC) order — the paper's keep-LOWEST-
+    * similarity-to-centroid choice, which preferentially keeps the
+    * most diverse member of each duplicate group — and an item is a
+    * DUPLICATE (`keep = 0`) iff some EARLIER item in that order is
+    * within `threshold` cosine of it. No transitive closure: the sweep
+    * is the paper's greedy, so A~B~C with cos(A,C) < τ keeps A and C.
+    *
+    * Scale shape: `centroids` is broadcast (codebook-sized — the
+    * [[kmeansFit]]/kmeans‖ output at production scale; the cross join
+    * is map-side) and the argmax assignment is a `max_by` aggregate,
+    * so partial aggregation collapses the N×k scored rows to N before
+    * the shuffle. The within-cell pair join is SemDeDup's inherent
+    * O(Σ cell²) — bounded by growing the centroid count ∝ N (the
+    * paper runs 50k clusters on LAION), which keeps cells near-constant
+    * size; cells shuffle-partition independently, so one oversized
+    * cell is a skew problem (salt or split by re-clustering), not a
+    * single-task collapse of the whole corpus.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      threshold: Double, checkpointRanked: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = broadcast(centroids
+      .select(col(cidCol).as("cid"), col(cvecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", normCol($"cv")))
+    val v = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", normCol($"v"))
+    // assignment: argmax cosine over the broadcast codebook; max_by's
+    // ordering struct breaks score ties toward the smallest centroid id
+    val assigned = v.crossJoin(c)
+      .withColumn("csim", round6(cosineWithNorms($"v", $"n", $"cv", $"cn")))
+      .groupBy($"id")
+      .agg(max_by(
+        struct($"cid".as("cell"), $"csim".as("centroid_sim"), $"v", $"n"),
+        struct($"csim", expr("-cid"))).as("b"))
+      .select($"id", $"b.cell".as("cell"),
+        $"b.centroid_sim".as("centroid_sim"), $"b.v".as("v"), $"b.n".as("n"))
+    // the paper's sweep order: most-diverse member first
+    val w = Window.partitionBy($"cell").orderBy($"centroid_sim".asc, $"id".asc)
+    val rankedPlan = assigned.withColumn("rnk", row_number().over(w))
+    // pair join reads the ranked frame twice — checkpoint by default so
+    // assignment isn't recomputed per side (false only for plan audits,
+    // which need the pre-checkpoint operators visible)
+    val ranked =
+      if (checkpointRanked) rankedPlan.localCheckpoint(eager = false)
+      else rankedPlan
+    val dups = ranked.as("a").join(ranked.as("b"),
+        $"a.cell" === $"b.cell" && $"b.rnk" < $"a.rnk", "inner")
+      .filter(round6(cosineWithNorms($"a.v", $"a.n", $"b.v", $"b.n")) >= threshold)
+      .select($"a.id".as("id")).distinct()
+    ranked.join(dups.withColumn("dup", lit(1)), Seq("id"), "left")
+      .select($"id", $"cell", $"rnk", $"centroid_sim",
+        when($"dup".isNull, 1).otherwise(0).as("keep"))
+  }
+
   private def round6(c: Column): Column = round(c, 6)
 
   private def normOf(v: Array[Double]): Double = {

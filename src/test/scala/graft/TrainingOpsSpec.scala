@@ -255,6 +255,75 @@ class VectorsSpec extends SparkSpec {
     assert(refined >= 0.5, s"refined recall too low: $refined")
   }
 
+  test("semanticDedup: paper sweep keeps the most-diverse duplicate, " +
+       "cells isolate, greedy is non-transitive") {
+    // centroid c0=(1,0,0), c1=(0,1,0). Cell 0: three near-collinear
+    // vectors a~b~c with cos(a,b)>=τ, cos(b,c)>=τ but cos(a,c)<τ; cell
+    // 1: one lone vector. Sweep order is centroid_sim ASC, so the
+    // FARTHEST-from-centroid member is kept first (the paper's
+    // diversity choice) and the chain prunes greedily, not
+    // transitively.
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f))).toDF("cid", "cv")
+    val vecs = Seq(
+      (10L, Seq(1.00f, 0.00f, 0.0f)),   // csim 1.0     (closest to c0)
+      (11L, Seq(0.95f, 0.3122499f, 0.0f)), // csim ~0.95
+      (12L, Seq(0.81f, 0.5864315f, 0.0f)), // csim ~0.81  (kept first)
+      (20L, Seq(0.1f, 0.99f, 0.0f)))    // cell 1, alone
+      .toDF("vec_id", "embedding")
+    // pairwise: cos(10,11)=.95, cos(11,12)=~.953, cos(10,12)=.81
+    val τ = 0.9
+    val out = Vectors.semanticDedup(vecs, "vec_id", "embedding",
+        centroids, "cid", "cv", threshold = τ)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getInt(4))).toMap
+    // cell 0 sweep order: 12 (rnk 1, keep), 11 (rnk 2, dup of 12),
+    // 10 (rnk 3: cos(10,12)=0.81 < τ, cos(10,11)=0.95 >= τ → dup).
+    assert(out(12L) == ((0L, 1, 1)))
+    assert(out(11L) == ((0L, 2, 0)))
+    assert(out(10L) == ((0L, 3, 0)))
+    assert(out(20L)._1 == 1L && out(20L)._3 == 1)
+  }
+
+  test("semanticDedup sweep compares against ALL earlier items, " +
+       "dropped ones included") {
+    val centroids = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("cid", "cv")
+    // order by csim asc: A first. B dups on A; C is within τ of B only
+    // (cos(a,c) < τ) — SemDeDup's greedy compares each item against
+    // every EARLIER-in-order item regardless of that item's own dup
+    // status, so C still dups on the already-dropped B. Assert the
+    // documented behavior exactly.
+    val a = Seq(0.80f, 0.60f, 0.0f)
+    val b = Seq(0.95f, 0.3122499f, 0.0f)  // cos(a,b) ≈ 0.947
+    val c = Seq(1.00f, 0.00f, 0.0f)       // cos(b,c) = 0.95, cos(a,c) = 0.8
+    val out = Vectors.semanticDedup(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", centroids, "cid", "cv", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0))
+  }
+
+  test("semanticDedup plan: broadcast codebook cross-score, partial " +
+       "argmax aggregate, cell-partitioned sweep window") {
+    // PlanCheck can't see behind the localCheckpoint (the q58
+    // situation), so the scale contracts are pinned here on the
+    // uncheckpointed plan: the codebook side must broadcast (never a
+    // shuffled cross product), the argmax must be an aggregate (so the
+    // N×k scored rows partial-combine to N before the shuffle), and
+    // the sweep window must be partitioned by cell (never global).
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Vectors.semanticDedup(emb, "vec_id", "embedding",
+      emb.filter($"vec_id" < 8), "vec_id", "embedding",
+      threshold = 0.4, checkpointRanked = false)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), "codebook must broadcast")
+    assert(!plan.contains("CartesianProduct"), "no shuffled cross product")
+    assert(plan.contains("max_by"), "argmax must be a (partial) aggregate")
+    assert(plan.contains("windowspecdefinition(cell"),
+      "sweep window must partition by cell")
+  }
+
   test("knnGraph emits exactly k ranked rows per node with no self-edges") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .filter($"vec_id" < 50)
