@@ -466,6 +466,16 @@ object Curation {
       CurationOps.winnowedSpanDedup(docsParallel(s, dir), "doc_id", "text",
           shingleWords = SpanK, winnowRadius = SpanR)
         .orderBy($"doc_id")
+    },
+
+    // ---- CCNet head/middle/tail perplexity buckets: docs ordered by
+    // the q42 surprisal surrogate, split at 1/3 and 2/3 of cumulative
+    // token mass (exact-integer boundary math; two-phase cumsum — no
+    // single-partition window).
+    "q79_perplexity_buckets" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.perplexityBuckets(docsParallel(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
     }
   )
 
@@ -1315,6 +1325,31 @@ object Curation {
         |       CAST(COUNT(*) - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |       COALESCE(array_to_string(list(chunk ORDER BY cid) FILTER (WHERE rn = 1), ' '),
         |                '') AS kept_text
-        |FROM ranked GROUP BY doc_id""".stripMargin)
+        |FROM ranked GROUP BY doc_id""".stripMargin),
+
+    // CCNet buckets: the q42 surprisal CTE chain, then ONE ordered
+    // cumulative token sum (the Spark side's two-phase cumsum reduces
+    // to the same values) and exact-integer third boundaries.
+    "q79_perplexity_buckets" -> (WordsCte +
+      """, t AS (SELECT doc_id, unnest(ws) AS term FROM words),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |freq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+        |s AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(tf * len(bin(total // cnt))) AS DOUBLE) / SUM(tf) AS mean_bits
+        |  FROM tf JOIN freq USING (term), tot
+        |  GROUP BY doc_id),
+        |c AS (
+        |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY mean_bits, doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |            AS cum_tokens
+        |  FROM s),
+        |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s)
+        |SELECT doc_id, n_tokens, mean_bits, cum_tokens,
+        |       CASE WHEN cum_tokens * 3 <= total THEN 'head'
+        |            WHEN cum_tokens * 3 <= total * 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM c, tt""".stripMargin)
   )
 }

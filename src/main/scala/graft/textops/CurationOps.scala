@@ -928,6 +928,56 @@ object CurationOps {
       .withColumn("keep", col("log_ratio") >= 0)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020): documents are ordered by LM score — here the
+    * exact-integer unigram-surprisal surrogate ([[unigramSurprisal]];
+    * a real LM plugs into the same shape — and split into
+    * head / middle / tail at 1/3 and 2/3 of cumulative TOKEN mass, the
+    * paper's per-language split. The head (most fluent third) is what
+    * CCNet-descended pipelines keep or upweight.
+    *
+    * The corpus-wide cumulative token sum is TWO-PHASE, never a
+    * single-partition `Window.orderBy` ([[zipfSlope]]'s pattern):
+    * range-partition on the score order, cumsum within each partition
+    * (partitioned window — parallel), then add per-partition token-mass
+    * offsets computed on the driver (one row per shuffle partition —
+    * control-plane sized) and broadcast back. Boundaries compare in
+    * exact integer arithmetic (`3·cum ≤ total`), so bucket labels are
+    * bit-identical across engines. The partition assignment is pinned
+    * with `localCheckpoint` because the size aggregate and the cumsum
+    * window must see the SAME pids.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scored = unigramSurprisal(df, idCol, textCol)
+    val parted = scored
+      .repartitionByRange(col("mean_bits").asc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val sizes = parted.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.map { case (pid, t) => val off = acc; acc += t; (pid, off) }
+    val total = acc
+    val offs = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val localWin = Window.partitionBy(col("__pid"))
+      .orderBy(col("mean_bits").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("__lc", sum(col("n_tokens")).over(localWin))
+      .join(offs, "__pid")
+      .withColumn("cum_tokens", col("__lc") + col("__off"))
+      .withColumn("bucket",
+        when(col("cum_tokens") * 3 <= lit(total), "head")
+          .when(col("cum_tokens") * 3 <= lit(total) * 2, "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col("n_tokens"), col("mean_bits"),
+        col("cum_tokens"), col("bucket"))
+  }
+
   // ---- corpus frequency-spectrum statistics ------------------------------
 
   /** Zipf fit over the corpus vocabulary: regress ln(frequency) on

@@ -164,7 +164,14 @@ object PlanCheck {
     // visible pair phase must join partitioned BY CELL (sort-merge or
     // shuffled-hash — never a cross product of the corpus with itself)
     Expectation("q78_semantic_dedup",
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // CCNet buckets: the corpus cumsum must be the two-phase form — a
+    // __pid-PARTITIONED window plus a broadcast offset join (q66's
+    // contract); an unpartitioned Window.orderBy would pull the whole
+    // scored corpus through one task
+    Expectation("q79_perplexity_buckets",
+      mustContain = Seq("windowspecdefinition(__pid", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

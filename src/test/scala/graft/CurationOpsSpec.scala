@@ -721,6 +721,40 @@ class CurationOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("perplexityBuckets: thirds cut by cumulative token mass in " +
+       "surprisal order, boundaries exact") {
+    // six docs of 2 tokens each (12 total; thirds at 4 and 8), with
+    // vocab frequencies arranged so the surprisal order is by doc_id:
+    // doc 1-2 share the commonest words, 5-6 the rarest
+    val d = docs(
+      1L -> "a a", 2L -> "a b", 3L -> "b c",
+      4L -> "c d", 5L -> "d e", 6L -> "e f")
+    val out = CurationOps.perplexityBuckets(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cum_tokens"), r.getAs[String]("bucket")))).toMap
+    // cum masses 2,4,6,8,10,12: head = cum*3 <= 12 (docs 1,2),
+    // middle = cum*3 <= 24 (docs 3,4), tail = rest
+    val expectCum = Map(1L -> 2L, 2L -> 4L, 3L -> 6L, 4L -> 8L, 5L -> 10L, 6L -> 12L)
+    assert(out.view.mapValues(_._1).toMap === expectCum)
+    assert(out.view.mapValues(_._2).toMap === Map(
+      1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail"))
+  }
+
+  test("perplexityBuckets cumsum runs through partitioned windows only") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = CurationOps.perplexityBuckets(
+        docs(1L -> "a a b", 2L -> "b c d", 3L -> "d e f"), "doc_id", "text")
+      import org.apache.spark.sql.execution.window.WindowExec
+      val wins = df.queryExecution.executedPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, "expected the cumsum WindowExec in the plan")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned WindowExec in perplexityBuckets plan: $w"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("importanceWeights separates target-like from off-target docs") {
     val corpus = docs(
       1L -> "spark shuffle executor partition",
