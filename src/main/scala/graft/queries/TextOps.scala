@@ -50,6 +50,18 @@ object TextOps {
         .orderBy($"id_a", $"id_b")
     },
 
+    // ---- directional containment pairs: |S_A ∩ S_B| / |S_A| — the
+    // asymmetric detector for small-doc-copied-into-big-doc
+    // duplication that Jaccard's symmetric denominator hides. Hot
+    // shingles (df > cap) are dropped from the join on both engines.
+    "q80_containment_pairs" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.NearDup.containmentPairs(
+        docsParallel(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5, maxPostings = ContainCap)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // ---- MinHash+LSH near-dup pairs with exact verification: the 100 TB
     // scale path (oracled: the seeded hash family is plain integer
     // arithmetic mirrored into DuckDB SQL; recall vs q16 additionally
@@ -192,6 +204,12 @@ object TextOps {
     * words CTE every oracle that tokenizes builds on (shingles here,
     * repetition/TF-IDF in the curation set).
     */
+  /** q80's hot-shingle document-frequency cap — mirrored into the
+    * oracle. 100 of 500 sf0.01 docs: high enough that real duplicate
+    * content joins, low enough that the cap filter is exercised.
+    */
+  private val ContainCap = 100L
+
   private[queries] val WordsCte =
     """WITH words AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
@@ -338,6 +356,26 @@ object TextOps {
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
+
+    // Same distinct-shingle relation as q16; the df cap applies to the
+    // JOIN only (sizes stay uncapped — the lower-bound contract), and
+    // pairs emit in BOTH orientations with A's size as denominator.
+    "q80_containment_pairs" -> (ShinglesCte +
+      s""", sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |capped AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle,
+        |           COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= $ContainCap),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        |  FROM capped a JOIN capped b USING (shingle)
+        |  WHERE a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, sa.n AS size_a, c AS n_common,
+        |       round(CAST(c AS DOUBLE) / sa.n, 6) AS containment
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a
+        |WHERE round(CAST(c AS DOUBLE) / sa.n, 6) >= 0.5""".stripMargin),
 
     "q17_minhash_lsh_pairs" -> minhashOracleSql(bands = 16, rowsPerBand = 4, threshold = 0.5),
 

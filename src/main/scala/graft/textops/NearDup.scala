@@ -83,6 +83,54 @@ object NearDup {
       .select($"id_a", $"id_b", $"jaccard")
   }
 
+  /** Directional CONTAINMENT pairs: `C(A→B) = |S_A ∩ S_B| / |S_A|`,
+    * emitted for BOTH orientations of every colliding pair. The
+    * asymmetric complement of [[jaccardPairs]]: a 100-word boilerplate
+    * notice copied verbatim into a 10k-word page has Jaccard ≈ 0.01 —
+    * invisible to every symmetric detector — but containment 1.0 in
+    * the notice→page direction. Standard curation uses: quoted-inside
+    * duplication, template/boilerplate spread, subset-page collapse
+    * (Broder's containment, the original resemblance companion).
+    *
+    * Hot-shingle cap: shingles occurring in more than `maxPostings`
+    * documents are dropped from the JOIN — each such posting list
+    * would contribute O(maxPostings²) candidate pairs of pure
+    * boilerplate noise (the reason plain shingle self-joins die at
+    * corpus scale). Set sizes stay UNCAPPED, so reported containment
+    * is a lower bound that becomes exact when no shared shingle
+    * exceeds the cap; the gate oracle mirrors the same cap, so both
+    * engines see identical values.
+    *
+    * Scale shape: both document-frequency counting and the pair join
+    * hash on `shingle`, so the join reuses the window's partitioning
+    * (one shuffle of the distinct (doc, shingle) relation, not two).
+    * Pair aggregation shuffles on (id_a, id_b) with map-side combine.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxPostings: Long = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byDoc = Window.partitionBy($"id")
+    val byShingle = Window.partitionBy($"shingle")
+    val sh = df.select(col(idCol).as("id"),
+        explode(shinglesCol(col(textCol), n)).as("shingle"))
+      .distinct()
+      .withColumn("sz", count(lit(1)).over(byDoc))     // uncapped |S_doc|
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter($"df" <= maxPostings)
+      .localCheckpoint(eager = false) // both join sides read it
+    val a = sh.select($"id".as("id_a"), $"shingle", $"sz".as("size_a"))
+    val b = sh.select($"id".as("id_b"), $"shingle")
+    a.join(b, "shingle")
+      .filter($"id_a" =!= $"id_b")
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("n_common"), first($"size_a").as("size_a"))
+      .withColumn("containment",
+        round($"n_common".cast("double") / $"size_a".cast("double"), 6))
+      .filter($"containment" >= threshold)
+      .select($"id_a", $"id_b", $"size_a", $"n_common", $"containment")
+  }
+
   // ---- cross-engine hashing ----------------------------------------------
 
   /** 60-bit shingle hash both engines can compute identically: the first

@@ -171,7 +171,14 @@ object PlanCheck {
     // scored corpus through one task
     Expectation("q79_perplexity_buckets",
       mustContain = Seq("windowspecdefinition(__pid", "BroadcastHashJoin"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // containment: the pair phase must join ON THE SHINGLE KEY with a
+    // map-side-combined pair aggregate — never any flavor of cross
+    // product (the df cap exists precisely to keep the shingle join
+    // bounded)
+    Expectation("q80_containment_pairs",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

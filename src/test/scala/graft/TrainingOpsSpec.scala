@@ -75,6 +75,47 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("containmentPairs: asymmetric denominators catch small-in-big " +
+       "duplication that Jaccard misses") {
+    // doc 11 (a 12-word notice) is copied verbatim into doc 12 (padded
+    // with 24 distinct words): containment(11→12) = 1.0 while Jaccard
+    // stays far below any sane threshold
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val pad = (1 to 24).map(i => s"pad$i").mkString(" ")
+    val d = Seq((11L, small), (12L, s"$small $pad")).toDF("doc_id", "text")
+    val jac = NearDup.jaccardPairs(d, "doc_id", "text", 3, 0.5)
+      .collect()
+    assert(jac.isEmpty, "Jaccard should NOT fire on small-in-big")
+    val out = NearDup.containmentPairs(d, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // 11→12: all 10 of 11's shingles shared -> containment 1.0;
+    // 12→11: 10 of 34 shingles -> ~0.29, below threshold
+    assert(out.keySet == Set((11L, 12L)))
+    assert(out((11L, 12L)) == ((10L, 10L, 1.0)))
+  }
+
+  test("containmentPairs hot-shingle cap drops boilerplate joins but " +
+       "keeps sizes uncapped") {
+    // 4 docs share one boilerplate shingle ("x y z"); with cap = 3 the
+    // shingle's postings (df = 4) are dropped, so no pair forms — but
+    // a genuine pair over distinct content still emits with its FULL
+    // (uncapped) set size in the denominator
+    val d = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"),
+      (3L, "x y z g h i"), (4L, "x y z j k l"),
+      (5L, "p q r s t u"), (6L, "p q r s t u v")).toDF("doc_id", "text")
+    val out = NearDup.containmentPairs(d, "doc_id", "text", 3, 0.5, maxPostings = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(!out.keySet.exists(p => Set(1L, 2L, 3L, 4L).contains(p._1)),
+      s"boilerplate-only pairs must not form: ${out.keySet}")
+    // doc5 has 4 shingles, all shared with doc6 (5 shingles):
+    // 5→6 containment 1.0, 6→5 = 4/5 = 0.8
+    assert(out((5L, 6L)) == ((4L, 4L, 1.0)))
+    assert(out((6L, 5L)) == ((5L, 4L, 0.8)))
+  }
+
   test("recall on real documents table: LSH ≥ 95% of exact pairs at sf0.001") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = NearDup.jaccardPairs(real, "doc_id", "text", 3, 0.5)
