@@ -15,9 +15,13 @@ import graft.textops.{CurationOps, NearDup}
   *  1. quality gate FIRST (cheapest per row, kills the most volume);
   *  2. decontamination next (broadcast probe, no shuffle);
   *  3. near-dup clustering on the survivors (the expensive stage runs
-  *     on the smallest corpus);
-  *  4. token-budget mix LAST so budgets are filled with clean,
-  *     deduplicated documents only.
+  *     on the smallest corpus) — symmetric MinHash pairs PLUS the
+  *     directional containment sweep (small-doc-inside-big-doc copies
+  *     Jaccard can't see) feed one components pass;
+  *  4. CCNet perplexity bucketing on the deduplicated corpus (keep
+  *     head+middle, the paper's default);
+  *  5. token-budget mix LAST so budgets are filled with clean,
+  *     deduplicated, fluent documents only.
   */
 object CurationPipelineDemo {
   def main(args: Array[String]): Unit = {
@@ -55,28 +59,45 @@ object CurationPipelineDemo {
       .persist()
     val nClean = clean.count()
 
-    // 3. near-dup clustering -> drop non-canonical copies
-    val pairs = NearDup.minhashLshPairs(
+    // 3. near-dup clustering -> drop non-canonical copies. Symmetric
+    // MinHash pairs + DIRECTIONAL containment pairs (canonicalized to
+    // undirected edges) feed one components pass, so a notice fully
+    // quoted inside a longer page collapses into the same cluster even
+    // though its Jaccard is negligible.
+    val mhPairs = NearDup.minhashLshPairs(
       clean, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    val cPairs = NearDup.containmentPairs(
+        clean, "doc_id", "text", n = 3, threshold = 0.9, maxPostings = 200)
+      .select(least($"id_a", $"id_b").as("id_a"),
+        greatest($"id_a", $"id_b").as("id_b")).distinct()
+    val pairs = mhPairs.select($"id_a", $"id_b")
+      .union(cPairs).distinct()
     val dropIds = ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
       .filter($"keep" === 0).select($"doc_id")
     val deduped = clean.join(dropIds, Seq("doc_id"), "left_anti").persist()
     val nDeduped = deduped.count()
 
-    // 4. per-language token-budget mix
+    // 4. CCNet bucketing: keep head+middle (the paper's default cut —
+    // the tail third of token mass is the least-fluent text)
+    val buckets = CurationOps.perplexityBuckets(deduped, "doc_id", "text")
+    val fluentIds = buckets.filter($"bucket" =!= "tail").select($"doc_id")
+    val fluent = deduped.join(fluentIds, "doc_id").persist()
+    val nFluent = fluent.count()
+
+    // 5. per-language token-budget mix
     val mixed = CurationOps.tokenBudgetMix(
-      deduped, "doc_id", "lang", "text",
+      fluent, "doc_id", "lang", "text",
       budgets = Map("en" -> 2000L, "de" -> 1000L, "fr" -> 1000L, "es" -> 500L),
       salt = "demo")
 
-    // 5. train a BPE vocabulary on the SURVIVING corpus (tokenizers are
+    // 6. train a BPE vocabulary on the SURVIVING corpus (tokenizers are
     // learned after curation, not before — contaminated/duplicate text
     // would skew the merge statistics) and report the compression the
     // learned vocabulary buys over whitespace tokens.
-    val merges = graft.textops.Bpe.train(deduped, "text", numMerges = 50)
+    val merges = graft.textops.Bpe.train(fluent, "text", numMerges = 50)
     val bpeTok = graft.textops.BpeTokenizer(merges)
     val bpeCountUdf = udf((t: String) => bpeTok.count(t))
-    val tokStats = deduped
+    val tokStats = fluent
       .select(size(graft.textops.TextTokens.wordsCol($"text")).cast("long").as("words"),
         bpeCountUdf($"text").cast("long").as("bpe"),
         length($"text").cast("long").as("chars"))
@@ -86,7 +107,8 @@ object CurationPipelineDemo {
     println(f"corpus:        $total%6d docs")
     println(f"quality gate:  $nQuality%6d kept")
     println(f"decontaminated:$nClean%6d kept (bench = every 10th doc)")
-    println(f"deduplicated:  $nDeduped%6d kept")
+    println(f"deduplicated:  $nDeduped%6d kept (MinHash + containment edges)")
+    println(f"ccnet buckets: $nFluent%6d kept (head+middle token mass)")
     println(s"BPE (50 merges): ${tokStats._3} chars -> ${tokStats._2} tokens " +
       s"(whitespace words: ${tokStats._1})")
     println("mixed corpus by language:")
