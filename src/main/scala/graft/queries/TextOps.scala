@@ -50,6 +50,20 @@ object TextOps {
         .orderBy($"id_a", $"id_b")
     },
 
+    // ---- normalization-robust exact dedup: q11's hash-groupBy over
+    // the dedup KEY (lowercase, digit-fold, punctuation-strip,
+    // whitespace-collapse — Lee et al. 2022's preprocessing), so
+    // trivially-edited duplicates (casing, dates, punctuation) collide
+    // where raw-text hashing misses them.
+    "q81_normalized_dedup" -> { (s, dir) =>
+      import s.implicits._
+      docsParallel(s, dir)
+        .groupBy(graft.textops.TextTokens.dedupKeyCol($"text").as("k"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+        .select($"keep_id", $"dup_count")
+        .orderBy($"keep_id")
+    },
+
     // ---- directional containment pairs: |S_A ∩ S_B| / |S_A| — the
     // asymmetric detector for small-doc-copied-into-big-doc
     // duplication that Jaccard's symmetric denominator hides. Hot
@@ -356,6 +370,19 @@ object TextOps {
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
+
+    // Same regex chain as TextTokens.dedupKeyCol with RE2's 'g' flag
+    // (Spark's regexp_replace is global by default; DuckDB's is not).
+    "q81_normalized_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(regexp_replace(
+        |           lower(text), '[0-9]+', '0', 'g'),
+        |           '[^a-z0-9 \t\n\x0B\f\r]+', ' ', 'g'),
+        |           '[ \t\n\x0B\f\r]+', ' ', 'g')) AS k
+        |  FROM documents)
+        |GROUP BY k""".stripMargin,
 
     // Same distinct-shingle relation as q16; the df cap applies to the
     // JOIN only (sizes stay uncapped — the lower-bound contract), and

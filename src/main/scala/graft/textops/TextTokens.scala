@@ -20,4 +20,30 @@ object TextTokens {
     */
   def words(s: String): IndexedSeq[String] =
     s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toIndexedSeq
+
+  /** Aggressive DEDUP-KEY normalization (the standard MinHash/exact
+    * dedup preprocessing — Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022; RefinedWeb/Dolma apply
+    * the same family): lowercase, fold every digit run to `0`, strip
+    * ASCII punctuation/symbols to spaces, collapse whitespace, trim.
+    * Two documents differing only in casing, punctuation, or numbers
+    * ("v2.1" vs "v3.0" boilerplate, dates in footers) produce the SAME
+    * key, so trivially-edited duplicates collide where raw-text
+    * hashing misses them.
+    *
+    * Pure `regexp_replace` chain: codegen'd, zero shuffles, and
+    * mirrored verbatim in DuckDB. Character classes are EXPLICIT ASCII
+    * (no `\s`, no `\p{L}`): Java regex counts vertical tab in `\s`
+    * while RE2 does not, and Unicode classes differ wholesale — either
+    * would be a silent cross-engine drift. NOT a tokenizer: compose it
+    * BEFORE [[wordsCol]]/shingling via
+    * `withColumn(textCol, dedupKeyCol(col(textCol)))` when a dedup
+    * pass should be edit-robust; analysis operators keep raw text.
+    */
+  def dedupKeyCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "[0-9]+", "0"),
+        "[^a-z0-9 \\t\\n\\x0B\\f\\r]+", " "),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 }

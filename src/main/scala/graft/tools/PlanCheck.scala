@@ -178,7 +178,13 @@ object PlanCheck {
     // bounded)
     Expectation("q80_containment_pairs",
       mustContain = Seq("HashAggregate"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // normalized dedup is ONE map-side-combined hash-groupBy over the
+    // codegen'd regex key — no join, no window, nothing else
+    Expectation("q81_normalized_dedup",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct", "Window")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

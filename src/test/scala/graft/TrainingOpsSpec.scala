@@ -116,6 +116,22 @@ class NearDupSpec extends SparkSpec {
     assert(out((6L, 5L)) == ((5L, 4L, 0.8)))
   }
 
+  test("dedupKeyCol collides casing/digit/punctuation variants, keeps " +
+       "distinct content apart") {
+    import graft.textops.TextTokens
+    val d = Seq(
+      (1L, "Hello, World! v2.1 (2024)"),
+      (2L, "HELLO WORLD v7.3 (1999)"),      // same after normalization
+      (3L, "hello\tworld\n v8.4 [2001]"),   // ws/bracket variant, same key
+      (4L, "goodbye world v2.1 (2024)"))    // different content
+      .toDF("doc_id", "text")
+    val keys = d.select($"doc_id", TextTokens.dedupKeyCol($"text").as("k"))
+      .as[(Long, String)].collect().toMap
+    assert(keys(1L) == "hello world v0 0 0")
+    assert(keys(1L) == keys(2L) && keys(2L) == keys(3L))
+    assert(keys(4L) != keys(1L))
+  }
+
   test("recall on real documents table: LSH ≥ 95% of exact pairs at sf0.001") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = NearDup.jaccardPairs(real, "doc_id", "text", 3, 0.5)
