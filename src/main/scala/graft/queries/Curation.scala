@@ -476,8 +476,22 @@ object Curation {
       import s.implicits._
       CurationOps.perplexityBuckets(docsParallel(s, dir), "doc_id", "text")
         .orderBy($"doc_id")
+    },
+
+    // ---- deterministic training order: seeded md5 permutation +
+    // round-robin shards via the two-phase global rank (no
+    // single-partition window).
+    "q82_train_order" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.trainOrder(docsParallel(s, dir), "doc_id",
+          seed = TrainSeed, shards = TrainShards)
+        .orderBy($"doc_id")
     }
   )
+
+  /** q82's epoch seed and shard fan-out — mirrored into the oracle. */
+  private val TrainSeed = "epoch1"
+  private val TrainShards = 8
 
   /** q43's shard fan-out per language — mirrored into the oracle. */
   private val PackShards = 4
@@ -1350,6 +1364,23 @@ object Curation {
         |       CASE WHEN cum_tokens * 3 <= total THEN 'head'
         |            WHEN cum_tokens * 3 <= total * 2 THEN 'middle'
         |            ELSE 'tail' END AS bucket
-        |FROM c, tt""".stripMargin)
+        |FROM c, tt""".stripMargin),
+
+    // Same md5(seed:id) sort key (lower-hex on both engines, ':' via
+    // concat), one ordered rank (the Spark side's two-phase rank
+    // produces the same values), round-robin shard arithmetic.
+    "q82_train_order" ->
+      s"""WITH k AS (
+        |  SELECT doc_id,
+        |         md5('$TrainSeed' || ':' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS position
+        |  FROM k)
+        |SELECT doc_id, position,
+        |       CAST((position - 1) % $TrainShards AS INT) AS shard,
+        |       CAST((position - 1) // $TrainShards AS BIGINT) AS shard_pos
+        |FROM r""".stripMargin
   )
 }

@@ -928,6 +928,45 @@ object CurationOps {
       .withColumn("keep", col("log_ratio") >= 0)
   }
 
+  /** Deterministic global training order + shard assignment: every row
+    * gets a position in a seeded pseudo-random permutation of the whole
+    * corpus (sort key = `md5(seed:id)` — new seed, new epoch order) and
+    * a round-robin shard, so distributed training readers get (a) a
+    * reproducible shuffle — re-running the job yields byte-identical
+    * shards — and (b) shard sizes balanced within one row without
+    * counting first. The position is a TWO-PHASE global rank
+    * ([[zipfSlope]]'s pattern): range-partition on the key order, rank
+    * within each partition (partitioned window — parallel), add
+    * driver-computed per-partition offsets (one row per shuffle
+    * partition) broadcast back. No stage holds the corpus in one task;
+    * writers then `partitionBy(shard)` and sort by `shard_pos`.
+    */
+  def trainOrder(df: DataFrame, idCol: String, seed: String, shards: Int): DataFrame = {
+    require(shards >= 1, s"shard count must be positive, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(idCol))
+      .withColumn("__k", md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+    val parted = keyed
+      .repartitionByRange(col("__k"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false) // size agg + rank must see same pids
+    val sizes = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.map { case (pid, n) => val off = acc; acc += n; (pid, off) }
+    val offs = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val localWin = Window.partitionBy(col("__pid")).orderBy(col("__k"), col(idCol))
+    parted
+      .withColumn("__lr", row_number().over(localWin))
+      .join(offs, "__pid")
+      .withColumn("position", col("__lr") + col("__off"))
+      .withColumn("shard", ((col("position") - 1) % shards).cast("int"))
+      .withColumn("shard_pos", expr(s"(position - 1) DIV $shards"))
+      .select(col(idCol), col("position"), col("shard"), col("shard_pos"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data",
     * LREC 2020): documents are ordered by LM score — here the

@@ -184,7 +184,13 @@ object PlanCheck {
     Expectation("q81_normalized_dedup",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
-        "CartesianProduct", "Window")))
+        "CartesianProduct", "Window")),
+    // training order: the global rank must be the two-phase form — a
+    // __pid-partitioned window + broadcast offset join (q66/q79's
+    // contract)
+    Expectation("q82_train_order",
+      mustContain = Seq("windowspecdefinition(__pid", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -755,6 +755,41 @@ class CurationOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("trainOrder: positions are a permutation, shards balanced " +
+       "within one, deterministic per seed, reshuffled across seeds") {
+    val d = docs((1L to 20L).map(i => i -> s"doc $i text"): _*)
+    def run(seed: String) = CurationOps.trainOrder(d, "doc_id", seed, shards = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("position"), r.getAs[Int]("shard"),
+          r.getAs[Long]("shard_pos")))).toMap
+    val a = run("epoch1")
+    assert(a.values.map(_._1).toSeq.sorted == (1L to 20L).toSeq)
+    val bySh = a.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySh.values.max - bySh.values.min <= 1, s"unbalanced: $bySh")
+    // shard_pos is dense 0..n-1 within each shard
+    a.values.groupBy(_._2).values.foreach { rs =>
+      assert(rs.map(_._3).toSeq.sorted == (0L until rs.size).toSeq)
+    }
+    assert(run("epoch1") === a, "same seed must reproduce the order")
+    val b = run("epoch2")
+    assert(b.values.map(_._1).toSeq.sorted == (1L to 20L).toSeq)
+    assert((1L to 20L).exists(i => a(i)._1 != b(i)._1), "new seed must reshuffle")
+  }
+
+  test("trainOrder ranks through partitioned windows only") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = CurationOps.trainOrder(
+        docs((1L to 9L).map(i => i -> s"d$i"): _*), "doc_id", "s", 2)
+      import org.apache.spark.sql.execution.window.WindowExec
+      val wins = df.queryExecution.executedPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty)
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned WindowExec in trainOrder plan: $w"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("importanceWeights separates target-like from off-target docs") {
     val corpus = docs(
       1L -> "spark shuffle executor partition",
