@@ -486,6 +486,15 @@ object Curation {
       CurationOps.trainOrder(docsParallel(s, dir), "doc_id",
           seed = TrainSeed, shards = TrainShards)
         .orderBy($"doc_id")
+    },
+
+    // ---- FIM span split: half the docs (hash-selected) cut at two
+    // hash-derived character offsets into prefix/middle/suffix —
+    // infilling-model data prep, pure per-row column math.
+    "q83_fim_split" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.fimSplit(docsParallel(s, dir), "doc_id", "text")
+        .orderBy($"doc_id")
     }
   )
 
@@ -1381,6 +1390,30 @@ object Curation {
         |SELECT doc_id, position,
         |       CAST((position - 1) % $TrainShards AS INT) AS shard,
         |       CAST((position - 1) // $TrainShards AS BIGINT) AS shard_pos
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // Same 60-bit md5 hash (first 15 hex chars as BIGINT — positive, so
+    // % matches Spark's pmod), same salts, same substr arithmetic.
+    "q83_fim_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    CAST(('0x' || substr(md5('fim-a:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % (length(text) + 1) AS a,
+        |    CAST(('0x' || substr(md5('fim-b:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % (length(text) + 1) AS b,
+        |    CAST(('0x' || substr(md5('fim-apply:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 2 AS ap
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN ap = 0 THEN 1 ELSE 0 END AS fim_applied,
+        |       CASE WHEN ap = 0 THEN substr(text, 1, CAST(LEAST(a, b) AS INT))
+        |            ELSE text END AS prefix,
+        |       CASE WHEN ap = 0 THEN substr(text, CAST(LEAST(a, b) AS INT) + 1,
+        |                                    CAST(GREATEST(a, b) - LEAST(a, b) AS INT))
+        |            ELSE '' END AS middle,
+        |       CASE WHEN ap = 0 THEN substr(text, CAST(GREATEST(a, b) AS INT) + 1,
+        |                                    n - CAST(GREATEST(a, b) AS INT))
+        |            ELSE '' END AS suffix
+        |FROM h""".stripMargin
   )
 }

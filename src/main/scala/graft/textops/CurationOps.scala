@@ -928,6 +928,43 @@ object CurationOps {
       .withColumn("keep", col("log_ratio") >= 0)
   }
 
+  /** FIM (fill-in-the-middle) span split for infilling-model data prep
+    * (Bavarian et al., "Efficient Training of Language Models to Fill
+    * in the Middle", 2022): a deterministic fraction of documents
+    * (1 in `applyEvery` — the paper's default FIM rate is 0.5) is cut
+    * at two pseudo-random character offsets into (prefix, middle,
+    * suffix); the trainer then serializes PSM/SPM order with sentinel
+    * tokens downstream. Unselected docs pass through whole.
+    *
+    * Everything derives from the 60-bit cross-engine md5 hash
+    * ([[NearDup.shingleHash60]]) of salted ids — cut points are
+    * `hash mod (len+1)`, selection is `hash mod applyEvery == 0` — so
+    * the same corpus always yields the same splits on any engine or
+    * cluster layout, and the transform is pure per-row column math
+    * (zero shuffles, codegen'd, trivially 100 TB-safe).
+    */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+      salt: String = "fim", applyEvery: Int = 2): DataFrame = {
+    require(applyEvery >= 1, s"applyEvery must be positive, got $applyEvery")
+    def h(tag: String) = NearDup.shingleHash60(
+      concat_ws(":", lit(s"$salt-$tag"), col(idCol).cast("string")))
+    val len = length(col(textCol))
+    val a = pmod(h("a"), (len + 1).cast("long"))
+    val b = pmod(h("b"), (len + 1).cast("long"))
+    val lo = least(a, b).cast("int")
+    val hi = greatest(a, b).cast("int")
+    val applied = pmod(h("apply"), lit(applyEvery.toLong)) === 0
+    df.select(
+      col(idCol),
+      when(applied, 1).otherwise(0).as("fim_applied"),
+      when(applied, col(textCol).substr(lit(1), lo))
+        .otherwise(col(textCol)).as("prefix"),
+      when(applied, col(textCol).substr(lo + 1, hi - lo))
+        .otherwise(lit("")).as("middle"),
+      when(applied, col(textCol).substr(hi + 1, len - hi))
+        .otherwise(lit("")).as("suffix"))
+  }
+
   /** Deterministic global training order + shard assignment: every row
     * gets a position in a seeded pseudo-random permutation of the whole
     * corpus (sort key = `md5(seed:id)` — new seed, new epoch order) and

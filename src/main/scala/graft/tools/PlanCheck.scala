@@ -190,7 +190,12 @@ object PlanCheck {
     // contract)
     Expectation("q82_train_order",
       mustContain = Seq("windowspecdefinition(__pid", "BroadcastHashJoin"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // FIM split is pure per-row column math (q29/q36/q68's contract):
+    // any aggregate, join, or window means something crept in
+    Expectation("q83_fim_split",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -790,6 +790,27 @@ class CurationOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("fimSplit: applied docs reassemble exactly, unapplied pass " +
+       "through, selection is deterministic and near-half") {
+    val d = docs((1L to 40L).map(i =>
+      i -> s"document $i body with some reasonable length of text"): _*)
+    val rows = CurationOps.fimSplit(d, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("fim_applied"),
+        r.getAs[String]("prefix"), r.getAs[String]("middle"), r.getAs[String]("suffix")))
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, applied, p, m, sfx) =>
+      if (applied == 1) assert(p + m + sfx == texts(id), s"doc $id must reassemble")
+      else assert(p == texts(id) && m == "" && sfx == "", s"doc $id must pass through")
+    }
+    val nApplied = rows.count(_._2 == 1)
+    assert(nApplied > 10 && nApplied < 30, s"hash-half selection off: $nApplied/40")
+    // at least one applied doc has a non-trivial three-way split
+    assert(rows.exists(r => r._2 == 1 && r._3.nonEmpty && r._4.nonEmpty && r._5.nonEmpty))
+    val again = CurationOps.fimSplit(d, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("middle"))).toMap
+    rows.foreach { case (id, _, _, m, _) => assert(again(id) == m, "must be deterministic") }
+  }
+
   test("importanceWeights separates target-like from off-target docs") {
     val corpus = docs(
       1L -> "spark shuffle executor partition",
