@@ -552,6 +552,10 @@ object Vectors {
     * size; cells shuffle-partition independently, so one oversized
     * cell is a skew problem (salt or split by re-clustering), not a
     * single-task collapse of the whole corpus.
+    *
+    * Centroid ids must be NUMERIC: the assignment tiebreak maximizes
+    * `(csim, -cid)`, and the negation has no string analog (a string
+    * codebook would need a rank column as its id first).
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
