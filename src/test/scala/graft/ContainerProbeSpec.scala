@@ -124,6 +124,32 @@ class ContainerProbeSpec extends AnyFunSuite {
     assert(ContainerProbe.probe(Array.fill[Byte](64)(0x41)).isEmpty)
   }
 
+  test("fuzz: probe never throws on random or bit-flipped payloads") {
+    val rnd = new scala.util.Random(1234)
+    // pure random bytes
+    for (_ <- 0 until 400) {
+      val b = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(b)
+      ContainerProbe.probe(b)
+    }
+    // random bytes behind real magic prefixes — exercises every parser
+    // past its sniff check with garbage bodies
+    val prefixes = Seq(
+      mp4Bytes.take(8), webmBytes.take(4), wavBytes.take(12))
+    for (_ <- 0 until 300; p <- prefixes) {
+      val body = new Array[Byte](rnd.nextInt(128))
+      rnd.nextBytes(body)
+      ContainerProbe.probe((p ++ body).toArray)
+    }
+    // single-bit corruption of valid containers
+    for (fixture <- Seq(mp4Bytes, webmBytes, wavBytes); _ <- 0 until 200) {
+      val c = fixture.clone()
+      val i = rnd.nextInt(c.length)
+      c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+      ContainerProbe.probe(c)
+    }
+  }
+
   test("decode contract: container metadata overrides stub for video/audio") {
     val video = MediaRow(1L, "video", mp4Bytes, "t")
     val audio = MediaRow(2L, "audio", wavBytes, "t")
