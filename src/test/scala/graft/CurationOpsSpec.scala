@@ -776,6 +776,52 @@ class CurationOpsSpec extends SparkSpec {
     assert((1L to 20L).exists(i => a(i)._1 != b(i)._1), "new seed must reshuffle")
   }
 
+  test("trainOrder two-phase rank equals the naive global rank on " +
+       "random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, md5, row_number}
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 50 + rnd.nextInt(100)
+      val d = docs((1L to n).map(i => i -> s"t$trial doc $i"): _*)
+      val twoPhase = CurationOps.trainOrder(d, "doc_id", s"s$trial", 4)
+        .select("doc_id", "position")
+        .as[(Long, Long)].collect().toMap
+      // naive: one unpartitioned window over the same salted key — the
+      // reduction the two-phase form must reproduce bit for bit
+      val naive = d.select(col("doc_id"),
+          md5(concat_ws(":", lit(s"s$trial"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("position",
+          row_number().over(Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+        .select("doc_id", "position")
+        .as[(Long, Long)].collect().toMap
+      assert(twoPhase === naive, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("perplexityBuckets two-phase cumsum equals the naive global " +
+       "cumsum on random corpora") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, sum}
+    val rnd = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "rare1", "rare2")
+    for (trial <- 0 until 2) {
+      val n = 30 + rnd.nextInt(40)
+      val d = docs((1L to n).map(i =>
+        i -> Seq.fill(2 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")): _*)
+      val twoPhase = CurationOps.perplexityBuckets(d, "doc_id", "text")
+        .select("doc_id", "cum_tokens")
+        .as[(Long, Long)].collect().toMap
+      val naive = CurationOps.unigramSurprisal(d, "doc_id", "text")
+        .withColumn("cum_tokens",
+          sum(col("n_tokens")).over(Window.orderBy(col("mean_bits"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("doc_id", "cum_tokens")
+        .as[(Long, Long)].collect().toMap
+      assert(twoPhase === naive, s"trial $trial (n=$n)")
+    }
+  }
+
   test("trainOrder ranks through partitioned windows only") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
