@@ -1,6 +1,6 @@
 package graft.vectors
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -178,6 +178,148 @@ object Vectors {
       }
     }
     centroids
+  }
+
+  /** DISTRIBUTED codebook fit: kmeans‖ initialization (Bahmani et al.,
+    * "Scalable K-Means++", VLDB 2012) + distributed Lloyd refinement —
+    * the scale upgrade of [[kmeansFit]]'s bounded 10k driver sample.
+    * When the corpus is 100 TB the sample no longer represents the
+    * distribution; this fit sees EVERY row while keeping driver state
+    * control-plane sized (the candidate set, ≈ `oversample · rounds`
+    * vectors).
+    *
+    * Per round: broadcast the candidate set, compute every row's d² to
+    * its nearest candidate (map-side; one aggregate for the total
+    * cost), then admit rows whose salted-md5 uniform falls under
+    * `oversample · d² / totalCost` — the kmeans‖ oversampling draw,
+    * made DETERMINISTIC and partitioning-independent by hashing
+    * (seed, round, id) instead of consuming an RNG stream. Collected
+    * admissions per round are ≈ `oversample` rows (expectation).
+    * After the rounds, every candidate is weighted by the number of
+    * rows nearest to it (one distributed pass) and the final k centers
+    * come from weighted Lloyd on the candidate set — driver-side, but
+    * over ≤ `1 + oversample · rounds` rows, never the corpus.
+    *
+    * Output feeds [[semanticDedup]] (as a `(cid, cv)` frame via
+    * [[centroidsDF]]) and [[ivfTopK]]-shaped cell assignment.
+    *
+    * Determinism note: admissions and candidate ORDER are pinned (the
+    * draw hashes (seed, round, id); collected admissions sort by id
+    * before appending — collect order follows partition order, and
+    * candidate order feeds the Lloyd init). The one float caveat: the
+    * per-round total cost is a distributed double sum, so a row whose
+    * uniform lands within an ulp of its admission threshold could
+    * flip across partitionings — measure-zero in practice, and spec'd
+    * exact across a repartition on real data.
+    */
+  def kmeansParallelFit(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int = 5, oversample: Double = 0, seed: Int = 42,
+      lloydIters: Int = 10): Array[Array[Double]] = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val l = if (oversample > 0) oversample else 2.0 * k // paper default ~2k
+    val data = df.select(col(idCol).cast("string").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(eager = false) // re-read every round
+    // seed center: the row with the smallest salted hash — deterministic,
+    // partitioning-independent, and not biased toward low ids
+    val first = data
+      .withColumn("h", md5(concat_ws(":", lit(s"km$seed-seed"), $"id")))
+      .orderBy($"h", $"id").limit(1)
+      .select($"v").as[Seq[Double]].head().toArray
+    var candidates = Vector(first)
+    for (round <- 1 to rounds) {
+      val bc = spark.sparkContext.broadcast(candidates.toArray.map(_.clone()))
+      val d2 = udf((v: Seq[Double]) => {
+        val vd = v.toArray
+        var best = Double.MaxValue
+        val cs = bc.value
+        var i = 0
+        while (i < cs.length) {
+          var d = 0.0; var j = 0
+          while (j < vd.length) { val x = vd(j) - cs(i)(j); d += x * x; j += 1 }
+          if (d < best) best = d
+          i += 1
+        }
+        best
+      })
+      val costed = data.withColumn("d2", d2($"v"))
+      val total = costed.agg(sum($"d2")).as[Double].head()
+      if (total <= 0) {
+        bc.destroy()
+        // all rows coincide with a candidate — nothing left to cover
+        return finishKmeans(data, candidates, k, seed, lloydIters)
+      }
+      // u(id, round) < l * d2 / total  — the kmeans|| admission draw.
+      // uniform from the first 15 md5 hex chars (60 bits).
+      val u = conv(substring(md5(concat_ws(":",
+          lit(s"km$seed-r$round"), $"id")), 1, 15), 16, 10)
+        .cast("double") / lit((1L << 60).toDouble)
+      // collect WITH ids and sort: the admitted SET is deterministic,
+      // but collect order follows partition order — and candidate
+      // order feeds the weighted-Lloyd init, so it must be pinned too
+      val admitted = costed
+        .filter(u < lit(l) * $"d2" / lit(total))
+        .select($"id", $"v").as[(String, Seq[Double])].collect()
+        .sortBy(_._1)
+      candidates = candidates ++ admitted.map(_._2.toArray)
+      bc.destroy()
+    }
+    finishKmeans(data, candidates, k, seed, lloydIters)
+  }
+
+  /** Weight candidates by their nearest-assignment counts (one
+    * distributed pass), then weighted Lloyd over the candidate set on
+    * the driver — the kmeans‖ finishing step.
+    */
+  private def finishKmeans(data: DataFrame, candidates: Vector[Array[Double]],
+      k: Int, seed: Int, lloydIters: Int): Array[Array[Double]] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cs = candidates.toArray
+    val bc = spark.sparkContext.broadcast(cs)
+    val nearest = udf((v: Seq[Double]) => nearestIdx(v.toArray, bc.value))
+    val weights = new Array[Long](cs.length)
+    data.select(nearest($"v").as("c")).groupBy($"c").count()
+      .as[(Int, Long)].collect().foreach { case (c, n) => weights(c) = n }
+    bc.destroy()
+    if (cs.length <= k) return cs.map(_.clone()) // fewer candidates than k
+    // weighted Lloyd on the (control-plane-sized) candidate set;
+    // deterministic init: the k heaviest candidates, ties by index
+    val dim = cs.head.length
+    var centers = weights.zipWithIndex.sortBy { case (w, i) => (-w, i) }
+      .take(k).map { case (_, i) => cs(i).clone() }
+    for (_ <- 1 to lloydIters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Double](k)
+      var i = 0
+      while (i < cs.length) {
+        if (weights(i) > 0) {
+          val c = nearestIdx(cs(i), centers)
+          counts(c) += weights(i).toDouble
+          var j = 0
+          while (j < dim) { sums(c)(j) += cs(i)(j) * weights(i); j += 1 }
+        }
+        i += 1
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centers
+  }
+
+  /** The `(cid, cv)` codebook frame [[semanticDedup]] expects, with
+    * ids 0..k-1 in center order.
+    */
+  def centroidsDF(spark: SparkSession, centers: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cid", "cv")
   }
 
   /** Product-quantization ANN top-k (Jégou et al., "Product

@@ -381,6 +381,49 @@ class VectorsSpec extends SparkSpec {
       "sweep window must partition by cell")
   }
 
+  test("kmeansParallelFit recovers separated clusters exactly and is " +
+       "invariant to partitioning") {
+    // 3 well-separated clusters in 4-d, deterministic jitter
+    val pts = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Array(0.0, 0.0, 0.0, 0.0); base(c) = 10.0
+      val j = i / 3
+      (i.toLong, Seq(base(0) + (j % 5) * 0.01f, base(1) + (j % 7) * 0.01f,
+        base(2) + (j % 3) * 0.01f, base(3) + (j % 11) * 0.01f).map(_.toFloat))
+    }
+    val d = pts.toDF("vec_id", "embedding")
+    val centers = Vectors.kmeansParallelFit(d, "vec_id", "embedding", k = 3)
+    assert(centers.length == 3)
+    // every fitted center lives inside exactly one true cluster (its
+    // dominant axis carries ~10, others ~0) and the three centers
+    // cover all three clusters
+    val axes = centers.map(c => c.indexOf(c.max)).toSet
+    assert(axes == Set(0, 1, 2), s"axes covered: $axes")
+    centers.foreach(c => assert(c.max > 9.0 && c.sorted.dropRight(1).forall(_ < 1.0),
+      s"center not inside a cluster: ${c.mkString(",")}"))
+    // deterministic AND partitioning-independent: admission decisions
+    // hash (seed, round, id), never an RNG stream
+    val again = Vectors.kmeansParallelFit(d.repartition(7), "vec_id", "embedding", k = 3)
+    assert(centers.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("kmeansParallelFit codebook drives semanticDedup end to end") {
+    // two tight clusters; duplicates only within cluster 0
+    val d = Seq(
+      (1L, Seq(10.0f, 0.1f, 0f, 0f)), (2L, Seq(10.0f, 0.12f, 0f, 0f)),
+      (3L, Seq(10.0f, 3.5f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 10.0f, 0.1f)), (5L, Seq(0f, 0f, 10.0f, 3.5f)))
+      .toDF("vec_id", "embedding")
+    val centers = Vectors.kmeansParallelFit(d, "vec_id", "embedding", k = 2)
+    val out = Vectors.semanticDedup(d, "vec_id", "embedding",
+        Vectors.centroidsDF(spark, centers), "cid", "cv", threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    // 1 and 2 are near-identical (cos > 0.999): exactly one survives;
+    // everything else is kept
+    assert(out(1L) + out(2L) == 1, s"one of the twins must drop: $out")
+    assert(out(3L) == 1 && out(4L) == 1 && out(5L) == 1)
+  }
+
   test("knnGraph emits exactly k ranked rows per node with no self-edges") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .filter($"vec_id" < 50)
