@@ -91,20 +91,31 @@ object Vectors {
     * cost ≈ corpus/nCentroids × nProbe per query instead of the full
     * corpus. Centroids are fit once (seeded, deterministic) and
     * broadcast; assignment is one pass.
+    *
+    * `fit = "sample"` (default) trains on the bounded 10k driver
+    * sample — cheap, adequate when the sample represents the corpus;
+    * `fit = "parallel"` runs the distributed [[kmeansParallelFit]]
+    * (kmeans‖), which sees every row — the 100 TB codebook path.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int, nProbe: Int, seed: Int = 42): DataFrame = {
+      nCentroids: Int, nProbe: Int, seed: Int = 42,
+      fit: String = "sample"): DataFrame = {
+    require(fit == "sample" || fit == "parallel",
+      s"unknown fit '$fit' (expected sample | parallel)")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // Fit centroids on a driver-side sample: nCentroids is small and
-    // Lloyd's iterations on a bounded sample avoid an MLlib dependency
-    // on the hot path. Deterministic: seeded sample + fixed iterations.
-    // Deterministic sample: order by id before limiting (a bare limit
+    // "sample": fit centroids on a driver-side sample — nCentroids is
+    // small and Lloyd's iterations on a bounded sample avoid an MLlib
+    // dependency on the hot path. Deterministic: seeded sample + fixed
+    // iterations; sample ordered by id before limiting (a bare limit
     // takes whichever partitions answer first and varies across runs).
-    val sample = boundedSample(corpus, idCol, vecCol)
-    val dim = sample.head.length
-    val cs = kmeansFit(sample, nCentroids, seed)
+    val cs =
+      if (fit == "parallel")
+        kmeansParallelFit(corpus.select(col(idCol), col(vecCol)),
+          idCol, vecCol, nCentroids, seed = seed)
+      else kmeansFit(boundedSample(corpus, idCol, vecCol), nCentroids, seed)
+    val dim = cs.head.length
     val assignUdf = udf((v: Seq[Float]) => nearestIdx(v.map(_.toDouble).toArray, cs))
     val probeUdf = udf((v: Seq[Float]) => {
       val vd = v.map(_.toDouble).toArray

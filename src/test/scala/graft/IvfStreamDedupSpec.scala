@@ -35,6 +35,25 @@ class IvfSpec extends SparkSpec {
     assert(again.toSet == ivf.toSet)
   }
 
+  test("ivfTopK with the distributed kmeans|| fit: well-formed and at " +
+       "least sample-fit recall") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val brute = Vectors.bruteTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(fit: String) = Vectors
+      .ivfTopK(emb, queries, "vec_id", "embedding", 3,
+        nCentroids = 8, nProbe = 4, fit = fit)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      .intersect(brute).size.toDouble / brute.size
+    val par = recallOf("parallel")
+    info(f"kmeans|| IVF recall@3 = $par%.2f (probing 4/8 cells)")
+    // the every-row fit must not be materially worse than the 10k
+    // sample fit on data the sample already covers fully
+    assert(par >= recallOf("sample") - 0.15, s"parallel-fit recall $par")
+    assert(par >= 0.5)
+  }
+
   test("ivfTopK with nProbe = nCentroids equals brute force") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
     val queries = emb.filter($"vec_id" < 4)
