@@ -132,6 +132,35 @@ class NearDupSpec extends SparkSpec {
     assert(keys(4L) != keys(1L))
   }
 
+  test("containmentPairs matches a naive in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    for (trial <- 0 until 3) {
+      val docsSeq = (1L to 25L).map { i =>
+        i -> Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val n = 2
+      val cap = 6L
+      val τ = 0.6
+      // naive reference: shingle sets in plain Scala, same cap rule
+      val sets = docsSeq.map { case (id, t) => id -> NearDup.wordShingles(t, n).toSet }.toMap
+      val dfCount = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val capped = sets.view.mapValues(_.filter(sh => dfCount(sh) <= cap)).toMap
+      val expected = (for {
+        (ia, sa) <- capped.toSeq; (ib, sb) <- capped.toSeq if ia != ib
+        inter = (sa intersect sb).size if sets(ia).nonEmpty
+        c = BigDecimal(inter.toDouble / sets(ia).size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if inter > 0 && c >= τ
+      } yield (ia, ib) -> (sets(ia).size.toLong, inter.toLong, c)).toMap
+      val got = NearDup.containmentPairs(
+          docsSeq.toDF("doc_id", "text"), "doc_id", "text", n, τ, maxPostings = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("recall on real documents table: LSH ≥ 95% of exact pairs at sf0.001") {
     val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = NearDup.jaccardPairs(real, "doc_id", "text", 3, 0.5)
@@ -359,6 +388,54 @@ class VectorsSpec extends SparkSpec {
         "vec_id", "embedding", centroids, "cid", "cv", threshold = 0.9)
       .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
     assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0))
+  }
+
+  test("semanticDedup matches a naive in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(123)
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (trial <- 0 until 2) {
+      val dim = 6
+      val vecs = (1L to 30L).map { i =>
+        // clustered-ish: random base direction + noise, so cells and
+        // in-cell duplicates both occur. Values go through Float FIRST
+        // (the storage type) so the naive math sees exactly what Spark
+        // sees after its array<double> cast.
+        val base = rnd.nextInt(3)
+        i -> Array.tabulate(dim)(j =>
+          ((if (j == base * 2) 5.0 else 0.0) + rnd.nextDouble()).toFloat.toDouble)
+      }
+      val τ = 0.95
+      val cents = vecs.take(3).map { case (id, v) => id -> v }
+      // naive: argmax assignment with (csim desc, cid asc) tiebreak
+      val assigned = vecs.map { case (id, v) =>
+        val best = cents.map { case (cid, cv) => (round6(cos(v, cv)), cid) }
+          .maxBy { case (s, cid) => (s, -cid) }
+        (id, v, best._2, best._1)
+      }
+      val expected = assigned.groupBy(_._3).values.flatMap { cell =>
+        val order = cell.sortBy { case (id, _, _, csim) => (csim, id) }
+        order.zipWithIndex.map { case ((id, v, cellId, csim), idx) =>
+          val dup = order.take(idx).exists { case (_, pv, _, _) =>
+            round6(cos(v, pv)) >= τ
+          }
+          id -> ((cellId, idx + 1, csim, if (dup) 0 else 1))
+        }
+      }.toMap
+      val df = vecs.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+        .toDF("vec_id", "embedding")
+      val cdf = cents.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+        .toDF("cid", "cv")
+      val got = Vectors.semanticDedup(df, "vec_id", "embedding", cdf, "cid", "cv", τ)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))).toMap
+      assert(got === expected, s"trial $trial")
+    }
   }
 
   test("semanticDedup plan: broadcast codebook cross-score, partial " +
