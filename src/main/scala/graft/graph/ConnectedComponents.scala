@@ -227,8 +227,11 @@ object ConnectedComponents {
     * representative (`keep = 1`) — the row set a dedup pipeline
     * anti-joins against the corpus to drop redundant copies.
     */
-  def dedupClusters(pairs: DataFrame, idACol: String, idBCol: String): DataFrame =
-    labels(pairs, idACol, idBCol)
+  def dedupClusters(pairs: DataFrame, idACol: String, idBCol: String,
+      algorithm: String = "min-label",
+      localEdgeLimit: Long = 1L << 17): DataFrame =
+    labels(pairs, idACol, idBCol,
+        algorithm = algorithm, localEdgeLimit = localEdgeLimit)
       .select(
         col("node").as("doc_id"),
         col("label").as("cluster_id"),

@@ -495,12 +495,47 @@ object Curation {
       import s.implicits._
       CurationOps.fimSplit(docsParallel(s, dir), "doc_id", "text")
         .orderBy($"doc_id")
+    },
+
+    // ---- q35's clustering through the alternating large-star/
+    // small-star path, FORCED distributed (localEdgeLimit = 0):
+    // O(log² n)-round CC gated against the same transitive-closure
+    // oracle as the min-label path — the two algorithms must agree
+    // exactly.
+    "q84_dedup_clusters_star" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = graft.textops.NearDup.minhashLshPairs(
+        docsParallel(s, dir), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      graft.graph.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b",
+          algorithm = "star", localEdgeLimit = 0)
+        .orderBy($"doc_id")
     }
   )
 
   /** q82's epoch seed and shard fan-out — mirrored into the oracle. */
   private val TrainSeed = "epoch1"
   private val TrainShards = 8
+
+  /** Shared q35/q84 oracle: both the min-label and the star CC paths
+    * must produce the identical cluster labeling.
+    */
+  private lazy val DedupClustersOracle: String =
+    TextOps.minhashPairsCte(bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM mh_pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM mh_pairs
+        |), reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        |)
+        |SELECT s AS doc_id,
+        |       LEAST(s, MIN(d)) AS cluster_id,
+        |       CASE WHEN LEAST(s, MIN(d)) = s THEN 1 ELSE 0 END AS keep
+        |FROM reach GROUP BY s""".stripMargin
 
   /** q43's shard fan-out per language — mirrored into the oracle. */
   private val PackShards = 4
@@ -665,22 +700,13 @@ object Curation {
     // the transitive closure as a recursive CTE (UNION dedup guarantees
     // termination), then label = min reachable id. Fine at oracle scale;
     // the Spark side's label propagation is the form that scales.
-    "q35_dedup_clusters" ->
-      (TextOps.minhashPairsCte(bands = 16, rowsPerBand = 4, threshold = 0.5)
-        .replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, edges AS (
-          |  SELECT id_a AS s, id_b AS d FROM mh_pairs
-          |  UNION
-          |  SELECT id_b, id_a FROM mh_pairs
-          |), reach(s, d) AS (
-          |  SELECT s, d FROM edges
-          |  UNION
-          |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-          |)
-          |SELECT s AS doc_id,
-          |       LEAST(s, MIN(d)) AS cluster_id,
-          |       CASE WHEN LEAST(s, MIN(d)) = s THEN 1 ELSE 0 END AS keep
-          |FROM reach GROUP BY s""".stripMargin),
+    "q35_dedup_clusters" -> DedupClustersOracle,
+
+    // q84 runs the SAME clustering through the alternating
+    // large-star/small-star path (forced distributed): identical
+    // oracle, because the algorithms must agree exactly — the
+    // equivalence spec promoted to a driver-gate guarantee.
+    "q84_dedup_clusters_star" -> DedupClustersOracle,
 
     // Signals computed in a subquery so `keep` can reference them once
     // (bit-identical doubles: every ratio is int/int in one division,

@@ -195,7 +195,12 @@ object PlanCheck {
     // any aggregate, join, or window means something crept in
     Expectation("q83_fim_split",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
-        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")))
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // star-CC gate twin: the per-round phases live behind
+    // localCheckpoints (q58's situation); the visible readout must stay
+    // cross-product-free
+    Expectation("q84_dedup_clusters_star",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
