@@ -1055,7 +1055,7 @@ object Curation {
         |  SELECT doc_id,
         |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
         |         CAST(SUM(bucket % 201 - 100) AS BIGINT) AS raw_score,
-        |         ROUND(SUM(bucket % 201 - 100) / (COUNT(*) * 100.0), 6) AS score
+        |         SUM(bucket % 201 - 100) / (COUNT(*) * 100.0) AS score
         |  FROM b GROUP BY doc_id)
         |SELECT doc_id, n_tokens, raw_score, score, score >= 0 AS keep
         |FROM scored""".stripMargin),

@@ -736,8 +736,14 @@ object CurationOps {
     toks.join(broadcast(weights), "bucket")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("raw_score"))
+      // NO round(): raw_score and n_tokens are exact integers, so the
+      // single IEEE division is bit-identical on any engine — while
+      // round-at-6 is NOT (Spark rounds the exact binary value via
+      // BigDecimal, DuckDB multiplies by 1e6 in floating point first;
+      // they disagree by one ulp on boundary values — caught at sf0.1,
+      // where one of 5000 docs landed on such a boundary)
       .withColumn("score",
-        round(col("raw_score") / (col("n_tokens").cast("double") * 100.0), 6))
+        col("raw_score") / (col("n_tokens").cast("double") * 100.0))
       .withColumn("keep", col("score") >= 0)
   }
 
