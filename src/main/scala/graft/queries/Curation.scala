@@ -497,6 +497,19 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // ---- per-doc contamination fraction vs the q30 benchmark split:
+    // every corpus doc scored (0.0 when clean), exact-integer ratio —
+    // the thresholdable report q30's flag list can't give.
+    "q85_contamination_score" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      CurationOps.contaminationScore(
+          docs.filter($"doc_id" % BenchMod =!= 0),
+          docs.filter($"doc_id" % BenchMod === 0),
+          "doc_id", "text", n = 3)
+        .orderBy($"doc_id")
+    },
+
     // ---- q35's clustering through the alternating large-star/
     // small-star path, FORCED distributed (localEdgeLimit = 0):
     // O(log² n)-round CC gated against the same transitive-closure
@@ -650,6 +663,24 @@ object Curation {
         |       COUNT(DISTINCT c.h) AS n_shared_shingles,
         |       COUNT(DISTINCT b.bench_id) AS n_bench_docs
         |FROM corpus c JOIN bench b ON c.h = b.h
+        |GROUP BY 1""".stripMargin),
+
+    // Same distinct-hash relation as q30; LEFT join keeps clean docs at
+    // n_shared = 0, and the score is an unrounded exact-integer ratio.
+    "q85_contamination_score" -> (TextOps.ShinglesCte +
+      s""", xs AS (
+        |  SELECT DISTINCT doc_id, ${TextOps.HashSql} AS h FROM sh
+        |), bench AS (
+        |  SELECT DISTINCT h FROM xs WHERE doc_id % $BenchMod = 0
+        |), corpus AS (
+        |  SELECT doc_id, h FROM xs WHERE doc_id % $BenchMod <> 0
+        |)
+        |SELECT c.doc_id,
+        |       COUNT(DISTINCT c.h) AS n_shingles,
+        |       COUNT(DISTINCT CASE WHEN b.h IS NOT NULL THEN c.h END) AS n_shared,
+        |       CAST(COUNT(DISTINCT CASE WHEN b.h IS NOT NULL THEN c.h END) AS DOUBLE)
+        |         / COUNT(DISTINCT c.h) AS contamination
+        |FROM corpus c LEFT JOIN bench b ON c.h = b.h
         |GROUP BY 1""".stripMargin),
 
     "q31_tfidf_topk" -> (WordsCte +

@@ -166,6 +166,37 @@ object CurationOps {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Per-document contamination SCORE — the reporting complement of
+    * [[decontaminate]]'s flag list: EVERY corpus document gets
+    * `contamination = |distinct shingle hashes ∩ benchmark| /
+    * |distinct shingle hashes|` (0.0 for clean docs), the number a
+    * curation run publishes ("0.8% of documents carry >5% benchmark
+    * overlap") and thresholds instead of hard-dropping. Same broadcast
+    * shape as [[decontaminate]] — the corpus never shuffles for the
+    * probe; the per-doc aggregates are map-side combined. The ratio is
+    * an UNROUNDED division of exact integers, so it is bit-identical
+    * across engines (a round-at-6 of integer-derived ratios is NOT —
+    * the q65 lesson).
+    */
+  def contaminationScore(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(NearDup.shinglesCol(col(textCol), n)).as("s"))
+      .select(NearDup.shingleHash60(col("s")).as("h")).distinct()
+    corpus
+      .select(col(idCol),
+        explode(NearDup.shinglesCol(col(textCol), n)).as("s"))
+      .select(col(idCol), NearDup.shingleHash60(col("s")).as("h"))
+      .join(broadcast(benchHashes.withColumn("__hit", lit(1))), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("h")).as("n_shingles"),
+        countDistinct(when(col("__hit").isNotNull, col("h"))).as("n_shared"))
+      .withColumn("contamination",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Bloom-filter decontamination pre-pass — [[decontaminate]]'s scale
     * path when the benchmark side outgrows a broadcast hash set. An
     * exact-set broadcast carries 8+ bytes per distinct benchmark

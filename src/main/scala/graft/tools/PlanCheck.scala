@@ -200,7 +200,12 @@ object PlanCheck {
     // localCheckpoints (q58's situation); the visible readout must stay
     // cross-product-free
     Expectation("q84_dedup_clusters_star",
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // the benchmark shingle set must broadcast into the probe (q30's
+    // contract): the corpus side never shuffles for the join
+    Expectation("q85_contamination_score",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -857,6 +857,21 @@ class CurationOpsSpec extends SparkSpec {
     rows.foreach { case (id, _, _, m, _) => assert(again(id) == m, "must be deterministic") }
   }
 
+  test("contaminationScore: exact overlap fractions, clean docs at 0.0") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta", // shares a 4-shingle run
+      2L -> "one two three four five six")          // no overlap
+    val bench = docs(10L -> "alpha beta gamma delta unrelated tail here")
+    val out = CurationOps.contaminationScore(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("contamination")))).toMap
+    // doc 1: shingles {abg, bgd, gde, dez} (4); bench holds {abg, bgd}
+    // -> 2/4 exactly
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(2L) == ((4L, 0L, 0.0)))
+  }
+
   test("importanceWeights separates target-like from off-target docs") {
     val corpus = docs(
       1L -> "spark shuffle executor partition",
