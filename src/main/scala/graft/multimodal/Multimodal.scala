@@ -189,19 +189,24 @@ object Multimodal {
           typ match {
             case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
               walk(off + hdr, off + size, depth + 1)
-            case "mvhd" if durMs.isEmpty =>
+            // field reads are bounded by THIS box's declared end, not the
+            // parent's: a truncated mvhd/tkhd must yield None, never
+            // sibling-box bytes reinterpreted as timescale/duration/dims
+            case "mvhd" if durMs.isEmpty && body < off + size =>
+              val boxEnd = off + size
               val v = b(body) & 0xff
-              if (v == 0 && body + 20 <= end) {
+              if (v == 0 && body + 20 <= boxEnd) {
                 val scale = be32(b, body + 12)
                 if (scale > 0) durMs = Some(be32(b, body + 16) * 1000L / scale)
-              } else if (v == 1 && body + 32 <= end) {
+              } else if (v == 1 && body + 32 <= boxEnd) {
                 val scale = be32(b, body + 20)
                 if (scale > 0) durMs = Some(be64(b, body + 24) * 1000L / scale)
               }
-            case "tkhd" if width.isEmpty =>
+            case "tkhd" if width.isEmpty && body < off + size =>
+              val boxEnd = off + size
               val v = b(body) & 0xff
               val wOff = if (v == 1) body + 88 else body + 76
-              if (wOff + 8 <= end) {
+              if (wOff + 8 <= boxEnd) {
                 val w = (be32(b, wOff) >> 16).toInt     // 16.16 fixed point
                 val h = (be32(b, wOff + 4) >> 16).toInt
                 if (w > 0 && h > 0) { width = Some(w); height = Some(h) }
@@ -340,6 +345,25 @@ object Multimodal {
     }
   }
 
+  /** Sanity ceiling on container-DECLARED durations used to drive row
+    * explosion: a ~76-byte hostile payload can declare ~4e12 ms (WAV
+    * with byteRate=1 and data size 0xFFFFFFFF, or an mvhd with
+    * timescale=1), which would turn one input row into billions of
+    * frame rows. Six hours covers real long-form media; anything above
+    * is treated as an implausible header and falls back to the
+    * deterministic stub duration (≤128.5 s), honoring the probe's own
+    * contract that a scan stage never dies — or explodes — on a
+    * hostile payload.
+    */
+  val DefaultMaxDurationMs: Long = 6L * 3600 * 1000
+
+  /** Decoded duration bounded for stride loops: the probed value when
+    * plausible (0 ≤ d ≤ maxDurationMs), the stub value otherwise.
+    */
+  private def boundedDurationMs(f: MediaFeatures, row: MediaRow, maxDurationMs: Long): Long =
+    if (f.duration_ms >= 0 && f.duration_ms <= maxDurationMs) f.duration_ms
+    else StubDecoder.decode(row).duration_ms
+
   final case class FrameRow(
       media_id: Long,
       frame_index: Int,
@@ -357,8 +381,11 @@ object Multimodal {
     * Non-video rows emit nothing; a task's output is bounded by its
     * input BYTE budget (see [[repartitionBySize]]), not row count.
     */
-  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
+  def sampleFrames(
+      media: Dataset[MediaRow], everyMs: Long,
+      maxDurationMs: Long = DefaultMaxDurationMs): Dataset[FrameRow] = {
     require(everyMs > 0, s"frame stride must be positive, got $everyMs")
+    require(maxDurationMs > 0, s"duration ceiling must be positive, got $maxDurationMs")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -366,9 +393,11 @@ object Multimodal {
       rows.filter(_.kind == "video").flatMap { row =>
         // header-aware: a real MP4/EBML container contributes its REAL
         // duration (bounding the sampled-frame cardinality); payloads
-        // with no parseable container keep the deterministic stub
+        // with no parseable container — or ones declaring an implausible
+        // duration — keep the deterministic stub
         val f = ImageHeaderDecoder.decode(row)
-        (0L to f.duration_ms by everyMs).iterator.zipWithIndex.map { case (ts, i) =>
+        val dur = boundedDurationMs(f, row, maxDurationMs)
+        (0L to dur by everyMs).iterator.zipWithIndex.map { case (ts, i) =>
           // stub frame id: payload digest + timestamp (deterministic)
           sha.reset()
           sha.update(row.bytes)
@@ -436,22 +465,27 @@ object Multimodal {
     * duration (last window may be short). Same bounded-explosion
     * plumbing; non-audio rows emit nothing.
     */
-  def segmentAudio(media: Dataset[MediaRow], windowMs: Long): Dataset[AudioSegment] = {
+  def segmentAudio(
+      media: Dataset[MediaRow], windowMs: Long,
+      maxDurationMs: Long = DefaultMaxDurationMs): Dataset[AudioSegment] = {
     require(windowMs > 0, s"window must be positive, got $windowMs")
+    require(maxDurationMs > 0, s"duration ceiling must be positive, got $maxDurationMs")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       val sha = java.security.MessageDigest.getInstance("SHA-256")
       rows.filter(_.kind == "audio").flatMap { row =>
         // header-aware, like sampleFrames: WAV/EBML duration when the
-        // container parses, deterministic stub otherwise
+        // container parses AND declares a plausible length,
+        // deterministic stub otherwise
         val f = ImageHeaderDecoder.decode(row)
-        (0L until f.duration_ms by windowMs).iterator.zipWithIndex.map { case (start, i) =>
+        val dur = boundedDurationMs(f, row, maxDurationMs)
+        (0L until dur by windowMs).iterator.zipWithIndex.map { case (start, i) =>
           sha.reset()
           sha.update(row.bytes)
           sha.update(java.nio.ByteBuffer.allocate(8).putLong(start).array())
           AudioSegment(row.media_id, i, start,
-            math.min(start + windowMs, f.duration_ms),
+            math.min(start + windowMs, dur),
             sha.digest().map("%02x".format(_)).mkString)
         }
       }

@@ -400,9 +400,9 @@ object TextOps {
         |  WHERE a.doc_id <> b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, sa.n AS size_a, c AS n_common,
-        |       round(CAST(c AS DOUBLE) / sa.n, 6) AS containment
+        |       CAST(c AS DOUBLE) / sa.n AS containment
         |FROM common JOIN sizes sa ON sa.doc_id = id_a
-        |WHERE round(CAST(c AS DOUBLE) / sa.n, 6) >= 0.5""".stripMargin),
+        |WHERE CAST(c AS DOUBLE) / sa.n >= 0.5""".stripMargin),
 
     "q17_minhash_lsh_pairs" -> minhashOracleSql(bands = 16, rowsPerBand = 4, threshold = 0.5),
 

@@ -623,6 +623,86 @@ object CurationOps {
             s => s.getField("chunk"))).as("kept_text"))
   }
 
+  // ---- exact duplicated-span removal (suffix-array-grade) -----------------
+
+  /** EXACT duplicated-span removal at a fixed word threshold — the
+    * guarantee [[winnowedSpanDedup]] approximates (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 — the ExactSubstr component, there built on a corpus suffix
+    * array): EVERY word span of length ≥ `minSpanWords` that occurs
+    * more than once in the corpus is found and all but its first
+    * occurrence removed. Winnowing only catches spans that share a
+    * SELECTED fingerprint chunk — a duplicated span whose chunk
+    * boundaries differ between the two copies (different surrounding
+    * context → different local minima) slips through; this operator
+    * cannot miss, because it hashes every position.
+    *
+    * The suffix-array property re-expressed relationally: a span of
+    * length L ≥ T duplicated anywhere has ALL of its L−T+1 width-T
+    * sub-shingles duplicated, and conversely a width-T shingle
+    * occurring twice IS a duplicated span of length ≥ T. So (1) hash
+    * the width-T shingle at every word position, (2) first occurrence
+    * per hash = global `min(struct(doc_id, j))`, (3) a position is
+    * REMOVED iff one of the ≤ T shingles covering it is a NON-first
+    * occurrence of a duplicated hash, (4) rebuild each document from
+    * its kept positions. First copies keep all their words; later
+    * copies lose exactly the duplicated span (plus nothing else —
+    * precision: every removed word sits inside an exactly-duplicated
+    * width-T run). Documented divergence from the suffix-array
+    * formulation: a SELF-overlapping periodic repeat ("x x x x x", T=2)
+    * keeps only the first word, not the first full period — the
+    * first-occurrence rule is per-shingle, not per-maximal-span.
+    *
+    * Scale shape: the shingle relation is one row per corpus word
+    * (LINEAR — the price of exactness; the suffix array is the same
+    * asymptotics). First-occurrence is the [[segmentDedup]]
+    * map-side-combinable `min(struct)` (a boilerplate shingle repeated
+    * 10^6 times combines to one row per map task before the shuffle);
+    * the flag join is an equi-join on the hash (AQE skew-join for hot
+    * boilerplate); coverage is a doc-partitioned running `max` window
+    * (row frame of T−1 — a task holds one document's words); rebuild
+    * is one per-document aggregate.
+    */
+  def exactSpanDedup(
+      df: DataFrame, idCol: String, textCol: String, minSpanWords: Int): DataFrame = {
+    require(minSpanWords > 1, s"minSpanWords must exceed 1, got $minSpanWords")
+    val t = minSpanWords
+    val ws = col("__ws")
+    val perWord = df
+      .select(col(idCol), wordsCol(col(textCol)).as("__ws"))
+      .where(size(ws) > 0)
+      .select(col(idCol), posexplode(
+          transform(sequence(lit(0), size(ws) - 1), j =>
+            struct(
+              element_at(ws, (j + 1).cast("int")).as("word"),
+              when(j <= size(ws) - t,
+                md5(concat_ws(" ", slice(ws, (j + 1).cast("int"), lit(t))))).as("h"))))
+        .as(Seq("j", "__wh")))
+      .select(col(idCol), col("j"),
+        col("__wh.word").as("word"), col("__wh.h").as("__h"))
+    val firsts = perWord.where(col("__h").isNotNull)
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol).as("fid"), col("j").as("fj"))).as("__first"))
+    // left join: tail positions (null hash) carry no shingle and can
+    // only be removed by an earlier covering shingle
+    val flagged = perWord.join(firsts, Seq("__h"), "left")
+      .withColumn("__dup",
+        (col("__h").isNotNull &&
+          !(col(idCol) === col("__first.fid") && col("j") === col("__first.fj")))
+          .cast("int"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("j"))
+    val covered = flagged.withColumn("__rm",
+      max(col("__dup")).over(byDoc.rowsBetween(-(t - 1), 0)))
+    covered.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__rm").cast("long")).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("__rm") === 0, struct(col("j"), col("word"))))),
+            s => s.getField("word"))).as("kept_text"))
+  }
+
   // ---- unigram surprisal scoring -----------------------------------------
 
   /** Per-document mean unigram surprisal in whole bits: each token
@@ -883,9 +963,13 @@ object CurationOps {
       df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, idACol: String, idBCol: String,
       broadcastLabelLimit: Long = 1L << 20): DataFrame = {
+    // checkpointed BEFORE the size gate: the count action and the join
+    // both read materialized blocks, so the component solve runs once
+    // instead of once per consumer
     val labelFrame = graft.graph.ConnectedComponents
       .dedupClusters(pairs, idACol, idBCol)
       .select(col("doc_id").as(idCol), col("cluster_id"))
+      .localCheckpoint(eager = false)
     val clusters =
       if (labelFrame.count() <= broadcastLabelLimit) broadcast(labelFrame)
       else labelFrame

@@ -125,8 +125,13 @@ object NearDup {
       .filter($"id_a" =!= $"id_b")
       .groupBy($"id_a", $"id_b")
       .agg(count(lit(1)).as("n_common"), first($"size_a").as("size_a"))
+      // UNROUNDED int/int division: a single IEEE division of exact
+      // integers is bit-identical across engines, while rounding at 6
+      // digits disagrees by one ulp on boundary values (Spark rounds via
+      // BigDecimal on the exact binary value; DuckDB multiplies by 1e6 in
+      // floating point) — the q65/unigramSurprisal lesson
       .withColumn("containment",
-        round($"n_common".cast("double") / $"size_a".cast("double"), 6))
+        $"n_common".cast("double") / $"size_a".cast("double"))
       .filter($"containment" >= threshold)
       .select($"id_a", $"id_b", $"size_a", $"n_common", $"containment")
   }

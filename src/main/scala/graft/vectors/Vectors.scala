@@ -296,7 +296,25 @@ object Vectors {
     data.select(nearest($"v").as("c")).groupBy($"c").count()
       .as[(Int, Long)].collect().foreach { case (c, n) => weights(c) = n }
     bc.destroy()
-    if (cs.length <= k) return cs.map(_.clone()) // fewer candidates than k
+    // fewer candidates than k (small corpora, tiny oversample, or the
+    // total<=0 early exit): PAD with distinct data vectors so callers
+    // get the codebook size they asked for — a silently smaller
+    // codebook changes ivfTopK's nProbe/nCentroids pruning semantics.
+    // Padding is deterministic (distinct vectors keyed by min id,
+    // ordered by salted hash) and bounded (≤ k rows collected); if the
+    // corpus has fewer than k DISTINCT vectors, k centers don't exist
+    // and the distinct set is returned as-is.
+    if (cs.length <= k) {
+      // the admission draws can admit byte-identical rows in different
+      // rounds — dedupe (first occurrence) so the returned codebook
+      // never carries duplicate centers, then pad back up to k
+      val seen = scala.collection.mutable.Set[Seq[Double]]()
+      val distinctCs = candidates.filter(c => seen.add(c.toSeq))
+      val padded =
+        if (distinctCs.length < k) padWithDistinctRows(data, distinctCs, k)
+        else distinctCs.toArray
+      return padded.map(_.clone())
+    }
     // weighted Lloyd on the (control-plane-sized) candidate set;
     // deterministic init: the k heaviest candidates, ties by index
     val dim = cs.head.length
@@ -321,6 +339,33 @@ object Vectors {
       }
     }
     centers
+  }
+
+  /** Deterministic codebook padding for [[finishKmeans]]: distinct data
+    * vectors (keyed by their min id so "which row represents this
+    * vector" is pinned), ordered by a salted hash of that id, skipping
+    * vectors already in the candidate set, until the codebook reaches
+    * `k` or the distinct vectors run out. One bounded collect (≤ k
+    * rows after the limit).
+    */
+  private def padWithDistinctRows(data: DataFrame,
+      candidates: Vector[Array[Double]], k: Int): Array[Array[Double]] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val existing = scala.collection.mutable.Set[Seq[Double]](
+      candidates.map(_.toSeq): _*)
+    val extras = data.groupBy($"v").agg(min($"id").as("id"))
+      .withColumn("h", md5(concat_ws(":", lit("km-pad"), $"id")))
+      .orderBy($"h", $"id").limit(k + candidates.length)
+      .select($"v").as[Seq[Double]].collect()
+    val out = scala.collection.mutable.ArrayBuffer[Array[Double]](
+      candidates.map(_.clone()): _*)
+    val it = extras.iterator
+    while (out.length < k && it.hasNext) {
+      val v = it.next()
+      if (existing.add(v)) out += v.toArray
+    }
+    out.toArray
   }
 
   /** The `(cid, cv)` codebook frame [[semanticDedup]] expects, with
@@ -702,46 +747,90 @@ object Vectors {
     * the shuffle. The within-cell pair join is SemDeDup's inherent
     * O(Σ cell²) — bounded by growing the centroid count ∝ N (the
     * paper runs 50k clusters on LAION), which keeps cells near-constant
-    * size; cells shuffle-partition independently, so one oversized
-    * cell is a skew problem (salt or split by re-clustering), not a
-    * single-task collapse of the whole corpus.
+    * size; cells shuffle-partition independently. The remaining hazard —
+    * an adversarial codebook where ONE centroid attracts a constant
+    * fraction of the corpus, degenerating its pair join to O(N²) in a
+    * single partition group — is mitigated by `maxCellSize`: a cell of
+    * n rows with n > maxCellSize is split into ⌈n/maxCellSize⌉
+    * sub-cells by a deterministic md5 hash of the id, and the greedy
+    * sweep + pair join run WITHIN each sub-cell (the sweep order is
+    * preserved inside every sub-cell; cross-sub-cell pairs are not
+    * compared — the same bounded-comparison trade as re-clustering an
+    * oversized cell with a sub-codebook, with zero extra passes). Cell
+    * sizes come from a codebook-sized aggregate broadcast back onto the
+    * assignment, so unsplit corpora pay one tiny map-side join and
+    * produce bit-identical output to the unmitigated operator.
     *
-    * Centroid ids must be NUMERIC: the assignment tiebreak maximizes
-    * `(csim, -cid)`, and the negation has no string analog (a string
-    * codebook would need a rank column as its id first).
+    * Centroid ids may be any orderable type. Numeric ids feed the
+    * assignment tiebreak (`max_by` of `(csim, -cid)`) directly; other
+    * types (string codebooks) get an internal rank in natural ascending
+    * order, built driver-side over the codebook — bounded, the same
+    * control-plane trade as the broadcast itself. Either way the
+    * emitted `cell` is the ORIGINAL centroid id.
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
-      threshold: Double, checkpointRanked: Boolean = true): DataFrame = {
+      threshold: Double, checkpointRanked: Boolean = true,
+      maxCellSize: Long = 4096): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be positive, got $maxCellSize")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = broadcast(centroids
+    val cBase = centroids
       .select(col(cidCol).as("cid"), col(cvecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", normCol($"cv")))
+    // "prefer the smallest centroid id on score ties" needs an orderable
+    // key to MAXIMIZE: numeric ids negate; other id types rank
+    val numericCid = centroids.schema(cidCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val cOrd =
+      if (numericCid) cBase.withColumn("cord", expr("-cid"))
+      else {
+        val ids = cBase.select($"cid".cast("string")).distinct()
+          .as[String].collect().sorted
+        val ranks = ids.zipWithIndex
+          .map { case (s, i) => (s, -i.toDouble) }.toSeq
+          .toDF("__cid_str", "cord")
+        cBase.join(broadcast(ranks), $"cid".cast("string") === $"__cid_str")
+          .drop("__cid_str")
+      }
+    val c = broadcast(cOrd.withColumn("cn", normCol($"cv")))
     val v = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", normCol($"v"))
     // assignment: argmax cosine over the broadcast codebook; max_by's
     // ordering struct breaks score ties toward the smallest centroid id
-    val assigned = v.crossJoin(c)
+    val assignedPlan = v.crossJoin(c)
       .withColumn("csim", round6(cosineWithNorms($"v", $"n", $"cv", $"cn")))
       .groupBy($"id")
       .agg(max_by(
         struct($"cid".as("cell"), $"csim".as("centroid_sim"), $"v", $"n"),
-        struct($"csim", expr("-cid"))).as("b"))
+        struct($"csim", $"cord")).as("b"))
       .select($"id", $"b.cell".as("cell"),
         $"b.centroid_sim".as("centroid_sim"), $"b.v".as("v"), $"b.n".as("n"))
+    // two consumers (the cell-size aggregate and the sweep) — checkpoint
+    // so the N×k assignment isn't recomputed per reader (false only for
+    // plan audits, which need the pre-checkpoint operators visible)
+    val assigned =
+      if (checkpointRanked) assignedPlan.localCheckpoint(eager = false)
+      else assignedPlan
+    // oversized-cell split: cell sizes are a codebook-sized aggregate,
+    // broadcast back; sub-cell = md5(id) mod ⌈n/maxCellSize⌉
+    val cellSizes = assigned.groupBy($"cell").agg(count(lit(1)).as("__cell_n"))
+    val subbed = assigned.join(broadcast(cellSizes), Seq("cell"))
+      .withColumn("__n_sub",
+        greatest(lit(1L), ceil($"__cell_n" / lit(maxCellSize.toDouble)).cast("long")))
+      .withColumn("sub", when($"__n_sub" <= 1, lit(0L)).otherwise(
+        pmod(conv(substring(md5(concat_ws(":", lit("semsub"), $"id".cast("string"))),
+          1, 15), 16, 10).cast("long"), $"__n_sub")))
+      .drop("__cell_n", "__n_sub")
     // the paper's sweep order: most-diverse member first
-    val w = Window.partitionBy($"cell").orderBy($"centroid_sim".asc, $"id".asc)
-    val rankedPlan = assigned.withColumn("rnk", row_number().over(w))
-    // pair join reads the ranked frame twice — checkpoint by default so
-    // assignment isn't recomputed per side (false only for plan audits,
-    // which need the pre-checkpoint operators visible)
+    val w = Window.partitionBy($"cell", $"sub").orderBy($"centroid_sim".asc, $"id".asc)
+    val rankedPlan = subbed.withColumn("rnk", row_number().over(w))
+    // pair join reads the ranked frame twice
     val ranked =
       if (checkpointRanked) rankedPlan.localCheckpoint(eager = false)
       else rankedPlan
     val dups = ranked.as("a").join(ranked.as("b"),
-        $"a.cell" === $"b.cell" && $"b.rnk" < $"a.rnk", "inner")
+        $"a.cell" === $"b.cell" && $"a.sub" === $"b.sub" && $"b.rnk" < $"a.rnk", "inner")
       .filter(round6(cosineWithNorms($"a.v", $"a.n", $"b.v", $"b.n")) >= threshold)
       .select($"a.id".as("id")).distinct()
     ranked.join(dups.withColumn("dup", lit(1)), Seq("id"), "left")

@@ -174,4 +174,68 @@ class ContainerProbeSpec extends AnyFunSuite {
     // 2000 ms at 500 ms stride -> ts 0,500,1000,1500,2000
     assert(frames.map(_.ts_ms).sorted.toSeq == Seq(0L, 500L, 1000L, 1500L, 2000L))
   }
+
+  // ---- hostile declared durations must not explode row counts --------
+
+  // ~60-byte WAV declaring byteRate=1 and data size 0xFFFFFFFF:
+  // probed duration ~4.29e12 ms. Without the sanity ceiling one such
+  // row yields billions of stride rows, each SHA-256-hashing the payload.
+  private val hostileWav: Array[Byte] = {
+    val fmt = le16(1) ++ le16(1) ++ le32(8000) ++ le32(1) ++ le16(2) ++ le16(16)
+    "RIFF".getBytes ++ le32(0xffffffffL) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(fmt.length.toLong) ++ fmt ++
+      "data".getBytes ++ le32(0xffffffffL)
+  }
+
+  // mvhd declaring timescale=1, duration=0xFFFFFFFF ticks -> ~4.29e12 ms
+  private val hostileMp4: Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0))
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1) ++ be32(0xffffffffL) ++ Array.fill[Byte](80)(0))
+    ftyp ++ box("moov", mvhd)
+  }
+
+  test("implausible declared durations fall back to the stub before stride loops") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    assert(ContainerProbe.probe(hostileWav).flatMap(_.durationMs)
+      .exists(_ > Multimodal.DefaultMaxDurationMs)) // the probe DOES see the huge claim
+    assert(ContainerProbe.probe(hostileMp4).flatMap(_.durationMs)
+      .exists(_ > Multimodal.DefaultMaxDurationMs))
+
+    val audioRow = MediaRow(1L, "audio", hostileWav, "t")
+    val stubAudioDur = StubDecoder.decode(audioRow).duration_ms
+    val segs = Multimodal.segmentAudio(
+      spark.createDataset(Seq(audioRow)), windowMs = 700L).collect()
+    assert(segs.nonEmpty && segs.length == ((stubAudioDur + 699) / 700).toInt)
+    assert(segs.map(_.end_ms).max == stubAudioDur)
+
+    val videoRow = MediaRow(2L, "video", hostileMp4, "t")
+    val stubVideoDur = StubDecoder.decode(videoRow).duration_ms
+    val frames = Multimodal.sampleFrames(
+      spark.createDataset(Seq(videoRow)), everyMs = 500L).collect()
+    assert(frames.nonEmpty && frames.length == (stubVideoDur / 500 + 1).toInt)
+
+    // a PLAUSIBLE real duration is still honored (no over-clamping)
+    val ok = Multimodal.sampleFrames(
+      spark.createDataset(Seq(MediaRow(3L, "video", mp4Bytes, "t"))), everyMs = 500L).collect()
+    assert(ok.map(_.ts_ms).max == 2000L)
+  }
+
+  test("truncated mvhd/tkhd yield None instead of sibling-box bytes") {
+    // moov( mvhd[declared body = 4 bytes] , free[garbage] ): the walker
+    // must bound field reads by the mvhd box's OWN end — previously the
+    // free box's bytes were readable as timescale/duration
+    val shortMvhd = box("mvhd", Array[Byte](0, 0, 0, 0)) // v0, body ends after flags
+    val garbage = box("free", Array.fill[Byte](40)(0x5a))
+    val truncated = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
+      box("moov", shortMvhd ++ garbage)
+    assert(ContainerProbe.probe(truncated).flatMap(_.durationMs).isEmpty)
+
+    val shortTkhd = box("tkhd", Array[Byte](0, 0, 0, 0))
+    val truncated2 = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
+      box("moov", box("trak", shortTkhd ++ garbage))
+    assert(ContainerProbe.probe(truncated2).flatMap(_.width).isEmpty)
+  }
 }

@@ -149,8 +149,9 @@ class NearDupSpec extends SparkSpec {
       val expected = (for {
         (ia, sa) <- capped.toSeq; (ib, sb) <- capped.toSeq if ia != ib
         inter = (sa intersect sb).size if sets(ia).nonEmpty
-        c = BigDecimal(inter.toDouble / sets(ia).size)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // UNROUNDED int/int division, mirroring the operator (one IEEE
+        // division of exact integers is bit-identical across engines)
+        c = inter.toDouble / sets(ia).size
         if inter > 0 && c >= τ
       } yield (ia, ib) -> (sets(ia).size.toLong, inter.toLong, c)).toMap
       val got = NearDup.containmentPairs(
@@ -456,6 +457,136 @@ class VectorsSpec extends SparkSpec {
     assert(plan.contains("max_by"), "argmax must be a (partial) aggregate")
     assert(plan.contains("windowspecdefinition(cell"),
       "sweep window must partition by cell")
+  }
+
+  test("semanticDedup maxCellSize splits an adversarial all-one-cell " +
+       "corpus into bounded sub-cells with sweep semantics preserved") {
+    // one centroid attracts EVERYTHING — the O(cell²) skew hazard. With
+    // maxCellSize=4 and 20 rows, the cell must split into ⌈20/4⌉=5
+    // hash-assigned sub-cells; the greedy sweep runs within each.
+    val rnd = new scala.util.Random(7)
+    val dim = 4
+    val vecs = (1L to 20L).map { i =>
+      i -> Array.tabulate(dim)(j =>
+        ((if (j == 0) 5.0 else 0.0) + rnd.nextDouble()).toFloat)
+    }
+    val df = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val cdf = Seq((0L, Seq(1.0f, 0.05f, 0.05f, 0.05f))).toDF("cid", "cv")
+    val τ = 0.95
+    val maxCell = 4L
+    val out = Vectors.semanticDedup(df, "vec_id", "embedding", cdf, "cid", "cv",
+        threshold = τ, maxCellSize = maxCell)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(4)))).toMap
+
+    // naive reference replicating the deterministic md5 sub assignment
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val nSub = (vecs.length + maxCell - 1) / maxCell
+    def subOf(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"semsub:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % nSub
+    }
+    val cv = Array(1.0f, 0.05f, 0.05f, 0.05f)
+    val expected = vecs.groupBy { case (id, _) => subOf(id) }.values.flatMap { grp =>
+      val order = grp.sortBy { case (id, v) => (round6(cos(v, cv)), id) }
+      order.zipWithIndex.map { case ((id, v), idx) =>
+        val dup = order.take(idx).exists { case (_, pv) => round6(cos(v, pv)) >= τ }
+        id -> ((0L, idx + 1, if (dup) 0 else 1))
+      }
+    }.toMap
+    assert(out === expected)
+    // the split actually happened: several sub-cells, none spanning the cell
+    assert(vecs.map(v => subOf(v._1)).distinct.size > 1, "cell must split")
+    assert(out.values.map(_._2).max < vecs.length,
+      "no sweep may span the whole oversized cell")
+
+    // plan contract: the sweep window and pair join key on (cell, sub),
+    // so no single partition group ever processes the whole cell
+    val audit = Vectors.semanticDedup(df, "vec_id", "embedding", cdf, "cid", "cv",
+      threshold = τ, checkpointRanked = false, maxCellSize = maxCell)
+    val plan = audit.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(cell#\\d+L?, sub#".r.findFirstIn(plan).isDefined,
+      s"sweep window must partition by (cell, sub): $plan")
+
+    // a generous cap leaves the operator bit-identical to the unsplit form
+    val unsplit = Vectors.semanticDedup(df, "vec_id", "embedding", cdf, "cid", "cv",
+        threshold = τ, maxCellSize = 1L << 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(4)))).toMap
+    val order = vecs.sortBy { case (id, v) => (round6(cos(v, cv)), id) }
+    val expUnsplit = order.zipWithIndex.map { case ((id, v), idx) =>
+      val dup = order.take(idx).exists { case (_, pv) => round6(cos(v, pv)) >= τ }
+      id -> ((0L, idx + 1, if (dup) 0 else 1))
+    }.toMap
+    assert(unsplit === expUnsplit)
+  }
+
+  test("semanticDedup accepts string centroid ids with natural-order " +
+       "tiebreaks and unchanged numeric behavior") {
+    // two IDENTICAL centroids: every vector scores an exact tie, so the
+    // tiebreak decides the cell — must go to the lexicographically
+    // smallest id ("alpha"), mirroring the numeric smallest-id rule
+    val cdf = Seq(
+      ("beta", Seq(1.0f, 0.0f, 0.0f)),
+      ("alpha", Seq(1.0f, 0.0f, 0.0f))).toDF("cid", "cv")
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f, 0f)), (2L, Seq(0.91f, 0.1f, 0f)),
+      (3L, Seq(0f, 0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Vectors.semanticDedup(df, "vec_id", "embedding", cdf, "cid", "cv",
+        threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(4)))).toMap
+    assert(out.values.forall(_._1 == "alpha"), s"ties must pick 'alpha': $out")
+    assert(out(1L)._2 + out(2L)._2 == 1, "near-twins: exactly one survives")
+    assert(out(3L)._2 == 1)
+
+    // string codebook ≡ numeric codebook on the same geometry (cells
+    // renamed, keep/rnk identical)
+    val cNum = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("cid", "cv")
+    val cStr = Seq(("c0", Seq(1.0f, 0.0f, 0.0f)), ("c1", Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("cid", "cv")
+    val data = Seq(
+      (10L, Seq(1.0f, 0.05f, 0f)), (11L, Seq(0.99f, 0.1f, 0f)),
+      (12L, Seq(0.05f, 1.0f, 0f))).toDF("vec_id", "embedding")
+    val num = Vectors.semanticDedup(data, "vec_id", "embedding", cNum, "cid", "cv", 0.95)
+      .collect().map(r => r.getLong(0) -> ((s"c${r.getLong(1)}", r.getInt(2), r.getInt(4)))).toMap
+    val str = Vectors.semanticDedup(data, "vec_id", "embedding", cStr, "cid", "cv", 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(4)))).toMap
+    assert(num === str)
+  }
+
+  test("kmeansParallelFit pads to k distinct centers when admissions " +
+       "fall short, deterministically") {
+    // 8 distinct, well-spread vectors; a vanishing oversample admits
+    // (essentially) no candidates beyond the seed, so the fit must PAD
+    // to the k the caller asked for — with distinct vectors
+    val d = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(4)(j => if (j == i % 4) (10.0f + i) else 0.1f * i))
+    }.toDF("vec_id", "embedding")
+    val centers = Vectors.kmeansParallelFit(d, "vec_id", "embedding",
+      k = 4, rounds = 2, oversample = 1e-12)
+    assert(centers.length == 4, s"padded codebook must have k=4 centers, got ${centers.length}")
+    assert(centers.map(_.toSeq).distinct.length == 4, "padded centers must be distinct")
+    val again = Vectors.kmeansParallelFit(d.repartition(5), "vec_id", "embedding",
+      k = 4, rounds = 2, oversample = 1e-12)
+    assert(centers.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "padding must be partitioning-invariant")
+    // degenerate corpus: fewer distinct vectors than k — k centers
+    // don't exist; the distinct set comes back, not fabricated rows
+    val tiny = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val few = Vectors.kmeansParallelFit(tiny, "vec_id", "embedding", k = 5)
+    assert(few.map(_.toSeq).distinct.length == few.length && few.length == 2)
   }
 
   test("kmeansParallelFit recovers separated clusters exactly and is " +
