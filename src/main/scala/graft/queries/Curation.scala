@@ -510,6 +510,18 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // ---- EXACT duplicated-span removal (Lee et al. ExactSubstr
+    // guarantee): every duplicated word span >= ExactSpanT is found via
+    // per-position T-shingle hashes — the exactness q77's winnowing
+    // only approximates (a span whose chunk boundaries differ between
+    // copies slips through winnowing; it cannot slip through this).
+    "q86_exact_span_dedup" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.exactSpanDedup(docsParallel(s, dir), "doc_id", "text",
+          minSpanWords = ExactSpanT)
+        .orderBy($"doc_id")
+    },
+
     // ---- q35's clustering through the alternating large-star/
     // small-star path, FORCED distributed (localEdgeLimit = 0):
     // O(log² n)-round CC gated against the same transitive-closure
@@ -529,6 +541,11 @@ object Curation {
   /** q82's epoch seed and shard fan-out — mirrored into the oracle. */
   private val TrainSeed = "epoch1"
   private val TrainShards = 8
+
+  /** q86's exact-span threshold (words) — mirrored into the oracle's
+    * slicing and coverage-window arithmetic.
+    */
+  private val ExactSpanT = 5
 
   /** Shared q35/q84 oracle: both the min-label and the star CC paths
     * must produce the identical cluster labeling.
@@ -1406,6 +1423,40 @@ object Curation {
         |       COALESCE(array_to_string(list(chunk ORDER BY cid) FILTER (WHERE rn = 1), ' '),
         |                '') AS kept_text
         |FROM ranked GROUP BY doc_id""".stripMargin),
+
+    // Mirrors exactSpanDedup stage for stage: per-position width-T
+    // shingle md5s, first occurrence via ROW_NUMBER over the hash
+    // ordered by (doc_id, j) (= the Spark side's min(struct) argmin —
+    // both engines compare the identical md5 key), coverage via the
+    // T-1-preceding running MAX, per-doc rebuild from kept positions.
+    "q86_exact_span_dedup" -> (WordsCte +
+      s""", p AS (
+        |  SELECT doc_id, ws, CAST(t.j AS BIGINT) AS j
+        |  FROM words, unnest(generate_series(1, len(ws))) AS t(j)
+        |  WHERE len(ws) > 0
+        |), f AS (
+        |  SELECT doc_id, j, ws[j] AS word,
+        |         CASE WHEN j + $ExactSpanT - 1 <= len(ws)
+        |              THEN md5(array_to_string(ws[j:(j + $ExactSpanT - 1)], ' ')) END AS h
+        |  FROM p
+        |), d AS (
+        |  SELECT doc_id, j, word, h,
+        |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, j) AS rn
+        |  FROM f
+        |), c AS (
+        |  SELECT doc_id, j, word,
+        |         CASE WHEN h IS NOT NULL AND rn > 1 THEN 1 ELSE 0 END AS dup
+        |  FROM d
+        |), cov AS (
+        |  SELECT doc_id, j, word,
+        |         MAX(dup) OVER (PARTITION BY doc_id ORDER BY j
+        |           ROWS BETWEEN ${ExactSpanT - 1} PRECEDING AND CURRENT ROW) AS rm
+        |  FROM c)
+        |SELECT doc_id, COUNT(*) AS n_words,
+        |       CAST(SUM(rm) AS BIGINT) AS n_dropped,
+        |       COALESCE(array_to_string(list(word ORDER BY j) FILTER (WHERE rm = 0), ' '),
+        |                '') AS kept_text
+        |FROM cov GROUP BY doc_id""".stripMargin),
 
     // CCNet buckets: the q42 surprisal CTE chain, then ONE ordered
     // cumulative token sum (the Spark side's two-phase cumsum reduces

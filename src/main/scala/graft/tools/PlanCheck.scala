@@ -205,7 +205,14 @@ object PlanCheck {
     // contract): the corpus side never shuffles for the join
     Expectation("q85_contamination_score",
       mustContain = Seq("BroadcastHashJoin"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // exact-span dedup: first-occurrence must stay the q40 map-side
+    // min(struct) aggregate (a row_number window over the shingle hash
+    // would sort each boilerplate hash's full multiplicity in one
+    // task); the coverage window must be PARTITIONED by the doc id
+    Expectation("q86_exact_span_dedup",
+      mustContain = Seq("HashAggregate", "windowspecdefinition(doc_id"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

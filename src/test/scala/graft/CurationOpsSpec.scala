@@ -446,6 +446,77 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L) === "h h h t t t")
   }
 
+  test("exactSpanDedup removes every duplicated span >= T, keeps the " +
+       "first copy, leaves unique context untouched") {
+    // an 8-word span shared by docs 1 and 2 in DIFFERENT contexts;
+    // T=5 -> in doc 2 only the span's four fully-interior width-5
+    // shingles are non-first, covering exactly the 8 span words
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = docs(
+      1L -> s"c1 c2 c3 $span c4 c5 c6",
+      2L -> s"d1 d2 d3 $span d4 d5 d6",
+      3L -> "u1 u2 u3 u4 u5 u6",  // no duplication anywhere
+      4L -> "")                   // empty -> absent from output
+    val out = CurationOps.exactSpanDedup(df, "doc_id", "text", minSpanWords = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_dropped"), r.getAs[String]("kept_text"))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((14L, 0L, s"c1 c2 c3 $span c4 c5 c6")))
+    assert(out(2L) === ((14L, 8L, "d1 d2 d3 d4 d5 d6")))
+    assert(out(3L) === ((6L, 0L, "u1 u2 u3 u4 u5 u6")))
+  }
+
+  test("exactSpanDedup finds the span winnowing misses (the adversarial " +
+       "q77 gap): short shared span, divergent chunk boundaries") {
+    // The q77 winnowing parameters (k=3, radius=3) select chunk
+    // boundaries from a ±3-shingle window; for an 8-word span no
+    // interior boundary decision is independent of the surrounding
+    // context (that needs ≥ radius+k in-span slack on both sides), so
+    // the two copies cut into different chunks and winnowing drops
+    // NOTHING — while the exact path must find the span. (Fixture
+    // chosen so the md5 boundary minima genuinely diverge: doc 1 cuts
+    // mid-span, doc 2 cuts at d3 — no chunk is shared.)
+    val span = "s1x1 s1x2 s1x3 s1x4 s1x5 s1x6 s1x7 s1x8"
+    val df = docs(
+      1L -> s"c1 c2 c3 $span c4 c5 c6",
+      2L -> s"d1 d2 d3 $span d4 d5 d6")
+    val winnowed = CurationOps.winnowedSpanDedup(df, "doc_id", "text",
+        shingleWords = 3, winnowRadius = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dropped")).toMap
+    assert(winnowed.values.forall(_ == 0L),
+      s"fixture must be a winnowing MISS to demonstrate the gap: $winnowed")
+    val exact = CurationOps.exactSpanDedup(df, "doc_id", "text", minSpanWords = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dropped")).toMap
+    assert(exact === Map(1L -> 0L, 2L -> 8L))
+  }
+
+  test("exactSpanDedup within-document repeats and the periodic " +
+       "self-overlap divergence") {
+    // repeat of a 6-word block inside one doc: second copy removed
+    val block = "p q r s t u"
+    val o1 = CurationOps.exactSpanDedup(
+        docs(1L -> s"$block x y $block"), "doc_id", "text", minSpanWords = 5)
+      .collect().head
+    assert(o1.getAs[Long]("n_dropped") === 6L)
+    assert(o1.getAs[String]("kept_text") === s"$block x y")
+    // documented divergence: periodic text keeps only the first word
+    // (per-shingle first-occurrence, not per-maximal-span)
+    val o2 = CurationOps.exactSpanDedup(
+        docs(2L -> "x x x x x"), "doc_id", "text", minSpanWords = 2)
+      .collect().head
+    assert(o2.getAs[Long]("n_dropped") === 4L)
+    assert(o2.getAs[String]("kept_text") === "x")
+  }
+
+  test("exactSpanDedup spans below T survive") {
+    // 4 shared words with T=5: no width-5 shingle duplicates
+    val df = docs(1L -> "a b c d e f", 2L -> "z1 c d e f z2")
+    val out = CurationOps.exactSpanDedup(df, "doc_id", "text", minSpanWords = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dropped")).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("unigramSurprisal: exact whole-bit scores from corpus counts") {
     // counts: a=6, b=1, c=1; total=8
     // bits(term) = length(bin(total div cnt)): a -> bin(1)="1" -> 1;
