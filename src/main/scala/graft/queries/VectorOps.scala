@@ -99,7 +99,34 @@ object VectorOps {
       val emb = Tables.load(s, dir, "embeddings")
       Vectors.semanticDedup(emb, "vec_id", "embedding",
         emb.filter($"vec_id" < SemCentroids), "vec_id", "embedding",
-        threshold = SemThreshold)
+        threshold = SemThreshold, maxCellSize = SemMaxCell)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy($"vec_id")
+    },
+
+    // ---- kmeans‖ codebook END-TO-END: the distributed fit
+    // (Bahmani et al. VLDB 2012 — seed by smallest salted hash, two
+    // md5-affine admission rounds, candidates weighted by nearest
+    // assignment, the K heaviest as centers; lloydIters=0 keeps every
+    // center a RAW data vector, so the oracle needs no cross-engine
+    // float averaging) feeding the q78 sweep. The oracle unrolls the
+    // admission rounds as CTEs with the identical hash draws and the
+    // identical sequential elementwise d² (DuckDB's list_sum over
+    // list_transform reproduces the JVM loop bit-for-bit — verified
+    // empirically). The one inexact channel is the per-round total
+    // cost (an order-dependent double sum on both engines): an
+    // admission flips only if a row's 60-bit uniform lands within an
+    // ulp of its threshold — measure-zero, the operator's documented
+    // caveat.
+    "q87_kmeans_codebook" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val centers = Vectors.kmeansParallelFit(emb.select($"vec_id", $"embedding"),
+        "vec_id", "embedding", k = KmK, rounds = KmRounds,
+        oversample = KmOversample, seed = 42, lloydIters = 0)
+      Vectors.semanticDedup(emb, "vec_id", "embedding",
+          Vectors.centroidsDF(s, centers), "cid", "cv",
+          threshold = SemThreshold, maxCellSize = SemMaxCell)
         .withColumnRenamed("id", "vec_id")
         .orderBy($"vec_id")
     }
@@ -111,6 +138,22 @@ object VectorOps {
     */
   private val SemCentroids = 8
   private val SemThreshold = 0.4
+
+  /** semanticDedup's oversized-cell cap, passed EXPLICITLY by every
+    * gate query and interpolated into the oracle SQL's sub-cell mirror
+    * — a default drift would otherwise silently desync the engines.
+    */
+  private val SemMaxCell = 4096L
+
+  /** q87 constants: fit geometry mirrored into the oracle's unrolled
+    * admission rounds. lloydIters=0 (centers stay raw data vectors —
+    * no cross-engine float averaging); expected candidates ≈
+    * 1 + rounds·oversample ≈ 17 ≫ k, so the heaviest-K path (not the
+    * pad path) is the one exercised.
+    */
+  private val KmK = 4
+  private val KmRounds = 2
+  private val KmOversample = 8.0
 
   /** q74 constants — the anchor is one seeded hyperplane row (embedded
     * literally in the oracle; `Double.toString` round-trips exactly).
@@ -342,33 +385,104 @@ object VectorOps {
 
     // SemDeDup mirror: same codebook (vec_id < 8), same round-6 cosine
     // op order, argmax assignment via (csim DESC, cid ASC) window,
-    // sweep rank via (csim ASC, id ASC) per cell, duplicate = exists an
-    // earlier in-cell item within threshold.
+    // sub-cell split mirror at SemMaxCell, sweep rank via
+    // (csim ASC, id ASC) per (cell, sub), duplicate = exists an
+    // earlier in-sub-cell item within threshold.
     "q78_semantic_dedup" ->
-      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
-        |s AS (
-        |  SELECT id, v, cid,
-        |         round(list_dot_product(v, cv) /
-        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
-        |  FROM e, c),
-        |a AS (
-        |  SELECT id, v, cid AS cell, csim AS centroid_sim FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
-        |                                 ORDER BY csim DESC, cid ASC) AS rn
-        |    FROM s) WHERE rn = 1),
-        |r AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
-        |                               ORDER BY centroid_sim ASC, id ASC) AS rnk
-        |  FROM a),
-        |d AS (
-        |  SELECT DISTINCT x.id FROM r x JOIN r y
-        |    ON x.cell = y.cell AND y.rnk < x.rnk
-        |  WHERE round(list_dot_product(x.v, y.v) /
-        |              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
-        |        >= 0.4)
-        |SELECT r.id AS vec_id, r.cell, r.rnk, r.centroid_sim,
-        |       CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS keep
-        |FROM r LEFT JOIN d ON r.id = d.id""".stripMargin
+      (s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8)""".stripMargin
+        + SemSweepSql),
+
+    // kmeans‖ fit -> assign -> sweep, fully unrolled: seed by smallest
+    // salted md5, two admission rounds (the identical 60-bit hash
+    // uniforms; d² is the identical sequential elementwise sum —
+    // DuckDB's list_sum(list_transform) reproduces the JVM loop
+    // bit-for-bit), candidate order (round, string-id), weights by
+    // nearest assignment with the (d², index) tiebreak, heaviest-K
+    // codebook (lloydIters=0: centers are RAW data vectors — no float
+    // averaging crosses the engine boundary), then the shared SemDeDup
+    // sweep mirror.
+    "q87_kmeans_codebook" ->
+      (s"""WITH e0 AS (SELECT CAST(vec_id AS VARCHAR) AS sid,
+        |                    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT 0 AS rnd, sid, v FROM e0
+        |       ORDER BY md5('km42-seed:' || sid), sid LIMIT 1),
+        |d1 AS (SELECT e0.sid, e0.v,
+        |         MIN(list_sum(list_transform(generate_series(1, len(e0.v)),
+        |             i -> (e0.v[i] - cc.v[i]) * (e0.v[i] - cc.v[i])))) AS d2
+        |       FROM e0, c0 cc GROUP BY e0.sid, e0.v),
+        |t1 AS (SELECT SUM(d2) AS total FROM d1),
+        |a1 AS (SELECT 1 AS rnd, sid, v FROM d1, t1
+        |       WHERE CAST(('0x' || substr(md5('km42-r1:' || sid), 1, 15)) AS BIGINT)
+        |             / 1152921504606846976.0 < $KmOversample * d2 / total),
+        |c1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM a1),
+        |d2r AS (SELECT e0.sid, e0.v,
+        |          MIN(list_sum(list_transform(generate_series(1, len(e0.v)),
+        |              i -> (e0.v[i] - cc.v[i]) * (e0.v[i] - cc.v[i])))) AS d2
+        |        FROM e0, c1 cc GROUP BY e0.sid, e0.v),
+        |t2 AS (SELECT SUM(d2) AS total FROM d2r),
+        |a2 AS (SELECT 2 AS rnd, sid, v FROM d2r, t2
+        |       WHERE CAST(('0x' || substr(md5('km42-r2:' || sid), 1, 15)) AS BIGINT)
+        |             / 1152921504606846976.0 < $KmOversample * d2 / total),
+        |c2 AS (SELECT * FROM c1 UNION ALL SELECT * FROM a2),
+        |cand AS (SELECT sid, v,
+        |                ROW_NUMBER() OVER (ORDER BY rnd, sid) - 1 AS cidx
+        |         FROM c2),
+        |asn AS (SELECT sid, cidx FROM (
+        |          SELECT e0.sid, cand.cidx,
+        |                 ROW_NUMBER() OVER (PARTITION BY e0.sid ORDER BY
+        |                   list_sum(list_transform(generate_series(1, len(e0.v)),
+        |                     i -> (e0.v[i] - cand.v[i]) * (e0.v[i] - cand.v[i]))) ASC,
+        |                   cand.cidx ASC) AS rn
+        |          FROM e0, cand) WHERE rn = 1),
+        |w AS (SELECT c.cidx, c.v, COUNT(a.sid) AS wt
+        |      FROM cand c LEFT JOIN asn a USING (cidx)
+        |      GROUP BY c.cidx, c.v),
+        |code AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY wt DESC, cidx ASC) - 1
+        |                     AS BIGINT) AS cid,
+        |                v AS cv
+        |         FROM w ORDER BY wt DESC, cidx ASC LIMIT $KmK),
+        |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT cid, cv FROM code)""".stripMargin
+        + SemSweepSql)
   )
+
+  /** Shared SemDeDup sweep mirror (q78/q87): expects CTEs `e(id, v)`
+    * (the corpus) and `c(cid, cv)` (the codebook) to be in scope.
+    * Mirrors semanticDedup's argmax assignment, the SemMaxCell
+    * sub-cell split (md5-affine — identical on both engines; reduces
+    * to sub=0 whenever no cell exceeds the cap), the per-(cell, sub)
+    * sweep rank and the earlier-neighbor duplicate predicate.
+    */
+  private def SemSweepSql: String =
+    s""",
+      |s AS (
+      |  SELECT id, v, cid,
+      |         round(list_dot_product(v, cv) /
+      |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+      |  FROM e, c),
+      |a AS (
+      |  SELECT id, v, cid AS cell, csim AS centroid_sim FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+      |                                 ORDER BY csim DESC, cid ASC) AS rn
+      |    FROM s) WHERE rn = 1),
+      |cz AS (SELECT cell, COUNT(*) AS cn FROM a GROUP BY cell),
+      |aa AS (
+      |  SELECT a.*, CASE WHEN cn <= $SemMaxCell THEN 0
+      |    ELSE CAST(('0x' || substr(md5('semsub:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |         % CAST(CEIL(cn / ${SemMaxCell}.0) AS BIGINT) END AS sub
+      |  FROM a JOIN cz USING (cell)),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell, sub
+      |                               ORDER BY centroid_sim ASC, id ASC) AS rnk
+      |  FROM aa),
+      |d AS (
+      |  SELECT DISTINCT x.id FROM r x JOIN r y
+      |    ON x.cell = y.cell AND x.sub = y.sub AND y.rnk < x.rnk
+      |  WHERE round(list_dot_product(x.v, y.v) /
+      |              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+      |        >= $SemThreshold)
+      |SELECT r.id AS vec_id, r.cell, r.rnk, r.centroid_sim,
+      |       CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS keep
+      |FROM r LEFT JOIN d ON r.id = d.id""".stripMargin
 }

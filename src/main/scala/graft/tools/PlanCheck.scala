@@ -206,6 +206,10 @@ object PlanCheck {
     Expectation("q85_contamination_score",
       mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // kmeans‖-fed sweep reads the checkpointed assignment like q78;
+    // the visible readout must stay cross-product-free
+    Expectation("q87_kmeans_codebook",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // exact-span dedup: first-occurrence must stay the q40 map-side
     // min(struct) aggregate (a row_number window over the shingle hash
     // would sort each boilerplate hash's full multiplicity in one
