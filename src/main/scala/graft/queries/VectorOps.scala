@@ -129,8 +129,38 @@ object VectorOps {
           threshold = SemThreshold, maxCellSize = SemMaxCell)
         .withColumnRenamed("id", "vec_id")
         .orderBy($"vec_id")
+    },
+
+    // ---- HNSW-style layered graph ANN: deterministic md5 level draw
+    // (layer j ⇔ hash60 ≡ 0 mod fanout^j), per-layer LSH-seeded
+    // top-degree NSW graphs, beam descent with exact re-scoring.
+    // Oracled by unrolling the layers as CTEs (the q58 precedent);
+    // recall additionally pinned vs brute in HnswSpec.
+    "q88_hnsw_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.hnswTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+        k = HnswK, dim = 64, beam = HnswBeam, degree = HnswDegree,
+        layers = HnswLayers, fanout = HnswFanout, planes = HnswPlanes,
+        tables = HnswTables, hops = HnswHops)
+        .orderBy($"query_id", $"rnk")
     }
   )
+
+  /** q88 constants = the operator defaults (HNSW practice: M = 16
+    * out-edges, ef = 16 ≥ k): 3 layers at fanout 8 (top layer ≈ N/64 —
+    * entry stays broadcast-sized), 2 independent 3-plane tables per
+    * layer graph, 2 hops per layer. Recall@3 = 0.96 vs brute at
+    * sf0.001 (HnswSpec's sweep: degree is the lever — 4 → 0.21).
+    */
+  private val HnswK = 3
+  private val HnswBeam = 16
+  private val HnswDegree = 16
+  private val HnswLayers = 3
+  private val HnswFanout = 8L
+  private val HnswPlanes = 3
+  private val HnswTables = 2
+  private val HnswHops = 2
 
   /** q78 constants: codebook = first 8 ids (mirrored as `vec_id < 8`),
     * threshold from q24 (the synthetic embeddings are near-orthogonal;
@@ -402,6 +432,80 @@ object VectorOps {
     // codebook (lloydIters=0: centers are RAW data vectors — no float
     // averaging crosses the engine boundary), then the shared SemDeDup
     // sweep mirror.
+    // HNSW beam descent unrolled (the q58 precedent): md5 level
+    // membership (layer j ⇔ h60 ≡ 0 mod fanout^j), per-layer bucketed
+    // top-degree symmetrized edges with the same per-layer seed
+    // offsets as the Spark side, entry beam scored against the FULL
+    // top layer, one expansion CTE per lower layer, identical round-6
+    // cosine + id tiebreaks throughout — the search is a total
+    // deterministic function of the input on both engines.
+    "q88_hnsw_topk" -> {
+      def cosSql(a: String, b: String) =
+        s"round(list_dot_product($a, $b) /\n" +
+          s"               (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      def layerSql(j: Int, mem: String): String = {
+        val bs = (0 until HnswTables).map { t =>
+          s"b${j}t$t AS (SELECT id, " +
+            s"${bucketSql("v", HnswPlanes, 64, 42 + j * HnswTables + t)} AS bucket FROM $mem)"
+        }.mkString(",\n")
+        val pu = (0 until HnswTables).map { t =>
+          s"SELECT x.id AS src, y.id AS dst FROM b${j}t$t x " +
+            s"JOIN b${j}t$t y ON x.bucket = y.bucket AND x.id <> y.id"
+        }.mkString("\n    UNION ALL\n    ")
+        s"""$bs,
+           |p$j AS (SELECT DISTINCT src, dst FROM (
+           |    $pu)),
+           |s$j AS (SELECT p.src, p.dst, ${cosSql("x.v", "y.v")} AS cosine
+           |        FROM p$j p JOIN e x ON x.id = p.src JOIN e y ON y.id = p.dst),
+           |t$j AS (SELECT src, dst FROM (
+           |    SELECT src, dst,
+           |           ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+           |    FROM s$j) WHERE rnk <= $HnswDegree),
+           |g$j AS (SELECT src, dst FROM t$j UNION SELECT dst, src FROM t$j)""".stripMargin
+      }
+      def beamStep(j: Int, h: Int, prev: String, out: String): String =
+        s"""x${j}h$h AS (SELECT query_id, cand FROM (
+           |    SELECT b.query_id, g.dst AS cand FROM $prev b JOIN g$j g ON g.src = b.cand
+           |    UNION
+           |    SELECT query_id, cand FROM $prev) WHERE cand <> query_id),
+           |xs${j}h$h AS (SELECT x.query_id, x.cand, ${cosSql("q.qv", "ev.v")} AS cosine
+           |         FROM x${j}h$h x JOIN q ON q.query_id = x.query_id JOIN e ev ON ev.id = x.cand),
+           |$out AS (SELECT query_id, cand, cosine, rnk FROM (
+           |    SELECT query_id, cand, cosine,
+           |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand ASC) AS rnk
+           |    FROM xs${j}h$h) WHERE rnk <= $HnswBeam)""".stripMargin
+      // one beamStep per (layer, hop), descending — names chain
+      // beam2 -> beam1h1 -> beam1h2 -> beam0h1 -> beam0h2
+      val steps = {
+        var prev = "beam2"
+        val sb = new StringBuilder
+        for (j <- (HnswLayers - 2) to 0 by -1; h <- 1 to HnswHops) {
+          val out = s"beam${j}h$h"
+          sb.append(",\n").append(beamStep(j, h, prev, out))
+          prev = out
+        }
+        (sb.toString, prev)
+      }
+      val topMod = (0 until HnswLayers - 1).foldLeft(1L)((a, _) => a * HnswFanout)
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |hh AS (SELECT id, v,
+         |         CAST(('0x' || substr(md5('hnsw42:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+         |       FROM e),
+         |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 8),
+         |m2 AS (SELECT id, v FROM hh WHERE h60 % $topMod = 0),
+         |m1 AS (SELECT id, v FROM hh WHERE h60 % $HnswFanout = 0),
+         |${layerSql(1, "m1")},
+         |${layerSql(0, "e")},
+         |en AS (SELECT q.query_id, m.id AS cand, ${cosSql("q.qv", "m.v")} AS cosine
+         |       FROM q, m2 m WHERE m.id <> q.query_id),
+         |beam2 AS (SELECT query_id, cand, cosine, rnk FROM (
+         |    SELECT query_id, cand, cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand ASC) AS rnk
+         |    FROM en) WHERE rnk <= $HnswBeam)${steps._1}
+         |SELECT query_id, rnk, cand AS neighbor_id, cosine
+         |FROM ${steps._2} WHERE rnk <= $HnswK""".stripMargin
+    },
+
     "q87_kmeans_codebook" ->
       (s"""WITH e0 AS (SELECT CAST(vec_id AS VARCHAR) AS sid,
         |                    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -210,6 +210,13 @@ object PlanCheck {
     // the visible readout must stay cross-product-free
     Expectation("q87_kmeans_codebook",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // HNSW beam descent: the per-round phases live behind
+    // localCheckpoints (q58's situation — layer graphs + beam ranks are
+    // spec-asserted in HnswSpec); the only intentional cross score is
+    // the entry against the broadcast top layer, inside the checkpoint;
+    // the visible readout must stay cross-product-free
+    Expectation("q88_hnsw_topk",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // exact-span dedup: first-occurrence must stay the q40 map-side
     // min(struct) aggregate (a row_number window over the shingle hash
     // would sort each boilerplate hash's full multiplicity in one

@@ -617,6 +617,131 @@ object Vectors {
     g.select($"src".as("query_id"), $"rank", $"dst".as("neighbor_id"), $"cosine")
   }
 
+  /** HNSW-style layered ANN top-k (Malkov & Yashunin, "Efficient and
+    * robust approximate nearest neighbor search using Hierarchical
+    * Navigable Small World graphs", TPAMI 2020), re-expressed for a
+    * shared-nothing engine: the high-recall graph search that
+    * complements bucketed LSH/IVF when a query must escape its own
+    * bucket — beam search over per-layer neighbor graphs instead of a
+    * single bucket's candidates.
+    *
+    * Layer membership is deterministic (HNSW's geometric level draw
+    * realized with the engine-wide 60-bit md5 uniform): a node joins
+    * layer j iff `hash60("hnsw<seed>:" + id) ≡ 0 (mod fanout^j)` —
+    * exactly P = fanout^-j per level (fanout is a power of two, so
+    * fanout^j divides 2^60) and nested by construction (layer j+1 ⊆
+    * layer j; layer 0 is the whole corpus). Each layer carries a
+    * navigable-small-world graph: LSH-bucketed candidate pairs
+    * (`tables` independent hyperplane tables per layer, seeds offset
+    * per layer) ranked to the top-`degree` out-edges per node, then
+    * symmetrized — [[knnGraph]]'s round-0 seeding, whose
+    * table-independence argument applies per layer.
+    *
+    * Search descends: the beam ENTERS at the top layer scored against
+    * all its members (geometrically small — pick `layers` ≈
+    * log_fanout(N / entrySize), so the entry stays broadcastable at
+    * any corpus size), then at each lower layer expands `hops` times
+    * through that layer's symmetrized edges, re-scores exactly against
+    * the query, and keeps the top-`beam` per query (round-6 cosine +
+    * id tiebreak — bit-stable across engines, so the whole search is a
+    * total deterministic function of the input and the gate can hash
+    * it). The layer-0 beam's head is the top-k.
+    *
+    * Scale shape: every stage is a bounded equi-join. Layer graphs
+    * shuffle on node id with Σ_bucket |b|² candidate pairs (the LSH
+    * bucket bound, halved per extra layer); beam expansion joins
+    * |Q|·beam rows against degree-bounded edges; the only cross join
+    * is the entry against the BROADCAST top layer. Beam state and
+    * reused edge frames are localCheckpointed per round (the
+    * [[knnGraph]] lineage convention). Recall is spec-pinned against
+    * [[bruteTopK]].
+    *
+    * Defaults follow HNSW practice (M = 16 out-edges, ef ≥ 16): on the
+    * near-orthogonal synthetic embeddings — the adversarial regime for
+    * graph ANN — degree is the recall lever (4 → 0.21, 16 → 0.96
+    * recall@3 at sf0.001; HnswSpec's sweep). `planes` is the explicit
+    * bucket knob ([[lshTopK]]/[[knnGraph]] convention): pick ≈
+    * log2(|layer| / targetBucket) so the per-layer candidate bound
+    * Σ_bucket |b|² stays linear as the corpus grows.
+    */
+  def hnswTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      beam: Int = 16, degree: Int = 16, layers: Int = 3, fanout: Long = 8,
+      planes: Int = 3, tables: Int = 2, hops: Int = 2, seed: Int = 42): DataFrame = {
+    require(layers >= 1, s"need at least one layer: $layers")
+    require(beam >= k, s"beam ($beam) must cover k ($k)")
+    require(fanout >= 2 && (fanout & (fanout - 1)) == 0,
+      s"fanout must be a power of two so levels are exactly geometric: $fanout")
+    require((layers - 1) * java.lang.Long.numberOfTrailingZeros(fanout) <= 60,
+      s"fanout^(layers-1) must divide 2^60: fanout=$fanout layers=$layers")
+    require(hops >= 1, s"need at least one hop per layer: $hops")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", normCol($"v"))
+      .withColumn("h60", conv(substring(
+        md5(concat(lit(s"hnsw$seed:"), $"id".cast("string"))), 1, 15), 16, 10)
+        .cast("long"))
+      .persist()
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", normCol($"qv"))
+    def members(j: Int): DataFrame =
+      c.filter($"h60" % lit((0 until j).foldLeft(1L)((a, _) => a * fanout)) === 0)
+    // top-degree out-edges per node within layer j, symmetrized
+    def layerEdges(j: Int): DataFrame = {
+      val mem = members(j)
+      val pairs = (0 until tables).map { t =>
+        val b = mem.select($"id",
+          hyperplaneBucket($"v", planes, dim, seed + j * tables + t).as("bucket"))
+        b.as("x").join(b.as("y"),
+            col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+          .select(col("x.id").as("src"), col("y.id").as("dst"))
+      }.reduce(_ union _).distinct()
+      val scored = pairs
+        .join(mem.select($"id".as("src"), $"v".as("sv"), $"n".as("sn")), "src")
+        .join(mem.select($"id".as("dst"), $"v".as("dv"), $"n".as("dn")), "dst")
+        .withColumn("cosine", round6(cosineWithNorms($"sv", $"sn", $"dv", $"dn")))
+      val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst".asc)
+      val top = scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= degree).select($"src", $"dst")
+      top.union(top.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    }
+    // exact re-score of a (query_id, cand) frame, keep top-`limit`
+    def rankBeam(cands: DataFrame, limit: Int): DataFrame = {
+      val scored = cands
+        .join(c.select($"id".as("cand"), $"v".as("dv"), $"n".as("dn")), "cand")
+        .join(q, "query_id")
+        .withColumn("cosine", round6(cosineWithNorms($"qv", $"qn", $"dv", $"dn")))
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand".asc)
+      scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= limit)
+        .select($"query_id", $"cand", $"cosine", $"rnk")
+    }
+    val entry = q.select($"query_id")
+      .crossJoin(broadcast(members(layers - 1).select($"id".as("cand"))))
+      .filter($"cand" =!= $"query_id")
+    var b = rankBeam(entry, beam).localCheckpoint()
+    for (j <- (layers - 2) to 0 by -1) {
+      val edges =
+        if (hops > 1) layerEdges(j).localCheckpoint() else layerEdges(j)
+      for (_ <- 1 to hops) {
+        val expanded = b.select($"query_id", $"cand".as("src"))
+          .join(edges, "src")
+          .select($"query_id", $"dst".as("cand"))
+          .union(b.select($"query_id", $"cand"))
+          .distinct()
+          .filter($"cand" =!= $"query_id")
+        b = rankBeam(expanded, beam).localCheckpoint()
+      }
+    }
+    // final localCheckpoint above is eager, so the vector cache has no
+    // remaining consumers — release it (the knnGraph convention)
+    c.unpersist()
+    b.filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"cand".as("neighbor_id"), $"cosine")
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
     val spark = corpus.sparkSession

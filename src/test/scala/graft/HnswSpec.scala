@@ -1,0 +1,62 @@
+package graft
+
+import graft.vectors.Vectors
+
+/** HNSW-style layered ANN: recall pinned against bruteTopK (the
+  * q22-oracle pattern), exact-equality in the degenerate single-layer
+  * config (entry scores the whole corpus → brute force by
+  * construction), determinism, well-formedness, and the documented
+  * degree-is-the-recall-lever claim.
+  */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val queries = emb.filter($"vec_id" < 8)
+
+  private lazy val brutePairs =
+    Vectors.bruteTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+  test("hnswTopK defaults: well-formed, deterministic, recall-pinned vs brute") {
+    def run() = Vectors.hnswTopK(emb, queries, "vec_id", "embedding", k = 3, dim = 64)
+      .select("query_id", "rnk", "neighbor_id").as[(Long, Int, Long)].collect()
+    val hnsw = run()
+    val byQ = hnsw.groupBy(_._1)
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      rs.foreach { case (_, _, n) => assert(n != q) }
+    }
+    val recall = hnsw.map(r => (r._1, r._3)).toSet.intersect(brutePairs).size.toDouble /
+      brutePairs.size
+    info(f"HNSW recall@3 = $recall%.2f (defaults: 3 layers, degree 16, beam 16, 2 hops)")
+    assert(recall >= 0.8, s"recall=$recall")
+    assert(run().toSet == hnsw.toSet)
+  }
+
+  test("single-layer config degenerates to exact brute force") {
+    // layers=1: the entry beam scores EVERY corpus vector, so the
+    // search IS bruteTopK — row-for-row, scores included
+    val brute = Vectors.bruteTopK(emb, queries, "vec_id", "embedding", 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val hnsw = Vectors.hnswTopK(emb, queries, "vec_id", "embedding",
+      k = 3, dim = 64, beam = 3, layers = 1)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(hnsw == brute)
+  }
+
+  test("degree is the recall lever (the scaladoc claim)") {
+    def recallAt(degree: Int, beam: Int): Double = {
+      val got = Vectors.hnswTopK(emb, queries, "vec_id", "embedding",
+        k = 3, dim = 64, beam = beam, degree = degree)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(brutePairs).size.toDouble / brutePairs.size
+    }
+    val sparse = recallAt(degree = 4, beam = 16)
+    val dense = recallAt(degree = 16, beam = 16)
+    info(f"recall@3: degree4=$sparse%.2f degree16=$dense%.2f")
+    assert(dense >= sparse + 0.3,
+      s"degree16=$dense vs degree4=$sparse — the lever claim collapsed")
+  }
+}
