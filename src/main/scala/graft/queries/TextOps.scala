@@ -64,6 +64,19 @@ object TextOps {
         .orderBy($"keep_id")
     },
 
+    // ---- soft dedup (SoftDedup, She et al. ACL 2024): reweight
+    // instead of drop — per-doc sampling weight inversely proportional
+    // to the mean corpus df of its distinct shingles. Near-duplicates
+    // (the fixture's prefix-sharing docs) get graded down-weights that
+    // hard dedup collapses to a binary; both ratios unrounded
+    // exact-integer divisions.
+    "q89_soft_dedup_weights" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.CurationOps.softDedupWeights(
+        docsParallel(s, dir), "doc_id", "text", n = 3)
+        .orderBy($"doc_id")
+    },
+
     // ---- directional containment pairs: |S_A ∩ S_B| / |S_A| — the
     // asymmetric detector for small-doc-copied-into-big-doc
     // duplication that Jaccard's symmetric denominator hides. Hot
@@ -370,6 +383,16 @@ object TextOps {
         |  JOIN sizes sa ON sa.doc_id = id_a
         |  JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
+
+    // Same distinct doc-shingle relation as q16/q80; df per shingle,
+    // joined back, per-doc integer aggregates, unrounded ratios.
+    "q89_soft_dedup_weights" -> (ShinglesCte +
+      """, dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+        |SELECT doc_id, COUNT(*) AS n_shingles, SUM(df) AS sum_df,
+        |       CAST(SUM(df) AS DOUBLE) / COUNT(*) AS commonness,
+        |       CAST(COUNT(*) AS DOUBLE) / SUM(df) AS weight
+        |FROM sh JOIN dfreq USING (shingle)
+        |GROUP BY doc_id""".stripMargin),
 
     // Same regex chain as TextTokens.dedupKeyCol with RE2's 'g' flag
     // (Spark's regexp_replace is global by default; DuckDB's is not).

@@ -131,6 +131,19 @@ object VectorOps {
         .orderBy($"vec_id")
     },
 
+    // ---- cluster-balanced subsample: argmax-centroid assignment (the
+    // q78 mirror) + up-to-k per cell by salted md5 rank (the q32
+    // mirror) — semantic-topic balancing for a training mix.
+    "q90_cluster_balanced_sample" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.clusterBalancedSample(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < SemCentroids), "vec_id", "embedding",
+        k = CbsK, salt = CbsSalt)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy($"cell", $"rk")
+    },
+
     // ---- HNSW-style layered graph ANN: deterministic md5 level draw
     // (layer j ⇔ hash60 ≡ 0 mod fanout^j), per-layer LSH-seeded
     // top-degree NSW graphs, beam descent with exact re-scoring.
@@ -146,6 +159,10 @@ object VectorOps {
         .orderBy($"query_id", $"rnk")
     }
   )
+
+  /** q90 constants: q78's codebook, 20 per cell, fixed salt. */
+  private val CbsK = 20
+  private val CbsSalt = "cbs"
 
   /** q88 constants = the operator defaults (HNSW practice: M = 16
     * out-edges, ef = 16 ≥ k): 3 layers at fanout 8 (top layer ≈ N/64 —
@@ -432,6 +449,27 @@ object VectorOps {
     // codebook (lloydIters=0: centers are RAW data vectors — no float
     // averaging crosses the engine boundary), then the shared SemDeDup
     // sweep mirror.
+    // q78's assignment mirror + q32's salted-rank mirror.
+    "q90_cluster_balanced_sample" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < $SemCentroids),
+         |s AS (
+         |  SELECT id, cid,
+         |         round(list_dot_product(v, cv) /
+         |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+         |  FROM e, c),
+         |a AS (
+         |  SELECT id, cid AS cell, csim AS centroid_sim FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |                                 ORDER BY csim DESC, cid ASC) AS rn
+         |    FROM s) WHERE rn = 1),
+         |r AS (
+         |  SELECT id, cell, centroid_sim,
+         |         ROW_NUMBER() OVER (PARTITION BY cell
+         |           ORDER BY md5('$CbsSalt' || CAST(id AS VARCHAR)), id) AS rk
+         |  FROM a)
+         |SELECT id AS vec_id, cell, centroid_sim, rk FROM r WHERE rk <= $CbsK""".stripMargin,
+
     // HNSW beam descent unrolled (the q58 precedent): md5 level
     // membership (layer j ⇔ h60 ≡ 0 mod fanout^j), per-layer bucketed
     // top-degree symmetrized edges with the same per-layer seed

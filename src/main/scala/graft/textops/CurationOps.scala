@@ -249,6 +249,49 @@ object CurationOps {
       .agg(countDistinct(col("h")).as("n_suspect_shingles"))
   }
 
+  // ---- soft dedup: reweight instead of drop ------------------------------
+
+  /** Soft deduplication (SoftDedup — She et al., "SoftDedup: an
+    * Efficient Data Reweighting Method for Speeding Up Language Model
+    * Pre-training", ACL 2024): instead of HARD-dropping duplicates,
+    * every document gets a sampling weight inversely proportional to
+    * its "commonness" — how duplicated its content is across the
+    * corpus — so repeated content contributes less training signal
+    * without discarding its unique parts. Commonness here is the mean
+    * corpus document-frequency of the document's distinct word
+    * n-gram shingles (a shingle shared by 3 documents contributes 3):
+    * exact duplicates triple their every shingle's df, near-duplicates
+    * raise it on the shared prefix only — the graded signal hard dedup
+    * (q11/q81) collapses to a binary.
+    *
+    * Emits `(id, n_shingles, sum_df, commonness = sum_df/n_shingles,
+    * weight = n_shingles/sum_df)`; both ratios are UNROUNDED divisions
+    * of exact integers (bit-identical across engines — the q65
+    * lesson). A fully unique document has commonness 1.0 / weight 1.0;
+    * weight is the reciprocal, bounded into (0, 1].
+    *
+    * Scale shape (the q42 unigram-surprisal shape): distinct
+    * (doc, shingle-hash) pairs → map-side-combined df aggregate →
+    * join back ON THE SHINGLE HASH → per-doc aggregate. Every stage
+    * shuffles on a key (no cross product, no window); the 60-bit
+    * hash keeps the shuffle narrow.
+    */
+  def softDedupWeights(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(NearDup.shinglesCol(col(textCol), n)).as("s"))
+      .select(col(idCol), NearDup.shingleHash60(col("s")).as("h"))
+      .distinct()
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sum_df"))
+      .withColumn("commonness",
+        col("sum_df").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("weight",
+        col("n_shingles").cast("double") / col("sum_df").cast("double"))
+  }
+
   // ---- deterministic stratified sampling ---------------------------------
 
   /** Up to `k` rows per stratum, chosen by md5 rank over a salted key —

@@ -210,6 +210,19 @@ object PlanCheck {
     // the visible readout must stay cross-product-free
     Expectation("q87_kmeans_codebook",
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // soft dedup: df aggregate + join ON THE SHINGLE HASH + per-doc
+    // aggregate (the q42 shape) — map-side-combinable aggregates, no
+    // window (a df window over the shingle would sort each boilerplate
+    // shingle's full multiplicity in one task), no cross product
+    Expectation("q89_soft_dedup_weights",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+    // cluster-balanced sample: the per-cell cap must keep the q32
+    // WindowGroupLimit (map-side partial top-k per cell before the
+    // shuffle); the assignment's intentional cross score is against
+    // the BROADCAST codebook (the q22 situation)
+    Expectation("q90_cluster_balanced_sample",
+      mustContain = Seq("WindowGroupLimit", "BroadcastNestedLoopJoin")),
     // HNSW beam descent: the per-round phases live behind
     // localCheckpoints (q58's situation — layer graphs + beam ranks are
     // spec-asserted in HnswSpec); the only intentional cross score is

@@ -893,11 +893,18 @@ object Vectors {
     * control-plane trade as the broadcast itself. Either way the
     * emitted `cell` is the ORIGINAL centroid id.
     */
-  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, cidCol: String, cvecCol: String,
-      threshold: Double, checkpointRanked: Boolean = true,
-      maxCellSize: Long = 4096): DataFrame = {
-    require(maxCellSize >= 1, s"maxCellSize must be positive, got $maxCellSize")
+  /** Max-cosine centroid assignment against a broadcast codebook —
+    * [[semanticDedup]]'s first phase as a standalone operator. Every
+    * corpus vector gets `(id, cell, centroid_sim, v, n)` where `cell`
+    * is the argmax-cosine centroid id (round-6 scores; ties toward the
+    * smallest centroid id in natural order — numeric when numeric,
+    * else a driver-side rank, like the parent operator). The cross
+    * join is map-side (codebook-sized broadcast) and the argmax is a
+    * `max_by` aggregate, so partial aggregation collapses the N×k
+    * scored rows to N before the shuffle.
+    */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cBase = centroids
@@ -923,7 +930,7 @@ object Vectors {
       .withColumn("n", normCol($"v"))
     // assignment: argmax cosine over the broadcast codebook; max_by's
     // ordering struct breaks score ties toward the smallest centroid id
-    val assignedPlan = v.crossJoin(c)
+    v.crossJoin(c)
       .withColumn("csim", round6(cosineWithNorms($"v", $"n", $"cv", $"cn")))
       .groupBy($"id")
       .agg(max_by(
@@ -931,6 +938,38 @@ object Vectors {
         struct($"csim", $"cord")).as("b"))
       .select($"id", $"b.cell".as("cell"),
         $"b.centroid_sim".as("centroid_sim"), $"b.v".as("v"), $"b.n".as("n"))
+  }
+
+  /** Cluster-balanced deterministic subsample: assign every vector to
+    * its max-cosine centroid ([[assignCells]]) and keep up to `k` per
+    * cell by salted-md5 rank — the embedding-space analogue of
+    * [[graft.textops.CurationOps.stratifiedSample]], balancing a
+    * training mix across SEMANTIC clusters instead of a metadata
+    * column (the cluster-banded subsampling modern curation pipelines
+    * run between dedup and mixing). Deterministic across engines and
+    * runs; the `rk <= k` row_number plans as `WindowGroupLimit`, so a
+    * 100 TB cell moves only k × tasks rows into the rank shuffle.
+    */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      k: Int, salt: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assigned = assignCells(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
+    val key = md5(concat(lit(salt), $"id".cast("string")))
+    val w = Window.partitionBy($"cell").orderBy(key, $"id")
+    assigned.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+      .select($"id", $"cell", $"centroid_sim", $"rk")
+  }
+
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      threshold: Double, checkpointRanked: Boolean = true,
+      maxCellSize: Long = 4096): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be positive, got $maxCellSize")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assignedPlan = assignCells(corpus, idCol, vecCol, centroids, cidCol, cvecCol)
     // two consumers (the cell-size aggregate and the sweep) — checkpoint
     // so the N×k assignment isn't recomputed per reader (false only for
     // plan audits, which need the pre-checkpoint operators visible)

@@ -979,6 +979,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.forall { case (id, _, n) => copies(id).length == n })
   }
 
+  test("softDedupWeights: unique=1.0, exact dup halves, near-dup graded between") {
+    val out = CurationOps.softDedupWeights(docs(
+        1L -> "alpha bravo charlie delta echo",
+        2L -> "alpha bravo charlie delta echo", // exact dup of 1
+        3L -> "alpha bravo charlie golf hotel", // shares the prefix shingle
+        4L -> "india juliet kilo lima mike"), // fully unique
+      "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // docs 1/2: 3 shingles, each df 2 except "alpha bravo charlie" df 3
+    assert(out(1L) == ((3L, 7L, 7.0 / 3, 3.0 / 7)))
+    assert(out(1L) == out(2L))
+    // doc 3: one shared shingle (df 3), two unique -> graded between
+    assert(out(3L) == ((3L, 5L, 5.0 / 3, 3.0 / 5)))
+    assert(out(4L) == ((3L, 3L, 1.0, 1.0)))
+    assert(out(4L)._4 > out(3L)._4 && out(3L)._4 > out(1L)._4)
+  }
+
+  test("softDedupWeights: short docs weigh via their whole-text shingle") {
+    val out = CurationOps.softDedupWeights(docs(
+        1L -> "alpha bravo", 2L -> "alpha bravo", 3L -> "charlie"),
+      "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._5))).toMap
+    assert(out(1L) == ((1L, 0.5)) && out(2L) == ((1L, 0.5)))
+    assert(out(3L) == ((1L, 1.0)))
+  }
+
   test("importanceWeights with an empty target degrades to the uniform prior") {
     val corpus = docs(1L -> "a b c", 2L -> "a b c")
     val target = corpus.filter($"doc_id" < 0)

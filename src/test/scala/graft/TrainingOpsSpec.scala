@@ -391,6 +391,30 @@ class VectorsSpec extends SparkSpec {
     assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0))
   }
 
+  test("clusterBalancedSample: caps per cell, agrees with the assignment, " +
+       "deterministic, salt-sensitive") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val codebook = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    def run(salt: String) = Vectors.clusterBalancedSample(
+        emb, "vec_id", "embedding", codebook, "cid", "cv", k = 5, salt = salt)
+      .as[(Long, Long, Double, Int)].collect()
+    val out = run("s1")
+    val byCell = out.groupBy(_._2)
+    assert(byCell.nonEmpty)
+    byCell.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+    val cells = Vectors.assignCells(emb, "vec_id", "embedding",
+        codebook, "cid", "cv")
+      .select($"id", $"cell").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, cell, _, _) => assert(cells(id) == cell) }
+    assert(run("s1").toSet == out.toSet)
+    assert(run("s2").map(_._1).toSet != out.map(_._1).toSet,
+      "different salt must select a different sample")
+  }
+
   test("semanticDedup matches a naive in-memory reference on random corpora") {
     val rnd = new scala.util.Random(123)
     def round6(x: Double) =
