@@ -154,7 +154,7 @@ object VectorOps {
       val emb = Tables.load(s, dir, "embeddings")
       Vectors.hnswTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
         k = HnswK, dim = 64, beam = HnswBeam, degree = HnswDegree,
-        layers = HnswLayers, fanout = HnswFanout, planes = HnswPlanes,
+        layers = HnswLayers, fanout = HnswFanout,
         tables = HnswTables, hops = HnswHops)
         .orderBy($"query_id", $"rnk")
     }
@@ -166,16 +166,18 @@ object VectorOps {
 
   /** q88 constants = the operator defaults (HNSW practice: M = 16
     * out-edges, ef = 16 ≥ k): 3 layers at fanout 8 (top layer ≈ N/64 —
-    * entry stays broadcast-sized), 2 independent 3-plane tables per
-    * layer graph, 2 hops per layer. Recall@3 = 0.96 vs brute at
-    * sf0.001 (HnswSpec's sweep: degree is the lever — 4 → 0.21).
+    * entry stays broadcast-sized), 2 independent tables per layer
+    * graph with the bucket ladder SIZED TO EACH LAYER'S membership
+    * (autoPlanes — the oracle mirrors it with a per-layer COUNT(*)
+    * CTE and the q24 masked ladder), 2 hops per layer. Recall@3 =
+    * 1.00 vs brute at sf0.001 (HnswSpec's sweep: degree is the
+    * lever — 4 → 0.58).
     */
   private val HnswK = 3
   private val HnswBeam = 16
   private val HnswDegree = 16
   private val HnswLayers = 3
   private val HnswFanout = 8L
-  private val HnswPlanes = 3
   private val HnswTables = 2
   private val HnswHops = 2
 
@@ -482,9 +484,11 @@ object VectorOps {
         s"round(list_dot_product($a, $b) /\n" +
           s"               (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
       def layerSql(j: Int, mem: String): String = {
-        val bs = (0 until HnswTables).map { t =>
+        val np = s"np$j AS (SELECT ${autoPlanesSql("COUNT(*)")} AS nplanes FROM $mem),\n"
+        val bs = np + (0 until HnswTables).map { t =>
           s"b${j}t$t AS (SELECT id, " +
-            s"${bucketSql("v", HnswPlanes, 64, 42 + j * HnswTables + t)} AS bucket FROM $mem)"
+            s"${maskedBucketSql("v", graft.textops.NearDup.EmbedMaxPlanes, 64,
+              42 + j * HnswTables + t)} AS bucket FROM $mem, np$j)"
         }.mkString(",\n")
         val pu = (0 until HnswTables).map { t =>
           s"SELECT x.id AS src, y.id AS dst FROM b${j}t$t x " +
@@ -505,7 +509,7 @@ object VectorOps {
         s"""x${j}h$h AS (SELECT query_id, cand FROM (
            |    SELECT b.query_id, g.dst AS cand FROM $prev b JOIN g$j g ON g.src = b.cand
            |    UNION
-           |    SELECT query_id, cand FROM $prev) WHERE cand <> query_id),
+           |    SELECT query_id, cand FROM $prev)),
            |xs${j}h$h AS (SELECT x.query_id, x.cand, ${cosSql("q.qv", "ev.v")} AS cosine
            |         FROM x${j}h$h x JOIN q ON q.query_id = x.query_id JOIN e ev ON ev.id = x.cand),
            |$out AS (SELECT query_id, cand, cosine, rnk FROM (
@@ -535,13 +539,15 @@ object VectorOps {
          |${layerSql(1, "m1")},
          |${layerSql(0, "e")},
          |en AS (SELECT q.query_id, m.id AS cand, ${cosSql("q.qv", "m.v")} AS cosine
-         |       FROM q, m2 m WHERE m.id <> q.query_id),
+         |       FROM q, m2 m),
          |beam2 AS (SELECT query_id, cand, cosine, rnk FROM (
          |    SELECT query_id, cand, cosine,
          |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand ASC) AS rnk
          |    FROM en) WHERE rnk <= $HnswBeam)${steps._1}
-         |SELECT query_id, rnk, cand AS neighbor_id, cosine
-         |FROM ${steps._2} WHERE rnk <= $HnswK""".stripMargin
+         |SELECT query_id, rnk, cand AS neighbor_id, cosine FROM (
+         |    SELECT query_id, cand, cosine,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand ASC) AS rnk
+         |    FROM ${steps._2} WHERE cand <> query_id) WHERE rnk <= $HnswK""".stripMargin
     },
 
     "q87_kmeans_codebook" ->

@@ -54,7 +54,11 @@ object StreamPerplexity {
       headMax: Double, middleMax: Double)
 
   /** Fit [[RefStats]] on a reference corpus by running the batch
-    * operator and reading off its boundary scores.
+    * operator and reading off its boundary scores. The unigram map is
+    * driver-collected and broadcast — vocabulary-sized, the same
+    * ship-the-LM-to-every-worker trade CCNet's offline model already
+    * makes; a reference whose vocabulary outgrows a broadcast needs a
+    * count-min/top-K cut BEFORE fitting, not a bigger driver.
     */
   def fitReference(reference: DataFrame, idCol: String, textCol: String): RefStats = {
     val spark = reference.sparkSession

@@ -658,16 +658,24 @@ object Vectors {
     *
     * Defaults follow HNSW practice (M = 16 out-edges, ef ≥ 16): on the
     * near-orthogonal synthetic embeddings — the adversarial regime for
-    * graph ANN — degree is the recall lever (4 → 0.21, 16 → 0.96
-    * recall@3 at sf0.001; HnswSpec's sweep). `planes` is the explicit
-    * bucket knob ([[lshTopK]]/[[knnGraph]] convention): pick ≈
-    * log2(|layer| / targetBucket) so the per-layer candidate bound
-    * Σ_bucket |b|² stays linear as the corpus grows.
+    * graph ANN — degree is the recall lever (4 → 0.58, 16 → 1.00
+    * recall@3 at sf0.001; HnswSpec's sweep). Each layer's bucket count
+    * is sized to its MEMBERSHIP by default (`planes = 0` →
+    * [[graft.textops.NearDup.autoPlanes]] per layer, the q24
+    * bucket ∝ N rule): a fixed plane count would make the
+    * within-bucket pair work quadratic in the corpus, while the sized
+    * ladder keeps it ≈ N × targetBucket × tables — at sf0.1 that cuts
+    * layer-0 scored pairs 8× (6.2M → 0.8M); local wall-time is
+    * dominated by the fixed ~9 shuffle rounds (entry + per-layer
+    * edges/hops), which AMORTIZE at scale where per-round data work
+    * dwarfs round latency. Pass `planes > 0` to pin the ladder
+    * explicitly ([[lshTopK]]/[[knnGraph]] convention).
     */
   def hnswTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       beam: Int = 16, degree: Int = 16, layers: Int = 3, fanout: Long = 8,
-      planes: Int = 3, tables: Int = 2, hops: Int = 2, seed: Int = 42): DataFrame = {
+      planes: Int = 0, tables: Int = 2, hops: Int = 2, seed: Int = 42,
+      targetBucket: Int = graft.textops.NearDup.EmbedTargetBucket): DataFrame = {
     require(layers >= 1, s"need at least one layer: $layers")
     require(beam >= k, s"beam ($beam) must cover k ($k)")
     require(fanout >= 2 && (fanout & (fanout - 1)) == 0,
@@ -684,17 +692,33 @@ object Vectors {
         md5(concat(lit(s"hnsw$seed:"), $"id".cast("string"))), 1, 15), 16, 10)
         .cast("long"))
       .persist()
+    // scored against every beam round — persist like the corpus side
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", normCol($"qv"))
-    def members(j: Int): DataFrame =
-      c.filter($"h60" % lit((0 until j).foldLeft(1L)((a, _) => a * fanout)) === 0)
+      .persist()
+    val layerMods = (0 until layers)
+      .map(j => (0 until j).foldLeft(1L)((a, _) => a * fanout))
+    // one pass over the cached corpus yields every layer's member count
+    // — sizes the per-layer bucket ladders AND picks the entry layer
+    val countsRow = c.select(layerMods.zipWithIndex.map { case (m, j) =>
+      coalesce(sum(when($"h60" % lit(m) === 0, 1L)), lit(0L)).as(s"c$j")
+    }: _*).collect()(0)
+    val layerCount = (0 until layers).map(countsRow.getLong)
+    // planes = 0 (the default) sizes each layer's bucket count to its
+    // membership — the [[graft.textops.NearDup.autoPlanes]] bucket ∝ N
+    // rule, without which the within-bucket pair work is quadratic in
+    // the corpus (the q24 lesson applied per layer)
+    def planesFor(j: Int): Int =
+      if (planes > 0) planes
+      else graft.textops.NearDup.autoPlanes(layerCount(j), targetBucket)
+    def members(j: Int): DataFrame = c.filter($"h60" % lit(layerMods(j)) === 0)
     // top-degree out-edges per node within layer j, symmetrized
     def layerEdges(j: Int): DataFrame = {
       val mem = members(j)
       val pairs = (0 until tables).map { t =>
         val b = mem.select($"id",
-          hyperplaneBucket($"v", planes, dim, seed + j * tables + t).as("bucket"))
+          hyperplaneBucket($"v", planesFor(j), dim, seed + j * tables + t).as("bucket"))
         b.as("x").join(b.as("y"),
             col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
           .select(col("x.id").as("src"), col("y.id").as("dst"))
@@ -718,11 +742,23 @@ object Vectors {
       scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= limit)
         .select($"query_id", $"cand", $"cosine", $"rnk")
     }
+    // entry at the deepest NON-empty layer: a small corpus can roll an
+    // empty top layer (P ≈ e^(-N/fanout^(layers-1))) and an empty entry
+    // would silently return zero rows. At production corpus sizes —
+    // and at every gate scale — the top layer is never empty, so the
+    // fallback stays un-entered and the oracle's fixed-layer mirror is
+    // exact.
+    val entryLayer = ((layers - 1) to 0 by -1)
+      .find(j => layerCount(j) > 0).getOrElse(0)
+    // a query that IS a corpus member keeps itself in the beam as a
+    // NAVIGATION seed (cosine 1.0 — real HNSW keeps the entry node
+    // even when it equals the query; dropping it can empty the beam
+    // when it is an upper layer's only member). Self is excluded only
+    // in the final re-rank.
     val entry = q.select($"query_id")
-      .crossJoin(broadcast(members(layers - 1).select($"id".as("cand"))))
-      .filter($"cand" =!= $"query_id")
+      .crossJoin(broadcast(members(entryLayer).select($"id".as("cand"))))
     var b = rankBeam(entry, beam).localCheckpoint()
-    for (j <- (layers - 2) to 0 by -1) {
+    for (j <- (entryLayer - 1) to 0 by -1) {
       val edges =
         if (hops > 1) layerEdges(j).localCheckpoint() else layerEdges(j)
       for (_ <- 1 to hops) {
@@ -731,14 +767,17 @@ object Vectors {
           .select($"query_id", $"dst".as("cand"))
           .union(b.select($"query_id", $"cand"))
           .distinct()
-          .filter($"cand" =!= $"query_id")
         b = rankBeam(expanded, beam).localCheckpoint()
       }
     }
-    // final localCheckpoint above is eager, so the vector cache has no
-    // remaining consumers — release it (the knnGraph convention)
+    // final localCheckpoint above is eager, so the vector caches have
+    // no remaining consumers — release them (the knnGraph convention)
     c.unpersist()
-    b.filter($"rnk" <= k)
+    q.unpersist()
+    val wf = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand".asc)
+    b.filter($"cand" =!= $"query_id")
+      .drop("rnk")
+      .withColumn("rnk", row_number().over(wf)).filter($"rnk" <= k)
       .select($"query_id", $"rnk", $"cand".as("neighbor_id"), $"cosine")
   }
 

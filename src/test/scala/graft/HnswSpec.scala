@@ -37,13 +37,29 @@ class HnswSpec extends SparkSpec {
 
   test("single-layer config degenerates to exact brute force") {
     // layers=1: the entry beam scores EVERY corpus vector, so the
-    // search IS bruteTopK — row-for-row, scores included
+    // search IS bruteTopK — row-for-row, scores included (beam = k+1:
+    // a corpus-member query keeps itself as a navigation seed, so one
+    // beam slot carries the self row until the final re-rank)
     val brute = Vectors.bruteTopK(emb, queries, "vec_id", "embedding", 3)
       .as[(Long, Int, Long, Double)].collect().toSet
     val hnsw = Vectors.hnswTopK(emb, queries, "vec_id", "embedding",
-      k = 3, dim = 64, beam = 3, layers = 1)
+      k = 3, dim = 64, beam = 4, layers = 1)
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(hnsw == brute)
+  }
+
+  test("tiny corpus with empty upper layers falls back to a non-empty entry") {
+    // 3 vectors: upper layers are (almost surely) empty — the entry
+    // falls back to the deepest non-empty layer instead of silently
+    // returning zero rows
+    val tiny = Seq(
+      (1L, Seq.tabulate(64)(i => if (i == 0) 1.0 else 0.0)),
+      (2L, Seq.tabulate(64)(i => if (i == 1) 1.0 else 0.0)),
+      (3L, Seq.tabulate(64)(i => if (i < 2) 0.7 else 0.0))).toDF("vec_id", "embedding")
+    val got = Vectors.hnswTopK(tiny, tiny.filter($"vec_id" === 1), "vec_id", "embedding",
+      k = 2, dim = 64, layers = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L))
   }
 
   test("degree is the recall lever (the scaladoc claim)") {
