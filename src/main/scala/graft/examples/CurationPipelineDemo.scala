@@ -22,6 +22,11 @@ import graft.textops.{CurationOps, NearDup}
   *     head+middle, the paper's default);
   *  5. token-budget mix LAST so budgets are filled with clean,
   *     deduplicated, fluent documents only.
+  *
+  * Alongside the text flow: soft-dedup weights grade the residual
+  * duplication hard dedup leaves behind, and the semantic stage
+  * (kmeans‖ codebook → cluster-balanced subsample → HNSW neighbors)
+  * runs the same curation discipline in embedding space.
   */
 object CurationPipelineDemo {
   def main(args: Array[String]): Unit = {
@@ -77,6 +82,14 @@ object CurationPipelineDemo {
     val deduped = clean.join(dropIds, Seq("doc_id"), "left_anti").persist()
     val nDeduped = deduped.count()
 
+    // 3b. soft-dedup weights on the survivors: hard dedup above removed
+    // the copies; the GRADED duplication that remains (shared
+    // boilerplate prefixes, partial overlaps) becomes a per-doc
+    // sampling weight the trainer can consume instead of a drop
+    val softW = CurationOps.softDedupWeights(deduped, "doc_id", "text", n = 3)
+      .agg(min($"weight").as("min_w"), avg($"weight").as("avg_w"))
+      .as[(Double, Double)].head()
+
     // 4. CCNet bucketing: keep head+middle (the paper's default cut —
     // the tail third of token mass is the least-fluent text)
     val buckets = CurationOps.perplexityBuckets(deduped, "doc_id", "text")
@@ -104,11 +117,30 @@ object CurationPipelineDemo {
       .agg(sum($"words").as("words"), sum($"bpe").as("bpe"), sum($"chars").as("chars"))
       .as[(Long, Long, Long)].head()
 
+    // 7. semantic stage over the embeddings table: distributed kmeans‖
+    // codebook -> topic-balanced subsample (caps any one semantic
+    // cluster's share of the mix) -> HNSW neighbors for the
+    // retrieval/hard-negative stages
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centers = graft.vectors.Vectors.kmeansParallelFit(
+      emb.select($"vec_id", $"embedding"), "vec_id", "embedding",
+      k = 8, rounds = 2, oversample = 8.0, seed = 42, lloydIters = 2)
+    val codebook = graft.vectors.Vectors.centroidsDF(spark, centers)
+    val balanced = graft.vectors.Vectors.clusterBalancedSample(
+      emb, "vec_id", "embedding", codebook, "cid", "cv", k = 20, salt = "demo")
+    val nBalanced = balanced.count()
+    val ann = graft.vectors.Vectors.hnswTopK(
+      emb, emb.filter($"vec_id" < 4), "vec_id", "embedding", k = 3, dim = 64)
+    val nAnn = ann.count()
+
     println(f"corpus:        $total%6d docs")
     println(f"quality gate:  $nQuality%6d kept")
     println(f"decontaminated:$nClean%6d kept (bench = every 10th doc)")
     println(f"deduplicated:  $nDeduped%6d kept (MinHash + containment edges)")
+    println(f"soft weights:  min ${softW._1}%.3f avg ${softW._2}%.3f (graded residual duplication)")
     println(f"ccnet buckets: $nFluent%6d kept (head+middle token mass)")
+    println(f"semantic mix:  $nBalanced%6d vectors kept (<=20 per kmeans|| cell); " +
+      f"HNSW top-3 for 4 queries -> $nAnn%d rows")
     println(s"BPE (50 merges): ${tokStats._3} chars -> ${tokStats._2} tokens " +
       s"(whitespace words: ${tokStats._1})")
     println("mixed corpus by language:")

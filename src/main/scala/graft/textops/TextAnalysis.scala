@@ -186,6 +186,41 @@ object TextAnalysis {
     * need an NER model — out of engine scope, pluggable upstream like
     * the geocoder trait).
     */
+  /** Encoding-anomaly signals — the mojibake / binary-contamination
+    * gate a crawl pipeline runs on DECODED text (ftfy's detection
+    * side, reduced to the three robust signals): U+FFFD replacement
+    * characters (a decoder already gave up), C0 control characters
+    * (NUL..US minus tab/LF, plus DEL — binary payloads mis-served as
+    * text; CR excluded: Windows line endings are legitimate), and C1
+    * controls U+0080..U+009F (the classic cp1252-bytes-decoded-as-
+    * latin-1 mojibake band). Emits exact per-row counts, the
+    * unrounded anomalous-char fraction, and a `keep` flag that is 1
+    * iff the text carries NO anomaly. Pure per-row column math
+    * (codegen'd regexp_replace chain, no UDF, no shuffle) — applies
+    * unchanged to a streaming frame, like [[qualityFeatures]].
+    * Character classes are explicit code-point ranges (no `\p{Cc}`,
+    * no `\s`), the [[TextTokens.dedupKeyCol]] cross-engine
+    * discipline.
+    */
+  def encodingAnomalies(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def removed(pattern: String): Column =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    df.select(col(idCol),
+        length(t).cast("long").as("n_chars"),
+        removed("\uFFFD").as("n_replacement"),
+        removed("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]").as("n_control"),
+        removed("[\\x80-\\x9F]").as("n_c1"))
+      .withColumn("anomaly_frac",
+        when(col("n_chars") > 0,
+          (col("n_replacement") + col("n_control") + col("n_c1")).cast("double") /
+            col("n_chars").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        (col("n_replacement") === 0 && col("n_control") === 0 && col("n_c1") === 0)
+          .cast("int"))
+  }
+
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text, EmailRe, "<EMAIL>")
     val ssn = regexp_replace(email, SsnRe, "<SSN>")

@@ -188,6 +188,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getInt(2) == 3) // the, and, a
   }
 
+  test("encodingAnomalies counts replacement/control/C1 chars exactly") {
+    val df = Seq(
+      (1L, "clean ascii text, with tabs\tand\r\nwindows line endings"),
+      (2L, "decoder gave up \uFFFD here and \uFFFD there"),
+      (3L, "binary \u0001pay\u0000load\u0007with\u007Fcontrols"), // 30 chars, 4 C0/DEL
+      (4L, "cp1252 mojibake \u0091smart quotes\u0092 band"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingAnomalies(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, 0.0, 1))) // tab/CR/LF are legitimate
+    assert(got(2L)._1 == 2L && got(2L)._5 == 0)
+    assert(got(3L) == ((0L, 4L, 0L, 4.0 / 30, 0)))
+    assert(got(4L)._3 == 2L && got(4L)._5 == 0)
+    assert(got(5L) == ((0L, 0L, 0L, 0.0, 1))) // empty: no anomaly, no NaN
+  }
+
   test("langId picks the profile with most hits; unknown when none") {
     val got = Seq(
       "the cat and the dog of the house",
