@@ -614,6 +614,25 @@ object CurationOps {
   def winnowedSpanDedup(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, winnowRadius: Int): DataFrame = {
+    val chunks = winnowedChunks(df, idCol, textCol, shingleWords, winnowRadius)
+    val firsts = chunks
+      .groupBy(col("__ch"))
+      .agg(min(struct(col(idCol).as("fid"), col("cid").as("fidx"))).as("__first"))
+    rebuildKept(chunks.join(firsts, "__ch")
+      .withColumn("__keep",
+        col(idCol) === col("__first.fid") && col("cid") === col("__first.fidx")),
+      idCol)
+  }
+
+  /** [[winnowedSpanDedup]]'s chunking phase as a standalone relation:
+    * content-defined chunks `(idCol, cid, chunk, __ch)` (per-doc
+    * windows only — no cross-document dependency, which is what makes
+    * the streaming twin possible). Shared with
+    * [[graft.streaming.StreamSpanDedup]].
+    */
+  private[graft] def winnowedChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, winnowRadius: Int): DataFrame = {
     require(shingleWords > 0, s"shingleWords must be positive, got $shingleWords")
     require(winnowRadius > 0, s"winnowRadius must be positive, got $winnowRadius")
     val k = shingleWords
@@ -644,19 +663,20 @@ object CurationOps {
         min(col("__h")).over(byDoc.rowsBetween(-winnowRadius, winnowRadius)))
       .withColumn("cid",
         sum(boundary.cast("long")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)) - 1)
-    val chunks = chunked
+    chunked
       .groupBy(col(idCol), col("cid"))
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("j"), col("word")))),
           s => s.getField("word"))).as("chunk"))
       .withColumn("__ch", md5(col("chunk")))
-    val firsts = chunks
-      .groupBy(col("__ch"))
-      .agg(min(struct(col(idCol).as("fid"), col("cid").as("fidx"))).as("__first"))
-    chunks.join(firsts, "__ch")
-      .withColumn("__keep",
-        col(idCol) === col("__first.fid") && col("cid") === col("__first.fidx"))
-      .groupBy(col(idCol))
+  }
+
+  /** Per-doc rebuild over a flagged chunk relation (`__keep` column):
+    * chunk/drop counts plus the kept text in chunk order. Shared by
+    * [[winnowedSpanDedup]] and the streaming twin.
+    */
+  private[graft] def rebuildKept(flagged: DataFrame, idCol: String): DataFrame =
+    flagged.groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
         (count(lit(1)) - sum(col("__keep").cast("long"))).as("n_dropped"),
@@ -664,7 +684,6 @@ object CurationOps {
           transform(
             array_sort(collect_list(when(col("__keep"), struct(col("cid"), col("chunk"))))),
             s => s.getField("chunk"))).as("kept_text"))
-  }
 
   // ---- exact duplicated-span removal (suffix-array-grade) -----------------
 

@@ -109,6 +109,33 @@ class StreamSemanticDedupSpec extends SparkSpec {
     assert(uncapped == Map(1L -> 1, 2L -> 1, 3L -> 0)) // and caught uncapped
   }
 
+  test("cell state survives a query restart from the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val codebook = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "cv")
+    val v = Seq(1.0, 0.1)
+    val dir = java.nio.file.Files.createTempDirectory("semdd_cp").toString
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Seq[Double])]
+    val out = StreamSemanticDedup.semanticDedupStream(
+      stream.toDS().toDF("event_ts", "vec_id", "embedding"),
+      "vec_id", "embedding", "event_ts", codebook, "cid", "cv", threshold = 0.9)
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Int]
+    def start() = out.writeStream
+      .option("checkpointLocation", dir)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamSemanticDedup.SemVerdict], _: Long) =>
+          b.collect().foreach(r => got(r.id.toLong) = r.keep)
+      }
+      .start()
+    val q1 = start()
+    stream.addData((ts(1000), 1L, v)); q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint: the cell's kept-member state must
+    // come back from the state store, so the duplicate is caught by a
+    // DIFFERENT query instance than the one that admitted the original
+    val q2 = start()
+    stream.addData((ts(2000), 2L, v)); q2.processAllAvailable(); q2.stop()
+    assert(got.toMap == Map(1L -> 1, 2L -> 0))
+  }
+
   test("horizon eviction re-admits a duplicate after the cell idles past the watermark") {
     val codebook = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cv")
     val v = Seq(1.0, 0.1)
