@@ -282,6 +282,11 @@ object CurationOps {
       .select(col(idCol), explode(NearDup.shinglesCol(col(textCol), n)).as("s"))
       .select(col(idCol), NearDup.shingleHash60(col("s")).as("h"))
       .distinct()
+      // two consumers (the df aggregate and the probe join) — without
+      // the checkpoint the corpus-wide explode + distinct runs TWICE
+      // (verified in the executed plan: two parquet scans); eager=false
+      // so the first action materializes it (the q78 convention)
+      .localCheckpoint(eager = false)
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, "h")
       .groupBy(col(idCol))

@@ -36,6 +36,34 @@ class StreamFunnelSpec extends SparkSpec {
     got
   }
 
+  test("funnel depth state survives a query restart from the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("funnel_cp").toString
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val out = StreamFunnel.funnelStages(
+      stream.toDS().toDF("ts", "user_id", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type", Stages, watermark = "1 minute")
+    val got = scala.collection.concurrent.TrieMap.empty[Long, Int]
+    def start() = out.writeStream
+      .option("checkpointLocation", dir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamFunnel.FunnelUpdate], _: Long) =>
+          b.collect().foreach(u =>
+            got(u.user_id) = math.max(got.getOrElse(u.user_id, 0), u.funnel_stage))
+      }
+      .start()
+    val q1 = start()
+    stream.addData((ts(10), 1L, 1L, "view")); q1.processAllAvailable(); q1.stop()
+    // the click+purchase land on a FRESH query instance: depth 3 is
+    // only reachable if the prefix state (depth 1) came back from the
+    // checkpoint's state store
+    val q2 = start()
+    stream.addData((ts(20), 1L, 2L, "click"), (ts(30), 1L, 3L, "purchase"))
+    q2.processAllAvailable(); q2.stop()
+    assert(got.toMap == Map(1L -> 3))
+  }
+
   private def batchStages(rows: Seq[(java.sql.Timestamp, Long, Long, String)]): Map[Long, Int] =
     graft.temporal.Temporal.funnelStages(
         rows.toDF("ts", "user_id", "event_id", "event_type"),
