@@ -792,10 +792,16 @@ object CurationOps {
     * distinct term.
     */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tf feeds the frequency aggregate AND the per-token join; freq
+    // feeds the total AND the join — without the checkpoints each
+    // consumer re-runs the corpus explode (the executed plan showed
+    // THREE parquet scans; the q78 eager=false convention)
     val tf = df
       .select(col(idCol), explode(wordsCol(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val freq = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      .localCheckpoint(eager = false)
     val total = freq.agg(sum(col("cnt")).as("total"))
     tf.join(freq, "term")
       .join(broadcast(total))
@@ -838,11 +844,15 @@ object CurationOps {
     * handles them, same contract as [[unigramSurprisal]].
     */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tf2/c2 each have two consumers — checkpoint so the bigram
+    // explode runs once (the unigramSurprisal rationale)
     val tf2 = df
       .select(col(idCol), explode(bigramPairsCol(wordsCol(col(textCol)))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cnt2"))
+      .localCheckpoint(eager = false)
     val c1 = c2.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))
     tf2.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .withColumn("__bits", length(bin(expr("cnt1 div cnt2"))).cast("long"))
@@ -871,9 +881,14 @@ object CurationOps {
     * single-row corpus count, and a `WindowGroupLimit`-planned top-k.
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // tf feeds the df aggregate AND the score join — checkpoint so
+    // the corpus explode runs once. The n_docs scan stays separate on
+    // purpose: it must count zero-word documents too, and it reads
+    // only the pruned id column.
     val tf = docs
       .select(col(idCol), explode(wordsCol(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf
