@@ -84,10 +84,13 @@ object PageRank {
     // plan depth) and cuts only past checkpointInterval.
     val deep = redistributeDangling || iters > checkpointInterval
     val tw = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
-    // deep runs: one eager, reclaimable materialization re-read every
-    // round; shallow runs stay lazy (ReusedExchange dedupes the re-reads)
-    val ewLazy = e.join(tw, "src")
-    val ew = if (deep) ewLazy.localCheckpoint() else ewLazy
+    // the per-round contribution join re-reads the weighted edge frame
+    // EVERY round; left lazy, each round re-derives it from the source
+    // joins — exchange reuse does NOT fire across rounds (verified:
+    // zero ReusedExchange in the executed plan, with the q57
+    // extraction's 4-table join re-executing per iteration) — so the
+    // edge frame always materializes once, eagerly
+    val ew = e.join(tw, "src").localCheckpoint()
     // nodes with no out-edges, whose rank mass would otherwise vanish;
     // materialized once — every round re-reads it
     val dangling =
