@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.vectors.Vectors
+
+/** Incremental ANN index maintenance for an embedding stream — the
+  * IVF family's streaming side. The codebook is FIXED (a kmeans‖ fit
+  * over a reference corpus, refreshed out-of-band — the
+  * [[StreamSemanticDedup]] codebook contract: cells that moved
+  * per-batch would silently re-partition the index), so maintaining
+  * the index is a stateless per-row cell assignment plus an append:
+  *
+  *  - arriving vectors are assigned to their nearest centroid
+  *    (exact squared-distance argmin over the broadcast codebook —
+  *    [[graft.vectors.Vectors.ivfTopK]]'s assignment) and merged into
+  *    the index ledger keyed BY ID (dropDuplicates on the id:
+  *    associative and replay-idempotent — a redelivered batch grows
+  *    nothing, the [[StreamSpanDedup]] ledger contract);
+  *  - [[IvfIndexSession.search]] probes the `nProbe` nearest cells
+  *    per query against the CURRENT index — new vectors are
+  *    searchable the moment their micro-batch commits. At
+  *    `nProbe = nCentroids` the search is EXACT (≡ bruteTopK,
+  *    spec-pinned), the standard recall dial.
+  *
+  * Scale shape: the assignment is a per-row broadcast loop (no
+  * shuffle on ingest beyond the ledger merge's id-dedup); the index
+  * is cell-keyed so a search shuffles only the probed cells' rows.
+  * The in-memory localCheckpointed ledger re-materializes per batch —
+  * session-scale; a production deployment MERGEs into a
+  * cell-partitioned table (the [[graft.plans.Ledger]] seam), making
+  * ingest cost proportional to the batch.
+  */
+object StreamVectorIndex {
+
+  // built at object level so the udf closures capture ONLY the
+  // broadcast handle — inside the session class they would capture
+  // `this` (and its SparkSession): Task not serializable
+  private def assignUdfFor(
+      cb: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) =
+    udf { (v: Seq[Double]) =>
+      val cs = cb.value
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        var d = 0.0
+        var j = 0
+        val c = cs(i)
+        val n = math.min(v.length, c.length)
+        while (j < n) { val x = v(j) - c(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+
+  private def probeUdfFor(
+      cb: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nProbe: Int) =
+    udf { (v: Seq[Double]) =>
+      val cs = cb.value
+      cs.indices.map { i =>
+        var d = 0.0
+        var j = 0
+        val c = cs(i)
+        val n = math.min(v.length, c.length)
+        while (j < n) { val x = v(j) - c(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+
+  final class IvfIndexSession(spark: SparkSession,
+      idCol: String, vecCol: String, centers: Array[Array[Double]]) {
+    require(centers.nonEmpty, "empty codebook")
+    import spark.implicits._
+
+    private val centersB = spark.sparkContext.broadcast(centers)
+
+    @volatile private var state: DataFrame =
+      Seq.empty[(Int, Long, Seq[Double], Double)].toDF("cell", "id", "v", "n")
+        .withColumn("id", col("id").cast("string"))
+
+    /** The current index: `(cell, id, v, n)`. */
+    def index: DataFrame = state
+
+    /** Assign + merge one batch frame into the index (usable directly
+      * for batch bootstraps too). Replay-idempotent: ids already
+      * indexed are kept once.
+      */
+    def ingest(batch: DataFrame): Unit = {
+      val assigned = batch.select(
+          col(idCol).cast("string").as("id"),
+          col(vecCol).cast("array<double>").as("v"))
+        .withColumn("cell", assignUdfFor(centersB)(col("v")))
+        .withColumn("n", Vectors.normCol(col("v")))
+        .select(col("cell"), col("id"), col("v"), col("n"))
+      state = state.union(assigned).dropDuplicates("id").localCheckpoint()
+    }
+
+    /** Attach to a vector stream: each micro-batch ingests on commit. */
+    def start(docs: DataFrame): StreamingQuery =
+      docs.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) => ingest(batch) }
+        .start()
+
+    /** Top-k cosine search of the current index, probing the `nProbe`
+      * nearest cells per query (exact within the probed cells — the
+      * [[graft.vectors.Vectors.ivfTopK]] search with the index frame
+      * externalized; `nProbe = nCentroids` ⇒ exact search).
+      */
+    def search(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      val probeUdf = probeUdfFor(centersB, nProbe)
+      val q = broadcast(queries.select(
+          col(idCol).cast("string").as("query_id"),
+          col(vecCol).cast("array<double>").as("qv"))
+        .withColumn("cell", explode(probeUdf(col("qv"))))
+        .withColumn("qn", Vectors.normCol(col("qv"))))
+      val scored = q.join(state, Seq("cell"))
+        .filter(col("query_id") =!= col("id"))
+        .withColumn("cosine",
+          round(Vectors.cosineWithNorms(col("qv"), col("qn"), col("v"), col("n")), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cosine"))
+    }
+  }
+}

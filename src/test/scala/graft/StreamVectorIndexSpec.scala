@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamVectorIndex
+import graft.vectors.Vectors
+
+/** Incremental IVF index: split-independence of the build, exact
+  * search at full probe (≡ bruteTopK), immediate searchability of new
+  * vectors, and replay-idempotent ingest.
+  */
+class StreamVectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private lazy val queries = emb.filter($"vec_id" < 8)
+  private lazy val centers: Array[Array[Double]] =
+    emb.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding".cast("array<double>")).as[Seq[Double]]
+      .collect().map(_.toArray)
+
+  private def newSession() =
+    new StreamVectorIndex.IvfIndexSession(spark, "vec_id", "embedding", centers)
+
+  test("incremental build over random splits equals the one-shot index") {
+    implicit val sqlCtx = spark.sqlContext
+    val one = newSession()
+    one.ingest(emb)
+    val inc = newSession()
+    val rows = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val rnd = new scala.util.Random(31)
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = inc.start(stream.toDS().toDF("vec_id", "embedding"))
+    rows.groupBy(_ => rnd.nextInt(4)).values.foreach { b =>
+      stream.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def cells(s: StreamVectorIndex.IvfIndexSession) =
+      s.index.select($"cell", $"id").as[(Int, String)].collect().toSet
+    assert(cells(inc) == cells(one))
+    def top(s: StreamVectorIndex.IvfIndexSession) =
+      s.search(queries, k = 3, nProbe = 4)
+        .as[(String, Int, String, Double)].collect().toSet
+    assert(top(inc) == top(one))
+  }
+
+  test("full probe equals brute force exactly") {
+    val s = newSession()
+    s.ingest(emb)
+    val got = s.search(queries, k = 3, nProbe = centers.length)
+      .as[(String, Int, String, Double)].collect().toSet
+    val brute = Vectors.bruteTopK(emb, queries, "vec_id", "embedding", 3)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1.toString, r._2, r._3.toString, r._4)).toSet
+    assert(got == brute)
+  }
+
+  test("new vectors are searchable the moment their batch commits; replay grows nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = newSession()
+    val base = emb.filter($"vec_id" >= 8 && $"vec_id" < 50)
+    s.ingest(base)
+    val q0 = queries.limit(1)
+    val before = s.search(q0, k = 5, nProbe = centers.length)
+      .select($"neighbor_id").as[String].collect().toSet
+    // a near-duplicate of query 0 arrives: it must become the top hit
+    val qv = queries.orderBy($"vec_id").select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val twin = qv.updated(0, qv.head + 0.001)
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = s.start(stream.toDS().toDF("vec_id", "embedding"))
+    stream.addData((999L, twin)); q.processAllAvailable()
+    val after = s.search(q0, k = 5, nProbe = centers.length)
+      .as[(String, Int, String, Double)].collect()
+    assert(!before.contains("999"))
+    assert(after.find(_._2 == 1).map(_._3).contains("999"))
+    val countAfter = s.index.count()
+    stream.addData((999L, twin)); q.processAllAvailable() // redelivery
+    q.stop()
+    assert(s.index.count() == countAfter)
+  }
+}
