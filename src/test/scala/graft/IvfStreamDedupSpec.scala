@@ -179,4 +179,31 @@ class StreamDedupSpec extends SparkSpec {
     // matching buckets expired with the watermark
     assert(!out.keys.exists { case (a, b) => a == 6L || b == 6L })
   }
+  test("near-dup bucket state survives a query restart from the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup_cp").toString
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    val cands = StreamDedup.nearDupStream(
+      stream.toDS().toDF("ts", "doc_id", "text"), "doc_id", "text", "ts",
+      horizon = "10 minutes")
+    val got = scala.collection.concurrent.TrieMap.empty[(Long, Long), Double]
+    def start() = cands.writeStream
+      .option("checkpointLocation", dir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamDedup.NearDupCandidate], _: Long) =>
+          b.collect().foreach(c => got((c.id_a, c.id_b)) = c.est_jaccard)
+      }
+      .start()
+    val q1 = start()
+    stream.addData((ts(0), 1L, near)); q1.processAllAvailable(); q1.stop()
+    // the near-dup arrives at a FRESH query instance: the candidate
+    // pair only forms if doc 1's banded signatures came back from the
+    // state store
+    val q2 = start()
+    stream.addData((ts(30), 2L, near + " extra")); q2.processAllAvailable(); q2.stop()
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) > 0.5)
+  }
 }

@@ -116,4 +116,37 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(got(0)._5.isEmpty)        // all-null session -> NULL
     assert(got(1)._5.contains(5.0))  // null + value -> value
   }
+  test("open-session state survives a query restart from the checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sess_cp").toString
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val out = StreamSessionize.sessionize(
+      stream.toDS().toDF("ts", "user_id", "value"),
+      "user_id", "ts", "value", gap = "5 minutes", watermark = "1 minute")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+    def start() = out.writeStream
+      .option("checkpointLocation", dir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StreamSessionize.SessionRow],
+            _: Long) =>
+          b.collect().foreach(r => got.synchronized {
+            got += ((r.user_id, r.session_start, r.session_end, r.n_events))
+          })
+      }
+      .start()
+    val q1 = start()
+    stream.addData((ts(1000), 1L, 1.0)); q1.processAllAvailable(); q1.stop()
+    // the session continues within the gap on a FRESH query instance,
+    // then an event far past end+watermark closes it: one merged
+    // session spanning both instances is only possible if the open
+    // session came back from the state store
+    val q2 = start()
+    stream.addData((ts(1100), 1L, 2.0)); q2.processAllAvailable()
+    stream.addData((ts(9000), 1L, 9.9)); q2.processAllAvailable()
+    q2.stop()
+    // session_end follows the session_window convention: last + gap
+    assert(got.toList == List((1L, ts(1000), ts(1100 + 300), 2L)))
+  }
 }
