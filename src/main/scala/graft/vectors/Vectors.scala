@@ -1001,6 +1001,30 @@ object Vectors {
       .select($"id", $"cell", $"centroid_sim", $"rk")
   }
 
+  /** Cluster-aware TOKEN budgets: [[assignCells]]'s semantic cells as
+    * [[graft.textops.CurationOps.tokenBudgetMix]]'s strata — each
+    * cell's documents fill their token budget in salted-md5 order, so
+    * a training mix caps any one semantic TOPIC's token mass the way
+    * the per-language mix caps a language's (and
+    * [[clusterBalancedSample]] caps a topic's document COUNT).
+    * `budgets` keys are centroid ids as strings (the cell column is
+    * cast — codebook ids may be any orderable type). Emits the mix
+    * columns plus the cell. Plan shape: the broadcast-codebook argmax
+    * plus ONE stratum window — both inherited pieces' scale arguments
+    * apply unchanged.
+    */
+  def clusterBudgetMix(docs: DataFrame, idCol: String, textCol: String,
+      vecCol: String, centroids: DataFrame, cidCol: String, cvecCol: String,
+      budgets: Map[String, Long], salt: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cells = assignCells(docs, idCol, vecCol, centroids, cidCol, cvecCol)
+      .select($"id".as(idCol), $"cell".cast("string").as("cell"))
+    graft.textops.CurationOps.tokenBudgetMix(
+      docs.select(col(idCol), col(textCol)).join(cells, idCol),
+      idCol, "cell", textCol, budgets, salt)
+  }
+
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
       threshold: Double, checkpointRanked: Boolean = true,

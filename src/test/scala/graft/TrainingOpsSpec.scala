@@ -432,6 +432,29 @@ class VectorsSpec extends SparkSpec {
       "different salt must select a different sample")
   }
 
+  test("clusterBudgetMix: per-cell token budgets over semantic cells") {
+    val centroids = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cv")
+    // cell 0: three 4-token docs; cell 1: one doc
+    val docs = Seq(
+      (1L, "a b c d", Seq(1.0, 0.1)),
+      (2L, "e f g h", Seq(1.0, 0.2)),
+      (3L, "i j k l", Seq(0.9, 0.0)),
+      (4L, "m n o p", Seq(0.1, 1.0)))
+      .toDF("doc_id", "text", "embedding")
+    // budget covers two cell-0 docs; cell 1 unbudgeted -> excluded
+    val out = Vectors.clusterBudgetMix(docs, "doc_id", "text", "embedding",
+        centroids, "cid", "cv", budgets = Map("0" -> 8L), salt = "s")
+      .as[(Long, String, Int, Long)].collect()
+    assert(out.forall(_._2 == "0"))
+    assert(out.length == 2 && out.map(_._4).max == 8L)
+    // the admitted prefix follows the salted-md5 order, like q37
+    val cells = Vectors.assignCells(docs, "doc_id", "embedding",
+        centroids, "cid", "cv")
+      .select($"id", $"cell").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, cell, _, _) => assert(cells(id).toString == cell) }
+  }
+
   test("semanticDedup matches a naive in-memory reference on random corpora") {
     val rnd = new scala.util.Random(123)
     def round6(x: Double) =
