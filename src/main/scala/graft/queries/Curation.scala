@@ -522,6 +522,42 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // ---- leakage-safe grouped split: every SOURCE lands wholly in
+    // train, val, or test by a salted 60-bit hash of the group key
+    // alone — group-level assignment keeps shared-content groups from
+    // straddling an evaluation boundary and is stable under
+    // incremental ingest. Broadcast group table (distinct sources ≪
+    // corpus — the corpus never shuffles); integer hash thresholds, no
+    // float boundary.
+    "q91_grouped_split" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.groupedSplit(
+          docsParallel(s, dir).select($"doc_id", $"source"),
+          "doc_id", "source", seed = SplitSeed, trainPct = 80, valPct = 10)
+        .orderBy($"doc_id")
+    },
+
+    // ---- corpus snapshot diff: the previous corpus version is
+    // derived deterministically on BOTH engines (drop every 11th doc →
+    // 'added'; append ' EDIT' to every 13th → 'changed'; retire a
+    // shifted copy of every 17th → 'removed'), then classified by one
+    // full-outer id join over (id, md5) — text never crosses the
+    // shuffle. The audit table an incremental curation run starts
+    // from.
+    "q95_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir).select($"doc_id", $"text")
+      val old = docs.filter($"doc_id" % 11 =!= 0)
+        .withColumn("text",
+          when($"doc_id" % 13 === 0, concat($"text", lit(" EDIT")))
+            .otherwise($"text"))
+        .unionByName(docs.filter($"doc_id" % 17 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            lit("retired document").as("text")))
+      CurationOps.snapshotDiff(old, docs, "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
     // ---- q35's clustering through the alternating large-star/
     // small-star path, FORCED distributed (localEdgeLimit = 0):
     // O(log² n)-round CC gated against the same transitive-closure
@@ -541,6 +577,14 @@ object Curation {
   /** q82's epoch seed and shard fan-out — mirrored into the oracle. */
   private val TrainSeed = "epoch1"
   private val TrainShards = 8
+
+  /** q91's split seed and the exact integer hash thresholds
+    * (⌊2⁶⁰·pct/100⌋ — computed once here, interpolated into the oracle
+    * so neither engine touches a float boundary).
+    */
+  private val SplitSeed = "split42"
+  private val SplitTrainLo = ((BigInt(1) << 60) * 80 / 100).toLong
+  private val SplitValLo = ((BigInt(1) << 60) * 90 / 100).toLong
 
   /** q86's exact-span threshold (words) — mirrored into the oracle's
     * slicing and coverage-window arithmetic.
@@ -1522,6 +1566,41 @@ object Curation {
         |       CASE WHEN ap = 0 THEN substr(text, CAST(GREATEST(a, b) AS INT) + 1,
         |                                    n - CAST(GREATEST(a, b) AS INT))
         |            ELSE '' END AS suffix
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // Same salted 60-bit md5 uniform per DISTINCT group, same exact
+    // integer thresholds (interpolated from the one Scala computation).
+    "q91_grouped_split" ->
+      s"""WITH g AS (
+        |  SELECT source,
+        |         CAST(('0x' || substr(md5('$SplitSeed' || ':' || source), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |sp AS (
+        |  SELECT source,
+        |         CASE WHEN h < $SplitTrainLo THEN 'train'
+        |              WHEN h < $SplitValLo THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM g)
+        |SELECT doc_id, source, split
+        |FROM documents JOIN sp USING (source)""".stripMargin,
+
+    // The same derived old snapshot (drop %11, edit %13, retire a
+    // shifted %17 copy), md5 per side, full-outer id join.
+    "q95_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' EDIT' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'retired document' AS text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |o AS (SELECT doc_id, md5(text) AS old_hash FROM old),
+        |n AS (SELECT doc_id, md5(text) AS new_hash FROM documents)
+        |SELECT doc_id, old_hash, new_hash,
+        |       CASE WHEN old_hash IS NULL THEN 'added'
+        |            WHEN new_hash IS NULL THEN 'removed'
+        |            WHEN old_hash = new_hash THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin
   )
 }

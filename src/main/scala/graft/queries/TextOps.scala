@@ -212,6 +212,29 @@ object TextOps {
     // DuckDB mirrors — the whole binary-column plumbing is
     // hash-verified, not just spec'd (real-image decode is pinned by
     // MultimodalSpec on generated PNG/JPEG bytes).
+    // ---- URL normalization + eTLD+1 (SURVEY T22) behind the gate:
+    // synthetic per-doc URLs exercising host case-folding, a www
+    // subdomain, a MULTI-LABEL public suffix (co.uk — where naive
+    // "last two labels" parsing breaks), port/path/query/fragment
+    // junk, through the Guava-PSL normalizer; the oracle states the
+    // EXPECTED normalization for the constructed shape, so the PSL
+    // walk is verified against independent ground truth rather than
+    // mirrored. Per-row map (the PSL lookup is the one place a UDF is
+    // unavoidable — a library call, bounded per row; no shuffle).
+    "q94_url_etld1" -> { (s, dir) =>
+      import s.implicits._
+      val urls = docsParallel(s, dir).select($"doc_id",
+        concat(lit("https://WWW."), $"source",
+          lit(".Example"), ($"doc_id" % 3).cast("string"),
+          lit(".CO.UK:8080/p/"), $"doc_id".cast("string"),
+          lit("?utm_source=feed&id="), ($"doc_id" % 5).cast("string"),
+          lit("#frag")).as("url"))
+      urls.select($"doc_id", $"url",
+          graft.functions.UrlUtil.normalizeCol($"url").as("normalized"),
+          graft.functions.UrlUtil.etld1Col($"url").as("etld1"))
+        .orderBy($"doc_id")
+    },
+
     "q52_media_decode" -> { (s, dir) =>
       import s.implicits._
       val media = docsParallel(s, dir).select(
@@ -503,6 +526,21 @@ object TextOps {
         |  ON a.c_custkey < b.c_custkey
         | AND abs(len(a.c_name) - len(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // Ground-truth normalization for the constructed URL shape:
+    // lowercase host, scheme kept, port/path/query/fragment dropped,
+    // registrable domain = label + '.co.uk' (the PSL multi-label
+    // suffix) — stated independently, NOT derived by re-running the
+    // Spark side's logic.
+    "q94_url_etld1" ->
+      """SELECT doc_id,
+        |  'https://WWW.' || source || '.Example' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '.CO.UK:8080/p/' || CAST(doc_id AS VARCHAR)
+        |    || '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) || '#frag' AS url,
+        |  'https://www.' || source || '.example' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '.co.uk' AS normalized,
+        |  'example' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk' AS etld1
+        |FROM documents""".stripMargin,
 
     // DuckDB mirror of StubDecoder: sha256 over the SAME UTF-8 bytes,
     // dimensions from the digest's first bytes (hex-pair parses).

@@ -144,6 +144,38 @@ object VectorOps {
         .orderBy($"cell", $"rk")
     },
 
+    // ---- int8 scalar-quantized ANN (FAISS SQ8 shape): per-dimension
+    // affine codes over L2-normalized vectors under corpus [min, max]
+    // stats, candidates ranked by the INT64 squared-L2 code distance
+    // (offsets cancel in the difference; monotone with cosine on unit
+    // vectors) — the whole gate is integer-exact (no float rounding
+    // channel anywhere in the ranking). 4× memory cut; at scale the
+    // same codes feed the bucketed LSH/IVF joins unchanged. Recall vs
+    // the float brute baseline pinned in VectorsSpec.
+    "q92_sq8_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.sqTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+          k = 3, dim = 64)
+        .orderBy($"query_id", $"rnk")
+    },
+
+    // ---- embedding-space contamination screen: max round-6 cosine vs
+    // a benchmark embedding subset (every 61st vector), nearest bench
+    // id via the q78 argmax tiebreak, flag at the q24 threshold — the
+    // semantic complement of q85's n-gram contamination score (catches
+    // paraphrased benchmark leakage token overlap misses). Broadcast
+    // bench + partial max_by: the corpus shuffles only by its own id.
+    "q93_semantic_contamination" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.semanticContamination(emb, "vec_id", "embedding",
+          emb.filter($"vec_id" % ContamBenchMod === ContamBenchRem),
+          "vec_id", "embedding", threshold = SemThreshold)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy($"vec_id")
+    },
+
     // ---- HNSW-style layered graph ANN: deterministic md5 level draw
     // (layer j ⇔ hash60 ≡ 0 mod fanout^j), per-layer LSH-seeded
     // top-degree NSW graphs, beam descent with exact re-scoring.
@@ -163,6 +195,16 @@ object VectorOps {
   /** q90 constants: q78's codebook, 20 per cell, fixed salt. */
   private val CbsK = 20
   private val CbsSalt = "cbs"
+
+  /** q92's quantization width (the embeddings table dimension). */
+  private val SqDim = 64
+
+  /** q93's benchmark selector: every 61st vector (≈ N/61 rows — bench
+    * members themselves stay in the corpus, so verbatim leakage scores
+    * max_sim = 1.0 and the flag=1 path is always exercised).
+    */
+  private val ContamBenchMod = 61
+  private val ContamBenchRem = 3
 
   /** q88 constants = the operator defaults (HNSW practice: M = 16
     * out-edges, ef = 16 ≥ k): 3 layers at fanout 8 (top layer ≈ N/64 —
@@ -255,6 +297,69 @@ object VectorOps {
       s"len(bin((GREATEST($nExpr, 1) - 1) // ${graft.textops.NearDup.EmbedTargetBucket}))))"
 
   val oracle: Map[String, String] = Map(
+    // SQ8 mirror: the identical L2 normalization (one IEEE division
+    // per element), per-dim min/max CTE collected into ordered lists
+    // (the Spark side's driver-collected stats array), the identical
+    // (x − mn) * 255.0 / span affine in the identical op order (three
+    // IEEE double ops → bit-identical pre-round value; round-half-up
+    // agrees on positives), then pure INT64 squared code distances.
+    "q92_sq8_topk" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sqrt(list_dot_product(v, v)) = 0
+        |              THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |         END AS v
+        |  FROM e0),
+        |st AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e, unnest(generate_series(1, $SqDim)) t(i)
+        |  GROUP BY i),
+        |stats AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans
+        |  FROM st),
+        |qz AS (
+        |  SELECT vec_id,
+        |         list_transform(generate_series(1, $SqDim), i ->
+        |           CASE WHEN spans[i] = 0 THEN 0
+        |                ELSE CAST(LEAST(GREATEST(
+        |                       round((v[i] - mns[i]) * 255.0 / spans[i]), 0.0), 255.0)
+        |                     AS BIGINT) END) AS q
+        |  FROM e, stats),
+        |qq AS (SELECT vec_id AS query_id, q AS qv FROM qz WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT query_id, z.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, $SqDim),
+        |                i -> (qv[i] - z.q[i]) * (qv[i] - z.q[i]))) AS BIGINT) AS qdist
+        |  FROM qq, qz z WHERE z.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, qdist,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY qdist ASC, neighbor_id ASC) AS rnk
+        |  FROM sc)
+        |SELECT query_id, rnk, neighbor_id, qdist FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // q78's assignment mirror (argmax via csim DESC, cid ASC window)
+    // with the benchmark as the codebook and a threshold flag.
+    "q93_semantic_contamination" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM e
+        |      WHERE id % $ContamBenchMod = $ContamBenchRem),
+        |s AS (
+        |  SELECT id, cid,
+        |         round(list_dot_product(v, cv) /
+        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+        |  FROM e, c),
+        |a AS (
+        |  SELECT id, cid, csim FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |                                 ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM s) WHERE rn = 1)
+        |SELECT id AS vec_id, cid AS nearest_bench, csim AS max_sim,
+        |       CASE WHEN csim >= $SemThreshold THEN 1 ELSE 0 END AS contaminated
+        |FROM a""".stripMargin,
+
     "q23_lsh_topk" ->
       s"""WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

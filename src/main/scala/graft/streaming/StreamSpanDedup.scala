@@ -57,6 +57,20 @@ object StreamSpanDedup {
   def spanDedupBatch(batch: DataFrame, ledger: DataFrame,
       idCol: String, textCol: String,
       shingleWords: Int, winnowRadius: Int): (DataFrame, DataFrame) = {
+    val (out, fresh) = spanDedupBatchWithFresh(
+      batch, ledger, idCol, textCol, shingleWords, winnowRadius)
+    val newLedger = ledger.union(fresh).distinct().localCheckpoint()
+    (out, newLedger)
+  }
+
+  /** The batch core: per-doc result plus the batch's FRESH hashes
+    * (distinct chunk hashes NOT already in the ledger — exactly what a
+    * durable ledger appends per batch; [[spanDedupBatch]] unions them
+    * into the in-memory frame instead).
+    */
+  def spanDedupBatchWithFresh(batch: DataFrame, ledger: DataFrame,
+      idCol: String, textCol: String,
+      shingleWords: Int, winnowRadius: Int): (DataFrame, DataFrame) = {
     // two consumers (flagging + ledger merge) — checkpoint so the
     // window/agg chunking runs once
     val chunks = CurationOps.winnowedChunks(
@@ -71,9 +85,9 @@ object StreamSpanDedup {
         col("__seen").isNull &&
           col(idCol) === col("__first.fid") && col("cid") === col("__first.fidx"))
     val out = CurationOps.rebuildKept(flagged, idCol)
-    val newLedger = ledger.union(chunks.select(col("__ch")))
-      .distinct().localCheckpoint()
-    (out, newLedger)
+    val fresh = chunks.select(col("__ch")).distinct()
+      .join(ledger.distinct(), Seq("__ch"), "left_anti")
+    (out, fresh)
   }
 
   /** A running span-dedup session over a document stream: foreachBatch
@@ -99,5 +113,54 @@ object StreamSpanDedup {
           state = next
         }
         .start()
+  }
+
+  /** [[SpanDedupSession]] with the ledger in a [[DurableLedger]]
+    * parquet table instead of driver memory: the session survives a
+    * process RESTART (resume with the same `ledgerPath` + streaming
+    * `checkpointLocation` — spans admitted before the crash stay
+    * admitted), and a replayed micro-batch recommits the identical
+    * fresh-hash set to its own directory (the ledger is exactly-once;
+    * the per-doc `sink` is the usual foreachBatch at-least-once).
+    * Per-batch cost is proportional to the BATCH — one anti-join probe
+    * against the ledger and one O(batch) append, never an O(corpus)
+    * rewrite.
+    */
+  final class DurableSpanDedupSession(spark: SparkSession, ledgerPath: String,
+      idCol: String, textCol: String, shingleWords: Int, winnowRadius: Int) {
+
+    private val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__ch",
+        org.apache.spark.sql.types.StringType)))
+
+    /** The committed ledger (hash-only frame, read from disk). */
+    def ledger: DataFrame = DurableLedger.load(spark, ledgerPath, schema)
+
+    /** One micro-batch against the durable ledger: dedup vs everything
+      * committed EXCEPT this batch id (replay safety), commit the fresh
+      * hashes, return the per-doc result. Public so batch bootstraps
+      * can load an initial corpus through the same path.
+      */
+    def ingest(batch: DataFrame, batchId: Long): DataFrame = {
+      val prior = DurableLedger.load(spark, ledgerPath, schema,
+        excludeBatch = Some(batchId))
+      val (out, fresh) = spanDedupBatchWithFresh(
+        batch, prior, idCol, textCol, shingleWords, winnowRadius)
+      // materialize the result BEFORE the commit so the sink's frame
+      // doesn't observe its own batch's directory through `prior`
+      val pinned = out.localCheckpoint()
+      DurableLedger.commit(fresh, ledgerPath, batchId)
+      pinned
+    }
+
+    def start(docs: DataFrame, checkpointLocation: Option[String] = None)(
+        sink: (DataFrame, Long) => Unit): StreamingQuery = {
+      val w = docs.writeStream.outputMode("append")
+      checkpointLocation.foreach(w.option("checkpointLocation", _))
+      w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          sink(ingest(batch, batchId), batchId)
+        }
+        .start()
+    }
   }
 }

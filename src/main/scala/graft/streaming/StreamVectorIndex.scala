@@ -92,13 +92,7 @@ object StreamVectorIndex {
       * indexed are kept once.
       */
     def ingest(batch: DataFrame): Unit = {
-      val assigned = batch.select(
-          col(idCol).cast("string").as("id"),
-          col(vecCol).cast("array<double>").as("v"))
-        .withColumn("cell", assignUdfFor(centersB)(col("v")))
-        .withColumn("n", Vectors.normCol(col("v")))
-        .select(col("cell"), col("id"), col("v"), col("n"))
-      state = state.union(assigned).dropDuplicates("id").localCheckpoint()
+      state = state.union(assign(batch)).dropDuplicates("id").localCheckpoint()
     }
 
     /** Attach to a vector stream: each micro-batch ingests on commit. */
@@ -113,14 +107,18 @@ object StreamVectorIndex {
       * [[graft.vectors.Vectors.ivfTopK]] search with the index frame
       * externalized; `nProbe = nCentroids` ⇒ exact search).
       */
-    def search(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    def search(queries: DataFrame, k: Int, nProbe: Int): DataFrame =
+      searchIndex(state, queries, k, nProbe)
+
+    private[streaming] def searchIndex(index: DataFrame, queries: DataFrame,
+        k: Int, nProbe: Int): DataFrame = {
       val probeUdf = probeUdfFor(centersB, nProbe)
       val q = broadcast(queries.select(
           col(idCol).cast("string").as("query_id"),
           col(vecCol).cast("array<double>").as("qv"))
         .withColumn("cell", explode(probeUdf(col("qv"))))
         .withColumn("qn", Vectors.normCol(col("qv"))))
-      val scored = q.join(state, Seq("cell"))
+      val scored = q.join(index, Seq("cell"))
         .filter(col("query_id") =!= col("id"))
         .withColumn("cosine",
           round(Vectors.cosineWithNorms(col("qv"), col("qn"), col("v"), col("n")), 6))
@@ -130,5 +128,65 @@ object StreamVectorIndex {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("cosine"))
     }
+
+    private[streaming] def assign(batch: DataFrame): DataFrame =
+      batch.select(
+          col(idCol).cast("string").as("id"),
+          col(vecCol).cast("array<double>").as("v"))
+        .withColumn("cell", assignUdfFor(centersB)(col("v")))
+        .withColumn("n", Vectors.normCol(col("v")))
+        .select(col("cell"), col("id"), col("v"), col("n"))
+  }
+
+  /** [[IvfIndexSession]] with the index in a [[DurableLedger]] parquet
+    * table: the index survives a process restart (resume with the same
+    * `indexPath` + streaming `checkpointLocation`) and a replayed
+    * micro-batch recommits the identical fresh-row set to its own
+    * directory — index contents are exactly-once. Per-batch ingest is
+    * one assignment map + one anti-join on the id against the
+    * committed index + an O(batch) append; searches read the committed
+    * table (new vectors are searchable the moment their batch
+    * commits). The id-level anti-join keeps first-arrival semantics
+    * for redelivered ids (the in-memory session's `dropDuplicates`
+    * contract).
+    */
+  final class DurableIvfIndexSession(spark: SparkSession, indexPath: String,
+      idCol: String, vecCol: String, centers: Array[Array[Double]]) {
+    require(centers.nonEmpty, "empty codebook")
+    import org.apache.spark.sql.types._
+
+    private val inner = new IvfIndexSession(spark, idCol, vecCol, centers)
+    private val schema = StructType(Seq(
+      StructField("cell", IntegerType),
+      StructField("id", StringType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("n", DoubleType)))
+
+    /** The committed index: `(cell, id, v, n)` read from disk. */
+    def index: DataFrame = DurableLedger.load(spark, indexPath, schema)
+
+    /** Assign + commit one batch (replay-safe: dedups against the
+      * index EXCLUDING this batch's own directory).
+      */
+    def ingest(batch: DataFrame, batchId: Long): Unit = {
+      val prior = DurableLedger.load(spark, indexPath, schema,
+        excludeBatch = Some(batchId))
+      val fresh = inner.assign(batch)
+        .dropDuplicates("id")
+        .join(prior.select(col("id")), Seq("id"), "left_anti")
+        .select(col("cell"), col("id"), col("v"), col("n"))
+      DurableLedger.commit(fresh, indexPath, batchId)
+    }
+
+    def start(docs: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+      val w = docs.writeStream.outputMode("append")
+      checkpointLocation.foreach(w.option("checkpointLocation", _))
+      w.foreachBatch { (batch: DataFrame, batchId: Long) => ingest(batch, batchId) }
+        .start()
+    }
+
+    /** [[IvfIndexSession.search]] over the committed index. */
+    def search(queries: DataFrame, k: Int, nProbe: Int): DataFrame =
+      inner.searchIndex(index, queries, k, nProbe)
   }
 }

@@ -1318,4 +1318,67 @@ object CurationOps {
           (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
           .as("zipf_intercept"))
   }
+
+  // ---- dataset assembly: leakage-safe splits and snapshot diffs ----------
+
+  /** Leakage-safe train/validation/test split: every row of a GROUP
+    * (eTLD+1 domain, source feed, author — whatever unit shares content
+    * that must not straddle an evaluation boundary) lands in the SAME
+    * split, decided by a salted 60-bit md5 hash of the group key alone
+    * (the [[NearDup.shingleHash60]] uniform both engines compute
+    * identically). Hash-of-group (vs hash-of-row) is what makes the
+    * split leakage-safe AND ingest-stable: new rows of a known group
+    * join their group's split, and re-running over a grown corpus never
+    * migrates an existing group.
+    *
+    * Split thresholds are exact integers — group is `train` iff
+    * `h60 < ⌊2⁶⁰·trainPct/100⌋`, `val` iff below the train+val bound —
+    * so no float boundary can disagree across engines.
+    *
+    * Scale: the decision runs on the DISTINCT group table (web-scale
+    * eTLD+1 count ~10⁷ — control-plane sized next to the corpus) and is
+    * broadcast back; the corpus itself never shuffles. A group table
+    * past broadcast range downgrades gracefully to a shuffled equi-join
+    * on the group key.
+    */
+  def groupedSplit(df: DataFrame, idCol: String, groupCol: String,
+      seed: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percentages out of range: train=$trainPct val=$valPct")
+    val trainLo = ((BigInt(1) << 60) * trainPct / 100).toLong
+    val valLo = ((BigInt(1) << 60) * (trainPct + valPct) / 100).toLong
+    val groups = df.select(col(groupCol).as("__g")).distinct()
+      .withColumn("__h",
+        NearDup.shingleHash60(concat_ws(":", lit(seed), col("__g").cast("string"))))
+      .withColumn("split",
+        when(col("__h") < trainLo, "train")
+          .when(col("__h") < valLo, "val")
+          .otherwise("test"))
+      .select(col("__g"), col("split"))
+    df.join(broadcast(groups), df(groupCol) === col("__g"))
+      .drop("__g")
+  }
+
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as `added` / `removed` / `changed` / `unchanged` by
+    * content hash — the audit table an incremental curation run starts
+    * from (what must be re-chunked, re-embedded, re-deduped) and the
+    * natural MERGE input for the ledger seams. One full-outer equi-join
+    * on the id; text never crosses the shuffle — both sides reduce to
+    * `(id, md5)` at the scan, so the join moves two hash columns (at
+    * 100 TB the honest sort-merge shape, or a co-located join when both
+    * snapshots share a bucketing layout).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"), md5(col(textCol)).as("old_hash"))
+    val n = newDf.select(col(idCol).as("__id"), md5(col(textCol)).as("new_hash"))
+    o.join(n, Seq("__id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed"))
+      .select(col("__id").as(idCol), col("old_hash"), col("new_hash"), col("status"))
+  }
 }

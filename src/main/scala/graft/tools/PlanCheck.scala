@@ -240,6 +240,36 @@ object PlanCheck {
     // task); the coverage window must be PARTITIONED by the doc id
     Expectation("q86_exact_span_dedup",
       mustContain = Seq("HashAggregate", "windowspecdefinition(doc_id"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // grouped split: the per-group decision table must BROADCAST back
+    // into the corpus (the corpus never shuffles for its split label)
+    Expectation("q91_grouped_split",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct", "Window")),
+    // SQ8 top-k: the quantized query side is the q22 intentional
+    // broadcast cross score. The stats pass (one map-side-combined
+    // min/max aggregate) runs as its own driver-collected job BEFORE
+    // this plan (the kmeans-codebook situation), so no aggregate may
+    // appear in the search plan itself
+    Expectation("q92_sq8_topk",
+      mustContain = Seq("BroadcastNestedLoopJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // semantic contamination: the benchmark broadcasts (the q78
+    // assignment plan); the max_by collapses map-side — the corpus
+    // never shuffles by anything but its id
+    Expectation("q93_semantic_contamination",
+      mustContain = Seq("BroadcastNestedLoopJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct", "Window")),
+    // URL normalize/eTLD+1 is a pure per-row map (the PSL UDF) — no
+    // aggregate, join, or window may creep in
+    Expectation("q94_url_etld1",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // snapshot diff: one full-outer equi-join over (id, md5) — never
+    // any flavor of cross product, and both inputs reduce to two
+    // columns before the join (text stays at the scan)
+    Expectation("q95_snapshot_diff",
+      mustContain = Seq("FullOuter"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

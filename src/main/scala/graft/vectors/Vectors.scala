@@ -1065,6 +1065,130 @@ object Vectors {
         when($"dup".isNull, 1).otherwise(0).as("keep"))
   }
 
+  // ---- scalar quantization (SQ8) -----------------------------------------
+
+  /** Per-dimension [min, max] over the corpus — the int8 scalar-
+    * quantization "codebook" (the FAISS `ScalarQuantizer` QT_8bit
+    * shape). One map-side-combined aggregate over the exploded
+    * (dim, value) pairs; the result is dimension-sized (64 doubles
+    * here) — driver-collected and re-broadcast as literals, the same
+    * bounded control-plane trade as the kmeans codebooks
+    * (`boundedSample` / `kmeansParallelFit`'s candidate set).
+    */
+  def sqStats(corpus: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+      .collect()
+    val mins = Array.fill(dim)(0.0)
+    val maxs = Array.fill(dim)(0.0)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      require(d < dim, s"vector wider than declared dim=$dim (saw index $d)")
+      mins(d) = r.getDouble(1); maxs(d) = r.getDouble(2)
+    }
+    (mins, maxs)
+  }
+
+  /** Affine uint8 code for each dimension:
+    * `clamp(round((x − min_d) · 255 / (max_d − min_d)), 0, 255)` —
+    * three IEEE double ops in a fixed order, so the pre-round value is
+    * bit-identical across engines and the rounded code is exact
+    * (constant-span dimensions collapse to code 0). Pure per-row
+    * `transform` over the array — no UDF, no shuffle.
+    */
+  private def quantizeExpr(v: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val mnArr = array(mins.map(lit): _*)
+    val spanArr = array(mins.indices.map(i => lit(maxs(i) - mins(i))): _*)
+    transform(v.cast("array<double>"), (x, i) => {
+      val mn = element_at(mnArr, i + 1)
+      val span = element_at(spanArr, i + 1)
+      when(span === 0.0, lit(0L)).otherwise(
+        least(greatest(round((x - mn) * lit(255.0) / span), lit(0.0)), lit(255.0))
+          .cast("long"))
+    })
+  }
+
+  /** Quantize a corpus to uint8 codes under the given per-dimension
+    * stats (from [[sqStats]] — queries must quantize under the CORPUS
+    * stats, not their own). 4× smaller vectors and integer distance
+    * arithmetic downstream; emits `(id, qvec)`.
+    */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String,
+      mins: Array[Double], maxs: Array[Double]): DataFrame =
+    df.select(col(idCol).as("id"), quantizeExpr(col(vecCol), mins, maxs).as("qvec"))
+
+  /** Top-k search over scalar-quantized codes: candidates ranked by
+    * the INT64 squared L2 distance between uint8 codes (ascending).
+    * Code-space L2 is the right SQ similarity — the affine offsets
+    * cancel in the per-dimension DIFFERENCE (a raw code dot product is
+    * swamped by the `zero·Σx` cross terms), and on the L2-normalized
+    * inputs quantized here, L2 is monotone with cosine
+    * (‖a−b‖² = 2−2cosθ). Every score is exact integer arithmetic, so
+    * ranking has no cross-engine float channel at all (tighter than
+    * even the round-6 cosine gates). Query side is broadcast
+    * ([[bruteTopK]]'s shape) and the per-query top-k is a rank window.
+    * SQ is a storage/bandwidth optimization orthogonal to candidate
+    * generation: at scale the same codes feed the bucketed LSH/IVF
+    * joins unchanged — this brute form is the verify stage and the
+    * oracled baseline (recall vs the float [[bruteTopK]] is pinned in
+    * VectorsSpec, the q22/q23 pattern).
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // quantize L2-NORMALIZED vectors (standard practice for cosine
+    // search over SQ codes): the integer dot product then ranks by a
+    // monotone surrogate of cosine. Per-element division by the
+    // precomputed norm — one IEEE op on identical doubles, bit-exact
+    // across engines (zero vectors map to the zero code).
+    def unit(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", normCol($"v"))
+      .select($"id", transform($"v", x =>
+        when($"n" === 0.0, lit(0.0)).otherwise(x / $"n")).as("uv"))
+    val cu = unit(corpus)
+    val (mins, maxs) = sqStats(cu, "uv", dim)
+    val c = scalarQuantize(cu, "id", "uv", mins, maxs)
+      .select($"id".as("neighbor_id"), $"qvec".as("nq"))
+    val q = broadcast(scalarQuantize(unit(queries), "id", "uv", mins, maxs)
+      .select($"id".as("query_id"), $"qvec".as("qq")))
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("qdist", aggregate(zip_with($"qq", $"nq", (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy($"query_id").orderBy($"qdist".asc, $"neighbor_id".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"neighbor_id", $"qdist")
+  }
+
+  // ---- semantic contamination --------------------------------------------
+
+  /** Embedding-space contamination screen: for every corpus vector, the
+    * max round-6 cosine against a benchmark embedding set and the
+    * nearest benchmark id, with `contaminated = 1` when the max
+    * similarity clears `threshold`. The semantic complement of the
+    * n-gram [[graft.textops.CurationOps.contaminationScore]]: catches
+    * paraphrased / templated / translated benchmark leakage that token
+    * overlap misses (the "rephrased samples" failure, Yang et al.
+    * 2023). Exactly [[assignCells]]'s plan — benchmark broadcast,
+    * N×B scored map-side, partial `max_by` collapses to N before the
+    * shuffle — so the corpus never shuffles by anything but its id.
+    * Benchmarks bigger than broadcast range shard this call per
+    * benchmark split and AND the flags.
+    */
+  def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    assignCells(corpus, idCol, vecCol, bench, benchIdCol, benchVecCol)
+      .select($"id", $"cell".as("nearest_bench"), $"centroid_sim".as("max_sim"),
+        when($"centroid_sim" >= threshold, 1).otherwise(0).as("contaminated"))
+  }
+
   private def round6(c: Column): Column = round(c, 6)
 
   private def normOf(v: Array[Double]): Double = {

@@ -1019,4 +1019,59 @@ class CurationOpsSpec extends SparkSpec {
     assert(lrs.forall(v => !v.isNaN && !v.isInfinite))
     assert(lrs(0) === lrs(1))
   }
+
+  test("groupedSplit: every group lands in exactly one split, all splits used") {
+    val df = (1L to 400L).map(i => (i, s"g${i % 100}")).toDF("doc_id", "source")
+    val out = CurationOps.groupedSplit(df, "doc_id", "source", seed = "s1")
+    assert(out.count() === 400)
+    // leakage guard: no group straddles a split boundary
+    val leaky = out.groupBy("source")
+      .agg(countDistinct($"split").as("n")).filter($"n" > 1).count()
+    assert(leaky === 0)
+    // 100 groups at 80/10/10: all three splits must be populated and
+    // the proportions roughly honored (hash-uniform, so generous bands)
+    val counts = out.select($"source", $"split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("groupedSplit is ingest-stable: growing the corpus never moves a group") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 10}")).toDF("doc_id", "source")
+    val grown = df.unionByName(
+      (101L to 160L).map(i => (i, s"h$i")).toDF("doc_id", "source"))
+    def splits(d: org.apache.spark.sql.DataFrame) =
+      CurationOps.groupedSplit(d, "doc_id", "source", seed = "s1")
+        .select($"source", $"split").distinct()
+        .as[(String, String)].collect().toMap
+    val before = splits(df)
+    val after = splits(grown)
+    before.foreach { case (g, s) => assert(after(g) === s) }
+  }
+
+  test("groupedSplit honors custom percentages at the integer thresholds") {
+    val df = (1L to 50L).map(i => (i, s"g$i")).toDF("doc_id", "source")
+    // trainPct=100: everything trains (the val/test bands are empty)
+    val all = CurationOps.groupedSplit(df, "doc_id", "source", "s", 100, 0)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(all === Seq("train"))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val nw = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val m = CurationOps.snapshotDiff(old, nw, "doc_id", "text")
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(m === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff carries both content hashes for audit joins") {
+    val old = Seq((1L, "x")).toDF("doc_id", "text")
+    val nw = Seq((1L, "y")).toDF("doc_id", "text")
+    val r = CurationOps.snapshotDiff(old, nw, "doc_id", "text").collect().head
+    assert(r.getAs[String]("status") === "changed")
+    assert(r.getAs[String]("old_hash") !== r.getAs[String]("new_hash"))
+    assert(r.getAs[String]("old_hash").length === 32)
+  }
 }

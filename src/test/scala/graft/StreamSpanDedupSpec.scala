@@ -82,4 +82,43 @@ class StreamSpanDedupSpec extends SparkSpec {
         .as[Long].head())
     assert(keptChunks.distinct.size == keptChunks.size)
   }
+
+  test("durable ledger: admitted spans survive a session RESTART; batch replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("durable-span").toString
+    val shared = ((1 to 24).map(i => s"w$i") ++ Seq("alpha", "bravo", "charlie"))
+      .mkString(" ")
+    def newSession() = new StreamSpanDedup.DurableSpanDedupSession(
+      spark, s"$base/ledger", "doc_id", "text", K, R)
+    val stream = MemoryStream[(Long, String)]
+    val got = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, String)]
+    def start(s: StreamSpanDedup.DurableSpanDedupSession) =
+      s.start(stream.toDS().toDF("doc_id", "text"), Some(s"$base/cp")) { (out, _) =>
+        out.as[(Long, Long, Long, String)].collect()
+          .foreach(r => got(r._1) = ((r._2, r._3, r._4)))
+      }
+    val q1 = start(newSession())
+    stream.addData(1L -> shared); q1.processAllAvailable(); q1.stop()
+    assert(got(1L)._2 == 0 && got(1L)._3.nonEmpty) // nothing seen: all kept
+    // restart: a NEW session object (driver memory gone) over the same
+    // ledger path + checkpoint — the duplicate must be dropped by state
+    // that came back from DISK, not from the in-memory frame
+    val s2 = newSession()
+    val q2 = start(s2)
+    stream.addData(2L -> shared); q2.processAllAvailable(); q2.stop()
+    assert(got(2L)._2 == got(2L)._1 && got(2L)._3.isEmpty)
+    // replay of batch 1 (same id, same content): its own directory is
+    // excluded on read, the recommit is byte-equivalent — ledger
+    // unchanged, result identical
+    val before = s2.ledger.count()
+    val replay = s2.ingest(Seq(2L -> shared).toDF("doc_id", "text"), 1L)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(replay._3 == replay._2 && replay._4.isEmpty)
+    assert(s2.ledger.count() == before)
+    // the committed ledger is exactly the batch operator's chunk set
+    val expected = CurationOps.winnowedChunks(
+        Seq(1L -> shared).toDF("doc_id", "text"), "doc_id", "text", K, R)
+      .select($"__ch").distinct().count()
+    assert(before == expected)
+  }
 }

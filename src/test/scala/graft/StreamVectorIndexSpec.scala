@@ -80,4 +80,31 @@ class StreamVectorIndexSpec extends SparkSpec {
     q.stop()
     assert(s.index.count() == countAfter)
   }
+
+  test("durable index: contents survive a session RESTART, replay commits are idempotent, " +
+       "search equals the in-memory session") {
+    val base = java.nio.file.Files.createTempDirectory("durable-ivf").toString
+    def newDurable() = new StreamVectorIndex.DurableIvfIndexSession(
+      spark, s"$base/index", "vec_id", "embedding", centers)
+    val b1 = emb.filter($"vec_id" >= 8 && $"vec_id" < 30)
+    val b2 = emb.filter($"vec_id" >= 30 && $"vec_id" < 50)
+    newDurable().ingest(b1, 0L)
+    // restart: NEW session object, same path — batch 1 must see batch
+    // 0's ids from DISK
+    val s2 = newDurable()
+    assert(s2.index.count() == b1.count())
+    s2.ingest(b2.unionByName(b1.limit(3)), 1L) // 3 redelivered ids
+    assert(s2.index.count() == b1.count() + b2.count()) // redelivered ids kept once
+    // replay batch 1 wholesale: its own directory is excluded on read,
+    // the recommit reproduces it — index unchanged
+    s2.ingest(b2.unionByName(b1.limit(3)), 1L)
+    assert(s2.index.count() == b1.count() + b2.count())
+    // search over the committed table equals the in-memory session
+    val mem = newSession()
+    mem.ingest(b1.unionByName(b2))
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Int, String, Double)].collect().toSet
+    assert(top(s2.search(queries, k = 3, nProbe = centers.length)) ==
+      top(mem.search(queries, k = 3, nProbe = centers.length)))
+  }
 }

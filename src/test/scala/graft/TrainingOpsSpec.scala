@@ -708,6 +708,52 @@ class VectorsSpec extends SparkSpec {
       assert(rs.length <= 3)
     }
   }
+
+  test("sqStats + scalarQuantize: exact codes, span-0 dims collapse to 0") {
+    val df = Seq(
+      (1L, Seq(0f, 10f, 5f)),
+      (2L, Seq(1f, 10f, 0f))).toDF("vec_id", "embedding")
+    val (mins, maxs) = Vectors.sqStats(df, "embedding", 3)
+    assert(mins.toSeq == Seq(0.0, 10.0, 0.0))
+    assert(maxs.toSeq == Seq(1.0, 10.0, 5.0))
+    val q = Vectors.scalarQuantize(df, "vec_id", "embedding", mins, maxs)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(q(1L) == Seq(0L, 0L, 255L)) // dim 1 has span 0 -> code 0
+    assert(q(2L) == Seq(255L, 0L, 0L))
+  }
+
+  test("sqTopK: integer-exact scores, high recall vs float brute") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 8)
+    val brute = Vectors.bruteTopK(emb, qs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Vectors.sqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64)
+      .select("query_id", "rnk", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    sq.foreach { case (q, _, n) => assert(q != n) }
+    sq.groupBy(_._1).values.foreach(rs =>
+      assert(rs.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+    val hits = sq.map(r => (r._1, r._3)).toSet
+    val recall = hits.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"SQ8 recall@3 vs brute = $recall")
+  }
+
+  test("semanticContamination: verbatim bench members flagged at sim 1.0, flags match threshold") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val bench = emb.filter($"vec_id" % 7 === 1)
+    val out = Vectors.semanticContamination(emb, "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.4)
+      .select($"id", $"nearest_bench", $"max_sim", $"contaminated")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length === emb.count())
+    val benchIds = bench.select($"vec_id").as[Long].collect().toSet
+    out.foreach { case (id, nb, sim, flag) =>
+      assert(flag === (if (sim >= 0.4) 1 else 0))
+      if (benchIds(id)) {
+        assert(nb === id && sim === 1.0 && flag === 1)
+      }
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
