@@ -176,6 +176,24 @@ object VectorOps {
         .orderBy($"vec_id")
     },
 
+    // ---- cluster-aware TOKEN budgets (round-6 operator, now gated):
+    // q78's argmax cell assignment feeding q37's per-stratum
+    // token-budget window — each semantic TOPIC's token mass capped in
+    // salted-md5 order. Documents join their embeddings by id (the
+    // honest equi-join at scale), the codebook broadcasts, cells 4-7
+    // are unbudgeted (membership filter exercised).
+    "q96_cluster_budget_mix" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val docs = graft.queries.TextOps.docsParallel(s, dir)
+        .select($"doc_id", $"text")
+        .join(emb.select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+      Vectors.clusterBudgetMix(docs, "doc_id", "text", "embedding",
+          emb.filter($"vec_id" < SemCentroids), "vec_id", "embedding",
+          budgets = CbmBudgets, salt = CbmSalt)
+        .orderBy($"cell", $"cum_tokens")
+    },
+
     // ---- HNSW-style layered graph ANN: deterministic md5 level draw
     // (layer j ⇔ hash60 ≡ 0 mod fanout^j), per-layer LSH-seeded
     // top-degree NSW graphs, beam descent with exact re-scoring.
@@ -198,6 +216,13 @@ object VectorOps {
 
   /** q92's quantization width (the embeddings table dimension). */
   private val SqDim = 64
+
+  /** q96 constants: budgets for cells 0-3 only (4-7 unbudgeted — the
+    * membership filter is exercised), salt mirrored into the oracle.
+    */
+  private val CbmSalt = "cbm"
+  private val CbmBudgets: Map[String, Long] =
+    Map("0" -> 1200L, "1" -> 800L, "2" -> 800L, "3" -> 1200L)
 
   /** q93's benchmark selector: every 61st vector (≈ N/61 rows — bench
     * members themselves stay in the corpus, so verbatim leakage scores
@@ -339,6 +364,43 @@ object VectorOps {
         |                            ORDER BY qdist ASC, neighbor_id ASC) AS rnk
         |  FROM sc)
         |SELECT query_id, rnk, neighbor_id, qdist FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // q78's assignment mirror feeding q37's cum-token window mirror:
+    // same round-6 argmax, same md5(salt||id) fill order, same BIGINT
+    // window-sum cast (the HUGEINT→float64 pandas hazard), budgets as
+    // a CASE over the stringified cell.
+    "q96_cluster_budget_mix" -> {
+      val budgetCase = CbmBudgets.toSeq.sortBy(_._1)
+        .map { case (c, b) => s"WHEN '$c' THEN $b" }.mkString(" ")
+      val cellList = CbmBudgets.keys.toSeq.sorted.map(c => s"'$c'").mkString(", ")
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < $SemCentroids),
+        |s AS (
+        |  SELECT id, cid,
+        |         round(list_dot_product(v, cv) /
+        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+        |  FROM e, c),
+        |a AS (
+        |  SELECT id, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+        |                                 ORDER BY csim DESC, cid ASC) AS rn
+        |    FROM s) WHERE rn = 1),
+        |words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |toks AS (
+        |  SELECT w.doc_id, CAST(a.cell AS VARCHAR) AS cell, len(ws) AS n_tokens
+        |  FROM words w JOIN a ON a.id = w.doc_id),
+        |cum AS (
+        |  SELECT doc_id, cell, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY cell
+        |           ORDER BY md5('$CbmSalt' || CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM toks)
+        |SELECT doc_id, cell, n_tokens, cum_tokens FROM cum
+        |WHERE cell IN ($cellList)
+        |  AND cum_tokens <= CASE cell $budgetCase ELSE 0 END""".stripMargin
+    },
 
     // q78's assignment mirror (argmax via csim DESC, cid ASC window)
     // with the benchmark as the codebook and a threshold flag.

@@ -265,6 +265,11 @@ object PlanCheck {
     Expectation("q94_url_etld1",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
         "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // cluster budget mix: codebook broadcast (the q78 cross score);
+    // the budget window must be PARTITIONED by the cell
+    Expectation("q96_cluster_budget_mix",
+      mustContain = Seq("BroadcastNestedLoopJoin", "windowspecdefinition(cell"),
+      mustNotContain = Seq("CartesianProduct")),
     // snapshot diff: one full-outer equi-join over (id, md5) — never
     // any flavor of cross product, and both inputs reduce to two
     // columns before the join (text stays at the scan)
