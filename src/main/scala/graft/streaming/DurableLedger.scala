@@ -33,8 +33,44 @@ object DurableLedger {
 
   private def dir(path: String, batchId: Long) = s"$path/b$batchId"
 
-  /** Batch ids present under `path` (sorted ascending). */
+  /** Compaction manifest: which segment holds the folded batches and
+    * the highest batch id folded into it. Committed by atomic rename
+    * (`manifest.tmp` → `manifest`), so a reader sees either the old
+    * fold or the new one, never a half-written state.
+    */
+  private[streaming] final case class Manifest(
+      compactedUpTo: Long, epoch: Long, segment: Option[String])
+
+  private def manifestFile(path: String) = new java.io.File(path, "manifest")
+
+  private[streaming] def readManifest(path: String): Manifest = {
+    val f = manifestFile(path)
+    if (!f.isFile) Manifest(Long.MinValue, 0L, None)
+    else {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      Manifest(lines.get(0).toLong, lines.get(1).toLong,
+        if (lines.size > 2 && lines.get(2).nonEmpty) Some(lines.get(2)) else None)
+    }
+  }
+
+  private def writeManifest(path: String, m: Manifest): Unit = {
+    val tmp = new java.io.File(path, "manifest.tmp")
+    java.nio.file.Files.writeString(tmp.toPath,
+      s"${m.compactedUpTo}\n${m.epoch}\n${m.segment.getOrElse("")}")
+    java.nio.file.Files.move(tmp.toPath, manifestFile(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** LIVE batch ids under `path` (sorted ascending) — directories not
+    * yet folded into the compaction segment.
+    */
   def batches(path: String): Seq[Long] = {
+    val upTo = readManifest(path).compactedUpTo
+    allBatchDirs(path).filter(_ > upTo)
+  }
+
+  private def allBatchDirs(path: String): Seq[Long] = {
     val d = new java.io.File(path)
     if (!d.isDirectory) Nil
     else d.listFiles().toSeq
@@ -46,17 +82,73 @@ object DurableLedger {
   /** The ledger contents, excluding `excludeBatch`'s directory when
     * set (pass the CURRENT batch id from inside foreachBatch, so a
     * replay never reads its own earlier partial write). Empty frame
-    * with `schema` when nothing is committed yet.
+    * with `schema` when nothing is committed yet. Reads the compaction
+    * segment (when one exists) plus the live batch directories; batch
+    * directories at or below `compactedUpTo` are ignored even if their
+    * files still exist (the GC after a manifest swap is best-effort —
+    * a crash between swap and GC must not double-read folded rows).
     */
   def load(spark: SparkSession, path: String, schema: StructType,
       excludeBatch: Option[Long] = None): DataFrame = {
-    val ids = batches(path).filterNot(excludeBatch.contains)
-    if (ids.isEmpty)
+    val m = readManifest(path)
+    val ids = allBatchDirs(path)
+      .filter(_ > m.compactedUpTo).filterNot(excludeBatch.contains)
+    val dirs = m.segment.map(s => s"$path/$s").toSeq ++ ids.map(dir(path, _))
+    if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(ids.map(dir(path, _)): _*)
+    else spark.read.schema(schema).parquet(dirs: _*)
   }
 
   /** Overwrite-commit `rows` as batch `batchId`'s directory. */
   def commit(rows: DataFrame, path: String, batchId: Long): Unit =
     rows.write.mode("overwrite").parquet(dir(path, batchId))
+
+  /** Fold committed batch directories (and the previous segment) into
+    * one new segment, bounding the ledger's file count: after years of
+    * O(batch) appends a reader would otherwise union thousands of tiny
+    * directories. Contents are untouched — [[load]] before and after
+    * compaction is row-identical (spec-pinned).
+    *
+    * Replay safety: the NEWEST committed batch is never folded (only
+    * ids < max are eligible) — Structured Streaming replays at most
+    * the last uncommitted batch, and [[load]]'s `excludeBatch` can
+    * only mask a live directory, not rows inside a segment. Run it
+    * out-of-band or from the maintenance turn of the owning session;
+    * it must not race a concurrent `commit` of a NEW batch id (old
+    * ids are never rewritten, so folding them cannot race).
+    *
+    * Crash safety, window by window: (1) segment written, manifest
+    * not swapped → readers see the old manifest and the still-present
+    * batch dirs; the orphan segment is overwritten by the next
+    * attempt's fresh epoch name. (2) manifest swapped, GC incomplete →
+    * readers see the new segment, and `load` ignores batch dirs ≤
+    * `compactedUpTo` even though they still exist. GC is therefore
+    * best-effort by construction.
+    *
+    * Returns the number of batch directories folded (0 = nothing to
+    * do, no manifest churn).
+    */
+  def compact(spark: SparkSession, path: String, schema: StructType): Int = {
+    val m = readManifest(path)
+    val live = allBatchDirs(path).filter(_ > m.compactedUpTo)
+    if (live.size < 2 && m.segment.isEmpty) return 0 // nothing worth folding
+    val foldIds = if (live.isEmpty) Nil else live.filter(_ < live.max)
+    if (foldIds.isEmpty && m.segment.isEmpty) return 0
+    if (foldIds.isEmpty) return 0 // segment already current; keep as is
+    val upTo = foldIds.max
+    val srcDirs = m.segment.map(s => s"$path/$s").toSeq ++ foldIds.map(dir(path, _))
+    val segName = s"s${m.epoch + 1}"
+    spark.read.schema(schema).parquet(srcDirs: _*)
+      .write.mode("overwrite").parquet(s"$path/$segName")
+    writeManifest(path, Manifest(upTo, m.epoch + 1, Some(segName)))
+    // best-effort GC — load() already ignores everything deleted here
+    (m.segment.toSeq.map(s => new java.io.File(s"$path/$s")) ++
+      foldIds.map(i => new java.io.File(dir(path, i)))).foreach(deleteRec)
+    foldIds.size
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(); ()
+  }
 }

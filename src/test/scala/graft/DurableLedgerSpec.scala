@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.streaming.DurableLedger
+
+/** DurableLedger compaction: fold batch directories into a segment
+  * without changing load() semantics — row identity, replay safety
+  * for the newest batch, and tolerance of the swap-but-no-GC crash
+  * window.
+  */
+class DurableLedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("tag", StringType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("ledger").toFile.getAbsolutePath
+
+  private def rows(path: String, exclude: Option[Long] = None): Set[(Long, String)] =
+    DurableLedger.load(spark, path, schema, exclude)
+      .as[(Long, String)].collect().toSet
+
+  private def commitBatch(path: String, id: Long, n: Int): Set[(Long, String)] = {
+    val data = (0 until n).map(i => (id * 100 + i, s"b$id-$i"))
+    DurableLedger.commit(data.toDF("id", "tag"), path, id)
+    data.toSet
+  }
+
+  test("compact folds all but the newest batch; load() is row-identical") {
+    val path = tmp()
+    val all = (0L to 3L).flatMap(i => commitBatch(path, i, 3)).toSet
+    assert(rows(path) == all)
+    val folded = DurableLedger.compact(spark, path, schema)
+    assert(folded == 3, "b0..b2 fold, b3 (newest) must survive")
+    assert(rows(path) == all)
+    assert(DurableLedger.batches(path) == Seq(3L), "only the newest id is live")
+  }
+
+  test("second compaction folds the previous segment plus new batches") {
+    val path = tmp()
+    val first = (0L to 2L).flatMap(i => commitBatch(path, i, 2)).toSet
+    DurableLedger.compact(spark, path, schema)
+    val second = (3L to 5L).flatMap(i => commitBatch(path, i, 2)).toSet
+    assert(DurableLedger.compact(spark, path, schema) == 3)
+    assert(rows(path) == first ++ second)
+    assert(DurableLedger.batches(path) == Seq(5L))
+    // nothing new to fold → no-op, no manifest churn
+    assert(DurableLedger.compact(spark, path, schema) == 0)
+    assert(rows(path) == first ++ second)
+  }
+
+  test("replay of the newest batch after compaction stays exactly-once") {
+    val path = tmp()
+    val old = (0L to 2L).flatMap(i => commitBatch(path, i, 2)).toSet
+    val last = commitBatch(path, 3L, 2)
+    DurableLedger.compact(spark, path, schema)
+    // a replay of batch 3 reads the ledger EXCLUDING its own directory:
+    // it must see exactly the folded rows, then its recommit overwrites
+    // only its own directory
+    assert(rows(path, exclude = Some(3L)) == old)
+    val replayed = commitBatch(path, 3L, 2) // deterministic rewrite
+    assert(replayed == last)
+    assert(rows(path) == old ++ last)
+  }
+
+  test("crash window: a folded batch directory left behind by GC is ignored") {
+    val path = tmp()
+    val all = (0L to 2L).flatMap(i => commitBatch(path, i, 2)).toSet
+    DurableLedger.compact(spark, path, schema) // folds b0, b1
+    // simulate an incomplete GC: b1's directory reappears with its old
+    // rows — load must NOT double-count it (manifest says ≤1 is folded)
+    Seq((100L, "b1-0"), (101L, "b1-1")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(s"$path/b1")
+    assert(rows(path) == all)
+    assert(DurableLedger.batches(path) == Seq(2L))
+  }
+
+  test("empty and single-batch ledgers are no-ops") {
+    val path = tmp()
+    assert(DurableLedger.compact(spark, path, schema) == 0)
+    val only = commitBatch(path, 0L, 2)
+    assert(DurableLedger.compact(spark, path, schema) == 0)
+    assert(rows(path) == only)
+  }
+}
