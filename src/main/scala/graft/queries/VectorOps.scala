@@ -207,6 +207,22 @@ object VectorOps {
         layers = HnswLayers, fanout = HnswFanout,
         tables = HnswTables, hops = HnswHops)
         .orderBy($"query_id", $"rnk")
+    },
+
+    // ---- q92's SQ8 with the signed-Hadamard rotation (H·D/√dim, the
+    // OPQ-lite pre-transform) applied to the unit vectors before
+    // quantization: variance spreads evenly across dimensions so each
+    // uint8 slot's 256 levels are spent where the data is. Rotation is
+    // orthogonal — code-space L2 still tracks cosine — and every
+    // butterfly element is one add/subtract of identical doubles, so
+    // the gate stays integer-exact end to end (the oracle unrolls the
+    // 6 rounds as CTEs).
+    "q97_rotated_sq8_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.rotatedSqTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+          k = 3, dim = SqDim)
+        .orderBy($"query_id", $"rnk")
     }
   )
 
@@ -364,6 +380,69 @@ object VectorOps {
         |                            ORDER BY qdist ASC, neighbor_id ASC) AS rnk
         |  FROM sc)
         |SELECT query_id, rnk, neighbor_id, qdist FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // q92's mirror with the signed-Hadamard rotation unrolled between
+    // normalization and quantization: the md5-parity sign diagonal,
+    // six butterfly CTEs (b = 1..32; each element ONE add or subtract
+    // of identical doubles), the exact /√64 scale — then the identical
+    // integer-exact SQ8 pipeline over the rotated vectors.
+    "q97_rotated_sq8_topk" -> {
+      val sign =
+        s"""r0 AS (
+          |  SELECT vec_id, list_transform(generate_series(1, $SqDim), i ->
+          |    v[i] * (CASE WHEN CAST(('0x' || substr(md5('rot42:' || CAST(i-1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+          |                 THEN 1.0 ELSE -1.0 END)) AS v
+          |  FROM e),""".stripMargin
+      val rounds = Seq(1, 2, 4, 8, 16, 32).zipWithIndex.map { case (b, ix) =>
+        val mask = (SqDim - 1) ^ b
+        s"""r${ix + 1} AS (
+          |  SELECT vec_id, list_transform(generate_series(1, $SqDim), i ->
+          |    CASE WHEN ((i-1) & $b) = 0
+          |         THEN v[((i-1) & $mask)+1] + v[((i-1) | $b)+1]
+          |         ELSE v[((i-1) & $mask)+1] - v[((i-1) | $b)+1] END) AS v
+          |  FROM r$ix),""".stripMargin
+      }.mkString("\n")
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sqrt(list_dot_product(v, v)) = 0
+        |              THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |         END AS v
+        |  FROM e0),
+        |$sign
+        |$rounds
+        |er AS (
+        |  SELECT vec_id, list_transform(v, x -> x / sqrt(${SqDim}.0)) AS v
+        |  FROM r6),
+        |st AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM er, unnest(generate_series(1, $SqDim)) t(i)
+        |  GROUP BY i),
+        |stats AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans
+        |  FROM st),
+        |qz AS (
+        |  SELECT vec_id,
+        |         list_transform(generate_series(1, $SqDim), i ->
+        |           CASE WHEN spans[i] = 0 THEN 0
+        |                ELSE CAST(LEAST(GREATEST(
+        |                       round((v[i] - mns[i]) * 255.0 / spans[i]), 0.0), 255.0)
+        |                     AS BIGINT) END) AS q
+        |  FROM er, stats),
+        |qq AS (SELECT vec_id AS query_id, q AS qv FROM qz WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT query_id, z.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, $SqDim),
+        |                i -> (qv[i] - z.q[i]) * (qv[i] - z.q[i]))) AS BIGINT) AS qdist
+        |  FROM qq, qz z WHERE z.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, qdist,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY qdist ASC, neighbor_id ASC) AS rnk
+        |  FROM sc)
+        |SELECT query_id, rnk, neighbor_id, qdist FROM ranked WHERE rnk <= 3""".stripMargin
+    },
 
     // q78's assignment mirror feeding q37's cum-token window mirror:
     // same round-6 argmax, same md5(salt||id) fill order, same BIGINT

@@ -1156,24 +1156,34 @@ object Vectors {
     * VectorsSpec, the q22/q23 pattern).
     */
   def sqTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
-    val spark = corpus.sparkSession
+      idCol: String, vecCol: String, k: Int, dim: Int): DataFrame =
+    sqCore(unitFrame(corpus, idCol, vecCol),
+      unitFrame(queries, idCol, vecCol), k, dim)
+
+  /** `(id, uv)` with `uv` the L2-normalized vector — standard practice
+    * for cosine search over quantized codes. Per-element division by
+    * the precomputed norm: one IEEE op on identical doubles, bit-exact
+    * across engines (zero vectors map to the zero code).
+    */
+  private def unitFrame(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    // quantize L2-NORMALIZED vectors (standard practice for cosine
-    // search over SQ codes): the integer dot product then ranks by a
-    // monotone surrogate of cosine. Per-element division by the
-    // precomputed norm — one IEEE op on identical doubles, bit-exact
-    // across engines (zero vectors map to the zero code).
-    def unit(df: DataFrame) = df
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", normCol($"v"))
       .select($"id", transform($"v", x =>
         when($"n" === 0.0, lit(0.0)).otherwise(x / $"n")).as("uv"))
-    val cu = unit(corpus)
+  }
+
+  /** The SQ8 search core over prepared `(id, uv)` frames: corpus-stat
+    * quantization, INT64 squared code distances, per-query rank.
+    */
+  private def sqCore(cu: DataFrame, qu: DataFrame, k: Int, dim: Int): DataFrame = {
+    val spark = cu.sparkSession
+    import spark.implicits._
     val (mins, maxs) = sqStats(cu, "uv", dim)
     val c = scalarQuantize(cu, "id", "uv", mins, maxs)
       .select($"id".as("neighbor_id"), $"qvec".as("nq"))
-    val q = broadcast(scalarQuantize(unit(queries), "id", "uv", mins, maxs)
+    val q = broadcast(scalarQuantize(qu, "id", "uv", mins, maxs)
       .select($"id".as("query_id"), $"qvec".as("qq")))
     val scored = q.join(c, $"query_id" =!= $"neighbor_id")
       .withColumn("qdist", aggregate(zip_with($"qq", $"nq", (a, b) => (a - b) * (a - b)),
@@ -1182,6 +1192,97 @@ object Vectors {
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
       .select($"query_id", $"rnk", $"neighbor_id", $"qdist")
+  }
+
+  // ---- signed-Hadamard rotation (OPQ-lite pre-transform) -----------------
+
+  /** Driver-side 60-bit md5 hash of a string — the engine-wide salted
+    * draw ([[graft.textops.NearDup.shingleHash60]]'s formula) computed
+    * on the driver for bounded control-plane constants.
+    */
+  private def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Apply the seeded signed-Hadamard rotation `H·D / √dim` to
+    * `inCol`, writing `outCol`: D is a ±1 diagonal drawn from
+    * md5("rot<seed>:<i>") parity, H the Walsh-Hadamard transform as
+    * log2(dim) butterfly rounds. This is the structured "random
+    * rotation" pre-transform of the OPQ family (Gong et al. 2013; the
+    * HD blocks of FALCONN/QuickADC, FAISS's `RandomRotationMatrix`
+    * role): it spreads variance evenly across dimensions so
+    * per-dimension uint8 codes lose less — without it, one
+    * high-variance dimension eats the whole quantization budget of
+    * its slot while flat dimensions waste theirs.
+    *
+    * O(dim·log dim) per row, pure column math, zero shuffles. Each
+    * butterfly round is staged as its own projection: a single nested
+    * expression would duplicate the child per `element_at` reference
+    * and grow 2^rounds. Cross-engine exactness: the sign multiply is
+    * exact, each butterfly element is ONE add or subtract of identical
+    * doubles, and the final /√dim is one IEEE division (the divisor
+    * itself is the correctly-rounded sqrt both engines compute
+    * identically) — so rotated vectors are bit-identical and the gate
+    * stays integer-exact after quantization. `dim` must be a power of
+    * two (pad with zeros upstream otherwise — norms are unchanged).
+    */
+  def signedHadamard(df: DataFrame, inCol: String, outCol: String,
+      dim: Int, seed: Int = 42): DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"Hadamard needs a power-of-two dim: $dim")
+    // A tight-loop UDF, deliberately: the column-expression butterfly
+    // (transform + element_at per round) references the previous round
+    // 2·dim times per element, and the optimizer's projection inlining
+    // through a downstream Generate (sqStats' posexplode) duplicates
+    // the chain per reference — a measured 3 KB → 2.2 MB optimized
+    // plan and a 33 MiB task binary. The UDF is one opaque node (no
+    // inlining surface), each butterfly element is the identical
+    // single add/subtract in the identical order, and the in-place
+    // pair update reads both elements before writing them, so it
+    // matches the oracle's out-of-place rounds bit for bit.
+    val signs = (0 until dim).map(i =>
+      if (hash60(s"rot$seed:$i") % 2 == 0) 1.0 else -1.0).toArray
+    val scale = math.sqrt(dim.toDouble)
+    val rot = udf((v: Seq[Double]) => {
+      val x = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { x(i) = v(i) * signs(i); i += 1 }
+      var b = 1
+      while (b < dim) {
+        var s = 0
+        while (s < dim) {
+          if ((s & b) == 0) {
+            val lo = x(s); val hi = x(s | b)
+            x(s) = lo + hi; x(s | b) = lo - hi
+          }
+          s += 1
+        }
+        b <<= 1
+      }
+      var j = 0
+      while (j < dim) { x(j) = x(j) / scale; j += 1 }
+      x.toSeq
+    })
+    df.withColumn(outCol, rot(col(inCol)))
+  }
+
+  /** [[sqTopK]] with the signed-Hadamard rotation applied (to the
+    * already-unit vectors) before quantization — the OPQ-lite
+    * pipeline: normalize → rotate → per-dimension uint8 under corpus
+    * stats → INT64 code-distance rank. Rotation is orthogonal, so
+    * code-space L2 still tracks cosine; what changes is HOW WELL the
+    * 256 levels of each dimension are spent. Recall vs the float
+    * brute baseline is pinned in VectorsSpec next to the unrotated
+    * codes'.
+    */
+  def rotatedSqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, seed: Int = 42): DataFrame = {
+    def rot(df: DataFrame) =
+      signedHadamard(unitFrame(df, idCol, vecCol), "uv", "uv", dim, seed)
+    sqCore(rot(corpus), rot(queries), k, dim)
   }
 
   // ---- semantic contamination --------------------------------------------

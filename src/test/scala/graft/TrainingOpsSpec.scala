@@ -738,6 +738,28 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"SQ8 recall@3 vs brute = $recall")
   }
 
+  test("rotatedSqTopK: rotation preserves norms and recall vs float brute") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 8)
+    // orthogonality: the rotation must preserve L2 norms (up to last-ulp
+    // accumulation across 6 add/sub rounds and the exact /8 scale)
+    import org.apache.spark.sql.functions.{aggregate, lit, sqrt}
+    val norms = Vectors.signedHadamard(
+        emb.select($"vec_id", $"embedding".cast("array<double>").as("v")),
+        "v", "r", dim = 64)
+      .select(
+        sqrt(aggregate($"v", lit(0.0), (a, x) => a + x * x)).as("n0"),
+        sqrt(aggregate($"r", lit(0.0), (a, x) => a + x * x)).as("n1"))
+      .as[(Double, Double)].collect()
+    norms.foreach { case (n0, n1) => assert(math.abs(n0 - n1) < 1e-9) }
+    val brute = Vectors.bruteTopK(emb, qs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rsq = Vectors.rotatedSqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = rsq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"rotated SQ8 recall@3 vs brute = $recall")
+  }
+
   test("semanticContamination: verbatim bench members flagged at sim 1.0, flags match threshold") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val bench = emb.filter($"vec_id" % 7 === 1)
