@@ -577,6 +577,21 @@ object Curation {
       graft.graph.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b",
           algorithm = "star", localEdgeLimit = 0)
         .orderBy($"doc_id")
+    },
+
+    // ---- dataset-PAIR overlap via bottom-k (KMV/theta) sketches:
+    // the k smallest distinct shingle hashes of A∪B with per-corpus
+    // membership bits estimate Jaccard, directional containment, and
+    // union cardinality — the "how much does dump B duplicate dump A"
+    // diagnostic, without materializing the intersection. Exact
+    // integers until the final fixed-order divisions; the bottom-k is
+    // TakeOrdered (no global sort), driver state bounded by k.
+    "q98_corpus_overlap_kmv" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      CurationOps.corpusOverlapKmv(
+        docs.filter($"doc_id" % 2 === 0),
+        docs.filter($"doc_id" % 2 === 1), "text", k = 128)
     }
   )
 
@@ -1607,6 +1622,53 @@ object Curation {
         |            WHEN new_hash IS NULL THEN 'removed'
         |            WHEN old_hash = new_hash THEN 'unchanged'
         |            ELSE 'changed' END AS status
-        |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin
+        |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin,
+
+    // KMV mirror: per-side shingle CTEs (the ShinglesCte shape with a
+    // parity filter), the engine-wide 60-bit md5 hash, membership
+    // max-merge, bottom-128 by hash, then the identical fixed-order
+    // divisions (2^60 inlined as the exact double literal).
+    "q98_corpus_overlap_kmv" ->
+      """WITH wa AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |wb AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |sa AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |  FROM wa, unnest(generate_series(1, len(ws) - 2)) t(i) WHERE len(ws) >= 3
+        |  UNION ALL
+        |  SELECT array_to_string(ws, ' ') FROM wa WHERE len(ws) BETWEEN 1 AND 2),
+        |sb AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |  FROM wb, unnest(generate_series(1, len(ws) - 2)) t(i) WHERE len(ws) >= 3
+        |  UNION ALL
+        |  SELECT array_to_string(ws, ' ') FROM wb WHERE len(ws) BETWEEN 1 AND 2),
+        |ha AS (SELECT DISTINCT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sa),
+        |hb AS (SELECT DISTINCT CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sb),
+        |u AS (
+        |  SELECT h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+        |    SELECT h, 1 AS ia, 0 AS ib FROM ha
+        |    UNION ALL
+        |    SELECT h, 0 AS ia, 1 AS ib FROM hb) t
+        |  GROUP BY h),
+        |sk AS (SELECT h, ia, ib FROM u ORDER BY h ASC LIMIT 128),
+        |ag AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS sketch_size,
+        |         MAX(h) AS kth_min,
+        |         CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |         CAST(SUM(ia) AS BIGINT) AS n_a,
+        |         CAST(SUM(ib) AS BIGINT) AS n_b
+        |  FROM sk)
+        |SELECT sketch_size, kth_min, n_both, n_a, n_b,
+        |       CAST(n_both AS DOUBLE) / CAST(sketch_size AS DOUBLE) AS est_jaccard,
+        |       CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE) AS est_contain_a,
+        |       CAST(n_both AS DOUBLE) / CAST(n_b AS DOUBLE) AS est_contain_b,
+        |       CASE WHEN sketch_size = 128
+        |            THEN CAST(sketch_size - 1 AS DOUBLE) * 1.152921504606846976e18
+        |                 / CAST(kth_min AS DOUBLE)
+        |            ELSE CAST(sketch_size AS DOUBLE) END AS est_union
+        |FROM ag""".stripMargin
   )
 }

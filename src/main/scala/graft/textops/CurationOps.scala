@@ -1381,4 +1381,67 @@ object CurationOps {
           .otherwise("changed"))
       .select(col("__id").as(idCol), col("old_hash"), col("new_hash"), col("status"))
   }
+
+  /** KMV (k-minimum-values) sketch comparison of two corpora's shingle
+    * sets — the dataset-PAIR overlap diagnostic (which crawl snapshots
+    * or published dumps duplicate each other, and how much) that
+    * doc-level dedup (q11/q17) and doc-level containment (q80/q85)
+    * can't give without materializing the cross-corpus intersection.
+    * Bottom-k / theta-sketch estimation (Beyer et al. SIGMOD 2007;
+    * Broder 1997's fixed-size MinHash): keep the k smallest DISTINCT
+    * 60-bit shingle hashes of A∪B with per-corpus membership bits,
+    * then inside that uniform sample
+    *
+    *  - `est_jaccard`     = n_both / sketch_size,
+    *  - `est_contain_a`   = n_both / n_a  (≈ |A∩B| / |A|),
+    *  - `est_contain_b`   = n_both / n_b,
+    *  - `est_union`       = (k−1)·2⁶⁰ / kth_min  (exact count when the
+    *    union is smaller than k — the sketch IS the union then).
+    *
+    * Every statistic is exact-integer until one (or two, for
+    * est_union) IEEE double ops in a fixed order, so the DuckDB oracle
+    * is bit-identical. Scale shape: shingle→hash is the engine-wide
+    * codegen'd md5, membership collapses in ONE map-side-combined
+    * groupBy on the hash, and the bottom-k is a sort+limit Spark
+    * executes as TakeOrdered (per-partition top-k, driver merge of
+    * k·partitions rows) — no global sort, no second shuffle, driver
+    * state bounded by k. The sketches are mergeable by construction
+    * (union = re-min), so per-dump sketches can be precomputed and
+    * compared later without touching the corpora.
+    */
+  def corpusOverlapKmv(a: DataFrame, b: DataFrame, textCol: String,
+      k: Int = 128, shingleWords: Int = 3): DataFrame = {
+    require(k >= 2, s"need k >= 2: $k")
+    def hashes(df: DataFrame, ia: Int, ib: Int): DataFrame = df
+      .select(explode(NearDup.shinglesCol(col(textCol), shingleWords)).as("__sh"))
+      .select(NearDup.shingleHash60(col("__sh")).as("h"),
+        lit(ia).as("ia"), lit(ib).as("ib"))
+    val sketch = hashes(a, 1, 0).union(hashes(b, 0, 1))
+      .groupBy(col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .orderBy(col("h").asc)
+      .limit(k)
+    val twoTo60 = lit(1.152921504606846976e18) // 2^60, exact in double
+    sketch
+      .agg(
+        count(lit(1)).as("sketch_size"),
+        max(col("h")).as("kth_min"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(col("ia").cast("long")).as("n_a"),
+        sum(col("ib").cast("long")).as("n_b"))
+      .select(
+        col("sketch_size"), col("kth_min"), col("n_both"), col("n_a"), col("n_b"),
+        (col("n_both").cast("double") / col("sketch_size").cast("double"))
+          .as("est_jaccard"),
+        (col("n_both").cast("double") / col("n_a").cast("double"))
+          .as("est_contain_a"),
+        (col("n_both").cast("double") / col("n_b").cast("double"))
+          .as("est_contain_b"),
+        when(col("sketch_size") === k,
+            (col("sketch_size") - 1).cast("double") * twoTo60 /
+              col("kth_min").cast("double"))
+          .otherwise(col("sketch_size").cast("double"))
+          .as("est_union"))
+  }
 }

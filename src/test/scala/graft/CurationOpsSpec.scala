@@ -1074,4 +1074,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.getAs[String]("old_hash") !== r.getAs[String]("new_hash"))
     assert(r.getAs[String]("old_hash").length === 32)
   }
+
+  test("corpusOverlapKmv: estimates track the exact set statistics") {
+    import graft.textops.NearDup
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    def hashSet(df: org.apache.spark.sql.DataFrame): Set[Long] = df
+      .select(explode(NearDup.shinglesCol($"text", 3)).as("sh"))
+      .select(NearDup.shingleHash60($"sh").as("h"))
+      .distinct().as[Long].collect().toSet
+    val (ha, hb) = (hashSet(a), hashSet(b))
+    val trueJ = ha.intersect(hb).size.toDouble / ha.union(hb).size
+    val trueU = ha.union(hb).size.toDouble
+    val r = CurationOps.corpusOverlapKmv(a, b, "text", k = 128).collect().head
+    assert(r.getAs[Long]("sketch_size") === 128L)
+    // k = 128 → se(J) ≈ sqrt(J(1−J)/k) ≲ 0.045; 0.15 is >3σ
+    assert(math.abs(r.getAs[Double]("est_jaccard") - trueJ) < 0.15,
+      s"est_jaccard=${r.getAs[Double]("est_jaccard")} true=$trueJ")
+    // union estimator se ≈ U/√k ≈ 9 %; 30 % is >3σ
+    assert(math.abs(r.getAs[Double]("est_union") - trueU) / trueU < 0.30,
+      s"est_union=${r.getAs[Double]("est_union")} true=$trueU")
+  }
+
+  test("corpusOverlapKmv: exact when the union fits inside the sketch") {
+    val a = Seq((1L, "alpha bravo charlie delta"), (2L, "echo foxtrot golf"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "alpha bravo charlie delta"), (4L, "hotel india juliet"))
+      .toDF("doc_id", "text")
+    val r = CurationOps.corpusOverlapKmv(a, b, "text", k = 128).collect().head
+    // a: {abc, bcd, efg}; b: {abc, bcd, hij} → J = 2/4, containments 2/3
+    assert(r.getAs[Long]("sketch_size") === 4L)
+    assert(r.getAs[Long]("n_both") === 2L)
+    assert(r.getAs[Double]("est_jaccard") === 0.5)
+    assert(r.getAs[Double]("est_contain_a") === 2.0 / 3.0)
+    assert(r.getAs[Double]("est_contain_b") === 2.0 / 3.0)
+    assert(r.getAs[Double]("est_union") === 4.0) // sketch IS the union
+  }
 }
