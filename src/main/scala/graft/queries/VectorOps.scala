@@ -223,6 +223,21 @@ object VectorOps {
       Vectors.rotatedSqTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
           k = 3, dim = SqDim)
         .orderBy($"query_id", $"rnk")
+    },
+
+    // ---- binary (1-bit) quantized ANN: per-dimension sign bits packed
+    // into 32-bit words, candidates ranked by popcount-of-xor Hamming
+    // distance — the 32×-memory shortlist stage ahead of an exact
+    // re-rank. Pure integer ranking (no float channel at all); the
+    // oracle states the ground truth independently as the
+    // per-dimension sign-disagreement count, which the packed popcount
+    // must equal.
+    "q99_binary_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.binaryTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+          k = 3, dim = SqDim)
+        .orderBy($"query_id", $"rnk")
     }
   )
 
@@ -443,6 +458,25 @@ object VectorOps {
         |  FROM sc)
         |SELECT query_id, rnk, neighbor_id, qdist FROM ranked WHERE rnk <= 3""".stripMargin
     },
+
+    // Binary-ANN ground truth stated independently: Hamming distance
+    // as the count of dimensions whose SIGNS disagree (provably equal
+    // to the engine's popcount over packed 32-bit words), integer
+    // throughout, same (distance asc, id asc) rank discipline.
+    "q99_binary_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, $SqDim), i ->
+        |           CASE WHEN (qv[i] > 0) <> (e.v[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM q, e WHERE e.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY hamming ASC, neighbor_id ASC) AS rnk
+        |  FROM sc)
+        |SELECT query_id, rnk, neighbor_id, hamming FROM ranked WHERE rnk <= 3""".stripMargin,
 
     // q78's assignment mirror feeding q37's cum-token window mirror:
     // same round-6 argmax, same md5(salt||id) fill order, same BIGINT

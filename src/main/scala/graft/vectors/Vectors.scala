@@ -1285,6 +1285,59 @@ object Vectors {
     sqCore(rot(corpus), rot(queries), k, dim)
   }
 
+  // ---- binary (1-bit) quantization ---------------------------------------
+
+  /** Pack each dimension's sign bit (x > 0) into 32-bit words held in
+    * longs — 64-dim vectors become two BIGINT codes, a 32× memory cut
+    * (the "binary embedding" storage format modern embedding APIs
+    * ship). 32-bit words, deliberately: the codes stay positive and
+    * far from 64-bit overflow, so EVERY engine's plain integer
+    * arithmetic can hold them (DuckDB errors on signed overflow where
+    * the JVM wraps — the cross-engine hazard a 64-bit pack walks into).
+    * Pure per-row column math: one `zip_with` against a weight-literal
+    * array per word, no UDF, no shuffle.
+    */
+  def binaryQuantize(df: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val words = (0 until dim by 32).map { off =>
+      val n = math.min(32, dim - off)
+      val weights = array((0 until n).map(j => lit(1L << (n - 1 - j))): _*)
+      aggregate(zip_with(slice(v, off + 1, n), weights,
+        (x, w) => when(x > 0.0, w).otherwise(lit(0L))), lit(0L), (a, x) => a + x)
+    }
+    df.select(col(idCol).as("id"), array(words: _*).as("bcode"))
+  }
+
+  /** Top-k by Hamming distance between packed sign codes —
+    * `Σ bit_count(xor)` per word pair, ascending, id tiebreak. The
+    * coarsest, cheapest ANN stage: 2 longs per vector and a popcount
+    * per candidate, the standard shortlist stage ahead of an exact
+    * re-rank (compose with [[bruteTopK]] on the shortlist — the
+    * [[mmrRerank]] pattern). Ranking is pure integer arithmetic, so
+    * the gate has no float channel anywhere; the DuckDB oracle states
+    * the GROUND TRUTH independently (per-dimension sign disagreement
+    * count — provably equal to the popcount of the packed xor), the
+    * q94 oracle-states-the-spec discipline. Recall vs the float brute
+    * baseline pinned in VectorsSpec next to SQ8's.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = binaryQuantize(corpus, idCol, vecCol, dim)
+      .select($"id".as("neighbor_id"), $"bcode".as("nc"))
+    val q = broadcast(binaryQuantize(queries, idCol, vecCol, dim)
+      .select($"id".as("query_id"), $"bcode".as("qc")))
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("hamming",
+        aggregate(zip_with($"qc", $"nc",
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")), lit(0L), (s, x) => s + x))
+    val w = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"neighbor_id".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"neighbor_id", $"hamming")
+  }
+
   // ---- semantic contamination --------------------------------------------
 
   /** Embedding-space contamination screen: for every corpus vector, the

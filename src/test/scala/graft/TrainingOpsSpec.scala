@@ -760,6 +760,41 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"rotated SQ8 recall@3 vs brute = $recall")
   }
 
+  test("binaryTopK: packed popcount equals per-dimension sign disagreement") {
+    import org.apache.spark.sql.functions.{aggregate, lit, zip_with, when => cWhen}
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(40)
+    val codes = Vectors.binaryQuantize(emb, "vec_id", "embedding", 64)
+    // two 32-bit words per 64-dim vector, all in [0, 2^32)
+    codes.as[(Long, Seq[Long])].collect().foreach { case (_, c) =>
+      assert(c.length == 2)
+      c.foreach(w => assert(w >= 0L && w < (1L << 32)))
+    }
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val out = Vectors.binaryTopK(emb, emb.filter($"vec_id" < 4),
+        "vec_id", "embedding", k = 5, dim = 64)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, _, n, hamming) =>
+      val expected = vecs(q).zip(vecs(n)).count { case (a, b) => (a > 0) != (b > 0) }
+      assert(hamming == expected, s"pair ($q,$n)")
+    }
+  }
+
+  test("binaryTopK: useful shortlist recall vs float brute") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 8)
+    val brute = Vectors.bruteTopK(emb, qs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the 1-bit code is the SHORTLIST stage: recall measured at a
+    // shortlist 5× the final k, the way it is deployed
+    val short = Vectors.binaryTopK(emb, qs, "vec_id", "embedding", k = 15, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(short.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"binary shortlist recall@15-over-3 = $recall")
+  }
+
   test("semanticContamination: verbatim bench members flagged at sim 1.0, flags match threshold") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val bench = emb.filter($"vec_id" % 7 === 1)
