@@ -238,8 +238,27 @@ object VectorOps {
       Vectors.binaryTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
           k = 3, dim = SqDim)
         .orderBy($"query_id", $"rnk")
+    },
+
+    // ---- Matryoshka two-stage retrieval: cosine shortlist over the
+    // first 16 dimensions only (4× less vector IO — the corpus side
+    // of stage 1 never carries the full vector), exact 64-dim re-rank
+    // of the 12-deep shortlist. Both stages (round-6 cosine desc, id
+    // asc); srnk in the output makes the re-rank's effect auditable.
+    "q100_matryoshka_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.matryoshkaTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+          k = 3, dimPrefix = MatPrefix, shortlist = MatShortlist)
+        .orderBy($"query_id", $"rnk")
     }
   )
+
+  /** q100 constants: 64→16 prefix (the MRL 4× truncation), 12-deep
+    * shortlist re-ranked to 3.
+    */
+  private val MatPrefix = 16
+  private val MatShortlist = 12
 
   /** q90 constants: q78's codebook, 20 per cell, fixed salt. */
   private val CbsK = 20
@@ -477,6 +496,40 @@ object VectorOps {
         |                            ORDER BY hamming ASC, neighbor_id ASC) AS rnk
         |  FROM sc)
         |SELECT query_id, rnk, neighbor_id, hamming FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // Matryoshka mirror: truncated-prefix cosine (DuckDB list slice is
+    // 1-based end-inclusive), shortlist rank, then the full-dimension
+    // q22 cosine over the surviving pairs — identical op order and
+    // rank discipline in both stages.
+    "q100_matryoshka_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |tq AS (SELECT query_id, qv[1:$MatPrefix] AS tqv FROM q),
+        |tc AS (SELECT vec_id AS neighbor_id, v[1:$MatPrefix] AS tv FROM e),
+        |s1 AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_dot_product(tqv, tv) /
+        |               (sqrt(list_dot_product(tqv, tqv)) * sqrt(list_dot_product(tv, tv))), 6) AS short_cos
+        |  FROM tq, tc WHERE query_id <> neighbor_id),
+        |sh AS (
+        |  SELECT query_id, neighbor_id, short_cos,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY short_cos DESC, neighbor_id ASC) AS srnk
+        |  FROM s1),
+        |cand AS (SELECT query_id, neighbor_id, srnk FROM sh WHERE srnk <= $MatShortlist),
+        |rr AS (
+        |  SELECT c.query_id, c.neighbor_id, c.srnk,
+        |         round(list_dot_product(q.qv, e.v) /
+        |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+        |  FROM cand c
+        |  JOIN q ON c.query_id = q.query_id
+        |  JOIN e ON c.neighbor_id = e.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, srnk, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |  FROM rr)
+        |SELECT query_id, rnk, neighbor_id, cosine, srnk FROM ranked WHERE rnk <= 3""".stripMargin,
 
     // q78's assignment mirror feeding q37's cum-token window mirror:
     // same round-6 argmax, same md5(salt||id) fill order, same BIGINT

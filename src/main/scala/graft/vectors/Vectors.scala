@@ -1285,6 +1285,54 @@ object Vectors {
     sqCore(rot(corpus), rot(queries), k, dim)
   }
 
+  // ---- Matryoshka truncated-prefix retrieval -----------------------------
+
+  /** Two-stage adaptive retrieval over Matryoshka-style embeddings
+    * (Kusupati et al. NeurIPS 2022): shortlist by cosine over the
+    * FIRST `dimPrefix` dimensions only, then exact full-dimension
+    * re-rank of the shortlist. MRL training front-loads information
+    * into prefixes, so the truncated pass keeps most of the ranking
+    * signal at `dim/dimPrefix`× less vector IO — and the shortlist
+    * stage here is deliberately slim: the corpus side carries ONLY the
+    * prefix (the 4× scan cut is the point); full vectors are joined
+    * back for just the ≤ shortlist·|queries| surviving pairs. At scale
+    * the truncated vectors feed the same bucketed LSH/IVF/HNSW
+    * candidate paths unchanged — this brute shortlist is the oracled
+    * baseline (the q22/q23 pattern). Both stages rank by
+    * (round-6 cosine desc, id asc); output carries the shortlist rank
+    * (`srnk`) so the re-rank's effect is auditable.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dimPrefix: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ct = corpus.select(col(idCol).as("neighbor_id"),
+        slice(col(vecCol).cast("array<double>"), 1, dimPrefix).as("tv"))
+      .withColumn("tn", normCol($"tv"))
+    val qt = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("tqv", slice($"qv", 1, dimPrefix))
+      .withColumn("tqn", normCol($"tqv")))
+    val s1 = qt.join(ct, $"query_id" =!= $"neighbor_id")
+      .withColumn("short_cos", round(cosineWithNorms($"tqv", $"tqn", $"tv", $"tn"), 6))
+    val w1 = Window.partitionBy($"query_id").orderBy($"short_cos".desc, $"neighbor_id".asc)
+    val cand = s1.withColumn("srnk", row_number().over(w1))
+      .filter($"srnk" <= shortlist)
+      .select($"query_id", $"neighbor_id", $"srnk", $"qv")
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("nv"))
+      .withColumn("nn", normCol($"nv"))
+    val rr = cand.join(full, Seq("neighbor_id"))
+      .withColumn("qn", normCol($"qv"))
+      .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
+    val w2 = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    rr.withColumn("rnk", row_number().over(w2))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine", $"srnk")
+  }
+
   // ---- binary (1-bit) quantization ---------------------------------------
 
   /** Pack each dimension's sign bit (x > 0) into 32-bit words held in

@@ -760,6 +760,41 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"rotated SQ8 recall@3 vs brute = $recall")
   }
 
+  test("matryoshkaTopK: rerank is exact — full-corpus shortlist equals brute") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 8)
+    val n = emb.count().toInt
+    val mat = Vectors.matryoshkaTopK(emb, qs, "vec_id", "embedding",
+        k = 3, dimPrefix = 16, shortlist = n)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = Vectors.bruteTopK(emb, qs, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(mat == brute)
+    assert(mat.nonEmpty)
+  }
+
+  test("matryoshkaTopK: truncated shortlist keeps useful recall") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 8)
+    val brute = Vectors.bruteTopK(emb, qs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // synthetic embeddings carry no MRL prefix structure — this is the
+    // adversarial floor for prefix truncation, so the pin is modest;
+    // everything is deterministic, so the depth sweep cannot flake
+    def recallAt(shortlist: Int): Double = {
+      val mat = Vectors.matryoshkaTopK(emb, qs, "vec_id", "embedding",
+          k = 3, dimPrefix = 16, shortlist = shortlist)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      brute.count(mat.contains).toDouble / brute.size
+    }
+    val r12 = recallAt(12)
+    val r24 = recallAt(24)
+    assert(r12 >= 0.2, s"matryoshka recall@3 (prefix 16/64, shortlist 12) = $r12")
+    assert(r24 >= r12, s"deeper shortlist must not lose recall: $r24 < $r12")
+  }
+
   test("binaryTopK: packed popcount equals per-dimension sign disagreement") {
     import org.apache.spark.sql.functions.{aggregate, lit, zip_with, when => cWhen}
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
