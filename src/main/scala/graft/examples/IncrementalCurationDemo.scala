@@ -105,6 +105,32 @@ object IncrementalCurationDemo {
 
     val removed = diff.filter($"status" === "removed").count()
     println(s"night 1: $removed removed ids reported for retention handling")
+
+    // ---- maintenance turn: fold the accumulated batch directories
+    // into compaction segments (atomic-manifest swap; the newest batch
+    // is never folded, so a replay of tonight's batch stays exact).
+    // After years of nightly O(delta) appends this is what keeps the
+    // ledgers at a bounded file count — and it must change NOTHING.
+    val ledgerBefore = span.ledger.count()
+    val indexBefore = ivf.index.count()
+    val folded = Seq(
+      graft.streaming.DurableLedger.compact(spark, s"$base/span-ledger",
+        span.ledger.schema),
+      graft.streaming.DurableLedger.compact(spark, s"$base/ivf-index",
+        ivf.index.schema)).sum
+    assert(span.ledger.count() == ledgerBefore)
+    assert(ivf.index.count() == indexBefore)
+    println(s"maintenance: compacted $folded batch directories; " +
+      s"ledger/index contents unchanged")
+
+    // ---- night 2: a post-compaction refresh behaves identically —
+    // the sessions read the segment + live directories transparently
+    val night2docs = docs.filter($"doc_id" % 97 === 0)
+      .withColumn("text", concat($"text", lit(" night2")))
+    val night2 = span.ingest(night2docs, batchId = 2L)
+    ivf.ingest(embedded(night2docs), batchId = 2L)
+    println(s"night 2 (post-compaction): ${night2.count()} docs curated, " +
+      s"ledger ${span.ledger.count()}, index ${ivf.index.count()} vectors")
     spark.stop()
   }
 }

@@ -275,7 +275,28 @@ object PlanCheck {
     // columns before the join (text stays at the scan)
     Expectation("q95_snapshot_diff",
       mustContain = Seq("FullOuter"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // rotated SQ8: the q92 contract — rotation is per-row (one UDF
+    // projection), stats collect runs as its own prior job, search is
+    // the broadcast cross score
+    Expectation("q97_rotated_sq8_topk",
+      mustContain = Seq("BroadcastNestedLoopJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // KMV sketch: ONE map-side-combined groupBy on the hash, bottom-k
+    // as TakeOrdered — never a global Sort+collect, never a join
+    Expectation("q98_corpus_overlap_kmv",
+      mustContain = Seq("TakeOrderedAndProject", "HashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // binary ANN: integer popcount cross score, query side broadcast
+    Expectation("q99_binary_topk",
+      mustContain = Seq("BroadcastNestedLoopJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // matryoshka: prefix shortlist (broadcast cross score, k-filtered
+    // window), then the rerank joins the BOUNDED shortlist broadcast
+    // against the full-vector corpus — the corpus must not shuffle
+    Expectation("q100_matryoshka_topk",
+      mustContain = Seq("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
