@@ -21,8 +21,8 @@ class GateContractSpec extends AnyFunSuite {
 
   test("query names are well-formed and numbers are unique") {
     val names = SparkEntry.queries.keySet
-    names.foreach(n => assert(n.matches("q\\d{2}_[a-z0-9_]+"), s"bad name: $n"))
-    val nums = names.toSeq.map(_.take(3))
+    names.foreach(n => assert(n.matches("q\\d{2,3}_[a-z0-9_]+"), s"bad name: $n"))
+    val nums = names.toSeq.map(_.drop(1).takeWhile(_.isDigit).toInt)
     assert(nums.distinct.size == nums.size,
       s"duplicate query numbers: ${nums.diff(nums.distinct)}")
   }
