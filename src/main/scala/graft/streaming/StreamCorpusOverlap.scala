@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.textops.NearDup
+
+/** Streaming twin of [[graft.textops.CurationOps.corpusOverlapKmv]] —
+  * a continuously-maintained bottom-k (KMV) sketch of the ingested
+  * corpus's shingle-hash set, comparable at any batch boundary against
+  * a reference corpus's sketch.
+  *
+  * Exactness, not approximation-of-an-approximation: for any h in the
+  * bottom-k of A∪B, h ∈ A implies h is also in A's OWN bottom-k (were
+  * k smaller elements of A to exist, they would all precede h in the
+  * union too). So membership bits over the union sketch are fully
+  * determined by the two per-corpus sketches, and [[estimate]] over
+  * `(sketch(A), sketch(B))` equals the batch operator over (A, B)
+  * EXACTLY — spec-pinned over randomized ingest splits. This is the
+  * classic theta-sketch composability argument, and it is why per-dump
+  * sketches can be archived and compared later without re-reading
+  * anything.
+  *
+  * Scale shape: each micro-batch contributes at most k rows to the
+  * driver (its own bottom-k via TakeOrdered after a
+  * map-side-combined distinct); the session state is k longs. Merge is
+  * union+sort+take — associative, commutative, idempotent, so replays
+  * and out-of-order deliveries cannot corrupt it. Persisting the
+  * k-long state through a [[DurableLedger]] batch directory (commit
+  * the full sketch, newest batch wins) is a one-liner for deployments
+  * that must survive restarts.
+  */
+object StreamCorpusOverlap {
+
+  /** The overlap statistics row — identical fields, identical
+    * fixed-order IEEE arithmetic to the batch operator's output.
+    */
+  final case class OverlapEstimate(
+      sketchSize: Long, kthMin: Long, nBoth: Long, nA: Long, nB: Long,
+      estJaccard: Double, estContainA: Double, estContainB: Double,
+      estUnion: Double)
+
+  private val TwoTo60 = 1.152921504606846976e18 // 2^60, exact in double
+
+  /** Bottom-k distinct shingle hashes of a static frame, driver-side
+    * sorted ascending (≤ k longs — control-plane sized by contract).
+    */
+  def sketch(df: DataFrame, textCol: String, k: Int,
+      shingleWords: Int = 3): Vector[Long] =
+    df.select(explode(NearDup.shinglesCol(col(textCol), shingleWords)).as("__s"))
+      .select(NearDup.shingleHash60(col("__s")).as("h"))
+      .distinct()
+      .orderBy(col("h").asc)
+      .limit(k)
+      .collect().map(_.getLong(0)).toVector
+
+  /** Union+re-min of two sketches (associative, commutative,
+    * idempotent).
+    */
+  def merge(a: Vector[Long], b: Vector[Long], k: Int): Vector[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  /** The KMV estimator over two per-corpus sketches — by the bottom-k
+    * membership property this equals
+    * [[graft.textops.CurationOps.corpusOverlapKmv]] over the full
+    * corpora, field for field (same integer counts, same fixed-order
+    * divisions).
+    */
+  def estimate(ka: Vector[Long], kb: Vector[Long], k: Int): OverlapEstimate = {
+    val union = merge(ka, kb, k)
+    val sa = ka.toSet
+    val sb = kb.toSet
+    val nBoth = union.count(h => sa(h) && sb(h)).toLong
+    val nA = union.count(sa).toLong
+    val nB = union.count(sb).toLong
+    val size = union.size.toLong
+    val kth = union.lastOption.getOrElse(0L)
+    OverlapEstimate(
+      sketchSize = size, kthMin = kth, nBoth = nBoth, nA = nA, nB = nB,
+      estJaccard = nBoth.toDouble / size.toDouble,
+      estContainA = nBoth.toDouble / nA.toDouble,
+      estContainB = nBoth.toDouble / nB.toDouble,
+      estUnion =
+        if (size == k) (size - 1).toDouble * TwoTo60 / kth.toDouble
+        else size.toDouble)
+  }
+
+  /** Maintains the ingested corpus's sketch; compare against any
+    * reference sketch at a batch boundary with [[overlapWith]].
+    */
+  final class OverlapSession(textCol: String, k: Int, shingleWords: Int = 3) {
+    @volatile private var state: Vector[Long] = Vector.empty
+
+    /** The corpus-so-far's bottom-k sketch (sorted ascending). */
+    def currentSketch: Vector[Long] = state
+
+    /** Fold one micro-batch's bottom-k into the state. */
+    def ingest(batch: DataFrame): Unit =
+      state = merge(state, sketch(batch, textCol, k, shingleWords), k)
+
+    /** Overlap statistics vs a reference sketch (same k), exactly the
+      * batch operator's row for (corpus-so-far, reference).
+      */
+    def overlapWith(reference: Vector[Long]): OverlapEstimate =
+      estimate(state, reference, k)
+
+    def start(docs: DataFrame): StreamingQuery =
+      docs.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) => ingest(batch) }
+        .start()
+  }
+}

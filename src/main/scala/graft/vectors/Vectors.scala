@@ -1194,6 +1194,62 @@ object Vectors {
       .select($"query_id", $"rnk", $"neighbor_id", $"qdist")
   }
 
+  /** IVF cell pruning with SQ8 codes inside the cells — the FAISS
+    * "IVF,SQ8" index shape, composing the two independent wins: the
+    * coarse quantizer prunes the corpus to `nProbe` cells per query,
+    * and the vectors inside cells are stored and ranked as uint8 codes
+    * (4× less state per row, INT64 squared-code-distance ranking with
+    * no float channel). Cell assignment runs on the RAW vectors (the
+    * [[ivfTopK]] coarse space); codes quantize the L2-normalized
+    * vectors under GLOBAL corpus [min,max] stats (one map-side
+    * min/max aggregate, driver-collected like the codebooks), so a
+    * vector's code is independent of its cell and cells can be
+    * re-balanced without re-coding. With `nProbe = nCentroids` the
+    * candidate set is the whole corpus and the result equals
+    * [[sqTopK]] EXACTLY (spec-pinned — the IVF-PQ full-probe
+    * precedent).
+    */
+  def ivfSqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      nCentroids: Int, nProbe: Int, seed: Int = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cs = kmeansFit(boundedSample(corpus, idCol, vecCol), nCentroids, seed)
+    val csDim = cs.head.length
+    val assignUdf = udf((v: Seq[Float]) => nearestIdx(v.map(_.toDouble).toArray, cs))
+    val probeUdf = udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble).toArray
+      cs.indices.map { i =>
+        var d = 0.0; var j = 0
+        while (j < csDim) { val x = vd(j) - cs(i)(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    def prep(df: DataFrame, probe: Boolean): DataFrame = {
+      val base = df.select(col(idCol).as("id"), col(vecCol).as("v0"))
+        .withColumn("cell",
+          if (probe) explode(probeUdf(col("v0"))) else assignUdf(col("v0")))
+        .withColumn("v", col("v0").cast("array<double>"))
+        .withColumn("n", normCol($"v"))
+      base.select($"id", $"cell", transform($"v", x =>
+        when($"n" === 0.0, lit(0.0)).otherwise(x / $"n")).as("uv"))
+    }
+    val cu = prep(corpus, probe = false)
+    val (mins, maxs) = sqStats(cu, "uv", dim)
+    val c = cu.select($"id".as("neighbor_id"), $"cell",
+      quantizeExpr($"uv", mins, maxs).as("nq"))
+    val q = broadcast(prep(queries, probe = true)
+      .select($"id".as("query_id"), $"cell",
+        quantizeExpr($"uv", mins, maxs).as("qq")))
+    val scored = q.join(c, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("qdist", aggregate(zip_with($"qq", $"nq", (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy($"query_id").orderBy($"qdist".asc, $"neighbor_id".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"neighbor_id", $"qdist")
+  }
+
   // ---- signed-Hadamard rotation (OPQ-lite pre-transform) -----------------
 
   /** Driver-side 60-bit md5 hash of a string — the engine-wide salted
@@ -1324,7 +1380,10 @@ object Vectors {
     val full = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("nv"))
       .withColumn("nn", normCol($"nv"))
-    val rr = cand.join(full, Seq("neighbor_id"))
+    // the shortlist is bounded by shortlist·|queries| (caller-chosen,
+    // control-plane sized) — broadcast it so the full-vector corpus
+    // side never shuffles for the rerank join
+    val rr = broadcast(cand).join(full, Seq("neighbor_id"))
       .withColumn("qn", normCol($"qv"))
       .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
     val w2 = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)

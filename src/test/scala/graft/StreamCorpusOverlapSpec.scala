@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamCorpusOverlap
+import graft.textops.CurationOps
+
+/** Streaming KMV corpus-overlap: the maintained sketch's estimate must
+  * equal the batch operator EXACTLY (the bottom-k membership property),
+  * regardless of how ingest is micro-batched.
+  */
+class StreamCorpusOverlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 128
+  private lazy val docs =
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+  private lazy val corpusA = docs.filter($"doc_id" % 2 === 0)
+  private lazy val corpusB = docs.filter($"doc_id" % 2 === 1)
+
+  private def batchRow() = {
+    val r = CurationOps.corpusOverlapKmv(corpusA, corpusB, "text", k = K)
+      .collect().head
+    (r.getAs[Long]("sketch_size"), r.getAs[Long]("kth_min"),
+      r.getAs[Long]("n_both"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Double]("est_jaccard"), r.getAs[Double]("est_contain_a"),
+      r.getAs[Double]("est_contain_b"), r.getAs[Double]("est_union"))
+  }
+
+  test("streamed sketch over random splits equals the batch operator exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val session = new StreamCorpusOverlap.OverlapSession("text", K)
+    val rows = corpusA.as[(Long, String)].collect().toSeq
+    val rnd = new scala.util.Random(11)
+    val stream = MemoryStream[(Long, String)]
+    val q = session.start(stream.toDS().toDF("doc_id", "text"))
+    rows.groupBy(_ => rnd.nextInt(4)).values.foreach { b =>
+      stream.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val ref = StreamCorpusOverlap.sketch(corpusB, "text", K)
+    val e = session.overlapWith(ref)
+    val b = batchRow()
+    assert((e.sketchSize, e.kthMin, e.nBoth, e.nA, e.nB,
+      e.estJaccard, e.estContainA, e.estContainB, e.estUnion) == b)
+    assert(e.sketchSize == K)
+    assert(e.nBoth > 0, "fixture corpora must overlap")
+  }
+
+  test("merge is idempotent and order-free; redelivery changes nothing") {
+    val sa = StreamCorpusOverlap.sketch(corpusA, "text", K)
+    val sb = StreamCorpusOverlap.sketch(corpusB, "text", K)
+    assert(StreamCorpusOverlap.merge(sa, sa, K) == sa)
+    assert(StreamCorpusOverlap.merge(sa, sb, K) ==
+      StreamCorpusOverlap.merge(sb, sa, K))
+    val session = new StreamCorpusOverlap.OverlapSession("text", K)
+    session.ingest(corpusA)
+    val s0 = session.currentSketch
+    session.ingest(corpusA.limit(20)) // redelivery subset
+    assert(session.currentSketch == s0)
+  }
+}

@@ -760,6 +760,26 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"rotated SQ8 recall@3 vs brute = $recall")
   }
 
+  test("ivfSqTopK: full probe equals sqTopK exactly; pruned probe keeps recall") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 8)
+    val sq = Vectors.sqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // nProbe = nCentroids → every (query, neighbor) pair scored once
+    // with the identical global-stats codes → identical rows
+    val full = Vectors.ivfSqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64,
+        nCentroids = 8, nProbe = 8)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(full == sq)
+    assert(full.nonEmpty)
+    val pruned = Vectors.ivfSqTopK(emb, qs, "vec_id", "embedding", k = 3, dim = 64,
+        nCentroids = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sqPairs = sq.map(r => (r._1, r._3))
+    val recall = sqPairs.count(pruned.contains).toDouble / sqPairs.size
+    assert(recall >= 0.4, s"IVF-SQ8 recall@3 at nProbe=3/8 vs full codes = $recall")
+  }
+
   test("matryoshkaTopK: rerank is exact — full-corpus shortlist equals brute") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val qs = emb.filter($"vec_id" < 8)
