@@ -151,4 +151,19 @@ object DurableLedger {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
     f.delete(); ()
   }
+
+  /** [[compact]] only when the live batch-directory count reaches
+    * `every` — the self-maintaining schedule a foreachBatch session
+    * calls at the end of each commit, so ledger file counts stay
+    * bounded without an external job. Amortized cost: each row is
+    * rewritten once per `every` commits on top of its original append
+    * (a two-level fold; `every` trades write amplification against
+    * per-read directory count). Returns folded directories (0 = below
+    * threshold).
+    */
+  def maybeCompact(spark: SparkSession, path: String, schema: StructType,
+      every: Int): Int = {
+    require(every >= 2, s"compaction interval must be >= 2: $every")
+    if (batches(path).size >= every) compact(spark, path, schema) else 0
+  }
 }

@@ -111,4 +111,45 @@ object StreamCorpusOverlap {
         .foreachBatch { (batch: DataFrame, _: Long) => ingest(batch) }
         .start()
   }
+
+  /** [[OverlapSession]] with the sketch in a [[DurableLedger]] parquet
+    * table — survives process restarts. Each batch commits its OWN
+    * bottom-k contribution (a deterministic function of the batch
+    * alone, so replays rewrite identical rows), and the current sketch
+    * is the re-min of every committed directory — exact because merge
+    * is associative and idempotent, which also means
+    * [[DurableLedger.compact]] folds these directories freely
+    * (`compactEvery > 0` auto-folds at the end of each ingest).
+    */
+  final class DurableOverlapSession(spark: org.apache.spark.sql.SparkSession,
+      path: String, textCol: String, k: Int, shingleWords: Int = 3,
+      compactEvery: Int = 0) {
+    import org.apache.spark.sql.types._
+    private val schema = StructType(Seq(StructField("h", LongType)))
+
+    /** The committed corpus sketch: re-min over every batch directory. */
+    def currentSketch: Vector[Long] =
+      DurableLedger.load(spark, path, schema)
+        .distinct().orderBy(col("h").asc).limit(k)
+        .collect().map(_.getLong(0)).toVector
+
+    def ingest(batch: DataFrame, batchId: Long): Unit = {
+      import spark.implicits._
+      DurableLedger.commit(
+        sketch(batch, textCol, k, shingleWords).toDF("h"), path, batchId)
+      if (compactEvery > 0)
+        DurableLedger.maybeCompact(spark, path, schema, compactEvery)
+      ()
+    }
+
+    def overlapWith(reference: Vector[Long]): OverlapEstimate =
+      estimate(currentSketch, reference, k)
+
+    def start(docs: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+      val w = docs.writeStream.outputMode("append")
+      checkpointLocation.foreach(w.option("checkpointLocation", _))
+      w.foreachBatch { (batch: DataFrame, batchId: Long) => ingest(batch, batchId) }
+        .start()
+    }
+  }
 }

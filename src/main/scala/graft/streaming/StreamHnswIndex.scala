@@ -240,7 +240,8 @@ object StreamHnswIndex {
       idType: org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.LongType,
       degree: Int = 16, fanout: Long = 8, tables: Int = 2,
-      hops: Int = 2, beam: Int = 16, seed: Int = 42) {
+      hops: Int = 2, beam: Int = 16, seed: Int = 42,
+      compactEvery: Int = 0) {
     require(planesPerLayer.nonEmpty, "need at least one layer")
     require(fanout >= 2 && (fanout & (fanout - 1)) == 0,
       s"fanout must be a power of two: $fanout")
@@ -331,6 +332,14 @@ object StreamHnswIndex {
           DurableLedger.commit(
             recomputed.unionByName(markers).withColumn("b", lit(batchId)),
             edgesPath(j), batchId)
+        }
+      }
+      if (compactEvery > 0) {
+        DurableLedger.maybeCompact(spark, corpusPath, corpusSchema, compactEvery)
+        (0 until layers).foreach { j =>
+          DurableLedger.maybeCompact(spark, bucketsPath(j), bucketSchema, compactEvery)
+          DurableLedger.maybeCompact(spark, edgesPath(j), edgeSchema, compactEvery)
+          ()
         }
       }
     }

@@ -126,8 +126,14 @@ object StreamSpanDedup {
     * against the ledger and one O(batch) append, never an O(corpus)
     * rewrite.
     */
+  /** `compactEvery > 0` auto-folds the ledger's batch directories via
+    * [[DurableLedger.maybeCompact]] whenever the live count reaches it
+    * (the end-of-ingest maintenance turn; the in-flight batch is the
+    * newest and is never folded, so replay safety is untouched).
+    */
   final class DurableSpanDedupSession(spark: SparkSession, ledgerPath: String,
-      idCol: String, textCol: String, shingleWords: Int, winnowRadius: Int) {
+      idCol: String, textCol: String, shingleWords: Int, winnowRadius: Int,
+      compactEvery: Int = 0) {
 
     private val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("__ch",
@@ -150,6 +156,8 @@ object StreamSpanDedup {
       // doesn't observe its own batch's directory through `prior`
       val pinned = out.localCheckpoint()
       DurableLedger.commit(fresh, ledgerPath, batchId)
+      if (compactEvery > 0)
+        DurableLedger.maybeCompact(spark, ledgerPath, schema, compactEvery)
       pinned
     }
 

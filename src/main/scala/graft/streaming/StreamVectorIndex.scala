@@ -150,8 +150,13 @@ object StreamVectorIndex {
     * for redelivered ids (the in-memory session's `dropDuplicates`
     * contract).
     */
+  /** `compactEvery > 0` auto-folds the index's batch directories via
+    * [[DurableLedger.maybeCompact]] at the end of each ingest (the
+    * in-flight batch is the newest and is never folded).
+    */
   final class DurableIvfIndexSession(spark: SparkSession, indexPath: String,
-      idCol: String, vecCol: String, centers: Array[Array[Double]]) {
+      idCol: String, vecCol: String, centers: Array[Array[Double]],
+      compactEvery: Int = 0) {
     require(centers.nonEmpty, "empty codebook")
     import org.apache.spark.sql.types._
 
@@ -176,6 +181,9 @@ object StreamVectorIndex {
         .join(prior.select(col("id")), Seq("id"), "left_anti")
         .select(col("cell"), col("id"), col("v"), col("n"))
       DurableLedger.commit(fresh, indexPath, batchId)
+      if (compactEvery > 0)
+        DurableLedger.maybeCompact(spark, indexPath, schema, compactEvery)
+      ()
     }
 
     def start(docs: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {

@@ -79,6 +79,18 @@ class DurableLedgerSpec extends SparkSpec {
     assert(DurableLedger.batches(path) == Seq(2L))
   }
 
+  test("maybeCompact folds only at the interval and keeps contents") {
+    val path = tmp()
+    var all = Set.empty[(Long, String)]
+    (0L to 6L).foreach { i =>
+      all ++= commitBatch(path, i, 2)
+      DurableLedger.maybeCompact(spark, path, schema, every = 3)
+      assert(rows(path) == all, s"after batch $i")
+      // live directories stay bounded by the interval
+      assert(DurableLedger.batches(path).size <= 3, s"after batch $i")
+    }
+  }
+
   test("empty and single-batch ledgers are no-ops") {
     val path = tmp()
     assert(DurableLedger.compact(spark, path, schema) == 0)

@@ -48,6 +48,29 @@ class StreamCorpusOverlapSpec extends SparkSpec {
     assert(e.nBoth > 0, "fixture corpora must overlap")
   }
 
+  test("durable sketch: restart + replay + auto-compaction all preserve exactness") {
+    val path = java.nio.file.Files.createTempDirectory("kmv").toFile.getAbsolutePath
+    val a = new StreamCorpusOverlap.DurableOverlapSession(
+      spark, path, "text", K, compactEvery = 2)
+    val rows = corpusA.as[(Long, String)].collect().toSeq
+    val splits = rows.grouped((rows.size + 2) / 3).toSeq
+    a.ingest(splits(0).toDF("doc_id", "text"), 0L)
+    a.ingest(splits(1).toDF("doc_id", "text"), 1L) // triggers a fold
+    // "restart": a fresh session over the same path
+    val b = new StreamCorpusOverlap.DurableOverlapSession(
+      spark, path, "text", K, compactEvery = 2)
+    b.ingest(splits(2).toDF("doc_id", "text"), 2L)
+    val ref = StreamCorpusOverlap.sketch(corpusB, "text", K)
+    val e = b.overlapWith(ref)
+    val batch = batchRow()
+    assert((e.sketchSize, e.kthMin, e.nBoth, e.nA, e.nB,
+      e.estJaccard, e.estContainA, e.estContainB, e.estUnion) == batch)
+    // replay of the newest batch: identical directory, identical sketch
+    val s0 = b.currentSketch
+    b.ingest(splits(2).toDF("doc_id", "text"), 2L)
+    assert(b.currentSketch == s0)
+  }
+
   test("merge is idempotent and order-free; redelivery changes nothing") {
     val sa = StreamCorpusOverlap.sketch(corpusA, "text", K)
     val sb = StreamCorpusOverlap.sketch(corpusB, "text", K)
