@@ -251,8 +251,29 @@ object VectorOps {
       Vectors.matryoshkaTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
           k = 3, dimPrefix = MatPrefix, shortlist = MatShortlist)
         .orderBy($"query_id", $"rnk")
+    },
+
+    // ---- IVF-SQ8 gated end-to-end (FAISS "IVF,SQ8"): the q78 fixture
+    // codebook (vec_id < 8) assigns cells by argmin L2, queries probe
+    // their top-3 cells, and the candidates inside probed cells rank
+    // by the q92 INT64 code distance under GLOBAL corpus stats — cell
+    // pruning composed with integer-exact quantized ranking, every
+    // stage mirrored (assignment via the q87 argmin discipline,
+    // quantization via the q92 CTEs).
+    "q101_ivf_sq8_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val centers = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+        .select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].collect().map(_.toArray)
+      Vectors.ivfSqTopKWith(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+          k = 3, dim = SqDim, centers, nProbe = IvfSqProbe)
+        .orderBy($"query_id", $"rnk")
     }
   )
+
+  /** q101: queries probe 3 of the 8 fixture cells. */
+  private val IvfSqProbe = 3
 
   /** q100 constants: 64→16 prefix (the MRL 4× truncation), 12-deep
     * shortlist re-ranked to 3.
@@ -530,6 +551,70 @@ object VectorOps {
         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
         |  FROM rr)
         |SELECT query_id, rnk, neighbor_id, cosine, srnk FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // IVF-SQ8 mirror: fixture codebook (vec_id < 8, cid = vec_id),
+    // argmin-L2 cell assignment with the q87 (dist ASC, cid ASC) tie
+    // discipline, top-3 probe cells per query by the same rank, then
+    // the q92 unit/stats/quantize CTEs over the FULL corpus and the
+    // integer code distance restricted to probed cells.
+    "q101_ivf_sq8_topk" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 8),
+        |cd AS (
+        |  SELECT e0.vec_id, cb.cid,
+        |         list_sum(list_transform(generate_series(1, $SqDim),
+        |           i -> (e0.v[i] - cb.cv[i]) * (e0.v[i] - cb.cv[i]))) AS d2
+        |  FROM e0, cb),
+        |asn AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY d2 ASC, cid ASC) AS rn
+        |    FROM cd) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY d2 ASC, cid ASC) AS rn
+        |    FROM cd WHERE vec_id < 8) t WHERE rn <= $IvfSqProbe),
+        |e AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sqrt(list_dot_product(v, v)) = 0
+        |              THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |         END AS v
+        |  FROM e0),
+        |st AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e, unnest(generate_series(1, $SqDim)) t(i)
+        |  GROUP BY i),
+        |stats AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans
+        |  FROM st),
+        |qz AS (
+        |  SELECT vec_id,
+        |         list_transform(generate_series(1, $SqDim), i ->
+        |           CASE WHEN spans[i] = 0 THEN 0
+        |                ELSE CAST(LEAST(GREATEST(
+        |                       round((v[i] - mns[i]) * 255.0 / spans[i]), 0.0), 255.0)
+        |                     AS BIGINT) END) AS q
+        |  FROM e, stats),
+        |cq AS (SELECT qz.vec_id AS neighbor_id, asn.cell, qz.q AS nq
+        |       FROM qz JOIN asn USING (vec_id)),
+        |qq AS (SELECT p.query_id, p.cell, qz.q AS qv
+        |       FROM probes p JOIN qz ON qz.vec_id = p.query_id),
+        |sc AS (
+        |  SELECT qq.query_id, cq.neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, $SqDim),
+        |                i -> (qq.qv[i] - cq.nq[i]) * (qq.qv[i] - cq.nq[i]))) AS BIGINT) AS qdist
+        |  FROM qq JOIN cq USING (cell)
+        |  WHERE cq.neighbor_id <> qq.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, qdist,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY qdist ASC, neighbor_id ASC) AS rnk
+        |  FROM sc)
+        |SELECT query_id, rnk, neighbor_id, qdist FROM ranked WHERE rnk <= 3""".stripMargin,
 
     // q78's assignment mirror feeding q37's cum-token window mirror:
     // same round-6 argmax, same md5(salt||id) fill order, same BIGINT

@@ -296,6 +296,11 @@ object PlanCheck {
     // against the full-vector corpus — the corpus must not shuffle
     Expectation("q100_matryoshka_topk",
       mustContain = Seq("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // IVF-SQ8: the probed query side broadcasts and the candidate join
+    // is a cell equi-join — the corpus shuffles for nothing
+    Expectation("q101_ivf_sq8_topk",
+      mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

@@ -1211,10 +1211,20 @@ object Vectors {
     */
   def ivfSqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
-      nCentroids: Int, nProbe: Int, seed: Int = 42): DataFrame = {
+      nCentroids: Int, nProbe: Int, seed: Int = 42): DataFrame =
+    ivfSqTopKWith(corpus, queries, idCol, vecCol, k, dim,
+      kmeansFit(boundedSample(corpus, idCol, vecCol), nCentroids, seed), nProbe)
+
+  /** [[ivfSqTopK]] against an EXPLICIT codebook (fixture centroids or
+    * a [[kmeansParallelFit]] result) — the q78 codebook convention,
+    * and what the oracled gate uses so the coarse assignment is
+    * mirrorable cell for cell.
+    */
+  def ivfSqTopKWith(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      cs: Array[Array[Double]], nProbe: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cs = kmeansFit(boundedSample(corpus, idCol, vecCol), nCentroids, seed)
     val csDim = cs.head.length
     val assignUdf = udf((v: Seq[Float]) => nearestIdx(v.map(_.toDouble).toArray, cs))
     val probeUdf = udf((v: Seq[Float]) => {
