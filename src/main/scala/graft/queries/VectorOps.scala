@@ -269,11 +269,29 @@ object VectorOps {
       Vectors.ivfSqTopKWith(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
           k = 3, dim = SqDim, centers, nProbe = IvfSqProbe)
         .orderBy($"query_id", $"rnk")
+    },
+
+    // ---- the coarse-to-fine retrieval CASCADE: binary Hamming
+    // shortlist (24) → SQ8 integer re-rank (8) → exact float cosine
+    // top-3. Per-candidate cost rises ~30× per stage while candidates
+    // fall — the cascaded-retrieval economics in one gate. Each
+    // stage's mirror is its own gate's oracle (q99 → q92 → q22),
+    // composed as three k-filtered window ranks.
+    "q102_cascade_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.cascadeTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+          k = 3, dim = SqDim, mBinary = CascBin, mSq = CascSq)
+        .orderBy($"query_id", $"rnk")
     }
   )
 
   /** q101: queries probe 3 of the 8 fixture cells. */
   private val IvfSqProbe = 3
+
+  /** q102 cascade widths: 24 binary survivors → 8 SQ8 survivors → 3. */
+  private val CascBin = 24
+  private val CascSq = 8
 
   /** q100 constants: 64→16 prefix (the MRL 4× truncation), 12-deep
     * shortlist re-ranked to 3.
@@ -615,6 +633,73 @@ object VectorOps {
         |                            ORDER BY qdist ASC, neighbor_id ASC) AS rnk
         |  FROM sc)
         |SELECT query_id, rnk, neighbor_id, qdist FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // Cascade mirror: q99's sign-disagreement Hamming rank filtered at
+    // 24, q92's quantization CTEs re-ranking the survivors at 8, q22's
+    // cosine over the remainder at 3 — three window ranks, each with
+    // its stage's (distance, id) tie discipline.
+    "q102_cascade_topk" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv0 AS (SELECT vec_id AS query_id, v AS qv FROM e0 WHERE vec_id < 8),
+        |h1 AS (
+        |  SELECT query_id, e0.vec_id AS neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, $SqDim), i ->
+        |           CASE WHEN (qv[i] > 0) <> (e0.v[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM qv0, e0 WHERE e0.vec_id <> query_id),
+        |s1 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY hamming ASC, neighbor_id ASC) AS rn
+        |    FROM h1) t WHERE rn <= $CascBin),
+        |e AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sqrt(list_dot_product(v, v)) = 0
+        |              THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |         END AS v
+        |  FROM e0),
+        |st AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e, unnest(generate_series(1, $SqDim)) t(i)
+        |  GROUP BY i),
+        |stats AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans
+        |  FROM st),
+        |qz AS (
+        |  SELECT vec_id,
+        |         list_transform(generate_series(1, $SqDim), i ->
+        |           CASE WHEN spans[i] = 0 THEN 0
+        |                ELSE CAST(LEAST(GREATEST(
+        |                       round((v[i] - mns[i]) * 255.0 / spans[i]), 0.0), 255.0)
+        |                     AS BIGINT) END) AS q
+        |  FROM e, stats),
+        |h2 AS (
+        |  SELECT s1.query_id, s1.neighbor_id,
+        |         CAST(list_sum(list_transform(generate_series(1, $SqDim),
+        |                i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS BIGINT) AS qdist
+        |  FROM s1
+        |  JOIN qz a ON a.vec_id = s1.query_id
+        |  JOIN qz b ON b.vec_id = s1.neighbor_id),
+        |s2 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id
+        |                              ORDER BY qdist ASC, neighbor_id ASC) AS rn
+        |    FROM h2) t WHERE rn <= $CascSq),
+        |h3 AS (
+        |  SELECT s2.query_id, s2.neighbor_id,
+        |         round(list_dot_product(q.qv, c.v) /
+        |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        |  FROM s2
+        |  JOIN qv0 q ON q.query_id = s2.query_id
+        |  JOIN e0 c ON c.vec_id = s2.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        |  FROM h3)
+        |SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3""".stripMargin,
 
     // q78's assignment mirror feeding q37's cum-token window mirror:
     // same round-6 argmax, same md5(salt||id) fill order, same BIGINT

@@ -301,6 +301,12 @@ object PlanCheck {
     // is a cell equi-join — the corpus shuffles for nothing
     Expectation("q101_ivf_sq8_topk",
       mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // cascade: stage 1 is the broadcast popcount cross score; stages
+    // 2/3 join the BOUNDED survivor sets broadcast — the corpus never
+    // shuffles at any stage
+    Expectation("q102_cascade_topk",
+      mustContain = Seq("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

@@ -1455,6 +1455,62 @@ object Vectors {
       .select($"query_id", $"rnk", $"neighbor_id", $"hamming")
   }
 
+  /** The coarse-to-fine retrieval cascade — the production composition
+    * of the quantized stages: binary Hamming distance shortlists
+    * `mBinary` candidates per query (2 longs + a popcount per
+    * candidate), SQ8 code distance re-ranks those to `mSq` (64 bytes +
+    * integer arithmetic), and exact float cosine ranks the survivors
+    * to `k`. Per-candidate cost rises ~30× stage to stage while the
+    * candidate count falls, which is the whole economics of cascaded
+    * retrieval (binary scans everything cheaply; floats touch only
+    * `mSq`·|queries| rows). Stage tiebreaks are the established
+    * (distance, id) disciplines, so the cascade is deterministic end
+    * to end and each stage's mirror is the corresponding gate's
+    * (q99 → q92 → q22). With exhaustive stage widths the output
+    * equals [[bruteTopK]] exactly (spec-pinned, the matryoshka
+    * full-shortlist argument).
+    */
+  def cascadeTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      mBinary: Int, mSq: Int): DataFrame = {
+    require(mBinary >= mSq && mSq >= k,
+      s"stage widths must narrow: $mBinary >= $mSq >= $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // stage 1: binary shortlist (integer, cheapest per candidate)
+    val s1 = binaryTopK(corpus, queries, idCol, vecCol, mBinary, dim)
+      .select($"query_id", $"neighbor_id")
+    // stage 2: SQ8 integer re-rank of stage 1's survivors. Codes are
+    // quantized under the FULL corpus stats (the index-build-time
+    // artifact) — only the candidate join is restricted.
+    val cu = unitFrame(corpus, idCol, vecCol)
+    val (mins, maxs) = sqStats(cu, "uv", dim)
+    val codes = scalarQuantize(cu, "id", "uv", mins, maxs)
+    val qcodes = scalarQuantize(unitFrame(queries, idCol, vecCol), "id", "uv", mins, maxs)
+    val s2scored = broadcast(s1)
+      .join(codes.select($"id".as("neighbor_id"), $"qvec".as("nq")), "neighbor_id")
+      .join(broadcast(qcodes.select($"id".as("query_id"), $"qvec".as("qq"))), "query_id")
+      .withColumn("qdist", aggregate(zip_with($"qq", $"nq", (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    val w2 = Window.partitionBy($"query_id").orderBy($"qdist".asc, $"neighbor_id".asc)
+    val s2 = s2scored.withColumn("rnk2", row_number().over(w2))
+      .filter($"rnk2" <= mSq).select($"query_id", $"neighbor_id")
+    // stage 3: exact float cosine over the bounded survivor set
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("nv"))
+      .withColumn("nn", normCol($"nv"))
+    val qfull = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", normCol($"qv"))
+    val s3 = broadcast(s2).join(full, Seq("neighbor_id"))
+      .join(broadcast(qfull), Seq("query_id"))
+      .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
+    val w3 = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
+    s3.withColumn("rnk", row_number().over(w3))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+  }
+
   // ---- semantic contamination --------------------------------------------
 
   /** Embedding-space contamination screen: for every corpus vector, the

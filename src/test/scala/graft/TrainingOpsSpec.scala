@@ -760,6 +760,28 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.7, s"rotated SQ8 recall@3 vs brute = $recall")
   }
 
+  test("cascadeTopK: exhaustive stage widths equal brute exactly; narrow cascade keeps recall") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 8)
+    val n = emb.count().toInt
+    val brute = Vectors.bruteTopK(emb, qs, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // widths covering the corpus → every stage is a pass-through and
+    // the exact stage decides everything
+    val exhaustive = Vectors.cascadeTopK(emb, qs, "vec_id", "embedding",
+        k = 3, dim = 64, mBinary = n, mSq = n)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(exhaustive == brute)
+    val narrow = Vectors.cascadeTopK(emb, qs, "vec_id", "embedding",
+        k = 3, dim = 64, mBinary = 24, mSq = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brutePairs = brute.map(r => (r._1, r._3))
+    val recall = brutePairs.count(narrow.contains).toDouble / brutePairs.size
+    assert(recall >= 0.5, s"cascade recall@3 (24→8→3) vs brute = $recall")
+  }
+
   test("ivfSqTopK: full probe equals sqTopK exactly; pruned probe keeps recall") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val qs = emb.filter($"vec_id" < 8)
