@@ -579,6 +579,19 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // ---- interpolated Kneser-Ney bigram LM trained corpus-wide: one
+    // row per bigram type (count ≥ 5) with raw/context/continuation
+    // counts and the smoothed probability. D = 3/4 makes every term a
+    // ratio of exact integers — three fixed-order IEEE divisions, no
+    // float accumulation anywhere (doc-level scores stay with q56's
+    // whole-bit surprisal). One bigram groupBy shuffle; the
+    // context/continuation tables are vocabulary-sized broadcasts.
+    "q103_kn_bigram_lm" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.knBigramLm(docsParallel(s, dir), "text", minCount = 5)
+        .orderBy($"w1", $"w2")
+    },
+
     // ---- dataset-PAIR overlap via bottom-k (KMV/theta) sketches:
     // the k smallest distinct shingle hashes of A∪B with per-corpus
     // membership bits estimate Jaccard, directional containment, and
@@ -1623,6 +1636,27 @@ object Curation {
         |            WHEN old_hash = new_hash THEN 'unchanged'
         |            ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n USING (doc_id)""".stripMargin,
+
+    // KN mirror: bigram pairs from the shared words CTE, the three
+    // count tables, and the identical (4n−3)⁺/(4·ctx) +
+    // 3·n1f·n1b/(4·ctx)/b_types fixed-order arithmetic.
+    "q103_kn_bigram_lm" -> (WordsCte +
+      """, bg AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM words, unnest(generate_series(1, len(ws) - 1)) t(i)
+        |  WHERE len(ws) >= 2
+        |  GROUP BY 1, 2),
+        |cx AS (
+        |  SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx, CAST(COUNT(*) AS BIGINT) AS n1f
+        |  FROM bg GROUP BY w1),
+        |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY w2),
+        |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM bg)
+        |SELECT bg.w1, bg.w2, bg.n, cx.ctx, cx.n1f, ct.n1b, bt.b_types,
+        |       CAST(GREATEST(4 * bg.n - 3, 0) AS DOUBLE) / CAST(4 * cx.ctx AS DOUBLE)
+        |       + CAST(3 * cx.n1f * ct.n1b AS DOUBLE) / CAST(4 * cx.ctx AS DOUBLE)
+        |         / CAST(bt.b_types AS DOUBLE) AS p_kn
+        |FROM bg JOIN cx USING (w1) JOIN ct USING (w2), bt
+        |WHERE bg.n >= 5""".stripMargin),
 
     // KMV mirror: per-side shingle CTEs (the ShinglesCte shape with a
     // parity filter), the engine-wide 60-bit md5 hash, membership

@@ -1382,6 +1382,60 @@ object CurationOps {
       .select(col("__id").as(idCol), col("old_hash"), col("new_hash"), col("status"))
   }
 
+  /** Interpolated Kneser-Ney smoothed bigram language model, trained
+    * corpus-wide (Kneser & Ney 1995; the KenLM formulation at order 2
+    * with one fixed discount) — the LM component CCNet-style
+    * perplexity filtering deploys, here as its trained TABLE: one row
+    * per bigram type with count ≥ `minCount`, carrying the raw count
+    * `n`, the context mass `ctx` = c(w1·), the fan-out
+    * `n1f` = N1+(w1·), the continuation count `n1b` = N1+(·w2), the
+    * corpus bigram-type total `b_types`, and the smoothed probability
+    *
+    *   P(w2|w1) = (n − D)⁺/ctx + D·n1f/ctx · n1b/b_types,  D = 3/4.
+    *
+    * Float discipline: with D = 3/4 every term is a ratio of exact
+    * integers — p is computed as
+    * `(4n−3)⁺/(4·ctx) + 3·n1f·n1b/(4·ctx)/b_types`, three IEEE
+    * divisions and one add in a fixed order, so the DuckDB mirror is
+    * bit-identical and there is NO float accumulation anywhere (the
+    * reason this gate emits the LM rather than per-doc log scores:
+    * a log-prob sum would order-depend; whole-bit doc surprisal
+    * already exists as q56).
+    *
+    * Scale shape: one explode + one map-side-combined groupBy on the
+    * bigram (the q56 shuffle), then context/continuation tables are
+    * VOCABULARY-sized — broadcast back onto the bigram table, and the
+    * type total rides a broadcast single-row frame. Nothing shuffles
+    * twice.
+    */
+  def knBigramLm(df: DataFrame, textCol: String, minCount: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ws = wordsCol(col(textCol))
+    val big = df
+      .select(explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // three aggregate consumers below
+    val ctx = big.groupBy($"w1")
+      .agg(sum($"n").as("ctx"), count(lit(1)).as("n1f"))
+    val cont = big.groupBy($"w2").agg(count(lit(1)).as("n1b"))
+    val btotal = big.agg(count(lit(1)).as("b_types"))
+    big
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .crossJoin(broadcast(btotal))
+      .filter($"n" >= minCount)
+      .select($"w1", $"w2", $"n", $"ctx", $"n1f", $"n1b", $"b_types",
+        (greatest(lit(4L) * $"n" - 3L, lit(0L)).cast("double") /
+          (lit(4L) * $"ctx").cast("double") +
+          (lit(3L) * $"n1f" * $"n1b").cast("double") /
+            (lit(4L) * $"ctx").cast("double") / $"b_types".cast("double"))
+          .as("p_kn"))
+  }
+
   /** KMV (k-minimum-values) sketch comparison of two corpora's shingle
     * sets — the dataset-PAIR overlap diagnostic (which crawl snapshots
     * or published dumps duplicate each other, and how much) that

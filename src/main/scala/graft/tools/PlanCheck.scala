@@ -307,6 +307,12 @@ object PlanCheck {
     // shuffles at any stage
     Expectation("q102_cascade_topk",
       mustContain = Seq("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // KN bigram LM: one bigram groupBy; the vocabulary-sized
+    // context/continuation tables broadcast back — the bigram table
+    // must not shuffle again for the joins
+    Expectation("q103_kn_bigram_lm",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

@@ -1075,6 +1075,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.getAs[String]("old_hash").length === 32)
   }
 
+  test("knBigramLm: hand-computed probabilities and bounded context mass") {
+    // corpus "a b a b a c": bigrams ab=2, ba=2, ac=1;
+    // ctx(a)=3 n1f(a)=2, ctx(b)=2 n1f(b)=1; n1b: a=1, b=1, c=1; B=3
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val lm = CurationOps.knBigramLm(docs, "text", minCount = 1)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p_kn"))).toMap
+    assert(lm.size === 3)
+    assert(lm(("a", "b"))._1 === 2L)
+    // p(b|a) = (2-3/4)/3 + (3/4)(2/3)(1/3) = 7/12
+    assert(math.abs(lm(("a", "b"))._2 - 7.0 / 12.0) < 1e-12)
+    // p(a|b) = (2-3/4)/2 + (3/4)(1/2)(1/3) = 3/4
+    assert(math.abs(lm(("b", "a"))._2 - 0.75) < 1e-12)
+    // p(c|a) = (1-3/4)/3 + (3/4)(2/3)(1/3) = 1/4
+    assert(math.abs(lm(("a", "c"))._2 - 0.25) < 1e-12)
+    // observed-context mass never exceeds 1 (backoff mass goes to
+    // unseen continuations) — checked on the real corpus too
+    val real = CurationOps.knBigramLm(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "text", minCount = 1)
+    val mass = real.groupBy($"w1").agg(sum($"p_kn").as("m"))
+      .as[(String, Double)].collect()
+    assert(mass.nonEmpty)
+    mass.foreach { case (w1, m) => assert(m <= 1.0 + 1e-9, s"context $w1 mass $m") }
+    real.select($"p_kn").as[Double].collect()
+      .foreach(p => assert(p > 0.0 && p <= 1.0))
+  }
+
   test("corpusOverlapKmv: estimates track the exact set statistics") {
     import graft.textops.NearDup
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
