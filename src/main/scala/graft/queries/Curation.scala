@@ -592,6 +592,19 @@ object Curation {
         .orderBy($"w1", $"w2")
     },
 
+    // ---- the trained KN LM applied as the CCNet-style document
+    // filter: integer unseen/rare-bigram counters against the
+    // broadcast LM (float comparisons feed counters — nothing float
+    // accumulates), unrounded fraction, keep flag.
+    "q104_kn_doc_filter" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val lm = CurationOps.knBigramLm(docs, "text", minCount = 5)
+      CurationOps.knDocFilter(docs, "doc_id", "text", lm,
+          pThreshold = 0.03, maxRareFrac = 0.25)
+        .orderBy($"doc_id")
+    },
+
     // ---- dataset-PAIR overlap via bottom-k (KMV/theta) sketches:
     // the k smallest distinct shingle hashes of A∪B with per-corpus
     // membership bits estimate Jaccard, directional containment, and
@@ -698,6 +711,33 @@ object Curation {
   // The shared words CTE (TextOps.WordsCte) is the DuckDB twin of
   // TextTokens.wordsCol — one definition for every tokenizing oracle.
   private val WordsCte = TextOps.WordsCte
+
+  /** q103/q104 shared KN mirror: bigram/context/continuation counts
+    * and the thresholded `lm` CTE with the fixed-order probability.
+    * Expects the `words` CTE in scope.
+    */
+  private val KnLmCtes =
+    """, bg AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM words, unnest(generate_series(1, len(ws) - 1)) t(i)
+      |  WHERE len(ws) >= 2
+      |  GROUP BY 1, 2),
+      |cx AS (
+      |  SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx, CAST(COUNT(*) AS BIGINT) AS n1f
+      |  FROM bg GROUP BY w1),
+      |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY w2),
+      |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM bg),
+      |lm AS (
+      |  SELECT bg.w1, bg.w2, bg.n, cx.ctx, cx.n1f, ct.n1b, bt.b_types,
+      |         CAST(GREATEST(4 * bg.n - 3, 0) AS DOUBLE) / CAST(4 * cx.ctx AS DOUBLE)
+      |         + CAST(3 * cx.n1f * ct.n1b AS DOUBLE) / CAST(4 * cx.ctx AS DOUBLE)
+      |           / CAST(bt.b_types AS DOUBLE) AS p_kn
+      |  FROM bg JOIN cx USING (w1) JOIN ct USING (w2), bt
+      |  WHERE bg.n >= 5)""".stripMargin
+
+  /** q104 constants: rare-bigram probability cut and keep fraction. */
+  private val KnPThreshold = 0.03
+  private val KnMaxRareFrac = 0.25
 
   /** Per-doc token COUNTS as a CTE — the DuckDB twin of
     * `size(TextTokens.wordsCol(text))`. ONE definition for q37/q38/q39:
@@ -1640,23 +1680,32 @@ object Curation {
     // KN mirror: bigram pairs from the shared words CTE, the three
     // count tables, and the identical (4n−3)⁺/(4·ctx) +
     // 3·n1f·n1b/(4·ctx)/b_types fixed-order arithmetic.
-    "q103_kn_bigram_lm" -> (WordsCte +
-      """, bg AS (
-        |  SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS n
+    "q103_kn_bigram_lm" -> (WordsCte + KnLmCtes +
+      "\nSELECT w1, w2, n, ctx, n1f, n1b, b_types, p_kn FROM lm"),
+
+    // The trained LM applied: per-doc bigram tokens LEFT-joined to the
+    // thresholded LM, integer unseen/rare counters (a float COMPARISON
+    // per row feeds a counter; nothing float accumulates), unrounded
+    // fraction, keep flag.
+    "q104_kn_doc_filter" -> (WordsCte + KnLmCtes +
+      s""",
+        |toks AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
         |  FROM words, unnest(generate_series(1, len(ws) - 1)) t(i)
-        |  WHERE len(ws) >= 2
-        |  GROUP BY 1, 2),
-        |cx AS (
-        |  SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx, CAST(COUNT(*) AS BIGINT) AS n1f
-        |  FROM bg GROUP BY w1),
-        |ct AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY w2),
-        |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM bg)
-        |SELECT bg.w1, bg.w2, bg.n, cx.ctx, cx.n1f, ct.n1b, bt.b_types,
-        |       CAST(GREATEST(4 * bg.n - 3, 0) AS DOUBLE) / CAST(4 * cx.ctx AS DOUBLE)
-        |       + CAST(3 * cx.n1f * ct.n1b AS DOUBLE) / CAST(4 * cx.ctx AS DOUBLE)
-        |         / CAST(bt.b_types AS DOUBLE) AS p_kn
-        |FROM bg JOIN cx USING (w1) JOIN ct USING (w2), bt
-        |WHERE bg.n >= 5""".stripMargin),
+        |  WHERE len(ws) >= 2),
+        |st AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(SUM(CASE WHEN lm.p_kn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |         CAST(SUM(CASE WHEN lm.p_kn IS NOT NULL AND lm.p_kn < $KnPThreshold
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM toks LEFT JOIN lm ON toks.w1 = lm.w1 AND toks.w2 = lm.w2
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, n_unseen, n_rare,
+        |       CAST(n_unseen + n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_frac,
+        |       CASE WHEN CAST(n_unseen + n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |                 <= $KnMaxRareFrac THEN 1 ELSE 0 END AS keep
+        |FROM st""".stripMargin),
 
     // KMV mirror: per-side shingle CTEs (the ShinglesCte shape with a
     // parity filter), the engine-wide 60-bit md5 hash, membership

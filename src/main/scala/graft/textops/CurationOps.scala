@@ -1436,6 +1436,45 @@ object CurationOps {
           .as("p_kn"))
   }
 
+  /** The [[knBigramLm]] model APPLIED as a document filter — the
+    * CCNet deployment step, kept integer-exact: for every document,
+    * the bigram total, how many of its bigram tokens are UNSEEN in the
+    * (min-count-thresholded) LM, and how many carry a smoothed
+    * probability below `pThreshold`. All three are integer COUNTS (a
+    * per-row float comparison feeds a counter; nothing float ever
+    * accumulates), plus the unrounded rare-fraction ratio — so the
+    * gate stays hash-stable while still exercising the trained
+    * probabilities. `keep` flags documents whose rare+unseen fraction
+    * stays under `maxRareFrac` (documents the LM finds predictable —
+    * the low-perplexity bucket CCNet keeps).
+    *
+    * Scale shape: docs explode to bigram tokens once; the LM table is
+    * vocabulary²-bounded and minCount-thresholded — broadcast probe,
+    * map-side-combined counts, one shuffle by doc id.
+    */
+  def knDocFilter(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, pThreshold: Double, maxRareFrac: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ws = wordsCol(col(textCol))
+    val toks = df
+      .select(col(idCol), explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    toks
+      .join(broadcast(lm.select($"w1", $"w2", $"p_kn")), Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when($"p_kn".isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(when($"p_kn".isNotNull && $"p_kn" < pThreshold, 1L).otherwise(0L))
+          .as("n_rare"))
+      .withColumn("rare_frac",
+        ($"n_unseen" + $"n_rare").cast("double") / $"n_bigrams".cast("double"))
+      .withColumn("keep", ($"rare_frac" <= maxRareFrac).cast("int"))
+  }
+
   /** KMV (k-minimum-values) sketch comparison of two corpora's shingle
     * sets — the dataset-PAIR overlap diagnostic (which crawl snapshots
     * or published dumps duplicate each other, and how much) that

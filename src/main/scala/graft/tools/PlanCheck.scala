@@ -313,6 +313,11 @@ object PlanCheck {
     // must not shuffle again for the joins
     Expectation("q103_kn_bigram_lm",
       mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // the LM probe must broadcast; doc stats are one map-side-combined
+    // aggregate on the doc id
+    Expectation("q104_kn_doc_filter",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

@@ -1103,6 +1103,22 @@ class CurationOpsSpec extends SparkSpec {
       .foreach(p => assert(p > 0.0 && p <= 1.0))
   }
 
+  test("knDocFilter: unseen/rare counting against the trained LM") {
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val lm = CurationOps.knBigramLm(train, "text", minCount = 1)
+    val score = Seq(
+      (1L, "a b a b a c"), // every bigram seen, none rare at t=0.2
+      (2L, "a b x y")      // ab seen; bx, xy unseen
+    ).toDF("doc_id", "text")
+    val out = CurationOps.knDocFilter(score, "doc_id", "text", lm,
+        pThreshold = 0.2, maxRareFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_unseen"),
+         r.getAs[Long]("n_rare"), r.getAs[Int]("keep"))).toMap
+    assert(out(1L) === ((5L, 0L, 0L, 1)))
+    assert(out(2L) === ((3L, 2L, 0L, 0))) // 2/3 rare+unseen > 0.5
+  }
+
   test("corpusOverlapKmv: estimates track the exact set statistics") {
     import graft.textops.NearDup
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
