@@ -133,6 +133,20 @@ object CurationPipelineDemo {
       emb, emb.filter($"vec_id" < 4), "vec_id", "embedding", k = 3, dim = 64)
     val nAnn = ann.count()
 
+    // 8. the LM quality pass the CCNet pipeline actually deploys:
+    // train the KN bigram LM on the curated survivors, filter the RAW
+    // corpus against it (predictable-text keep), and run the
+    // coarse-to-fine retrieval cascade (binary -> SQ8 -> exact) the
+    // serving side uses over the same embeddings
+    val lm = CurationOps.knBigramLm(fluent, "text", minCount = 2)
+    val lmKept = CurationOps.knDocFilter(docs, "doc_id", "text", lm,
+        pThreshold = 0.03, maxRareFrac = 0.5)
+      .filter($"keep" === 1).count()
+    val cascade = graft.vectors.Vectors.cascadeTopK(
+      emb, emb.filter($"vec_id" < 4), "vec_id", "embedding",
+      k = 3, dim = 64, mBinary = 24, mSq = 8)
+    val nCascade = cascade.count()
+
     println(f"corpus:        $total%6d docs")
     println(f"quality gate:  $nQuality%6d kept")
     println(f"decontaminated:$nClean%6d kept (bench = every 10th doc)")
@@ -143,6 +157,8 @@ object CurationPipelineDemo {
       f"HNSW top-3 for 4 queries -> $nAnn%d rows")
     println(s"BPE (50 merges): ${tokStats._3} chars -> ${tokStats._2} tokens " +
       s"(whitespace words: ${tokStats._1})")
+    println(f"KN LM filter:  $lmKept%6d of $total raw docs the curated-corpus LM finds predictable")
+    println(f"cascade ANN:   binary->SQ8->exact top-3 for 4 queries -> $nCascade%d rows")
     println("mixed corpus by language:")
     mixed.groupBy($"lang")
       .agg(count(lit(1)).as("docs"), sum($"n_tokens").as("tokens"))
