@@ -221,6 +221,33 @@ object TextAnalysis {
           .cast("int"))
   }
 
+  /** Per-document zlib compression ratio — the MassiveText/Gopher
+    * repetitiveness signal the n-gram fractions can miss (long-range
+    * templating, interleaved boilerplate): highly compressible text is
+    * repetitive text. `deflated_len / utf8_len`, level-6 Deflater, one
+    * pass per row. Deterministic for a given zlib, but NOT
+    * SQL-expressible — this operator is spec-verified (ordering +
+    * bounds properties), not DuckDB-oracled, and thresholds should be
+    * calibrated per corpus rather than ported across zlib versions.
+    * Composes beside [[charEntropyCol]] (which catches the opposite
+    * failure: high-entropy base64/binary blobs).
+    */
+  def compressionRatioUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => {
+      val in = s.getBytes("UTF-8")
+      if (in.isEmpty) 0.0
+      else {
+        val d = new java.util.zip.Deflater(6)
+        try {
+          d.setInput(in); d.finish()
+          val buf = new Array[Byte](8192)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          n.toDouble / in.length.toDouble
+        } finally d.end()
+      }
+    })
+
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text, EmailRe, "<EMAIL>")
     val ssn = regexp_replace(email, SsnRe, "<SSN>")

@@ -180,6 +180,23 @@ class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.col
 
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    val ratio = TextAnalysis.compressionRatioUdf
+    val rows = Seq(
+      ("rep", "spam ham " * 200),
+      ("varied", (1 to 400).map(i => s"w${i * 7919 % 1000}").mkString(" ")),
+      ("empty", "")
+    ).toDF("kind", "t").select($"kind", ratio($"t").as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(rows("empty") == 0.0)
+    assert(rows("rep") > 0.0 && rows("rep") < 0.1, s"rep=${rows("rep")}")
+    assert(rows("varied") > rows("rep") * 3, s"varied=${rows("varied")}")
+    // deterministic across invocations
+    val again = Seq(("rep", "spam ham " * 200)).toDF("kind", "t")
+      .select(ratio($"t")).as[Double].head()
+    assert(again == rows("rep"))
+  }
+
   test("quality features and score") {
     val df = Seq((1L, "the cat sat on the mat with the hat and a bat near it")).toDF("doc_id", "text")
     val row = TextAnalysis.qualityFeatures(df, "text")
