@@ -1473,19 +1473,47 @@ object Vectors {
   def cascadeTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       mBinary: Int, mSq: Int): DataFrame = {
+    val cu = unitFrame(corpus, idCol, vecCol)
+    val (mins, maxs) = sqStats(cu, "uv", dim)
+    cascadeTopKOn(
+      binaryQuantize(corpus, idCol, vecCol, dim),
+      scalarQuantize(cu, "id", "uv", mins, maxs),
+      corpus, queries, idCol, vecCol, k, dim, mBinary, mSq, mins, maxs)
+  }
+
+  /** [[cascadeTopK]] over PREBUILT quantized artifacts — the
+    * production path, where [[binaryQuantize]] and [[scalarQuantize]]
+    * ran at index-build time and each stage reads its own compact
+    * table (2 longs/row, then 64 codes/row; the raw vectors are
+    * touched only for the final bounded survivor set). `bcodes` is
+    * `(id, bcode)`, `codes` is `(id, qvec)` quantized under
+    * `(mins, maxs)` — the stats are part of the stored index and MUST
+    * be the ones the codes were built with (queries quantize under
+    * them at search time). Spec-pinned identical to the inline form.
+    */
+  def cascadeTopKOn(bcodes: DataFrame, codes: DataFrame,
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      mBinary: Int, mSq: Int,
+      mins: Array[Double], maxs: Array[Double]): DataFrame = {
     require(mBinary >= mSq && mSq >= k,
       s"stage widths must narrow: $mBinary >= $mSq >= $k")
     val spark = corpus.sparkSession
     import spark.implicits._
     // stage 1: binary shortlist (integer, cheapest per candidate)
-    val s1 = binaryTopK(corpus, queries, idCol, vecCol, mBinary, dim)
-      .select($"query_id", $"neighbor_id")
-    // stage 2: SQ8 integer re-rank of stage 1's survivors. Codes are
-    // quantized under the FULL corpus stats (the index-build-time
-    // artifact) — only the candidate join is restricted.
-    val cu = unitFrame(corpus, idCol, vecCol)
-    val (mins, maxs) = sqStats(cu, "uv", dim)
-    val codes = scalarQuantize(cu, "id", "uv", mins, maxs)
+    val qb = broadcast(binaryQuantize(queries, idCol, vecCol, dim)
+      .select($"id".as("query_id"), $"bcode".as("qc")))
+    val s1scored = qb
+      .join(bcodes.select($"id".as("neighbor_id"), $"bcode".as("nc")),
+        $"query_id" =!= $"neighbor_id")
+      .withColumn("hamming",
+        aggregate(zip_with($"qc", $"nc",
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")), lit(0L), (s, x) => s + x))
+    val w1 = Window.partitionBy($"query_id").orderBy($"hamming".asc, $"neighbor_id".asc)
+    val s1 = s1scored.withColumn("rnk1", row_number().over(w1))
+      .filter($"rnk1" <= mBinary).select($"query_id", $"neighbor_id")
+    // stage 2: SQ8 integer re-rank of stage 1's survivors under the
+    // index's stored stats
     val qcodes = scalarQuantize(unitFrame(queries, idCol, vecCol), "id", "uv", mins, maxs)
     val s2scored = broadcast(s1)
       .join(codes.select($"id".as("neighbor_id"), $"qvec".as("nq")), "neighbor_id")

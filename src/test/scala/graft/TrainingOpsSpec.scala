@@ -799,6 +799,30 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"cascade recall@3 (24→8→3) vs brute = $recall")
   }
 
+  test("cascadeTopKOn: prebuilt quantized artifacts equal the inline cascade") {
+    import org.apache.spark.sql.functions.{col, lit, transform, when => cWhen}
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 8)
+    // build the stored-index artifacts the way the build job would
+    val cu = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", Vectors.normCol(col("v")))
+      .select(col("id"), transform(col("v"), x =>
+        cWhen(col("n") === 0.0, lit(0.0)).otherwise(x / col("n"))).as("uv"))
+    val (mins, maxs) = Vectors.sqStats(cu, "uv", 64)
+    val codes = Vectors.scalarQuantize(cu, "id", "uv", mins, maxs)
+    val bcodes = Vectors.binaryQuantize(emb, "vec_id", "embedding", 64)
+    val prebuilt = Vectors.cascadeTopKOn(bcodes, codes, emb, qs,
+        "vec_id", "embedding", k = 3, dim = 64, mBinary = 24, mSq = 8,
+        mins, maxs)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val inline = Vectors.cascadeTopK(emb, qs, "vec_id", "embedding",
+        k = 3, dim = 64, mBinary = 24, mSq = 8)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(prebuilt == inline)
+    assert(prebuilt.nonEmpty)
+  }
+
   test("ivfSqTopK: full probe equals sqTopK exactly; pruned probe keeps recall") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val qs = emb.filter($"vec_id" < 8)
