@@ -1335,6 +1335,193 @@ object Vectors {
     df.withColumn(outCol, rot(col(inCol)))
   }
 
+  // ---- learned PCA rotation (full OPQ-style fit) -------------------------
+
+  /** Fit the PCA rotation of the corpus — the LEARNED counterpart of
+    * [[signedHadamard]]'s structured rotation (the non-product OPQ
+    * "R", Gong et al. 2013): eigenvectors of the corpus covariance,
+    * ordered by eigenvalue descending, so a following per-dimension
+    * quantizer spends its budget along the data's actual principal
+    * axes instead of the raw coordinates.
+    *
+    * Determinism discipline: raw double covariance sums would be
+    * partition-order-dependent in the last ulp, and an eigensolve
+    * AMPLIFIES ulp noise near degenerate eigenvalues — so moments are
+    * accumulated in FIXED-POINT: each component is quantized to
+    * `round(x · 2^20)` and the (i,j) second-moment sums are exact
+    * longs — associative, partitioning-invariant, engine-independent.
+    * Envelope: n · (2^20·|x|)² must stay under 2^63 — for unit-scale
+    * embeddings that is n ≲ 8e3 per accumulated partition sum at full
+    * precision; the implementation tree-reduces per-partition exact
+    * sums into BigInt, so the global sum never overflows regardless
+    * of corpus size (driver holds dim² BigInts — 64² = bounded
+    * control plane). Eigensolve is cyclic Jacobi with a fixed sweep
+    * count on the driver's dim×dim matrix — O(dim³) on 64×64 is
+    * microseconds.
+    *
+    * Returns `(rotation, eigenvalues)`: `rotation(k)` is the k-th
+    * principal axis (unit vector), eigenvalues sorted descending.
+    * Spec-verified: orthonormality, eigen-equation residual, variance
+    * concentration and SQ8 recall GAIN on anisotropic fixtures (the
+    * rotation cannot be DuckDB-oracled — it is data-dependent — so
+    * this operator is spec-only by design).
+    */
+  def pcaRotationFit(corpus: DataFrame, vecCol: String, dim: Int,
+      sweeps: Int = 16): (Array[Array[Double]], Array[Double]) = {
+    val scale = 1L << 20
+    val rows = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .rdd.map(_.getSeq[Double](0))
+    val (n, sums, prods) = rows.mapPartitions { it =>
+      var cnt = 0L
+      val s = new Array[BigInt](dim)
+      val p = new Array[BigInt](dim * dim)
+      java.util.Arrays.fill(s.asInstanceOf[Array[AnyRef]], BigInt(0))
+      java.util.Arrays.fill(p.asInstanceOf[Array[AnyRef]], BigInt(0))
+      val q = new Array[Long](dim)
+      it.foreach { v =>
+        cnt += 1
+        var i = 0
+        while (i < dim) { q(i) = math.round(v(i) * scale); i += 1 }
+        i = 0
+        while (i < dim) {
+          s(i) += q(i)
+          var j = 0
+          while (j < dim) { p(i * dim + j) += q(i) * q(j); j += 1 }
+          i += 1
+        }
+      }
+      Iterator.single((cnt, s, p))
+    }.treeReduce { (a, b) =>
+      (a._1 + b._1,
+        a._2.zip(b._2).map { case (x, y) => x + y },
+        a._3.zip(b._3).map { case (x, y) => x + y })
+    }
+    require(n > 1, s"need at least 2 vectors to fit a rotation: $n")
+    // covariance in double AFTER the exact integer accumulation: the
+    // only float ops are per-cell, order-free
+    val sc = scale.toDouble
+    val mean = sums.map(_.toDouble / n / sc)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      prods(i * dim + j).toDouble / n / (sc * sc) - mean(i) * mean(j)
+    }
+    // cyclic Jacobi, fixed sweeps — deterministic rotation sequence
+    val a = cov.map(_.clone())
+    val vmat = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < sweeps) {
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          if (math.abs(a(p)(q)) > 1e-14) {
+            val phi = 0.5 * math.atan2(2.0 * a(p)(q), a(q)(q) - a(p)(p))
+            val c = math.cos(phi)
+            val s = math.sin(phi)
+            var k = 0
+            while (k < dim) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < dim) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = vmat(k)(p); val vkq = vmat(k)(q)
+              vmat(k)(p) = c * vkp - s * vkq
+              vmat(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until dim).sortBy(i => (-a(i)(i), i))
+    val rotation = order.map(i => Array.tabulate(dim)(k => vmat(k)(i))).toArray
+    val eigenvalues = order.map(i => a(i)(i)).toArray
+    (rotation, eigenvalues)
+  }
+
+  /** Apply a fitted rotation (`rotation(k)` = k-th output axis):
+    * `y_k = Σ_i R_ki x_i`, one tight-loop UDF per row (the
+    * [[signedHadamard]] plan-size lesson). O(dim²) per row.
+    */
+  def applyRotation(df: DataFrame, inCol: String, outCol: String,
+      rotation: Array[Array[Double]]): DataFrame = {
+    val outDim = rotation.length
+    val inDim = rotation(0).length
+    val rot = udf((v: Seq[Double]) => {
+      val y = new Array[Double](outDim)
+      var k = 0
+      while (k < outDim) {
+        val r = rotation(k)
+        var s = 0.0
+        var i = 0
+        while (i < inDim) { s += r(i) * v(i); i += 1 }
+        y(k) = s
+        k += 1
+      }
+      y.toSeq
+    })
+    df.withColumn(outCol, rot(col(inCol).cast("array<double>")))
+  }
+
+  /** [[sqTopK]] behind the LEARNED rotation with TRUNCATION: normalize
+    * → project onto the corpus's top `rDims` principal axes → uint8
+    * codes on those axes only → INT64 code-distance rank. This is
+    * learned dimensionality reduction for the quantized index
+    * (PCA-SQ, the FAISS `PCAR..,SQ8` transform chain): on data whose
+    * variance concentrates in a low-dimensional subspace, `rDims` ≪
+    * dim keeps recall while cutting index memory another dim/rDims×
+    * — whereas truncating RAW dimensions throws signal away with the
+    * noise (the spec pins exactly that ordering on a structured
+    * fixture, plus ≈-full-recall at the eigen-spectrum's knee).
+    * Where [[matryoshkaTopK]] relies on MRL-trained prefix structure,
+    * this LEARNS the prefix basis from the corpus. Spec-only (no
+    * DuckDB oracle): the rotation is data-dependent.
+    */
+  def pcaSqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, rDims: Int): DataFrame = {
+    require(rDims >= 1 && rDims <= dim, s"rDims out of range: $rDims")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cu0 = unitFrame(corpus, idCol, vecCol)
+    val (rotation, _) = pcaRotationFit(cu0, "uv", dim)
+    val top = rotation.take(rDims)
+    val cu = applyRotation(cu0, "uv", "uv", top)
+    val qu = applyRotation(unitFrame(queries, idCol, vecCol), "uv", "uv", top)
+    val (mins, maxs) = sqStats(cu, "uv", rDims)
+    // DEQUANTIZED scoring, deliberately not [[sqCore]]'s raw code
+    // distance: code space scales every dimension to 0..255, which
+    // implicitly weights dimension d by 1/span_d² — fine on unit
+    // vectors (spans comparable, q92), catastrophic after PCA where
+    // noise axes have tiny spans and would be stretched to parity
+    // with the signal axes. Multiplying each code delta by its span
+    // (FAISS's reconstruction distance) restores true scaled L2; the
+    // per-row sum runs in the array's fixed order, so it is still
+    // deterministic.
+    val spanArr = array(mins.indices.map(i => lit(maxs(i) - mins(i))): _*)
+    val c = scalarQuantize(cu, "id", "uv", mins, maxs)
+      .select($"id".as("neighbor_id"), $"qvec".as("nq"))
+    val q = broadcast(scalarQuantize(qu, "id", "uv", mins, maxs)
+      .select($"id".as("query_id"), $"qvec".as("qq")))
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("qdist",
+        aggregate(
+          zip_with(zip_with($"qq", $"nq", (a, b) => (a - b).cast("double")),
+            spanArr, (d, s) => d * s * (d * s)),
+          lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy($"query_id").orderBy($"qdist".asc, $"neighbor_id".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"neighbor_id", $"qdist")
+  }
+
   /** [[sqTopK]] with the signed-Hadamard rotation applied (to the
     * already-unit vectors) before quantization — the OPQ-lite
     * pipeline: normalize → rotate → per-dimension uint8 under corpus

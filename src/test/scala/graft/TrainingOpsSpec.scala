@@ -799,6 +799,71 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"cascade recall@3 (24→8→3) vs brute = $recall")
   }
 
+  test("pcaRotationFit: orthonormal, variance-concentrating, partitioning-invariant") {
+    val dim = 16
+    val (df, _) = anisotropicFixture(dim, n = 240)
+    val (rot, ev) = Vectors.pcaRotationFit(df, "embedding", dim)
+    // orthonormal axes: R·Rᵀ = I
+    for (a <- 0 until dim; b <- 0 until dim) {
+      val dot = (0 until dim).map(i => rot(a)(i) * rot(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-8, s"($a,$b)=$dot")
+    }
+    // rank-2 structure: two eigenvalues carry nearly all the variance
+    assert(ev(0) > 0 && ev(1) > 0)
+    assert((ev(0) + ev(1)) / ev.sum > 0.95, s"top-2 share ${(ev(0) + ev(1)) / ev.sum}")
+    // fixed-point moment sums make the fit partitioning-invariant
+    val (rot2, ev2) = Vectors.pcaRotationFit(df.repartition(7), "embedding", dim)
+    assert(rot.flatten.toSeq == rot2.flatten.toSeq)
+    assert(ev.toSeq == ev2.toSeq)
+  }
+
+  test("pcaSqTopK: learned truncation keeps recall where raw truncation fails") {
+    val dim = 16
+    val (df, _) = anisotropicFixture(dim, n = 240)
+    val qs = df.filter($"vec_id" < 8)
+    val brute = Vectors.bruteTopK(df, qs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(pairs: Set[(Long, Long)]) =
+      brute.count(pairs.contains).toDouble / brute.size
+    // top-4 learned axes: ≥ the spectrum's knee, recall ≈ full codes
+    val pca = Vectors.pcaSqTopK(df, qs, "vec_id", "embedding",
+        k = 3, dim = dim, rDims = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // raw truncation to the same 4 dims throws away factor signal
+    val rawTrunc = Vectors.sqTopK(
+        df.select($"vec_id", org.apache.spark.sql.functions.slice($"embedding", 1, 4).as("embedding")),
+        qs.select($"vec_id", org.apache.spark.sql.functions.slice($"embedding", 1, 4).as("embedding")),
+        "vec_id", "embedding", k = 3, dim = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rPca = recallOf(pca)
+    val rRaw = recallOf(rawTrunc)
+    assert(rPca >= 0.85, s"PCA-truncated recall@3 = $rPca")
+    assert(rPca > rRaw + 0.2, s"learned $rPca vs raw $rRaw truncation")
+  }
+
+  /** Deterministic rank-2 embeddings: factors along two fixed dense
+    * unit directions plus tiny isotropic noise — variance concentrates
+    * in a 2-dim subspace no RAW coordinate aligns with.
+    */
+  private def anisotropicFixture(dim: Int, n: Int) = {
+    val rnd = new scala.util.Random(3)
+    def unit(v: Array[Double]) = {
+      val nrm = math.sqrt(v.map(x => x * x).sum); v.map(_ / nrm)
+    }
+    val u1 = unit(Array.fill(dim)(rnd.nextGaussian()))
+    val raw2 = Array.fill(dim)(rnd.nextGaussian())
+    val proj = raw2.zip(u1).map { case (x, u) => x - u * raw2.zip(u1).map(p => p._1 * p._2).sum }
+    val u2 = unit(proj)
+    val data = (0 until n).map { i =>
+      val f1 = math.sin(i * 0.37) * 2.0
+      val f2 = math.cos(i * 0.73) * 1.2
+      val v = Array.tabulate(dim)(d =>
+        f1 * u1(d) + f2 * u2(d) + 0.01 * math.sin(i * 1.3 + d))
+      (i.toLong, v.toSeq)
+    }
+    (data.toDF("vec_id", "embedding"), (u1, u2))
+  }
+
   test("cascadeTopKOn: prebuilt quantized artifacts equal the inline cascade") {
     import org.apache.spark.sql.functions.{col, lit, transform, when => cWhen}
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
