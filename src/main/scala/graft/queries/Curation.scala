@@ -605,6 +605,17 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // ---- interpolated Kneser-Ney TRIGRAM LM (the order KenLM ships):
+    // the full continuation-count recursion — trigram discounts backing
+    // off to bigram-continuation probabilities backing off to unigram
+    // continuation mass — with every term a ratio of exact integers
+    // (D = 3/4) evaluated in a fixed op nest, mirrored term by term.
+    "q105_kn_trigram_lm" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.knTrigramLm(docsParallel(s, dir), "text", minCount = 5)
+        .orderBy($"w1", $"w2", $"w3")
+    },
+
     // ---- dataset-PAIR overlap via bottom-k (KMV/theta) sketches:
     // the k smallest distinct shingle hashes of A∪B with per-corpus
     // membership bits estimate Jaccard, directional containment, and
@@ -1706,6 +1717,49 @@ object Curation {
         |       CASE WHEN CAST(n_unseen + n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
         |                 <= $KnMaxRareFrac THEN 1 ELSE 0 END AS keep
         |FROM st""".stripMargin),
+
+    // KN-trigram mirror: trigram/context/continuation/middle tables
+    // plus the q103 bigram-continuation tables, and the identical
+    // fixed nest — p0, inner, outer — of integer-ratio IEEE ops.
+    "q105_kn_trigram_lm" -> (WordsCte +
+      """, tg AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM words, unnest(generate_series(1, len(ws) - 2)) t(i)
+        |  WHERE len(ws) >= 3
+        |  GROUP BY 1, 2, 3),
+        |cx3 AS (
+        |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS ctx3,
+        |         CAST(COUNT(*) AS BIGINT) AS f3
+        |  FROM tg GROUP BY w1, w2),
+        |c23 AS (
+        |  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS c23
+        |  FROM tg GROUP BY w2, w3),
+        |mid AS (
+        |  SELECT w2, CAST(SUM(c23) AS BIGINT) AS nctx2,
+        |         CAST(COUNT(*) AS BIGINT) AS m2
+        |  FROM c23 GROUP BY w2),
+        |bg AS (
+        |  SELECT ws[i] AS bw1, ws[i+1] AS bw2, CAST(COUNT(*) AS BIGINT) AS bn
+        |  FROM words, unnest(generate_series(1, len(ws) - 1)) t(i)
+        |  WHERE len(ws) >= 2
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT bw2 AS w3, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY bw2),
+        |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM bg)
+        |SELECT tg.w1, tg.w2, tg.w3, tg.n, cx3.ctx3, cx3.f3, c23.c23,
+        |       mid.nctx2, mid.m2, ct.n1b, bt.b_types,
+        |       CAST(GREATEST(4 * tg.n - 3, 0) AS DOUBLE) / CAST(4 * cx3.ctx3 AS DOUBLE)
+        |       + CAST(3 * cx3.f3 AS DOUBLE) / CAST(4 * cx3.ctx3 AS DOUBLE)
+        |         * (CAST(GREATEST(4 * c23.c23 - 3, 0) AS DOUBLE) / CAST(4 * mid.nctx2 AS DOUBLE)
+        |            + CAST(3 * mid.m2 AS DOUBLE) / CAST(4 * mid.nctx2 AS DOUBLE)
+        |              * (CAST(ct.n1b AS DOUBLE) / CAST(bt.b_types AS DOUBLE))) AS p_kn3
+        |FROM tg
+        |JOIN cx3 USING (w1, w2)
+        |JOIN c23 USING (w2, w3)
+        |JOIN mid USING (w2)
+        |JOIN ct USING (w3)
+        |, bt
+        |WHERE tg.n >= 5""".stripMargin),
 
     // KMV mirror: per-side shingle CTEs (the ShinglesCte shape with a
     // parity filter), the engine-wide 60-bit md5 hash, membership

@@ -1436,6 +1436,86 @@ object CurationOps {
           .as("p_kn"))
   }
 
+  /** Interpolated Kneser-Ney TRIGRAM language model (the order KenLM
+    * ships for CCNet-style filtering), trained corpus-wide with the
+    * [[knBigramLm]] exactness discipline — D = 3/4 keeps every term a
+    * ratio of exact integers, so the recursion
+    *
+    *   P(w3|w1w2) = (c₁₂₃−D)⁺/c₁₂· + D·N1+(w₁w₂·)/c₁₂· · Pc(w3|w2)
+    *   Pc(w3|w2)  = (N1+(·w₂w₃)−D)⁺/N1+(·w₂·)
+    *                + D·M(w₂)/N1+(·w₂·) · Pc(w3)
+    *   Pc(w3)     = N1+(·w₃)/B
+    *
+    * (continuation counts at every lower order — the Kneser-Ney point:
+    * a word's backoff weight is how many CONTEXTS it completes, not
+    * how often it occurs) evaluates as a fixed nest of IEEE ops over
+    * integer inputs, bit-identical in the DuckDB mirror. One row per
+    * trigram type with count ≥ `minCount`, carrying every component
+    * count and the smoothed probability.
+    *
+    * Scale shape: one explode + one map-side-combined groupBy on the
+    * trigram (the corpus-sized shuffle); every derived table —
+    * trigram contexts, continuation counts, per-word middles, bigram
+    * continuations — is vocabulary-bounded and broadcasts back.
+    */
+  def knTrigramLm(df: DataFrame, textCol: String, minCount: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ws = wordsCol(col(textCol))
+    val tri = df
+      .select(explode(zip_with(
+        zip_with(
+          slice(ws, lit(1), size(ws) - 2), slice(ws, lit(2), size(ws) - 2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(ws, lit(3), size(ws) - 2),
+        (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"), c.as("w3"))))
+        .as("tg"))
+      .select($"tg.w1".as("w1"), $"tg.w2".as("w2"), $"tg.w3".as("w3"))
+      .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // five aggregate consumers below
+    val ctx3 = tri.groupBy($"w1", $"w2")
+      .agg(sum($"n").as("ctx3"), count(lit(1)).as("f3"))
+    // trigram-level continuation: distinct w1 preceding (w2, w3)
+    val cont23 = tri.groupBy($"w2", $"w3").agg(count(lit(1)).as("c23"))
+      .localCheckpoint() // consumed as a join side AND re-aggregated
+    val mid = cont23.groupBy($"w2")
+      .agg(sum($"c23").as("nctx2"), count(lit(1)).as("m2"))
+    // bigram-level continuation — the q103 tables, rebuilt here so the
+    // two LMs stay independent
+    val big = df
+      .select(explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select($"bg.w1".as("bw1"), $"bg.w2".as("bw2"))
+      .groupBy($"bw1", $"bw2").agg(count(lit(1)).as("bn"))
+      .localCheckpoint()
+    val cont = big.groupBy($"bw2").agg(count(lit(1)).as("n1b"))
+      .withColumnRenamed("bw2", "w3")
+    val btotal = big.agg(count(lit(1)).as("b_types"))
+    tri
+      .join(broadcast(ctx3), Seq("w1", "w2"))
+      .join(broadcast(cont23), Seq("w2", "w3"))
+      .join(broadcast(mid), Seq("w2"))
+      .join(broadcast(cont), Seq("w3"))
+      .crossJoin(broadcast(btotal))
+      .filter($"n" >= minCount)
+      .select($"w1", $"w2", $"w3", $"n", $"ctx3", $"f3", $"c23", $"nctx2",
+        $"m2", $"n1b", $"b_types",
+        {
+          val p0 = $"n1b".cast("double") / $"b_types".cast("double")
+          val inner =
+            greatest(lit(4L) * $"c23" - 3L, lit(0L)).cast("double") /
+              (lit(4L) * $"nctx2").cast("double") +
+              (lit(3L) * $"m2").cast("double") /
+                (lit(4L) * $"nctx2").cast("double") * p0
+          (greatest(lit(4L) * $"n" - 3L, lit(0L)).cast("double") /
+            (lit(4L) * $"ctx3").cast("double") +
+            (lit(3L) * $"f3").cast("double") /
+              (lit(4L) * $"ctx3").cast("double") * inner)
+            .as("p_kn3")
+        })
+  }
+
   /** The [[knBigramLm]] model APPLIED as a document filter — the
     * CCNet deployment step, kept integer-exact: for every document,
     * the bigram total, how many of its bigram tokens are UNSEEN in the

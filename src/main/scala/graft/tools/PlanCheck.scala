@@ -318,6 +318,11 @@ object PlanCheck {
     // aggregate on the doc id
     Expectation("q104_kn_doc_filter",
       mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // trigram KN: the trigram table is an eager checkpoint; every
+    // lower-order count table is vocabulary-bounded and broadcasts
+    Expectation("q105_kn_trigram_lm",
+      mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

@@ -1103,6 +1103,34 @@ class CurationOpsSpec extends SparkSpec {
       .foreach(p => assert(p > 0.0 && p <= 1.0))
   }
 
+  test("knTrigramLm: hand-computed recursion through all three orders") {
+    // corpus "a b c a b c a b d": trigrams abc=2 bca=2 cab=2 abd=1;
+    // ctx3(a,b)=3 f3=2; c23(b,c)=1 c23(b,d)=1; mid(b): nctx2=2 m2=2;
+    // bigram types ab,bc,ca,bd → B=4; n1b(c)=1, n1b(d)=1
+    val docs = Seq((1L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val lm = CurationOps.knTrigramLm(docs, "text", minCount = 1)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[String]("w3")) -> (r.getAs[Long]("n"), r.getAs[Double]("p_kn3"))).toMap
+    assert(lm.size === 4)
+    assert(lm(("a", "b", "c"))._1 === 2L)
+    // inner(b,·) = 0.25/2 + (0.75·2/2)·(1/4) = 0.3125 for both c and d
+    // p(c|ab) = 1.25/3 + (0.75·2/3)·0.3125 = 0.572916̄
+    assert(math.abs(lm(("a", "b", "c"))._2 - (1.25 / 3 + 0.5 * 0.3125)) < 1e-12)
+    // p(d|ab) = 0.25/3 + 0.5·0.3125 = 0.239583̄
+    assert(math.abs(lm(("a", "b", "d"))._2 - (0.25 / 3 + 0.5 * 0.3125)) < 1e-12)
+    // probabilities stay in (0, 1]; observed-context mass bounded on
+    // the real corpus
+    val real = CurationOps.knTrigramLm(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+      "text", minCount = 1)
+    val mass = real.groupBy($"w1", $"w2").agg(sum($"p_kn3").as("m"))
+      .select($"m").as[Double].collect()
+    assert(mass.nonEmpty)
+    mass.foreach(m => assert(m <= 1.0 + 1e-9))
+    real.select($"p_kn3").as[Double].collect()
+      .foreach(p => assert(p > 0.0 && p <= 1.0))
+  }
+
   test("knDocFilter: unseen/rare counting against the trained LM") {
     val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
     val lm = CurationOps.knBigramLm(train, "text", minCount = 1)
