@@ -1447,6 +1447,25 @@ object Vectors {
     (rotation, eigenvalues)
   }
 
+  /** Smallest r whose top-r eigenvalues explain at least `frac` of the
+    * total variance — the `rDims` selector for [[pcaSqTopK]] (fit
+    * once, read the spectrum, pick the knee).
+    */
+  def pcaRank(eigenvalues: Array[Double], frac: Double): Int = {
+    require(frac > 0.0 && frac <= 1.0, s"frac out of range: $frac")
+    val total = eigenvalues.filter(_ > 0).sum
+    if (total <= 0.0) 1
+    else {
+      var acc = 0.0
+      var r = 0
+      while (r < eigenvalues.length && acc < frac * total) {
+        acc += math.max(eigenvalues(r), 0.0)
+        r += 1
+      }
+      math.max(r, 1)
+    }
+  }
+
   /** Apply a fitted rotation (`rotation(k)` = k-th output axis):
     * `y_k = Σ_i R_ki x_i`, one tight-loop UDF per row (the
     * [[signedHadamard]] plan-size lesson). O(dim²) per row.

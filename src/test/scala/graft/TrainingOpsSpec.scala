@@ -815,6 +815,9 @@ class VectorsSpec extends SparkSpec {
     val (rot2, ev2) = Vectors.pcaRotationFit(df.repartition(7), "embedding", dim)
     assert(rot.flatten.toSeq == rot2.flatten.toSeq)
     assert(ev.toSeq == ev2.toSeq)
+    // the explained-variance selector finds the rank-2 knee
+    assert(Vectors.pcaRank(ev, 0.95) == 2)
+    assert(Vectors.pcaRank(ev, 1.0) <= dim)
   }
 
   test("pcaSqTopK: learned truncation keeps recall where raw truncation fails") {
