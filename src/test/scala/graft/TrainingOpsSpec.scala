@@ -844,6 +844,33 @@ class VectorsSpec extends SparkSpec {
     assert(rPca > rRaw + 0.2, s"learned $rPca vs raw $rRaw truncation")
   }
 
+  test("opqTopK: eigen-balanced rotation beats raw-coordinate PQ on structured data") {
+    import org.apache.spark.sql.functions.col
+    val dim = 16
+    val (df0, _) = anisotropicFixture(dim, n = 240)
+    val df = df0.select($"vec_id", col("embedding").cast("array<float>").as("embedding"))
+    val qs = df.filter($"vec_id" < 8)
+    val brute = Vectors.bruteTopK(df, qs, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(d: org.apache.spark.sql.DataFrame) = {
+      val s = d.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      brute.count(s.contains).toDouble / brute.size
+    }
+    val pq = recallOf(Vectors.pqTopK(df, qs, "vec_id", "embedding", 3, m = 4, ksub = 8))
+    val opq = recallOf(Vectors.opqTopK(df, qs, "vec_id", "embedding", 3, dim, m = 4, ksub = 8))
+    assert(opq >= 0.8, s"OPQ recall@3 = $opq")
+    assert(opq > pq + 0.3, s"opq=$opq vs pq=$pq")
+    // allocation sanity: a permutation with balanced subspace sizes
+    val (_, ev) = Vectors.pcaRotationFit(df.select(col("embedding").as("v")), "v", dim)
+    val order = Vectors.opqAllocation(ev, 4)
+    assert(order.sorted.toSeq == (0 until dim))
+    // the two MEANINGFUL axes (rank-2 data) land in different
+    // subspaces — the balancing point: one subspace must not hog all
+    // the signal variance
+    val subspaceOfTop = (0 until 2).map(i => order.indexOf(i) / 4)
+    assert(subspaceOfTop.distinct.size == 2, s"top-2 axes in $subspaceOfTop")
+  }
+
   /** Deterministic rank-2 embeddings: factors along two fixed dense
     * unit directions plus tiny isotropic noise — variance concentrates
     * in a 2-dim subspace no RAW coordinate aligns with.
