@@ -1408,17 +1408,36 @@ object CurationOps {
     * type total rides a broadcast single-row frame. Nothing shuffles
     * twice.
     */
-  def knBigramLm(df: DataFrame, textCol: String, minCount: Int = 5): DataFrame = {
+  def knBigramLm(df: DataFrame, textCol: String, minCount: Int = 5): DataFrame =
+    knLmFromCounts(
+      bigramCounts(df, textCol).localCheckpoint(), // three consumers
+      minCount)
+
+  /** The mergeable SUFFICIENT STATISTIC of [[knBigramLm]]: corpus-wide
+    * `(w1, w2, n)` bigram counts. Counts are additive, so two corpora's
+    * tables merge by `groupBy(w1, w2).sum(n)` — the property the
+    * incremental LM session ([[graft.streaming.StreamKnLm]]) is built
+    * on.
+    */
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ws = wordsCol(col(textCol))
-    val big = df
-      .select(explode(zip_with(
+    df.select(explode(zip_with(
         slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // three aggregate consumers below
+  }
+
+  /** Derive the smoothed LM from a `(w1, w2, n)` count table — every
+    * context/continuation statistic is a function of the counts, so
+    * the derivation is the same whether the counts came from one batch
+    * pass or an incremental merge.
+    */
+  def knLmFromCounts(big: DataFrame, minCount: Int): DataFrame = {
+    val spark = big.sparkSession
+    import spark.implicits._
     val ctx = big.groupBy($"w1")
       .agg(sum($"n").as("ctx"), count(lit(1)).as("n1f"))
     val cont = big.groupBy($"w2").agg(count(lit(1)).as("n1b"))
