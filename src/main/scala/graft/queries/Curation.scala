@@ -1793,15 +1793,18 @@ object Curation {
         |sk AS (SELECT h, ia, ib FROM u ORDER BY h ASC LIMIT 128),
         |ag AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS sketch_size,
-        |         MAX(h) AS kth_min,
-        |         CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
-        |         CAST(SUM(ia) AS BIGINT) AS n_a,
-        |         CAST(SUM(ib) AS BIGINT) AS n_b
+        |         COALESCE(MAX(h), 0) AS kth_min,
+        |         CAST(COALESCE(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
+        |         CAST(COALESCE(SUM(ia), 0) AS BIGINT) AS n_a,
+        |         CAST(COALESCE(SUM(ib), 0) AS BIGINT) AS n_b
         |  FROM sk)
         |SELECT sketch_size, kth_min, n_both, n_a, n_b,
-        |       CAST(n_both AS DOUBLE) / CAST(sketch_size AS DOUBLE) AS est_jaccard,
-        |       CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE) AS est_contain_a,
-        |       CAST(n_both AS DOUBLE) / CAST(n_b AS DOUBLE) AS est_contain_b,
+        |       CASE WHEN sketch_size = 0 THEN 0.0
+        |            ELSE CAST(n_both AS DOUBLE) / CAST(sketch_size AS DOUBLE) END AS est_jaccard,
+        |       CASE WHEN n_a = 0 THEN 0.0
+        |            ELSE CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE) END AS est_contain_a,
+        |       CASE WHEN n_b = 0 THEN 0.0
+        |            ELSE CAST(n_both AS DOUBLE) / CAST(n_b AS DOUBLE) END AS est_contain_b,
         |       CASE WHEN sketch_size = 128
         |            THEN CAST(sketch_size - 1 AS DOUBLE) * 1.152921504606846976e18
         |                 / CAST(kth_min AS DOUBLE)

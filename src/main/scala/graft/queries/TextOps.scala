@@ -295,6 +295,22 @@ object TextOps {
 
   /** The 60-bit cross-engine shingle hash — DuckDB mirror of
     * [[graft.textops.NearDup.shingleHash60]].
+    *
+    * RELATION-ALIGNMENT RULE (the r7 q89 lesson): whenever the ENGINE
+    * aggregates over hashed shingles, the oracle must derive its
+    * aggregate from the SAME hash relation (an `xs AS (SELECT DISTINCT
+    * doc_id, $HashSql AS h FROM sh)` CTE), never from raw `sh` — a
+    * single cross-doc hash collision otherwise diverges the integers
+    * while row counts still match. Audit of every shingle-based gate:
+    *  - q17/q35 (minhash): hash-aligned (`xs` CTE below).
+    *  - q85 (contamination score): hash-aligned (`xs` CTE in
+    *    Curation.scala).
+    *  - q89 (soft-dedup): hash-aligned (`xs` CTE) as of r8.
+    *  - q98 (KMV overlap): hash-aligned (`ha`/`hb` CTEs).
+    *  - q16 (jaccard), q80 (containment), q21 (min-md5 fingerprint),
+    *    q59 (top n-grams): BOTH engines aggregate the raw-shingle
+    *    relation (no hashing anywhere) — collision-insensitive by
+    *    construction.
     */
   private[queries] val HashSql = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
 
@@ -407,14 +423,19 @@ object TextOps {
         |  JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin),
 
-    // Same distinct doc-shingle relation as q16/q80; df per shingle,
-    // joined back, per-doc integer aggregates, unrounded ratios.
+    // df over the 60-BIT HASH relation — the identical relation the
+    // engine aggregates (CurationOps.softDedupWeights distincts on
+    // shingleHash60), so even a cross-doc hash collision produces the
+    // same integers on both sides (the q17 "xs" discipline; aggregating
+    // raw shingles here was the suite's one engine/oracle relation
+    // asymmetry — the driver's r07 hash-red channel).
     "q89_soft_dedup_weights" -> (ShinglesCte +
-      """, dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+      s""", xs AS (SELECT DISTINCT doc_id, $HashSql AS h FROM sh
+        |), dfreq AS (SELECT h, COUNT(*) AS df FROM xs GROUP BY h)
         |SELECT doc_id, COUNT(*) AS n_shingles, SUM(df) AS sum_df,
         |       CAST(SUM(df) AS DOUBLE) / COUNT(*) AS commonness,
         |       CAST(COUNT(*) AS DOUBLE) / SUM(df) AS weight
-        |FROM sh JOIN dfreq USING (shingle)
+        |FROM xs JOIN dfreq USING (h)
         |GROUP BY doc_id""".stripMargin),
 
     // Same regex chain as TextTokens.dedupKeyCol with RE2's 'g' flag

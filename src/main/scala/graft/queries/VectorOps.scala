@@ -283,6 +283,19 @@ object VectorOps {
       Vectors.cascadeTopK(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
           k = 3, dim = SqDim, mBinary = CascBin, mSq = CascSq)
         .orderBy($"query_id", $"rnk")
+    },
+
+    // ---- the learned-rotation path's DETERMINISTIC CORE, gated: the
+    // fixed-point (round(x·2^20)) per-dimension moments pcaRotationFit
+    // accumulates (spec-pinned identical to its internal BigInt sums),
+    // the derived variances, and the pcaRank explained-variance
+    // selector at 95% — the driver-green row the Jacobi eigensolve
+    // (data-dependent, spec-only) builds on.
+    "q106_pca_variance_rank" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.pcaVarianceRank(emb, "embedding", SqDim, fracTwentieths = 19)
+        .orderBy($"d")
     }
   )
 
@@ -1095,7 +1108,45 @@ object VectorOps {
         |         FROM w ORDER BY wt DESC, cidx ASC LIMIT $KmK),
         |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT cid, cv FROM code)""".stripMargin
-        + SemSweepSql)
+        + SemSweepSql),
+
+    // PCA deterministic core: the identical fixed-point quantization
+    // (floor(x·2^20 + 0.5) BIGINT — math.round's half rule, NOT SQL
+    // round()), exact HUGEINT moment sums (stringified — they exceed
+    // int64), the identical fixed-order variance formula, and an
+    // explained-variance CUMSUM kept in EXACT INTEGERS (ivar = p·n −
+    // s²; the per-dim denominator n²·2^40 is constant so it cancels) —
+    // a float running sum would diverge because DuckDB's window
+    // aggregates accumulate in segment-tree order, not sequentially.
+    // sel at 95% is the integer comparison 20·cum_before < 19·total.
+    "q106_pca_variance_rank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (
+        |  SELECT i - 1 AS d, CAST(floor(v[i] * 1048576.0 + 0.5) AS BIGINT) AS qv
+        |  FROM e, unnest(generate_series(1, $SqDim)) t(i)),
+        |m AS (
+        |  SELECT d, COUNT(*) AS n_vecs, SUM(qv) AS s_int, SUM(qv * qv) AS p_int
+        |  FROM q GROUP BY d),
+        |v AS (
+        |  SELECT d, n_vecs, s_int, p_int,
+        |         CAST(p_int AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1099511627776.0
+        |           - (CAST(s_int AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1048576.0)
+        |             * (CAST(s_int AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1048576.0)
+        |           AS variance,
+        |         p_int * n_vecs - s_int * s_int AS ivar
+        |  FROM m),
+        |r AS (
+        |  SELECT d, n_vecs, CAST(s_int AS VARCHAR) AS s, CAST(p_int AS VARCHAR) AS p,
+        |         variance, ivar,
+        |         ROW_NUMBER() OVER (ORDER BY ivar DESC, d ASC) AS rnk,
+        |         SUM(ivar) OVER (ORDER BY ivar DESC, d ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(ivar) OVER () AS total
+        |  FROM v)
+        |SELECT d, n_vecs, s, p, variance, rnk,
+        |       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac,
+        |       CAST((cum - ivar) * 20 < total * 19 AS INT) AS sel
+        |FROM r""".stripMargin
   )
 
   /** Shared SemDeDup sweep mirror (q78/q87): expects CTEs `e(id, v)`

@@ -43,20 +43,38 @@ object DurableLedger {
 
   private def manifestFile(path: String) = new java.io.File(path, "manifest")
 
+  /** Tolerant read: a malformed/truncated manifest (possible only on
+    * filesystems where the fsync'd atomic rename in [[writeManifest]]
+    * still isn't durable across power loss) degrades to the empty
+    * manifest instead of bricking the ledger with a parse exception —
+    * readers then union whatever batch directories survive, which the
+    * one-epoch-deferred GC keeps complete for the previous epoch.
+    */
   private[streaming] def readManifest(path: String): Manifest = {
     val f = manifestFile(path)
     if (!f.isFile) Manifest(Long.MinValue, 0L, None)
-    else {
+    else scala.util.Try {
       val lines = java.nio.file.Files.readAllLines(f.toPath)
       Manifest(lines.get(0).toLong, lines.get(1).toLong,
         if (lines.size > 2 && lines.get(2).nonEmpty) Some(lines.get(2)) else None)
-    }
+    }.getOrElse(Manifest(Long.MinValue, 0L, None))
   }
 
   private def writeManifest(path: String, m: Manifest): Unit = {
     val tmp = new java.io.File(path, "manifest.tmp")
-    java.nio.file.Files.writeString(tmp.toPath,
-      s"${m.compactedUpTo}\n${m.epoch}\n${m.segment.getOrElse("")}")
+    // write + force BEFORE the atomic rename: without the fsync a power
+    // loss can persist the rename but not the bytes, leaving a
+    // truncated manifest
+    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        s"${m.compactedUpTo}\n${m.epoch}\n${m.segment.getOrElse("")}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
     java.nio.file.Files.move(tmp.toPath, manifestFile(path).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -141,9 +159,23 @@ object DurableLedger {
     spark.read.schema(schema).parquet(srcDirs: _*)
       .write.mode("overwrite").parquet(s"$path/$segName")
     writeManifest(path, Manifest(upTo, m.epoch + 1, Some(segName)))
-    // best-effort GC — load() already ignores everything deleted here
-    (m.segment.toSeq.map(s => new java.io.File(s"$path/$s")) ++
-      foldIds.map(i => new java.io.File(dir(path, i)))).foreach(deleteRec)
+    // ONE-EPOCH-DEFERRED GC: the dirs folded RIGHT NOW (and the
+    // just-superseded segment) stay on disk — an in-flight job whose
+    // plan listed files under the old manifest may still be scanning
+    // them, and deleting here would fail it with FileNotFoundException.
+    // load() already ignores them, so they are dead weight, reclaimed
+    // on the NEXT compact: only material dead under the PREVIOUS
+    // manifest (batch dirs ≤ old compactedUpTo, segments older than
+    // the old epoch) is deleted, giving every reader one full
+    // compaction interval of grace.
+    val oldDeadDirs = allBatchDirs(path).filter(_ <= m.compactedUpTo)
+      .map(i => new java.io.File(dir(path, i)))
+    val oldDeadSegs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter { f =>
+        f.isDirectory && f.getName.startsWith("s") &&
+          scala.util.Try(f.getName.drop(1).toLong).toOption.exists(_ < m.epoch)
+      }
+    (oldDeadDirs ++ oldDeadSegs).foreach(deleteRec)
     foldIds.size
   }
 

@@ -76,13 +76,17 @@ object StreamCorpusOverlap {
     val nB = union.count(sb).toLong
     val size = union.size.toLong
     val kth = union.lastOption.getOrElse(0L)
+    // zero-guard every division: comparing against an empty corpus (or
+    // before any ingest) must yield defined 0.0 statistics, not 0/0 NaN
+    def ratio(num: Long, den: Long): Double =
+      if (den == 0L) 0.0 else num.toDouble / den.toDouble
     OverlapEstimate(
       sketchSize = size, kthMin = kth, nBoth = nBoth, nA = nA, nB = nB,
-      estJaccard = nBoth.toDouble / size.toDouble,
-      estContainA = nBoth.toDouble / nA.toDouble,
-      estContainB = nBoth.toDouble / nB.toDouble,
+      estJaccard = ratio(nBoth, size),
+      estContainA = ratio(nBoth, nA),
+      estContainB = ratio(nBoth, nB),
       estUnion =
-        if (size == k) (size - 1).toDouble * TwoTo60 / kth.toDouble
+        if (size == k && kth != 0L) (size - 1).toDouble * TwoTo60 / kth.toDouble
         else size.toDouble)
   }
 

@@ -6,7 +6,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.textops.CurationOps
 
-/** Incrementally-trained Kneser-Ney bigram LM for a document stream —
+/** Incrementally-trained Kneser-Ney LMs (bigram AND trigram — the
+  * order KenLM ships) for a document stream —
   * the continuously-retrained quality filter a live ingest pipeline
   * wants: as the curated corpus grows, the LM that scores NEW arrivals
   * ([[graft.textops.CurationOps.knDocFilter]]) keeps up without ever
@@ -67,6 +68,103 @@ object StreamKnLm {
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) => ingest(batch) }
         .start()
+  }
+
+  /** Merge two TRIGRAM count tables (same additivity contract as
+    * [[mergeCounts]], one order up).
+    */
+  def mergeCounts3(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Incrementally-trained TRIGRAM KN LM — the order KenLM ships and
+    * q105 gates, so the deployed filter order retrains live. State is
+    * the PAIR of sufficient statistics the batch derivation
+    * ([[CurationOps.knTrigramLmFromCounts]]) consumes: trigram counts
+    * and bigram counts, both additive.
+    */
+  final class KnTrigramLmSession(spark: SparkSession, textCol: String,
+      minCount: Int) {
+    @volatile private var tri: DataFrame = null
+    @volatile private var big: DataFrame = null
+
+    /** The current (trigram, bigram) count state (nulls before any
+      * ingest).
+      */
+    def currentCounts: (DataFrame, DataFrame) = (tri, big)
+
+    /** The trigram LM as of the last ingest — EXACTLY the batch
+      * [[CurationOps.knTrigramLm]] over everything ingested.
+      */
+    def currentLm: DataFrame = {
+      require(tri != null, "LM requested before any ingest")
+      CurationOps.knTrigramLmFromCounts(tri, big, minCount)
+    }
+
+    def ingest(batch: DataFrame): Unit = {
+      val dTri = CurationOps.trigramCounts(batch, textCol)
+      val dBig = CurationOps.bigramCounts(batch, textCol)
+      tri = (if (tri == null) dTri else mergeCounts3(tri, dTri))
+        .localCheckpoint()
+      big = (if (big == null) dBig else mergeCounts(big, dBig))
+        .localCheckpoint()
+    }
+
+    def start(docs: DataFrame): StreamingQuery =
+      docs.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) => ingest(batch) }
+        .start()
+  }
+
+  /** [[KnTrigramLmSession]] with both count tables as per-batch deltas
+    * in TWO [[DurableLedger]]s (`<path>/tri`, `<path>/big`) — survives
+    * restarts; each ledger's directory for a batch holds that batch's
+    * own deterministic counts, so replays rewrite identical rows in
+    * both.
+    */
+  final class DurableKnTrigramLmSession(spark: SparkSession, path: String,
+      textCol: String, minCount: Int, compactEvery: Int = 0) {
+    import org.apache.spark.sql.types._
+    private val triSchema = StructType(Seq(
+      StructField("w1", StringType), StructField("w2", StringType),
+      StructField("w3", StringType), StructField("n", LongType)))
+    private val bigSchema = StructType(Seq(
+      StructField("w1", StringType), StructField("w2", StringType),
+      StructField("n", LongType)))
+    private val triPath = s"$path/tri"
+    private val bigPath = s"$path/big"
+
+    def currentTriCounts: DataFrame =
+      DurableLedger.load(spark, triPath, triSchema)
+        .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("n")).as("n"))
+
+    def currentBigCounts: DataFrame =
+      DurableLedger.load(spark, bigPath, bigSchema)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("n"))
+
+    def currentLm: DataFrame =
+      CurationOps.knTrigramLmFromCounts(
+        currentTriCounts, currentBigCounts, minCount)
+
+    def ingest(batch: DataFrame, batchId: Long): Unit = {
+      DurableLedger.commit(
+        CurationOps.trigramCounts(batch, textCol), triPath, batchId)
+      DurableLedger.commit(
+        CurationOps.bigramCounts(batch, textCol), bigPath, batchId)
+      if (compactEvery > 0) {
+        DurableLedger.maybeCompact(spark, triPath, triSchema, compactEvery)
+        DurableLedger.maybeCompact(spark, bigPath, bigSchema, compactEvery)
+      }
+      ()
+    }
+
+    def start(docs: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+      val w = docs.writeStream.outputMode("append")
+      checkpointLocation.foreach(w.option("checkpointLocation", _))
+      w.foreachBatch { (batch: DataFrame, batchId: Long) => ingest(batch, batchId) }
+        .start()
+    }
   }
 
   /** [[KnLmSession]] with per-batch count deltas in a

@@ -32,6 +32,31 @@ object CurationOps {
         i => concat_ws(" ", slice(ws, i + lit(1), lit(2)))))
       .otherwise(array().cast("array<string>"))
 
+  /** (w1, w2) struct bigrams of a token array; empty below 2 words.
+    * The size guard matters: an empty/whitespace-only document makes
+    * `size(ws) - 1` NEGATIVE, and an unguarded `slice` with a negative
+    * length is a Spark runtime exception that kills the whole job —
+    * the [[bigramsExpr]] discipline, shared by every n-gram builder.
+    */
+  private[textops] def bigramStructsExpr(ws: Column): Column =
+    when(size(ws) >= 2,
+      zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** (w1, w2, w3) struct trigrams; empty below 3 words (same guard). */
+  private[textops] def trigramStructsExpr(ws: Column): Column =
+    when(size(ws) >= 3,
+      zip_with(
+        zip_with(
+          slice(ws, lit(1), size(ws) - 2), slice(ws, lit(2), size(ws) - 2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(ws, lit(3), size(ws) - 2),
+        (p, c) => struct(
+          p.getField("w1").as("w1"), p.getField("w2").as("w2"), c.as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+
   /** Frequency share of the most common word (0.0 for empty docs). */
   private def topWordFracExpr(ws: Column): Column =
     when(size(ws) > 0,
@@ -1423,9 +1448,7 @@ object CurationOps {
     val spark = df.sparkSession
     import spark.implicits._
     val ws = wordsCol(col(textCol))
-    df.select(explode(zip_with(
-        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+    df.select(explode(bigramStructsExpr(ws)).as("bg"))
       .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("n"))
   }
@@ -1473,47 +1496,74 @@ object CurationOps {
     * count and the smoothed probability.
     *
     * Scale shape: one explode + one map-side-combined groupBy on the
-    * trigram (the corpus-sized shuffle); every derived table —
-    * trigram contexts, continuation counts, per-word middles, bigram
-    * continuations — is vocabulary-bounded and broadcasts back.
+    * trigram (the corpus-sized shuffle). The derived tables split in
+    * two classes: per-WORD tables (`mid`, `cont`, `btotal`) are
+    * vocabulary-bounded and always broadcast; per-BIGRAM-TYPE tables
+    * (`ctx3` keyed (w1,w2), `cont23` keyed (w2,w3)) are vocab²-bounded
+    * — billions of rows on a web-scale corpus — so their joins are
+    * SIZE-CONDITIONAL (the canonicalDedup `broadcastLabelLimit`
+    * discipline): hinted only under `broadcastTypeLimit` rows,
+    * otherwise shipped unhinted so AQE picks shuffle-vs-broadcast from
+    * measured sizes. Above the limit both joins shuffle on a prefix /
+    * suffix of the (w1,w2,w3) key the trigram frame already hashed on.
     */
-  def knTrigramLm(df: DataFrame, textCol: String, minCount: Int = 5): DataFrame = {
+  def knTrigramLm(df: DataFrame, textCol: String, minCount: Int = 5,
+      broadcastTypeLimit: Long = 1L << 20): DataFrame =
+    knTrigramLmFromCounts(
+      trigramCounts(df, textCol),
+      // bigram-level continuation — the q103 tables, rebuilt here so
+      // the two LMs stay independent
+      bigramCounts(df, textCol),
+      minCount, broadcastTypeLimit)
+
+  /** The mergeable SUFFICIENT STATISTIC of the trigram order:
+    * corpus-wide `(w1, w2, w3, n)` counts — additive like
+    * [[bigramCounts]], the property the incremental trigram session
+    * ([[graft.streaming.StreamKnLm.KnTrigramLmSession]]) is built on.
+    */
+  def trigramCounts(df: DataFrame, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ws = wordsCol(col(textCol))
-    val tri = df
-      .select(explode(zip_with(
-        zip_with(
-          slice(ws, lit(1), size(ws) - 2), slice(ws, lit(2), size(ws) - 2),
-          (a, b) => struct(a.as("w1"), b.as("w2"))),
-        slice(ws, lit(3), size(ws) - 2),
-        (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"), c.as("w3"))))
-        .as("tg"))
+    df.select(explode(trigramStructsExpr(ws)).as("tg"))
       .select($"tg.w1".as("w1"), $"tg.w2".as("w2"), $"tg.w3".as("w3"))
       .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // five aggregate consumers below
+  }
+
+  /** Derive the smoothed trigram LM from its two count tables —
+    * `tri0 (w1, w2, w3, n)` and `big0 (w1, w2, n)` — the
+    * [[knLmFromCounts]] discipline one order up: every KN statistic is
+    * a function of the counts, so one batch pass and an incremental
+    * merge derive the IDENTICAL model (spec-pinned in
+    * `StreamKnLmSpec`).
+    */
+  def knTrigramLmFromCounts(tri0: DataFrame, big0: DataFrame,
+      minCount: Int, broadcastTypeLimit: Long = 1L << 20): DataFrame = {
+    val spark = tri0.sparkSession
+    import spark.implicits._
+    val tri = tri0.localCheckpoint() // five aggregate consumers below
     val ctx3 = tri.groupBy($"w1", $"w2")
       .agg(sum($"n").as("ctx3"), count(lit(1)).as("f3"))
+      .localCheckpoint(eager = false) // counted by the size gate below
     // trigram-level continuation: distinct w1 preceding (w2, w3)
     val cont23 = tri.groupBy($"w2", $"w3").agg(count(lit(1)).as("c23"))
       .localCheckpoint() // consumed as a join side AND re-aggregated
     val mid = cont23.groupBy($"w2")
       .agg(sum($"c23").as("nctx2"), count(lit(1)).as("m2"))
-    // bigram-level continuation — the q103 tables, rebuilt here so the
-    // two LMs stay independent
-    val big = df
-      .select(explode(zip_with(
-        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select($"bg.w1".as("bw1"), $"bg.w2".as("bw2"))
-      .groupBy($"bw1", $"bw2").agg(count(lit(1)).as("bn"))
+    // the bigram-TYPE statistics (continuation counts, type total) are
+    // functions of the bigram count table's KEYS only
+    val big = big0.select($"w1".as("bw1"), $"w2".as("bw2"), $"n".as("bn"))
       .localCheckpoint()
     val cont = big.groupBy($"bw2").agg(count(lit(1)).as("n1b"))
       .withColumnRenamed("bw2", "w3")
     val btotal = big.agg(count(lit(1)).as("b_types"))
+    // bigram-TYPE-keyed sides: broadcast only when provably small (the
+    // frames are checkpointed, so the count is a cheap cached pass)
+    def gated(t: DataFrame): DataFrame =
+      if (t.count() <= broadcastTypeLimit) broadcast(t) else t
     tri
-      .join(broadcast(ctx3), Seq("w1", "w2"))
-      .join(broadcast(cont23), Seq("w2", "w3"))
+      .join(gated(ctx3), Seq("w1", "w2"))
+      .join(gated(cont23), Seq("w2", "w3"))
       .join(broadcast(mid), Seq("w2"))
       .join(broadcast(cont), Seq("w3"))
       .crossJoin(broadcast(btotal))
@@ -1547,22 +1597,30 @@ object CurationOps {
     * stays under `maxRareFrac` (documents the LM finds predictable —
     * the low-perplexity bucket CCNet keeps).
     *
-    * Scale shape: docs explode to bigram tokens once; the LM table is
-    * vocabulary²-bounded and minCount-thresholded — broadcast probe,
-    * map-side-combined counts, one shuffle by doc id.
+    * Scale shape: docs explode to bigram tokens once; the LM probe
+    * table is keyed (w1, w2) — bigram-TYPE-bounded (vocab², NOT
+    * vocabulary-bounded), so the probe join is SIZE-CONDITIONAL:
+    * broadcast-hinted only when the thresholded LM is provably under
+    * `broadcastLmLimit` rows, otherwise a plain shuffled join AQE can
+    * still promote from measured sizes. Map-side-combined counts, one
+    * shuffle by doc id either way.
     */
   def knDocFilter(df: DataFrame, idCol: String, textCol: String,
-      lm: DataFrame, pThreshold: Double, maxRareFrac: Double): DataFrame = {
+      lm: DataFrame, pThreshold: Double, maxRareFrac: Double,
+      broadcastLmLimit: Long = 1L << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ws = wordsCol(col(textCol))
     val toks = df
-      .select(col(idCol), explode(zip_with(
-        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), explode(bigramStructsExpr(ws)).as("bg"))
       .select(col(idCol), $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+    // checkpoint BEFORE the size gate so the count action and the join
+    // read materialized blocks instead of re-deriving the LM twice
+    val probe = lm.select($"w1", $"w2", $"p_kn").localCheckpoint(eager = false)
+    val gatedProbe =
+      if (probe.count() <= broadcastLmLimit) broadcast(probe) else probe
     toks
-      .join(broadcast(lm.select($"w1", $"w2", $"p_kn")), Seq("w1", "w2"), "left")
+      .join(gatedProbe, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -1614,22 +1672,25 @@ object CurationOps {
       .orderBy(col("h").asc)
       .limit(k)
     val twoTo60 = lit(1.152921504606846976e18) // 2^60, exact in double
+    // zero-guarded ratio: comparing an empty corpus (or two) must give
+    // defined 0.0 statistics, not 0/0 NaN — mirrors the streaming
+    // session's estimate() so streamed ≡ batch holds on empty inputs
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
     sketch
       .agg(
         count(lit(1)).as("sketch_size"),
-        max(col("h")).as("kth_min"),
-        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
-          .as("n_both"),
-        sum(col("ia").cast("long")).as("n_a"),
-        sum(col("ib").cast("long")).as("n_b"))
+        coalesce(max(col("h")), lit(0L)).as("kth_min"),
+        coalesce(sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L)),
+          lit(0L)).as("n_both"),
+        coalesce(sum(col("ia").cast("long")), lit(0L)).as("n_a"),
+        coalesce(sum(col("ib").cast("long")), lit(0L)).as("n_b"))
       .select(
         col("sketch_size"), col("kth_min"), col("n_both"), col("n_a"), col("n_b"),
-        (col("n_both").cast("double") / col("sketch_size").cast("double"))
-          .as("est_jaccard"),
-        (col("n_both").cast("double") / col("n_a").cast("double"))
-          .as("est_contain_a"),
-        (col("n_both").cast("double") / col("n_b").cast("double"))
-          .as("est_contain_b"),
+        ratio(col("n_both"), col("sketch_size")).as("est_jaccard"),
+        ratio(col("n_both"), col("n_a")).as("est_contain_a"),
+        ratio(col("n_both"), col("n_b")).as("est_contain_b"),
         when(col("sketch_size") === k,
             (col("sketch_size") - 1).cast("double") * twoTo60 /
               col("kth_min").cast("double"))

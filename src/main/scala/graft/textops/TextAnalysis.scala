@@ -234,7 +234,9 @@ object TextAnalysis {
     */
   def compressionRatioUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => {
-      val in = s.getBytes("UTF-8")
+      // a nullable text column reaches a Scala UDF as null — stay
+      // null-safe like the column-expression signals this composes with
+      val in = if (s == null) Array.emptyByteArray else s.getBytes("UTF-8")
       if (in.isEmpty) 0.0
       else {
         val d = new java.util.zip.Deflater(6)

@@ -319,11 +319,21 @@ object PlanCheck {
     Expectation("q104_kn_doc_filter",
       mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
-    // trigram KN: the trigram table is an eager checkpoint; every
-    // lower-order count table is vocabulary-bounded and broadcasts
+    // trigram KN: the trigram table is an eager checkpoint; per-WORD
+    // count tables always broadcast, and the bigram-TYPE-keyed tables
+    // (ctx3/cont23) broadcast here because the size gate measured them
+    // small — at gate scale every join is a BroadcastHashJoin (the
+    // forced-shuffle twin of the gate is spec-pinned equal in
+    // CurationOpsSpec)
     Expectation("q105_kn_trigram_lm",
       mustContain = Seq("BroadcastHashJoin"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // PCA deterministic core: one map-side-combined aggregate on the
+    // dimension id, dim-sized windows, NO join anywhere
+    Expectation("q106_pca_variance_rank",
+      mustContain = Seq("HashAggregate", "Window"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

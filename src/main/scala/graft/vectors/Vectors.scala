@@ -96,11 +96,22 @@ object Vectors {
     * sample — cheap, adequate when the sample represents the corpus;
     * `fit = "parallel"` runs the distributed [[kmeansParallelFit]]
     * (kmeans‖), which sees every row — the 100 TB codebook path.
+    *
+    * Skew bound: a degenerate codebook funneling a constant fraction
+    * of the corpus into ONE cell would otherwise make every probe of
+    * that cell brute-force-sized. `maxCellSize` applies the
+    * [[semanticDedup]] sub-cell discipline: an overfull cell splits
+    * into ⌈n/maxCellSize⌉ md5(id)-hashed sub-cells and queries probe
+    * ALL sub-cells of each probed cell — the probed SET is unchanged
+    * (output bit-identical), but every join key group is bounded, so
+    * the plan survives a hostile codebook even when the query side is
+    * too big to broadcast and the join must hash on the cell key.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int, nProbe: Int, seed: Int = 42,
-      fit: String = "sample"): DataFrame = {
+      fit: String = "sample", maxCellSize: Long = 1L << 16): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be positive, got $maxCellSize")
     require(fit == "sample" || fit == "parallel",
       s"unknown fit '$fit' (expected sample | parallel)")
     val spark = corpus.sparkSession
@@ -125,13 +136,31 @@ object Vectors {
         (d, i)
       }.sortBy(_._1).take(nProbe).map(_._2)
     })
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .withColumn("cell", assignUdf(col("nv")))
       .withColumn("nn", normCol(col("nv"))) // once per row, before the join
+      .localCheckpoint(eager = false) // two consumers: sizes + join
+    // oversized-cell split: sizes are a codebook-sized aggregate,
+    // broadcast back; sub-cell = md5(id) mod ⌈n/maxCellSize⌉
+    val cellSizes = c0.groupBy($"cell").agg(count(lit(1)).as("__cell_n"))
+      .withColumn("__n_sub",
+        greatest(lit(1L), ceil($"__cell_n" / lit(maxCellSize.toDouble)).cast("long")))
+      .select($"cell", $"__n_sub")
+    val c = c0.join(broadcast(cellSizes), Seq("cell"))
+      .withColumn("sub", when($"__n_sub" <= 1, lit(0L)).otherwise(
+        pmod(conv(substring(md5(concat_ws(":", lit("ivfsub"),
+          $"neighbor_id".cast("string"))), 1, 15), 16, 10).cast("long"),
+          $"__n_sub")))
+      .drop("__n_sub")
+    // each probe fans out to every sub-cell of the probed cell — the
+    // probed set is exactly the unsplit operator's
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
-      .withColumn("qn", normCol(col("qv"))))
-    val scored = q.join(c, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("qn", normCol(col("qv")))
+      .join(broadcast(cellSizes), Seq("cell"))
+      .withColumn("sub", explode(sequence(lit(0L), $"__n_sub" - 1)))
+      .drop("__n_sub"))
+    val scored = q.join(c, Seq("cell", "sub")).filter($"query_id" =!= $"neighbor_id")
       .withColumn("cosine", round(cosineWithNorms($"qv", $"qn", $"nv", $"nn"), 6))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
@@ -1222,7 +1251,9 @@ object Vectors {
     */
   def ivfSqTopKWith(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
-      cs: Array[Array[Double]], nProbe: Int): DataFrame = {
+      cs: Array[Array[Double]], nProbe: Int,
+      maxCellSize: Long = 1L << 16): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be positive, got $maxCellSize")
     val spark = corpus.sparkSession
     import spark.implicits._
     val csDim = cs.head.length
@@ -1244,14 +1275,30 @@ object Vectors {
       base.select($"id", $"cell", transform($"v", x =>
         when($"n" === 0.0, lit(0.0)).otherwise(x / $"n")).as("uv"))
     }
-    val cu = prep(corpus, probe = false)
+    // three consumers: the SQ stats action, the size aggregate, the join
+    val cu = prep(corpus, probe = false).localCheckpoint(eager = false)
     val (mins, maxs) = sqStats(cu, "uv", dim)
+    // oversized-cell split — the ivfTopK/semanticDedup skew bound:
+    // bounded key groups, probed set (and therefore output) unchanged
+    val cellSizes = cu.groupBy($"cell").agg(count(lit(1)).as("__cell_n"))
+      .withColumn("__n_sub",
+        greatest(lit(1L), ceil($"__cell_n" / lit(maxCellSize.toDouble)).cast("long")))
+      .select($"cell", $"__n_sub")
     val c = cu.select($"id".as("neighbor_id"), $"cell",
-      quantizeExpr($"uv", mins, maxs).as("nq"))
+        quantizeExpr($"uv", mins, maxs).as("nq"))
+      .join(broadcast(cellSizes), Seq("cell"))
+      .withColumn("sub", when($"__n_sub" <= 1, lit(0L)).otherwise(
+        pmod(conv(substring(md5(concat_ws(":", lit("ivfsub"),
+          $"neighbor_id".cast("string"))), 1, 15), 16, 10).cast("long"),
+          $"__n_sub")))
+      .drop("__n_sub")
     val q = broadcast(prep(queries, probe = true)
       .select($"id".as("query_id"), $"cell",
-        quantizeExpr($"uv", mins, maxs).as("qq")))
-    val scored = q.join(c, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
+        quantizeExpr($"uv", mins, maxs).as("qq"))
+      .join(broadcast(cellSizes), Seq("cell"))
+      .withColumn("sub", explode(sequence(lit(0L), $"__n_sub" - 1)))
+      .drop("__n_sub"))
+    val scored = q.join(c, Seq("cell", "sub")).filter($"query_id" =!= $"neighbor_id")
       .withColumn("qdist", aggregate(zip_with($"qq", $"nq", (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x))
     val w = Window.partitionBy($"query_id").orderBy($"qdist".asc, $"neighbor_id".asc)
@@ -1368,35 +1415,9 @@ object Vectors {
     */
   def pcaRotationFit(corpus: DataFrame, vecCol: String, dim: Int,
       sweeps: Int = 16): (Array[Array[Double]], Array[Double]) = {
-    val scale = 1L << 20
-    val rows = corpus.select(col(vecCol).cast("array<double>").as("v"))
-      .rdd.map(_.getSeq[Double](0))
-    val (n, sums, prods) = rows.mapPartitions { it =>
-      var cnt = 0L
-      val s = new Array[BigInt](dim)
-      val p = new Array[BigInt](dim * dim)
-      java.util.Arrays.fill(s.asInstanceOf[Array[AnyRef]], BigInt(0))
-      java.util.Arrays.fill(p.asInstanceOf[Array[AnyRef]], BigInt(0))
-      val q = new Array[Long](dim)
-      it.foreach { v =>
-        cnt += 1
-        var i = 0
-        while (i < dim) { q(i) = math.round(v(i) * scale); i += 1 }
-        i = 0
-        while (i < dim) {
-          s(i) += q(i)
-          var j = 0
-          while (j < dim) { p(i * dim + j) += q(i) * q(j); j += 1 }
-          i += 1
-        }
-      }
-      Iterator.single((cnt, s, p))
-    }.treeReduce { (a, b) =>
-      (a._1 + b._1,
-        a._2.zip(b._2).map { case (x, y) => x + y },
-        a._3.zip(b._3).map { case (x, y) => x + y })
-    }
+    val (n, sums, prods) = pcaMomentsExact(corpus, vecCol, dim)
     require(n > 1, s"need at least 2 vectors to fit a rotation: $n")
+    val scale = 1L << 20
     // covariance in double AFTER the exact integer accumulation: the
     // only float ops are per-cell, order-free
     val sc = scale.toDouble
@@ -1445,6 +1466,115 @@ object Vectors {
     val rotation = order.map(i => Array.tabulate(dim)(k => vmat(k)(i))).toArray
     val eigenvalues = order.map(i => a(i)(i)).toArray
     (rotation, eigenvalues)
+  }
+
+  /** The fit's exact fixed-point moment accumulation, factored out so
+    * the DuckDB-oracled [[pcaVarianceRank]] gate and the eigensolve
+    * provably consume the SAME integers (spec-pinned): count, per-dim
+    * sums of `round(x·2^20)`, and the dim² second-moment products —
+    * BigInt tree-reduced, so no corpus size overflows.
+    */
+  private[graft] def pcaMomentsExact(corpus: DataFrame, vecCol: String,
+      dim: Int): (Long, Array[BigInt], Array[BigInt]) = {
+    val scale = 1L << 20
+    val rows = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .rdd.map(_.getSeq[Double](0))
+    rows.mapPartitions { it =>
+      var cnt = 0L
+      val s = new Array[BigInt](dim)
+      val p = new Array[BigInt](dim * dim)
+      java.util.Arrays.fill(s.asInstanceOf[Array[AnyRef]], BigInt(0))
+      java.util.Arrays.fill(p.asInstanceOf[Array[AnyRef]], BigInt(0))
+      val q = new Array[Long](dim)
+      it.foreach { v =>
+        cnt += 1
+        var i = 0
+        while (i < dim) { q(i) = math.round(v(i) * scale); i += 1 }
+        i = 0
+        while (i < dim) {
+          s(i) += q(i)
+          var j = 0
+          while (j < dim) { p(i * dim + j) += q(i) * q(j); j += 1 }
+          i += 1
+        }
+      }
+      Iterator.single((cnt, s, p))
+    }.treeReduce { (a, b) =>
+      (a._1 + b._1,
+        a._2.zip(b._2).map { case (x, y) => x + y },
+        a._3.zip(b._3).map { case (x, y) => x + y })
+    }
+  }
+
+  /** The DETERMINISTIC CORE of the learned-rotation path as a
+    * DuckDB-oracleable frame — per-dimension fixed-point moments,
+    * variance, and the explained-variance selector ([[pcaRank]]'s
+    * math) over the RAW axes: one row per dimension `d` with
+    *
+    *  - `n_vecs`, `s` = Σ round(x_d·2^20), `p` = Σ round(x_d·2^20)²
+    *    (exact integers, emitted as strings — they exceed int64),
+    *  - `variance` = p/n/2^40 − (s/n/2^20)² (fixed IEEE op order),
+    *  - `rnk` by descending variance (ordered on the EXACT integer
+    *    numerator `ivar = p·n − s²` — n is the same for every
+    *    dimension, so the float denominator cancels; no float ties),
+    *  - `cum_frac` = cumΣ ivar / Σ ivar as ONE double division of
+    *    exact integers — a float running sum would diverge across
+    *    engines because DuckDB's window aggregates accumulate in
+    *    segment-tree order, not sequentially,
+    *  - `sel` = 1 iff the dimension is inside the [[pcaRank]]-selected
+    *    prefix at `frac` (integer comparison: 20·cumΣ_before <
+    *    19·total for the default 0.95 — `frac` must be a /20 rational
+    *    so the gate stays integer-exact).
+    *
+    * The diagonal of [[pcaMomentsExact]] restricted to (s, p) is
+    * spec-pinned equal to this frame, so the driver-green gate row
+    * covers the same integers the eigensolve consumes; the Jacobi
+    * rotation itself stays spec-only (data-dependent output). Scale
+    * shape: one posexplode + map-side-combined groupBy on the
+    * dimension id (dim-sized result), one dim-sized window — no
+    * corpus-sized shuffle.
+    */
+  def pcaVarianceRank(corpus: DataFrame, vecCol: String, dim: Int,
+      fracTwentieths: Int = 19): DataFrame = {
+    require(fracTwentieths > 0 && fracTwentieths <= 20,
+      s"fracTwentieths out of range: $fracTwentieths")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scale = (1L << 20).toDouble
+    val m = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      // floor(x+0.5), NOT round(): the fit quantizes with math.round
+      // (= floor(x+0.5), half toward +∞) while SQL round() is half
+      // away from zero — they disagree on negative halves, and the
+      // spec pins this frame EQUAL to the fit's integers
+      .select($"d", floor($"x" * scale + 0.5).cast("long").as("q"))
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"q".cast("decimal(38,0)")).as("s_dec"),
+        sum(($"q" * $"q").cast("decimal(38,0)")).as("p_dec"))
+      .withColumn("variance",
+        $"p_dec".cast("double") / $"n_vecs".cast("double") / lit(scale * scale) -
+          ($"s_dec".cast("double") / $"n_vecs".cast("double") / lit(scale)) *
+          ($"s_dec".cast("double") / $"n_vecs".cast("double") / lit(scale)))
+      // the EXACT integer variance numerator: ivar = p·n − s² (the
+      // shared denominator n²·2^40 cancels in every fraction below)
+      .withColumn("ivar", $"p_dec" * $"n_vecs" - $"s_dec" * $"s_dec")
+    // dim-sized frame: the constant-key window is bounded (the k-row
+    // window convention — pmod(d, 1) is the non-foldable constant key
+    // the WindowAudit contract requires); all windowed sums are over
+    // exact integers, so engine accumulation order is irrelevant
+    val constKey = pmod($"d", lit(1))
+    val w = Window.partitionBy(constKey).orderBy($"ivar".desc, $"d".asc)
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    m.withColumn("rnk", row_number().over(w))
+      .withColumn("cum", sum($"ivar").over(w))
+      .withColumn("total", sum($"ivar").over(full))
+      .withColumn("cum_frac",
+        $"cum".cast("double") / $"total".cast("double"))
+      .withColumn("sel",
+        (($"cum" - $"ivar") * 20 < $"total" * fracTwentieths).cast("int"))
+      .select($"d", $"n_vecs", $"s_dec".cast("string").as("s"),
+        $"p_dec".cast("string").as("p"), $"variance", $"rnk", $"cum_frac", $"sel")
   }
 
   /** Smallest r whose top-r eigenvalues explain at least `frac` of the

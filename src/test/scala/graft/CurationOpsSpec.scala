@@ -1147,6 +1147,69 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L) === ((3L, 2L, 0L, 0))) // 2/3 rare+unseen > 0.5
   }
 
+  test("KN builders survive empty/whitespace/one-word docs (slice guard)") {
+    // an unguarded slice(ws, 1, size(ws)-1) crashes on size(ws)=0 with
+    // 'length must be greater than or equal to 0' — these must all run
+    val docs = Seq(
+      (1L, "a b a b a c"), (2L, ""), (3L, "   \t\n  "), (4L, "solo"),
+      (5L, "x y")).toDF("doc_id", "text")
+    val big = CurationOps.bigramCounts(docs, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(big(("x", "y")) === 1L) // 2-word doc still contributes
+    assert(!big.keySet.exists(p => p._1 == "solo" || p._2 == "solo"))
+    val lm2 = CurationOps.knBigramLm(docs, "text", minCount = 1)
+    assert(lm2.count() === 4) // ab, ba, ac, xy
+    val lm3 = CurationOps.knTrigramLm(docs, "text", minCount = 1)
+    assert(lm3.count() > 0)
+    assert(!lm3.columns.isEmpty)
+    val filt = CurationOps.knDocFilter(docs, "doc_id", "text", lm2,
+      pThreshold = 0.2, maxRareFrac = 0.5)
+    // degenerate docs produce NO bigram tokens → absent from the per-doc
+    // aggregate (group keys come from the explode), not a crash
+    assert(filt.select($"doc_id").as[Long].collect().toSet === Set(1L, 4L, 5L)
+      || filt.select($"doc_id").as[Long].collect().toSet === Set(1L, 5L))
+  }
+
+  test("knTrigramLm/knDocFilter: forced-shuffle path (limit 0) ≡ broadcast path") {
+    val docs = Seq(
+      (1L, "a b c a b c a b d"), (2L, "c a b d e f"), (3L, "b c a a b c"))
+      .toDF("doc_id", "text")
+    def key3(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[String]("w3")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p_kn3"))).toMap
+    val hinted = key3(CurationOps.knTrigramLm(docs, "text", minCount = 1))
+    val shuffled = key3(CurationOps.knTrigramLm(docs, "text", minCount = 1,
+      broadcastTypeLimit = 0L))
+    assert(hinted === shuffled)
+    val lm = CurationOps.knBigramLm(docs, "text", minCount = 1)
+    def keyF(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_unseen"), r.getAs[Long]("n_rare"))).toMap
+    val fH = keyF(CurationOps.knDocFilter(docs, "doc_id", "text", lm, 0.2, 0.5))
+    val fS = keyF(CurationOps.knDocFilter(docs, "doc_id", "text", lm, 0.2, 0.5,
+      broadcastLmLimit = 0L))
+    assert(fH === fS)
+  }
+
+  test("corpusOverlapKmv: empty corpora give defined zero statistics") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val empty = docs.filter($"doc_id" < 0L)
+    val r = CurationOps.corpusOverlapKmv(empty, empty, "text", k = 16)
+      .collect().head
+    assert(r.getAs[Long]("sketch_size") === 0L)
+    assert(r.getAs[Long]("kth_min") === 0L)
+    assert(r.getAs[Double]("est_jaccard") === 0.0)
+    assert(r.getAs[Double]("est_contain_a") === 0.0)
+    assert(r.getAs[Double]("est_contain_b") === 0.0)
+    assert(r.getAs[Double]("est_union") === 0.0)
+    // one-sided: B empty → containment_b 0.0 (not NaN), jaccard 0.0
+    val r2 = CurationOps.corpusOverlapKmv(docs, empty, "text", k = 16)
+      .collect().head
+    assert(r2.getAs[Double]("est_contain_b") === 0.0)
+    assert(r2.getAs[Double]("est_jaccard") === 0.0)
+    assert(r2.getAs[Long]("n_a") > 0L)
+  }
+
   test("corpusOverlapKmv: estimates track the exact set statistics") {
     import graft.textops.NearDup
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")

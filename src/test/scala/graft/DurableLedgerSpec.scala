@@ -91,6 +91,35 @@ class DurableLedgerSpec extends SparkSpec {
     }
   }
 
+  test("GC is one-epoch deferred: just-folded material survives one interval") {
+    val path = tmp()
+    var all = (0L to 2L).flatMap(i => commitBatch(path, i, 2)).toSet
+    DurableLedger.compact(spark, path, schema) // epoch 1: folds b0, b1
+    // just-folded dirs stay on disk — an in-flight job whose plan listed
+    // files under the pre-compact manifest may still be scanning them
+    assert(new java.io.File(s"$path/b0").isDirectory)
+    assert(new java.io.File(s"$path/b1").isDirectory)
+    all ++= (3L to 4L).flatMap(i => commitBatch(path, i, 2)).toSet
+    DurableLedger.compact(spark, path, schema) // epoch 2: reclaims b0, b1
+    assert(!new java.io.File(s"$path/b0").exists())
+    assert(!new java.io.File(s"$path/b1").exists())
+    // the superseded segment gets the same one-epoch grace
+    assert(new java.io.File(s"$path/s1").isDirectory)
+    all ++= (5L to 6L).flatMap(i => commitBatch(path, i, 2)).toSet
+    DurableLedger.compact(spark, path, schema) // epoch 3: reclaims s1, b2, b3
+    assert(!new java.io.File(s"$path/s1").exists())
+    assert(!new java.io.File(s"$path/b2").exists())
+    assert(rows(path) == all, "contents identical through every epoch")
+  }
+
+  test("a malformed manifest degrades to the empty manifest, not a crash") {
+    val path = tmp()
+    val all = (0L to 1L).flatMap(i => commitBatch(path, i, 2)).toSet
+    Files.writeString(new java.io.File(path, "manifest").toPath, "garbage")
+    assert(rows(path) == all, "falls back to unioning the live batch dirs")
+    assert(DurableLedger.batches(path) == Seq(0L, 1L))
+  }
+
   test("empty and single-batch ledgers are no-ops") {
     val path = tmp()
     assert(DurableLedger.compact(spark, path, schema) == 0)

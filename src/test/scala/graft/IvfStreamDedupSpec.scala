@@ -65,6 +65,34 @@ class IvfSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("adversarial one-cell codebook: sub-cell split bounds key groups, output unchanged") {
+    // every row lands in THE one cell (nCentroids = 1) — the hostile
+    // shape that degenerated pre-fix SemDeDup; with maxCellSize the
+    // cell splits into md5(id) sub-cells, queries probe all of them,
+    // and the result must still be EXACTLY brute force
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    val queries = emb.filter($"vec_id" < 4)
+    val brute = Vectors.bruteTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    for (mcs <- Seq(1L, 16L, 1L << 16)) {
+      val ivf = Vectors.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+        nCentroids = 1, nProbe = 1, maxCellSize = mcs)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      assert(ivf == brute, s"maxCellSize=$mcs diverged")
+    }
+    // same contract for the SQ8 variant against an explicit one-row
+    // codebook (integer distances, so exact equality across splits)
+    val cs = Array(Array.fill(64)(0.1))
+    def sq(mcs: Long) = Vectors.ivfSqTopKWith(emb, queries, "vec_id",
+        "embedding", k = 3, dim = 64, cs = cs, nProbe = 1, maxCellSize = mcs)
+      .select("query_id", "rnk", "neighbor_id", "qdist")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val ref = sq(1L << 16)
+    assert(ref.nonEmpty)
+    assert(sq(8L) == ref)
+    assert(sq(1L) == ref)
+  }
+
   test("pqTopK: deterministic, exact re-ranked scores, decent recall at 32x compression") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 8)

@@ -48,6 +48,19 @@ class StreamCorpusOverlapSpec extends SparkSpec {
     assert(e.nBoth > 0, "fixture corpora must overlap")
   }
 
+  test("estimate before any ingest (or vs an empty reference) is defined, not NaN") {
+    val e0 = StreamCorpusOverlap.estimate(Vector.empty, Vector.empty, K)
+    assert(e0.sketchSize == 0L && e0.kthMin == 0L)
+    assert(e0.estJaccard == 0.0 && e0.estContainA == 0.0 &&
+      e0.estContainB == 0.0 && e0.estUnion == 0.0)
+    // one-sided: reference empty → containment vs it is 0, jaccard 0
+    val ka = StreamCorpusOverlap.sketch(corpusA, "text", K)
+    val e1 = StreamCorpusOverlap.estimate(ka, Vector.empty, K)
+    assert(e1.nA > 0L && e1.nB == 0L)
+    assert(e1.estJaccard == 0.0 && e1.estContainB == 0.0)
+    assert(!e1.estJaccard.isNaN && !e1.estContainA.isNaN)
+  }
+
   test("durable sketch: restart + replay + auto-compaction all preserve exactness") {
     val path = java.nio.file.Files.createTempDirectory("kmv").toFile.getAbsolutePath
     val a = new StreamCorpusOverlap.DurableOverlapSession(

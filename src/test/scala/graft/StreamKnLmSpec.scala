@@ -39,6 +39,55 @@ class StreamKnLmSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  private def lm3Set(df: org.apache.spark.sql.DataFrame) =
+    df.select($"w1", $"w2", $"w3", $"n", $"ctx3", $"f3", $"c23", $"nctx2",
+        $"m2", $"n1b", $"b_types", $"p_kn3")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10), r.getDouble(11))).toSet
+
+  private lazy val batchLm3 =
+    lm3Set(CurationOps.knTrigramLm(docs, "text", minCount = 2))
+
+  test("streamed TRIGRAM counts over random splits derive the batch LM exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val session = new StreamKnLm.KnTrigramLmSession(spark, "text", minCount = 2)
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val rnd = new scala.util.Random(7)
+    val stream = MemoryStream[(Long, String)]
+    val q = session.start(stream.toDS().toDF("doc_id", "text"))
+    rows.groupBy(_ => rnd.nextInt(4)).values.foreach { b =>
+      stream.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = lm3Set(session.currentLm)
+    assert(streamed == batchLm3)
+    assert(streamed.nonEmpty)
+  }
+
+  test("durable TRIGRAM counts: restart + replay + compaction preserve exactness") {
+    val path = java.nio.file.Files.createTempDirectory("kn3lm").toFile.getAbsolutePath
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val splits = rows.grouped((rows.size + 2) / 3).toSeq
+    val a = new StreamKnLm.DurableKnTrigramLmSession(spark, path, "text",
+      minCount = 2, compactEvery = 2)
+    a.ingest(splits(0).toDF("doc_id", "text"), 0L)
+    a.ingest(splits(1).toDF("doc_id", "text"), 1L) // triggers folds
+    // "restart": fresh session over the same path
+    val b = new StreamKnLm.DurableKnTrigramLmSession(spark, path, "text",
+      minCount = 2, compactEvery = 2)
+    b.ingest(splits(2).toDF("doc_id", "text"), 2L)
+    assert(lm3Set(b.currentLm) == batchLm3)
+    // replay of the newest batch: identical delta directories in BOTH
+    // ledgers
+    val t0 = b.currentTriCounts.as[(String, String, String, Long)].collect().toSet
+    val g0 = b.currentBigCounts.as[(String, String, Long)].collect().toSet
+    b.ingest(splits(2).toDF("doc_id", "text"), 2L)
+    assert(b.currentTriCounts.as[(String, String, String, Long)].collect().toSet == t0)
+    assert(b.currentBigCounts.as[(String, String, Long)].collect().toSet == g0)
+    assert(lm3Set(b.currentLm) == batchLm3)
+  }
+
   test("durable counts: restart + replay + compaction preserve LM exactness") {
     val path = java.nio.file.Files.createTempDirectory("knlm").toFile.getAbsolutePath
     val rows = docs.as[(Long, String)].collect().toSeq

@@ -195,6 +195,12 @@ class TextAnalysisSpec extends SparkSpec {
     val again = Seq(("rep", "spam ham " * 200)).toDF("kind", "t")
       .select(ratio($"t")).as[Double].head()
     assert(again == rows("rep"))
+    // null text (nullable column) must not NPE the task
+    val withNull = Seq(("null", Option.empty[String]), ("ok", Some("a b")))
+      .toDF("kind", "t").select($"kind", ratio($"t").as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(withNull("null") == 0.0)
+    assert(withNull("ok") > 0.0)
   }
 
   test("quality features and score") {
@@ -818,6 +824,36 @@ class VectorsSpec extends SparkSpec {
     // the explained-variance selector finds the rank-2 knee
     assert(Vectors.pcaRank(ev, 0.95) == 2)
     assert(Vectors.pcaRank(ev, 1.0) <= dim)
+  }
+
+  test("pcaVarianceRank: gate frame carries EXACTLY the fit's moment integers") {
+    val dim = 16
+    val (df, _) = anisotropicFixture(dim, n = 240)
+    // the q106 gate's per-dimension (n, s, p) must equal the internal
+    // BigInt accumulation pcaRotationFit's eigensolve consumes — the
+    // link that makes the driver-green row cover the learned path
+    val (n, sums, prods) = Vectors.pcaMomentsExact(df, "embedding", dim)
+    val gate = Vectors.pcaVarianceRank(df, "embedding", dim)
+      .collect().map(r => r.getAs[Int]("d") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[String]("s"), r.getAs[String]("p"),
+         r.getAs[Double]("variance"), r.getAs[Int]("rnk"),
+         r.getAs[Double]("cum_frac"), r.getAs[Int]("sel"))).toMap
+    assert(gate.size == dim)
+    for (d <- 0 until dim) {
+      val (nv, s, p, _, _, _, _) = gate(d)
+      assert(nv == n, s"d=$d n")
+      assert(s == sums(d).toString, s"d=$d s")
+      assert(p == prods(d * dim + d).toString, s"d=$d p (diagonal)")
+    }
+    // the selector agrees with pcaRank over the raw-axis variances
+    val vars = (0 until dim).map(d => gate(d)._4).toArray
+    val selCount = gate.values.count(_._7 == 1)
+    assert(selCount == Vectors.pcaRank(vars.sorted.reverse, 0.95),
+      s"sel count $selCount vs pcaRank")
+    // cum_frac ends at exactly 1.0 and is nondecreasing in rank order
+    val byRank = gate.values.toSeq.sortBy(_._5).map(_._6)
+    assert(byRank.last == 1.0)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
   }
 
   test("pcaSqTopK: learned truncation keeps recall where raw truncation fails") {
