@@ -616,6 +616,19 @@ object Curation {
         .orderBy($"w1", $"w2", $"w3")
     },
 
+    // ---- the TRIGRAM LM applied as the doc filter — the q104
+    // deployment step at the order the deployment actually ships
+    // (trigram models are sparser, so the keep fraction is calibrated
+    // higher; both branches exercised at gate scale).
+    "q107_kn_doc_filter3" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val lm = CurationOps.knTrigramLm(docs, "text", minCount = 5)
+      CurationOps.knDocFilter3(docs, "doc_id", "text", lm,
+          pThreshold = 0.03, maxRareFrac = 0.95)
+        .orderBy($"doc_id")
+    },
+
     // ---- dataset-PAIR overlap via bottom-k (KMV/theta) sketches:
     // the k smallest distinct shingle hashes of A∪B with per-corpus
     // membership bits estimate Jaccard, directional containment, and
@@ -749,6 +762,59 @@ object Curation {
   /** q104 constants: rare-bigram probability cut and keep fraction. */
   private val KnPThreshold = 0.03
   private val KnMaxRareFrac = 0.25
+
+  /** q107 constants: trigram models are far sparser, so the keep
+    * fraction is calibrated higher (checked at sf0.01: both keep
+    * branches populated).
+    */
+  private val Kn3PThreshold = 0.03
+  private val Kn3MaxRareFrac = 0.95
+
+  /** q105/q107 shared KN-trigram mirror: trigram/context/continuation/
+    * middle tables, the q103-shape bigram-continuation tables, and the
+    * thresholded `lm3` CTE carrying the fixed p0→inner→outer nest.
+    * Expects the `words` CTE in scope.
+    */
+  private val Kn3Ctes =
+    """, tg AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM words, unnest(generate_series(1, len(ws) - 2)) t(i)
+      |  WHERE len(ws) >= 3
+      |  GROUP BY 1, 2, 3),
+      |cx3 AS (
+      |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS ctx3,
+      |         CAST(COUNT(*) AS BIGINT) AS f3
+      |  FROM tg GROUP BY w1, w2),
+      |c23 AS (
+      |  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS c23
+      |  FROM tg GROUP BY w2, w3),
+      |mid AS (
+      |  SELECT w2, CAST(SUM(c23) AS BIGINT) AS nctx2,
+      |         CAST(COUNT(*) AS BIGINT) AS m2
+      |  FROM c23 GROUP BY w2),
+      |bg3 AS (
+      |  SELECT ws[i] AS bw1, ws[i+1] AS bw2, CAST(COUNT(*) AS BIGINT) AS bn
+      |  FROM words, unnest(generate_series(1, len(ws) - 1)) t(i)
+      |  WHERE len(ws) >= 2
+      |  GROUP BY 1, 2),
+      |ct3 AS (SELECT bw2 AS w3, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg3 GROUP BY bw2),
+      |bt3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM bg3),
+      |lm3 AS (
+      |  SELECT tg.w1, tg.w2, tg.w3, tg.n, cx3.ctx3, cx3.f3, c23.c23,
+      |         mid.nctx2, mid.m2, ct3.n1b, bt3.b_types,
+      |         CAST(GREATEST(4 * tg.n - 3, 0) AS DOUBLE) / CAST(4 * cx3.ctx3 AS DOUBLE)
+      |         + CAST(3 * cx3.f3 AS DOUBLE) / CAST(4 * cx3.ctx3 AS DOUBLE)
+      |           * (CAST(GREATEST(4 * c23.c23 - 3, 0) AS DOUBLE) / CAST(4 * mid.nctx2 AS DOUBLE)
+      |              + CAST(3 * mid.m2 AS DOUBLE) / CAST(4 * mid.nctx2 AS DOUBLE)
+      |                * (CAST(ct3.n1b AS DOUBLE) / CAST(bt3.b_types AS DOUBLE))) AS p_kn3
+      |  FROM tg
+      |  JOIN cx3 USING (w1, w2)
+      |  JOIN c23 USING (w2, w3)
+      |  JOIN mid USING (w2)
+      |  JOIN ct3 USING (w3)
+      |  , bt3
+      |  WHERE tg.n >= 5)""".stripMargin
 
   /** Per-doc token COUNTS as a CTE — the DuckDB twin of
     * `size(TextTokens.wordsCol(text))`. ONE definition for q37/q38/q39:
@@ -1720,46 +1786,34 @@ object Curation {
 
     // KN-trigram mirror: trigram/context/continuation/middle tables
     // plus the q103 bigram-continuation tables, and the identical
-    // fixed nest — p0, inner, outer — of integer-ratio IEEE ops.
-    "q105_kn_trigram_lm" -> (WordsCte +
-      """, tg AS (
-        |  SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3,
-        |         CAST(COUNT(*) AS BIGINT) AS n
+    // fixed nest — p0, inner, outer — of integer-ratio IEEE ops
+    // (shared CTE chain with q107's filter).
+    "q105_kn_trigram_lm" -> (WordsCte + Kn3Ctes +
+      "\nSELECT w1, w2, w3, n, ctx3, f3, c23, nctx2, m2, n1b, b_types, p_kn3 FROM lm3"),
+
+    // The trigram LM applied as the doc filter (the q104 shape one
+    // order up): trigram tokens LEFT-joined to the thresholded trigram
+    // LM, integer unseen/rare counters, unrounded fraction, keep flag.
+    "q107_kn_doc_filter3" -> (WordsCte + Kn3Ctes +
+      s""",
+        |toks3 AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
         |  FROM words, unnest(generate_series(1, len(ws) - 2)) t(i)
-        |  WHERE len(ws) >= 3
-        |  GROUP BY 1, 2, 3),
-        |cx3 AS (
-        |  SELECT w1, w2, CAST(SUM(n) AS BIGINT) AS ctx3,
-        |         CAST(COUNT(*) AS BIGINT) AS f3
-        |  FROM tg GROUP BY w1, w2),
-        |c23 AS (
-        |  SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS c23
-        |  FROM tg GROUP BY w2, w3),
-        |mid AS (
-        |  SELECT w2, CAST(SUM(c23) AS BIGINT) AS nctx2,
-        |         CAST(COUNT(*) AS BIGINT) AS m2
-        |  FROM c23 GROUP BY w2),
-        |bg AS (
-        |  SELECT ws[i] AS bw1, ws[i+1] AS bw2, CAST(COUNT(*) AS BIGINT) AS bn
-        |  FROM words, unnest(generate_series(1, len(ws) - 1)) t(i)
-        |  WHERE len(ws) >= 2
-        |  GROUP BY 1, 2),
-        |ct AS (SELECT bw2 AS w3, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY bw2),
-        |bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_types FROM bg)
-        |SELECT tg.w1, tg.w2, tg.w3, tg.n, cx3.ctx3, cx3.f3, c23.c23,
-        |       mid.nctx2, mid.m2, ct.n1b, bt.b_types,
-        |       CAST(GREATEST(4 * tg.n - 3, 0) AS DOUBLE) / CAST(4 * cx3.ctx3 AS DOUBLE)
-        |       + CAST(3 * cx3.f3 AS DOUBLE) / CAST(4 * cx3.ctx3 AS DOUBLE)
-        |         * (CAST(GREATEST(4 * c23.c23 - 3, 0) AS DOUBLE) / CAST(4 * mid.nctx2 AS DOUBLE)
-        |            + CAST(3 * mid.m2 AS DOUBLE) / CAST(4 * mid.nctx2 AS DOUBLE)
-        |              * (CAST(ct.n1b AS DOUBLE) / CAST(bt.b_types AS DOUBLE))) AS p_kn3
-        |FROM tg
-        |JOIN cx3 USING (w1, w2)
-        |JOIN c23 USING (w2, w3)
-        |JOIN mid USING (w2)
-        |JOIN ct USING (w3)
-        |, bt
-        |WHERE tg.n >= 5""".stripMargin),
+        |  WHERE len(ws) >= 3),
+        |st3 AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |         CAST(SUM(CASE WHEN lm3.p_kn3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |         CAST(SUM(CASE WHEN lm3.p_kn3 IS NOT NULL AND lm3.p_kn3 < $Kn3PThreshold
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM toks3 LEFT JOIN lm3
+        |    ON toks3.w1 = lm3.w1 AND toks3.w2 = lm3.w2 AND toks3.w3 = lm3.w3
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, n_unseen, n_rare,
+        |       CAST(n_unseen + n_rare AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS rare_frac,
+        |       CASE WHEN CAST(n_unseen + n_rare AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+        |                 <= $Kn3MaxRareFrac THEN 1 ELSE 0 END AS keep
+        |FROM st3""".stripMargin),
 
     // KMV mirror: per-side shingle CTEs (the ShinglesCte shape with a
     // parity filter), the engine-wide 60-bit md5 hash, membership

@@ -1632,6 +1632,47 @@ object CurationOps {
       .withColumn("keep", ($"rare_frac" <= maxRareFrac).cast("int"))
   }
 
+  /** [[knDocFilter]] at the TRIGRAM order — the filter a deployment
+    * that trains [[knTrigramLm]] (the order KenLM ships) actually
+    * applies, same integer-counter discipline: per document, the
+    * trigram-token total, how many are UNSEEN in the thresholded
+    * trigram LM, how many carry `p_kn3 < pThreshold`, the unrounded
+    * rare fraction, and the keep flag. Trigram models are far sparser
+    * than bigram ones, so deployments calibrate `maxRareFrac` higher
+    * (unseen-trigram mass is normal even on clean text).
+    *
+    * Scale shape: docs explode to trigram tokens once; the LM probe is
+    * trigram-TYPE-keyed (vocab³-bounded — NEVER force-broadcast), so
+    * the probe join is size-conditional exactly like the parent's; one
+    * shuffle by doc id for the counters.
+    */
+  def knDocFilter3(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, pThreshold: Double, maxRareFrac: Double,
+      broadcastLmLimit: Long = 1L << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ws = wordsCol(col(textCol))
+    val toks = df
+      .select(col(idCol), explode(trigramStructsExpr(ws)).as("tg"))
+      .select(col(idCol), $"tg.w1".as("w1"), $"tg.w2".as("w2"),
+        $"tg.w3".as("w3"))
+    val probe = lm.select($"w1", $"w2", $"w3", $"p_kn3")
+      .localCheckpoint(eager = false)
+    val gatedProbe =
+      if (probe.count() <= broadcastLmLimit) broadcast(probe) else probe
+    toks
+      .join(gatedProbe, Seq("w1", "w2", "w3"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when($"p_kn3".isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(when($"p_kn3".isNotNull && $"p_kn3" < pThreshold, 1L).otherwise(0L))
+          .as("n_rare"))
+      .withColumn("rare_frac",
+        ($"n_unseen" + $"n_rare").cast("double") / $"n_trigrams".cast("double"))
+      .withColumn("keep", ($"rare_frac" <= maxRareFrac).cast("int"))
+  }
+
   /** KMV (k-minimum-values) sketch comparison of two corpora's shingle
     * sets — the dataset-PAIR overlap diagnostic (which crawl snapshots
     * or published dumps duplicate each other, and how much) that

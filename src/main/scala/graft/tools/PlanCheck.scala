@@ -333,7 +333,13 @@ object PlanCheck {
     Expectation("q106_pca_variance_rank",
       mustContain = Seq("HashAggregate", "Window"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
-        "CartesianProduct")))
+        "CartesianProduct")),
+    // trigram doc filter: the q104 shape one order up — the
+    // (size-gated) LM probe broadcasts at gate scale; doc counters are
+    // one map-side-combined aggregate on the doc id
+    Expectation("q107_kn_doc_filter3",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

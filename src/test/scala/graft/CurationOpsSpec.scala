@@ -1147,6 +1147,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L) === ((3L, 2L, 0L, 0))) // 2/3 rare+unseen > 0.5
   }
 
+  test("knDocFilter3: trigram unseen/rare counting against the trained LM") {
+    val train = Seq((1L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val lm = CurationOps.knTrigramLm(train, "text", minCount = 1)
+    val score = Seq(
+      (1L, "a b c a b c a b d"), // all 7 trigram tokens seen
+      (2L, "a b c x y z"),       // abc seen; bcx, cxy, xyz unseen
+      (3L, "p q")                // no trigrams at all — absent from output
+    ).toDF("doc_id", "text")
+    val out = CurationOps.knDocFilter3(score, "doc_id", "text", lm,
+        pThreshold = 0.2, maxRareFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Long]("n_unseen"),
+         r.getAs[Long]("n_rare"), r.getAs[Int]("keep"))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 === 7L)
+    assert(out(1L)._2 === 0L)
+    assert(out(1L)._4 === 1)
+    assert(out(2L) === ((4L, 3L, 0L, 0))) // 3/4 unseen > 0.5
+    // forced-shuffle probe (limit 0) ≡ broadcast probe
+    val shuffled = CurationOps.knDocFilter3(score, "doc_id", "text", lm,
+        pThreshold = 0.2, maxRareFrac = 0.5, broadcastLmLimit = 0L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Long]("n_unseen"),
+         r.getAs[Long]("n_rare"), r.getAs[Int]("keep"))).toMap
+    assert(shuffled === out)
+  }
+
   test("KN builders survive empty/whitespace/one-word docs (slice guard)") {
     // an unguarded slice(ws, 1, size(ws)-1) crashes on size(ws)=0 with
     // 'length must be greater than or equal to 0' — these must all run
