@@ -183,6 +183,23 @@ object TextOps {
         .limit(20)
     },
 
+    // ---- support-threshold heavy hitters via the BOUNDED-MEMORY
+    // two-pass plan (per-partition Misra-Gries candidates + exact
+    // verify of the bounded candidate set): unlike q59's full groupBy,
+    // the shuffle never carries the complete type table — the 100 TB
+    // shape for "which items exceed φ of the corpus". Output is EXACT
+    // (the sketch only widens candidates; pass 2 restores true counts),
+    // so the oracle is the plain HAVING query. Support in integer ppm —
+    // no float threshold channel.
+    "q108_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val toks = docsParallel(s, dir)
+        .select(explode(graft.textops.TextTokens.wordsCol($"text")).as("word"))
+      graft.textops.HeavyHitters.heavyHitters(toks, "word",
+          supportPpm = HhSupportPpm, capacity = HhCapacity)
+        .orderBy($"cnt".desc, $"item".asc)
+    },
+
     // ---- edit-distance similarity self-join (fuzzy entity matching on
     // short keys): symmetric-delete candidates, exact levenshtein verify
     // — the equi-join shape of a string-similarity join.
@@ -259,6 +276,13 @@ object TextOps {
     * content joins, low enough that the cap filter is exercised.
     */
   private val ContainCap = 100L
+
+  /** q108: 0.5% support (30 words qualify at every SF — threshold never
+    * sits on a count boundary in testdata); capacity 512 ≥ ⌈10⁶/5000⌉ =
+    * 200 satisfies the candidate-superset guarantee with slack.
+    */
+  private val HhSupportPpm = 5000L
+  private val HhCapacity = 512
 
   private[queries] val WordsCte =
     """WITH words AS (
@@ -537,6 +561,18 @@ object TextOps {
         |  WHERE len(ws) >= 3)
         |SELECT trigram, COUNT(*) AS n FROM tg
         |GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 20""".stripMargin),
+
+    // The heavy-hitter output is EXACT (two-pass sketch+verify on the
+    // Spark side), so the oracle is the direct support-threshold HAVING
+    // over the same word relation; the comparison is pure integers.
+    "q108_heavy_hitters" -> (WordsCte +
+      s""", w AS (SELECT unnest(ws) AS item FROM words),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM w)
+        |SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt, n.n_total
+        |FROM w, n
+        |GROUP BY item, n.n_total
+        |HAVING CAST(COUNT(*) AS BIGINT) * 1000000 >= n.n_total * $HhSupportPpm
+        |ORDER BY cnt DESC, item ASC""".stripMargin),
 
     // All-pairs levenshtein — the naive form of the Spark side's
     // symmetric-delete candidate join; fine at oracle scale.

@@ -339,6 +339,12 @@ object PlanCheck {
     // one map-side-combined aggregate on the doc id
     Expectation("q107_kn_doc_filter3",
       mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // two-pass heavy hitters: the verify pass is a broadcast left-semi
+    // (candidate set is bounded by sketch capacity × partitions) into
+    // one map-side-combined count; the full type table never shuffles
+    Expectation("q108_heavy_hitters",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin", "LeftSemi"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
