@@ -127,7 +127,11 @@ object HeavyHitters {
       .join(gated, Seq("item"), "left_semi")
       .groupBy($"item")
       .agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" * 1000000L >= lit(nTotal) * supportPpm)
+      // decimal(38,0) compare: cnt·10⁶ overflows BIGINT once the corpus
+      // passes ~9·10¹² items — inside 100 TB territory; values are still
+      // exact integers, so the oracle's BIGINT compare agrees
+      .filter($"cnt".cast("decimal(38,0)") * 1000000L >=
+        lit(nTotal).cast("decimal(38,0)") * supportPpm)
       .withColumn("n_total", lit(nTotal))
   }
 }
