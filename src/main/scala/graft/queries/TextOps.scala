@@ -210,6 +210,20 @@ object TextOps {
         .orderBy($"id_a", $"id_b")
     },
 
+    // ---- Jaro-Winkler fuzzy-match pairs over the distinct-name
+    // dictionary (record linkage on name-shaped keys): prefix-blocked
+    // candidates, native codegen'd JW verify, row-support weights from
+    // a map-side-combined count — the pair join never touches the row
+    // table. The expression is float-for-float DuckDB parity (boost
+    // threshold/prefix-cap semantics pinned in JaroWinklerSpec), so the
+    // gate hash-compares RAW doubles, no quantization channel.
+    "q109_jw_entity_pairs" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.EditDistance.jaroWinklerDictPairs(
+          Tables.load(s, dir, "part"), "p_name", threshold = JwThreshold)
+        .orderBy($"name_a", $"name_b")
+    },
+
     // ---- triangle counting over the edit-distance similarity graph:
     // the cluster-density signal (degree-ordered orientation — the
     // hub-safe plan; see Triangles).
@@ -283,6 +297,7 @@ object TextOps {
     */
   private val HhSupportPpm = 5000L
   private val HhCapacity = 512
+  private val JwThreshold = 0.85
 
   private[queries] val WordsCte =
     """WITH words AS (
@@ -583,6 +598,25 @@ object TextOps {
         |  ON a.c_custkey < b.c_custkey
         | AND abs(len(a.c_name) - len(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // Same dictionary + blocking + threshold; DuckDB's built-in
+    // jaro_winkler_similarity is the independent reference the native
+    // expression was pinned against (raw-double compare, no rounding).
+    "q109_jw_entity_pairs" ->
+      s"""WITH d AS (
+         |  SELECT p_name AS n, CAST(COUNT(*) AS BIGINT) AS support
+         |  FROM part WHERE p_name IS NOT NULL AND len(p_name) > 0
+         |  GROUP BY p_name
+         |)
+         |SELECT a.n AS name_a, b.n AS name_b,
+         |       jaro_winkler_similarity(a.n, b.n) AS jw,
+         |       a.support AS support_a, b.support AS support_b
+         |FROM d a JOIN d b
+         |  ON substr(a.n, 1, 2) = substr(b.n, 1, 2)
+         | AND a.n < b.n
+         | AND abs(len(a.n) - len(b.n)) <= 4
+         |WHERE jaro_winkler_similarity(a.n, b.n) >= $JwThreshold
+         |ORDER BY name_a, name_b""".stripMargin,
 
     // Ground-truth normalization for the constructed URL shape:
     // lowercase host, scheme kept, port/path/query/fragment dropped,

@@ -345,6 +345,12 @@ object PlanCheck {
     // one map-side-combined count; the full type table never shuffles
     Expectation("q108_heavy_hitters",
       mustContain = Seq("HashAggregate", "BroadcastHashJoin", "LeftSemi"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // JW entity pairs: dictionary built by a map-side-combined count,
+    // prefix-block equi-join (dictionary-sized → broadcast at gate
+    // scale), native JW verify on candidates only — never a cross join
+    Expectation("q109_jw_entity_pairs",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
@@ -362,7 +368,9 @@ object PlanCheck {
     // fan-out stage; the HOF reference form would be CodegenFallback)
     "q45_editdist_pairs" -> "graft_deletion_variants",
     // q72 buckets with the same fused expression as q23
-    "q72_hard_negatives" -> "graft_hyperplane_buckets")
+    "q72_hard_negatives" -> "graft_hyperplane_buckets",
+    // native Jaro-Winkler verify (the fuzzy-linkage join's hot filter)
+    "q109_jw_entity_pairs" -> "graft_jaro_winkler")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
