@@ -210,6 +210,27 @@ object TextOps {
         .orderBy($"id_a", $"id_b")
     },
 
+    // ---- per-domain cap retention (the FineWeb "domain budget" step):
+    // registrable domain via the REAL PSL walk (q94's operator), then
+    // keep the top-k docs per domain by quality under a total order.
+    // The rank filter plans as WindowGroupLimit — map tasks truncate to
+    // k per domain BEFORE the shuffle. Oracle states the expected
+    // eTLD+1 for the constructed URL shape independently (q94's
+    // convention), so the PSL walk is re-verified, not mirrored.
+    "q110_domain_cap" -> { (s, dir) =>
+      import s.implicits._
+      val urls = docsParallel(s, dir).select($"doc_id", $"n_chars",
+        concat(lit("https://WWW."), $"source",
+          lit(".Example"), ($"doc_id" % 97).cast("string"),
+          lit(".CO.UK:8080/p/"), $"doc_id".cast("string")).as("url"))
+      val domains = urls.withColumn("etld1",
+        graft.functions.UrlUtil.etld1Col($"url"))
+      graft.textops.CurationOps.domainCapRetention(
+          domains, "doc_id", "etld1", "n_chars", k = DomainCapK)
+        .select($"etld1", $"doc_id", $"n_chars", $"rk".cast("bigint").as("rk"))
+        .orderBy($"etld1", $"rk")
+    },
+
     // ---- Jaro-Winkler fuzzy-match pairs over the distinct-name
     // dictionary (record linkage on name-shaped keys): prefix-blocked
     // candidates, native codegen'd JW verify, row-support weights from
@@ -298,6 +319,7 @@ object TextOps {
   private val HhSupportPpm = 5000L
   private val HhCapacity = 512
   private val JwThreshold = 0.85
+  private val DomainCapK = 5
 
   private[queries] val WordsCte =
     """WITH words AS (
@@ -598,6 +620,24 @@ object TextOps {
         |  ON a.c_custkey < b.c_custkey
         | AND abs(len(a.c_name) - len(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // Ground-truth eTLD+1 for the constructed URL shape (q94's
+    // convention: label + the multi-label co.uk suffix, stated
+    // independently of the PSL walk), then the same capped rank.
+    "q110_domain_cap" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |         'example' || CAST(doc_id % 97 AS VARCHAR) || '.co.uk' AS etld1
+         |  FROM documents
+         |), r AS (
+         |  SELECT etld1, doc_id, n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY etld1
+         |           ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM u
+         |)
+         |SELECT etld1, doc_id, n_chars, rk
+         |FROM r WHERE rk <= $DomainCapK
+         |ORDER BY etld1, rk""".stripMargin,
 
     // Same dictionary + blocking + threshold; DuckDB's built-in
     // jaro_winkler_similarity is the independent reference the native

@@ -1384,6 +1384,30 @@ object CurationOps {
       .drop("__g")
   }
 
+  /** Per-domain cap retention (the FineWeb/RefinedWeb "domain budget"
+    * step): keep at most `k` documents per group (eTLD+1 domain, source
+    * feed), picking the best by a quality column with a deterministic
+    * id tiebreak — the guard against a single boilerplate-heavy domain
+    * flooding a crawl-derived corpus after dedup.
+    *
+    * Shape: `row_number` behind `(group)` partitioning with a TOTAL
+    * order (`quality desc, id asc` — ties can't flip rows across
+    * engines), filtered to `rk <= k`. Spark compiles the rank filter to
+    * `WindowGroupLimit`: every map task pre-truncates its partition's
+    * groups to the top-k BEFORE the shuffle, so the exchange moves
+    * O(groups·k) rows, not the corpus — the same partial-limit shape at
+    * 100 TB. A pathologically hot domain is exactly what the cap
+    * removes, so skew self-heals at the map side.
+    */
+  def domainCapRetention(df: DataFrame, idCol: String, groupCol: String,
+      qualityCol: String, k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    df.withColumn("rk",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col(qualityCol).desc, col(idCol).asc)))
+      .filter(col("rk") <= k)
+  }
+
   /** Corpus snapshot diff: classify every document id across two corpus
     * versions as `added` / `removed` / `changed` / `unchanged` by
     * content hash — the audit table an incremental curation run starts

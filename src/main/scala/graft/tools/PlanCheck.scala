@@ -351,6 +351,11 @@ object PlanCheck {
     // scale), native JW verify on candidates only — never a cross join
     Expectation("q109_jw_entity_pairs",
       mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // domain cap: the rank filter must keep the map-side partial-limit
+    // shape (k per domain per task crosses the exchange, not the corpus)
+    Expectation("q110_domain_cap",
+      mustContain = Seq("WindowGroupLimit"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

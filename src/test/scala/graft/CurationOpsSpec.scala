@@ -1057,6 +1057,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(all === Seq("train"))
   }
 
+  test("domainCapRetention keeps the top-k per group by quality, id tiebreak") {
+    val df = Seq(
+      (1L, "a.com", 10L), (2L, "a.com", 30L), (3L, "a.com", 20L),
+      (4L, "a.com", 30L),                       // quality tie with id 2
+      (5L, "b.org", 5L)
+    ).toDF("doc_id", "etld1", "quality")
+    val out = CurationOps.domainCapRetention(df, "doc_id", "etld1", "quality", k = 2)
+      .select($"doc_id", $"etld1", $"rk").as[(Long, String, Int)].collect().toSet
+    // a.com: quality 30 twice -> ids 2 then 4 (id breaks the tie); b.org: all of it
+    assert(out === Set((2L, "a.com", 1), (4L, "a.com", 2), (5L, "b.org", 1)))
+  }
+
+  test("domainCapRetention: cap larger than any group keeps everything") {
+    val df = Seq((1L, "x", 1L), (2L, "x", 2L), (3L, "y", 3L))
+      .toDF("doc_id", "etld1", "quality")
+    assert(CurationOps.domainCapRetention(df, "doc_id", "etld1", "quality", 10)
+      .count() === 3L)
+    intercept[IllegalArgumentException] {
+      CurationOps.domainCapRetention(df, "doc_id", "etld1", "quality", 0)
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val nw = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
