@@ -230,29 +230,58 @@ object NearDup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sh = hashedShingleIds(df, idCol, textCol, n)
+    val banded = bandedKeys(sh, bands, rowsPerBand)
     val spark = df.sparkSession
     import spark.implicits._
-    val params = minhashParams(bands * rowsPerBand)
-    // Distinct (doc, shingle-HASH) pairs feed the signatures AND the
-    // verify join: hashing BEFORE the distinct means every shuffle and
-    // join in the query moves 8-byte longs, never shingle strings. The
-    // verify Jaccard is computed over hashed shingles in BOTH engines
-    // (the oracle joins on the same md5-derived values), so results are
-    // identical by construction — even a hash collision collides
-    // identically on both sides. Null texts carry no shingles, like
-    // jaccardPairs; persisted — feeds signatures + verify twice.
-    // ONE exchange hash-partitioned by id serves the whole query:
-    // HashPartitioning(id) satisfies the clustering needs of the
-    // (id, h) dedup, the signature groupBy(id), the sizes groupBy(id),
-    // and the id-keyed verify joins — a plain distinct() would shuffle
-    // by (id, h) and then AGAIN by id for the aggregations.
-    val sh = df.filter(col(textCol).isNotNull)
+    val candidates = banded.as("x").join(banded.as("y"),
+        $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" && $"x.id" < $"y.id")
+      .select($"x.id".as("id_a"), $"y.id".as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sh).filter($"jaccard" >= threshold)
+  }
+
+  /** Phase 1 of [[minhashLshPairs]] (shared with the streaming twin —
+    * same code, not a mirror): distinct `(id, h)` hashed shingles.
+    *
+    * Distinct (doc, shingle-HASH) pairs feed the signatures AND the
+    * verify join: hashing BEFORE the distinct means every shuffle and
+    * join in the query moves 8-byte longs, never shingle strings. The
+    * verify Jaccard is computed over hashed shingles in BOTH engines
+    * (the oracle joins on the same md5-derived values), so results are
+    * identical by construction — even a hash collision collides
+    * identically on both sides. Null texts carry no shingles, like
+    * jaccardPairs; persisted — feeds signatures + verify twice.
+    * ONE exchange hash-partitioned by id serves the whole query:
+    * HashPartitioning(id) satisfies the clustering needs of the
+    * (id, h) dedup, the signature groupBy(id), the sizes groupBy(id),
+    * and the id-keyed verify joins — a plain distinct() would shuffle
+    * by (id, h) and then AGAIN by id for the aggregations.
+    */
+  private[graft] def hashedShingleIds(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(shinglesCol(col(textCol), n)).as("shingle"))
       .select($"id", shingleHash60($"shingle").as("h"))
       .repartition($"id")
       .dropDuplicates("id", "h")
       .localCheckpoint(eager = false) // reclaimable multi-consumer cut, pipelined into the first action
+  }
+
+  /** Phase 2 of [[minhashLshPairs]] (shared with the streaming twin):
+    * `(id, band, band_key)` — per-doc signature (ONE aggregation with k
+    * min() columns, map-side partial), then band explode. The band key
+    * is the band's r signature values joined as a string (a
+    * cross-engine bucket id); persisted — joined at least twice.
+    */
+  private[graft] def bandedKeys(
+      sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val params = minhashParams(bands * rowsPerBand)
     // x = h mod P projected ONCE, not repeated inside all k min-exprs —
     // keeps the already-wide aggregate plan as small as possible
     val mins = params.toSeq.zipWithIndex.map { case ((a, b), i) =>
@@ -260,21 +289,25 @@ object NearDup {
     }
     val sigs = sh.select($"id", ($"h" % MinhashPrime).as("x"))
       .groupBy($"id").agg(mins.head, mins.tail: _*)
-    // band key = the band's r signature values joined as a string (a
-    // cross-engine bucket id); persisted — both sides of the self-join.
     val bandStructs = (0 until bands).map { j =>
       val slots = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"m$i"))
       struct(lit(j).as("band"), concat_ws("_", slots: _*).as("band_key"))
     }
-    val banded = sigs.select($"id", explode(array(bandStructs: _*)).as("bk"))
+    sigs.select($"id", explode(array(bandStructs: _*)).as("bk"))
       .select($"id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
       .localCheckpoint(eager = false) // both self-join sides; reclaimable, pipelined
-    val candidates = banded.as("x").join(banded.as("y"),
-        $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key" && $"x.id" < $"y.id")
-      .select($"x.id".as("id_a"), $"y.id".as("id_b"))
-      .distinct()
-    // exact verify: compute true Jaccard (over hashed shingles) only for
-    // candidate pairs
+  }
+
+  /** Phase 3 of [[minhashLshPairs]] (shared with the streaming twin):
+    * exact Jaccard (over hashed shingles) computed ONLY for candidate
+    * `(id_a, id_b)` pairs, against the `(id, h)` relation covering both
+    * sides. Returns every candidate with its `jaccard` — the caller
+    * applies its threshold.
+    */
+  private[graft] def verifyJaccard(
+      candidates: DataFrame, sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
     val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_shingles"))
     val common = candidates
       .join(sh.toDF("id_a", "h"), "id_a")
@@ -286,7 +319,6 @@ object NearDup {
       .join(sizes.toDF("id_b", "size_b"), "id_b")
       .withColumn("jaccard",
         $"n_common".cast("double") / ($"size_a" + $"size_b" - $"n_common").cast("double"))
-      .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
   }
 
