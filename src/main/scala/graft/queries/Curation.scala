@@ -129,6 +129,18 @@ object Curation {
         .orderBy($"lang")
     },
 
+    // ---- q38 through the VALUE-HISTOGRAM reformulation (the 100 TB
+    // shape: percentile_cont sorts each stratum's full row set in one
+    // aggregation buffer; the histogram path shuffles only the bounded
+    // (stratum, length, count) table and windows over THAT). The
+    // oracle is q38's naive percentile_cont query — the gate proves the
+    // scale reformulation is bit-for-bit EXACT, not approximate.
+    "q111_length_histogram" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.lengthPercentilesByHistogram(docsParallel(s, dir), "lang", "text")
+        .orderBy($"lang")
+    },
+
     // ---- concat-and-chop sequence packing: each doc's global token
     // span and training-sequence range in deterministic per-language
     // order (512-token sequences).
@@ -1018,6 +1030,21 @@ object Curation {
         |    WHEN 'es' THEN 500 WHEN 'fr' THEN 1000 ELSE 0 END""".stripMargin),
 
     "q38_length_percentiles" -> (ToksCte +
+      """
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       MIN(n_tokens) AS min_tokens,
+        |       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+        |       quantile_cont(n_tokens, 0.9) AS p90_tokens,
+        |       quantile_cont(n_tokens, 0.99) AS p99_tokens,
+        |       MAX(n_tokens) AS max_tokens,
+        |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+        |FROM toks GROUP BY lang""".stripMargin),
+
+    // Same naive quantile_cont query as q38: the histogram engine path
+    // must reproduce it bit-for-bit (quantile_cont evaluates
+    // (1-f)·lo + f·hi at position q·(N-1) — the exact arithmetic the
+    // engine's histogram interpolation mirrors).
+    "q111_length_histogram" -> (ToksCte +
       """
         |SELECT lang, COUNT(*) AS n_docs,
         |       MIN(n_tokens) AS min_tokens,

@@ -562,6 +562,80 @@ object CurationOps {
         max(col("n_tokens")).as("max_tokens"),
         (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"))
 
+  /** [[lengthPercentiles]] recomputed through the VALUE HISTOGRAM — the
+    * 100 TB shape. `percentile_cont` buffers every group's values for a
+    * per-group sort: a billion-document stratum sorts a billion rows in
+    * one aggregation buffer. But token counts live on a bounded integer
+    * domain (a length can't exceed the longest document — ~10⁶ distinct
+    * values regardless of corpus size), so the exact distribution IS
+    * the corpus-size-independent table `(stratum, length, count)` — a
+    * map-side-combined groupBy whose shuffle moves at most
+    * |strata|·|distinct lengths| rows. Quantiles come from cumulative
+    * counts over that table (a window over the BOUNDED histogram, not
+    * the corpus), interpolated with exactly `percentile_cont`'s
+    * arithmetic — `(1-f)·lo + f·hi` at position `q·(N-1)`, the formula
+    * DuckDB's `quantile_cont` evaluates float-for-float (the q111 gate
+    * hash-compares raw doubles against it; the one both-covering-row
+    * case folds to the same two products and one add).
+    *
+    * The histogram is also MERGEABLE (counts are associative integers),
+    * which `percentile_cont` is not — [[graft.streaming.StreamLengthStats]]
+    * maintains it incrementally and recovers bit-identical statistics
+    * at any point in the stream.
+    */
+  def lengthPercentilesByHistogram(
+      df: DataFrame, stratumCol: String, textCol: String): DataFrame =
+    percentilesFromHistogram(lengthHistogram(df, stratumCol, textCol), stratumCol)
+
+  /** Phase 1 (shared with the streaming twin): the exact token-length
+    * distribution `(stratumCol, v, cnt)`.
+    */
+  private[graft] def lengthHistogram(
+      df: DataFrame, stratumCol: String, textCol: String): DataFrame =
+    df.select(col(stratumCol), size(wordsCol(col(textCol))).as("v"))
+      .groupBy(col(stratumCol), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Phase 2 (shared with the streaming twin): [[lengthPercentiles]]'s
+    * exact output columns from a `(stratumCol, v, cnt)` histogram.
+    * Accepts un-combined histograms (duplicate `(stratum, v)` rows from
+    * a ledger fold) — counts re-combine in the first aggregation.
+    */
+  private[graft] def percentilesFromHistogram(
+      histRaw: DataFrame, stratumCol: String): DataFrame = {
+    val hist = histRaw.groupBy(col(stratumCol), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val byV = Window.partitionBy(col(stratumCol)).orderBy(col("v"))
+    val whole = Window.partitionBy(col(stratumCol))
+    val cum = hist
+      .withColumn("cumEnd", sum(col("cnt")).over(byV))
+      .withColumn("cumStart", col("cumEnd") - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(whole))
+    // percentile_cont at q: position q·(N-1); the row(s) whose
+    // cumulative range covers the floor/ceil positions contribute
+    // (1-f)·lo and f·hi — summed, bit-identical to the two-product
+    // one-add evaluation (zero terms preserve double bits).
+    def pct(q: Double): Column = {
+      val pos = lit(q) * (col("n") - lit(1)).cast("double")
+      val idxLo = floor(pos)
+      val idxHi = least(idxLo + lit(1.0), (col("n") - lit(1)).cast("double"))
+      val frac = pos - idxLo
+      val loPart = when(col("cumStart") <= idxLo && idxLo < col("cumEnd"),
+        (lit(1.0) - frac) * col("v")).otherwise(lit(0.0))
+      val hiPart = when(col("cumStart") <= idxHi && idxHi < col("cumEnd"),
+        frac * col("v")).otherwise(lit(0.0))
+      sum(loPart + hiPart)
+    }
+    cum.groupBy(col(stratumCol)).agg(
+      max(col("n")).as("n_docs"),
+      min(col("v")).as("min_tokens"),
+      pct(0.5).as("p50_tokens"),
+      pct(0.9).as("p90_tokens"),
+      pct(0.99).as("p99_tokens"),
+      max(col("v")).as("max_tokens"),
+      (sum(col("v") * col("cnt")).cast("double") / max(col("n"))).as("mean_tokens"))
+  }
+
   // ---- cross-document segment dedup (C4-style, keep first) ---------------
 
   /** C4-style cross-document span deduplication: each document is cut

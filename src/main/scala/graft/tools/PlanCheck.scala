@@ -356,7 +356,14 @@ object PlanCheck {
     // shape (k per domain per task crosses the exchange, not the corpus)
     Expectation("q110_domain_cap",
       mustContain = Seq("WindowGroupLimit"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // histogram percentiles: one map-side-combined aggregate builds the
+    // bounded (stratum, length, count) table; windows run over THAT,
+    // never the corpus; no join anywhere
+    Expectation("q111_length_histogram",
+      mustContain = Seq("HashAggregate", "Window"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
