@@ -200,6 +200,20 @@ object TextOps {
         .orderBy($"cnt".desc, $"item".asc)
     },
 
+    // ---- per-group heavy hitters (q108 one level down: the
+    // per-LANGUAGE frequent-word table — per-domain boilerplate,
+    // per-source hot URLs — with one MG summary per group per
+    // partition; output exact, oracle = the per-group HAVING).
+    "q112_heavy_hitters_grouped" -> { (s, dir) =>
+      import s.implicits._
+      val toks = docsParallel(s, dir)
+        .select($"lang",
+          explode(graft.textops.TextTokens.wordsCol($"text")).as("word"))
+      graft.textops.HeavyHitters.heavyHittersByGroup(toks, "lang", "word",
+          supportPpm = HhSupportPpm, capacity = HhCapacity)
+        .orderBy($"lang", $"cnt".desc, $"item".asc)
+    },
+
     // ---- edit-distance similarity self-join (fuzzy entity matching on
     // short keys): symmetric-delete candidates, exact levenshtein verify
     // — the equi-join shape of a string-similarity join.
@@ -610,6 +624,21 @@ object TextOps {
         |GROUP BY item, n.n_total
         |HAVING CAST(COUNT(*) AS BIGINT) * 1000000 >= n.n_total * $HhSupportPpm
         |ORDER BY cnt DESC, item ASC""".stripMargin),
+
+    // Per-group twin of q108's oracle: the direct per-language
+    // support-threshold HAVING, pure integers.
+    "q112_heavy_hitters_grouped" ->
+      s"""WITH words AS (
+         |  SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'),
+         |                           w -> len(w) > 0) AS ws
+         |  FROM documents
+         |), w AS (SELECT lang, unnest(ws) AS item FROM words),
+         |n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total FROM w GROUP BY lang)
+         |SELECT w.lang, item, CAST(COUNT(*) AS BIGINT) AS cnt, n.n_total
+         |FROM w JOIN n USING (lang)
+         |GROUP BY w.lang, item, n.n_total
+         |HAVING CAST(COUNT(*) AS BIGINT) * 1000000 >= n.n_total * $HhSupportPpm
+         |ORDER BY lang, cnt DESC, item ASC""".stripMargin,
 
     // All-pairs levenshtein — the naive form of the Spark side's
     // symmetric-delete candidate join; fine at oracle scale.

@@ -57,27 +57,32 @@ object HeavyHitters {
     var total = 0L
     items.foreach { item =>
       total += 1
-      counters.get(item) match {
-        case Some(c) => counters.update(item, c + 1)
-        case None =>
-          if (counters.size < capacity) counters.update(item, 1L)
-          else {
-            // decrement-all step (amortized O(1) per item overall);
-            // snapshot the keys — removal during iteration is a
-            // structural change mutable.Map does not allow
-            val keys = counters.keysIterator.toArray
-            var i = 0
-            while (i < keys.length) {
-              val k = keys(i)
-              val c = counters(k)
-              if (c == 1L) counters.remove(k) else counters.update(k, c - 1)
-              i += 1
-            }
-          }
-      }
+      mgStep(counters, item, capacity)
     }
     (counters, total)
   }
+
+  /** One Misra-Gries update — shared by the flat and grouped passes. */
+  private def mgStep(counters: collection.mutable.Map[String, Long],
+      item: String, capacity: Int): Unit =
+    counters.get(item) match {
+      case Some(c) => counters.update(item, c + 1)
+      case None =>
+        if (counters.size < capacity) counters.update(item, 1L)
+        else {
+          // decrement-all step (amortized O(1) per item overall);
+          // snapshot the keys — removal during iteration is a
+          // structural change mutable.Map does not allow
+          val keys = counters.keysIterator.toArray
+          var i = 0
+          while (i < keys.length) {
+            val k = keys(i)
+            val c = counters(k)
+            if (c == 1L) counters.remove(k) else counters.update(k, c - 1)
+            i += 1
+          }
+        }
+    }
 
   /** Exact heavy hitters of `itemCol` at support `supportPpm` (parts
     * per million of the total item count), computed with per-partition
@@ -133,5 +138,66 @@ object HeavyHitters {
       .filter($"cnt".cast("decimal(38,0)") * 1000000L >=
         lit(nTotal).cast("decimal(38,0)") * supportPpm)
       .withColumn("n_total", lit(nTotal))
+  }
+
+  /** [[heavyHitters]] per GROUP — the per-domain boilerplate table,
+    * per-language stop-list, per-source hot-URL list: every item whose
+    * count within its group reaches `supportPpm` of that GROUP's item
+    * total. Output `(groupCol, item, cnt, n_total)` — exactly the
+    * per-group HAVING answer, in exact integers.
+    *
+    * Same two-pass discipline, one Misra-Gries summary PER GROUP per
+    * partition (the averaging argument applies within each group
+    * separately, so the per-group candidate union supersets every item
+    * at group support ≥ 1/(capacity+1)). Partition memory is
+    * capacity × |groups seen in the partition| counters — groups are
+    * control-plane-bounded strata (languages, sources, eTLD+1 tiers),
+    * the same assumption every stratified operator here makes. Shuffle
+    * stays candidate-bounded: ≤ capacity × groups × partitions
+    * candidate rows, one (partition, group) total row each, and the
+    * verify groupBy's key space is the candidate set, never the full
+    * per-group type table.
+    */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, itemCol: String,
+      supportPpm: Long, capacity: Int,
+      broadcastCandidateLimit: Long = 1L << 20): DataFrame = {
+    require(supportPpm >= 1 && supportPpm <= 1000000L,
+      s"supportPpm must be in [1, 1e6], got $supportPpm")
+    require(capacity.toLong * supportPpm >= 1000000L,
+      s"capacity=$capacity too small for supportPpm=$supportPpm: need " +
+        s"capacity >= ceil(1e6/supportPpm) for the candidate-superset guarantee")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(groupCol).cast("string").as("grp"),
+      col(itemCol).cast("string").as("item"))
+    val summarized = items.as[(String, String)].mapPartitions { iter =>
+      val counters =
+        collection.mutable.Map.empty[String, collection.mutable.Map[String, Long]]
+      val totals = collection.mutable.Map.empty[String, Long]
+      iter.foreach { case (g, item) =>
+        totals.update(g, totals.getOrElse(g, 0L) + 1L)
+        mgStep(counters.getOrElseUpdate(g,
+          collection.mutable.Map.empty[String, Long]), item, capacity)
+      }
+      counters.iterator.flatMap { case (g, m) =>
+        m.keysIterator.map(k => (g, Option(k), 0L))
+      } ++ totals.iterator.map { case (g, t) => (g, Option.empty[String], t) }
+    }.toDF("grp", "item", "n")
+      .localCheckpoint(eager = true)
+    val totals = summarized.filter($"item".isNull)
+      .groupBy($"grp").agg(sum($"n").as("n_total"))
+    val candidates = summarized.filter($"item".isNotNull)
+      .select($"grp", $"item").distinct()
+    val gated =
+      if (candidates.count() <= broadcastCandidateLimit) broadcast(candidates)
+      else candidates
+    items
+      .join(gated, Seq("grp", "item"), "left_semi")
+      .groupBy($"grp", $"item")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "grp") // |groups| rows — control-plane sized
+      .filter($"cnt".cast("decimal(38,0)") * 1000000L >=
+        $"n_total".cast("decimal(38,0)") * supportPpm)
+      .select($"grp".as(groupCol), $"item", $"cnt", $"n_total")
   }
 }

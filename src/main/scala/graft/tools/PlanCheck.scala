@@ -363,7 +363,13 @@ object PlanCheck {
     Expectation("q111_length_histogram",
       mustContain = Seq("HashAggregate", "Window"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
-        "CartesianProduct")))
+        "CartesianProduct")),
+    // grouped heavy hitters: same contract as q108 — broadcast
+    // left-semi verify into a map-side-combined count, bounded totals
+    // broadcast; the per-group type table never shuffles
+    Expectation("q112_heavy_hitters_grouped",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin", "LeftSemi"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

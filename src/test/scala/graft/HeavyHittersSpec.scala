@@ -64,4 +64,35 @@ class HeavyHittersSpec extends SparkSpec {
     assert(HeavyHitters.heavyHitters(Seq.empty[String].toDF("item"), "item",
       supportPpm = 1000L, capacity = 1000).count() === 0L)
   }
+
+  test("heavyHittersByGroup ≡ exact per-group HAVING, partitioning-invariant") {
+    val rnd = new scala.util.Random(23)
+    // three groups with different sizes and skews — thresholds must be
+    // computed within each group, never globally
+    val rows =
+      Seq.fill(3000)(("g1", s"a${rnd.nextInt(30)}")) ++   // shallow skew
+      Seq.fill(500)(("g2", if (rnd.nextBoolean()) "hot" else s"b${rnd.nextInt(200)}")) ++
+      Seq.fill(7)(("g3", "tiny"))                          // tiny group: 100% support
+    val df = rows.toDF("grp", "item")
+    val supportPpm = 40000L // 4% within each group
+    val totals = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .collect { case ((g, it), c) if c * 1000000L >= totals(g) * supportPpm =>
+        (g, it, c, totals(g))
+      }.toSet
+    assert(exact.exists(_._1 == "g2") && exact.exists(_._1 == "g3"))
+    for (parts <- Seq(1, 4, 13)) {
+      val got = HeavyHitters.heavyHittersByGroup(df.repartition(parts),
+          "grp", "item", supportPpm, capacity = 64)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === exact, s"parts=$parts")
+    }
+    // forced-shuffle candidate join agrees with the broadcast path
+    val shuffled = HeavyHitters.heavyHittersByGroup(df, "grp", "item",
+        supportPpm, capacity = 64, broadcastCandidateLimit = 0L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(shuffled === exact)
+  }
 }
