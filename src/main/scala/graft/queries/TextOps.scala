@@ -200,6 +200,20 @@ object TextOps {
         .orderBy($"cnt".desc, $"item".asc)
     },
 
+    // ---- cross-corpus near-dup (Dolma-style priority dedup: the NEW
+    // crawl deduped against the EXISTING corpus, which is never
+    // re-examined against itself): a-bands × b-bands candidate join
+    // through the q17 phases, exact-Jaccard verify. The two corpora
+    // here are a deterministic split of the documents table.
+    "q113_cross_corpus_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      graft.textops.NearDup.crossCorpusPairs(
+          docs.filter($"doc_id" % 3 =!= 0), docs.filter($"doc_id" % 3 === 0),
+          "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // ---- per-group heavy hitters (q108 one level down: the
     // per-LANGUAGE frequent-word table — per-domain boilerplate,
     // per-source hot URLs — with one MG summary per group per
@@ -395,7 +409,8 @@ object TextOps {
     * the dedup-clustering oracle (q35) stacks a recursive
     * connected-components CTE on top of it.
     */
-  private[queries] def minhashPairsCte(bands: Int, rowsPerBand: Int, threshold: Double): String = {
+  private[queries] def minhashPairsCte(bands: Int, rowsPerBand: Int, threshold: Double,
+      candPredicate: String = "a.doc_id < b.doc_id"): String = {
     val P = graft.textops.NearDup.MinhashPrime
     val params = graft.textops.NearDup.minhashParams(bands * rowsPerBand)
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
@@ -415,7 +430,7 @@ object TextOps {
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |    ON a.band = b.band AND a.band_key = b.band_key AND $candPredicate
       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM xs GROUP BY doc_id),
       |common AS (
       |  SELECT id_a, id_b, COUNT(*) AS cnt
@@ -549,6 +564,15 @@ object TextOps {
     "q17_minhash_lsh_pairs" -> minhashOracleSql(bands = 16, rowsPerBand = 4, threshold = 0.5),
 
     "q18_simhash_pairs" -> simhashOracleSql(maxDistance = 3),
+
+    // Same generated CTE chain as q17 (signatures are per-doc, so
+    // computing them over the union then restricting the candidate join
+    // to cross-corpus sides is the two-corpus computation exactly);
+    // only the candidate predicate changes.
+    "q113_cross_corpus_pairs" ->
+      (minhashPairsCte(bands = 16, rowsPerBand = 4, threshold = 0.5,
+        candPredicate = "(a.doc_id % 3) <> 0 AND (b.doc_id % 3) = 0") +
+        "\nSELECT id_a, id_b, jaccard FROM mh_pairs"),
 
     "q19_text_quality" ->
       """WITH w AS (

@@ -241,6 +241,38 @@ object NearDup {
     verifyJaccard(candidates, sh).filter($"jaccard" >= threshold)
   }
 
+  /** Cross-corpus MinHash near-dup (the Dolma-style priority dedup: a
+    * NEW crawl `b` deduplicated against an EXISTING corpus `a`, which
+    * is never re-examined against itself): every verified pair
+    * `(id_a, id_b, jaccard >= threshold)` with `id_a` from `a` and
+    * `id_b` from `b`. Ids must be disjoint across the two frames (they
+    * come from different corpora; the verify relation unions both
+    * sides' shingles by id).
+    *
+    * Built from [[minhashLshPairs]]'s own phases — the only change is
+    * the candidate join: `a`-side bands against `b`-side bands instead
+    * of a self-join, so the pair work is |collisions between corpora|,
+    * never within-corpus. The batch drop-list for `b` is
+    * `distinct id_b` (or a min-`id_a` partner per `id_b`); keeping `a`
+    * fixed makes the operation idempotent over re-crawls — exactly the
+    * ledger probe [[graft.streaming.StreamNearDup]] runs per batch.
+    */
+  def crossCorpusPairs(a: DataFrame, b: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val shA = hashedShingleIds(a, idCol, textCol, n)
+    val shB = hashedShingleIds(b, idCol, textCol, n)
+    val bandedA = bandedKeys(shA, bands, rowsPerBand)
+    val bandedB = bandedKeys(shB, bands, rowsPerBand)
+    val candidates = bandedA.as("x").join(bandedB.as("y"),
+        $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key")
+      .select($"x.id".as("id_a"), $"y.id".as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, shA.union(shB)).filter($"jaccard" >= threshold)
+  }
+
   /** Phase 1 of [[minhashLshPairs]] (shared with the streaming twin —
     * same code, not a mirror): distinct `(id, h)` hashed shingles.
     *

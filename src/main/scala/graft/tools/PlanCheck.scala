@@ -369,7 +369,12 @@ object PlanCheck {
     // broadcast; the per-group type table never shuffles
     Expectation("q112_heavy_hitters_grouped",
       mustContain = Seq("HashAggregate", "BroadcastHashJoin", "LeftSemi"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // cross-corpus near-dup: band-bucket equi joins + candidate-bounded
+    // verify, like q17 — never a cross join
+    Expectation("q113_cross_corpus_pairs",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

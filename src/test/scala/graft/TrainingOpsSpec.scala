@@ -174,6 +174,26 @@ class NearDupSpec extends SparkSpec {
       assert(recall >= 0.95, s"recall=$recall exact=${exact.size} lsh=${lsh.size}")
     }
   }
+
+  test("crossCorpusPairs ≡ the full self-join's cross pairs, reoriented a→b") {
+    val real = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = real.filter($"doc_id" % 3 =!= 0)
+    val b = real.filter($"doc_id" % 3 === 0)
+    val cross = NearDup.crossCorpusPairs(a, b, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every cross pair: a-side id from corpus a, b-side from corpus b
+    assert(cross.forall { case (x, y) => x % 3 != 0 && y % 3 == 0 })
+    // signatures are per-doc, so the union self-join's cross-corpus
+    // pairs (reoriented to a→b) must agree exactly
+    val whole = NearDup.minhashLshPairs(real, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = whole.collect {
+      case (x, y) if x % 3 != 0 && y % 3 == 0 => (x, y)
+      case (x, y) if x % 3 == 0 && y % 3 != 0 => (y, x)
+    }
+    assert(cross === expected)
+    assert(cross.nonEmpty, "fixture must contain cross-corpus near-dups")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
