@@ -200,6 +200,26 @@ object TextOps {
         .orderBy($"cnt".desc, $"item".asc)
     },
 
+    // ---- Unicode NFC normalization (the pre-dedup canonicalization
+    // multilingual corpora need): deterministic decomposed suffixes
+    // (combining marks, constructed identically in both engines) pushed
+    // through the JDK normalizer; the oracle runs DuckDB's
+    // utf8proc-backed nfc_normalize — two independent UAX #15
+    // implementations must agree byte-for-byte.
+    "q114_nfc_normalize" -> { (s, dir) =>
+      import s.implicits._
+      val suffix = element_at(array(
+        lit("é"), lit("Äb"), lit("ñ"),
+        lit("ç"), lit("ố")),
+        ($"doc_id" % 5).cast("int") + 1)
+      docsParallel(s, dir)
+        .select($"doc_id", concat($"text", lit(" "), suffix).as("raw"))
+        .select($"doc_id", length($"raw").as("raw_cp"),
+          graft.functions.TextNormalize.nfcCol($"raw").as("normalized"))
+        .withColumn("norm_cp", length($"normalized"))
+        .orderBy($"doc_id")
+    },
+
     // ---- cross-corpus near-dup (Dolma-style priority dedup: the NEW
     // crawl deduped against the EXISTING corpus, which is never
     // re-examined against itself): a-bands × b-bands candidate join
@@ -564,6 +584,23 @@ object TextOps {
     "q17_minhash_lsh_pairs" -> minhashOracleSql(bands = 16, rowsPerBand = 4, threshold = 0.5),
 
     "q18_simhash_pairs" -> simhashOracleSql(maxDistance = 3),
+
+    // Independent UAX #15 implementation (utf8proc) over the same
+    // constructed decomposed strings; lengths in code points both
+    // engines.
+    "q114_nfc_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id, text || ' ' || CASE doc_id % 5
+        |    WHEN 0 THEN 'e' || chr(769)
+        |    WHEN 1 THEN 'A' || chr(776) || 'b'
+        |    WHEN 2 THEN 'n' || chr(771)
+        |    WHEN 3 THEN 'c' || chr(807)
+        |    ELSE 'o' || chr(770) || chr(769) END AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw) AS raw_cp,
+        |       nfc_normalize(raw) AS normalized,
+        |       length(nfc_normalize(raw)) AS norm_cp
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Same generated CTE chain as q17 (signatures are per-doc, so
     // computing them over the union then restricting the candidate join

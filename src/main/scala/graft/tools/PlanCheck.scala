@@ -374,7 +374,12 @@ object PlanCheck {
     // verify, like q17 — never a cross join
     Expectation("q113_cross_corpus_pairs",
       mustContain = Seq("HashAggregate"),
-      mustNotContain = Seq("CartesianProduct")))
+      mustNotContain = Seq("CartesianProduct")),
+    // NFC normalization is a pure per-row map (JDK normalizer UDF) —
+    // the q94 contract: no aggregate, join, or window may creep in
+    Expectation("q114_nfc_normalize",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
