@@ -200,6 +200,20 @@ object TextOps {
         .orderBy($"cnt".desc, $"item".asc)
     },
 
+    // ---- script-mix fractions (wrong-script / mojibake detector):
+    // per-doc char-class ratios over text augmented with a fixed
+    // multilingual tail, classes as explicit code-point ranges so Java
+    // regex and RE2 agree symbol-for-symbol.
+    "q115_script_mix" -> { (s, dir) =>
+      import s.implicits._
+      val aug = docsParallel(s, dir).select($"doc_id",
+        concat($"text", lit(" Привет мир 你好世界 1234")).as("aug"))
+      graft.textops.TextAnalysis.scriptMix(aug, "aug")
+        .select($"doc_id", $"n_cp", $"latin_frac", $"digit_frac",
+          $"cyrillic_frac", $"han_frac")
+        .orderBy($"doc_id")
+    },
+
     // ---- Unicode NFC normalization (the pre-dedup canonicalization
     // multilingual corpora need): deterministic decomposed suffixes
     // (combining marks, constructed identically in both engines) pushed
@@ -584,6 +598,27 @@ object TextOps {
     "q17_minhash_lsh_pairs" -> minhashOracleSql(bands = 16, rowsPerBand = 4, threshold = 0.5),
 
     "q18_simhash_pairs" -> simhashOracleSql(maxDistance = 3),
+
+    // Same augmented text (identical literal in this same source
+    // file); counts via global regexp_replace ('g' — DuckDB is
+    // per-first-match by default), ranges as RE2 hex escapes.
+    "q115_script_mix" ->
+      """WITH r AS (
+        |  SELECT doc_id, text || ' Привет мир 你好世界 1234' AS aug FROM documents)
+        |SELECT doc_id, length(aug) AS n_cp,
+        |  CASE WHEN length(aug) > 0 THEN CAST(length(aug) -
+        |    length(regexp_replace(aug, '[A-Za-z]', '', 'g')) AS DOUBLE) / length(aug)
+        |    ELSE 0.0 END AS latin_frac,
+        |  CASE WHEN length(aug) > 0 THEN CAST(length(aug) -
+        |    length(regexp_replace(aug, '[0-9]', '', 'g')) AS DOUBLE) / length(aug)
+        |    ELSE 0.0 END AS digit_frac,
+        |  CASE WHEN length(aug) > 0 THEN CAST(length(aug) -
+        |    length(regexp_replace(aug, '[\x{0400}-\x{04FF}]', '', 'g')) AS DOUBLE) / length(aug)
+        |    ELSE 0.0 END AS cyrillic_frac,
+        |  CASE WHEN length(aug) > 0 THEN CAST(length(aug) -
+        |    length(regexp_replace(aug, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS DOUBLE) / length(aug)
+        |    ELSE 0.0 END AS han_frac
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Independent UAX #15 implementation (utf8proc) over the same
     // constructed decomposed strings; lengths in code points both

@@ -73,6 +73,33 @@ object TextAnalysis {
     round(lengthOk * (lit(0.5) + lit(0.5) * distinctRatio), 6)
   }
 
+  /** Script-mix fractions — the wrong-script/mojibake detector for
+    * multilingual curation: a document claiming to be English whose
+    * Cyrillic fraction is 0.4 is mislabeled or mangled; CCNet-style
+    * pipelines gate on exactly these ratios per language bucket.
+    *
+    * Classes are EXPLICIT code-point ranges (ASCII letters, ASCII
+    * digits, Cyrillic U+0400-U+04FF, CJK Unified U+4E00-U+9FFF) rather
+    * than named script classes, so Java regex (Spark) and RE2 (DuckDB,
+    * the q115 oracle) agree symbol-for-symbol. Counts are
+    * `len(s) - len(regexp_replace(s, class, ''))`; fractions are one
+    * integer-over-integer double division — identical both engines.
+    * Pure per-row column math, zero shuffles.
+    */
+  def scriptMix(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val n = length(text)
+    def frac(pattern: String) =
+      when(n > 0,
+        (n - length(regexp_replace(text, pattern, ""))).cast("double") / n)
+        .otherwise(lit(0.0))
+    df.withColumn("n_cp", n)
+      .withColumn("latin_frac", frac("[A-Za-z]"))
+      .withColumn("digit_frac", frac("[0-9]"))
+      .withColumn("cyrillic_frac", frac("[Ѐ-ӿ]"))
+      .withColumn("han_frac", frac("[一-鿿]"))
+  }
+
   // ---- character entropy -------------------------------------------------
 
   /** Shannon entropy (bits/char) of the character distribution, as pure

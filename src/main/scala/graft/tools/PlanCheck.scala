@@ -379,6 +379,10 @@ object PlanCheck {
     // the q94 contract: no aggregate, join, or window may creep in
     Expectation("q114_nfc_normalize",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // script-mix is pure per-row column math — same per-row contract
+    Expectation("q115_script_mix",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
         "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

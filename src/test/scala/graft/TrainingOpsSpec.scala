@@ -200,6 +200,29 @@ class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions.col
 
+  test("scriptMix: per-class fractions, mixed-script and degenerate cases") {
+    val df = Seq(
+      (1L, "abcde12345"),            // 5 latin + 5 digit, nothing else
+      (2L, "привет"),                // all cyrillic (6 cp)
+      (3L, "你好"),                   // all han (2 cp)
+      (4L, ""),                      // empty → all fractions 0.0
+      (5L, "ab 你好 привет 1")        // mixed with spaces
+    ).toDF("doc_id", "t")
+    val out = TextAnalysis.scriptMix(df, "t")
+      .select($"doc_id", $"n_cp", $"latin_frac", $"digit_frac",
+        $"cyrillic_frac", $"han_frac")
+      .as[(Long, Int, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 10, 0.5, 0.5, 0.0, 0.0)))
+    assert(out(2L) === ((2L, 6, 0.0, 0.0, 1.0, 0.0)))
+    assert(out(3L) === ((3L, 2, 0.0, 0.0, 0.0, 1.0)))
+    assert(out(4L) === ((4L, 0, 0.0, 0.0, 0.0, 0.0)))
+    val m = out(5L) // 14 cp: 2 latin + 1 digit + 6 cyrillic + 2 han + 3 spaces
+    assert(m._2 === 14)
+    assert(m._3 === 2.0 / 14 && m._4 === 1.0 / 14)
+    assert(m._5 === 6.0 / 14 && m._6 === 2.0 / 14)
+  }
+
   test("compressionRatio: repetitive text compresses far below varied text") {
     val ratio = TextAnalysis.compressionRatioUdf
     val rows = Seq(
