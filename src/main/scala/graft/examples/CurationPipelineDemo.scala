@@ -18,10 +18,14 @@ import graft.textops.{CurationOps, NearDup}
   *     on the smallest corpus) — symmetric MinHash pairs PLUS the
   *     directional containment sweep (small-doc-inside-big-doc copies
   *     Jaccard can't see) feed one components pass;
-  *  4. CCNet perplexity bucketing on the deduplicated corpus (keep
-  *     head+middle, the paper's default);
+  *  4. per-domain budget after dedup (the FineWeb cap), then CCNet
+  *     perplexity bucketing (keep head+middle, the paper's default);
   *  5. token-budget mix LAST so budgets are filled with clean,
   *     deduplicated, fluent documents only.
+  *
+  * Before everything: Unicode NFC canonicalization (composed and
+  * decomposed spellings must collide in every hash downstream) and a
+  * script-mix sanity gate.
   *
   * Alongside the text flow: soft-dedup weights grade the residual
   * duplication hard dedup leaves behind, and the semantic stage
@@ -40,9 +44,21 @@ object CurationPipelineDemo {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val docs = Tables.load(spark, sfDir, "documents")
+    val raw = Tables.load(spark, sfDir, "documents")
       .repartition(4, $"doc_id")
-    val total = docs.count()
+    val total = raw.count()
+
+    // 0. Unicode NFC canonicalization + script sanity — BEFORE any
+    // hash-based stage (composed vs decomposed spellings must collide
+    // in every dedup key downstream), and a wrong-script gate: this
+    // corpus is Latin-script, so a high non-Latin fraction means
+    // mislabeling or mojibake (real pipelines gate per language).
+    val docs = graft.textops.TextAnalysis.scriptMix(
+        raw.withColumn("text", graft.functions.TextNormalize.nfcCol($"text")),
+        "text")
+      .filter($"n_cp" === 0 || $"cyrillic_frac" + $"han_frac" <= 0.5)
+      .select(raw.columns.map(col).toSeq: _*)
+    val nScript = docs.count()
 
     // 1. Gopher-rule quality gate
     val keepIds = CurationOps.qualityGate(docs, "doc_id", "text")
@@ -90,12 +106,31 @@ object CurationPipelineDemo {
       .agg(min($"weight").as("min_w"), avg($"weight").as("avg_w"))
       .as[(Double, Double)].head()
 
+    // 3c. per-domain budget (the FineWeb cap): synthesize each doc's
+    // crawl URL (the demo corpus carries a source, not a URL), walk the
+    // PSL to its registrable domain, keep the k best docs per domain by
+    // length — one boilerplate-heavy domain cannot flood the mix
+    val withDomain = deduped
+      .withColumn("url", concat(lit("https://www."), $"source", lit(".example"),
+        ($"doc_id" % 7).cast("string"), lit(".co.uk/p/"), $"doc_id".cast("string")))
+      .withColumn("etld1", graft.functions.UrlUtil.etld1Col($"url"))
+    val capped = CurationOps.domainCapRetention(
+        withDomain, "doc_id", "etld1", "n_chars", k = 40)
+      .select(deduped.columns.map(col).toSeq: _*).persist()
+    val nCapped = capped.count()
+
     // 4. CCNet bucketing: keep head+middle (the paper's default cut —
     // the tail third of token mass is the least-fluent text)
-    val buckets = CurationOps.perplexityBuckets(deduped, "doc_id", "text")
+    val buckets = CurationOps.perplexityBuckets(capped, "doc_id", "text")
     val fluentIds = buckets.filter($"bucket" =!= "tail").select($"doc_id")
-    val fluent = deduped.join(fluentIds, "doc_id").persist()
+    val fluent = capped.join(fluentIds, "doc_id").persist()
     val nFluent = fluent.count()
+
+    // 4b. corpus length statistics through the mergeable histogram
+    // path (the thresholds the next curation iteration's gates read)
+    val lenStats = CurationOps.lengthPercentilesByHistogram(fluent, "lang", "text")
+      .agg(sum($"n_docs").as("docs"), max($"p99_tokens").as("p99"))
+      .as[(Long, Double)].head()
 
     // 5. per-language token-budget mix
     val mixed = CurationOps.tokenBudgetMix(
@@ -148,11 +183,14 @@ object CurationPipelineDemo {
     val nCascade = cascade.count()
 
     println(f"corpus:        $total%6d docs")
+    println(f"nfc + script:  $nScript%6d kept (NFC-canonicalized, wrong-script dropped)")
     println(f"quality gate:  $nQuality%6d kept")
     println(f"decontaminated:$nClean%6d kept (bench = every 10th doc)")
     println(f"deduplicated:  $nDeduped%6d kept (MinHash + containment edges)")
     println(f"soft weights:  min ${softW._1}%.3f avg ${softW._2}%.3f (graded residual duplication)")
+    println(f"domain cap:    $nCapped%6d kept (<=40 per eTLD+1, best-by-length)")
     println(f"ccnet buckets: $nFluent%6d kept (head+middle token mass)")
+    println(f"length stats:  ${lenStats._1}%6d docs, max per-lang p99 = ${lenStats._2}%.1f tokens (histogram path)")
     println(f"semantic mix:  $nBalanced%6d vectors kept (<=20 per kmeans|| cell); " +
       f"HNSW top-3 for 4 queries -> $nAnn%d rows")
     println(s"BPE (50 merges): ${tokStats._3} chars -> ${tokStats._2} tokens " +
