@@ -376,6 +376,16 @@ object Curation {
         .orderBy($"rk")
     },
 
+    // ---- query-likelihood (Dirichlet μ=2000) ranking over the same
+    // query — the LM-based ranker beside BM25; candidates score ALL
+    // query terms (absent terms contribute smoothed background mass).
+    "q116_ql_search" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.Retrieval.qlTopK(docsParallel(s, dir), "doc_id", "text",
+          Bm25Query, k = Bm25K)
+        .orderBy($"rk")
+    },
+
     // ---- canonical selection over q17's near-dup clusters: keep the
     // highest-quality doc per cluster (the actual dedup decision q35's
     // min-id convention approximates).
@@ -1422,6 +1432,33 @@ object Curation {
         |                   / (CAST(total_tokens AS DOUBLE) / n_docs)))), 6) AS score
         |  FROM tf JOIN dfreq USING (term), stats
         |  GROUP BY doc_id)
+        |SELECT doc_id, score, rk FROM (
+        |  SELECT doc_id, score,
+        |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= $Bm25K""".stripMargin),
+
+    // Mirrors Retrieval.qlTopK literal for literal: μ enters only as
+    // the parsed 2000.0, cf/tf/dl/T are exact integers, one ln per
+    // term, rank over the ROUNDED score with a doc-id tiebreak.
+    "q116_ql_search" -> (WordsCte +
+      s""", base AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM words),
+        |qt AS (SELECT doc_id, dl, term FROM base
+        |       WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})),
+        |tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM qt GROUP BY 1, 2, 3),
+        |cf AS (SELECT term, COUNT(*) AS cf FROM qt GROUP BY 1),
+        |stats AS (SELECT CAST(SUM(len(ws)) AS BIGINT) AS total_tokens FROM words),
+        |cand AS (SELECT DISTINCT doc_id, dl FROM tf),
+        |grid AS (
+        |  SELECT c.doc_id, c.dl, f.term, f.cf, s.total_tokens,
+        |         COALESCE(t.tf, 0) AS tf
+        |  FROM cand c CROSS JOIN cf f CROSS JOIN stats s
+        |  LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.term = f.term),
+        |scored AS (
+        |  SELECT doc_id,
+        |         ROUND(SUM(ln((tf + 2000.0 * cf / CAST(total_tokens AS DOUBLE))
+        |               / (dl + 2000.0))), 6) AS score
+        |  FROM grid GROUP BY doc_id)
         |SELECT doc_id, score, rk FROM (
         |  SELECT doc_id, score,
         |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk

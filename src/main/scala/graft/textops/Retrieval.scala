@@ -73,6 +73,63 @@ object Retrieval {
             .orderBy(col("score").desc, col(idCol))))
   }
 
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the LM-based ranker that sits beside BM25 in
+    * every IR toolkit: `score(q,d) = Σ_t log((tf_td + μ·cf_t/T) /
+    * (dl_d + μ))` over the query terms, μ = 2000 (the paper's default,
+    * written as the same literal in the oracle).
+    *
+    * Candidates are docs containing ≥ 1 query term (the inverted-list
+    * shape); each candidate is scored over ALL query terms — absent
+    * terms contribute their smoothed background mass — via a
+    * broadcast-bounded grid join (candidates × |q| rows, |q| a small
+    * constant). Corpus stats (per-term collection frequency WITH
+    * multiplicity, total tokens) come from one unfiltered scan.
+    * Query terms must occur in the corpus (cf > 0), else their
+    * background probability is log 0.
+    *
+    * Determinism follows the [[bm25TopK]] discipline: exact-integer
+    * inputs, literal constants, one libm `ln` per term, round at 6,
+    * doc-id tiebreak.
+    */
+  def qlTopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, mu: Double = 2000.0): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val ws = TextTokens.wordsCol(col(textCol))
+    val stats = df.select(sum(size(ws)).cast("long").as("total_tokens"))
+    val base = df.select(col(idCol), size(ws).cast("long").as("dl"),
+      explode(ws).as("term"))
+    val hits = base.filter(col("term").isin(queryTerms: _*))
+    // collection frequency with multiplicity, over the FULL corpus
+    val cf = hits.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tf = hits.groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val candidates = tf.select(col(idCol), col("dl")).distinct()
+    // grid: every candidate × every query term (broadcast-bounded)
+    val grid = candidates.crossJoin(broadcast(cf.join(stats)))
+      .join(tf.select(col(idCol), col("term"), col("tf")),
+        Seq(idCol, "term"), "left")
+      .na.fill(0L, Seq("tf"))
+    grid
+      // textually mirrored in the oracle, literal for literal
+      .withColumn("__contrib",
+        log((col("tf") + lit(mu) * col("cf")
+            / col("total_tokens").cast("double"))
+          / (col("dl") + lit(mu))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      // bounded post-TakeOrdered frame; constant-valued non-foldable
+      // partition key documents the bound (the bm25TopK convention)
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(pmod(col(idCol), lit(1)))
+            .orderBy(col("score").desc, col(idCol))))
+  }
+
   /** Reciprocal-rank fusion: combine several rankings of the same id
     * space into one, scoring each id by `Σ 1/(rrfK + rank)` over the
     * lists it appears in — the standard score-agnostic hybrid-search

@@ -383,7 +383,12 @@ object PlanCheck {
     // script-mix is pure per-row column math — same per-row contract
     Expectation("q115_script_mix",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
-        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")))
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // QL ranking: the q69 contract — bounded stats broadcast into the
+    // scoring joins, top-k as per-partition heaps, never a global sort
+    Expectation("q116_ql_search",
+      mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

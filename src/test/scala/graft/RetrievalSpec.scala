@@ -58,6 +58,24 @@ class RetrievalSpec extends SparkSpec {
     assert(key === key.sorted)
   }
 
+  test("qlTopK matches the direct Dirichlet formula, absent terms included") {
+    // cf over the corpus: spark 3, join 5, window 1; T = 12
+    def ql(tf: Long, cf: Long, dl: Long, mu: Double = 2000.0): Double =
+      math.log((tf + mu * cf / 12.0) / (dl + mu))
+    val got = Retrieval.qlTopK(docs, "doc_id", "text", query, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = Map(
+      1L -> (ql(2, 3, 3) + ql(1, 5, 3) + ql(0, 1, 3)),  // spark×2, join×1, window absent
+      2L -> (ql(1, 3, 2) + ql(0, 5, 2) + ql(1, 1, 2)),
+      4L -> (ql(0, 3, 4) + ql(4, 5, 4) + ql(0, 1, 4)))
+    assert(got.keySet === expected.keySet)  // doc 3 has no query term → excluded
+    expected.foreach { case (id, exp) =>
+      assert(math.abs(got(id) - exp) < 2e-6, s"doc $id: ${got(id)} vs $exp")
+    }
+    // likelihoods are log-probability sums — all negative here
+    assert(got.values.forall(_ < 0.0))
+  }
+
   test("rare terms outscore common ones at equal tf and dl") {
     // window (df=1) must contribute more than spark (df=2) for doc 2
     assert(contrib(1, 1, 2, 4, 12) > contrib(1, 2, 2, 4, 12))
