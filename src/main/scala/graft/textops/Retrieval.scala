@@ -73,6 +73,88 @@ object Retrieval {
             .orderBy(col("score").desc, col(idCol))))
   }
 
+  // ---- index-form scoring (the maintained-index twin) --------------------
+
+  /** Per-doc stats `(id, dl)` — one row per document, EMPTY docs
+    * included (they carry corpus-stat mass: N and total tokens).
+    * Together with [[termPostings]] this is the materialized inverted
+    * index [[graft.streaming.StreamSearchIndex]] maintains.
+    */
+  def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      size(TextTokens.wordsCol(col(textCol))).cast("long").as("dl"))
+
+  /** Term postings `(id, term, tf)` — the inverted-index rows. */
+  def termPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextTokens.wordsCol(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** [[bm25TopK]] evaluated AGAINST a materialized index instead of
+    * the raw corpus: identical integer inputs (tf, df, dl, N, total
+    * tokens) feed the identical contribution expression, so scores and
+    * ranks are bit-for-bit the batch operator's (spec-pinned). This is
+    * what a maintained search index serves — scoring cost is
+    * |postings of the query terms|, never a corpus scan.
+    */
+  def bm25FromIndex(docs: DataFrame, postings: DataFrame,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("total_tokens"))
+    val tf = postings.filter(col("term").isin(queryTerms: _*))
+      .join(docs, "id")
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(broadcast(stats))
+      // the same literal-for-literal expression as bm25TopK
+      .withColumn("__contrib",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl")
+              / (col("total_tokens").cast("double") / col("n_docs")))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("__contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(pmod(col("id"), lit(1)))
+            .orderBy(col("score").desc, col("id"))))
+  }
+
+  /** [[qlTopK]] against the same materialized index — collection
+    * frequency is `sum(tf)` over the term's postings; same bit-equal
+    * contract as [[bm25FromIndex]].
+    */
+  def qlFromIndex(docs: DataFrame, postings: DataFrame,
+      queryTerms: Seq[String], k: Int, mu: Double = 2000.0): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val stats = docs.agg(sum(col("dl")).cast("long").as("total_tokens"))
+    val qp = postings.filter(col("term").isin(queryTerms: _*))
+    val cf = qp.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cf"))
+    val candidates = qp.select(col("id")).distinct().join(docs, "id")
+    val grid = candidates.crossJoin(broadcast(cf.join(stats)))
+      .join(qp, Seq("id", "term"), "left")
+      .na.fill(0L, Seq("tf"))
+    grid
+      .withColumn("__contrib",
+        log((col("tf") + lit(mu) * col("cf")
+            / col("total_tokens").cast("double"))
+          / (col("dl") + lit(mu))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("__contrib")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(pmod(col("id"), lit(1)))
+            .orderBy(col("score").desc, col("id"))))
+  }
+
   /** Query-likelihood ranking with Dirichlet smoothing (Zhai &
     * Lafferty 2001) — the LM-based ranker that sits beside BM25 in
     * every IR toolkit: `score(q,d) = Σ_t log((tf_td + μ·cf_t/T) /
