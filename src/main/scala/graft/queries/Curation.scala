@@ -376,6 +376,15 @@ object Curation {
         .orderBy($"rk")
     },
 
+    // ---- burst detection over per-type hourly event counts (crawl/
+    // ingest monitoring): z-score vs the trailing 6 hours, exact
+    // integer window sums, z rounded before the flag compare.
+    "q117_event_bursts" -> { (s, dir) =>
+      import s.implicits._
+      Temporal.eventBursts(Tables.load(s, dir, "events"), "event_type", "ts")
+        .orderBy($"event_type", $"hour")
+    },
+
     // ---- query-likelihood (Dirichlet μ=2000) ranking over the same
     // query — the LM-based ranker beside BM25; candidates score ALL
     // query terms (absent terms contribute smoothed background mass).
@@ -1437,6 +1446,33 @@ object Curation {
         |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
         |  FROM scored)
         |WHERE rk <= $Bm25K""".stripMargin),
+
+    // Mirrors Temporal.eventBursts literal for literal: integer window
+    // sums (count/sum/sum-of-squares), one fixed float nest, round at
+    // 6 before the burst compare.
+    "q117_event_bursts" -> (EventsUsCte +
+      """, hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, hour, c,
+        |         COUNT(c) OVER w AS n,
+        |         CAST(SUM(c) OVER w AS BIGINT) AS s,
+        |         CAST(SUM(c * c) OVER w AS BIGINT) AS ss
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+        |sel AS (
+        |  SELECT event_type, hour, c,
+        |         ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_prev,
+        |         ROUND((c - CAST(s AS DOUBLE) / n)
+        |               / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |                      / (n - 1) + 1.0), 6) AS z
+        |  FROM win WHERE n >= 3)
+        |SELECT event_type, hour, c, mean_prev, z,
+        |       CAST(z >= 3.0 AS INTEGER) AS burst
+        |FROM sel ORDER BY event_type, hour""".stripMargin),
 
     // Mirrors Retrieval.qlTopK literal for literal: μ enters only as
     // the parsed 2000.0, cf/tf/dl/T are exact integers, one ln per

@@ -230,4 +230,45 @@ object Temporal {
     df.groupBy(col(keyCol))
       .agg((if (maxima.length == 1) maxima.head else greatest(maxima: _*)).as("funnel_stage"))
   }
+
+  /** Burst detection over per-type hourly event counts — the crawl/
+    * ingest monitoring signal (a scraper going hot, a feed replaying,
+    * a bot storm): each hour's count z-scored against the trailing
+    * `lookback` hours of the SAME type.
+    *
+    * Determinism discipline: the rolling window aggregates EXACT
+    * integers (count, sum, sum of squares — never a float running
+    * aggregate whose summation order could differ between engines);
+    * mean/variance/z derive from those integers in one fixed op nest
+    * mirrored literal-for-literal by the oracle, z rounds at 6 BEFORE
+    * the burst compare. `+1.0` regularizes the variance so a flat
+    * history (variance 0) yields a finite z instead of a division by
+    * zero. Rows need `n >= 3` trailing hours to score.
+    *
+    * Scale shape: one map-side-combined count per (type, hour) — the
+    * shuffle carries the bounded (types × hours) table — then windows
+    * over THAT, never the event log.
+    */
+  def eventBursts(events: DataFrame, typeCol: String, tsCol: String,
+      lookback: Int = 6, zThreshold: Double = 3.0): DataFrame = {
+    require(lookback >= 3, s"lookback must be >= 3, got $lookback")
+    val hourly = events.groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-lookback, -1)
+    hourly
+      .withColumn("n", count(col("c")).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("ss", sum(col("c") * col("c")).over(w))
+      .filter(col("n") >= 3)
+      .withColumn("mean_prev", round(col("s").cast("double") / col("n"), 6))
+      .withColumn("z", round(
+        (col("c") - col("s").cast("double") / col("n"))
+          / sqrt((col("ss").cast("double") - col("s").cast("double") * col("s") / col("n"))
+              / (col("n") - 1) + lit(1.0)), 6))
+      .withColumn("burst", (col("z") >= zThreshold).cast("int"))
+      .select(col("event_type"), col("hour"), col("c"),
+        col("mean_prev"), col("z"), col("burst"))
+  }
 }

@@ -388,7 +388,13 @@ object PlanCheck {
     // scoring joins, top-k as per-partition heaps, never a global sort
     Expectation("q116_ql_search",
       mustContain = Seq("TakeOrderedAndProject"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // bursts: one map-side-combined (type, hour) count, windows over
+    // the bounded hourly table — no join anywhere near the event log
+    Expectation("q117_event_bursts",
+      mustContain = Seq("HashAggregate", "Window"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
