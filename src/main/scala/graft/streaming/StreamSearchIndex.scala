@@ -31,10 +31,18 @@ import graft.textops.Retrieval
   * [[DurableSearchIndexSession]] commits each batch's delta rows to
   * two [[DurableLedger]]s (docs + postings): replay overwrites the
   * batch's own directories, restarts resume from disk, and compaction
-  * is a row concatenation the read-side distinct re-collapses.
-  * Re-ingesting a MODIFIED document id is an upsert problem (the
-  * [[graft.plans.Merge]] seam), not handled here — the contract is
-  * append-only doc ids, the same as the other document sessions.
+  * is a row concatenation the read side re-resolves.
+  *
+  * UPDATES AND DELETES (the [[graft.plans.Merge]] seam expressed in
+  * ledger form): every committed row carries its batch id as a
+  * VERSION, and the read side resolves newest-version-wins per doc id
+  * — so re-ingesting a modified document simply out-versions its old
+  * rows (they become dead weight until a compaction rewrite), and a
+  * delete commits a `dl = -1` tombstone doc row the read side filters
+  * after resolution. Both are per-doc facts like everything else
+  * here: replay of an upsert or delete batch overwrites its own
+  * directory with identical rows, and compaction's concat fold
+  * changes no winner.
   */
 object StreamSearchIndex {
 
@@ -56,6 +64,26 @@ object StreamSearchIndex {
         .select(col("id").cast("long").as("id"), col("term"), col("tf"))
       docsState = docsState.union(d).distinct().localCheckpoint()
       postState = postState.union(p).distinct().localCheckpoint()
+    }
+
+    /** Re-index the batch's doc ids: existing rows for those ids are
+      * replaced (new docs just insert — `upsert` of an unseen id ≡
+      * `ingest`).
+      */
+    def upsert(batch: DataFrame): Unit = {
+      val ids = batch.select(col(idCol).cast("long").as("id")).distinct()
+        .localCheckpoint()
+      docsState = docsState.join(ids, Seq("id"), "left_anti")
+      postState = postState.join(ids, Seq("id"), "left_anti")
+      ingest(batch)
+    }
+
+    /** Drop documents from the index. */
+    def delete(ids: Seq[Long]): Unit = {
+      import spark.implicits._
+      val d = ids.toDF("id")
+      docsState = docsState.join(d, Seq("id"), "left_anti").localCheckpoint()
+      postState = postState.join(d, Seq("id"), "left_anti").localCheckpoint()
     }
 
     def searchBm25(queryTerms: Seq[String], k: Int): DataFrame =
@@ -92,24 +120,72 @@ object StreamSearchIndex {
     private val docsPath = s"$rootPath/docs"
     private val postPath = s"$rootPath/postings"
     private val docsSchema = StructType(Seq(
-      StructField("id", LongType), StructField("dl", LongType)))
+      StructField("id", LongType), StructField("dl", LongType),
+      StructField("ver", LongType)))
     private val postSchema = StructType(Seq(
       StructField("id", LongType), StructField("term", StringType),
-      StructField("tf", LongType)))
+      StructField("tf", LongType), StructField("ver", LongType)))
 
+    /** Winning `(id, ver)` per doc id — newest committed version. */
+    private def winners: DataFrame =
+      DurableLedger.load(spark, docsPath, docsSchema)
+        .groupBy(col("id")).agg(max(col("ver")).as("ver"))
+
+    /** The LIVE `(id, dl)` table: newest version per id, tombstones
+      * (`dl = -1`) filtered after resolution.
+      */
     def docs: DataFrame =
-      DurableLedger.load(spark, docsPath, docsSchema).distinct()
+      DurableLedger.load(spark, docsPath, docsSchema)
+        .join(winners, Seq("id", "ver"))
+        .filter(col("dl") >= 0)
+        .select(col("id"), col("dl"))
+        .distinct()
+
+    /** The LIVE postings: rows of each id's winning version (a
+      * tombstone version committed no postings, so deleted docs
+      * resolve to nothing).
+      */
     def postings: DataFrame =
-      DurableLedger.load(spark, postPath, postSchema).distinct()
+      DurableLedger.load(spark, postPath, postSchema)
+        .join(winners, Seq("id", "ver"))
+        .select(col("id"), col("term"), col("tf"))
+        .distinct()
 
     def ingest(batch: DataFrame, batchId: Long): Unit = {
       val d = Retrieval.docStats(batch, idCol, textCol)
-        .select(col("id").cast("long").as("id"), col("dl").cast("long").as("dl"))
+        .select(col("id").cast("long").as("id"), col("dl").cast("long").as("dl"),
+          lit(batchId).as("ver"))
       val p = Retrieval.termPostings(batch, idCol, textCol)
         .select(col("id").cast("long").as("id"), col("term").cast("string").as("term"),
-          col("tf").cast("long").as("tf"))
+          col("tf").cast("long").as("tf"), lit(batchId).as("ver"))
       DurableLedger.commit(d, docsPath, batchId)
       DurableLedger.commit(p, postPath, batchId)
+      if (compactEvery > 0) {
+        DurableLedger.maybeCompact(spark, docsPath, docsSchema, compactEvery)
+        DurableLedger.maybeCompact(spark, postPath, postSchema, compactEvery)
+      }
+    }
+
+    /** Re-index the batch's doc ids: the new rows out-version the old
+      * ones (newest-wins resolution) — `upsert` of an unseen id is
+      * exactly `ingest`. The batch id must be NEWER than the versions
+      * it replaces (foreachBatch ids are monotone).
+      */
+    def upsert(batch: DataFrame, batchId: Long): Unit = ingest(batch, batchId)
+
+    /** Drop documents: commits `dl = -1` tombstone rows that win the
+      * resolution and are filtered from the live table (their version
+      * has no postings).
+      */
+    def delete(ids: Seq[Long], batchId: Long): Unit = {
+      import spark.implicits._
+      val d = ids.toDF("id")
+        .select(col("id"), lit(-1L).as("dl"), lit(batchId).as("ver"))
+      DurableLedger.commit(d, docsPath, batchId)
+      DurableLedger.commit(
+        ids.take(0).map(i => (i, "", 0L)).toDF("id", "term", "tf")
+          .select(col("id"), col("term"), col("tf"), lit(batchId).as("ver")),
+        postPath, batchId)
       if (compactEvery > 0) {
         DurableLedger.maybeCompact(spark, docsPath, docsSchema, compactEvery)
         DurableLedger.maybeCompact(spark, postPath, postSchema, compactEvery)

@@ -51,6 +51,41 @@ class StreamSearchIndexSpec extends SparkSpec {
       rows(Retrieval.bm25TopK(df, "doc_id", "text", Query, K)))
   }
 
+  test("upsert re-indexes modified docs, delete removes them — both sessions") {
+    val v1 = Seq((1L, "spark join spark"), (2L, "spark window"), (3L, "join join"))
+    val v2docs = Seq((1L, "window window window"))   // doc 1 rewritten
+    val afterUpsert = Seq((1L, "window window window"), (2L, "spark window"), (3L, "join join"))
+    val afterDelete = afterUpsert.filterNot(_._1 == 2L)
+    def expect(corpus: Seq[(Long, String)]) =
+      rows(Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text", Query, K))
+
+    // in-memory
+    val mem = new StreamSearchIndex.SearchIndexSession(spark, "doc_id", "text")
+    mem.ingest(v1.toDF("doc_id", "text"))
+    mem.upsert(v2docs.toDF("doc_id", "text"))
+    assert(rows(mem.searchBm25(Query, K)) === expect(afterUpsert))
+    mem.delete(Seq(2L))
+    assert(rows(mem.searchBm25(Query, K)) === expect(afterDelete))
+
+    // durable: versions resolve newest-wins, tombstones filter, and a
+    // restart sees the post-delete state
+    val dir = java.nio.file.Files.createTempDirectory("searchidx_up").toString
+    val dur = new StreamSearchIndex.DurableSearchIndexSession(
+      spark, dir, "doc_id", "text", compactEvery = 2)
+    dur.ingest(v1.toDF("doc_id", "text"), 0L)
+    dur.upsert(v2docs.toDF("doc_id", "text"), 1L)
+    assert(rows(dur.searchBm25(Query, K)) === expect(afterUpsert))
+    dur.delete(Seq(2L), 2L)
+    assert(rows(dur.searchBm25(Query, K)) === expect(afterDelete))
+    // replay the delete batch — identical tombstone, nothing changes
+    dur.delete(Seq(2L), 2L)
+    assert(rows(dur.searchBm25(Query, K)) === expect(afterDelete))
+    val reopened = new StreamSearchIndex.DurableSearchIndexSession(spark, dir, "doc_id", "text")
+    assert(rows(reopened.searchBm25(Query, K)) === expect(afterDelete))
+    assert(rows(reopened.searchQl(Query, K)) ===
+      rows(Retrieval.qlTopK(afterDelete.toDF("doc_id", "text"), "doc_id", "text", Query, K)))
+  }
+
   test("durable session: restart resumes, replay exactly-once, compaction stable") {
     val dir = java.nio.file.Files.createTempDirectory("searchidx").toString
     val all = docs
