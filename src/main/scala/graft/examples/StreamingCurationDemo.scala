@@ -5,7 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.streaming.{StreamContamination, StreamCorpusOverlap, StreamSpanDedup, StreamVectorIndex}
+import graft.streaming.{StreamContamination, StreamCorpusOverlap,
+  StreamLengthStats, StreamSearchIndex, StreamSpanDedup, StreamVectorIndex}
 import graft.textops.{CurationOps, TextAnalysis}
 import graft.vectors.Vectors
 
@@ -57,6 +58,10 @@ object StreamingCurationDemo {
     val sketch = new StreamCorpusOverlap.DurableOverlapSession(
       spark, s"$base/kmv", "text", k = 128, compactEvery = 2)
     val benchSketch = StreamCorpusOverlap.sketch(bench, "text", 128)
+    val search = new StreamSearchIndex.DurableSearchIndexSession(
+      spark, s"$base/search", "doc_id", "text", compactEvery = 2)
+    val lenStats = new StreamLengthStats.DurableLengthStatsSession(
+      spark, s"$base/lenstats", "corpus", "text", compactEvery = 2)
 
     def embedded(df: DataFrame) =
       graft.multimodal.Multimodal.embedStub(
@@ -91,9 +96,13 @@ object StreamingCurationDemo {
         val kept = survivors.join(
           out.filter($"n_chunks" > $"n_dropped").select($"doc_id"), "doc_id")
         admitted += kept.count()
-        // 3. durable index + overlap sketch
+        // 3. durable indexes + maintained statistics: vector index,
+        //    overlap sketch, live BM25/QL search index, exact length
+        //    percentiles — all advance per batch, all restart-safe
         ivf.ingest(embedded(kept), batchId)
         sketch.ingest(kept, batchId)
+        search.ingest(kept, batchId)
+        lenStats.ingest(kept.withColumn("corpus", lit("all")), batchId)
         ()
       }
       .start()
@@ -112,6 +121,14 @@ object StreamingCurationDemo {
     println(f"admitted:  $admitted%5d with novel content after history dedup")
     println(f"index:     ${ivf.index.count()}%5d vectors (probe search -> ${hits.count()} rows)")
     println(f"vs bench:  est Jaccard ${est.estJaccard}%.3f, est union ${est.estUnion}%.0f shingles")
+    val top = search.searchBm25(Seq("spark", "join", "window"), 3)
+      .select($"id", $"score").as[(Long, Double)].collect()
+    println(s"live search: bm25 top-3 for [spark join window] -> " +
+      top.map { case (id, s) => f"$id:$s%.3f" }.mkString(", "))
+    val ls = lenStats.currentStats
+      .select($"n_docs", $"p50_tokens", $"p99_tokens")
+      .as[(Long, Double, Double)].head()
+    println(f"length stats: ${ls._1} admitted docs, p50 ${ls._2}%.1f / p99 ${ls._3}%.1f tokens (exact, maintained)")
     spark.stop()
   }
 }
