@@ -250,11 +250,29 @@ object Temporal {
     * over THAT, never the event log.
     */
   def eventBursts(events: DataFrame, typeCol: String, tsCol: String,
-      lookback: Int = 6, zThreshold: Double = 3.0): DataFrame = {
-    require(lookback >= 3, s"lookback must be >= 3, got $lookback")
-    val hourly = events.groupBy(col(typeCol).as("event_type"),
+      lookback: Int = 6, zThreshold: Double = 3.0): DataFrame =
+    burstsFromHourly(hourlyCounts(events, typeCol, tsCol), lookback, zThreshold)
+
+  /** Phase 1 (shared with the streaming twin): exact per-(type, hour)
+    * counts — one map-side-combined aggregate; additive, so a stream
+    * ledger maintains it by integer merge.
+    */
+  private[graft] def hourlyCounts(
+      events: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    events.groupBy(col(typeCol).as("event_type"),
         date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count(lit(1)).as("c"))
+
+  /** Phase 2 (shared with the streaming twin): the z computation over
+    * an `(event_type, hour, c)` table. Accepts un-combined tables
+    * (duplicate (type, hour) delta rows from a ledger fold) — counts
+    * re-combine in the first aggregation.
+    */
+  private[graft] def burstsFromHourly(hourlyRaw: DataFrame,
+      lookback: Int = 6, zThreshold: Double = 3.0): DataFrame = {
+    require(lookback >= 3, s"lookback must be >= 3, got $lookback")
+    val hourly = hourlyRaw.groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("c")).as("c"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
       .rowsBetween(-lookback, -1)
     hourly
