@@ -33,6 +33,22 @@ class StreamLengthStatsSpec extends SparkSpec {
       CurationOps.lengthPercentiles(df, "lang", "text"))
   }
 
+  test("histogram ≡ percentile_cont on randomized corpora (20 trials)") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 20) {
+      val nStrata = 1 + rnd.nextInt(4)
+      val rows = (1 to 40 + rnd.nextInt(200)).map { i =>
+        val words = 0 to rnd.nextInt(30)
+        (i.toLong, s"s${rnd.nextInt(nStrata)}",
+          words.drop(1).map(_ => s"w${rnd.nextInt(9)}").mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "lang", "text")
+      assertSame(
+        CurationOps.lengthPercentilesByHistogram(df, "lang", "text"),
+        CurationOps.lengthPercentiles(df, "lang", "text"))
+    }
+  }
+
   test("session stats after any batching equal the batch operator on the union") {
     val all = docs
     val session = new StreamLengthStats.LengthStatsSession(spark, "lang", "text")
