@@ -124,6 +124,89 @@ object StreamHeavyHitters {
         .start()
   }
 
+  /** Per-GROUP deterministic batch summaries — one MG summary per
+    * group from one distributed pass (counts → per-group top-(cap+1)
+    * via a rank the planner runs as WindowGroupLimit → driver prune).
+    * Items outside a group's top capacity+1 rows cannot exceed that
+    * group's prune value, so the collected rows suffice exactly like
+    * the flat [[batchSummary]]. Groups are control-plane-bounded
+    * strata (the [[graft.textops.HeavyHitters.heavyHittersByGroup]]
+    * assumption).
+    *
+    * Returns group → (residuals, batchTotal, pruneError).
+    */
+  def batchSummaryByGroup(batch: DataFrame, groupCol: String, itemCol: String,
+      capacity: Int): Map[String, (Map[String, Long], Long, Long)] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = batch.select(col(groupCol).cast("string").as("grp"),
+        col(itemCol).cast("string").as("item"))
+      .groupBy($"grp", $"item").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val totals = counts.groupBy($"grp").agg(sum($"c").as("t"))
+      .as[(String, Long)].collect().toMap
+    val top = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"grp").orderBy($"c".desc, $"item".asc)))
+      .filter($"rk" <= capacity + 1)
+      .select($"grp", $"item", $"c", $"rk")
+      .as[(String, String, Long, Int)].collect()
+    top.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.sortBy(_._4)
+      if (sorted.length <= capacity)
+        g -> (sorted.map(r => r._2 -> r._3).toMap, totals(g), 0L)
+      else {
+        val t = sorted.last._3
+        g -> (sorted.collect { case (_, item, c, _) if c > t => item -> (c - t) }
+          .toMap, totals(g), t)
+      }
+    }
+  }
+
+  /** Per-group [[HhSession]]: one MG state per group, merged and
+    * error-tracked independently — the live per-domain boilerplate /
+    * per-language stop-list watch-lists. State is
+    * ≤ capacity × |groups| counters.
+    */
+  final class GroupedHhSession(groupCol: String, itemCol: String, capacity: Int) {
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    @volatile private var state: Map[String, Map[String, Long]] = Map.empty
+    @volatile private var totals: Map[String, Long] = Map.empty
+    @volatile private var errs: Map[String, Long] = Map.empty
+
+    def residuals: Map[String, Map[String, Long]] = state
+    def groupTotals: Map[String, Long] = totals
+    def errorBounds: Map[String, Long] = errs
+
+    def ingest(batch: DataFrame): Unit = {
+      val byGroup = batchSummaryByGroup(batch, groupCol, itemCol, capacity)
+      byGroup.foreach { case (g, (bs, btotal, berr)) =>
+        val (merged, merr) = mergeResiduals(state.getOrElse(g, Map.empty), bs, capacity)
+        state += (g -> merged)
+        totals += (g -> (totals.getOrElse(g, 0L) + btotal))
+        errs += (g -> (errs.getOrElse(g, 0L) + berr + merr))
+      }
+    }
+
+    /** Per-group provable SUPERSET of the items at group support
+      * ≥ supportPpm/10⁶ — the watch-lists an exact per-group verify
+      * pass ([[graft.textops.HeavyHitters.heavyHittersByGroup]]) makes
+      * exact.
+      */
+    def candidates(supportPpm: Long): Map[String, Map[String, Long]] =
+      state.map { case (g, s) =>
+        g -> StreamHeavyHitters.candidateFilter(
+          s, totals.getOrElse(g, 0L), errs.getOrElse(g, 0L), supportPpm)
+      }
+
+    def start(items: DataFrame): StreamingQuery =
+      items.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) => ingest(batch) }
+        .start()
+  }
+
   private val LedgerSchema = StructType(Seq(
     StructField("item", StringType), // null ⇒ batch-control row
     StructField("n", LongType),      // residual, or batch total on control row
@@ -173,6 +256,72 @@ object StreamHeavyHitters {
       val (state, total, err) = current
       StreamHeavyHitters.candidateFilter(state, total, err, supportPpm)
     }
+
+    def start(items: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+      val w = items.writeStream.outputMode("append")
+      checkpointLocation.foreach(w.option("checkpointLocation", _))
+      w.foreachBatch { (batch: DataFrame, batchId: Long) => ingest(batch, batchId) }
+        .start()
+    }
+  }
+
+  private val GroupedLedgerSchema = StructType(Seq(
+    StructField("grp", StringType),
+    StructField("item", StringType), // null ⇒ group's batch-control row
+    StructField("n", LongType),
+    StructField("err", LongType)))
+
+  /** [[GroupedHhSession]] with per-batch per-group summaries in a
+    * [[DurableLedger]] — the [[DurableHhSession]] contract with a
+    * group column: replay rewrites identical rows, the read-side fold
+    * sums residuals per (group, item) and prunes ONCE per group (so
+    * durable residuals are never less accurate than in-memory ones),
+    * and compaction never changes an answer.
+    */
+  final class DurableGroupedHhSession(spark: SparkSession, path: String,
+      groupCol: String, itemCol: String, capacity: Int, compactEvery: Int = 0) {
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+
+    def ingest(batch: DataFrame, batchId: Long): Unit = {
+      import spark.implicits._
+      val byGroup = batchSummaryByGroup(batch, groupCol, itemCol, capacity)
+      val rows = byGroup.iterator.flatMap { case (g, (bs, btotal, berr)) =>
+        bs.iterator.map { case (k, r) => (g, Option(k), r, 0L) } ++
+          Iterator((g, Option.empty[String], btotal, berr))
+      }.toSeq
+      DurableLedger.commit(rows.toDF("grp", "item", "n", "err"), path, batchId)
+      if (compactEvery > 0)
+        DurableLedger.maybeCompact(spark, path, GroupedLedgerSchema, compactEvery)
+      ()
+    }
+
+    /** group → (residuals, total, errorBound) folded from the ledger. */
+    def current: Map[String, (Map[String, Long], Long, Long)] = {
+      import spark.implicits._
+      val all = DurableLedger.load(spark, path, GroupedLedgerSchema)
+        .localCheckpoint(eager = true)
+      val ctl = all.filter(col("item").isNull)
+        .groupBy(col("grp"))
+        .agg(coalesce(sum("n"), lit(0L)).as("t"), coalesce(sum("err"), lit(0L)).as("e"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val summed = all.filter(col("item").isNotNull)
+        .groupBy(col("grp"), col("item")).agg(sum(col("n")).as("n"))
+        .as[(String, String, Long)].collect()
+        .groupBy(_._1)
+      ctl.map { case (g, (total, err)) =>
+        val s = summed.getOrElse(g, Array.empty).map(r => r._2 -> r._3).toMap
+        val (pruned, perr) =
+          if (s.size <= capacity) (s, 0L)
+          else mergeResiduals(s, Map.empty, capacity)
+        g -> ((pruned, total, err + perr))
+      }
+    }
+
+    def candidates(supportPpm: Long): Map[String, Map[String, Long]] =
+      current.map { case (g, (s, total, err)) =>
+        g -> StreamHeavyHitters.candidateFilter(s, total, err, supportPpm)
+      }
 
     def start(items: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
       val w = items.writeStream.outputMode("append")

@@ -112,4 +112,59 @@ class StreamHeavyHittersSpec extends SparkSpec {
     }
     assert(heavy.subsetOf(session.candidates(SupportPpm).keySet))
   }
+
+  // per-group fixtures: differently-sized and differently-skewed groups
+  private def groupedRows(seed: Int): Seq[(String, String)] =
+    zipfItems(3000, seed).map(("g1", _)) ++
+      zipfItems(400, seed + 1).map(("g2", _)) ++
+      Seq.fill(30)(("g3", "only"))
+
+  private def trueHeavyByGroup(rows: Seq[(String, String)]): Map[String, Set[String]] =
+    rows.groupBy(_._1).map { case (g, rs) =>
+      g -> trueHeavy(rs.map(_._2))
+    }
+
+  test("grouped session: per-group guarantees, candidates superset per-group heavy hitters") {
+    val rows = groupedRows(17)
+    val session = new StreamHeavyHitters.GroupedHhSession("grp", "item", Capacity)
+    val rnd = new scala.util.Random(5)
+    rnd.shuffle(rows).grouped(700).foreach { b =>
+      session.ingest(b.toDF("grp", "item"))
+    }
+    val exactByGroup = rows.groupBy(_._1).map { case (g, rs) => g -> exactCounts(rs.map(_._2)) }
+    // never overcount, per group
+    session.residuals.foreach { case (g, s) =>
+      s.foreach { case (k, r) => assert(r <= exactByGroup(g)(k), s"$g/$k overcounts") }
+      assert(s.size <= Capacity)
+    }
+    assert(session.groupTotals === Map("g1" -> 3000L, "g2" -> 400L, "g3" -> 30L))
+    // candidates superset the true per-group heavy hitters (g3's 100%
+    // item included)
+    val cand = session.candidates(SupportPpm)
+    trueHeavyByGroup(rows).foreach { case (g, heavy) =>
+      assert(heavy.subsetOf(cand.getOrElse(g, Map.empty).keySet), s"group $g")
+    }
+    assert(cand("g3").keySet === Set("only"))
+  }
+
+  test("grouped durable session: replay-idempotent, restart, per-group superset") {
+    val dir = java.nio.file.Files.createTempDirectory("ghh").toString
+    val rows = groupedRows(23)
+    val batches = rows.grouped((rows.size + 2) / 3).toSeq
+    val s1 = new StreamHeavyHitters.DurableGroupedHhSession(
+      spark, dir, "grp", "item", Capacity, compactEvery = 2)
+    batches.zipWithIndex.foreach { case (b, i) => s1.ingest(b.toDF("grp", "item"), i.toLong) }
+    val before = s1.current
+    // replay the last batch: identical summary rows overwrite
+    s1.ingest(batches.last.toDF("grp", "item"), (batches.size - 1).toLong)
+    assert(s1.current === before)
+    // restart
+    val s2 = new StreamHeavyHitters.DurableGroupedHhSession(
+      spark, dir, "grp", "item", Capacity)
+    assert(s2.current === before)
+    val cand = s2.candidates(SupportPpm)
+    trueHeavyByGroup(rows).foreach { case (g, heavy) =>
+      assert(heavy.subsetOf(cand.getOrElse(g, Map.empty).keySet), s"group $g")
+    }
+  }
 }
