@@ -43,6 +43,11 @@ object EventAnalyticsDemo {
       .groupBy($"user_id").agg(count(lit(1)).as("sessions"))
       .orderBy($"sessions".desc, $"user_id").limit(5).show(false)
 
+    println("== burst monitor: top-5 hours by z-score per event type ==")
+    Temporal.eventBursts(events, "event_type", "ts")
+      .orderBy($"z".desc, $"event_type", $"hour").limit(5)
+      .select($"event_type", $"hour", $"c", $"z", $"burst").show(false)
+
     println("== trade-graph PageRank: top-5 nations by rank ==")
     val li = Tables.load(spark, sfDir, "lineitem").select($"l_orderkey", $"l_suppkey")
     val sup = Tables.load(spark, sfDir, "supplier").select($"s_suppkey", $"s_nationkey")
