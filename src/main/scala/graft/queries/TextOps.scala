@@ -200,6 +200,86 @@ object TextOps {
         .orderBy($"cnt".desc, $"item".asc)
     },
 
+    // ---- Count-Min sketch TABLE (Cormode & Muthukrishnan 2005): the
+    // depth×width counter summary of the corpus word stream — every
+    // cell an integer derived from the shared salted 60-bit md5, so
+    // the driver hash-compares the SKETCH ITSELF against the oracle
+    // (not an error envelope). Shuffle keys ≤ depth·width regardless
+    // of corpus size — the mergeable-summary 100 TB shape.
+    "q118_cms_sketch" -> { (s, dir) =>
+      import s.implicits._
+      val toks = docsParallel(s, dir)
+        .select(explode(graft.textops.TextTokens.wordsCol($"text")).as("word"))
+      graft.sketch.Sketches.cmsTable(toks, "word", CmsDepth, CmsWidth)
+        .orderBy($"sk_row", $"bucket")
+    },
+
+    // ---- Count-Min point estimates end-to-end: the 50 first distinct
+    // words probed against the q118 sketch next to their exact counts
+    // — `cms_est ≥ exact_cnt` with the overcount being collisions both
+    // engines reproduce identically. The sketch broadcasts; the probe
+    // set is bounded (TakeOrdered).
+    "q119_cms_estimates" -> { (s, dir) =>
+      import s.implicits._
+      val toks = docsParallel(s, dir)
+        .select(explode(graft.textops.TextTokens.wordsCol($"text")).as("word"))
+      val sketch = graft.sketch.Sketches.cmsTable(toks, "word", CmsDepth, CmsWidth)
+      val probes = toks.groupBy($"word".as("item"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy($"item".asc).limit(50)
+      graft.sketch.Sketches.cmsEstimates(probes, "item", sketch, CmsDepth, CmsWidth)
+        .join(probes, Seq("item"))
+        .select($"item", $"exact_cnt", $"cms_est")
+        .orderBy($"item")
+    },
+
+    // ---- HyperLogLog register table (Flajolet et al. 2007), hand-
+    // rolled on the shared hash so every register is cross-engine
+    // exact (unlike the opaque DataSketches blobs behind
+    // StreamDistinctCount): idx = top-p hash bits, r = max
+    // leading-zero rank. Max-merge ⇒ duplicate- and replay-
+    // insensitive; one map-side-combined aggregate over 2^p keys.
+    "q120_hll_registers" -> { (s, dir) =>
+      import s.implicits._
+      val toks = docsParallel(s, dir)
+        .select(explode(graft.textops.TextTokens.wordsCol($"text")).as("word"))
+      graft.sketch.Sketches.hllRegisters(toks, "word", HllP)
+        .orderBy($"idx")
+    },
+
+    // ---- the HLL estimator over q120's registers: exact-integer
+    // harmonic numerator z_int (absent registers reinstated at rank
+    // 0), zero-register count, and the raw Flajolet estimate as ONE
+    // fixed-order IEEE expression — the only float in the gate,
+    // bit-identical across engines (no ln: the small-range correction
+    // is spec-verified, not gated).
+    "q121_hll_estimate" -> { (s, dir) =>
+      import s.implicits._
+      val toks = docsParallel(s, dir)
+        .select(explode(graft.textops.TextTokens.wordsCol($"text")).as("word"))
+      graft.sketch.Sketches.hllEstimate(
+        graft.sketch.Sketches.hllRegisters(toks, "word", HllP), HllP)
+    },
+
+    // ---- Bloom-filter decontamination probe, cross-engine-exact: the
+    // benchmark partition's shingles set k salted bits over m; every
+    // doc reports how many of its shingles the filter claims present
+    // (n_hits ≥ true containment — the surplus is false positives both
+    // engines reproduce bit-for-bit). The verifiable twin of q30's
+    // codegen'd bloom_filter_agg path; bit table broadcasts (≤ m
+    // longs) — the corpus never shuffles for the membership test.
+    "q122_bloom_probe" -> { (s, dir) =>
+      import s.implicits._
+      val sh = docsParallel(s, dir).select($"doc_id",
+        explode(graft.textops.NearDup.shinglesCol($"text", 3)).as("shingle"))
+      val bits = graft.sketch.Sketches.bloomBits(
+        sh.filter($"doc_id" % 19 === 0).select($"shingle"), "shingle",
+        BloomK, BloomM)
+      graft.sketch.Sketches.bloomProbe(sh, "doc_id", "shingle", bits, BloomK, BloomM)
+        .select($"id".as("doc_id"), $"n_items", $"n_hits")
+        .orderBy($"doc_id")
+    },
+
     // ---- script-mix fractions (wrong-script / mojibake detector):
     // per-doc char-class ratios over text augmented with a fixed
     // multilingual tail, classes as explicit code-point ranges so Java
@@ -382,6 +462,20 @@ object TextOps {
   private val HhCapacity = 512
   private val JwThreshold = 0.85
   private val DomainCapK = 5
+
+  /** Sketch-gate shapes (q118-q122). CMS 4×512 keeps the table bounded
+    * (≤ 2048 rows) while small enough that sf0.01 word counts actually
+    * collide — the estimator's overcount path is exercised, not
+    * vacuous. HLL p=8 → 256 registers, W = 52 rank bits (z_int max
+    * 256·2^53 = 2^61 < 2^63 — the exact-integer harmonic numerator
+    * fits). Bloom 3×16384 over benchmark shingles: ~sf-scaled load
+    * factor with a measurable false-positive surplus at sf0.01.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+  private val HllP = 8
+  private val BloomK = 3
+  private val BloomM = 16384
 
   private[queries] val WordsCte =
     """WITH words AS (
@@ -720,6 +814,114 @@ object TextOps {
         |GROUP BY item, n.n_total
         |HAVING CAST(COUNT(*) AS BIGINT) * 1000000 >= n.n_total * $HhSupportPpm
         |ORDER BY cnt DESC, item ASC""".stripMargin),
+
+    // The CMS table cell-for-cell: the salted 60-bit md5 (HashSql with
+    // the row index folded into the hashed string) mod width, counted.
+    "q118_cms_sketch" -> (WordsCte +
+      s""", w AS (SELECT unnest(ws) AS item FROM words),
+        |c AS (
+        |  SELECT i AS sk_row,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || item), 1, 15)) AS BIGINT)
+        |           % $CmsWidth AS bucket
+        |  FROM w, unnest(generate_series(0, ${CmsDepth - 1})) AS t(i))
+        |SELECT sk_row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM c GROUP BY 1, 2 ORDER BY sk_row, bucket""".stripMargin),
+
+    // Point estimates: min over the depth rows of the probed cells,
+    // next to the exact counts of the same bounded probe set.
+    "q119_cms_estimates" -> (WordsCte +
+      s""", w AS (SELECT unnest(ws) AS item FROM words),
+        |pr AS (
+        |  SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |  FROM w GROUP BY 1 ORDER BY item ASC LIMIT 50),
+        |c AS (
+        |  SELECT i AS sk_row,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || item), 1, 15)) AS BIGINT)
+        |           % $CmsWidth AS bucket
+        |  FROM w, unnest(generate_series(0, ${CmsDepth - 1})) AS t(i)),
+        |sk AS (SELECT sk_row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM c GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT pr.item, t.i AS sk_row,
+        |         CAST(('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || pr.item), 1, 15)) AS BIGINT)
+        |           % $CmsWidth AS bucket
+        |  FROM pr, unnest(generate_series(0, ${CmsDepth - 1})) AS t(i)),
+        |est AS (
+        |  SELECT pc.item,
+        |         MIN(coalesce(sk.cnt, CAST(0 AS BIGINT))) AS cms_est
+        |  FROM pc LEFT JOIN sk USING (sk_row, bucket)
+        |  GROUP BY 1)
+        |SELECT pr.item, pr.exact_cnt, est.cms_est
+        |FROM pr JOIN est USING (item) ORDER BY item""".stripMargin),
+
+    // HLL registers: idx = top-8 hash bits, rank = 53 − bitlength of
+    // the low 52 bits (bin() drops leading zeros in both engines;
+    // all-zero rest saturates at 53), register = max rank.
+    "q120_hll_registers" -> (WordsCte +
+      """, w AS (SELECT unnest(ws) AS item FROM words),
+        |h AS (SELECT CAST(('0x' || substr(md5('0:' || item), 1, 15)) AS BIGINT) AS h FROM w),
+        |rr AS (
+        |  SELECT h >> 52 AS idx,
+        |         CASE WHEN (h & 4503599627370495) = 0 THEN 53
+        |              ELSE 53 - length(bin(h & 4503599627370495)) END AS rank
+        |  FROM h)
+        |SELECT idx, CAST(MAX(rank) AS BIGINT) AS r
+        |FROM rr GROUP BY idx ORDER BY idx""".stripMargin),
+
+    // The estimator over the q120 registers: exact-integer harmonic
+    // numerator (absent registers contribute 2^53), then the raw
+    // Flajolet estimate as the identical fixed-order IEEE expression
+    // (explicit DOUBLE casts — DuckDB would otherwise read the alpha
+    // literals as DECIMAL).
+    "q121_hll_estimate" -> (WordsCte +
+      """, w AS (SELECT unnest(ws) AS item FROM words),
+        |h AS (SELECT CAST(('0x' || substr(md5('0:' || item), 1, 15)) AS BIGINT) AS h FROM w),
+        |rr AS (
+        |  SELECT h >> 52 AS idx,
+        |         CASE WHEN (h & 4503599627370495) = 0 THEN 53
+        |              ELSE 53 - length(bin(h & 4503599627370495)) END AS rank
+        |  FROM h),
+        |reg AS (SELECT idx, MAX(rank) AS r FROM rr GROUP BY idx),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+        |         CAST(SUM(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS z_present
+        |  FROM reg)
+        |SELECT CAST(256 AS BIGINT) AS m,
+        |       CAST(256 AS BIGINT) - n_present AS zeros,
+        |       coalesce(z_present, CAST(0 AS BIGINT))
+        |         + (CAST(256 AS BIGINT) - n_present) * (CAST(1 AS BIGINT) << 53) AS z_int,
+        |       (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+        |         * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+        |         / CAST(coalesce(z_present, CAST(0 AS BIGINT))
+        |                + (CAST(256 AS BIGINT) - n_present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+        |         AS est_raw
+        |FROM agg""".stripMargin),
+
+    // Bloom probe over the q16/q17 shingle relation: the benchmark
+    // partition's k salted bit positions (distinct), every doc's
+    // shingles probed — a shingle is claimed present iff all k
+    // positions are set (duplicate positions within one shingle's k
+    // hashes count twice in BOTH engines — consistent).
+    "q122_bloom_probe" -> (ShinglesCte +
+      s""", bb AS (
+        |  SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)
+        |      % $BloomM AS pos
+        |  FROM sh, unnest(generate_series(0, ${BloomK - 1})) AS t(i)
+        |  WHERE doc_id % 19 = 0),
+        |pp AS (
+        |  SELECT doc_id, shingle,
+        |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)
+        |      % $BloomM AS pos
+        |  FROM sh, unnest(generate_series(0, ${BloomK - 1})) AS t(i)),
+        |hit AS (
+        |  SELECT doc_id, shingle FROM pp JOIN bb USING (pos)
+        |  GROUP BY doc_id, shingle HAVING COUNT(*) = $BloomK),
+        |n_i AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_items FROM sh GROUP BY doc_id),
+        |n_h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hit GROUP BY doc_id)
+        |SELECT n_i.doc_id, n_i.n_items,
+        |       coalesce(n_h.n_hits, CAST(0 AS BIGINT)) AS n_hits
+        |FROM n_i LEFT JOIN n_h USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // Per-group twin of q108's oracle: the direct per-language
     // support-threshold HAVING, pure integers.

@@ -394,7 +394,36 @@ object PlanCheck {
     Expectation("q117_event_bursts",
       mustContain = Seq("HashAggregate", "Window"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
-        "CartesianProduct")))
+        "CartesianProduct")),
+    // CMS table: ONE map-side-combined aggregate over ≤ depth·width
+    // keys — no join anywhere; the summary, not the type table,
+    // crosses the exchange
+    Expectation("q118_cms_sketch",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")),
+    // CMS estimates: the bounded sketch/probe tables broadcast into
+    // the lookup joins; probe top-50 is a TakeOrdered, not a sort
+    Expectation("q119_cms_estimates",
+      mustContain = Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // HLL registers: pure per-row bit math into one map-side-combined
+    // max over 2^p keys — no join
+    Expectation("q120_hll_registers",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")),
+    // HLL estimate: the register fold collapses to a single-row
+    // aggregate — still no join
+    Expectation("q121_hll_estimate",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")),
+    // Bloom probe: the ≤ m-row bit table broadcasts into a left-semi
+    // membership join — the corpus side never shuffles for the lookup
+    Expectation("q122_bloom_probe",
+      mustContain = Seq("BroadcastHashJoin", "LeftSemi"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
