@@ -261,6 +261,58 @@ object TextOps {
         graft.sketch.Sketches.hllRegisters(toks, "word", HllP), HllP)
     },
 
+    // ---- per-group HLL registers (q120 one level down: distinct
+    // words per language — the per-domain distinct-URL telemetry
+    // shape): one map-side-combined max over groups × 2^p keys.
+    "q124_hll_grouped" -> { (s, dir) =>
+      import s.implicits._
+      val toks = docsParallel(s, dir).select($"lang",
+        explode(graft.textops.TextTokens.wordsCol($"text")).as("word"))
+      graft.sketch.Sketches.hllRegistersByGroup(toks, "lang", "word", HllP)
+        .select($"grp".as("lang"), $"idx", $"r")
+        .orderBy($"lang", $"idx")
+    },
+
+    // ---- CMS inner product (corpus frequency-vector overlap without
+    // joining the corpora): the two corpus halves sketched separately,
+    // the estimate min_i Σ_b a·b next to the exact inner product —
+    // est ≥ true with identical collision surplus in both engines.
+    "q125_cms_inner_product" -> { (s, dir) =>
+      import s.implicits._
+      val toks = docsParallel(s, dir).select($"doc_id",
+        explode(graft.textops.TextTokens.wordsCol($"text")).as("word"))
+      val a = graft.sketch.Sketches.cmsTable(
+        toks.filter($"doc_id" % 3 =!= 0), "word", CmsDepth, CmsWidth)
+      val b = graft.sketch.Sketches.cmsTable(
+        toks.filter($"doc_id" % 3 === 0), "word", CmsDepth, CmsWidth)
+      val est = graft.sketch.Sketches.cmsInnerProduct(a, b)
+      val ea = toks.filter($"doc_id" % 3 =!= 0)
+        .groupBy($"word").agg(count(lit(1)).as("na"))
+      val eb = toks.filter($"doc_id" % 3 === 0)
+        .groupBy($"word").agg(count(lit(1)).as("nb"))
+      val truth = ea.join(eb, "word")
+        .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("true_ip"))
+      truth.crossJoin(broadcast(est))
+    },
+
+    // ---- C4 line-level cleaning (Raffel et al. 2020): docs augmented
+    // with constructed lines exercising every rule (short,
+    // javascript-mention, no terminal punctuation, clean keeper), then
+    // the per-row filter — drop counts attributed to the first failing
+    // rule, and the CLEANED text hash-verified via kept_md5. Pure
+    // per-row array math; the plan is a map over the scan.
+    "q123_c4_line_filter" -> { (s, dir) =>
+      import s.implicits._
+      val aug = docsParallel(s, dir).select($"doc_id",
+        concat_ws("\n", $"text",
+          lit("too short"),
+          lit("Please enable JavaScript to view the comments."),
+          lit("A clean line with plenty of words here."),
+          lit("no terminal punctuation in this line")).as("aug"))
+      graft.textops.TextAnalysis.c4LineFilter(aug, "doc_id", "aug")
+        .orderBy($"doc_id")
+    },
+
     // ---- Bloom-filter decontamination probe, cross-engine-exact: the
     // benchmark partition's shingles set k salted bits over m; every
     // doc reports how many of its shingles the filter claims present
@@ -896,6 +948,92 @@ object TextOps {
         |                + (CAST(256 AS BIGINT) - n_present) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
         |         AS est_raw
         |FROM agg""".stripMargin),
+
+    // Per-language register tables: the q120 bit math keyed by lang.
+    "q124_hll_grouped" ->
+      """WITH words AS (
+        |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'),
+        |                           w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), w AS (SELECT lang, unnest(ws) AS item FROM words),
+        |h AS (SELECT lang, CAST(('0x' || substr(md5('0:' || item), 1, 15)) AS BIGINT) AS h FROM w),
+        |rr AS (
+        |  SELECT lang, h >> 52 AS idx,
+        |         CASE WHEN (h & 4503599627370495) = 0 THEN 53
+        |              ELSE 53 - length(bin(h & 4503599627370495)) END AS rank
+        |  FROM h)
+        |SELECT lang, idx, CAST(MAX(rank) AS BIGINT) AS r
+        |FROM rr GROUP BY lang, idx ORDER BY lang, idx""".stripMargin,
+
+    // Inner product: per-half sketches through the q118 cells, the
+    // min-over-rows fold (rows with no colliding buckets reinstated as
+    // 0), and the exact Σ na·nb beside it.
+    "q125_cms_inner_product" -> (WordsCte +
+      s""", w AS (SELECT doc_id, unnest(ws) AS item FROM words),
+        |ca AS (
+        |  SELECT i AS sk_row,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || item), 1, 15)) AS BIGINT)
+        |           % $CmsWidth AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM w, unnest(generate_series(0, ${CmsDepth - 1})) AS t(i)
+        |  WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT i AS sk_row,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || item), 1, 15)) AS BIGINT)
+        |           % $CmsWidth AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM w, unnest(generate_series(0, ${CmsDepth - 1})) AS t(i)
+        |  WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT ca.sk_row, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ipr
+        |  FROM ca JOIN cb USING (sk_row, bucket) GROUP BY 1),
+        |est AS (
+        |  SELECT MIN(coalesce(ip.ipr, CAST(0 AS BIGINT))) AS cms_ip
+        |  FROM (SELECT DISTINCT sk_row FROM ca) rs LEFT JOIN ip USING (sk_row)),
+        |ea AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS na FROM w
+        |       WHERE doc_id % 3 <> 0 GROUP BY 1),
+        |eb AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS nb FROM w
+        |       WHERE doc_id % 3 = 0 GROUP BY 1),
+        |tr AS (SELECT CAST(coalesce(SUM(ea.na * eb.nb), 0) AS BIGINT) AS true_ip
+        |       FROM ea JOIN eb USING (item))
+        |SELECT tr.true_ip, est.cms_ip FROM tr, est""".stripMargin),
+
+    // The C4 line rules mirrored with list lambdas: same augmented
+    // lines, same first-failing-rule attribution, and the kept lines
+    // rejoined + md5'd so the cleaned TEXT is compared, not just
+    // counts.
+    "q123_c4_line_filter" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10), text,
+        |           'too short',
+        |           'Please enable JavaScript to view the comments.',
+        |           'A clean line with plenty of words here.',
+        |           'no terminal punctuation in this line') AS aug
+        |  FROM documents
+        |), ls AS (
+        |  SELECT doc_id, string_split(aug, chr(10)) AS lines FROM aug
+        |)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(lines, l ->
+        |    NOT contains(lower(l), 'javascript')
+        |    AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 3
+        |    AND regexp_matches(rtrim(l), '[.!?"]$'))) AS BIGINT) AS n_kept,
+        |  CAST(len(list_filter(lines, l ->
+        |    contains(lower(l), 'javascript'))) AS BIGINT) AS n_js,
+        |  CAST(len(list_filter(lines, l ->
+        |    NOT contains(lower(l), 'javascript')
+        |    AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) < 3)) AS BIGINT) AS n_short,
+        |  CAST(len(list_filter(lines, l ->
+        |    NOT contains(lower(l), 'javascript')
+        |    AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 3
+        |    AND NOT regexp_matches(rtrim(l), '[.!?"]$'))) AS BIGINT) AS n_punct,
+        |  md5(array_to_string(list_filter(lines, l ->
+        |    NOT contains(lower(l), 'javascript')
+        |    AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 3
+        |    AND regexp_matches(rtrim(l), '[.!?"]$')), chr(10))) AS kept_md5
+        |FROM ls ORDER BY doc_id""".stripMargin,
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

@@ -92,6 +92,32 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
   }
 
+  /** CMS inner-product estimate (Cormode & Muthukrishnan 2005 §4.2):
+    * `⟨fa, fb⟩ ≈ min_i Σ_b a_i[b]·b_i[b]` — ≥ the true inner product
+    * (collision terms only ADD), the sketch-space answer to "how much
+    * do two corpora's frequency vectors overlap" that never joins the
+    * corpora themselves. Both inputs are [[cmsTable]] outputs with the
+    * SAME shape; they are sketch-sized, so the right side broadcasts
+    * and a depth-row fold finishes on the driver side of the plan. A
+    * row with no colliding buckets estimates 0 (reinstated via the
+    * left join — the estimator's min must see it).
+    *
+    * 100 TB note: cell counts are int64 corpus frequencies; the
+    * per-cell product of two web-scale hot cells can near 2^63 — at
+    * that scale shrink cells by sharding the corpus into several
+    * sketches and summing estimates (inner product is bilinear), or
+    * widen the sketch.
+    */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.select(col("sk_row"), col("bucket"), col("cnt").as("cnt_b"))
+    val perRow = a.join(broadcast(bb), Seq("sk_row", "bucket"))
+      .groupBy(col("sk_row"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("ipr"))
+    a.select(col("sk_row")).distinct()
+      .join(perRow, Seq("sk_row"), "left")
+      .agg(min(coalesce(col("ipr"), lit(0L))).as("cms_ip"))
+  }
+
   // ---- HyperLogLog ---------------------------------------------------------
 
   /** Register width: the hash contributes `p` index bits and
@@ -117,6 +143,25 @@ object Sketches {
         when(rest === 0L, lit(w + 1))
           .otherwise(lit(w + 1) - length(bin(rest))).cast("long").as("rank"))
       .groupBy(col("idx"))
+      .agg(max(col("rank")).as("r"))
+  }
+
+  /** Per-GROUP register tables (`(group, idx, r)`) — the distinct-count
+    * telemetry panel one level down (distinct URLs per domain, distinct
+    * shingles per language): one map-side-combined max over
+    * `groups × 2^p` keys, still summary-sized. Register rows merge by
+    * max WITHIN a group; groups are independent.
+    */
+  def hllRegistersByGroup(items: DataFrame, groupCol: String, itemCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"bad HLL precision: $p")
+    val w = hllW(p)
+    val h = saltedHash(0, col(itemCol))
+    val rest = h.bitwiseAND(lit((1L << w) - 1))
+    items.select(col(groupCol).as("grp"), shiftright(h, w).as("idx"),
+        when(rest === 0L, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(rest))).cast("long").as("rank"))
+      .groupBy(col("grp"), col("idx"))
       .agg(max(col("rank")).as("r"))
   }
 

@@ -277,6 +277,45 @@ object TextAnalysis {
       }
     })
 
+  // ---- C4 line-level cleaning --------------------------------------------
+
+  /** C4-style line filtering (Raffel et al. 2020 §2.2 — the line pass
+    * every web-crawl pipeline runs BEFORE doc-level quality gates):
+    * split on newlines, drop a line if it (rule order fixed for
+    * attribution) (1) mentions "javascript" case-insensitively,
+    * (2) has fewer than `minWords` whitespace words, (3) does not end
+    * in a terminal punctuation mark (`. ! ? "` after right-trim).
+    * Returns per-doc audit counts (`n_lines`, `n_kept`, per-rule drop
+    * counts — each dropped line attributed to its FIRST failing rule)
+    * plus the md5 of the kept lines rejoined with newlines, so the
+    * CLEANED TEXT, not just the counts, is hash-verified cross-engine.
+    *
+    * Pure per-row array math (split + filter HOFs — codegen'd, zero
+    * shuffles, the q29/q36 plan shape): at 100 TB this is a map over
+    * the scan. Word counting inside a line mirrors `wordsCol` (split
+    * on `\s+`, empties dropped); the per-line regexes avoid any
+    * Java-vs-RE2 divergence surface (literal classes, no multiline
+    * anchors — lines post-split contain no newlines).
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def wordsOf(line: Column): Column =
+      filter(split(line, "\\s+"), w => length(w) > 0)
+    def isJs(line: Column): Column = lower(line).contains("javascript")
+    def isShort(line: Column): Column = size(wordsOf(line)) < minWords
+    def noPunct(line: Column): Column = !rtrim(line).rlike("[.!?\"]$")
+    val kept = filter(lines, l => !isJs(l) && !isShort(l) && !noPunct(l))
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      size(filter(lines, l => isJs(l))).cast("long").as("n_js"),
+      size(filter(lines, l => !isJs(l) && isShort(l))).cast("long").as("n_short"),
+      size(filter(lines, l => !isJs(l) && !isShort(l) && noPunct(l)))
+        .cast("long").as("n_punct"),
+      md5(array_join(kept, "\n")).as("kept_md5"))
+  }
+
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text, EmailRe, "<EMAIL>")
     val ssn = regexp_replace(email, SsnRe, "<SSN>")

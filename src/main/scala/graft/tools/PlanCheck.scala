@@ -423,6 +423,22 @@ object PlanCheck {
     // membership join — the corpus side never shuffles for the lookup
     Expectation("q122_bloom_probe",
       mustContain = Seq("BroadcastHashJoin", "LeftSemi"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // C4 line cleaning is pure per-row array math — the q29/q36/q115
+    // contract: no aggregate, join, or window may creep in
+    Expectation("q123_c4_line_filter",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // grouped HLL: per-row bit math into one map-side-combined max
+    // over groups × 2^p keys — still no join
+    Expectation("q124_hll_grouped",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")),
+    // CMS inner product: sketch-sized sides only — the cell join and
+    // the single-row truth×estimate combine must both be broadcast
+    Expectation("q125_cms_inner_product",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

@@ -1295,4 +1295,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("est_contain_b") === 2.0 / 3.0)
     assert(r.getAs[Double]("est_union") === 4.0) // sketch IS the union
   }
+
+  test("c4LineFilter: rule attribution, first-failing-rule precedence, cleaned text") {
+    val text = Seq(
+      "This line has enough words and ends well.", // kept
+      "short one",                                 // < 3 words
+      "Please enable JavaScript to continue now.", // js (would otherwise pass)
+      "Enough words here but no terminal mark",    // punct
+      "javascript",                                // js wins over short AND punct
+      "He said \"it works\"",                      // ends in quote → kept
+      "").mkString("\n")                           // empty → short
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = graft.textops.TextAnalysis.c4LineFilter(df, "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_lines") === 7L)
+    assert(r.getAs[Long]("n_kept") === 2L)
+    assert(r.getAs[Long]("n_js") === 2L)    // both js lines, regardless of other rules
+    assert(r.getAs[Long]("n_short") === 2L) // "short one", ""
+    assert(r.getAs[Long]("n_punct") === 1L)
+    // the cleaned text is exactly the two keepers rejoined
+    val expected = "This line has enough words and ends well.\nHe said \"it works\""
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("kept_md5") === md)
+  }
+
+  test("c4LineFilter: single-line and all-dropped docs") {
+    val df = Seq((1L, "A perfectly fine single line stands alone."),
+      (2L, "nope\nalso no")).toDF("doc_id", "text")
+    val out = graft.textops.TextAnalysis.c4LineFilter(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Long]("n_lines") === 1L && out(0).getAs[Long]("n_kept") === 1L)
+    assert(out(1).getAs[Long]("n_kept") === 0L)
+    // md5 of the empty join — stable, matches DuckDB's md5('')
+    assert(out(1).getAs[String]("kept_md5") === "d41d8cd98f00b204e9800998ecf8427e")
+  }
 }

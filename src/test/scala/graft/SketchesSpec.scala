@@ -95,6 +95,36 @@ class SketchesSpec extends SparkSpec {
     assert(merged.exceptAll(bits).isEmpty && bits.exceptAll(merged).isEmpty)
   }
 
+  test("CMS inner product never undercounts; zero overlap estimates ≥ 0") {
+    val a = (1 to 1000).map(i => s"a${i % 50}").toDF("item")
+    val b = (1 to 800).map(i => s"${if (i % 2 == 0) "a" else "z"}${i % 50}").toDF("item")
+    val sa = Sketches.cmsTable(a, "item", 4, 64)
+    val sb = Sketches.cmsTable(b, "item", 4, 64)
+    val est = Sketches.cmsInnerProduct(sa, sb).collect().head.getAs[Long]("cms_ip")
+    val truth = a.groupBy($"item").agg(count(lit(1)).as("na"))
+      .join(b.groupBy($"item").agg(count(lit(1)).as("nb")), "item")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("t"))
+      .collect().head.getAs[Long]("t")
+    assert(truth > 0L && est >= truth, s"est=$est true=$truth")
+    // disjoint corpora: the true inner product is 0; the estimate may
+    // carry collision surplus but never goes negative
+    val sc = Sketches.cmsTable((1 to 400).map(i => s"q$i").toDF("item"), "item", 4, 64)
+    val sd = Sketches.cmsTable((1 to 400).map(i => s"r$i").toDF("item"), "item", 4, 64)
+    assert(Sketches.cmsInnerProduct(sc, sd)
+      .collect().head.getAs[Long]("cms_ip") >= 0L)
+  }
+
+  test("grouped HLL registers equal per-group hllRegisters run independently") {
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"v${i % (200 + (i % 3) * 100)}"))
+      .toDF("grp", "item")
+    val grouped = Sketches.hllRegistersByGroup(rows, "grp", "item")
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketches.hllRegisters(rows.filter($"grp" === g).select($"item"), "item")
+      val slice = grouped.filter($"grp" === g).select($"idx", $"r")
+      assert(slice.exceptAll(solo).isEmpty && solo.exceptAll(slice).isEmpty, g)
+    }
+  }
+
   test("Bloom false-positive rate is bounded under the designed load") {
     val inserted = (1 to 300).map(i => s"doc$i").toDF("item")
     val bits = Sketches.bloomBits(inserted, "item", k = 3, mBits = 4096)
