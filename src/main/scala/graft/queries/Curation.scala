@@ -623,6 +623,30 @@ object Curation {
         .orderBy($"w1", $"w2")
     },
 
+    // ---- PMI collocation mining (Church & Hanks): top bigrams by
+    // p(w1,w2)/(p(w1)p(w2)) with the log DROPPED — monotone, so the
+    // ranking is identical and no cross-engine ln enters the gate; the
+    // ratio is one fixed left-associative IEEE chain over exact
+    // integer counts. Counts are the same additive statistics the
+    // incremental KN session maintains.
+    "q126_pmi_collocations" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.pmiCollocations(docsParallel(s, dir), "text",
+        minCount = 5, k = 30)
+    },
+
+    // ---- corpus drift: per-word chi-square contributions of the two
+    // corpus halves against the pooled expectation — each row an
+    // independent fixed float nest over integer counts (nothing float
+    // accumulates across rows), top-30 most divergent words.
+    "q127_corpus_drift" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      CurationOps.corpusDrift(
+        docs.filter($"doc_id" % 3 =!= 0), docs.filter($"doc_id" % 3 === 0),
+        "text", minTotal = 10, k = 30)
+    },
+
     // ---- the trained KN LM applied as the CCNet-style document
     // filter: integer unseen/rare-bigram counters against the
     // broadcast LM (float comparisons feed counters — nothing float
@@ -1859,6 +1883,60 @@ object Curation {
     // 3·n1f·n1b/(4·ctx)/b_types fixed-order arithmetic.
     "q103_kn_bigram_lm" -> (WordsCte + KnLmCtes +
       "\nSELECT w1, w2, n, ctx, n1f, n1b, b_types, p_kn FROM lm"),
+
+    // PMI mirror: the q103 bigram relation + unigram counts + the two
+    // totals, the identical left-associative ratio chain, top-30 under
+    // the same total order.
+    "q126_pmi_collocations" -> (WordsCte +
+      """, bg AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS n12
+        |  FROM words, unnest(generate_series(1, len(ws) - 1)) t(i)
+        |  WHERE len(ws) >= 2
+        |  GROUP BY 1, 2),
+        |uw AS (SELECT unnest(ws) AS w FROM words),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nu FROM uw GROUP BY 1),
+        |nb AS (SELECT CAST(SUM(n12) AS BIGINT) AS n_b FROM bg),
+        |nu AS (SELECT CAST(SUM(nu) AS BIGINT) AS n_u FROM uni)
+        |SELECT bg.w1, bg.w2, bg.n12, u1.nu AS n1, u2.nu AS n2,
+        |       CAST(bg.n12 AS DOUBLE) * CAST(nu.n_u AS DOUBLE)
+        |         / CAST(u1.nu AS DOUBLE) / CAST(u2.nu AS DOUBLE)
+        |         * CAST(nu.n_u AS DOUBLE) / CAST(nb.n_b AS DOUBLE) AS pmi_ratio
+        |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w, nb, nu
+        |WHERE bg.n12 >= 5
+        |ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin),
+
+    // Drift mirror: conditional-sum word counts across the halves,
+    // pooled-expectation chi-square per row (identical op nest, zero
+    // guard included), top-30 under the same total order.
+    "q127_corpus_drift" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), w AS (SELECT doc_id, unnest(ws) AS item FROM words),
+        |counts AS (
+        |  SELECT item AS w,
+        |         CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM w GROUP BY 1),
+        |totals AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |                  CAST(SUM(nb) AS BIGINT) AS tb FROM counts)
+        |SELECT w, na, nb,
+        |       CASE WHEN ta > 0 AND tb > 0 THEN
+        |         (CAST(na AS DOUBLE)
+        |            - CAST(na + nb AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |         * (CAST(na AS DOUBLE)
+        |            - CAST(na + nb AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |         / (CAST(na + nb AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |         + (CAST(nb AS DOUBLE)
+        |            - CAST(na + nb AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |         * (CAST(nb AS DOUBLE)
+        |            - CAST(na + nb AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |         / (CAST(na + nb AS DOUBLE) * CAST(tb AS DOUBLE) / CAST(ta + tb AS DOUBLE))
+        |       ELSE 0.0 END AS chi2
+        |FROM counts, totals
+        |WHERE na + nb >= 10
+        |ORDER BY chi2 DESC, w ASC LIMIT 30""".stripMargin,
 
     // The trained LM applied: per-doc bigram tokens LEFT-joined to the
     // thresholded LM, integer unseen/rare counters (a float COMPARISON

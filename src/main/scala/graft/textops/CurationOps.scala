@@ -1576,6 +1576,87 @@ object CurationOps {
           .as("p_kn"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990) — the phrase table a
+    * tokenizer-vocabulary or quality pipeline extracts from a corpus:
+    * the top-`k` bigrams by pointwise mutual information among those
+    * with count ≥ `minCount`, with the LOG DROPPED — PMI is reported
+    * as the exact ratio `p(w1,w2)/(p(w1)p(w2))` = `n12·Nu²/(n1·n2·Nb)`
+    * (log is monotone, so the ranking is identical, and no
+    * cross-engine `ln` rounding enters the gate). The ratio is
+    * evaluated as ONE fixed left-associative IEEE chain over exact
+    * integer counts — bit-identical in the DuckDB mirror — because the
+    * integer numerator `n12·Nu²` would overflow int64 at web scale.
+    *
+    * Scale shape: [[bigramCounts]]' single shuffle + a vocabulary-
+    * bounded unigram table joined twice (broadcast — the [[knBigramLm]]
+    * precedent: per-WORD tables broadcast, per-bigram ones never), two
+    * single-row totals, and a `TakeOrdered` top-k. Counts are additive
+    * sufficient statistics — the same mergeable shape the incremental
+    * KN session maintains, so a live PMI panel derives from ledgers of
+    * `(w1,w2,n)` + `(w,nu)` by the identical arithmetic.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Int = 5, k: Int = 30): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val big = bigramCounts(df, textCol)
+    val uni = df.select(explode(wordsCol(col(textCol))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("nu"))
+    val nb = big.agg(sum($"n").as("n_b"))
+    val nu = uni.agg(sum($"nu").as("n_u"))
+    big.filter($"n" >= minCount)
+      .join(broadcast(uni.select($"w".as("w1"), $"nu".as("n1"))), Seq("w1"))
+      .join(broadcast(uni.select($"w".as("w2"), $"nu".as("n2"))), Seq("w2"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select($"w1", $"w2", $"n".as("n12"), $"n1", $"n2",
+        ($"n".cast("double") * $"n_u".cast("double") / $"n1".cast("double")
+          / $"n2".cast("double") * $"n_u".cast("double") / $"n_b".cast("double"))
+          .as("pmi_ratio"))
+      .orderBy($"pmi_ratio".desc, $"w1".asc, $"w2".asc)
+      .limit(k)
+  }
+
+  /** Corpus drift audit (the "what changed between two crawls" table):
+    * per-word chi-square contributions of corpus A vs corpus B against
+    * the pooled expectation — the top-`k` most divergent words with
+    * their raw counts, the statistician's replacement for eyeballing
+    * frequency lists. Every row's statistic is an INDEPENDENT fixed
+    * nest of IEEE ops over exact integer counts (no accumulation — the
+    * gate never sums floats across rows), so the table is cross-engine
+    * exact; words below `minTotal` pooled occurrences are excluded
+    * (chi-square is meaningless at tiny expectations).
+    *
+    * Scale shape: ONE conditional-sum groupBy over the union (each
+    * word row carries both halves' counts — no join between the
+    * corpora), two single-row totals broadcast, per-row math,
+    * `TakeOrdered` top-k.
+    */
+  def corpusDrift(a: DataFrame, b: DataFrame, textCol: String,
+      minTotal: Long = 10, k: Int = 30): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val words = a.select(explode(wordsCol(col(textCol))).as("w"), lit(1L).as("in_a"))
+      .unionByName(
+        b.select(explode(wordsCol(col(textCol))).as("w"), lit(0L).as("in_a")))
+    val counts = words.groupBy($"w")
+      .agg(sum($"in_a").as("na"), sum(lit(1L) - $"in_a").as("nb"))
+    val totals = counts.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+    val ea = ($"na" + $"nb").cast("double") * $"ta".cast("double") /
+      ($"ta" + $"tb").cast("double")
+    val eb = ($"na" + $"nb").cast("double") * $"tb".cast("double") /
+      ($"ta" + $"tb").cast("double")
+    val ca = ($"na".cast("double") - ea) * ($"na".cast("double") - ea) / ea
+    val cb = ($"nb".cast("double") - eb) * ($"nb".cast("double") - eb) / eb
+    counts.filter($"na" + $"nb" >= minTotal)
+      .crossJoin(broadcast(totals))
+      // an empty half would put 0 in a denominator (the corpusOverlapKmv
+      // zero-guard lesson): no drift is measurable against nothing
+      .select($"w", $"na", $"nb",
+        when($"ta" > 0 && $"tb" > 0, ca + cb).otherwise(lit(0.0)).as("chi2"))
+      .orderBy($"chi2".desc, $"w".asc)
+      .limit(k)
+  }
+
   /** Interpolated Kneser-Ney TRIGRAM language model (the order KenLM
     * ships for CCNet-style filtering), trained corpus-wide with the
     * [[knBigramLm]] exactness discipline — D = 3/4 keeps every term a

@@ -439,6 +439,17 @@ object PlanCheck {
     // the single-row truth×estimate combine must both be broadcast
     Expectation("q125_cms_inner_product",
       mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // PMI: the bigram shuffle + vocabulary-bounded unigram broadcasts
+    // (the knBigramLm precedent) + top-k as TakeOrdered
+    Expectation("q126_pmi_collocations",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin",
+        "TakeOrderedAndProject"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // drift: ONE conditional-sum groupBy over the union (no join
+    // between the corpora), broadcast totals, top-k as TakeOrdered
+    Expectation("q127_corpus_drift",
+      mustContain = Seq("HashAggregate", "TakeOrderedAndProject", "Union"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

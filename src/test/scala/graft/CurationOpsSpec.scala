@@ -1296,6 +1296,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("est_union") === 4.0) // sketch IS the union
   }
 
+  test("pmiCollocations: hand-computed ratios, tie order, min-count filter") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // bigrams: (a,b)×2, (a,c)×1; unigrams a=3 b=2 c=1, Nu=6, Nb=3
+    // ratio(a,b) = 2·36/(3·2·3) = 4.0;  ratio(a,c) = 1·36/(3·1·3) = 4.0
+    val all = CurationOps.pmiCollocations(docs, "text", minCount = 1, k = 10)
+      .collect()
+    assert(all.length === 2)
+    assert(all(0).getAs[String]("w2") === "b") // tie → (a,b) before (a,c)
+    assert(all(0).getAs[Double]("pmi_ratio") === 4.0)
+    assert(all(1).getAs[Double]("pmi_ratio") === 4.0)
+    assert(all(0).getAs[Long]("n12") === 2L && all(0).getAs[Long]("n1") === 3L
+      && all(0).getAs[Long]("n2") === 2L)
+    val filtered = CurationOps.pmiCollocations(docs, "text", minCount = 2, k = 10)
+      .collect()
+    assert(filtered.length === 1 && filtered(0).getAs[String]("w2") === "b")
+  }
+
+  test("corpusDrift: hand-computed chi-square, empty-half zero guard") {
+    val a = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y y y")).toDF("doc_id", "text")
+    // x: na=3 nb=1; y: na=1 nb=3; ta=tb=4 → e=2 each side →
+    // chi2 = (3−2)²/2 + (1−2)²/2 = 1.0 for both words
+    val out = CurationOps.corpusDrift(a, b, "text", minTotal = 1, k = 10)
+      .collect()
+    assert(out.length === 2)
+    assert(out.map(_.getAs[String]("w")).toSeq === Seq("x", "y")) // tie → word asc
+    out.foreach(r => assert(r.getAs[Double]("chi2") === 1.0))
+    // an empty half measures no drift (zero guard, not NaN)
+    val empty = spark.emptyDataFrame.withColumn("doc_id", lit(0L))
+      .withColumn("text", lit(""))
+    val guarded = CurationOps.corpusDrift(a, empty, "text", minTotal = 1, k = 10)
+      .collect()
+    assert(guarded.forall(r => r.getAs[Double]("chi2") === 0.0))
+  }
+
   test("c4LineFilter: rule attribution, first-failing-rule precedence, cleaned text") {
     val text = Seq(
       "This line has enough words and ends well.", // kept
