@@ -1596,12 +1596,31 @@ object CurationOps {
     * `(w1,w2,n)` + `(w,nu)` by the identical arithmetic.
     */
   def pmiCollocations(df: DataFrame, textCol: String,
-      minCount: Int = 5, k: Int = 30): DataFrame = {
+      minCount: Int = 5, k: Int = 30): DataFrame =
+    pmiFromCounts(bigramCounts(df, textCol), unigramCounts(df, textCol),
+      minCount, k)
+
+  /** The other additive sufficient statistic PMI needs beside
+    * [[bigramCounts]]: corpus-wide `(w, nu)` occurrence counts — one
+    * map-side-combined groupBy, mergeable by `groupBy(w).sum(nu)`.
+    */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val big = bigramCounts(df, textCol)
-    val uni = df.select(explode(wordsCol(col(textCol))).as("w"))
+    df.select(explode(wordsCol(col(textCol))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("nu"))
+  }
+
+  /** Derive the PMI table from `(w1, w2, n)` bigram + `(w, nu)` unigram
+    * count tables — the derivation is count-only, so it is the same
+    * whether the counts came from one batch pass or an incremental
+    * ledger merge (the [[knLmFromCounts]] property; the streaming twin
+    * [[graft.streaming.StreamPmi]] is built on exactly this seam).
+    */
+  def pmiFromCounts(big: DataFrame, uni: DataFrame,
+      minCount: Int, k: Int): DataFrame = {
+    val spark = big.sparkSession
+    import spark.implicits._
     val nb = big.agg(sum($"n").as("n_b"))
     val nu = uni.agg(sum($"nu").as("n_u"))
     big.filter($"n" >= minCount)
@@ -1640,6 +1659,21 @@ object CurationOps {
         b.select(explode(wordsCol(col(textCol))).as("w"), lit(0L).as("in_a")))
     val counts = words.groupBy($"w")
       .agg(sum($"in_a").as("na"), sum(lit(1L) - $"in_a").as("nb"))
+    corpusDriftFromCounts(counts, minTotal, k)
+  }
+
+  /** Derive the drift table from an already-merged `(w, na, nb)` count
+    * frame — the count-only seam of [[corpusDrift]] ([[pmiFromCounts]]
+    * discipline): per-side word counts are ADDITIVE, so a frame merged
+    * from per-batch deltas yields the exact batch table, doubles
+    * included (same integer inputs, same fixed op nest). The streaming
+    * twin [[graft.streaming.StreamDrift]] maintains the new-crawl side
+    * incrementally against a fixed reference side on this seam.
+    */
+  def corpusDriftFromCounts(counts: DataFrame, minTotal: Long,
+      k: Int): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val totals = counts.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
     val ea = ($"na" + $"nb").cast("double") * $"ta".cast("double") /
       ($"ta" + $"tb").cast("double")
