@@ -647,6 +647,30 @@ object Curation {
         "text", minTotal = 10, k = 30)
     },
 
+    // ---- vocabulary coverage / OOV rate: corpus top-20 vocabulary
+    // (count desc, word asc — deterministic at the boundary), per-doc
+    // out-of-vocabulary token mass. The vocab is a TakeOrdered over
+    // the distinct-word rollup, broadcast back into the (doc, word)
+    // relation; integer-over-integer fraction.
+    "q128_vocab_coverage" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.vocabCoverage(docsParallel(s, dir), "doc_id", "text",
+          vocabSize = 20)
+        .orderBy($"doc_id")
+    },
+
+    // ---- pairwise Jensen-Shannon divergence between per-language
+    // unigram distributions — the corpus-similarity matrix. Per-word
+    // pair terms are rounded to micro fixed-point BEFORE the cross-row
+    // sum (exact long arithmetic, partition-order invariant — the PCA
+    // moments discipline).
+    "q129_js_divergence" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.jsDivergenceByGroup(docsParallel(s, dir), "lang", "text",
+          groupValues = Seq("de", "en", "es", "fr", "zh"))
+        .orderBy($"g_a", $"g_b")
+    },
+
     // ---- the trained KN LM applied as the CCNet-style document
     // filter: integer unseen/rare-bigram counters against the
     // broadcast LM (float comparisons feed counters — nothing float
@@ -876,6 +900,53 @@ object Curation {
     * a tokenizer change that drifts from the Spark side is a silent
     * gate hash mismatch, so no oracle inlines its own copy.
     */
+  /** Generated q129 oracle: the per-word JSD pair terms transliterate
+    * [[graft.textops.CurationOps.jsDivergenceByGroup]]'s op nest
+    * symbol-for-symbol (p, q, m, half·p·log2(p/m), zero-total guard,
+    * round to micro fixed-point before the sum).
+    */
+  private val JsDivergenceSql: String = {
+    val gs = Seq("de", "en", "es", "fr", "zh")
+    val pairs = for { i <- gs.indices; j <- (i + 1) until gs.size }
+      yield (gs(i), gs(j))
+    def term(a: String, b: String): String = {
+      val p = s"(CAST(n_$a AS DOUBLE) / CAST(t_$a AS DOUBLE))"
+      val q = s"(CAST(n_$b AS DOUBLE) / CAST(t_$b AS DOUBLE))"
+      val m = s"(($p + $q) / CAST(2.0 AS DOUBLE))"
+      s"CAST(round(CASE WHEN t_$a > 0 AND t_$b > 0 THEN " +
+        s"(CASE WHEN n_$a > 0 THEN CAST(0.5 AS DOUBLE) * $p * log2($p / $m) ELSE 0.0 END" +
+        s" + CASE WHEN n_$b > 0 THEN CAST(0.5 AS DOUBLE) * $q * log2($q / $m) ELSE 0.0 END)" +
+        s" ELSE 0.0 END * 1000000.0) AS BIGINT)"
+    }
+    val cntCols = gs.map(g =>
+      s"CAST(SUM(CASE WHEN lang = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS n_$g")
+      .mkString(",\n         ")
+    val totCols = gs.map(g => s"CAST(SUM(n_$g) AS BIGINT) AS t_$g")
+      .mkString(", ")
+    val sumCols = pairs.map { case (a, b) =>
+      s"COALESCE(CAST(SUM(${term(a, b)}) AS BIGINT), 0) AS s_${a}_$b"
+    }.mkString(",\n         ")
+    val unions = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS g_a, '$b' AS g_b, CAST(s_${a}_$b AS DOUBLE) / 1000000.0 AS jsd FROM sums"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                           w -> len(w) > 0) AS ws
+       |  FROM documents
+       |), tok AS (SELECT lang, unnest(ws) AS w FROM words),
+       |cnt AS (
+       |  SELECT w,
+       |         $cntCols
+       |  FROM tok GROUP BY w),
+       |tot AS (SELECT $totCols FROM cnt),
+       |sums AS (
+       |  SELECT $sumCols
+       |  FROM cnt, tot)
+       |SELECT g_a, g_b, jsd FROM (
+       |  $unions)
+       |ORDER BY g_a, g_b""".stripMargin
+  }
+
   private val ToksCte =
     """WITH toks AS (
       |  SELECT doc_id, lang,
@@ -1937,6 +2008,37 @@ object Curation {
         |FROM counts, totals
         |WHERE na + nb >= 10
         |ORDER BY chi2 DESC, w ASC LIMIT 30""".stripMargin,
+
+    // Vocabulary mirror: same (doc, word) rollup, same top-20 total
+    // order, LEFT-join membership, integer-over-integer fraction.
+    "q128_vocab_coverage" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS ws
+        |  FROM documents
+        |), dw AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM words) GROUP BY 1, 2
+        |), vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, CAST(SUM(k) AS BIGINT) AS n FROM dw GROUP BY 1
+        |    ORDER BY n DESC, w ASC LIMIT 20)
+        |), per AS (
+        |  SELECT dw.doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CASE WHEN v.w IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM dw LEFT JOIN vocab v ON dw.w = v.w GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(n_tokens, 0) AS n_tokens,
+        |       COALESCE(n_oov, 0) AS n_oov,
+        |       CASE WHEN COALESCE(n_tokens, 0) > 0
+        |            THEN CAST(n_oov AS DOUBLE) / n_tokens ELSE 0.0 END AS oov_frac
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // JSD mirror: conditional-sum per-language word counts, the
+    // identical per-word fixed nest rounded to micro fixed-point
+    // BEFORE the cross-row sum, pair sums unpivoted by UNION ALL.
+    "q129_js_divergence" -> JsDivergenceSql,
 
     // The trained LM applied: per-doc bigram tokens LEFT-joined to the
     // thresholded LM, integer unseen/rare counters (a float COMPARISON

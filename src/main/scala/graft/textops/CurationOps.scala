@@ -1635,6 +1635,113 @@ object CurationOps {
       .limit(k)
   }
 
+  /** Vocabulary coverage / OOV-rate audit: build the corpus top-`vocabSize`
+    * word vocabulary (count desc, word asc — deterministic at the rank
+    * boundary) and report, per document, how many of its tokens fall
+    * outside it — the tokenizer-fit signal a curation pipeline watches
+    * when deciding whether a vocabulary (or the corpus mix feeding it)
+    * needs retraining, and a quality gate in its own right (high OOV
+    * mass ⇒ mojibake, code-switching, or boilerplate the tokenizer
+    * will shred into bytes).
+    *
+    * Scale shape: ONE corpus-sized shuffle to the `(doc, word)` count
+    * relation; the vocabulary is derived from its (much smaller)
+    * distinct-word rollup as a `TakeOrdered` top-V and BROADCAST back
+    * — the corpus never joins vocabulary-sized state through a
+    * shuffle. Docs with no tokens surface with zero counts (left
+    * join), `oov_frac` guarded to 0.0.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docWord = df
+      .select(col(idCol), explode(wordsCol(col(textCol))).as("w"))
+      .groupBy(col(idCol), $"w").agg(count(lit(1)).as("k"))
+    val vocab = docWord.groupBy($"w").agg(sum($"k").as("n"))
+      .orderBy($"n".desc, $"w".asc).limit(vocabSize)
+      .select($"w", lit(1).as("__in_vocab"))
+    val perDoc = docWord
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(sum($"k").as("n_tokens"),
+        sum(when($"__in_vocab".isNull, $"k").otherwise(lit(0L))).as("n_oov"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "n_oov"))
+      .withColumn("oov_frac", when($"n_tokens" > 0,
+        $"n_oov".cast("double") / $"n_tokens").otherwise(lit(0.0)))
+  }
+
+  /** Pairwise Jensen-Shannon divergence between per-group unigram
+    * distributions — the corpus-similarity matrix (Lin 1991; the
+    * "how far apart are these sources/languages/snapshots" panel a
+    * mixing policy consults before setting weights). For every group
+    * pair (a < b in `groupValues` order),
+    *
+    *   JSD(P‖Q) = ½·Σ_w p·log2(p/m) + ½·Σ_w q·log2(q/m),  m = (p+q)/2
+    *
+    * Cross-engine exactness: each word's pair term is a fixed IEEE
+    * nest over exact integer counts, ROUNDED TO FIXED POINT (micro
+    * units, round-half-away) BEFORE summation — the PCA-moments
+    * discipline — so the cross-row sum is exact long arithmetic and
+    * partition-order-invariant; the reported `jsd` is the fixed-point
+    * sum divided back once. A group absent from the data (zero total)
+    * yields 0.0 against every partner (the corpusDrift zero-guard
+    * lesson), never NaN.
+    *
+    * Scale shape: one corpus explode → (word, group) counts →
+    * vocabulary-wide conditional-sum rollup (rows = vocab, columns =
+    * |G| longs); totals are a broadcast single row; ALL pair sums come
+    * out of ONE aggregate over that rollup. |G|²/2 columns — meant for
+    * the handful-of-groups regime (languages, sources, snapshots), not
+    * thousands.
+    */
+  def jsDivergenceByGroup(df: DataFrame, groupCol: String, textCol: String,
+      groupValues: Seq[String]): DataFrame = {
+    require(groupValues.nonEmpty && groupValues.distinct == groupValues,
+      s"groupValues must be non-empty and distinct: $groupValues")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gs = groupValues.sorted
+    val counts = df.select(col(groupCol).cast("string").as("g"),
+        explode(wordsCol(col(textCol))).as("w"))
+      .groupBy($"w", $"g").agg(count(lit(1)).as("n"))
+    val wideAggs = gs.map(g =>
+      sum(when($"g" === g, $"n").otherwise(lit(0L))).as(s"n_$g"))
+    val wide = counts.groupBy($"w").agg(wideAggs.head, wideAggs.tail: _*)
+    val totAggs = gs.map(g => sum(col(s"n_$g")).as(s"t_$g"))
+    val totals = wide.agg(totAggs.head, totAggs.tail: _*)
+    val pairs = for {
+      i <- gs.indices; j <- (i + 1) until gs.size
+    } yield (gs(i), gs(j))
+    def fpTerm(a: String, b: String): Column = {
+      val (na, nb) = (col(s"n_$a"), col(s"n_$b"))
+      val (ta, tb) = (col(s"t_$a"), col(s"t_$b"))
+      val p = na.cast("double") / ta.cast("double")
+      val q = nb.cast("double") / tb.cast("double")
+      val m = (p + q) / lit(2.0)
+      val half = lit(0.5)
+      val term =
+        when(na > 0, half * p * log2(p / m)).otherwise(lit(0.0)) +
+          when(nb > 0, half * q * log2(q / m)).otherwise(lit(0.0))
+      round(when(ta > 0 && tb > 0, term).otherwise(lit(0.0)) * lit(1000000.0))
+        .cast("long")
+    }
+    val sumAggs = pairs.map { case (a, b) =>
+      coalesce(sum(fpTerm(a, b)), lit(0L)).as(s"s_${a}_$b")
+    }
+    val sums = wide.crossJoin(broadcast(totals))
+      .agg(sumAggs.head, sumAggs.tail: _*)
+    val rows = array(pairs.map { case (a, b) =>
+      struct(lit(a).as("g_a"), lit(b).as("g_b"),
+        (col(s"s_${a}_$b").cast("double") / lit(1000000.0)).as("jsd"))
+    }: _*)
+    sums.select(explode(rows).as("r"))
+      .select($"r.g_a".as("g_a"), $"r.g_b".as("g_b"), $"r.jsd".as("jsd"))
+  }
+
   /** Corpus drift audit (the "what changed between two crawls" table):
     * per-word chi-square contributions of corpus A vs corpus B against
     * the pooled expectation — the top-`k` most divergent words with

@@ -429,6 +429,19 @@ object PlanCheck {
     Expectation("q123_c4_line_filter",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
         "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // vocab coverage: the top-V vocabulary must be a one-pass
+    // TakeOrdered over the distinct-word rollup and BROADCAST back
+    // into the (doc, word) relation — never a shuffled join against
+    // V-bounded state
+    Expectation("q128_vocab_coverage",
+      mustContain = Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct")),
+    // JSD matrix: map-side-combined rollups; the single-row totals
+    // frame rides a broadcast nested-loop (the q22 sanctioned shape);
+    // no shuffled join anywhere
+    Expectation("q129_js_divergence",
+      mustContain = Seq("HashAggregate", "BroadcastNestedLoopJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
     // grouped HLL: per-row bit math into one map-side-combined max
     // over groups × 2^p keys — still no join
     Expectation("q124_hll_grouped",

@@ -1365,4 +1365,56 @@ class CurationOpsSpec extends SparkSpec {
     // md5 of the empty join — stable, matches DuckDB's md5('')
     assert(out(1).getAs[String]("kept_md5") === "d41d8cd98f00b204e9800998ecf8427e")
   }
+
+  test("vocabCoverage: exact OOV mass, boundary tiebreak, empty docs kept") {
+    val df = Seq(
+      (1L, "aa aa aa bb bb cc"), // aa:3 bb:2 cc:1
+      (2L, "aa bb dd dd"),       // dd:2
+      (3L, "")                   // no tokens
+    ).toDF("doc_id", "text")
+    // corpus counts: aa=4, bb=3, dd=2, cc=1 → V=2 vocab {aa, bb}
+    val out = CurationOps.vocabCoverage(df, "doc_id", "text", vocabSize = 2)
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") === 6L)
+    assert(out(0).getAs[Long]("n_oov") === 1L) // cc
+    assert(out(0).getAs[Double]("oov_frac") === 1.0 / 6)
+    assert(out(1).getAs[Long]("n_oov") === 2L) // dd dd
+    assert(out(1).getAs[Double]("oov_frac") === 0.5)
+    assert(out(2).getAs[Long]("n_tokens") === 0L &&
+      out(2).getAs[Double]("oov_frac") === 0.0)
+    // boundary tie: xx and yy both count 2 — word-asc admits xx only
+    val tie = Seq((1L, "xx yy"), (2L, "xx yy")).toDF("doc_id", "text")
+    val t = CurationOps.vocabCoverage(tie, "doc_id", "text", vocabSize = 1)
+      .orderBy($"doc_id").collect()
+    assert(t.forall(_.getAs[Long]("n_oov") === 1L)) // yy is OOV everywhere
+  }
+
+  test("jsDivergenceByGroup: identical → 0, disjoint → 1, absent group → 0, partition-invariant") {
+    val same = Seq(("a", "w1 w2 w3 w4"), ("b", "w1 w2 w3 w4"))
+      .toDF("lang", "text")
+    val s = CurationOps.jsDivergenceByGroup(same, "lang", "text", Seq("a", "b"))
+      .collect()
+    assert(s.length === 1 && s.head.getAs[Double]("jsd") === 0.0)
+    val disjoint = Seq(("a", "w1 w2 w3 w4"), ("b", "v1 v2 v3 v4"))
+      .toDF("lang", "text")
+    val d = CurationOps.jsDivergenceByGroup(disjoint, "lang", "text", Seq("a", "b"))
+      .collect()
+    assert(d.head.getAs[Double]("jsd") === 1.0) // log2 JSD saturates at 1
+    // a declared group with no data: zero-guard, never NaN
+    val partial = CurationOps.jsDivergenceByGroup(
+      disjoint, "lang", "text", Seq("a", "b", "c")).collect()
+    assert(partial.length === 3)
+    partial.filter(r => r.getAs[String]("g_b") == "c")
+      .foreach(r => assert(r.getAs[Double]("jsd") === 0.0))
+    // fixed-point terms make the cross-row sum partition-order exact
+    val big = (1 to 60).map(i => (if (i % 3 == 0) "a" else "b",
+      s"w${i % 7} w${i % 5} w${i % 11} common"))
+    val one = CurationOps.jsDivergenceByGroup(
+      big.toDF("lang", "text").repartition(1), "lang", "text", Seq("a", "b"))
+      .collect().head.getAs[Double]("jsd")
+    val many = CurationOps.jsDivergenceByGroup(
+      big.toDF("lang", "text").repartition(13), "lang", "text", Seq("a", "b"))
+      .collect().head.getAs[Double]("jsd")
+    assert(one === many && one > 0.0 && one < 1.0)
+  }
 }
