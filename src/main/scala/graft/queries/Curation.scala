@@ -671,6 +671,17 @@ object Curation {
         .orderBy($"g_a", $"g_b")
     },
 
+    // ---- content-defined segmentation (CDC at word granularity):
+    // boundaries where the engine-wide 60-bit hash of the trailing
+    // 3-word span ≡ 0 mod 8 — shift-robust block table (chunk widths
+    // + md5s). Pure per-row HOF math until the final chunk emission.
+    "q131_cdc_segments" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.cdcSegments(docsParallel(s, dir), "doc_id", "text",
+          window = 3, mask = 7)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
     // ---- the trained KN LM applied as the CCNet-style document
     // filter: integer unseen/rare-bigram counters against the
     // broadcast LM (float comparisons feed counters — nothing float
@@ -2039,6 +2050,33 @@ object Curation {
     // identical per-word fixed nest rounded to micro fixed-point
     // BEFORE the cross-row sum, pair sums unpivoted by UNION ALL.
     "q129_js_divergence" -> JsDivergenceSql,
+
+    // CDC mirror (relational formulation of the per-row HOF math):
+    // per-position trailing-window hashes through the engine-wide
+    // 60-bit md5 idiom, boundary flags cumsum'd into chunk ids
+    // (1-PRECEDING keeps the boundary word in its chunk), chunks
+    // reassembled by ordered string_agg.
+    "q131_cdc_segments" ->
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id, q, ws[q] AS w,
+        |    CASE WHEN q BETWEEN 3 AND len(ws) - 1
+        |          AND CAST(('0x' || substr(md5(array_to_string(ws[q - 2 : q], ' ')), 1, 15)) AS BIGINT) % 8 = 0
+        |         THEN 1 ELSE 0 END AS f
+        |  FROM words, unnest(generate_series(1, len(ws))) t(q)),
+        |seg AS (
+        |  SELECT doc_id, q, w,
+        |    COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |  FROM flags)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       md5(string_agg(w, ' ' ORDER BY q)) AS chunk_md5
+        |FROM seg GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // The trained LM applied: per-doc bigram tokens LEFT-joined to the
     // thresholded LM, integer unseen/rare counters (a float COMPARISON

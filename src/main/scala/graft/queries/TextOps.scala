@@ -313,6 +313,25 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- Flesch readability (reading ease + FK grade): docs augmented
+    // with deterministic sentence-boundary fragments so sentence counts
+    // vary, then the per-row heuristic — exact integer counts into one
+    // fixed float nest, rounded at 6. Pure per-row HOF math.
+    "q130_readability" -> { (s, dir) =>
+      import s.implicits._
+      val aug = docsParallel(s, dir).select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 2 === 0,
+            lit(". Also a second sentence follows here! Does it read well?"))
+            .otherwise(lit("")),
+          when($"doc_id" % 5 === 0,
+            lit(" Legalese incomprehensibility notwithstanding."))
+            .otherwise(lit("")))
+          .as("aug"))
+      graft.textops.TextAnalysis.readability(aug, "doc_id", "aug")
+        .orderBy($"doc_id")
+    },
+
     // ---- Bloom-filter decontamination probe, cross-engine-exact: the
     // benchmark partition's shingles set k salted bits over m; every
     // doc reports how many of its shingles the filter claims present
@@ -1034,6 +1053,41 @@ object TextOps {
         |    AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 3
         |    AND regexp_matches(rtrim(l), '[.!?"]$')), chr(10))) AS kept_md5
         |FROM ls ORDER BY doc_id""".stripMargin,
+
+    // Readability mirror: identical sentence/word/vowel-group regexes
+    // (Java ≡ RE2 for these classes), constants parsed from strings so
+    // both engines bind the same correctly-rounded doubles.
+    "q130_readability" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 2 = 0 THEN '. Also a second sentence follows here! Does it read well?' ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0 THEN ' Legalese incomprehensibility notwithstanding.' ELSE '' END AS aug
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(aug), '\s+'), w -> len(w) > 0) AS ws,
+        |    list_filter(string_split_regex(aug, '[.!?]+'), s -> len(trim(s)) > 0) AS sents
+        |  FROM aug),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(sents) AS BIGINT) AS n_sentences,
+        |    CAST(COALESCE(list_sum(list_transform(ws,
+        |      w -> greatest(len(string_split_regex(w, '[aeiouy]+')) - 1, 1))), 0) AS BIGINT) AS n_syllables
+        |  FROM base)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |    round(CAST('206.835' AS DOUBLE)
+        |          - CAST('1.015' AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |          - CAST('84.6' AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+        |  ELSE 0.0 END AS flesch_ease,
+        |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |    round(CAST('0.39' AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |          + CAST('11.8' AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |          - CAST('15.59' AS DOUBLE), 6)
+        |  ELSE 0.0 END AS fk_grade
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

@@ -33,6 +33,14 @@ import graft.vectors.Vectors
   * session-scale; a production deployment MERGEs into a
   * cell-partitioned table (the [[graft.plans.Ledger]] seam), making
   * ingest cost proportional to the batch.
+  *
+  * UPDATES AND DELETES follow the [[StreamSearchIndex]] contract
+  * (the [[graft.plans.Merge]] seam in ledger form): durable rows carry
+  * their batch id as a VERSION, the read side resolves
+  * newest-version-wins per id, `upsert` out-versions an id's old
+  * vector, and `delete` commits a `cell = -1` tombstone filtered after
+  * resolution — all per-id facts, so replay overwrites identically and
+  * compaction's concat fold changes no winner.
   */
 object StreamVectorIndex {
 
@@ -93,6 +101,27 @@ object StreamVectorIndex {
       */
     def ingest(batch: DataFrame): Unit = {
       state = state.union(assign(batch)).dropDuplicates("id").localCheckpoint()
+    }
+
+    /** Re-index the batch's ids with their NEW vectors: existing rows
+      * for those ids are replaced, unseen ids just insert (`upsert` of
+      * an unseen id ≡ `ingest`) — the [[graft.plans.Merge]] seam, the
+      * [[StreamSearchIndex]] contract.
+      */
+    def upsert(batch: DataFrame): Unit = {
+      val ids = batch.select(col(idCol).cast("string").as("id")).distinct()
+        .localCheckpoint()
+      state = state.join(ids, Seq("id"), "left_anti")
+        .select(col("cell"), col("id"), col("v"), col("n"))
+      ingest(batch)
+    }
+
+    /** Drop vectors from the index. */
+    def delete(ids: Seq[String]): Unit = {
+      import spark.implicits._
+      state = state.join(ids.toDF("id"), Seq("id"), "left_anti")
+        .select(col("cell"), col("id"), col("v"), col("n"))
+        .localCheckpoint()
     }
 
     /** Attach to a vector stream: each micro-batch ingests on commit. */
@@ -165,13 +194,28 @@ object StreamVectorIndex {
       StructField("cell", IntegerType),
       StructField("id", StringType),
       StructField("v", ArrayType(DoubleType)),
-      StructField("n", DoubleType)))
+      StructField("n", DoubleType),
+      StructField("ver", LongType)))
 
-    /** The committed index: `(cell, id, v, n)` read from disk. */
-    def index: DataFrame = DurableLedger.load(spark, indexPath, schema)
+    /** All committed rows, dead versions included. */
+    private def raw: DataFrame = DurableLedger.load(spark, indexPath, schema)
 
-    /** Assign + commit one batch (replay-safe: dedups against the
-      * index EXCLUDING this batch's own directory).
+    /** The LIVE index `(cell, id, v, n)`: newest committed version per
+      * id (the [[StreamSearchIndex]] newest-wins resolution), delete
+      * tombstones (`cell = -1`) filtered after resolution. Out-versioned
+      * rows are dead weight until a compaction rewrite — exactly the
+      * MERGE-on-read trade.
+      */
+    def index: DataFrame = {
+      val all = raw
+      val winners = all.groupBy(col("id")).agg(max(col("ver")).as("ver"))
+      all.join(winners, Seq("id", "ver"))
+        .filter(col("cell") >= 0)
+        .select(col("cell"), col("id"), col("v"), col("n"))
+    }
+
+    /** Assign + commit one batch, insert-if-absent (replay-safe:
+      * dedups against the index EXCLUDING this batch's own directory).
       */
     def ingest(batch: DataFrame, batchId: Long): Unit = {
       val prior = DurableLedger.load(spark, indexPath, schema,
@@ -179,8 +223,41 @@ object StreamVectorIndex {
       val fresh = inner.assign(batch)
         .dropDuplicates("id")
         .join(prior.select(col("id")), Seq("id"), "left_anti")
-        .select(col("cell"), col("id"), col("v"), col("n"))
+        .select(col("cell"), col("id"), col("v"), col("n"),
+          lit(batchId).as("ver"))
       DurableLedger.commit(fresh, indexPath, batchId)
+      if (compactEvery > 0)
+        DurableLedger.maybeCompact(spark, indexPath, schema, compactEvery)
+      ()
+    }
+
+    /** Re-index the batch's ids with their NEW vectors: the committed
+      * rows out-version the old ones (newest-wins resolution) — an
+      * unseen id just inserts. The batch id must be newer than the
+      * versions it replaces (foreachBatch ids are monotone). Replay
+      * overwrites the batch's own directory with identical rows.
+      */
+    def upsert(batch: DataFrame, batchId: Long): Unit = {
+      val rows = inner.assign(batch)
+        .dropDuplicates("id")
+        .select(col("cell"), col("id"), col("v"), col("n"),
+          lit(batchId).as("ver"))
+      DurableLedger.commit(rows, indexPath, batchId)
+      if (compactEvery > 0)
+        DurableLedger.maybeCompact(spark, indexPath, schema, compactEvery)
+      ()
+    }
+
+    /** Drop vectors: commits `cell = -1` tombstone rows that win the
+      * resolution and are filtered from the live index.
+      */
+    def delete(ids: Seq[String], batchId: Long): Unit = {
+      import spark.implicits._
+      val rows = ids.toDF("id")
+        .select(lit(-1).as("cell"), col("id"),
+          lit(null).cast("array<double>").as("v"),
+          lit(-1.0).as("n"), lit(batchId).as("ver"))
+      DurableLedger.commit(rows, indexPath, batchId)
       if (compactEvery > 0)
         DurableLedger.maybeCompact(spark, indexPath, schema, compactEvery)
       ()

@@ -1635,6 +1635,62 @@ object CurationOps {
       .limit(k)
   }
 
+  /** Content-defined segmentation at word granularity (the CDC idea —
+    * LBFS/Muthitacharoen et al. 2001, FastCDC lineage — applied to
+    * text): a chunk boundary falls AFTER word `i` whenever the 60-bit
+    * hash of the `window`-word span ending at `i` is ≡ 0 mod
+    * `mask + 1`, so boundaries are decided by LOCAL CONTENT, not
+    * offsets — inserting a word early in a document re-chunks only up
+    * to the next surviving boundary (shift-robust, expected chunk
+    * length `mask + 1` words), where a fixed-width segmenter
+    * ([[segmentDedup]]'s `segWords` grid) re-chunks everything after
+    * the edit. Emits one row per chunk with its width and md5 — the
+    * block table a storage-style dedup or an incremental re-crawl
+    * differ joins on. Uses the engine-wide shingle hash
+    * ([[NearDup.shingleHash60]]) so the oracle reproduces boundaries
+    * bit-for-bit.
+    *
+    * Scale shape: pure per-row HOF math (sequence/filter/transform
+    * over the word array — no explode until the final per-chunk
+    * emission, no shuffle at all); documents with no words emit no
+    * rows. The last word never hosts a boundary (the trailing
+    * remainder always merges into the final chunk).
+    */
+  def cdcSegments(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, mask: Int = 7): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(mask > 0 && ((mask & (mask + 1)) == 0),
+      s"mask must be 2^k - 1, got $mask")
+    val ws = col("__ws")
+    val n = size(ws)
+    // 1-based boundary positions p (chunk break after word p): the
+    // sequence() guard is the segmentDedup empty-doc lesson — a
+    // descending sequence(window, n-1) on short docs must short-circuit
+    val bpos = when(n >= window + 1,
+      filter(sequence(lit(window), n - 1), p =>
+        NearDup.shingleHash60(
+          array_join(slice(ws, p - lit(window) + 1, lit(window)), " "))
+          % lit(mask + 1) === 0))
+      .otherwise(array().cast("array<int>"))
+    // chunk bounds: 0 ++ boundaries ++ n — chunk j spans words
+    // (b[j]+1 .. b[j+1]) in 1-based positions
+    val bounds = concat(array(lit(0)), bpos, array(n))
+    val chunks = transform(sequence(lit(0), size(bounds) - 2), j =>
+      struct(
+        j.cast("long").as("chunk_idx"),
+        (element_at(bounds, j + 2) - element_at(bounds, j + 1)).cast("long")
+          .as("n_words"),
+        md5(array_join(
+          slice(ws, element_at(bounds, j + 1) + 1,
+            element_at(bounds, j + 2) - element_at(bounds, j + 1)), " "))
+          .as("chunk_md5")))
+    df.select(col(idCol), wordsCol(col(textCol)).as("__ws"))
+      .filter(n > 0)
+      .select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_words").as("n_words"), col("c.chunk_md5").as("chunk_md5"))
+  }
+
   /** Vocabulary coverage / OOV-rate audit: build the corpus top-`vocabSize`
     * word vocabulary (count desc, word asc — deterministic at the rank
     * boundary) and report, per document, how many of its tokens fall
@@ -1699,15 +1755,35 @@ object CurationOps {
     * thousands.
     */
   def jsDivergenceByGroup(df: DataFrame, groupCol: String, textCol: String,
+      groupValues: Seq[String]): DataFrame =
+    jsDivergenceFromCounts(groupedUnigramCounts(df, groupCol, textCol),
+      groupValues)
+
+  /** The additive sufficient statistic of the JSD matrix (and any
+    * other distribution-comparison panel): per-group word occurrence
+    * counts `(w, g, n)` — mergeable by `groupBy(w, g).sum(n)`, the
+    * seam the streaming twin [[graft.streaming.StreamJsd]] folds on.
+    */
+  def groupedUnigramCounts(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("g"),
+        explode(wordsCol(col(textCol))).as("w"))
+      .groupBy($"w", $"g").agg(count(lit(1)).as("n"))
+  }
+
+  /** Derive the JSD matrix from a `(w, g, n)` count frame — count-only
+    * ([[pmiFromCounts]] discipline), so ledger-merged deltas yield the
+    * batch table exactly, fixed-point sums included.
+    */
+  def jsDivergenceFromCounts(counts: DataFrame,
       groupValues: Seq[String]): DataFrame = {
     require(groupValues.nonEmpty && groupValues.distinct == groupValues,
       s"groupValues must be non-empty and distinct: $groupValues")
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
     val gs = groupValues.sorted
-    val counts = df.select(col(groupCol).cast("string").as("g"),
-        explode(wordsCol(col(textCol))).as("w"))
-      .groupBy($"w", $"g").agg(count(lit(1)).as("n"))
     val wideAggs = gs.map(g =>
       sum(when($"g" === g, $"n").otherwise(lit(0L))).as(s"n_$g"))
     val wide = counts.groupBy($"w").agg(wideAggs.head, wideAggs.tail: _*)

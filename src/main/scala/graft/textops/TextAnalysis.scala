@@ -316,6 +316,49 @@ object TextAnalysis {
       md5(array_join(kept, "\n")).as("kept_md5"))
   }
 
+  /** Readability scoring (Flesch 1948 reading ease + Flesch-Kincaid
+    * grade level) — the classic complexity signal education-quality
+    * curation gates on (too-low grade ⇒ listicle/boilerplate, absurdly
+    * high ⇒ OCR garbage or legalese):
+    *
+    *   ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+    *   grade = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+    *
+    * Sentences = non-blank spans between `[.!?]+` runs (a document
+    * with no terminal punctuation is ONE sentence); syllables = vowel
+    * GROUPS (`[aeiouy]+`) per word, floored at 1 (the standard
+    * heuristic — both regex classes identical under Java regex and
+    * RE2, the scriptMix discipline). Counts are exact integers; each
+    * score is one fixed float nest over them, rounded at 6 (engine
+    * float policy). Pure per-row HOF math — a codegen'd map over the
+    * scan, zero shuffles at any corpus size.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val ws = graft.textops.TextTokens.wordsCol(text)
+    val sents = filter(split(text, "[.!?]+"), s => length(trim(s)) > 0)
+    val nW = size(ws).cast("long")
+    val nS = size(sents).cast("long")
+    val syl = aggregate(ws, lit(0L), (acc, w) =>
+      acc + greatest(size(split(w, "[aeiouy]+", -1)) - 1, lit(1)).cast("long"))
+    val spw = col("n_syllables").cast("double") /
+      col("n_words").cast("double")
+    df.select(col(idCol), nW.as("n_words"), nS.as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("flesch_ease",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round(lit(206.835) - lit(1.015) *
+            (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+            lit(84.6) * spw, 6))
+        .otherwise(lit(0.0)))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round(lit(0.39) *
+            (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+            lit(11.8) * spw - lit(15.59), 6))
+        .otherwise(lit(0.0)))
+  }
+
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text, EmailRe, "<EMAIL>")
     val ssn = regexp_replace(email, SsnRe, "<SSN>")

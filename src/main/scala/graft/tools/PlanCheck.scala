@@ -429,6 +429,15 @@ object PlanCheck {
     Expectation("q123_c4_line_filter",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
         "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // CDC segmentation is per-row HOF math + one explode — no
+    // aggregate, join, or window may creep in
+    Expectation("q131_cdc_segments",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "Window ", "CartesianProduct")),
+    // readability is pure per-row HOF math — the q29/q36/q123 contract
+    Expectation("q130_readability",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
     // vocab coverage: the top-V vocabulary must be a one-pass
     // TakeOrdered over the distinct-word rollup and BROADCAST back
     // into the (doc, word) relation — never a shuffled join against

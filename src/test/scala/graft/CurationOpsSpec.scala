@@ -1366,6 +1366,62 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1).getAs[String]("kept_md5") === "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("cdcSegments: chunks partition the doc, boundaries are content-defined (shift-robust)") {
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 400).map(_ => s"w${rnd.nextInt(40)}")
+    val doc = words.mkString(" ")
+    val out = CurationOps.cdcSegments(
+      Seq((1L, doc)).toDF("doc_id", "text"), "doc_id", "text",
+      window = 3, mask = 7).orderBy($"chunk_idx").collect()
+    // chunks tile the document exactly
+    assert(out.map(_.getAs[Long]("n_words")).sum === 400L)
+    assert(out.map(_.getAs[Long]("chunk_idx")).toSeq === out.indices.map(_.toLong))
+    assert(out.length > 10) // expected width ≈ 8 words ⇒ ~50 chunks
+    // shift-robustness: prepend one word — beyond the first re-chunked
+    // region, the SAME chunk md5s reappear (a fixed grid would shift all)
+    val shifted = CurationOps.cdcSegments(
+      Seq((1L, "extra " + doc)).toDF("doc_id", "text"), "doc_id", "text",
+      window = 3, mask = 7).orderBy($"chunk_idx").collect()
+    val a = out.map(_.getAs[String]("chunk_md5")).toSet
+    val b = shifted.map(_.getAs[String]("chunk_md5")).toSet
+    assert((a intersect b).size >= a.size - 2)
+    // fixed-grid contrast: every 8-word segment md5 changes after the shift
+    // (documented in scaladoc; no assertion needed — the intersect above
+    // is the CDC property itself)
+    // short docs: at or below `window` words ⇒ one whole-doc chunk
+    val short = CurationOps.cdcSegments(
+      Seq((1L, "a b c"), (2L, "a"), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 3, mask = 7).collect()
+    assert(short.count(_.getAs[Long](0) == 1L) === 1)
+    assert(short.count(_.getAs[Long](0) == 2L) === 1)
+    assert(short.forall(_.getAs[Long]("chunk_idx") === 0L))
+    assert(!short.exists(_.getAs[Long](0) == 3L)) // empty doc: no rows
+  }
+
+  test("readability: hand-computed Flesch/FK, vowel-group floor, empty guard") {
+    val df = Seq(
+      (1L, "The cat sat. It ran fast!"),
+      (2L, "xxx 123."), // no vowel groups → 1-syllable floor each
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.textops.TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Long]("n_words") === 6L)
+    assert(out(0).getAs[Long]("n_sentences") === 2L)
+    assert(out(0).getAs[Long]("n_syllables") === 6L)
+    assert(out(0).getAs[Double]("flesch_ease") ===
+      r6(206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0)))
+    assert(out(0).getAs[Double]("fk_grade") ===
+      r6(0.39 * (6.0 / 2.0) + 11.8 * (6.0 / 6.0) - 15.59))
+    assert(out(1).getAs[Long]("n_syllables") === 2L) // floored at 1 each
+    assert(out(1).getAs[Long]("n_sentences") === 1L)
+    assert(out(2).getAs[Long]("n_words") === 0L &&
+      out(2).getAs[Double]("flesch_ease") === 0.0 &&
+      out(2).getAs[Double]("fk_grade") === 0.0)
+  }
+
   test("vocabCoverage: exact OOV mass, boundary tiebreak, empty docs kept") {
     val df = Seq(
       (1L, "aa aa aa bb bb cc"), // aa:3 bb:2 cc:1

@@ -107,4 +107,66 @@ class StreamVectorIndexSpec extends SparkSpec {
     assert(top(s2.search(queries, k = 3, nProbe = centers.length)) ==
       top(mem.search(queries, k = 3, nProbe = centers.length)))
   }
+
+  test("upsert re-points an id's vector, delete removes it — in-memory session") {
+    val s = newSession()
+    val base = emb.filter($"vec_id" >= 8 && $"vec_id" < 40)
+    s.ingest(base)
+    val qv = queries.orderBy($"vec_id").select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val twin = qv.updated(0, qv.head + 0.001)
+    val far = qv.map(x => -x)
+    val q0 = queries.limit(1)
+    s.ingest(Seq((999L, far)).toDF("vec_id", "embedding"))
+    val n0 = s.index.count()
+    // upsert replaces 999's vector without growing the index
+    s.upsert(Seq((999L, twin)).toDF("vec_id", "embedding"))
+    assert(s.index.count() === n0)
+    val top1 = s.search(q0, k = 5, nProbe = centers.length)
+      .filter($"rank" === 1).select($"neighbor_id").as[String].collect().head
+    assert(top1 === "999")
+    // delete removes it from index and results
+    s.delete(Seq("999"))
+    assert(s.index.filter($"id" === "999").count() === 0L)
+    val ids = s.search(q0, k = 5, nProbe = centers.length)
+      .select($"neighbor_id").as[String].collect().toSet
+    assert(!ids.contains("999"))
+  }
+
+  test("durable upsert/delete: newest version wins, tombstones survive restart and compaction") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("durable-ivf-ud").toString
+    val path = s"$base/index"
+    def newDurable() = new StreamVectorIndex.DurableIvfIndexSession(
+      spark, path, "vec_id", "embedding", centers)
+    val corpus = emb.filter($"vec_id" >= 8 && $"vec_id" < 40)
+    val qv = queries.orderBy($"vec_id").select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().head
+    val twin = qv.updated(0, qv.head + 0.001)
+    val far = qv.map(x => -x)
+    val q0 = queries.limit(1)
+    val s = newDurable()
+    s.ingest(corpus, 0L)
+    s.ingest(Seq((999L, far)).toDF("vec_id", "embedding"), 1L)
+    val n0 = s.index.count()
+    s.upsert(Seq((999L, twin)).toDF("vec_id", "embedding"), 2L)
+    assert(s.index.count() === n0) // out-versioned, not duplicated
+    val top1 = s.search(q0, k = 5, nProbe = centers.length)
+      .filter($"rank" === 1).select($"neighbor_id").as[String].collect().head
+    assert(top1 === "999")
+    s.delete(Seq("999"), 3L)
+    assert(s.index.filter($"id" === "999").count() === 0L)
+    // restart: tombstone resolution comes from disk
+    val s2 = newDurable()
+    assert(s2.index.filter($"id" === "999").count() === 0L)
+    assert(s2.index.count() === corpus.count())
+    // compaction concat-folds dead versions without changing winners
+    val schema = StructType(Seq(
+      StructField("cell", IntegerType), StructField("id", StringType),
+      StructField("v", ArrayType(DoubleType)), StructField("n", DoubleType),
+      StructField("ver", LongType)))
+    graft.streaming.DurableLedger.compact(spark, path, schema)
+    assert(s2.index.count() === corpus.count())
+    assert(s2.index.filter($"id" === "999").count() === 0L)
+  }
 }
