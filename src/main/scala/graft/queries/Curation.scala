@@ -682,6 +682,20 @@ object Curation {
         .orderBy($"doc_id", $"chunk_idx")
     },
 
+    // ---- Efraimidis-Spirakis weighted sample without replacement:
+    // deterministic u from the salted 60-bit md5, key = -ln(u)/w, k
+    // smallest keys ARE the sample (a mergeable bottom-k — the
+    // streaming twin folds on it). One TakeOrdered; weight = token
+    // mass.
+    "q132_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      val toks = docsParallel(s, dir).select($"doc_id",
+        size(graft.textops.TextTokens.wordsCol($"text")).cast("long")
+          .as("n_tokens"))
+      CurationOps.weightedSample(toks, "doc_id", "n_tokens",
+        k = 60, salt = "es")
+    },
+
     // ---- the trained KN LM applied as the CCNet-style document
     // filter: integer unseen/rare-bigram counters against the
     // broadcast LM (float comparisons feed counters — nothing float
@@ -2050,6 +2064,18 @@ object Curation {
     // identical per-word fixed nest rounded to micro fixed-point
     // BEFORE the cross-row sum, pair sums unpivoted by UNION ALL.
     "q129_js_divergence" -> JsDivergenceSql,
+
+    // A-ES mirror: identical hash → u → -ln(u)/w nest (libm ln parity,
+    // the zipfSlope precedent), same (key, id) total order, LIMIT k.
+    "q132_weighted_sample" -> (ToksCte +
+      """, keyed AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    -ln((CAST(('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+        |        / CAST('1152921504606846976' AS DOUBLE))
+        |      / CAST(n_tokens AS DOUBLE) AS es_key
+        |  FROM toks WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, es_key FROM keyed
+        |ORDER BY es_key ASC, doc_id ASC LIMIT 60""".stripMargin),
 
     // CDC mirror (relational formulation of the per-row HOF math):
     // per-position trailing-window hashes through the engine-wide

@@ -537,6 +537,36 @@ object CurationOps {
       .filter(col("pick_point") < col("end_offset"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006,
+    * exponential-jumps form): every row draws a deterministic uniform
+    * `u ∈ (0, 1]` from the salted 60-bit md5 of its id and scores
+    * `key = −ln(u) / w`; the k smallest keys ARE a weighted
+    * without-replacement sample — the classic one-pass scheme whose
+    * selection is a BOTTOM-K SKETCH and therefore mergeable
+    * (bottom-k of a union = bottom-k of concatenated bottom-k's, the
+    * [[stratifiedSample]]/StreamSample argument — so the same operator
+    * streams, and shards can sample independently then fold). Rows
+    * with non-positive weight are excluded (they cannot be drawn).
+    *
+    * Cross-engine exactness: `u` is an integer-over-integer double,
+    * the key one fixed `ln` + division nest per row (the zipfSlope
+    * libm-parity precedent), the selection a total order on
+    * (key, id). Scale shape: per-row math + ONE `TakeOrdered` — no
+    * shuffle carries more than k rows.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h60 = NearDup.shingleHash60(
+      concat(lit(salt), col(idCol).cast("string")))
+    val u = (h60 + lit(1L)).cast("double") /
+      lit(1152921504606846976.0) // 2^60: u in (0, 1], key = -ln(u)/w >= 0
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ---- corpus length statistics ------------------------------------------
 
   /** Per-stratum token-count distribution summary (min/p50/p90/p99/max,
@@ -1673,8 +1703,13 @@ object CurationOps {
           % lit(mask + 1) === 0))
       .otherwise(array().cast("array<int>"))
     // chunk bounds: 0 ++ boundaries ++ n — chunk j spans words
-    // (b[j]+1 .. b[j+1]) in 1-based positions
-    val bounds = concat(array(lit(0)), bpos, array(n))
+    // (b[j]+1 .. b[j+1]) in 1-based positions. MATERIALIZED as a
+    // column before the per-chunk transform: inlined, the boundary
+    // scan's window hashes would re-evaluate per element_at reference
+    // (~3 × chunks times per doc — measured 5.5 s → the fix puts q131
+    // at fractions of a second at sf0.1); CollapseProject keeps
+    // multiply-referenced non-cheap aliases materialized.
+    val bounds = col("__bounds")
     val chunks = transform(sequence(lit(0), size(bounds) - 2), j =>
       struct(
         j.cast("long").as("chunk_idx"),
@@ -1686,6 +1721,7 @@ object CurationOps {
           .as("chunk_md5")))
     df.select(col(idCol), wordsCol(col(textCol)).as("__ws"))
       .filter(n > 0)
+      .withColumn("__bounds", concat(array(lit(0)), bpos, array(n)))
       .select(col(idCol), explode(chunks).as("c"))
       .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
         col("c.n_words").as("n_words"), col("c.chunk_md5").as("chunk_md5"))

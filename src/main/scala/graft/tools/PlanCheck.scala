@@ -429,6 +429,12 @@ object PlanCheck {
     Expectation("q123_c4_line_filter",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
         "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // A-ES weighted sample: per-row key math + ONE TakeOrdered — no
+    // join, window, or global sort may creep in
+    Expectation("q132_weighted_sample",
+      mustContain = Seq("TakeOrderedAndProject"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "Window ", "CartesianProduct")),
     // CDC segmentation is per-row HOF math + one explode — no
     // aggregate, join, or window may creep in
     Expectation("q131_cdc_segments",
