@@ -682,6 +682,20 @@ object Curation {
         .orderBy($"doc_id", $"chunk_idx")
     },
 
+    // ---- CDC block-level dedup audit: docs augmented with a fixed
+    // boilerplate tail on doc_id % 4 == 0, so identical content-defined
+    // blocks recur across documents at SHIFTED offsets — exactly the
+    // case a fixed-grid segmenter misattributes; first occurrence by
+    // (doc_id, chunk_idx) keeps, per-doc duplicate counts + word mass.
+    "q133_cdc_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val aug = docsParallel(s, dir).select($"doc_id",
+        concat($"text", when($"doc_id" % 4 === 0, lit(" " + CdcBoiler))
+          .otherwise(lit(""))).as("text"))
+      CurationOps.cdcDedupStats(aug, "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
     // ---- Efraimidis-Spirakis weighted sample without replacement:
     // deterministic u from the salted 60-bit md5, key = -ln(u)/w, k
     // smallest keys ARE the sample (a mergeable bottom-k — the
@@ -925,6 +939,43 @@ object Curation {
     * a tokenizer change that drifts from the Spark side is a silent
     * gate hash mismatch, so no oracle inlines its own copy.
     */
+  /** The fixed boilerplate tail the q133 gate plants so duplicated
+    * content-defined blocks exist in the test corpus (shared verbatim
+    * with the oracle SQL).
+    */
+  private val CdcBoiler =
+    "subscribe to our newsletter for updates terms of service apply " +
+      "all rights reserved contact us at the address below privacy " +
+      "policy cookie settings do not sell my information thank you"
+
+  /** CDC chunk-table CTE (the q131 oracle's body, reusable): chunks of
+    * `src` — a relation with `(doc_id, text)` — as
+    * `chunks(doc_id, chunk_idx, n_words, chunk_md5)`. Relational mirror
+    * of [[graft.textops.CurationOps.cdcSegments]] at window = 3,
+    * mask = 7.
+    */
+  private def CdcChunksCte(src: String): String =
+    s"""WITH words AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             w -> len(w) > 0) AS ws
+       |  FROM $src),
+       |flags AS (
+       |  SELECT doc_id, q, ws[q] AS w,
+       |    CASE WHEN q BETWEEN 3 AND len(ws) - 1
+       |          AND CAST(('0x' || substr(md5(array_to_string(ws[q - 2 : q], ' ')), 1, 15)) AS BIGINT) % 8 = 0
+       |         THEN 1 ELSE 0 END AS f
+       |  FROM words, unnest(generate_series(1, len(ws))) t(q)),
+       |seg AS (
+       |  SELECT doc_id, q, w,
+       |    COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM flags),
+       |chunks AS (
+       |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |         CAST(COUNT(*) AS BIGINT) AS n_words,
+       |         md5(string_agg(w, ' ' ORDER BY q)) AS chunk_md5
+       |  FROM seg GROUP BY doc_id, chunk_idx)""".stripMargin
+
   /** Generated q129 oracle: the per-word JSD pair terms transliterate
     * [[graft.textops.CurationOps.jsDivergenceByGroup]]'s op nest
     * symbol-for-symbol (p, q, m, half·p·log2(p/m), zero-total guard,
@@ -2065,6 +2116,23 @@ object Curation {
     // BEFORE the cross-row sum, pair sums unpivoted by UNION ALL.
     "q129_js_divergence" -> JsDivergenceSql,
 
+    // CDC-dedup mirror: the shared chunk CTE over the boilerplate-
+    // augmented corpus, first occurrence as rn = 1 under the identical
+    // (doc_id, chunk_idx) total order, per-doc rollup.
+    "q133_cdc_dedup" -> (CdcChunksCte(
+      "(SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN ' " +
+        CdcBoiler + "' ELSE '' END AS text FROM documents) aug") +
+      """
+        |, ranked AS (
+        |  SELECT doc_id, chunk_idx, n_words,
+        |    ROW_NUMBER() OVER (PARTITION BY chunk_md5
+        |      ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN n_words ELSE 0 END) AS BIGINT) AS dup_words
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // A-ES mirror: identical hash → u → -ln(u)/w nest (libm ln parity,
     // the zipfSlope precedent), same (key, id) total order, LIMIT k.
     "q132_weighted_sample" -> (ToksCte +
@@ -2083,26 +2151,9 @@ object Curation {
     // (1-PRECEDING keeps the boundary word in its chunk), chunks
     // reassembled by ordered string_agg.
     "q131_cdc_segments" ->
-      """WITH words AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-        |                             w -> len(w) > 0) AS ws
-        |  FROM documents),
-        |flags AS (
-        |  SELECT doc_id, q, ws[q] AS w,
-        |    CASE WHEN q BETWEEN 3 AND len(ws) - 1
-        |          AND CAST(('0x' || substr(md5(array_to_string(ws[q - 2 : q], ' ')), 1, 15)) AS BIGINT) % 8 = 0
-        |         THEN 1 ELSE 0 END AS f
-        |  FROM words, unnest(generate_series(1, len(ws))) t(q)),
-        |seg AS (
-        |  SELECT doc_id, q, w,
-        |    COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY q
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
-        |  FROM flags)
-        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-        |       CAST(COUNT(*) AS BIGINT) AS n_words,
-        |       md5(string_agg(w, ' ' ORDER BY q)) AS chunk_md5
-        |FROM seg GROUP BY doc_id, chunk_idx
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
+      (CdcChunksCte("documents") +
+        "\nSELECT doc_id, chunk_idx, n_words, chunk_md5 FROM chunks" +
+        "\nORDER BY doc_id, chunk_idx"),
 
     // The trained LM applied: per-doc bigram tokens LEFT-joined to the
     // thresholded LM, integer unseen/rare counters (a float COMPARISON

@@ -1727,6 +1727,39 @@ object CurationOps {
         col("c.n_words").as("n_words"), col("c.chunk_md5").as("chunk_md5"))
   }
 
+  /** Block-level dedup audit over [[cdcSegments]]' content-defined
+    * chunks — the "what would a block store save" table: a chunk is a
+    * DUPLICATE iff an identical chunk (same md5) exists earlier in the
+    * corpus order (first occurrence by `(doc_id, chunk_idx)` keeps —
+    * the [[exactSpanDedup]] min-struct discipline, applied per block
+    * instead of per span). Per document: chunk count, duplicated-chunk
+    * count, and the duplicated word mass — the dedup-ratio panel a
+    * storage layer or a re-crawl differ reads, and because the blocks
+    * are content-defined it keeps attributing duplicates correctly
+    * when boilerplate shifts position between documents.
+    *
+    * Scale shape: one map-side-combined `min(struct)` groupBy over
+    * the chunk table (rows = distinct blocks), one shuffled equi-join
+    * back on the md5 (the honest shape — the block table is
+    * corpus-sized), one per-doc rollup.
+    */
+  def cdcDedupStats(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, mask: Int = 7): DataFrame = {
+    val chunks = cdcSegments(df, idCol, textCol, window, mask)
+    val firsts = chunks.groupBy(col("chunk_md5"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__first"))
+      .select(col("chunk_md5"),
+        col("__first").getField(idCol).as("__fid"),
+        col("__first").getField("chunk_idx").as("__fidx"))
+    chunks.join(firsts, Seq("chunk_md5"))
+      .withColumn("__dup",
+        col(idCol) =!= col("__fid") || col("chunk_idx") =!= col("__fidx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup"), lit(1L)).otherwise(lit(0L))).as("n_dup_chunks"),
+        sum(when(col("__dup"), col("n_words")).otherwise(lit(0L))).as("dup_words"))
+  }
+
   /** Vocabulary coverage / OOV-rate audit: build the corpus top-`vocabSize`
     * word vocabulary (count desc, word asc — deterministic at the rank
     * boundary) and report, per document, how many of its tokens fall

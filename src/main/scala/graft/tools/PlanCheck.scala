@@ -429,6 +429,12 @@ object PlanCheck {
     Expectation("q123_c4_line_filter",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
         "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // CDC block dedup: map-side-combined min(struct) over the chunk
+    // table + the md5 equi-join + per-doc rollup — no window (the
+    // first-occurrence pick must stay an aggregate, the q40/q86 rule)
+    Expectation("q133_cdc_dedup",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Window ", "CartesianProduct")),
     // A-ES weighted sample: per-row key math + ONE TakeOrdered — no
     // join, window, or global sort may creep in
     Expectation("q132_weighted_sample",

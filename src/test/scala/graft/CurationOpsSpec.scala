@@ -1398,6 +1398,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(!short.exists(_.getAs[Long](0) == 3L)) // empty doc: no rows
   }
 
+  test("cdcDedupStats: first occurrence keeps, duplicated blocks attributed to later docs") {
+    val rnd = new scala.util.Random(19)
+    val text = (1 to 200).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+    val df = Seq((1L, text), (2L, text), (3L, "one tiny doc")).toDF("doc_id", "text")
+    val out = CurationOps.cdcDedupStats(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    // doc 1 holds every first occurrence; doc 2 is 100% duplicate blocks
+    assert(out(0).getAs[Long]("n_dup_chunks") === 0L)
+    assert(out(1).getAs[Long]("n_dup_chunks") === out(1).getAs[Long]("n_chunks"))
+    assert(out(1).getAs[Long]("dup_words") === 200L)
+    assert(out(2).getAs[Long]("n_dup_chunks") === 0L)
+  }
+
   test("readability: hand-computed Flesch/FK, vowel-group floor, empty guard") {
     val df = Seq(
       (1L, "The cat sat. It ran fast!"),
