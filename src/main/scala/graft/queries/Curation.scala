@@ -696,6 +696,23 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // ---- CDC block-level snapshot diff (the q95 old/new convention:
+    // PREFIX edits on doc_id % 13, docs missing from old on % 11): per
+    // new doc, how many content-defined blocks the old version already had
+    // — the incremental re-embed/re-index bill, which CDC keeps small
+    // under edits where a fixed grid would invalidate every block
+    // after the edit point.
+    "q134_cdc_block_diff" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir).select($"doc_id", $"text")
+      val old = docs.filter($"doc_id" % 11 =!= 0)
+        .withColumn("text",
+          when($"doc_id" % 13 === 0, concat(lit("EDIT PREFIX "), $"text"))
+            .otherwise($"text"))
+      CurationOps.cdcBlockDiff(old, docs, "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
     // ---- Efraimidis-Spirakis weighted sample without replacement:
     // deterministic u from the salted 60-bit md5, key = -ln(u)/w, k
     // smallest keys ARE the sample (a mergeable bottom-k — the
@@ -955,26 +972,34 @@ object Curation {
     * mask = 7.
     */
   private def CdcChunksCte(src: String): String =
-    s"""WITH words AS (
+    "WITH " + cdcChunksCteBody(src, "")
+
+  /** The chunk CTE chain WITHOUT the leading WITH and with `p`-prefixed
+    * CTE names, so two corpus versions can be chunked in one statement
+    * (q134). Final CTE: `${p}chunks(doc_id, chunk_idx, n_words,
+    * chunk_md5)`.
+    */
+  private def cdcChunksCteBody(src: String, p: String): String =
+    s"""${p}words AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |                             w -> len(w) > 0) AS ws
        |  FROM $src),
-       |flags AS (
+       |${p}flags AS (
        |  SELECT doc_id, q, ws[q] AS w,
        |    CASE WHEN q BETWEEN 3 AND len(ws) - 1
        |          AND CAST(('0x' || substr(md5(array_to_string(ws[q - 2 : q], ' ')), 1, 15)) AS BIGINT) % 8 = 0
        |         THEN 1 ELSE 0 END AS f
-       |  FROM words, unnest(generate_series(1, len(ws))) t(q)),
-       |seg AS (
+       |  FROM ${p}words, unnest(generate_series(1, len(ws))) t(q)),
+       |${p}seg AS (
        |  SELECT doc_id, q, w,
        |    COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY q
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
-       |  FROM flags),
-       |chunks AS (
+       |  FROM ${p}flags),
+       |${p}chunks AS (
        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        |         CAST(COUNT(*) AS BIGINT) AS n_words,
        |         md5(string_agg(w, ' ' ORDER BY q)) AS chunk_md5
-       |  FROM seg GROUP BY doc_id, chunk_idx)""".stripMargin
+       |  FROM ${p}seg GROUP BY doc_id, chunk_idx)""".stripMargin
 
   /** Generated q129 oracle: the per-word JSD pair terms transliterate
     * [[graft.textops.CurationOps.jsDivergenceByGroup]]'s op nest
@@ -2132,6 +2157,23 @@ object Curation {
         |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
         |  CAST(SUM(CASE WHEN rn > 1 THEN n_words ELSE 0 END) AS BIGINT) AS dup_words
         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Block-diff mirror: two prefixed chunk CTE chains (old = prefix-
+    // edited documents minus the % 11 rows), DISTINCT old block set,
+    // left join on (doc_id, chunk_md5), per-doc rollup.
+    "q134_cdc_block_diff" -> ("WITH " +
+      cdcChunksCteBody(
+        "(SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'EDIT PREFIX ' || text ELSE text END AS text FROM documents WHERE doc_id % 11 <> 0) oldv",
+        "o") + ",\n" +
+      cdcChunksCteBody("documents", "n") +
+      """
+        |, ob AS (SELECT DISTINCT doc_id, chunk_md5 FROM ochunks)
+        |SELECT n.doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN ob.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |  CAST(SUM(CASE WHEN ob.chunk_md5 IS NULL THEN n.n_words ELSE 0 END) AS BIGINT) AS fresh_words
+        |FROM nchunks n LEFT JOIN ob
+        |  ON n.doc_id = ob.doc_id AND n.chunk_md5 = ob.chunk_md5
+        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin),
 
     // A-ES mirror: identical hash → u → -ln(u)/w nest (libm ln parity,
     // the zipfSlope precedent), same (key, id) total order, LIMIT k.

@@ -1760,6 +1760,39 @@ object CurationOps {
         sum(when(col("__dup"), col("n_words")).otherwise(lit(0L))).as("dup_words"))
   }
 
+  /** Block-level snapshot diff — the incremental-cost estimator
+    * [[snapshotDiff]] can't give: for every document in the NEW
+    * snapshot, how many of its content-defined blocks already existed
+    * in the OLD version of the SAME document (reusable: their chunk
+    * embeddings / index entries / dedup verdicts carry over) versus
+    * how many are fresh work. Because boundaries are content-defined
+    * ([[cdcSegments]]), an edit near the top of a document leaves the
+    * downstream blocks' hashes INTACT — a fixed-width grid would
+    * invalidate everything after the edit, overstating the re-process
+    * bill by orders of magnitude on append-mostly corpora.
+    *
+    * Scale shape: two chunk passes (per-row HOF math), one equi-join
+    * on `(doc_id, chunk_md5)` — both sides hash-only projections, text
+    * never crosses the shuffle (the [[snapshotDiff]] discipline) — and
+    * a per-doc rollup. Unchanged docs report 100% reuse; added docs
+    * report zero.
+    */
+  def cdcBlockDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String,
+      window: Int = 3, mask: Int = 7): DataFrame = {
+    val oldBlocks = cdcSegments(oldDf, idCol, textCol, window, mask)
+      .select(col(idCol), col("chunk_md5")).distinct()
+      .withColumn("__old", lit(1))
+    cdcSegments(newDf, idCol, textCol, window, mask)
+      .join(oldBlocks, Seq(idCol, "chunk_md5"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__old").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_reused"),
+        sum(when(col("__old").isNull, col("n_words")).otherwise(lit(0L)))
+          .as("fresh_words"))
+  }
+
   /** Vocabulary coverage / OOV-rate audit: build the corpus top-`vocabSize`
     * word vocabulary (count desc, word asc — deterministic at the rank
     * boundary) and report, per document, how many of its tokens fall

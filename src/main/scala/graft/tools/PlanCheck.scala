@@ -435,6 +435,11 @@ object PlanCheck {
     Expectation("q133_cdc_dedup",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("Window ", "CartesianProduct")),
+    // CDC block diff: hash-only projections into the (doc, md5)
+    // equi-join — text never crosses the shuffle; no window
+    Expectation("q134_cdc_block_diff",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Window ", "CartesianProduct")),
     // A-ES weighted sample: per-row key math + ONE TakeOrdered — no
     // join, window, or global sort may creep in
     Expectation("q132_weighted_sample",

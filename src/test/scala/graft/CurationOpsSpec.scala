@@ -1411,6 +1411,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_dup_chunks") === 0L)
   }
 
+  test("cdcBlockDiff: prefix edit reuses downstream blocks; added docs are all fresh") {
+    val rnd = new scala.util.Random(29)
+    val text = (1 to 300).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+    val old = Seq((1L, text)).toDF("doc_id", "text")
+    val nw = Seq((1L, "inserted words up front " + text), (2L, text.take(200)))
+      .toDF("doc_id", "text")
+    val out = CurationOps.cdcBlockDiff(old, nw, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    // doc 1: everything past the first post-edit boundary is reused
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_reused") >= d1.getAs[Long]("n_blocks") - 3)
+    assert(d1.getAs[Long]("n_reused") < d1.getAs[Long]("n_blocks"))
+    // doc 2 is new to the corpus: zero reuse
+    assert(out(1).getAs[Long]("n_reused") === 0L)
+  }
+
   test("readability: hand-computed Flesch/FK, vowel-group floor, empty guard") {
     val df = Seq(
       (1L, "The cat sat. It ran fast!"),
