@@ -91,6 +91,18 @@ object IncrementalCurationDemo {
     val delta = tonight.join(deltaIds, "doc_id").localCheckpoint()
     val nDelta = delta.count()
 
+    // block-level accounting INSIDE the changed docs: content-defined
+    // chunk boundaries mean an edit invalidates only its local blocks
+    // — the re-embed bill is the fresh word mass, not the docs' total
+    val blockBill = CurationOps.cdcBlockDiff(
+        old.join(deltaIds, "doc_id"), delta, "doc_id", "text")
+      .agg(sum($"n_blocks").as("blocks"), sum($"n_reused").as("reused"),
+        sum($"fresh_words").as("fresh_words"))
+      .collect().head
+    println(s"night 1 block bill: ${blockBill.getAs[Long]("reused")} of " +
+      s"${blockBill.getAs[Long]("blocks")} changed-doc blocks reusable; " +
+      s"only ${blockBill.getAs[Long]("fresh_words")} words need re-embedding")
+
     val night1 = span.ingest(delta, batchId = 1L)
     val dropped = night1.agg(sum($"n_dropped")).as[Long].head()
     println(s"night 1: re-curated $nDelta delta docs (of ${tonight.count()}); " +
@@ -116,8 +128,9 @@ object IncrementalCurationDemo {
     val folded = Seq(
       graft.streaming.DurableLedger.compact(spark, s"$base/span-ledger",
         span.ledger.schema),
-      graft.streaming.DurableLedger.compact(spark, s"$base/ivf-index",
-        ivf.index.schema)).sum
+      // the index session folds with its LEDGER schema (ver column
+      // included) — the live view drops versions after resolution
+      ivf.compact()).sum
     assert(span.ledger.count() == ledgerBefore)
     assert(ivf.index.count() == indexBefore)
     println(s"maintenance: compacted $folded batch directories; " +

@@ -270,6 +270,14 @@ object StreamVectorIndex {
         .start()
     }
 
+    /** Fold the index's batch directories with the LEDGER schema
+      * (versions included). Callers must use this, never
+      * `DurableLedger.compact` with the live view's schema — `index`
+      * drops `ver` after resolution, and folding through that schema
+      * would erase the version column from the rewritten segment.
+      */
+    def compact(): Int = DurableLedger.compact(spark, indexPath, schema)
+
     /** [[IvfIndexSession.search]] over the committed index. */
     def search(queries: DataFrame, k: Int, nProbe: Int): DataFrame =
       inner.searchIndex(index, queries, k, nProbe)

@@ -134,7 +134,6 @@ class StreamVectorIndexSpec extends SparkSpec {
   }
 
   test("durable upsert/delete: newest version wins, tombstones survive restart and compaction") {
-    import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("durable-ivf-ud").toString
     val path = s"$base/index"
     def newDurable() = new StreamVectorIndex.DurableIvfIndexSession(
@@ -160,12 +159,9 @@ class StreamVectorIndexSpec extends SparkSpec {
     val s2 = newDurable()
     assert(s2.index.filter($"id" === "999").count() === 0L)
     assert(s2.index.count() === corpus.count())
-    // compaction concat-folds dead versions without changing winners
-    val schema = StructType(Seq(
-      StructField("cell", IntegerType), StructField("id", StringType),
-      StructField("v", ArrayType(DoubleType)), StructField("n", DoubleType),
-      StructField("ver", LongType)))
-    graft.streaming.DurableLedger.compact(spark, path, schema)
+    // compaction (through the session's ledger-schema fold) concat-folds
+    // dead versions without changing winners
+    assert(s2.compact() > 0)
     assert(s2.index.count() === corpus.count())
     assert(s2.index.filter($"id" === "999").count() === 0L)
   }
