@@ -332,6 +332,26 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- HTML → text extraction: docs wrapped in a deterministic page
+    // template (script/style/comment bodies, entity-bearing list items
+    // on doc_id % 3, a footer with an undecoded entity), then the strip
+    // chain + markup-shape signals. Pure per-row chained regex.
+    "q135_html_extract" -> { (s, dir) =>
+      import s.implicits._
+      val aug = docsParallel(s, dir).select($"doc_id",
+        concat(
+          lit("<html><head><title>Doc "), $"doc_id",
+          lit("</title><script>var x=1; if(x<2){x=3;}</script><style>.a{color:red}</style></head><body><h1>Doc "),
+          $"doc_id", lit("</h1><p>"), $"text", lit("</p>"),
+          when($"doc_id" % 3 === 0,
+            lit("<ul><li>alpha &amp; beta</li><li>&quot;gamma&quot;</li></ul>"))
+            .otherwise(lit("")),
+          lit("<!-- generated --><footer><a href=\"/about\">about</a> &copy; 2026</footer></body></html>"))
+          .as("page"))
+      graft.textops.TextAnalysis.htmlExtract(aug, "doc_id", "page")
+        .orderBy($"doc_id")
+    },
+
     // ---- Bloom-filter decontamination probe, cross-engine-exact: the
     // benchmark partition's shingles set k salted bits over m; every
     // doc reports how many of its shingles the filter claims present
@@ -547,6 +567,41 @@ object TextOps {
   private val HllP = 8
   private val BloomK = 3
   private val BloomM = 16384
+
+  /** Generated q135 oracle: the strip chain folds left over the same
+    * (pattern, replacement) list as
+    * [[graft.textops.TextAnalysis.htmlExtract]].
+    */
+  private val HtmlExtractSql: String = {
+    val steps = Seq(
+      ("(?is)<script[^>]*>.*?</script>", ""),
+      ("(?is)<style[^>]*>.*?</style>", ""),
+      ("(?s)<!--.*?-->", ""),
+      ("(?is)<[^>]*>", " "),
+      ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+      ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"))
+    val chain = steps.foldLeft("page") { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    val text = s"trim(regexp_replace($chain, '\\s+', ' ', 'g'))"
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || doc_id || '</title><script>var x=1; if(x<2){x=3;}</script><style>.a{color:red}</style></head><body><h1>Doc ' || doc_id || '</h1><p>' || text || '</p>' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '<ul><li>alpha &amp; beta</li><li>&quot;gamma&quot;</li></ul>' ELSE '' END ||
+       |    '<!-- generated --><footer><a href="/about">about</a> &copy; 2026</footer></body></html>' AS page
+       |  FROM documents),
+       |x AS (SELECT doc_id, page, $text AS text_extracted FROM aug)
+       |SELECT doc_id,
+       |  CAST(length(page) AS BIGINT) AS n_raw_chars,
+       |  CAST(len(string_split_regex(page, '<[^>]+>')) - 1 AS BIGINT) AS n_tags,
+       |  CAST(len(string_split_regex(page, '(?i)<a[\\s>]')) - 1 AS BIGINT) AS n_links,
+       |  text_extracted,
+       |  CAST(length(text_extracted) AS BIGINT) AS n_text_chars,
+       |  CASE WHEN length(page) > 0
+       |       THEN CAST(length(text_extracted) AS DOUBLE) / length(page)
+       |       ELSE 0.0 END AS text_ratio
+       |FROM x ORDER BY doc_id""".stripMargin
+  }
 
   private[queries] val WordsCte =
     """WITH words AS (
@@ -1088,6 +1143,13 @@ object TextOps {
         |          - CAST('15.59' AS DOUBLE), 6)
         |  ELSE 0.0 END AS fk_grade
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // HTML mirror: identical page template, identical strip chain
+    // (RE2 'g' = Java global default; lazy-dotall + literal classes
+    // agree engine-to-engine), same entity order AFTER the tag strip.
+    // The call chain is GENERATED — hand-nesting 11 regexp_replace
+    // calls is exactly how parens go missing.
+    "q135_html_extract" -> HtmlExtractSql,
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

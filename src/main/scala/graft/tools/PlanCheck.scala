@@ -451,6 +451,10 @@ object PlanCheck {
     Expectation("q131_cdc_segments",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
         "SortMergeJoin", "BroadcastHashJoin", "Window ", "CartesianProduct")),
+    // HTML extraction is chained per-row regex — the q41 contract
+    Expectation("q135_html_extract",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
     // readability is pure per-row HOF math — the q29/q36/q123 contract
     Expectation("q130_readability",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",

@@ -1427,6 +1427,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_reused") === 0L)
   }
 
+  test("htmlExtract: script bodies with '<' survive the strip, entities decode after tags") {
+    val page = "<html><script>if(a<b){go()}</script><style>p{x:1}</style>" +
+      "<body><p>A &amp; B say &lt;hi&gt;</p><!-- c --><a href=\"/x\">link</a>" +
+      "<a\nhref=\"/y\">two</a></body></html>"
+    val r = graft.textops.TextAnalysis.htmlExtract(
+      Seq((1L, page)).toDF("doc_id", "page"), "doc_id", "page")
+      .collect().head
+    assert(r.getAs[String]("text_extracted") === "A & B say <hi> link two")
+    assert(r.getAs[Long]("n_links") === 2L)
+    assert(r.getAs[Long]("n_text_chars") === 23L)
+    // empty input guard
+    val e = graft.textops.TextAnalysis.htmlExtract(
+      Seq((1L, "")).toDF("doc_id", "page"), "doc_id", "page").collect().head
+    assert(e.getAs[Long]("n_raw_chars") === 0L &&
+      e.getAs[Double]("text_ratio") === 0.0)
+  }
+
   test("readability: hand-computed Flesch/FK, vowel-group floor, empty guard") {
     val df = Seq(
       (1L, "The cat sat. It ran fast!"),
