@@ -352,6 +352,36 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- WARC round trip: per-source crawl segments synthesized as
+    // real WARC/1.0 blobs (Content-Length in BYTES via octet_length;
+    // every 17th payload embeds a verbatim "WARC/1.0" line — the case
+    // that shreds split-based readers), parsed by the length-honoring
+    // scanner, verified against an independent derivation from the
+    // table itself.
+    "q136_warc_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val payload = when($"doc_id" % 17 === 0,
+        concat(lit("WARC/1.0\r\n"), $"text")).otherwise($"text")
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.test/doc/"),
+        $"doc_id",
+        lit("\r\nWARC-Date: 2026-08-15T00:00:00Z\r\nContent-Length: "),
+        octet_length(payload),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val blobs = docs.select($"source", $"doc_id", rec.as("rec"))
+        .groupBy($"source")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"doc_id", $"rec"))),
+            x => x.getField("rec")), "").as("blob"))
+      graft.ingest.Warc.records(blobs, $"blob".cast("binary"))
+        .select(
+          regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          octet_length($"payload").cast("long").as("n_bytes"),
+          md5($"payload").as("payload_md5"))
+        .orderBy($"doc_id")
+    },
+
     // ---- Bloom-filter decontamination probe, cross-engine-exact: the
     // benchmark partition's shingles set k salted bits over m; every
     // doc reports how many of its shingles the filter claims present
@@ -1150,6 +1180,20 @@ object TextOps {
     // The call chain is GENERATED — hand-nesting 11 regexp_replace
     // calls is exactly how parens go missing.
     "q135_html_extract" -> HtmlExtractSql,
+
+    // WARC mirror: the oracle never parses — it derives the expected
+    // record table straight from `documents` (same payload rule), so
+    // the gate proves the format→parse loop reproduces the source.
+    "q136_warc_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(strlen(payload) AS BIGINT) AS n_bytes,
+        |  md5(payload) AS payload_md5
+        |FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 17 = 0
+        |             THEN 'WARC/1.0' || chr(13) || chr(10) || text
+        |             ELSE text END AS payload
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

@@ -451,6 +451,12 @@ object PlanCheck {
     Expectation("q131_cdc_segments",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
         "SortMergeJoin", "BroadcastHashJoin", "Window ", "CartesianProduct")),
+    // WARC round trip: per-segment blob assembly (collect_list) then a
+    // stateless per-row parse explode — no join anywhere
+    Expectation("q136_warc_roundtrip",
+      mustContain = Seq("ObjectHashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")),
     // HTML extraction is chained per-row regex — the q41 contract
     Expectation("q135_html_extract",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
