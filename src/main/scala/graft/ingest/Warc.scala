@@ -119,4 +119,26 @@ object Warc {
       .withColumn("warc_date", col("__rec._3"))
       .withColumn("payload", col("__rec._4"))
       .drop("__rec")
+
+  /** Split an HTTP response message (a WARC `response` payload, as a
+    * string — headers are ASCII by RFC 9112) into
+    * `(http_status, content_type, body)`: head = everything before the
+    * first blank line, status from the status line, media type from
+    * the (case-insensitive) Content-Type header with parameters
+    * stripped, body = everything after. A payload with no blank line
+    * yields an empty body and whatever the regexes find — never an
+    * error. Pure per-row column expressions (codegen'd, no UDF).
+    */
+  def httpParts(payload: Column): Column = {
+    val sep = instr(payload, "\r\n\r\n")
+    val head = when(sep > 0, payload.substr(lit(1), sep - 1)).otherwise(payload)
+    val body = when(sep > 0, payload.substr(sep + lit(4), length(payload)))
+      .otherwise(lit(""))
+    struct(
+      regexp_extract(head, "^HTTP/1\\.[01] (\\d{3})", 1).cast("int")
+        .as("http_status"),
+      lower(trim(regexp_extract(head, "(?im)^content-type:\\s*([^;\\r\\n]+)", 1)))
+        .as("content_type"),
+      body.as("body"))
+  }
 }

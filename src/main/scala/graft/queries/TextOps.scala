@@ -382,6 +382,25 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- HTTP response split (the step between q136's WARC records
+    // and q135's HTML strip): status / media type / body from
+    // synthesized response messages — pure per-row column expressions.
+    "q137_http_split" -> { (s, dir) =>
+      import s.implicits._
+      val status = when($"doc_id" % 7 === 0, lit(404))
+        .when($"doc_id" % 5 === 0, lit(301)).otherwise(lit(200))
+      val ctype = when($"doc_id" % 3 === 0, lit("application/json"))
+        .otherwise(lit("text/html; charset=UTF-8"))
+      val payload = concat(lit("HTTP/1.1 "), status,
+        lit(" X\r\nServer: demo\r\nContent-Type: "), ctype,
+        lit("\r\n\r\n"), $"text")
+      docsParallel(s, dir)
+        .select($"doc_id", graft.ingest.Warc.httpParts(payload).as("h"))
+        .select($"doc_id", $"h.http_status".as("http_status"),
+          $"h.content_type".as("content_type"), md5($"h.body").as("body_md5"))
+        .orderBy($"doc_id")
+    },
+
     // ---- Bloom-filter decontamination probe, cross-engine-exact: the
     // benchmark partition's shingles set k salted bits over m; every
     // doc reports how many of its shingles the filter claims present
@@ -1194,6 +1213,35 @@ object TextOps {
         |             ELSE text END AS payload
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // HTTP mirror: same blank-line split arithmetic, same status-line
+    // and (?im) Content-Type regexes (RE2 ≡ Java for these).
+    "q137_http_split" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'HTTP/1.1 ' || st || ' X' || chr(13) || chr(10) ||
+        |    'Server: demo' || chr(13) || chr(10) ||
+        |    'Content-Type: ' || ct || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |    text AS payload
+        |  FROM (SELECT doc_id, text,
+        |          CASE WHEN doc_id % 7 = 0 THEN 404
+        |               WHEN doc_id % 5 = 0 THEN 301 ELSE 200 END AS st,
+        |          CASE WHEN doc_id % 3 = 0 THEN 'application/json'
+        |               ELSE 'text/html; charset=UTF-8' END AS ct
+        |        FROM documents)),
+        |x AS (
+        |  SELECT doc_id, payload,
+        |    strpos(payload, chr(13) || chr(10) || chr(13) || chr(10)) AS sep
+        |  FROM p),
+        |h AS (
+        |  SELECT doc_id, payload, sep,
+        |    CASE WHEN sep > 0 THEN substr(payload, 1, sep - 1) ELSE payload END AS head
+        |  FROM x)
+        |SELECT doc_id,
+        |  CAST(regexp_extract(head, 'HTTP/1\.[01] (\d{3})', 1) AS INT) AS http_status,
+        |  lower(trim(regexp_extract(head, '(?im)^content-type:\s*([^;\r\n]+)', 1))) AS content_type,
+        |  md5(CASE WHEN sep > 0 THEN substr(payload, sep + 4) ELSE '' END) AS body_md5
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

@@ -457,6 +457,10 @@ object PlanCheck {
       mustContain = Seq("ObjectHashAggregate"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
         "CartesianProduct")),
+    // HTTP split is pure per-row column math
+    Expectation("q137_http_split",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
     // HTML extraction is chained per-row regex — the q41 contract
     Expectation("q135_html_extract",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
