@@ -401,6 +401,17 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- positional phrase search: consecutive-word match through
+    // term-filtered positional postings (k−1 bounded equi-joins — the
+    // operator bag-of-words BM25 can't express), occurrence counts per
+    // document.
+    "q138_phrase_search" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.Retrieval.phraseHits(docsParallel(s, dir), "doc_id",
+          "text", Seq("join", "hash"))
+        .orderBy($"doc_id")
+    },
+
     // ---- Bloom-filter decontamination probe, cross-engine-exact: the
     // benchmark partition's shingles set k salted bits over m; every
     // doc reports how many of its shingles the filter claims present
@@ -1242,6 +1253,14 @@ object TextOps {
         |  lower(trim(regexp_extract(head, '(?im)^content-type:\s*([^;\r\n]+)', 1))) AS content_type,
         |  md5(CASE WHEN sep > 0 THEN substr(payload, sep + 4) ELSE '' END) AS body_md5
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // Phrase mirror: adjacent-position scan over the same word arrays.
+    "q138_phrase_search" -> (WordsCte +
+      """
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM words, unnest(generate_series(1, len(ws) - 1)) t(i)
+        |WHERE ws[i] = 'join' AND ws[i+1] = 'hash'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

@@ -286,4 +286,40 @@ object Retrieval {
         when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
           .otherwise(lit(0.0)))
   }
+
+  // ---- positional phrase search -------------------------------------------
+
+  /** Positional postings: one row per token occurrence,
+    * `(id, pos, term)` with `pos` 0-based — the index a phrase or
+    * proximity query serves from (BM25/QL's postings carry only tf).
+    */
+  def positionalPostings(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(TextTokens.wordsCol(col(textCol))).as(Seq("pos", "term")))
+
+  /** Exact phrase match over positional postings: documents containing
+    * the words of `phrase` CONSECUTIVELY, with occurrence counts —
+    * the operator BM25's bag-of-words scoring cannot express. Each
+    * later term joins back at `pos − offset`, so a phrase of length k
+    * is k−1 equi-joins of TERM-FILTERED postings (the filters reach
+    * the scan; join inputs are bounded by the phrase terms'
+    * frequencies, never the corpus) — the standard positional-index
+    * evaluation, distributed.
+    */
+  def phraseHits(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val post = positionalPostings(df, idCol, textCol)
+    val first = post.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, j)) =>
+        acc.join(
+          post.filter(col("term") === t)
+            .select(col(idCol), (col("pos") - j).as("pos")),
+          Seq(idCol, "pos"))
+    }
+    matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
 }

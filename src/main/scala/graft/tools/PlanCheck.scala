@@ -457,6 +457,12 @@ object PlanCheck {
       mustContain = Seq("ObjectHashAggregate"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
         "CartesianProduct")),
+    // phrase search: term-filtered postings equi-joins + one count
+    // aggregate — never a window or cross product
+    Expectation("q138_phrase_search",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Window ", "CartesianProduct",
+        "BroadcastNestedLoopJoin")),
     // HTTP split is pure per-row column math
     Expectation("q137_http_split",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",

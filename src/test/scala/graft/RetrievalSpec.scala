@@ -131,4 +131,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getDouble(1) === 0.0 && out.getDouble(2) === 0.0)
     assert(out.getDouble(3) === 0.0, "idcg=0 guard must yield 0, not NaN")
   }
+
+  test("phraseHits: consecutive-only matches, overlaps counted, multi-word phrases") {
+    val d = Seq(
+      (1L, "big data big data big"),   // "big data" twice; "data big" twice
+      (2L, "big little data"),          // words present, never adjacent
+      (3L, "data big data"),            // "big data" once
+      (4L, "big big data")              // once (second big starts the match)
+    ).toDF("doc_id", "text")
+    def hits(p: Seq[String]) =
+      Retrieval.phraseHits(d, "doc_id", "text", p)
+        .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(hits(Seq("big", "data")) === Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+    assert(hits(Seq("big", "data", "big")) === Seq((1L, 2L)))
+    assert(hits(Seq("missing", "data")).isEmpty)
+    // single-word phrase degrades to term counting
+    assert(hits(Seq("big")) === Seq((1L, 3L), (2L, 1L), (3L, 1L), (4L, 2L)))
+  }
 }
