@@ -713,6 +713,15 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // ---- Heaps'-law vocabulary-growth fit: V(N) sampled at every doc
+    // boundary via two two-phase cumsums (doc offsets, then
+    // first-occurrence events merged with boundaries), regression
+    // moments in nano fixed-point before the cross-row sum.
+    "q139_heaps_law" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.heapsLaw(docsParallel(s, dir), "doc_id", "text")
+    },
+
     // ---- Efraimidis-Spirakis weighted sample without replacement:
     // deterministic u from the salted 60-bit md5, key = -ln(u)/w, k
     // smallest keys ARE the sample (a mergeable bottom-k — the
@@ -956,6 +965,56 @@ object Curation {
     * a tokenizer change that drifts from the Spark side is a silent
     * gate hash mismatch, so no oracle inlines its own copy.
     */
+  /** Generated q139 oracle: the same point construction (plain-window
+    * cumsums — the oracle may centralize), the same nano-fixed-point
+    * moments, the same unrounded-slope intercept nest.
+    */
+  private val HeapsSql: String = {
+    def s(f: String) = s"(CAST($f AS DOUBLE) / 1000000000.0)"
+    val (sx, sy, sxy, sxx) = (s("fsx"), s("fsy"), s("fsxy"), s("fsxx"))
+    val np = "CAST(n_points AS DOUBLE)"
+    val slope = s"(($np * $sxy - $sx * $sy) / ($np * $sxx - $sx * $sx))"
+    s"""WITH words AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |                             w -> len(w) > 0) AS ws
+       |  FROM documents),
+       |dn AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n
+       |       FROM words WHERE len(ws) > 0),
+       |docoff AS (
+       |  SELECT doc_id, ws, n,
+       |    CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+       |         AS BIGINT) AS strt
+       |  FROM dn),
+       |gidx AS (SELECT strt + i AS g, ws[i] AS w
+       |         FROM docoff, unnest(generate_series(1, len(ws))) t(i)),
+       |firsts AS (SELECT CAST(MIN(g) AS BIGINT) AS idx, 1 AS is_first
+       |           FROM gidx GROUP BY w),
+       |bounds AS (SELECT strt + n AS idx, 0 AS is_first FROM docoff),
+       |ev AS (SELECT idx, is_first FROM firsts
+       |       UNION ALL SELECT idx, is_first FROM bounds),
+       |cum AS (SELECT idx, is_first,
+       |          SUM(is_first) OVER (ORDER BY idx ASC, is_first DESC
+       |            ROWS UNBOUNDED PRECEDING) AS c
+       |        FROM ev),
+       |pts AS (SELECT idx AS nd, c AS vd FROM cum WHERE is_first = 0),
+       |fpts AS (SELECT
+       |    CAST(round(ln(CAST(nd AS DOUBLE)) * 1000000000.0) AS BIGINT) AS fx,
+       |    CAST(round(ln(CAST(vd AS DOUBLE)) * 1000000000.0) AS BIGINT) AS fy,
+       |    CAST(round(ln(CAST(nd AS DOUBLE)) * ln(CAST(vd AS DOUBLE)) * 1000000000.0) AS BIGINT) AS fxy,
+       |    CAST(round(ln(CAST(nd AS DOUBLE)) * ln(CAST(nd AS DOUBLE)) * 1000000000.0) AS BIGINT) AS fxx
+       |  FROM pts),
+       |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       |    CAST(SUM(fx) AS BIGINT) AS fsx, CAST(SUM(fy) AS BIGINT) AS fsy,
+       |    CAST(SUM(fxy) AS BIGINT) AS fsxy, CAST(SUM(fxx) AS BIGINT) AS fsxx
+       |  FROM fpts)
+       |SELECT n_points,
+       |  (SELECT CAST(SUM(n) AS BIGINT) FROM dn) AS n_tokens,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts) AS n_types,
+       |  round($slope, 6) AS heaps_beta,
+       |  round(exp(($sy - $slope * $sx) / $np), 6) AS heaps_k
+       |FROM sums""".stripMargin
+  }
+
   /** The fixed boilerplate tail the q133 gate plants so duplicated
     * content-defined blocks exist in the test corpus (shared verbatim
     * with the oracle SQL).
@@ -2174,6 +2233,9 @@ object Curation {
         |FROM nchunks n LEFT JOIN ob
         |  ON n.doc_id = ob.doc_id AND n.chunk_md5 = ob.chunk_md5
         |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin),
+
+    // Heaps mirror (generated — see HeapsSql).
+    "q139_heaps_law" -> HeapsSql,
 
     // A-ES mirror: identical hash → u → -ln(u)/w nest (libm ln parity,
     // the zipfSlope precedent), same (key, id) total order, LIMIT k.

@@ -1448,6 +1448,102 @@ object CurationOps {
           .as("zipf_intercept"))
   }
 
+  /** Heaps'-law fit: regress ln V(N) on ln N over the corpus's
+    * vocabulary-growth curve — V(N) = distinct word types within the
+    * first N tokens of the canonical corpus order (doc_id asc, token
+    * position asc), sampled at every document boundary. A natural
+    * corpus fits V ≈ K·N^β with β ≈ 0.4–0.6; a flat curve (tiny β)
+    * flags template/boilerplate corpora, β near 1 flags id-like junk
+    * tokens — the vocabulary-growth twin of [[zipfSlope]]'s frequency
+    * spectrum.
+    *
+    * Construction, all shuffle-honest:
+    *  1. doc offsets = two-phase cumsum of per-doc token counts in
+    *     doc-id order (the [[perplexityBuckets]] pattern);
+    *  2. each word's FIRST global token index = map-side-combined
+    *     `min(offset + pos)`;
+    *  3. V at each boundary = two-phase cumsum of first-occurrence
+    *     events merged with boundary events on the global index (a
+    *     first AT the boundary index counts — `is_first` sorts before
+    *     the boundary at equal index);
+    *  4. regression moments per point are rounded to nano fixed-point
+    *     longs BEFORE the cross-row sum (the JSD/PCA discipline), so
+    *     the fit is partition-order exact; β and K = e^intercept round
+    *     at 6.
+    */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("__id"), wordsCol(col(textCol)).as("__ws"))
+      .select(col("__id"), col("__ws"), size(col("__ws")).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    // phase 1: doc offsets (cum tokens BEFORE each doc) in doc-id order
+    val parted = toks.repartitionByRange(col("__id").asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val sizes = parted.groupBy(col("__pid"))
+      .agg(sum(col("__n")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.map { case (pid, t) => val off = acc; acc += t; (pid, off) }
+    val nTokens = acc
+    val offs = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val docWin = Window.partitionBy(col("__pid")).orderBy(col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = parted
+      .withColumn("__lc", sum(col("__n")).over(docWin))
+      .join(offs, "__pid")
+      .withColumn("__start", col("__lc") + col("__off") - col("__n"))
+      .select(col("__id"), col("__ws"), col("__n"), col("__start"))
+      .localCheckpoint(eager = false)
+    // phase 2: first global index per word; boundary events per doc
+    val firsts = docs
+      .select(col("__start"), posexplode(col("__ws")).as(Seq("__p", "__w")))
+      .groupBy(col("__w"))
+      .agg(min(col("__start") + col("__p") + 1).as("idx"))
+      .select(col("idx"), lit(1L).as("is_first"))
+    val bounds = docs.select((col("__start") + col("__n")).as("idx"),
+      lit(0L).as("is_first"))
+    val events = firsts.unionByName(bounds)
+    // phase 3: two-phase cumsum of firsts over the merged index order
+    val eParted = events.repartitionByRange(col("idx").asc, col("is_first").desc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val eSizes = eParted.groupBy(col("__pid"))
+      .agg(sum(col("is_first")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var eAcc = 0L
+    val eOffsets = eSizes.map { case (pid, t) => val off = eAcc; eAcc += t; (pid, off) }
+    val nTypes = eAcc
+    val eOffs = broadcast(eOffsets.toSeq.toDF("__pid", "__eoff"))
+    val eWin = Window.partitionBy(col("__pid"))
+      .orderBy(col("idx").asc, col("is_first").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val points = eParted
+      .withColumn("__lc", sum(col("is_first")).over(eWin))
+      .join(eOffs, "__pid")
+      .filter(col("is_first") === 0L)
+      .select(col("idx").as("nd"), (col("__lc") + col("__eoff")).as("vd"))
+    // phase 4: fixed-point regression moments
+    val x = log(col("nd").cast("double"))
+    val y = log(col("vd").cast("double"))
+    def fp(c: Column): Column = round(c * lit(1000000000.0)).cast("long")
+    val sums = points.agg(
+      count(lit(1)).as("n_points"),
+      sum(fp(x)).as("fsx"), sum(fp(y)).as("fsy"),
+      sum(fp(x * y)).as("fsxy"), sum(fp(x * x)).as("fsxx"))
+    val n = col("n_points").cast("double")
+    val (sx, sy) = (col("fsx").cast("double") / lit(1000000000.0),
+      col("fsy").cast("double") / lit(1000000000.0))
+    val (sxy, sxx) = (col("fsxy").cast("double") / lit(1000000000.0),
+      col("fsxx").cast("double") / lit(1000000000.0))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    sums.select(col("n_points"),
+        lit(nTokens).as("n_tokens"), lit(nTypes).as("n_types"),
+        round(slope, 6).as("heaps_beta"),
+        round(exp((sy - slope * sx) / n), 6).as("heaps_k"))
+  }
+
   // ---- dataset assembly: leakage-safe splits and snapshot diffs ----------
 
   /** Leakage-safe train/validation/test split: every row of a GROUP

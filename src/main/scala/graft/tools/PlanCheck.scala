@@ -429,6 +429,12 @@ object PlanCheck {
     Expectation("q123_c4_line_filter",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
         "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
+    // Heaps fit: both cumsums are PARTITIONED two-phase windows (the
+    // q66 contract) with broadcast offset joins — no global-sort window
+    Expectation("q139_heaps_law",
+      mustContain = Seq("windowspecdefinition(__pid", "HashAggregate",
+        "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
     // CDC block dedup: map-side-combined min(struct) over the chunk
     // table + the md5 equi-join + per-doc rollup — no window (the
     // first-occurrence pick must stay an aggregate, the q40/q86 rule)

@@ -1444,6 +1444,36 @@ class CurationOpsSpec extends SparkSpec {
       e.getAs[Double]("text_ratio") === 0.0)
   }
 
+  test("heapsLaw: growing vocab fits beta near 1, saturated vocab near 0, partition-invariant") {
+    // every token unique → V(N) = N → beta = 1, K = 1 exactly
+    val unique = (1L to 40L)
+      .map(i => (i, (1 to 10).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val u = CurationOps.heapsLaw(unique, "doc_id", "text").collect().head
+    assert(u.getAs[Double]("heaps_beta") === 1.0)
+    assert(u.getAs[Double]("heaps_k") === 1.0)
+    assert(u.getAs[Long]("n_types") === 400L && u.getAs[Long]("n_tokens") === 400L)
+    // two-word vocab saturates: beta ~ 0
+    val flat = (1L to 40L).map(i => (i, "aa bb aa bb aa")).toDF("doc_id", "text")
+    val f = CurationOps.heapsLaw(flat, "doc_id", "text").collect().head
+    assert(f.getAs[Double]("heaps_beta") < 0.1)
+    assert(f.getAs[Long]("n_types") === 2L)
+    // fixed-point moments: identical fit under different partitioning
+    val rnd = new scala.util.Random(43)
+    val mixed = (1L to 120L).map(i =>
+      (i, (1 to 12).map(_ => s"w${rnd.nextInt(200)}").mkString(" ")))
+    val one = CurationOps.heapsLaw(
+      mixed.toDF("doc_id", "text").repartition(1), "doc_id", "text")
+      .collect().head
+    val many = CurationOps.heapsLaw(
+      mixed.toDF("doc_id", "text").repartition(11), "doc_id", "text")
+      .collect().head
+    assert(one.getAs[Double]("heaps_beta") === many.getAs[Double]("heaps_beta"))
+    assert(one.getAs[Double]("heaps_k") === many.getAs[Double]("heaps_k"))
+    assert(one.getAs[Double]("heaps_beta") > 0.3 &&
+      one.getAs[Double]("heaps_beta") < 1.0)
+  }
+
   test("readability: hand-computed Flesch/FK, vowel-group floor, empty guard") {
     val df = Seq(
       (1L, "The cat sat. It ran fast!"),
