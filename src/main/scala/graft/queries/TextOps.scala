@@ -412,6 +412,23 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- line-level language consistency (code-switch detection):
+    // docs augmented with deterministic foreign-language lines, then
+    // per-line language ID against the whole-document label — one
+    // explode into a map-side-combined per-doc rollup.
+    "q140_code_switch" -> { (s, dir) =>
+      import s.implicits._
+      val aug = docsParallel(s, dir).select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 4 === 0,
+            lit("\nder und das ist ein nicht der und")).otherwise(lit("")),
+          when($"doc_id" % 6 === 0,
+            lit("\nle la et les des est une le la")).otherwise(lit("")))
+          .as("aug"))
+      graft.textops.TextAnalysis.lineLangSwitch(aug, "doc_id", "aug")
+        .orderBy($"doc_id")
+    },
+
     // ---- Bloom-filter decontamination probe, cross-engine-exact: the
     // benchmark partition's shingles set k salted bits over m; every
     // doc reports how many of its shingles the filter claims present
@@ -1261,6 +1278,57 @@ object TextOps {
         |FROM words, unnest(generate_series(1, len(ws) - 1)) t(i)
         |WHERE ws[i] = 'join' AND ws[i+1] = 'hash'
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Code-switch mirror: the q20 scoring (same profiles, same
+    // hits-desc/lang-desc tiebreak) applied at both granularities;
+    // lines carry their index so duplicate line TEXT stays distinct.
+    "q140_code_switch" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN chr(10) || 'der und das ist ein nicht der und' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0
+        |         THEN chr(10) || 'le la et les des est une le la' ELSE '' END AS t
+        |  FROM documents),
+        |profiles(lang, markers) AS (VALUES
+        |  ('de', ['der','die','und','das','ist','ein','nicht']),
+        |  ('en', ['the','and','of','to','in','is','a']),
+        |  ('es', ['el','la','los','de','que','es','una']),
+        |  ('fr', ['le','la','et','les','des','est','une'])),
+        |dscore AS (
+        |  SELECT doc_id, lang,
+        |         len(list_intersect(string_split_regex(lower(t), '\s+'), markers)) AS hits
+        |  FROM aug, profiles),
+        |dbest AS (
+        |  SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'unknown' END AS doc_lang,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+        |  FROM dscore),
+        |dl AS (SELECT doc_id, doc_lang FROM dbest WHERE rn = 1),
+        |lines AS (
+        |  SELECT doc_id, i, ls[i] AS l
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+        |       unnest(generate_series(1, len(ls))) t(i)
+        |  WHERE len(trim(ls[i])) > 0),
+        |lscore AS (
+        |  SELECT doc_id, i, lang,
+        |         len(list_intersect(string_split_regex(lower(l), '\s+'), markers)) AS hits
+        |  FROM lines, profiles),
+        |lbest AS (
+        |  SELECT doc_id, i,
+        |         CASE WHEN hits > 0 THEN lang ELSE 'unknown' END AS line_lang,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id, i ORDER BY hits DESC, lang DESC) AS rn
+        |  FROM lscore)
+        |SELECT d.doc_id, d.doc_lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN b.line_lang <> d.doc_lang AND b.line_lang <> 'unknown'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_switched,
+        |  CAST(SUM(CASE WHEN b.line_lang <> d.doc_lang AND b.line_lang <> 'unknown'
+        |                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS switch_frac
+        |FROM lbest b JOIN dl d ON b.doc_id = d.doc_id
+        |WHERE b.rn = 1
+        |GROUP BY d.doc_id, d.doc_lang
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

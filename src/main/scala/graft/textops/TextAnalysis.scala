@@ -100,6 +100,33 @@ object TextAnalysis {
       .withColumn("han_frac", frac("[一-鿿]"))
   }
 
+  /** Line-level language consistency (code-switch / mixed-page
+    * detector — CCNet-style pipelines run language ID per PARAGRAPH
+    * because a page-level label hides embedded foreign boilerplate):
+    * per document, the language of every non-blank line
+    * ([[langIdCol]] applied per line) against the whole-document
+    * label; a line counts as SWITCHED when its label is known and
+    * differs from the document's. High `switch_frac` ⇒ mixed-language
+    * page, wrong doc label, or foreign boilerplate to strip.
+    *
+    * Scale shape: one explode on lines (corpus-bounded) into a
+    * map-side-combined per-doc rollup; the scoring itself is per-row
+    * column math. Documents with no non-blank lines drop out.
+    */
+  def lineLangSwitch(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docLang = langIdCol(col(textCol))
+    df.select(col(idCol), docLang.as("doc_lang"),
+        explode(filter(split(col(textCol), "\n"),
+          l => length(trim(l)) > 0)).as("__line"))
+      .withColumn("__lang", langIdCol(col("__line")))
+      .groupBy(col(idCol), col("doc_lang"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__lang") =!= col("doc_lang") &&
+          col("__lang") =!= "unknown", 1L).otherwise(0L)).as("n_switched"))
+      .withColumn("switch_frac",
+        col("n_switched").cast("double") / col("n_lines").cast("double"))
+  }
+
   // ---- character entropy -------------------------------------------------
 
   /** Shannon entropy (bits/char) of the character distribution, as pure

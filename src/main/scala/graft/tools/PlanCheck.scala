@@ -469,6 +469,12 @@ object PlanCheck {
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("Window ", "CartesianProduct",
         "BroadcastNestedLoopJoin")),
+    // code-switch: one line explode into a map-side-combined per-doc
+    // rollup — no join or window on the engine side
+    Expectation("q140_code_switch",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "Window ", "CartesianProduct")),
     // HTTP split is pure per-row column math
     Expectation("q137_http_split",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",

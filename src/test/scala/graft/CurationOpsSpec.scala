@@ -1474,6 +1474,21 @@ class CurationOpsSpec extends SparkSpec {
       one.getAs[Double]("heaps_beta") < 1.0)
   }
 
+  test("lineLangSwitch: foreign lines flagged, unknown lines never count, blanks dropped") {
+    val df = Seq(
+      (1L, "the and of to in is a cat\nder und das ist ein\n\nzz qq"),
+      (2L, "the and of to in is a")
+    ).toDF("doc_id", "text")
+    val out = graft.textops.TextAnalysis.lineLangSwitch(df, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    // doc 1: en doc label; German line switched, unknown line ("zz qq") not
+    assert(out(0).getAs[String]("doc_lang") === "en")
+    assert(out(0).getAs[Long]("n_lines") === 3L) // blank line dropped
+    assert(out(0).getAs[Long]("n_switched") === 1L)
+    assert(out(0).getAs[Double]("switch_frac") === 1.0 / 3)
+    assert(out(1).getAs[Long]("n_switched") === 0L)
+  }
+
   test("readability: hand-computed Flesch/FK, vowel-group floor, empty guard") {
     val df = Seq(
       (1L, "The cat sat. It ran fast!"),
