@@ -2237,17 +2237,19 @@ object Curation {
     // Heaps mirror (generated — see HeapsSql).
     "q139_heaps_law" -> HeapsSql,
 
-    // A-ES mirror: identical hash → u → -ln(u)/w nest (libm ln parity,
-    // the zipfSlope precedent), same (key, id) total order, LIMIT k.
+    // A-ES mirror: identical hash → u → -ln(u)/w nest; selection on
+    // the RAW key, the emitted key rounded at 9 (libm ln is not
+    // correctly rounded — a raw last-ulp mismatch surfaced at sf0.1).
     "q132_weighted_sample" -> (ToksCte +
       """, keyed AS (
         |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |    -ln((CAST(('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
         |        / CAST('1152921504606846976' AS DOUBLE))
         |      / CAST(n_tokens AS DOUBLE) AS es_key
-        |  FROM toks WHERE n_tokens > 0)
-        |SELECT doc_id, n_tokens, es_key FROM keyed
-        |ORDER BY es_key ASC, doc_id ASC LIMIT 60""".stripMargin),
+        |  FROM toks WHERE n_tokens > 0),
+        |sel AS (SELECT doc_id, n_tokens, es_key FROM keyed
+        |        ORDER BY es_key ASC, doc_id ASC LIMIT 60)
+        |SELECT doc_id, n_tokens, round(es_key, 9) AS es_key FROM sel""".stripMargin),
 
     // CDC mirror (relational formulation of the per-row HOF math):
     // per-position trailing-window hashes through the engine-wide

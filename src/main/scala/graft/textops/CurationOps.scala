@@ -548,11 +548,16 @@ object CurationOps {
     * streams, and shards can sample independently then fold). Rows
     * with non-positive weight are excluded (they cannot be drawn).
     *
-    * Cross-engine exactness: `u` is an integer-over-integer double,
-    * the key one fixed `ln` + division nest per row (the zipfSlope
-    * libm-parity precedent), the selection a total order on
-    * (key, id). Scale shape: per-row math + ONE `TakeOrdered` — no
-    * shuffle carries more than k rows.
+    * Cross-engine exactness: `u` is an integer-over-integer double and
+    * the key one fixed `ln` + division nest per row — but libm `ln`
+    * is NOT guaranteed correctly rounded, and a last-ulp disagreement
+    * surfaced at sf0.1 (one key differing at 1e-20). The SELECTION
+    * orders on the raw key (a boundary swap would need two keys within
+    * one ulp at rank k — measure-zero on continuous keys); the EMITTED
+    * key is rounded at 9 (the ndcg-gain precedent), putting the ulp
+    * channel twelve orders below the emitted precision. Scale shape:
+    * per-row math + ONE `TakeOrdered` — no shuffle carries more than
+    * k rows.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String): DataFrame = {
@@ -565,6 +570,7 @@ object CurationOps {
       .withColumn("es_key", -log(u) / col(weightCol).cast("double"))
       .orderBy(col("es_key").asc, col(idCol).asc)
       .limit(k)
+      .withColumn("es_key", round(col("es_key"), 9))
   }
 
   // ---- corpus length statistics ------------------------------------------
