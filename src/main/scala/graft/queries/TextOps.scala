@@ -429,6 +429,32 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- proximity (NEAR/4) search: occurrence pairs of two terms
+    // within 4 word positions, through the bucketed range join (the
+    // q44 discipline) over term-filtered positional postings.
+    "q141_proximity_search" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.Retrieval.proximityHits(docsParallel(s, dir), "doc_id",
+          "text", termA = "join", termB = "scan", window = 4)
+        .orderBy($"doc_id")
+    },
+
+    // ---- markdown → text: docs wrapped in a markdown template
+    // (header, blockquote, emphasis, inline code, links, list, fenced
+    // code block, underscore emphasis), then the strip chain. Pure
+    // per-row chained regex.
+    "q142_markdown_extract" -> { (s, dir) =>
+      import s.implicits._
+      val aug = docsParallel(s, dir).select($"doc_id",
+        concat(lit("# Doc "), $"doc_id",
+          lit("\n\n> quoted intro\n\n**Bold start** and *emphasis* with `inline()` code.\n\n"),
+          $"text",
+          lit("\n\n- first [link text](https://x.test/a)\n- second ![alt words](img.png)\n\n```\ncode block to drop\n```\n\n_tail_"))
+          .as("md"))
+      graft.textops.TextAnalysis.markdownExtract(aug, "doc_id", "md")
+        .orderBy($"doc_id")
+    },
+
     // ---- Bloom-filter decontamination probe, cross-engine-exact: the
     // benchmark partition's shingles set k salted bits over m; every
     // doc reports how many of its shingles the filter claims present
@@ -644,6 +670,34 @@ object TextOps {
   private val HllP = 8
   private val BloomK = 3
   private val BloomM = 16384
+
+  /** Generated q142 oracle: folds the SAME step list as
+    * [[graft.textops.TextAnalysis.markdownExtract]], with Java's `$1`
+    * group syntax swapped for RE2's `\1`.
+    */
+  private val MarkdownExtractSql: String = {
+    val chain = graft.textops.TextAnalysis.MarkdownSteps.foldLeft("md") {
+      case (acc, (p, r)) =>
+        s"regexp_replace($acc, '$p', '${r.replace("$", "\\")}', 'g')"
+    }
+    val text = s"trim(regexp_replace($chain, '\\s+', ' ', 'g'))"
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    '# Doc ' || doc_id || chr(10) || chr(10) ||
+       |    '> quoted intro' || chr(10) || chr(10) ||
+       |    '**Bold start** and *emphasis* with `inline()` code.' || chr(10) || chr(10) ||
+       |    text || chr(10) || chr(10) ||
+       |    '- first [link text](https://x.test/a)' || chr(10) ||
+       |    '- second ![alt words](img.png)' || chr(10) || chr(10) ||
+       |    '```' || chr(10) || 'code block to drop' || chr(10) || '```' ||
+       |    chr(10) || chr(10) || '_tail_' AS md
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(md) AS BIGINT) AS n_raw_chars,
+       |  $text AS text_extracted,
+       |  CAST(length($text) AS BIGINT) AS n_text_chars
+       |FROM aug ORDER BY doc_id""".stripMargin
+  }
 
   /** Generated q135 oracle: the strip chain folds left over the same
     * (pattern, replacement) list as
@@ -1329,6 +1383,21 @@ object TextOps {
         |WHERE b.rn = 1
         |GROUP BY d.doc_id, d.doc_lang
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Proximity mirror: all-pairs position scan with the same distance
+    // predicate (0-based engine positions vs 1-based array indices
+    // cancel in the difference).
+    "q141_proximity_search" -> (WordsCte +
+      """
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM words,
+        |     unnest(generate_series(1, len(ws))) t1(i),
+        |     unnest(generate_series(1, len(ws))) t2(j)
+        |WHERE ws[i] = 'join' AND ws[j] = 'scan' AND abs(i - j) <= 4
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Markdown mirror (generated — see MarkdownExtractSql).
+    "q142_markdown_extract" -> MarkdownExtractSql,
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

@@ -322,4 +322,33 @@ object Retrieval {
     }
     matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Proximity ("NEAR/W") search: per document, the number of
+    * `(posA, posB)` occurrence pairs of `termA` and `termB` within
+    * `window` word positions of each other. The candidate join is
+    * BUCKETED on `pos div window` with the A side exploded to its
+    * three adjacent buckets (the q44 time-proximity discipline — an
+    * unbounded |pa − pb| predicate would be a per-doc cross join),
+    * then the exact distance filter; inputs are term-filtered postings
+    * so the join is bounded by the two terms' frequencies.
+    */
+  def proximityHits(df: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    val post = positionalPostings(df, idCol, textCol)
+    val a = post.filter(col("term") === termA)
+      .select(col(idCol), col("pos").as("pa"))
+      .withColumn("__b", explode(array(
+        (col("pa") / window).cast("int") - 1,
+        (col("pa") / window).cast("int"),
+        (col("pa") / window).cast("int") + 1)))
+    val b = post.filter(col("term") === termB)
+      .select(col(idCol), col("pos").as("pb"),
+        (col("pos") / window).cast("int").as("__b"))
+    // each qualifying pair joins on exactly ONE bucket value (b-side
+    // buckets are single-valued), so no distinct is needed
+    a.join(b, Seq(idCol, "__b"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_pairs"))
+  }
 }

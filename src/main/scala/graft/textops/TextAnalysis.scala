@@ -425,6 +425,45 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** The (pattern, Java replacement) strip chain [[markdownExtract]]
+    * applies, in order — exposed so the oracle can fold the identical
+    * list (with RE2 `\1` group syntax swapped for Java's `$1`).
+    * Backreference-free patterns only (RE2 has no backrefs): `**`/`*`
+    * and `__`/`_` emphasis are separate steps, longest first.
+    */
+  val MarkdownSteps: Seq[(String, String)] = Seq(
+    ("(?s)```.*?```", " "),                        // fenced code blocks drop
+    ("!\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1"),       // images -> alt text
+    ("\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1"),        // links -> anchor text
+    ("`([^`]+)`", "$1"),                           // inline code unwraps
+    ("(?m)^#{1,6}[ \\t]*", ""),                    // headers
+    ("(?m)^[ \\t]*[-*+][ \\t]+", ""),              // list markers
+    ("(?m)^>[ \\t]?", ""),                         // blockquotes
+    ("\\*\\*([^*]+)\\*\\*", "$1"),                 // bold
+    ("\\*([^*]+)\\*", "$1"),                       // italics
+    ("__([^_]+)__", "$1"),                         // bold (underscore)
+    ("_([^_]+)_", "$1"))                           // italics (underscore)
+
+  /** Markdown → visible-text extraction (the HTML strip's sibling for
+    * the other half of a web/code corpus): fenced code blocks drop,
+    * images and links keep their text, inline code unwraps, header /
+    * list / blockquote markers and emphasis strip, whitespace
+    * collapses (the [[htmlExtract]] contract). All patterns are
+    * backreference-free (RE2-parity) with literal classes; pure
+    * per-row chained regexp_replace — a codegen'd map over the scan.
+    */
+  def markdownExtract(df: DataFrame, idCol: String, mdCol: String): DataFrame = {
+    val raw = col(mdCol)
+    val stripped = MarkdownSteps.foldLeft(raw) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    val text = trim(regexp_replace(stripped, "\\s+", " "))
+    df.select(col(idCol),
+        length(raw).cast("long").as("n_raw_chars"),
+        text.as("text_extracted"))
+      .withColumn("n_text_chars", length(col("text_extracted")).cast("long"))
+  }
+
   def redactPii(text: Column): Column = {
     val email = regexp_replace(text, EmailRe, "<EMAIL>")
     val ssn = regexp_replace(email, SsnRe, "<SSN>")

@@ -475,6 +475,16 @@ object PlanCheck {
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
         "Window ", "CartesianProduct")),
+    // proximity search: bucketed range join of term-filtered postings
+    // (the q44 contract) — bounded equi-join, never a cross product
+    Expectation("q141_proximity_search",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("Window ", "CartesianProduct",
+        "BroadcastNestedLoopJoin")),
+    // markdown extraction is chained per-row regex — the q135 contract
+    Expectation("q142_markdown_extract",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "Window", "CartesianProduct")),
     // HTTP split is pure per-row column math
     Expectation("q137_http_split",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",

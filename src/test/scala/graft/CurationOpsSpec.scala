@@ -1489,6 +1489,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_switched") === 0L)
   }
 
+  test("markdownExtract: markers strip, code drops, link/alt text survives") {
+    val md = "# Title\n\n> quote line\n\n**bold** *it* `code()` [text](u) ![alt](i)\n\n" +
+      "- item one\n\n```\nsecret block\n```\n\n_under_ __dunder__"
+    val r = graft.textops.TextAnalysis.markdownExtract(
+      Seq((1L, md)).toDF("doc_id", "md"), "doc_id", "md").collect().head
+    assert(r.getAs[String]("text_extracted") ===
+      "Title quote line bold it code() text alt item one under dunder")
+    assert(!r.getAs[String]("text_extracted").contains("secret"))
+  }
+
   test("readability: hand-computed Flesch/FK, vowel-group floor, empty guard") {
     val df = Seq(
       (1L, "The cat sat. It ran fast!"),

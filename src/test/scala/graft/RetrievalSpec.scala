@@ -148,4 +148,22 @@ class RetrievalSpec extends SparkSpec {
     // single-word phrase degrades to term counting
     assert(hits(Seq("big")) === Seq((1L, 3L), (2L, 1L), (3L, 1L), (4L, 2L)))
   }
+
+  test("proximityHits: window-bounded pairs, bucket boundaries, symmetric") {
+    val d = Seq(
+      (1L, "a x x b"),       // |0-3| = 3 <= 3 -> 1 pair
+      (2L, "a x x x b"),     // distance 4 > 3 -> none
+      (3L, "a b a"),         // pairs (0,1), (2,1) -> 2
+      (4L, "b x a x x b")    // a at 2; b at 0 (d=2), b at 5 (d=3) -> 2
+    ).toDF("doc_id", "text")
+    def p(w: Int) = Retrieval.proximityHits(d, "doc_id", "text", "a", "b", w)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(p(3) === Seq((1L, 1L), (3L, 2L), (4L, 2L)))
+    // exactly-at-window and bucket-straddling distances both count
+    assert(p(4) === Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)))
+    // symmetric in the terms
+    val sym = Retrieval.proximityHits(d, "doc_id", "text", "b", "a", 3)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(sym === p(3))
+  }
 }
