@@ -68,8 +68,9 @@ object TextOps {
     // instead of drop — per-doc sampling weight inversely proportional
     // to the mean corpus df of its distinct shingles. Near-duplicates
     // (the fixture's prefix-sharing docs) get graded down-weights that
-    // hard dedup collapses to a binary; both ratios unrounded
-    // exact-integer divisions.
+    // hard dedup collapses to a binary; both ratios quantized at 9
+    // digits on both engines (the q132 rounded-emission discipline —
+    // the exact-integer n_shingles/sum_df columns carry correctness).
     "q89_soft_dedup_weights" -> { (s, dir) =>
       import s.implicits._
       graft.textops.CurationOps.softDedupWeights(
@@ -908,8 +909,8 @@ object TextOps {
       s""", xs AS (SELECT DISTINCT doc_id, $HashSql AS h FROM sh
         |), dfreq AS (SELECT h, COUNT(*) AS df FROM xs GROUP BY h)
         |SELECT doc_id, COUNT(*) AS n_shingles, SUM(df) AS sum_df,
-        |       CAST(SUM(df) AS DOUBLE) / COUNT(*) AS commonness,
-        |       CAST(COUNT(*) AS DOUBLE) / SUM(df) AS weight
+        |       ROUND(CAST(SUM(df) AS DOUBLE) / COUNT(*), 9) AS commonness,
+        |       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(df), 9) AS weight
         |FROM xs JOIN dfreq USING (h)
         |GROUP BY doc_id""".stripMargin),
 

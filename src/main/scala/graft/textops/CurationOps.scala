@@ -290,10 +290,14 @@ object CurationOps {
     * (q11/q81) collapses to a binary.
     *
     * Emits `(id, n_shingles, sum_df, commonness = sum_df/n_shingles,
-    * weight = n_shingles/sum_df)`; both ratios are UNROUNDED divisions
-    * of exact integers (bit-identical across engines — the q65
-    * lesson). A fully unique document has commonness 1.0 / weight 1.0;
-    * weight is the reciprocal, bounded into (0, 1].
+    * weight = n_shingles/sum_df)`; the exact-integer columns
+    * (`n_shingles`, `sum_df`) are the correctness carriers, and both
+    * emitted ratios are quantized at 9 digits (the q132/q76
+    * rounded-emission discipline: even single IEEE divisions of exact
+    * integers have proven non-portable across engine toolchains on
+    * some boxes, so no gate emits a raw float). A fully unique
+    * document has commonness 1.0 / weight 1.0; weight is the
+    * reciprocal, bounded into (0, 1].
     *
     * Scale shape (the q42 unigram-surprisal shape): distinct
     * (doc, shingle-hash) pairs → map-side-combined df aggregate →
@@ -317,9 +321,9 @@ object CurationOps {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sum_df"))
       .withColumn("commonness",
-        col("sum_df").cast("double") / col("n_shingles").cast("double"))
+        round(col("sum_df").cast("double") / col("n_shingles").cast("double"), 9))
       .withColumn("weight",
-        col("n_shingles").cast("double") / col("sum_df").cast("double"))
+        round(col("n_shingles").cast("double") / col("sum_df").cast("double"), 9))
   }
 
   // ---- deterministic stratified sampling ---------------------------------

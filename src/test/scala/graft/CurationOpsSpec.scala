@@ -988,11 +988,16 @@ class CurationOpsSpec extends SparkSpec {
       "doc_id", "text", n = 3)
       .as[(Long, Long, Long, Double, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
-    // docs 1/2: 3 shingles, each df 2 except "alpha bravo charlie" df 3
-    assert(out(1L) == ((3L, 7L, 7.0 / 3, 3.0 / 7)))
+    // docs 1/2: 3 shingles, each df 2 except "alpha bravo charlie" df 3.
+    // Emitted ratios carry the 9-digit quantization (r9: the q132
+    // rounded-emission discipline applied to the suite's one
+    // repeat-offender gate).
+    def q9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, 7L, q9(7.0 / 3), q9(3.0 / 7))))
     assert(out(1L) == out(2L))
     // doc 3: one shared shingle (df 3), two unique -> graded between
-    assert(out(3L) == ((3L, 5L, 5.0 / 3, 3.0 / 5)))
+    assert(out(3L) == ((3L, 5L, q9(5.0 / 3), q9(3.0 / 5))))
     assert(out(4L) == ((3L, 3L, 1.0, 1.0)))
     assert(out(4L)._4 > out(3L)._4 && out(3L)._4 > out(1L)._4)
   }
