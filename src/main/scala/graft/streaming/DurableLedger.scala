@@ -143,40 +143,80 @@ object DurableLedger {
     * `compactedUpTo` even though they still exist. GC is therefore
     * best-effort by construction.
     *
+    * Concurrency: the whole fold — manifest read, segment build,
+    * manifest swap, GC — runs under an EXCLUSIVE cross-process file
+    * lock (`manifest.lock`, `FileChannel.tryLock`). Two simultaneous
+    * compactors cannot interleave: the loser aborts cleanly with -1
+    * having touched nothing, so the "both read epoch e, both write
+    * segment s(e+1), second manifest swap silently drops the first
+    * fold" race is structurally impossible. The OS releases the lock
+    * when a holder dies, so a crashed compactor never bricks the
+    * ledger (a leftover `manifest.lock` FILE carries no lock).
+    * `commit` of a NEW batch id never takes the lock and never races
+    * the fold: old ids are never rewritten and the newest id is never
+    * folded.
+    *
     * Returns the number of batch directories folded (0 = nothing to
-    * do, no manifest churn).
+    * do, no manifest churn; -1 = aborted, another compaction holds
+    * the lock — retry at the next maintenance turn).
     */
   def compact(spark: SparkSession, path: String, schema: StructType): Int = {
-    val m = readManifest(path)
-    val live = allBatchDirs(path).filter(_ > m.compactedUpTo)
-    if (live.size < 2 && m.segment.isEmpty) return 0 // nothing worth folding
-    val foldIds = if (live.isEmpty) Nil else live.filter(_ < live.max)
-    if (foldIds.isEmpty && m.segment.isEmpty) return 0
-    if (foldIds.isEmpty) return 0 // segment already current; keep as is
-    val upTo = foldIds.max
-    val srcDirs = m.segment.map(s => s"$path/$s").toSeq ++ foldIds.map(dir(path, _))
-    val segName = s"s${m.epoch + 1}"
-    spark.read.schema(schema).parquet(srcDirs: _*)
-      .write.mode("overwrite").parquet(s"$path/$segName")
-    writeManifest(path, Manifest(upTo, m.epoch + 1, Some(segName)))
-    // ONE-EPOCH-DEFERRED GC: the dirs folded RIGHT NOW (and the
-    // just-superseded segment) stay on disk — an in-flight job whose
-    // plan listed files under the old manifest may still be scanning
-    // them, and deleting here would fail it with FileNotFoundException.
-    // load() already ignores them, so they are dead weight, reclaimed
-    // on the NEXT compact: only material dead under the PREVIOUS
-    // manifest (batch dirs ≤ old compactedUpTo, segments older than
-    // the old epoch) is deleted, giving every reader one full
-    // compaction interval of grace.
-    val oldDeadDirs = allBatchDirs(path).filter(_ <= m.compactedUpTo)
-      .map(i => new java.io.File(dir(path, i)))
-    val oldDeadSegs = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter { f =>
-        f.isDirectory && f.getName.startsWith("s") &&
-          scala.util.Try(f.getName.drop(1).toLong).toOption.exists(_ < m.epoch)
+    if (!new java.io.File(path).isDirectory) return 0
+    withCompactionLock(path) {
+      // manifest is (re-)read UNDER the lock: every manifest writer
+      // goes through this lock, so the epoch read here cannot be
+      // superseded before our swap lands (the optimistic-CAS check,
+      // made pessimistic by the lock)
+      val m = readManifest(path)
+      val live = allBatchDirs(path).filter(_ > m.compactedUpTo)
+      val foldIds = if (live.isEmpty) Nil else live.filter(_ < live.max)
+      if (foldIds.isEmpty) 0 // nothing worth folding / segment current
+      else {
+        val upTo = foldIds.max
+        val srcDirs = m.segment.map(s => s"$path/$s").toSeq ++ foldIds.map(dir(path, _))
+        val segName = s"s${m.epoch + 1}"
+        spark.read.schema(schema).parquet(srcDirs: _*)
+          .write.mode("overwrite").parquet(s"$path/$segName")
+        writeManifest(path, Manifest(upTo, m.epoch + 1, Some(segName)))
+        // ONE-EPOCH-DEFERRED GC: the dirs folded RIGHT NOW (and the
+        // just-superseded segment) stay on disk — an in-flight job whose
+        // plan listed files under the old manifest may still be scanning
+        // them, and deleting here would fail it with FileNotFoundException.
+        // load() already ignores them, so they are dead weight, reclaimed
+        // on the NEXT compact: only material dead under the PREVIOUS
+        // manifest (batch dirs ≤ old compactedUpTo, segments older than
+        // the old epoch) is deleted, giving every reader one full
+        // compaction interval of grace.
+        val oldDeadDirs = allBatchDirs(path).filter(_ <= m.compactedUpTo)
+          .map(i => new java.io.File(dir(path, i)))
+        val oldDeadSegs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+          .filter { f =>
+            f.isDirectory && f.getName.startsWith("s") &&
+              scala.util.Try(f.getName.drop(1).toLong).toOption.exists(_ < m.epoch)
+          }
+        (oldDeadDirs ++ oldDeadSegs).foreach(deleteRec)
+        foldIds.size
       }
-    (oldDeadDirs ++ oldDeadSegs).foreach(deleteRec)
-    foldIds.size
+    }.getOrElse(-1)
+  }
+
+  /** Run `body` holding the exclusive compaction lock, or None when
+    * another compactor (this JVM or another process) already holds it.
+    * `tryLock` never blocks; same-JVM contention surfaces as
+    * OverlappingFileLockException, which is the same "abort" answer.
+    */
+  private def withCompactionLock[A](path: String)(body: => A): Option[A] = {
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(path, "manifest.lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+      if (lock == null) None
+      else try Some(body) finally lock.release()
+    } finally ch.close()
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -191,7 +231,8 @@ object DurableLedger {
     * rewritten once per `every` commits on top of its original append
     * (a two-level fold; `every` trades write amplification against
     * per-read directory count). Returns folded directories (0 = below
-    * threshold).
+    * threshold, -1 = another compactor holds the lock — the fold
+    * happens at a later turn).
     */
   def maybeCompact(spark: SparkSession, path: String, schema: StructType,
       every: Int): Int = {

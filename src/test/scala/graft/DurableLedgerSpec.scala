@@ -120,6 +120,73 @@ class DurableLedgerSpec extends SparkSpec {
     assert(DurableLedger.batches(path) == Seq(0L, 1L))
   }
 
+  test("two interleaved compactors: one folds, the other aborts cleanly, no rows lost") {
+    val path = tmp()
+    val all = (0L to 5L).flatMap(i => commitBatch(path, i, 2)).toSet
+    // force true interleaving: both threads release a shared gate, then
+    // race into compact(); the lock serializes them — outcomes are
+    // either (winner folds, loser -1) or (winner folds, loser no-op 0)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        gate.countDown(); gate.await()
+        try results.add(DurableLedger.compact(spark, path, schema))
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"a compactor threw: ${errors.peek()}")
+    val rs = results.toArray(Array.empty[Integer]).map(_.toInt).sorted
+    assert(rs.count(_ == 5) == 1, s"exactly one fold of b0..b4 must land: ${rs.toSeq}")
+    assert(rs.forall(r => r == 5 || r == 0 || r == -1), s"unclean outcome: ${rs.toSeq}")
+    assert(rows(path) == all, "no batch silently dropped by the race")
+    assert(DurableLedger.batches(path) == Seq(5L))
+  }
+
+  test("a held compaction lock makes compact abort with -1 and touch nothing") {
+    val path = tmp()
+    val all = (0L to 3L).flatMap(i => commitBatch(path, i, 2)).toSet
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(path, "manifest.lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      assert(DurableLedger.compact(spark, path, schema) == -1)
+      assert(rows(path) == all)
+      assert(DurableLedger.batches(path) == Seq(0L, 1L, 2L, 3L), "nothing folded")
+    } finally { lock.release(); ch.close() }
+    // lock released (as the OS does when a holder dies) → fold proceeds
+    assert(DurableLedger.compact(spark, path, schema) == 3)
+    assert(rows(path) == all)
+  }
+
+  test("a leftover manifest.lock FILE from a dead compactor does not brick the ledger") {
+    val path = tmp()
+    val all = (0L to 2L).flatMap(i => commitBatch(path, i, 2)).toSet
+    // a crashed holder leaves the file but the OS dropped its lock
+    Files.writeString(new java.io.File(path, "manifest.lock").toPath, "stale")
+    assert(DurableLedger.compact(spark, path, schema) == 2)
+    assert(rows(path) == all)
+  }
+
+  test("kill mid-compact before the manifest swap: orphan segment is ignored then reused") {
+    val path = tmp()
+    val all = (0L to 2L).flatMap(i => commitBatch(path, i, 2)).toSet
+    // simulate a compactor that died AFTER writing the epoch-1 segment
+    // but BEFORE the manifest swap: segment dir exists, manifest absent
+    Seq((999L, "orphan")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(s"$path/s1")
+    assert(rows(path) == all, "readers never scan a segment the manifest doesn't name")
+    assert(DurableLedger.batches(path) == Seq(0L, 1L, 2L))
+    // the next attempt reuses the epoch-1 name (overwrite) and lands
+    assert(DurableLedger.compact(spark, path, schema) == 2)
+    assert(rows(path) == all, "orphan rows must not leak into the fold")
+    assert(DurableLedger.batches(path) == Seq(2L))
+  }
+
   test("empty and single-batch ledgers are no-ops") {
     val path = tmp()
     assert(DurableLedger.compact(spark, path, schema) == 0)
