@@ -138,4 +138,21 @@ object TiktokenEncoding {
   /** An encoding over an explicit rank table (specs, custom vocabs). */
   def apply(ranks: Map[Seq[Byte], Int], pattern: String): TiktokenEncoding =
     new TiktokenEncoding(ranks, pattern)
+
+  /** The DEPLOYMENT-DEFAULT encoding: the repo's bundled frozen rank
+    * table (`graft/frozen_corpus.tiktoken`, trained to saturation from
+    * the test corpus by [[graft.tools.FreezeRanks]] /
+    * [[graft.textops.ByteBpe]]) behind the cl100k pre-tokenizer. In a
+    * networked deployment, point [[fromFile]] at the published
+    * o200k_base/cl100k_base data file instead — same loader, same
+    * trait; until then every token budget counts through ONE pinned
+    * vocabulary instead of a per-call stub.
+    */
+  lazy val frozen: TiktokenEncoding = {
+    val in = getClass.getResourceAsStream("/graft/frozen_corpus.tiktoken")
+    require(in != null, "bundled ranks resource graft/frozen_corpus.tiktoken missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try new TiktokenEncoding(parseRanks(src.getLines()), Cl100kPattern)
+    finally src.close()
+  }
 }
