@@ -18,6 +18,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The per-rep unpersist of localCheckpointed RDDs below makes
+    // org.apache.spark.rdd loggers WARN that truncated lineage can't be
+    // recomputed — by design here (the blocks see no further actions).
+    // Silence that logger so no WARN line lands in the JSON line's
+    // stdout neighborhood (the driver's artifact parser reads the tail).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Warmup: run every query once at the TARGET SF before timing, so
     // the timed pass measures steady-state data work — the figure that
     // extrapolates to cluster scale — rather than Janino compilation

@@ -21,6 +21,10 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same logger hygiene as Bench: the per-rep unpersist below makes
+    // RDD warn about truncated localCheckpoint lineage, by design
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     val fn = graft.SparkEntry.queries(name)
     println(fn(spark, sfDir).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
@@ -29,6 +33,13 @@ object TimeOne {
       val n = fn(spark, sfDir).count()
       println(f"rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
       spark.catalog.clearCache()
+      // the Bench.scala rep hygiene: clearCache leaves RDD-level
+      // localCheckpoint blocks behind, and their accumulation across
+      // reps manufactured 7.6→18.6 s "drift" on q84 profiling runs
+      // (r8 judge measurement) — drop them; prior reps' RDDs see no
+      // further actions, so the truncated lineage is never needed
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
