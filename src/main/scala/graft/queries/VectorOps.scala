@@ -296,8 +296,98 @@ object VectorOps {
       val emb = Tables.load(s, dir, "embeddings")
       Vectors.pcaVarianceRank(emb, "embedding", SqDim, fracTwentieths = 19)
         .orderBy($"d")
+    },
+
+    // ---- the Jacobi eigensolve's FIRST FIXED SWEEP, gated (the q106
+    // follow-through): 28 two-sided 2×2 rotations in cyclic order over
+    // the d=8 fixed-point covariance — the identical rotation sequence
+    // pcaRotationFit runs (shared jacobiSweeps), mirrored into one
+    // generated unrolled DuckDB expression chain with the same IEEE op
+    // order (column half-step, then row + V half-step reading the
+    // column-updated state). Cells quantized at 6 digits and
+    // -0.0-normalized on both engines.
+    "q143_jacobi_first_sweep" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.jacobiFirstSweep(emb, "embedding", JacobiDim)
+        .orderBy($"i", $"j")
     }
   )
+
+  /** q143: first-sweep gate dimension — 8 keeps the unrolled oracle's
+    * 3-CTE-per-rotation chain (28 rotations) generated, not hand-held.
+    */
+  private val JacobiDim = 8
+
+  /** Generates the q143 oracle: the exact-integer moment aggregate
+    * (q106's quantization), the covariance pivot, then per rotation
+    * (p,q) in cyclic order three chained CTEs — phi (with the 1e-14
+    * skip guard; phi = 0 makes the update an exact IEEE identity),
+    * c/s, the column half-step, and the row + V half-step — each cell
+    * expression written in the same order [[Vectors.jacobiSweeps]]
+    * computes it.
+    */
+  private def jacobiSweepOracleSql(dim: Int): String = {
+    def aN(i: Int, j: Int) = s"a_${i}_$j"
+    def vN(i: Int, j: Int) = s"v_${i}_$j"
+    val cells = for { i <- 0 until dim; j <- 0 until dim } yield (i, j)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id, i - 1 AS d, CAST(floor(v[i] * 1048576.0 + 0.5) AS BIGINT) AS q
+         |  FROM e, unnest(generate_series(1, $dim)) t(i)),
+         |pp AS (
+         |  SELECT a.d AS i, b.d AS j, SUM(a.q * b.q) AS p
+         |  FROM qv a JOIN qv b USING (vec_id) GROUP BY 1, 2),
+         |sm AS (SELECT d AS i, SUM(q) AS s, COUNT(*) AS n FROM qv GROUP BY 1),
+         |mn AS (SELECT i, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0 AS mu, n FROM sm),
+         |cc0 AS (
+         |  SELECT pp.i, pp.j,
+         |         CAST(pp.p AS DOUBLE) / CAST(mi.n AS DOUBLE) / 1099511627776.0 - mi.mu * mj.mu AS cov
+         |  FROM pp JOIN mn mi ON mi.i = pp.i JOIN mn mj ON mj.i = pp.j),
+         |f0 AS (SELECT
+         |""".stripMargin)
+    val covCells = cells.map { case (i, j) =>
+      s"  MAX(CASE WHEN i = $i AND j = $j THEN cov END) AS ${aN(i, j)}"
+    }
+    val vInit = cells.map { case (i, j) =>
+      s"  CAST(${if (i == j) "1.0" else "0.0"} AS DOUBLE) AS ${vN(i, j)}"
+    }
+    sb.append((covCells ++ vInit).mkString(",\n")).append("\n  FROM cc0)")
+    var r = 0
+    for (p <- 0 until dim - 1; q <- p + 1 until dim) {
+      r += 1
+      sb.append(s""",
+        |g$r AS (SELECT *, CASE WHEN abs(${aN(p, q)}) > 1e-14
+        |  THEN 0.5 * atan2(2.0 * ${aN(p, q)}, ${aN(q, q)} - ${aN(p, p)})
+        |  ELSE 0.0 END AS phi FROM f${r - 1})""".stripMargin)
+      sb.append(s""",
+        |gg$r AS (SELECT *, cos(phi) AS c_r, sin(phi) AS s_r FROM g$r)""".stripMargin)
+      val half1 = cells.map { case (i, j) =>
+        if (j == p) s"c_r * ${aN(i, p)} - s_r * ${aN(i, q)} AS ${aN(i, p)}"
+        else if (j == q) s"s_r * ${aN(i, p)} + c_r * ${aN(i, q)} AS ${aN(i, q)}"
+        else aN(i, j)
+      } ++ cells.map { case (i, j) => vN(i, j) } ++ Seq("c_r", "s_r")
+      sb.append(s",\nh$r AS (SELECT ${half1.mkString(", ")} FROM gg$r)")
+      val half2 = cells.map { case (i, j) =>
+        if (i == p) s"c_r * ${aN(p, j)} - s_r * ${aN(q, j)} AS ${aN(p, j)}"
+        else if (i == q) s"s_r * ${aN(p, j)} + c_r * ${aN(q, j)} AS ${aN(q, j)}"
+        else aN(i, j)
+      } ++ cells.map { case (i, j) =>
+        if (j == p) s"c_r * ${vN(i, p)} - s_r * ${vN(i, q)} AS ${vN(i, p)}"
+        else if (j == q) s"s_r * ${vN(i, p)} + c_r * ${vN(i, q)} AS ${vN(i, q)}"
+        else vN(i, j)
+      }
+      sb.append(s",\nf$r AS (SELECT ${half2.mkString(", ")} FROM h$r)")
+    }
+    val rows = cells.map { case (i, j) =>
+      s"SELECT $i AS i, $j AS j, round(${aN(i, j)}, 6) + 0.0 AS a, " +
+        s"round(${vN(i, j)}, 6) + 0.0 AS v FROM f$r"
+    }
+    sb.append("\n").append(rows.mkString("\nUNION ALL\n"))
+    sb.toString
+  }
 
   /** q101: queries probe 3 of the 8 fixture cells. */
   private val IvfSqProbe = 3
@@ -1146,7 +1236,12 @@ object VectorOps {
         |SELECT d, n_vecs, s, p, variance, rnk,
         |       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac,
         |       CAST((cum - ivar) * 20 < total * 19 AS INT) AS sel
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // generated: q106's moment quantization -> covariance pivot -> 28
+    // cyclic rotations unrolled as 3 CTEs each, same IEEE op order as
+    // Vectors.jacobiSweeps (column half-step, then row + V half-step)
+    "q143_jacobi_first_sweep" -> jacobiSweepOracleSql(JacobiDim)
   )
 
   /** Shared SemDeDup sweep mirror (q78/q87): expects CTEs `e(id, v)`

@@ -1426,6 +1426,23 @@ object Vectors {
       prods(i * dim + j).toDouble / n / (sc * sc) - mean(i) * mean(j)
     }
     // cyclic Jacobi, fixed sweeps — deterministic rotation sequence
+    val (a, vmat) = jacobiSweeps(cov, dim, sweeps)
+    val order = (0 until dim).sortBy(i => (-a(i)(i), i))
+    val rotation = order.map(i => Array.tabulate(dim)(k => vmat(k)(i))).toArray
+    val eigenvalues = order.map(i => a(i)(i)).toArray
+    (rotation, eigenvalues)
+  }
+
+  /** The cyclic-Jacobi sweep loop, factored out of [[pcaRotationFit]]
+    * so the q143 first-sweep gate provably runs the IDENTICAL rotation
+    * sequence the full eigensolve runs. Each (p,q) rotation is two
+    * sequential half-steps — the column update, then the row + V
+    * update reading the column-updated state — and the oracle mirrors
+    * that exact IEEE op order ([[graft.queries.VectorOps]]'s unrolled
+    * first-sweep SQL). Mutates nothing outside its return.
+    */
+  private[graft] def jacobiSweeps(cov: Array[Array[Double]], dim: Int,
+      sweeps: Int): (Array[Array[Double]], Array[Array[Double]]) = {
     val a = cov.map(_.clone())
     val vmat = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
@@ -1462,10 +1479,44 @@ object Vectors {
       }
       sweep += 1
     }
-    val order = (0 until dim).sortBy(i => (-a(i)(i), i))
-    val rotation = order.map(i => Array.tabulate(dim)(k => vmat(k)(i))).toArray
-    val eigenvalues = order.map(i => a(i)(i)).toArray
-    (rotation, eigenvalues)
+    (a, vmat)
+  }
+
+  /** ONE cyclic-Jacobi sweep over the fixed-point covariance of the
+    * first `dim` embedding components, emitted cell-by-cell — the
+    * DuckDB-oracleable slice of the eigensolve (q143): the sweep is a
+    * FIXED-ORDER sequence of dim·(dim-1)/2 two-sided 2×2 rotations
+    * over engine-exact integer moments, so for small dim the whole
+    * thing unrolls into one (large, generated) SQL expression chain
+    * with the identical IEEE op order. Returns one row per matrix
+    * cell: `(i, j, a, v)` — the post-sweep working matrix A and the
+    * accumulated rotation V, both quantized at 6 digits (the rounded-
+    * emission discipline for transcendental outputs; rotations are
+    * isometries, so cross-engine libm last-ulp drift in atan2/cos/sin
+    * cannot amplify past the quantum) and `+ 0.0`-normalized so a
+    * `-0.0` cell hashes identically on both engines.
+    *
+    * Driver-side O(dim³) on a dim×dim matrix after the distributed
+    * exact moment aggregate — the same control-plane shape as
+    * [[pcaRotationFit]] itself.
+    */
+  def jacobiFirstSweep(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val (n, sums, prods) = pcaMomentsExact(corpus, vecCol, dim)
+    require(n > 1, s"need at least 2 vectors: $n")
+    val sc = (1L << 20).toDouble
+    val mean = sums.map(_.toDouble / n / sc)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      prods(i * dim + j).toDouble / n / (sc * sc) - mean(i) * mean(j)
+    }
+    val (a, vmat) = jacobiSweeps(cov, dim, sweeps = 1)
+    import spark.implicits._
+    val rows = for { i <- 0 until dim; j <- 0 until dim }
+      yield (i, j, a(i)(j), vmat(i)(j))
+    rows.toDF("i", "j", "a_raw", "v_raw")
+      .select(col("i"), col("j"),
+        (round(col("a_raw"), 6) + lit(0.0)).as("a"),
+        (round(col("v_raw"), 6) + lit(0.0)).as("v"))
   }
 
   /** The fit's exact fixed-point moment accumulation, factored out so

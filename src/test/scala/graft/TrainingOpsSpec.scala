@@ -869,6 +869,42 @@ class VectorsSpec extends SparkSpec {
     assert(Vectors.pcaRank(ev, 1.0) <= dim)
   }
 
+  test("jacobiFirstSweep: the q143 gate IS sweep 1 of the full eigensolve") {
+    val dim = 8
+    val (df, _) = anisotropicFixture(dim, n = 240)
+    // rebuild the covariance exactly as pcaRotationFit does and run one
+    // sweep through the SHARED loop: the gate's raw cells must be its
+    // 6-digit quantization — so the driver-green row certifies the
+    // rotation sequence the full fit executes
+    val (n, sums, prods) = Vectors.pcaMomentsExact(df, "embedding", dim)
+    val sc = (1L << 20).toDouble
+    val mean = sums.map(_.toDouble / n / sc)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      prods(i * dim + j).toDouble / n / (sc * sc) - mean(i) * mean(j)
+    }
+    val (a1, v1) = Vectors.jacobiSweeps(cov, dim, sweeps = 1)
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val gate = Vectors.jacobiFirstSweep(df, "embedding", dim)
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        (r.getAs[Double]("a"), r.getAs[Double]("v"))).toMap
+    assert(gate.size == dim * dim)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      assert(gate((i, j))._1 == q6(a1(i)(j)), s"a($i,$j)")
+      assert(gate((i, j))._2 == q6(v1(i)(j)), s"v($i,$j)")
+    }
+    // one sweep already strictly shrinks the off-diagonal mass (the
+    // convergence direction the remaining 15 sweeps finish)
+    def off(m: Array[Array[Double]]) =
+      (for { i <- 0 until dim; j <- 0 until dim if i != j } yield m(i)(j) * m(i)(j)).sum
+    assert(off(a1) < off(cov) * 0.5, s"off-diag ${off(a1)} vs ${off(cov)}")
+    // V after one sweep is orthonormal (a product of rotations)
+    for (a <- 0 until dim; b <- 0 until dim) {
+      val dot = (0 until dim).map(k => v1(k)(a) * v1(k)(b)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-10, s"VᵀV($a,$b)=$dot")
+    }
+  }
+
   test("pcaVarianceRank: gate frame carries EXACTLY the fit's moment integers") {
     val dim = 16
     val (df, _) = anisotropicFixture(dim, n = 240)
