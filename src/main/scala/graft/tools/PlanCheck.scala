@@ -531,7 +531,97 @@ object PlanCheck {
     // between the corpora), broadcast totals, top-k as TakeOrdered
     Expectation("q127_corpus_drift",
       mustContain = Seq("HashAggregate", "TakeOrderedAndProject", "Union"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+
+    // ---- round-9 completion sweep: every remaining gate gets its
+    // explicit shuffle/broadcast/window contract (no default rows —
+    // main() now FAILS a query with no entry here).
+    // running-sum file packing: one Window pass, no join
+    Expectation("q08_running_sum_pack", mustContain = Seq("Window")),
+    // set intersect joins exploded members; the per-doc rollup combines
+    Expectation("q10_set_intersect", mustContain = Seq("HashAggregate", "BroadcastHashJoin")),
+    // exact dedup = hash-groupBy min(struct); a Window here would sort
+    // each hash's full multiplicity in one task (q40's skew lesson)
+    Expectation("q11_exact_dedup_docs",
+      mustContain = Seq("HashAggregate"), mustNotContain = Seq("Window ")),
+    Expectation("q12_event_time_window", mustContain = Seq("HashAggregate")),
+    // collect_set needs the object-hash aggregate, never sort-based
+    Expectation("q13_group_collect_set",
+      mustContain = Seq("ObjectHashAggregate"), mustNotContain = Seq("SortAggregate")),
+    // driver-computed dim×dim control-plane emission: the plan IS a
+    // local table — any FileScan would mean the moments re-read data
+    Expectation("q143_jacobi_first_sweep",
+      mustContain = Seq("LocalTableScan"), mustNotContain = Seq("FileScan")),
+    Expectation("q14_json_extract_agg", mustContain = Seq("HashAggregate")),
+    // multi-label matcher explodes its hits; the match itself is the
+    // codegen-asserted native expression below
+    Expectation("q15_brute_vocab_search", mustContain = Seq("Generate")),
+    // declared exhaustive oracle (weak-by-design): shingle-share join +
+    // per-pair rollup; sizes broadcast
+    Expectation("q16_ngram_jaccard_pairs",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin")),
+    // LSH: the band-key self-join is the data-scale shuffle; signature
+    // tables join broadcast
+    Expectation("q17_minhash_lsh_pairs",
+      mustContain = Seq("SortMergeJoin", "BroadcastHashJoin")),
+    Expectation("q18_simhash_pairs",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin")),
+    // quality scoring / lang-id / z-order keys are pure per-row column
+    // math — an aggregate means an accidental explode/groupBy crept in
+    Expectation("q19_text_quality",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")),
+    Expectation("q20_lang_id",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")),
+    Expectation("q48_zorder_layout",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate")),
+    // winnowing explodes k-gram windows then reduces per doc
+    Expectation("q21_doc_fingerprint", mustContain = Seq("Generate")),
+    // ANN top-k through hyperplane buckets: per-query group limit +
+    // broadcast bucket probe (BNLJ ban lifted only for q22's oracle)
+    Expectation("q23_lsh_topk",
+      mustContain = Seq("WindowGroupLimit", "BroadcastHashJoin")),
+    Expectation("q24_embedding_near_dup", mustContain = Seq("BroadcastHashJoin")),
+    Expectation("q25_set_except",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin")),
+    Expectation("q26_group_into_map", mustContain = Seq("ObjectHashAggregate")),
+    // grouping-set families plan as Expand feeding ONE aggregate pass
+    Expectation("q27_rollup_revenue", mustContain = Seq("Expand", "HashAggregate")),
+    Expectation("q46_cube_revenue", mustContain = Seq("Expand", "HashAggregate")),
+    Expectation("q50_hopping_window", mustContain = Seq("Expand", "HashAggregate")),
+    // session windows must use the native MergingSessions operator
+    Expectation("q33_sessionize", mustContain = Seq("MergingSessions")),
+    // iterative star-CC / kNN-graph readouts are checkpoint-truncated
+    // (the q57 situation) — the visible slice must stay product-free
+    Expectation("q35_dedup_clusters",
+      mustNotContain = Seq("BroadcastNestedLoopJoin")),
+    Expectation("q58_knn_graph",
+      mustNotContain = Seq("BroadcastNestedLoopJoin")),
+    // budgeted/weighted sampling: rank window over the salted key
+    Expectation("q37_token_budget_mix", mustContain = Seq("Window")),
+    Expectation("q55_pps_sample", mustContain = Seq("Window")),
+    Expectation("q38_length_percentiles", mustContain = Seq("ObjectHashAggregate")),
+    // two-phase pack: per-shard window ranks, no corpus-wide sort join
+    Expectation("q39_sequence_pack", mustContain = Seq("Window")),
+    // next-fit packing is the one genuine per-partition imperative op
+    Expectation("q43_pack_next_fit", mustContain = Seq("MapPartitions")),
+    // radius-bucket proximity: bucket explode + equi-join, never a
+    // range nested loop
+    Expectation("q44_time_proximity",
+      mustContain = Seq("Generate"), mustNotContain = Seq("BroadcastNestedLoopJoin")),
+    // deletion-variant linkage: variant explode + EQUI-join only
+    Expectation("q45_editdist_pairs",
+      mustContain = Seq("Generate"), mustNotContain = Seq("BroadcastNestedLoopJoin")),
+    Expectation("q51_editdist_triangles",
+      mustContain = Seq("Generate", "HashAggregate"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin")),
+    Expectation("q47_event_gaps", mustContain = Seq("Window")),
+    Expectation("q49_pivot_priority", mustContain = Seq("HashAggregate")),
+    // batch-UDF media seam: typed mapPartitions (the mapInPandas shape)
+    Expectation("q52_media_decode", mustContain = Seq("MapPartitions")),
+    Expectation("q53_except_all", mustContain = Seq("HashAggregate", "Union")),
+    Expectation("q54_string_agg", mustContain = Seq("ObjectHashAggregate")),
+    // span dedup: k-gram explode, per-span window, doc-level rebuild
+    Expectation("q77_span_dedup", mustContain = Seq("Generate", "Window")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
@@ -570,12 +660,15 @@ object PlanCheck {
       if (codegenAsserted.contains(name)) df.collect()
       val qe: QueryExecution = df.queryExecution
       val plan = qe.executedPlan.toString
-      val exp = expectations.find(_.query == name)
-        .getOrElse(Expectation(name))
+      // every gate MUST carry an explicit contract — a silent default
+      // row is how the r7 window/broadcast hazards went unasserted
+      val expOpt = expectations.find(_.query == name)
+      val exp = expOpt.getOrElse(Expectation(name))
       val globallyForbidden =
         if (name == "q22_cosine_topk" || name == "q23_lsh_topk") Nil
         else Seq("CartesianProduct")
-      val missing = exp.mustContain.filterNot(plan.contains)
+      val missing = (if (expOpt.isEmpty) Seq("EXPLICIT-CONTRACT") else Nil) ++
+        exp.mustContain.filterNot(plan.contains)
       val present = (exp.mustNotContain ++ globallyForbidden).filter(plan.contains)
       // native expressions must stay INSIDE whole-stage codegen — their
       // operator line carries the `*(n)` codegen marker (a
