@@ -786,8 +786,76 @@ object Curation {
       CurationOps.corpusOverlapKmv(
         docs.filter($"doc_id" % 2 === 0),
         docs.filter($"doc_id" % 2 === 1), "text", k = 128)
+    },
+
+    // ---- rendezvous (HRW) shard assignment: argmax over per-shard
+    // 60-bit salted hashes, pure per-row (transform + array_max struct
+    // argmax — no explode, no shuffle). The stable-resharding property
+    // (add a shard → only winners move, all to the new shard) is
+    // spec-pinned.
+    "q144_rendezvous_shards" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.rendezvousShards(
+          Tables.load(s, dir, "documents").select($"doc_id"),
+          "doc_id", numShards = RvShards, salt = RvSalt)
+        .orderBy($"doc_id")
+    },
+
+    // ---- domain-suffix blocklist: hosts synthesized as in q94,
+    // suffix-exploded (≤ label count) into a broadcast equi-join
+    // probe — N blocklist entries cost one hash lookup per suffix,
+    // never N regex passes.
+    "q145_domain_blocklist" -> { (s, dir) =>
+      import s.implicits._
+      val hosts = Tables.load(s, dir, "documents").select($"doc_id",
+        concat($"source", lit(".example"), ($"doc_id" % 3).cast("string"),
+          lit(".co.uk")).as("host"))
+      CurationOps.domainBlocklist(hosts, "doc_id", "host", BlockRules)
+        .orderBy($"doc_id")
+    },
+
+    // ---- Luhn-validated card-number PII detection: candidate digit
+    // strings derived deterministically per doc (md5-digit prefix +
+    // doc_id check digit → ~10% validate), checksum as per-row HOF
+    // math mirrored digit-for-digit into the oracle.
+    "q146_luhn_pii" -> { (s, dir) =>
+      import s.implicits._
+      val cands = Tables.load(s, dir, "documents").select($"doc_id",
+        concat(
+          rpad(regexp_replace(md5($"doc_id".cast("string")), "[a-f]", ""), 15, "7"),
+          ($"doc_id" % 10).cast("string")).as("candidate"))
+      cands.withColumn("luhn_valid",
+          graft.textops.TextAnalysis.luhnValidCol($"candidate").cast("int"))
+        .orderBy($"doc_id")
+    },
+
+    // ---- train/eval leakage audit: a grouped split (pseudo-shard
+    // groups — the naive doc-bucket split) composed with the 8-word
+    // PREFIX fingerprint, the corpus's actual duplication channel
+    // (openings are shared; whole docs are not) — every key whose
+    // copies straddle a split boundary, with per-split counts.
+    // Broadcast split table, one conditional-sum groupBy; text never
+    // shuffles.
+    "q147_split_leakage" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+        .select($"doc_id", ($"doc_id" % 64).cast("long").as("grp"), $"text")
+      CurationOps.splitLeakage(
+          docs, "doc_id", "grp",
+          md5(array_join(slice(split($"text", " "), 1, 8), " ")),
+          seed = SplitSeed, trainPct = 80, valPct = 10)
+        .orderBy($"h")
     }
   )
+
+  /** q144 constants (mirrored into the oracle). */
+  private val RvShards = 12
+  private val RvSalt = "hrw"
+
+  /** q145's blocklist: one apex match, one subdomain-deep match, one
+    * entry nothing matches (exercises the clean path).
+    */
+  private val BlockRules = Seq("example0.co.uk", "src3.example1.co.uk", "nohit.test")
 
   /** q82's epoch seed and shard fan-out — mirrored into the oracle. */
   private val TrainSeed = "epoch1"
@@ -2236,6 +2304,87 @@ object Curation {
 
     // Heaps mirror (generated — see HeapsSql).
     "q139_heaps_law" -> HeapsSql,
+
+    // HRW mirror: identical salted 60-bit hashes per (shard, doc),
+    // argmax via ROW_NUMBER ordered (w DESC, s DESC) — the struct-max
+    // tiebreak direction.
+    "q144_rendezvous_shards" ->
+      s"""WITH c AS (
+        |  SELECT doc_id, s,
+        |         CAST(('0x' || substr(md5('$RvSalt:' || CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS w
+        |  FROM documents, unnest(generate_series(0, ${RvShards - 1})) t(s)),
+        |r AS (
+        |  SELECT doc_id, s,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, s DESC) AS rn
+        |  FROM c)
+        |SELECT doc_id, CAST(s AS INT) AS shard FROM r WHERE rn = 1""".stripMargin,
+
+    // same host synthesis, suffix explode via list slicing, broadcast
+    // rules as VALUES, min-rule verdict
+    "q145_domain_blocklist" ->
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |         source || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk' AS host
+        |  FROM documents),
+        |p AS (SELECT doc_id, host, string_split(lower(host), '.') AS parts FROM h),
+        |s AS (
+        |  SELECT doc_id, array_to_string(parts[i:], '.') AS suf
+        |  FROM p, unnest(generate_series(1, len(parts))) t(i)),
+        |b AS (SELECT * FROM (VALUES ${BlockRules.map(r => s"('$r')").mkString(", ")}) v(rule)),
+        |m AS (SELECT doc_id, MIN(rule) AS rule FROM s JOIN b ON s.suf = b.rule GROUP BY doc_id)
+        |SELECT h.doc_id, h.host,
+        |       CASE WHEN m.rule IS NOT NULL THEN 1 ELSE 0 END AS blocked, m.rule
+        |FROM h LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    // identical candidate synthesis (md5-digit prefix rpad-truncated
+    // to 15 + doc_id check digit) and the digit-for-digit Luhn sum
+    // (1-based from the right: odd positions plain, even doubled-9)
+    "q146_luhn_pii" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         rpad(regexp_replace(md5(CAST(doc_id AS VARCHAR)), '[a-f]', '', 'g'), 15, '7')
+        |           || CAST(doc_id % 10 AS VARCHAR) AS candidate
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, candidate, i,
+        |         CAST(substr(reverse(candidate), i, 1) AS INT) AS dg
+        |  FROM c, unnest(generate_series(1, length(candidate))) t(i)),
+        |s AS (
+        |  SELECT doc_id, candidate,
+        |         SUM(CASE WHEN i % 2 = 1 THEN dg
+        |                  WHEN dg * 2 > 9 THEN dg * 2 - 9 ELSE dg * 2 END) AS tot
+        |  FROM d GROUP BY doc_id, candidate)
+        |SELECT doc_id, candidate,
+        |       CASE WHEN tot % 10 = 0 THEN 1 ELSE 0 END AS luhn_valid
+        |FROM s""".stripMargin,
+
+    // q91's split mirror over the pseudo-shard groups + the 8-word
+    // prefix fingerprint; leaked = key present in >1 split
+    "q147_split_leakage" ->
+      s"""WITH g AS (
+        |  SELECT grp,
+        |         CAST(('0x' || substr(md5('$SplitSeed' || ':' || CAST(grp AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+        |  FROM (SELECT DISTINCT doc_id % 64 AS grp FROM documents)),
+        |sp AS (
+        |  SELECT grp,
+        |         CASE WHEN hh < $SplitTrainLo THEN 'train'
+        |              WHEN hh < $SplitValLo THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM g),
+        |k AS (
+        |  SELECT md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS h, split
+        |  FROM documents d JOIN sp ON d.doc_id % 64 = sp.grp),
+        |a AS (
+        |  SELECT h,
+        |         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |         COUNT(*) AS n_docs
+        |  FROM k GROUP BY h)
+        |SELECT h, n_train, n_val, n_test, n_docs FROM a
+        |WHERE (CASE WHEN n_train > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_val > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_test > 0 THEN 1 ELSE 0 END) > 1""".stripMargin,
 
     // A-ES mirror: identical hash → u → -ln(u)/w nest; selection on
     // the RAW key, the emitted key rounded at 9 (libm ln is not

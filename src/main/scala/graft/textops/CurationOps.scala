@@ -1594,6 +1594,100 @@ object CurationOps {
       .drop("__g")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998): `shard(doc) = argmax_s hash(salt:s:doc)` — the
+    * STABLE sharding a growing corpus wants: adding shard n+1 moves
+    * only the ~1/(n+1) of documents whose new weight wins, and every
+    * moved document moves TO the new shard (spec-pinned); a mod-N
+    * rehash would move (n-1)/n of the corpus and invalidate every
+    * co-located index/cache next to it.
+    *
+    * Scale shape: pure per-row math — the candidate weights are a
+    * `transform` over a literal shard sequence and the argmax is an
+    * `array_max` over (weight, shard) structs, so the plan is a
+    * codegen'd map over the scan: no explode, no shuffle, no join.
+    * Weights are the engine-exact 60-bit md5 ([[NearDup.shingleHash60]])
+    * mirrored into the oracle.
+    */
+  def rendezvousShards(df: DataFrame, idCol: String, numShards: Int,
+      salt: String): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val cand = transform(sequence(lit(0), lit(numShards - 1)), s =>
+      struct(
+        NearDup.shingleHash60(concat_ws(":",
+          lit(salt), s.cast("string"), col(idCol).cast("string"))).as("w"),
+        s.as("s")))
+    df.withColumn("shard", array_max(cand).getField("s"))
+  }
+
+  /** Train/eval contamination audit over a grouped split (the q91 ∘
+    * dedup-key composition a release gate runs): assign splits with
+    * [[groupedSplit]], key every document by a content fingerprint
+    * (`keyCol` — exact md5, a normalized dedup key, or a prefix
+    * fingerprint for the shared-opening near-dup channel), and report
+    * each key that appears in MORE THAN ONE split — the leakage an
+    * eval number silently inherits when duplicated content straddles
+    * the train/val/test boundary (grouped splitting prevents
+    * WITHIN-group leakage by construction; this measures the
+    * cross-group duplicate channel it cannot).
+    *
+    * Emits one row per leaked key: `(h, n_train, n_val, n_test,
+    * n_docs)`. Scale shape: broadcast split table (distinct groups ≪
+    * corpus), ONE map-side-combined conditional-sum groupBy over the
+    * key, leaked filter on the counts — text never shuffles.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, groupCol: String,
+      keyCol: Column, seed: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val assigned = groupedSplit(df, idCol, groupCol, seed, trainPct, valPct)
+    assigned
+      .select(keyCol.as("h"), col("split"))
+      .groupBy(col("h"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        count(lit(1)).as("n_docs"))
+      .filter(
+        (when(col("n_train") > 0, 1).otherwise(0) +
+          when(col("n_val") > 0, 1).otherwise(0) +
+          when(col("n_test") > 0, 1).otherwise(0)) > 1)
+  }
+
+  /** Domain-suffix blocklist filter (the Dolma/CCNet URL-filtering
+    * step): a document's host is blocked iff the host itself or ANY of
+    * its parent-domain suffixes is a blocklist entry — `a.b.c.d`
+    * checks `a.b.c.d`, `b.c.d`, `c.d`, `d`. Emits every document with
+    * `(blocked, rule)` — rule = the lexicographically-least matching
+    * entry, null when clean.
+    *
+    * Scale shape: the host explodes into its ≤ label-count suffixes
+    * (a constant ~5 fan-out, nothing like a pattern scan) and probes
+    * the blocklist through a BROADCAST equi-join — N patterns cost
+    * one hash lookup, not N regex passes; a million-entry production
+    * blocklist stays a broadcast table. Per-doc verdict is a
+    * map-side-combined min/groupBy, and the final left join keys on
+    * the id only.
+    */
+  def domainBlocklist(df: DataFrame, idCol: String, hostCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rules = blocklist.map(_.toLowerCase).distinct.toDF("rule")
+    val parts = split(lower(col(hostCol)), "\\.")
+    val sufs = transform(sequence(lit(1), size(parts)), i =>
+      array_join(slice(parts, i, size(parts) - i + 1), "."))
+    val hits = df
+      .select(col(idCol), explode(sufs).as("suf"))
+      .join(broadcast(rules), col("suf") === col("rule"))
+      .groupBy(col(idCol))
+      .agg(min(col("rule")).as("rule"))
+    df.select(col(idCol), col(hostCol))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("blocked", when(col("rule").isNotNull, 1).otherwise(0))
+  }
+
   /** Per-domain cap retention (the FineWeb/RefinedWeb "domain budget"
     * step): keep at most `k` documents per group (eTLD+1 domain, source
     * feed), picking the best by a quality column with a deterministic

@@ -476,4 +476,26 @@ object TextAnalysis {
       size(split(text, EmailRe, -1)) - 1 as "emails",
       size(split(text, PhoneRe, -1)) - 1 as "phones",
       size(split(text, SsnRe, -1)) - 1 as "ssns")
+
+  /** Luhn (mod-10) checksum validity of a digit string — the checksum
+    * gate that turns a "13-19 consecutive digits" PII candidate into a
+    * plausible payment-card hit, cutting the false-positive scrubbing
+    * a digits-only regex inflicts on IDs/timestamps (ISO/IEC 7812).
+    * From the RIGHT, every second digit doubles (minus 9 past 9); the
+    * total must divide by 10. Pure per-row HOF math (transform +
+    * aggregate over the reversed digit array) — codegen'd, no explode,
+    * no shuffle; null/empty/non-digit input yields false, never an
+    * error.
+    */
+  def luhnValidCol(num: Column): Column = {
+    val digitsOnly = num.isNotNull && num.rlike("^[0-9]+$")
+    val chars = filter(split(reverse(num), ""), c => c =!= "")
+    val terms = transform(chars, (c, i) => {
+      val d = c.cast("int")
+      when(i % 2 === 0, d).otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+    })
+    when(digitsOnly,
+      aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0)
+      .otherwise(lit(false))
+  }
 }

@@ -621,7 +621,23 @@ object PlanCheck {
     Expectation("q53_except_all", mustContain = Seq("HashAggregate", "Union")),
     Expectation("q54_string_agg", mustContain = Seq("ObjectHashAggregate")),
     // span dedup: k-gram explode, per-span window, doc-level rebuild
-    Expectation("q77_span_dedup", mustContain = Seq("Generate", "Window")))
+    Expectation("q77_span_dedup", mustContain = Seq("Generate", "Window")),
+    // HRW sharding is pure per-row struct-argmax — no explode, no
+    // shuffle, no aggregate
+    Expectation("q144_rendezvous_shards",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate", "Generate")),
+    // blocklist probe: suffix explode + BROADCAST rules join (a
+    // shuffled join here means the rules table lost its broadcast)
+    Expectation("q145_domain_blocklist",
+      mustContain = Seq("Generate", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin")),
+    // Luhn is per-row HOF math — aggregates mean an accidental explode
+    Expectation("q146_luhn_pii",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate", "Generate")),
+    // leakage audit: broadcast split table + ONE conditional-sum rollup
+    Expectation("q147_split_leakage",
+      mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

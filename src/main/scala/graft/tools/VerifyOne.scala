@@ -5,15 +5,15 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Single-query slice of [[graft.Verify]] — the inner loop for gate
-  * authoring: dump ONE named query's result parquet plus an
-  * `oracle_sql.json` holding only its oracle, so `tools/check.py`
-  * compares just that query instead of the whole suite.
+  * authoring: dump the named queries' result parquet plus an
+  * `oracle_sql.json` holding only their oracles, so `tools/check.py`
+  * compares just those queries instead of the whole suite.
   *
-  * Usage: runMain graft.tools.VerifyOne <queryName> [sfDir] [outDir]
+  * Usage: runMain graft.tools.VerifyOne <name>[,<name>...] [sfDir] [outDir]
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 2) args(2) else "/tmp/verify_one"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,8 +25,10 @@ object VerifyOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    graft.SparkEntry.queries(name)(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    names.foreach { name =>
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -36,9 +38,9 @@ object VerifyOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val sql = graft.SparkEntry.oracleSql(name)
+    val entries = names.map(n => s"${q(n)}: ${q(graft.SparkEntry.oracleSql(n))}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      s"{${q(name)}: ${q(sql)}}")
+      s"{${entries.mkString(", ")}}")
     spark.stop()
   }
 }
