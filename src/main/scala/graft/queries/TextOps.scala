@@ -30,6 +30,16 @@ object TextOps {
   private[queries] def docsParallel(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
+  /** q149's encoding-damage artifacts — ONE Scala constant interpolated
+    * into BOTH the Spark `lit` and the oracle SQL, so the two engines
+    * provably see identical characters. Moj1: "café naïve" shipped as
+    * UTF-8 read back as Latin-1 (Ã-bigrams). Moj2: a U+FFFD
+    * replacement char. Moj3: a C1 control (U+0085 NEL).
+    */
+  private val Moj1 = " cafÃ© naÃ¯ve"
+  private val Moj2 = " bad�char"
+  private val Moj3 = " xy"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- brute vocabulary search (SURVEY T8): single-pass multi-label
     // word-boundary matcher over every document.
@@ -453,6 +463,48 @@ object TextOps {
           lit("\n\n- first [link text](https://x.test/a)\n- second ![alt words](img.png)\n\n```\ncode block to drop\n```\n\n_tail_"))
           .as("md"))
       graft.textops.TextAnalysis.markdownExtract(aug, "doc_id", "md")
+        .orderBy($"doc_id")
+    },
+
+    // ---- outlink (web-graph edge) extraction: pages synthesized with
+    // absolute links (host varies by doc), a relative link, a
+    // fragment-only href, a mailto, and an UPPERCASE tag/scheme trap;
+    // one regexp_extract_all + link-bounded explode, per-row host
+    // math — no join, no aggregate.
+    "q148_outlinks" -> { (s, dir) =>
+      import s.implicits._
+      val page = concat(
+        lit("<html><body><p>"), $"text",
+        lit("</p><a href=\"https://ex"), ($"doc_id" % 5).cast("string"),
+        lit(".test/p/"), $"doc_id", lit("\">x</a>"),
+        when($"doc_id" % 3 === 0,
+          lit("<a class=\"nav\" href=\"/local/page\">rel</a>")).otherwise(lit("")),
+        when($"doc_id" % 4 === 0,
+          lit("<a href=\"#top\">top</a>")).otherwise(lit("")),
+        when($"doc_id" % 7 === 0,
+          lit("<a href=\"mailto:a@b.test\">m</a>")).otherwise(lit("")),
+        when($"doc_id" % 6 === 0,
+          concat(lit("<A HREF=\"HTTP://UP"), ($"doc_id" % 2).cast("string"),
+            lit(".TEST/x\">c</A>"))).otherwise(lit("")),
+        lit("</body></html>"))
+      val aug = docsParallel(s, dir).select($"doc_id", page.as("page"))
+      graft.textops.TextAnalysis.outlinkEdges(aug, "doc_id", "page")
+        .orderBy($"doc_id", $"href")
+    },
+
+    // ---- mojibake / encoding damage: docs augmented with the three
+    // artifact classes (UTF-8-as-Latin-1 bigrams, U+FFFD, a C1
+    // control), then split-count regex math with the damage ratio
+    // rounded at 9. Pure per-row, zero shuffles.
+    "q149_encoding_quality" -> { (s, dir) =>
+      import s.implicits._
+      val aug = docsParallel(s, dir).select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 7 === 0, lit(Moj1)).otherwise(lit("")),
+          when($"doc_id" % 11 === 0, lit(Moj2)).otherwise(lit("")),
+          when($"doc_id" % 13 === 0, lit(Moj3)).otherwise(lit("")))
+          .as("aug"))
+      graft.textops.TextAnalysis.encodingQuality(aug, "doc_id", "aug")
         .orderBy($"doc_id")
     },
 
@@ -1399,6 +1451,58 @@ object TextOps {
 
     // Markdown mirror (generated — see MarkdownExtractSql).
     "q142_markdown_extract" -> MarkdownExtractSql,
+
+    // outlink mirror: identical page template, the same RE2-parity
+    // href pattern through regexp_extract_all group 1, the same drop
+    // rules and host extraction
+    "q148_outlinks" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>' || text || '</p><a href="https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.test/p/' || doc_id || '">x</a>' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '<a class="nav" href="/local/page">rel</a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '<a href="#top">top</a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '<a href="mailto:a@b.test">m</a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN '<A HREF="HTTP://UP' || CAST(doc_id % 2 AS VARCHAR) || '.TEST/x">c</A>' ELSE '' END ||
+        |    '</body></html>' AS page
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(page, '(?is)<a\s[^>]*?href="([^"#]*)', 1)) AS href
+        |  FROM aug),
+        |f AS (
+        |  SELECT doc_id, href FROM e
+        |  WHERE length(href) > 0 AND NOT regexp_matches(lower(href), '^(mailto|javascript):')),
+        |h AS (
+        |  SELECT doc_id, href,
+        |         CASE WHEN regexp_matches(href, '(?i)^https?://')
+        |              THEN lower(regexp_extract(href, '(?i)^https?://([^/]+)', 1)) END AS host
+        |  FROM f)
+        |SELECT doc_id, href, host,
+        |       CASE WHEN host IS NOT NULL THEN 1 ELSE 0 END AS external
+        |FROM h ORDER BY doc_id, href""".stripMargin,
+
+    // encoding-damage mirror: identical artifact augmentation (the
+    // Moj* constants interpolate the SAME chars both engines see),
+    // identical hex-class split counting, ratio rounded at 9
+    "q149_encoding_quality" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '$Moj1' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '$Moj2' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN '$Moj3' ELSE '' END AS aug
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(aug) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split_regex(aug, '\\x{fffd}')) - 1 AS BIGINT) AS n_replacement,
+        |    CAST(len(string_split_regex(aug, '[\\x{80}-\\x{9f}]')) - 1 AS BIGINT) AS n_c1,
+        |    CAST(len(string_split_regex(aug, '[\\x{c2}\\x{c3}\\x{e2}][\\x{80}-\\x{bf}]')) - 1 AS BIGINT) AS n_double_utf8
+        |  FROM aug)
+        |SELECT doc_id, n_chars, n_replacement, n_c1, n_double_utf8,
+        |  CASE WHEN n_chars > 0
+        |       THEN round(CAST(n_replacement + n_c1 + n_double_utf8 AS DOUBLE) * 1000.0 / CAST(n_chars AS DOUBLE), 9)
+        |       ELSE 0.0 END AS damage_per_kchar,
+        |  CASE WHEN n_replacement + n_c1 + n_double_utf8 = 0 THEN 1 ELSE 0 END AS is_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

@@ -498,4 +498,70 @@ object TextAnalysis {
       aggregate(terms, lit(0), (acc, x) => acc + x) % 10 === 0)
       .otherwise(lit(false))
   }
+
+  /** Href pattern [[outlinkEdges]] extracts (group 1 = the target up
+    * to the closing quote or a fragment `#`) — RE2-parity: lazy
+    * quantifier + literal classes, no backrefs, identical under Java
+    * regex and DuckDB's RE2. Double-quoted hrefs only (the normalized
+    * form the q135-q137 front door emits); a production crawler widens
+    * the quote class behind the same shape.
+    */
+  val HrefRe = "(?is)<a\\s[^>]*?href=\"([^\"#]*)"
+
+  /** Outlink (web-graph edge) extraction — the step between q135's
+    * HTML strip and any link-based analysis (PageRank seeds, domain
+    * frontier growth, anchor aggregation): every `<a href>` target in
+    * a page, with its host when absolute and an internal/external
+    * flag. Fragment-only, `mailto:`/`javascript:`, and empty targets
+    * drop (they are not crawl edges).
+    *
+    * Emits one row per kept link: `(id, href, host, external)` — host
+    * null for relative links. Scale shape: one codegen'd
+    * `regexp_extract_all` per page + an explode bounded by the page's
+    * actual link count; per-row regex host extraction; no shuffle, no
+    * join — downstream rollups (per-host in-degree, frontier diff)
+    * choose their own keys.
+    */
+  def outlinkEdges(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(col(htmlCol), lit(HrefRe), lit(1))
+    df.select(col(idCol), explode(hrefs).as("href"))
+      .filter(length(col("href")) > 0 &&
+        !lower(col("href")).rlike("^(mailto|javascript):"))
+      .withColumn("host",
+        when(col("href").rlike("(?i)^https?://"),
+          lower(regexp_extract(col("href"), "(?i)^https?://([^/]+)", 1))))
+      .withColumn("external", col("host").isNotNull.cast("int"))
+  }
+
+  /** Mojibake / encoding-damage signals (the ftfy-style triage every
+    * web corpus runs before quality gating — encoding damage is
+    * invisible to length/stopword heuristics but poisons tokenization):
+    * counts of U+FFFD replacement characters (a decoder already gave
+    * up), C1 control characters U+0080-U+009F (CP-1252 bytes decoded
+    * as Latin-1), and the classic UTF-8-read-as-Latin-1 bigrams (Â/Ã/â
+    * followed by a continuation-range char — "café" shipped as
+    * "cafÃ©"). Emits exact integer counts, a damage score per 1000
+    * chars rounded at 9 (emitted-ratio discipline), and a clean flag.
+    * Pure per-row split-counting regex math (the [[piiCounts]] shape)
+    * — codegen'd, zero shuffles; patterns are hex-class literals,
+    * identical under Java regex and RE2.
+    */
+  def encodingQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(p: String) = (size(split(t, p, -1)) - 1).cast("long")
+    val repl = cnt("\\x{fffd}")
+    val c1 = cnt("[\\x{80}-\\x{9f}]")
+    val dbl = cnt("[\\x{c2}\\x{c3}\\x{e2}][\\x{80}-\\x{bf}]")
+    df.select(col(idCol),
+        length(t).cast("long").as("n_chars"),
+        repl.as("n_replacement"), c1.as("n_c1"), dbl.as("n_double_utf8"))
+      .withColumn("damage_per_kchar",
+        when(col("n_chars") > 0,
+          round((col("n_replacement") + col("n_c1") + col("n_double_utf8"))
+            .cast("double") * 1000.0 / col("n_chars").cast("double"), 9))
+          .otherwise(lit(0.0)))
+      .withColumn("is_clean",
+        (col("n_replacement") + col("n_c1") + col("n_double_utf8") === 0)
+          .cast("int"))
+  }
 }

@@ -637,7 +637,17 @@ object PlanCheck {
     // leakage audit: broadcast split table + ONE conditional-sum rollup
     Expectation("q147_split_leakage",
       mustContain = Seq("HashAggregate", "BroadcastHashJoin"),
-      mustNotContain = Seq("SortMergeJoin")))
+      mustNotContain = Seq("SortMergeJoin")),
+    // outlinks: one extract_all + link-bounded explode; no join, no
+    // aggregate — edges are the product
+    Expectation("q148_outlinks",
+      mustContain = Seq("Generate"),
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "BroadcastHashJoin", "SortMergeJoin")),
+    // encoding damage is per-row split-count math — any explode or
+    // aggregate means the counting shape regressed
+    Expectation("q149_encoding_quality",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate", "Generate")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

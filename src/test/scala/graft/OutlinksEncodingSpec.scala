@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.textops.TextAnalysis
+
+/** Round-9 web-signal additions: outlink (web-graph edge) extraction
+  * drop/classify rules and the mojibake / encoding-damage counters.
+  */
+class OutlinksEncodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("outlinkEdges: absolute/relative classify, fragment/mailto/javascript drop") {
+    val pages = Seq(
+      (1L, """<a href="https://a.test/x">one</a><a href="/rel/p">two</a>"""),
+      (2L, """<a href="#frag">skip</a><a href="mailto:x@y.test">skip</a>"""),
+      (3L, """<A HREF="HTTP://UP.TEST/q">caps</A>"""),
+      (4L, """<a href="javascript:void(0)">skip</a>"""),
+      (5L, """<a class="n" href="https://a.test/x#sec">fragment strips</a>"""),
+      (6L, "no links here")).toDF("id", "page")
+    val out = TextAnalysis.outlinkEdges(pages, "id", "page")
+      .as[(Long, String, Option[String], Int)].collect().toSeq.sorted
+    assert(out == Seq(
+      (1L, "/rel/p", None, 0),
+      (1L, "https://a.test/x", Some("a.test"), 1),
+      (3L, "HTTP://UP.TEST/q", Some("up.test"), 1),
+      (5L, "https://a.test/x", Some("a.test"), 1)))
+  }
+
+  test("outlinkEdges: multiple links per page keep multiplicity") {
+    val pages = Seq(
+      (1L, """<a href="https://a.test/1">x</a><a href="https://a.test/1">x</a>"""))
+      .toDF("id", "page")
+    val out = TextAnalysis.outlinkEdges(pages, "id", "page").count()
+    assert(out == 2L, "duplicate edges are real in-degree mass, not deduped here")
+  }
+
+  test("encodingQuality: each artifact class counted separately; ratio exact") {
+    val docs = Seq(
+      (1L, "clean ascii text"),
+      (2L, "cafÃ©"),             // one UTF-8-as-Latin-1 bigram
+      (3L, "bad�char"),               // one replacement char
+      (4L, "xy"),                    // one C1 control
+      (5L, "Ã©�"),    // one of each
+      (6L, "")).toDF("id", "text")
+    val out = TextAnalysis.encodingQuality(docs, "id", "text")
+      .select($"id", $"n_replacement", $"n_c1", $"n_double_utf8", $"is_clean")
+      .as[(Long, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 0L, 1)))
+    assert(out(2L) == ((2L, 0L, 0L, 1L, 0)))
+    assert(out(3L) == ((3L, 1L, 0L, 0L, 0)))
+    assert(out(4L) == ((4L, 0L, 1L, 0L, 0)))
+    assert(out(5L) == ((5L, 1L, 1L, 1L, 0)))
+    assert(out(6L) == ((6L, 0L, 0L, 0L, 1)), "empty text is clean, ratio 0")
+    // damage ratio: doc 4 = 1 artifact / 3 chars * 1000, rounded at 9
+    val ratio = TextAnalysis.encodingQuality(docs, "id", "text")
+      .filter($"id" === 4L).select($"damage_per_kchar").as[Double].head()
+    assert(ratio == math.rint(1000.0 / 3.0 * 1e9) / 1e9 ||
+      math.abs(ratio - 1000.0 / 3.0) < 1e-6)
+  }
+
+  test("encodingQuality: C1 char after a lead byte is NOT double-counted as both") {
+    // U+00C3 U+0085: a continuation-range char that is ALSO C1 — the
+    // bigram counter and the C1 counter both see it (documented: the
+    // signals are independent counters, the score sums them)
+    val docs = Seq((1L, "Ã")).toDF("id", "text")
+    val out = TextAnalysis.encodingQuality(docs, "id", "text")
+      .select($"n_c1", $"n_double_utf8").as[(Long, Long)].head()
+    assert(out == ((1L, 1L)))
+  }
+}
