@@ -1,0 +1,114 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt group/rule model and URL admission (RFC 9309 subset —
+  * the politeness gate between a frontier and a fetcher; every crawl
+  * corpus the engine ingests was shaped by one of these files).
+  *
+  * Supported subset, pinned by spec and oracle:
+  *   - `User-agent` / `Allow` / `Disallow` directives, case-insensitive
+  *     keys, `#` comments stripped to end-of-line, blank/garbage lines
+  *     ignored.
+  *   - Consecutive `User-agent` lines open a group shared by all the
+  *     named agents; the group's rules run until the next agent block.
+  *   - Agent selection per host: groups naming the caller's token
+  *     exactly (case-insensitive) win; hosts with no exact group fall
+  *     back to `*` groups. ALL groups at the winning precedence
+  *     combine (the RFC 9309 merge rule).
+  *   - Path decision: matching rules are PREFIX matches (no `*`/`$`
+  *     wildcards in this subset — a deployment widens the match
+  *     expression behind the same shape); the LONGEST matching path
+  *     wins, `Allow` wins length ties, no match ⇒ allowed, and an
+  *     empty `Disallow:` value means allow-all (it contributes no
+  *     rule).
+  *
+  * Scale shape: parsing is a per-host posexplode over the file's own
+  * lines (robots files are KB-bounded by convention) with per-HOST
+  * windows for group numbering — partitioned, never global. The URL
+  * decision is a host-keyed equi-join against the rule table (rules ≪
+  * URLs; broadcast when small) with the prefix test as a join filter,
+  * then one min-struct aggregate per URL — no window over URLs, no
+  * driver loop.
+  */
+object Robots {
+
+  /** Parse robots bodies into the exploded (host, grp, agent, path,
+    * allow) rule relation: one row per (agent in group) × (rule in
+    * group). Directive lines that parse but sit before any
+    * `User-agent` line are dropped (they belong to no group — the RFC
+    * treats them as unreachable).
+    */
+  def ruleTable(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val lines = robots.select(col(hostCol).as("__host"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("__ln", "__raw")))
+      .withColumn("__clean", regexp_replace(col("__raw"), "#.*$", ""))
+      .withColumn("__key",
+        lower(regexp_extract(col("__clean"), "^\\s*([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("__val",
+        trim(regexp_extract(col("__clean"), "^\\s*[A-Za-z-]+\\s*:(.*)$", 1)))
+      .filter(col("__key").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy("__host").orderBy("__ln")
+    val grouped = lines
+      .withColumn("__isUa", (col("__key") === "user-agent").cast("int"))
+      .withColumn("__prevUa", coalesce(lag(col("__isUa"), 1).over(w), lit(0)))
+      .withColumn("grp",
+        sum(when(col("__isUa") === 1 && col("__prevUa") === 0, 1L)
+          .otherwise(0L)).over(w))
+      .filter(col("grp") > 0)
+    val agents = grouped.filter(col("__isUa") === 1)
+      .select(col("__host"), col("grp"), lower(col("__val")).as("agent"))
+    val rules = grouped
+      .filter(col("__isUa") === 0 && length(col("__val")) > 0)
+      .select(col("__host"), col("grp"), col("__val").as("path"),
+        (col("__key") === "allow").cast("int").as("allow"))
+    agents.join(rules, Seq("__host", "grp"))
+      .select(col("__host").as(hostCol), col("grp"), col("agent"),
+        col("path"), col("allow"))
+  }
+
+  /** The rule set the named agent actually obeys per host: exact-token
+    * groups when the host has any, else `*` groups, all groups at the
+    * winning precedence combined, duplicates collapsed.
+    */
+  def effectiveRules(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val t = ruleTable(robots, hostCol, txtCol)
+      .filter(col("agent") === a || col("agent") === "*")
+    val hostPrec = t.groupBy(col(hostCol))
+      .agg(max((col("agent") === a).cast("int")).as("__hasExact"))
+    t.join(hostPrec, Seq(hostCol))
+      .filter((col("agent") === a) === (col("__hasExact") === 1))
+      .select(col(hostCol), col("path"), col("allow"))
+      .distinct()
+  }
+
+  /** Per-URL admission under [[effectiveRules]]: emits every URL row
+    * with `allowed` and the winning `rule` path (null when no rule
+    * matched — allowed by default). `urls` needs a unique id column
+    * (the min-struct tiebreak also orders on the rule path, so the
+    * output is deterministic even under duplicate ids).
+    */
+  def allowed(urls: DataFrame, idCol: String, urlHostCol: String,
+      pathCol: String, robots: DataFrame, robotsHostCol: String,
+      txtCol: String, agent: String): DataFrame = {
+    val rules = effectiveRules(robots, robotsHostCol, txtCol, agent)
+      .withColumnRenamed(robotsHostCol, "__rhost")
+      .withColumnRenamed("path", "__rpath")
+    val hits = urls
+      .join(rules, urls(urlHostCol) === col("__rhost") &&
+        urls(pathCol).startsWith(col("__rpath")))
+      .groupBy(col(idCol))
+      .agg(max(struct(length(col("__rpath")).as("l"), col("allow").as("a"),
+        col("__rpath").as("p"))).as("__win"))
+      .select(col(idCol), col("__win.a").as("__allow"),
+        col("__win.p").as("rule"))
+    urls.join(hits, Seq(idCol), "left")
+      .withColumn("allowed",
+        coalesce(col("__allow") === 1, lit(true)).cast("int"))
+      .drop("__allow")
+  }
+}

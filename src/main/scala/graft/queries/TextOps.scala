@@ -508,6 +508,38 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- robots.txt admission: per-host policies (a `*` group for
+    // everyone; even-length hosts add an exact GraftBot group that
+    // SHADOWS the `*` rules — the RFC precedence trap), candidate
+    // paths exercising prefix longest-match with Allow tie wins, an
+    // unreachable pre-group rule, a comment, an unsupported key, and
+    // an empty Disallow. Per-host windows; URL decision is one
+    // host-keyed join + min-struct rollup.
+    "q150_robots_admission" -> { (s, dir) =>
+      import s.implicits._
+      val robots = Tables.load(s, dir, "documents").select($"source").distinct()
+        .select($"source".as("host"), concat(
+          lit("Disallow: /early\n# policy\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 5\n"),
+          when(length($"source") % 2 === 0,
+            lit("\nUser-agent: GraftBot\nUser-agent: otherbot\nDisallow: /p/9\nAllow: /p/91\nDisallow:\n"))
+            .otherwise(lit(""))).as("txt"))
+      val urls = docsParallel(s, dir).select($"doc_id",
+        $"source".as("host"),
+        when($"doc_id" % 4 === 0,
+          concat(lit("/private/area"), ($"doc_id" % 3).cast("string")))
+          .when($"doc_id" % 4 === 1,
+            concat(lit("/private/ok/page"), ($"doc_id" % 3).cast("string")))
+          .when($"doc_id" % 4 === 2,
+            concat(lit("/p/"),
+              floor(($"doc_id" % 520) / 4).cast("long").cast("string")))
+          .otherwise(concat(lit("/pub/item"), ($"doc_id" % 7).cast("string")))
+          .as("path"))
+      graft.ingest.Robots.allowed(urls, "doc_id", "host", "path",
+          robots, "host", "txt", "GraftBot")
+        .select($"doc_id", $"host", $"path", $"allowed", $"rule")
+        .orderBy($"doc_id")
+    },
+
     // ---- Bloom-filter decontamination probe, cross-engine-exact: the
     // benchmark partition's shingles set k salted bits over m; every
     // doc reports how many of its shingles the filter claims present
@@ -1503,6 +1535,78 @@ object TextOps {
         |       ELSE 0.0 END AS damage_per_kchar,
         |  CASE WHEN n_replacement + n_c1 + n_double_utf8 = 0 THEN 1 ELSE 0 END AS is_clean
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // robots mirror: identical policy synthesis, the same parse chain
+    // (comment strip, key/value regexes, LAG/SUM group numbering,
+    // pre-group drop), precedence via has_exact, longest-match with
+    // Allow tie via ROW_NUMBER (l DESC, allow DESC, path DESC — the
+    // struct-max direction)
+    "q150_robots_admission" ->
+      """WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+        |rob AS (
+        |  SELECT host,
+        |    'Disallow: /early' || chr(10) || '# policy' || chr(10) ||
+        |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+        |    'Allow: /private/ok' || chr(10) || 'Crawl-delay: 5' || chr(10) ||
+        |    CASE WHEN length(host) % 2 = 0 THEN
+        |      chr(10) || 'User-agent: GraftBot' || chr(10) || 'User-agent: otherbot' || chr(10) ||
+        |      'Disallow: /p/9' || chr(10) || 'Allow: /p/91' || chr(10) || 'Disallow:' || chr(10)
+        |    ELSE '' END AS txt
+        |  FROM hosts),
+        |p AS (SELECT host, string_split(txt, chr(10)) AS parts FROM rob),
+        |lines AS (
+        |  SELECT host, i AS ln, regexp_replace(parts[i], '#.*$', '') AS clean
+        |  FROM p, unnest(generate_series(1, len(parts))) t(i)),
+        |kv AS (
+        |  SELECT host, ln,
+        |    lower(regexp_extract(clean, '^\s*([A-Za-z-]+)\s*:', 1)) AS key,
+        |    trim(regexp_extract(clean, '^\s*[A-Za-z-]+\s*:(.*)$', 1)) AS val
+        |  FROM lines
+        |  WHERE lower(regexp_extract(clean, '^\s*([A-Za-z-]+)\s*:', 1))
+        |        IN ('user-agent', 'allow', 'disallow')),
+        |g AS (
+        |  SELECT host, ln, key, val,
+        |    CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS is_ua,
+        |    COALESCE(LAG(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY host ORDER BY ln), 0) AS prev_ua
+        |  FROM kv),
+        |gg AS (
+        |  SELECT host, ln, key, val, is_ua,
+        |    SUM(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY host ORDER BY ln) AS grp
+        |  FROM g),
+        |agents AS (SELECT host, grp, lower(val) AS agent FROM gg WHERE is_ua = 1 AND grp > 0),
+        |rules AS (
+        |  SELECT host, grp, val AS path,
+        |         CASE WHEN key = 'allow' THEN 1 ELSE 0 END AS allow
+        |  FROM gg WHERE is_ua = 0 AND length(val) > 0 AND grp > 0),
+        |rt AS (
+        |  SELECT a.host, a.agent, r.path, r.allow
+        |  FROM agents a JOIN rules r ON a.host = r.host AND a.grp = r.grp
+        |  WHERE a.agent IN ('graftbot', '*')),
+        |prec AS (
+        |  SELECT host, MAX(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_exact
+        |  FROM rt GROUP BY host),
+        |eff AS (
+        |  SELECT DISTINCT rt.host, path, allow
+        |  FROM rt JOIN prec USING (host)
+        |  WHERE (CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) = has_exact),
+        |urls AS (
+        |  SELECT doc_id, source AS host,
+        |    CASE WHEN doc_id % 4 = 0 THEN '/private/area' || CAST(doc_id % 3 AS VARCHAR)
+        |         WHEN doc_id % 4 = 1 THEN '/private/ok/page' || CAST(doc_id % 3 AS VARCHAR)
+        |         WHEN doc_id % 4 = 2 THEN '/p/' || CAST(CAST(floor((doc_id % 520) / 4) AS BIGINT) AS VARCHAR)
+        |         ELSE '/pub/item' || CAST(doc_id % 7 AS VARCHAR) END AS path
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, e.allow, e.path AS rule,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY length(e.path) DESC, e.allow DESC, e.path DESC) AS rn
+        |  FROM urls u JOIN eff e ON u.host = e.host AND starts_with(u.path, e.path)),
+        |w AS (SELECT doc_id, allow, rule FROM m WHERE rn = 1)
+        |SELECT u.doc_id, u.host, u.path,
+        |  CASE WHEN w.allow IS NULL THEN 1 ELSE w.allow END AS allowed, w.rule
+        |FROM urls u LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

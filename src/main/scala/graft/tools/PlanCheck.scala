@@ -647,7 +647,12 @@ object PlanCheck {
     // encoding damage is per-row split-count math — any explode or
     // aggregate means the counting shape regressed
     Expectation("q149_encoding_quality",
-      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate", "Generate")))
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate", "Generate")),
+    // robots: line explode + per-HOST windows (never global) + the
+    // URL-side host-keyed rule join; CartesianProduct would mean the
+    // prefix test lost its host equi-key
+    Expectation("q150_robots_admission",
+      mustContain = Seq("Generate", "Window", "HashAggregate")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

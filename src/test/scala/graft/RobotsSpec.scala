@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Robots
+
+/** robots.txt subset semantics (RFC 9309): grouping, agent precedence,
+  * the group-merge rule, longest-match with Allow tie, and the parser's
+  * garbage tolerance.
+  */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val policy =
+    """# top comment
+      |Disallow: /unreachable
+      |User-agent: *
+      |Disallow: /a
+      |Allow: /a/ok
+      |Crawl-delay: 10
+      |
+      |User-agent: MyBot
+      |User-agent: other
+      |Disallow: /b
+      |Disallow:
+      |
+      |User-agent: mybot
+      |Allow: /b/ok
+      |""".stripMargin
+
+  private def robots(hosts: String*) =
+    hosts.map(h => (h, policy)).toDF("host", "txt")
+
+  test("ruleTable: groups, multi-agent headers, pre-group and empty-value drops") {
+    val t = Robots.ruleTable(robots("h1"), "host", "txt")
+      .as[(String, Long, String, String, Int)].collect().toSet
+    assert(t == Set(
+      ("h1", 1L, "*", "/a", 0), ("h1", 1L, "*", "/a/ok", 1),
+      ("h1", 2L, "mybot", "/b", 0), ("h1", 2L, "other", "/b", 0),
+      ("h1", 3L, "mybot", "/b/ok", 1)))
+  }
+
+  test("effectiveRules: exact agent shadows *, groups at same precedence merge") {
+    val eff = Robots.effectiveRules(robots("h1"), "host", "txt", "MYBOT")
+      .as[(String, String, Int)].collect().toSet
+    // both mybot groups merge; the * group is shadowed entirely
+    assert(eff == Set(("h1", "/b", 0), ("h1", "/b/ok", 1)))
+    val star = Robots.effectiveRules(robots("h1"), "host", "txt", "strangerbot")
+      .as[(String, String, Int)].collect().toSet
+    assert(star == Set(("h1", "/a", 0), ("h1", "/a/ok", 1)))
+  }
+
+  test("allowed: longest prefix wins, Allow wins ties, no match allows") {
+    val urls = Seq(
+      (1L, "h1", "/b/page"),      // /b disallow
+      (2L, "h1", "/b/ok/page"),   // /b/ok allow beats /b by length
+      (3L, "h1", "/a/anything"),  // * group shadowed -> no rule -> allow
+      (4L, "h1", "/c"),           // no rule
+      (5L, "h1", "/b")).toDF("id", "host", "path")
+    val out = Robots.allowed(urls, "id", "host", "path",
+        robots("h1"), "host", "txt", "MyBot")
+      .select($"id", $"allowed", $"rule")
+      .as[(Long, Int, Option[String])].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(1L) == ((0, Some("/b"))))
+    assert(out(2L) == ((1, Some("/b/ok"))))
+    assert(out(3L) == ((1, None)))
+    assert(out(4L) == ((1, None)))
+    assert(out(5L) == ((0, Some("/b"))))
+  }
+
+  test("allowed: Allow/Disallow of the SAME path — Allow wins the tie") {
+    val tie = Seq(("h1",
+      "User-agent: *\nDisallow: /x\nAllow: /x\n")).toDF("host", "txt")
+    val urls = Seq((1L, "h1", "/x/q")).toDF("id", "host", "path")
+    val out = Robots.allowed(urls, "id", "host", "path", tie, "host", "txt", "any")
+      .select($"allowed").as[Int].head()
+    assert(out == 1)
+  }
+
+  test("allowed: hosts missing a robots file allow everything") {
+    val urls = Seq((1L, "nofile.test", "/a/x")).toDF("id", "host", "path")
+    val out = Robots.allowed(urls, "id", "host", "path",
+        robots("h1"), "host", "txt", "MyBot")
+      .select($"allowed").as[Int].head()
+    assert(out == 1)
+  }
+
+  test("parser: garbage lines, comments, and case-insensitive keys survive") {
+    val messy = Seq(("h1",
+      "this is not a directive\nUSER-AGENT: *\n DISALLOW : /z # inline\nnoise\n"))
+      .toDF("host", "txt")
+    val t = Robots.ruleTable(messy, "host", "txt")
+      .as[(String, Long, String, String, Int)].collect().toSet
+    assert(t == Set(("h1", 1L, "*", "/z", 0)))
+  }
+}
