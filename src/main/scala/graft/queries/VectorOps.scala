@@ -311,8 +311,26 @@ object VectorOps {
       val emb = Tables.load(s, dir, "embeddings")
       Vectors.jacobiFirstSweep(emb, "embedding", JacobiDim)
         .orderBy($"i", $"j")
+    },
+
+    // ---- OPQ subspace allocation, gated (q143's companion — the
+    // last spec-only piece of the learned-rotation prep): exact
+    // integer variance numerators ranked, then the greedy
+    // balanced-product assignment unrolled in the oracle step by step
+    // — every emitted column an exact integer.
+    "q151_opq_allocation" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.opqAllocationRank(emb, "embedding", JacobiDim, OpqM)
+        .orderBy($"rnk")
     }
   )
+
+  /** q151: subspaces the d=8 spectrum allocates into (sub = 4 dims
+    * each) — the oracle's greedy unroll is generated for exactly this
+    * m.
+    */
+  private val OpqM = 2
 
   /** q143: first-sweep gate dimension — 8 keeps the unrolled oracle's
     * 3-CTE-per-rotation chain (28 rotations) generated, not hand-held.
@@ -327,6 +345,54 @@ object VectorOps {
     * expression written in the same order [[Vectors.jacobiSweeps]]
     * computes it.
     */
+  /** Generates the q151 oracle: the q106/q143 exact-moment CTE
+    * restricted to `dim` axes, the integer variance numerators ranked
+    * (ivar DESC, d ASC), then [[graft.vectors.Vectors.opqAssignByProduct]]'s
+    * greedy unrolled — per rank one (choose, update) CTE pair over
+    * running double products `pa`/`pb` (every multiply a single
+    * correctly-rounded IEEE op, same order as the Scala loop) and
+    * integer slot counters with the capacity guard and first-on-tie
+    * argmin. m = 2 only (the gate's configuration).
+    */
+  private def opqAllocOracleSql(dim: Int, m: Int): String = {
+    require(m == 2, "oracle unroll is generated for m = 2")
+    val sub = dim / m
+    val wCols = (1 to dim).map(k =>
+      s"MAX(CASE WHEN rnk = $k THEN CAST(ivar AS DOUBLE) END) AS w$k")
+      .mkString(", ")
+    val steps = (1 to dim).map { k =>
+      val pk = k - 1
+      s"""s$k AS (
+         |  SELECT *, CASE WHEN na$pk >= $sub THEN 1
+         |                 WHEN nb$pk >= $sub THEN 0
+         |                 WHEN pb$pk < pa$pk THEN 1 ELSE 0 END AS a$k
+         |  FROM t$pk),
+         |t$k AS (
+         |  SELECT *,
+         |    CASE WHEN a$k = 0 THEN pa$pk * w$k ELSE pa$pk END AS pa$k,
+         |    CASE WHEN a$k = 1 THEN pb$pk * w$k ELSE pb$pk END AS pb$k,
+         |    na$pk + CASE WHEN a$k = 0 THEN 1 ELSE 0 END AS na$k,
+         |    nb$pk + CASE WHEN a$k = 1 THEN 1 ELSE 0 END AS nb$k
+         |  FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val alloc = (1 to dim).map(k =>
+      s"SELECT $k AS rnk, a$k AS subspace FROM t$dim")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (
+       |  SELECT i - 1 AS d, CAST(floor(v[i] * 1048576.0 + 0.5) AS BIGINT) AS qv
+       |  FROM e, unnest(generate_series(1, $dim)) t(i)),
+       |mo AS (SELECT d, COUNT(*) AS n, SUM(qv) AS s, SUM(qv * qv) AS p FROM q GROUP BY d),
+       |vv AS (SELECT d, p * n - s * s AS ivar FROM mo),
+       |r AS (SELECT d, ivar, ROW_NUMBER() OVER (ORDER BY ivar DESC, d ASC) AS rnk FROM vv),
+       |w AS (SELECT $wCols FROM r),
+       |t0 AS (SELECT *, 1.0 AS pa0, 1.0 AS pb0, 0 AS na0, 0 AS nb0 FROM w),
+       |$steps,
+       |alloc AS ($alloc)
+       |SELECT r.rnk, r.d, CAST(r.ivar AS VARCHAR) AS ivar, alloc.subspace
+       |FROM r JOIN alloc ON r.rnk = alloc.rnk ORDER BY r.rnk""".stripMargin
+  }
+
   private def jacobiSweepOracleSql(dim: Int): String = {
     def aN(i: Int, j: Int) = s"a_${i}_$j"
     def vN(i: Int, j: Int) = s"v_${i}_$j"
@@ -1241,7 +1307,10 @@ object VectorOps {
     // generated: q106's moment quantization -> covariance pivot -> 28
     // cyclic rotations unrolled as 3 CTEs each, same IEEE op order as
     // Vectors.jacobiSweeps (column half-step, then row + V half-step)
-    "q143_jacobi_first_sweep" -> jacobiSweepOracleSql(JacobiDim)
+    "q143_jacobi_first_sweep" -> jacobiSweepOracleSql(JacobiDim),
+
+    // generated greedy unroll — see opqAllocOracleSql
+    "q151_opq_allocation" -> opqAllocOracleSql(JacobiDim, 2)
   )
 
   /** Shared SemDeDup sweep mirror (q78/q87): expects CTEs `e(id, v)`

@@ -552,6 +552,10 @@ object PlanCheck {
     // local table — any FileScan would mean the moments re-read data
     Expectation("q143_jacobi_first_sweep",
       mustContain = Seq("LocalTableScan"), mustNotContain = Seq("FileScan")),
+    // same control-plane emission contract: the allocation runs on the
+    // dim-bounded spectrum, the plan is a local table
+    Expectation("q151_opq_allocation",
+      mustContain = Seq("LocalTableScan"), mustNotContain = Seq("FileScan")),
     Expectation("q14_json_extract_agg", mustContain = Seq("HashAggregate")),
     // multi-label matcher explodes its hits; the match itself is the
     // codegen-asserted native expression below

@@ -1657,6 +1657,67 @@ object Vectors {
     * Returns the axis order (subspace 0's axes first, each subspace
     * `dim/m` wide).
     */
+  /** [[opqAllocation]]'s gate-able twin: the SAME greedy (each weight
+    * in turn goes to the open subspace with the smallest accumulated
+    * mass, first subspace on ties) but balancing raw PRODUCTS instead
+    * of log-sums — products of IEEE doubles are correctly-rounded ops
+    * both engines reproduce bit-for-bit, where libm `log` is not (the
+    * q132 lesson). Mathematically the same ordering (log is monotone);
+    * spec-pinned equal to the log form on positive spectra. Returns
+    * the SUBSPACE id per input position (not the permutation —
+    * assignment is what the oracle can check row-wise).
+    */
+  def opqAssignByProduct(weights: Array[Double], m: Int): Array[Int] = {
+    val dim = weights.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val prod = Array.fill(m)(1.0)
+    val cnt = Array.fill(m)(0)
+    val out = new Array[Int](dim)
+    var i = 0
+    while (i < dim) {
+      var best = -1
+      var j = 0
+      while (j < m) {
+        if (cnt(j) < sub && (best < 0 || prod(j) < prod(best))) best = j
+        j += 1
+      }
+      out(i) = best
+      cnt(best) += 1
+      prod(best) *= weights(i)
+      i += 1
+    }
+    out
+  }
+
+  /** The OPQ allocation's deterministic frame, gated (the q143
+    * companion — together they oracle the whole learned-rotation
+    * prep): per-dimension EXACT integer variance numerators `ivar =
+    * p·n − s²` from [[pcaMomentsExact]]'s diagonal (the same integers
+    * q106 carries), ranked descending (d-asc ties), then
+    * [[opqAssignByProduct]] over `ivar.toDouble` in rank order — one
+    * row per rank with its dimension, ivar (string — exceeds int64),
+    * and assigned subspace. Moments are distributed; the allocation
+    * itself runs on the dim-bounded spectrum (control-plane, like
+    * every codebook read).
+    */
+  def opqAllocationRank(corpus: DataFrame, vecCol: String, dim: Int,
+      m: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (n, sums, prods) = pcaMomentsExact(
+      corpus.select(slice(col(vecCol).cast("array<double>"), 1, dim).as("v")),
+      "v", dim)
+    val nBig = BigInt(n)
+    val ranked = (0 until dim)
+      .map(d => (d, prods(d * dim + d) * nBig - sums(d) * sums(d)))
+      .sortBy { case (d, iv) => (-iv, d) }
+    val assign = opqAssignByProduct(ranked.map(_._2.toDouble).toArray, m)
+    ranked.zipWithIndex.map { case ((d, iv), r) =>
+      (r + 1, d, iv.toString, assign(r))
+    }.toDF("rnk", "d", "ivar", "subspace")
+  }
+
   def opqAllocation(eigenvalues: Array[Double], m: Int): Array[Int] = {
     val dim = eigenvalues.length
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")

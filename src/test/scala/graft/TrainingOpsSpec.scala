@@ -986,6 +986,42 @@ class VectorsSpec extends SparkSpec {
     assert(subspaceOfTop.distinct.size == 2, s"top-2 axes in $subspaceOfTop")
   }
 
+  test("opqAssignByProduct ≡ opqAllocation's log-form greedy on positive spectra") {
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val dim = Seq(4, 8, 12, 16)(rnd.nextInt(4))
+      val m = Seq(2, 4)(rnd.nextInt(2)).min(dim)
+      val ev = Array.fill(dim)(math.exp(rnd.nextGaussian() * 3))
+      val logOrder = Vectors.opqAllocation(ev, m)
+      val sub = dim / m
+      // permutation → assignment: position k of the flat order sits in
+      // subspace k/sub
+      val logAssign = new Array[Int](dim)
+      logOrder.zipWithIndex.foreach { case (i, k) => logAssign(i) = k / sub }
+      val prodAssign = Vectors.opqAssignByProduct(ev, m)
+      assert(prodAssign.toSeq == logAssign.toSeq,
+        s"dim=$dim m=$m ev=${ev.toSeq}")
+    }
+  }
+
+  test("opqAllocationRank: balanced assignment over the exact spectrum, rank-ordered") {
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val (df0, _) = anisotropicFixture(dim, n = 240)
+    val df = df0.select(col("embedding"))
+    val out = Vectors.opqAllocationRank(df, "embedding", dim, 2)
+      .as[(Int, Int, String, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1 to dim))
+    assert(out.map(_._2).sorted.toSeq == (0 until dim), "a permutation of dims")
+    assert(out.groupBy(_._4).values.map(_.length).toSeq == Seq(4, 4), "balanced")
+    // ivars descend in rank order (exact integers as BigInt)
+    val ivars = out.map(r => BigInt(r._3))
+    assert(ivars.zip(ivars.tail).forall { case (a, b) => a >= b })
+    // rank 1 (the biggest weight) seeds subspace 0; rank 2 must go to
+    // the other one
+    assert(out(0)._4 == 0 && out(1)._4 == 1)
+  }
+
   /** Deterministic rank-2 embeddings: factors along two fixed dense
     * unit directions plus tiny isotropic noise — variance concentrates
     * in a 2-dim subspace no RAW coordinate aligns with.
