@@ -1638,9 +1638,22 @@ object CurationOps {
     */
   def splitLeakage(df: DataFrame, idCol: String, groupCol: String,
       keyCol: Column, seed: String,
-      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val assigned = groupedSplit(df, idCol, groupCol, seed, trainPct, valPct)
-    assigned
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    splitLeakageFromCounts(
+      splitKeyCounts(df, idCol, groupCol, keyCol, seed, trainPct, valPct))
+
+  /** [[splitLeakage]]'s sufficient statistic — per-key per-split doc
+    * counts `(h, n_train, n_val, n_test, n_docs)`. ADDITIVE: split
+    * assignment is a pure hash of (seed, group), so every batch
+    * assigns its own rows identically and count frames from disjoint
+    * batches merge by sum — the [[graft.streaming.StreamPmi]] seam
+    * argument, which is what lets a streaming session maintain the
+    * audit without re-reading the corpus.
+    */
+  def splitKeyCounts(df: DataFrame, idCol: String, groupCol: String,
+      keyCol: Column, seed: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    groupedSplit(df, idCol, groupCol, seed, trainPct, valPct)
       .select(keyCol.as("h"), col("split"))
       .groupBy(col("h"))
       .agg(
@@ -1648,11 +1661,15 @@ object CurationOps {
         sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
         sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
         count(lit(1)).as("n_docs"))
-      .filter(
-        (when(col("n_train") > 0, 1).otherwise(0) +
-          when(col("n_val") > 0, 1).otherwise(0) +
-          when(col("n_test") > 0, 1).otherwise(0)) > 1)
-  }
+
+  /** The leaked-key filter over (possibly merged) [[splitKeyCounts]]
+    * frames: every key present in more than one split.
+    */
+  def splitLeakageFromCounts(counts: DataFrame): DataFrame =
+    counts.filter(
+      (when(col("n_train") > 0, 1).otherwise(0) +
+        when(col("n_val") > 0, 1).otherwise(0) +
+        when(col("n_test") > 0, 1).otherwise(0)) > 1)
 
   /** Domain-suffix blocklist filter (the Dolma/CCNet URL-filtering
     * step): a document's host is blocked iff the host itself or ANY of
