@@ -35,13 +35,14 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Parse robots bodies into the exploded (host, grp, agent, path,
-    * allow) rule relation: one row per (agent in group) × (rule in
-    * group). Directive lines that parse but sit before any
-    * `User-agent` line are dropped (they belong to no group — the RFC
-    * treats them as unreachable).
+  /** The shared parse: comment strip, key/value extraction, group
+    * numbering (consecutive `User-agent` lines open a group; ANY other
+    * directive — including `Crawl-delay` — closes the header run, the
+    * RFC line model). One row per recognized directive with its group
+    * id; pre-group rows keep `grp = 0`.
     */
-  def ruleTable(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+  private def directives(robots: DataFrame, hostCol: String,
+      txtCol: String): DataFrame = {
     val lines = robots.select(col(hostCol).as("__host"),
         posexplode(split(col(txtCol), "\n")).as(Seq("__ln", "__raw")))
       .withColumn("__clean", regexp_replace(col("__raw"), "#.*$", ""))
@@ -49,24 +50,65 @@ object Robots {
         lower(regexp_extract(col("__clean"), "^\\s*([A-Za-z-]+)\\s*:", 1)))
       .withColumn("__val",
         trim(regexp_extract(col("__clean"), "^\\s*[A-Za-z-]+\\s*:(.*)$", 1)))
-      .filter(col("__key").isin("user-agent", "allow", "disallow"))
+      .filter(col("__key").isin("user-agent", "allow", "disallow", "crawl-delay"))
     val w = Window.partitionBy("__host").orderBy("__ln")
-    val grouped = lines
+    lines
       .withColumn("__isUa", (col("__key") === "user-agent").cast("int"))
       .withColumn("__prevUa", coalesce(lag(col("__isUa"), 1).over(w), lit(0)))
       .withColumn("grp",
         sum(when(col("__isUa") === 1 && col("__prevUa") === 0, 1L)
           .otherwise(0L)).over(w))
-      .filter(col("grp") > 0)
-    val agents = grouped.filter(col("__isUa") === 1)
+  }
+
+  /** Per-(host, grp) agent sets from the shared parse. */
+  private def agentsOf(d: DataFrame): DataFrame =
+    d.filter(col("__isUa") === 1)
       .select(col("__host"), col("grp"), lower(col("__val")).as("agent"))
+
+  /** Parse robots bodies into the exploded (host, grp, agent, path,
+    * allow) rule relation: one row per (agent in group) × (rule in
+    * group). Directive lines that parse but sit before any
+    * `User-agent` line are dropped (they belong to no group — the RFC
+    * treats them as unreachable).
+    */
+  def ruleTable(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val grouped = directives(robots, hostCol, txtCol).filter(col("grp") > 0)
     val rules = grouped
-      .filter(col("__isUa") === 0 && length(col("__val")) > 0)
+      .filter(col("__key").isin("allow", "disallow") && length(col("__val")) > 0)
       .select(col("__host"), col("grp"), col("__val").as("path"),
         (col("__key") === "allow").cast("int").as("allow"))
-    agents.join(rules, Seq("__host", "grp"))
+    agentsOf(grouped).join(rules, Seq("__host", "grp"))
       .select(col("__host").as(hostCol), col("grp"), col("agent"),
         col("path"), col("allow"))
+  }
+
+  /** Per-host `Crawl-delay` for the named agent, in milliseconds:
+    * exact-agent groups shadow `*` groups (the [[effectiveRules]]
+    * precedence), the largest delay at the winning precedence wins
+    * (conservative when several groups conflict), non-numeric values
+    * drop. Seconds may be fractional (`0.5`); ms = value × 1000 in one
+    * IEEE multiply. Hosts with no parsed delay are ABSENT — the
+    * caller's default applies (the [[Frontier.schedule]] seam).
+    */
+  def crawlDelays(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val grouped = directives(robots, hostCol, txtCol).filter(col("grp") > 0)
+    val delays = grouped
+      .filter(col("__key") === "crawl-delay" &&
+        col("__val").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .select(col("__host"), col("grp"),
+        (col("__val").cast("double") * 1000.0).cast("long").as("delay_ms"))
+    val t = agentsOf(grouped)
+      .filter(col("agent") === a || col("agent") === "*")
+      .join(delays, Seq("__host", "grp"))
+    val hostPrec = t.groupBy(col("__host"))
+      .agg(max((col("agent") === a).cast("int")).as("__hasExact"))
+    t.join(hostPrec, Seq("__host"))
+      .filter((col("agent") === a) === (col("__hasExact") === 1))
+      .groupBy(col("__host"))
+      .agg(max(col("delay_ms")).as("delay_ms"))
+      .withColumnRenamed("__host", hostCol)
   }
 
   /** The rule set the named agent actually obeys per host: exact-token

@@ -540,6 +540,29 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- politeness fetch schedule (q150's companion): Crawl-delay
+    // parsed from per-host robots (exact group 0.5 s shadows the
+    // star group's 2 s; hosts ending in 7 carry no star delay → the
+    // caller default), then per-host FIFO slots by priority with a
+    // per-host budget — slot × delay politeness offsets.
+    "q152_fetch_schedule" -> { (s, dir) =>
+      import s.implicits._
+      val robots = Tables.load(s, dir, "documents").select($"source").distinct()
+        .select($"source".as("host"), concat(
+          lit("User-agent: *\nDisallow: /private\n"),
+          when(!$"source".endsWith("7"), lit("Crawl-delay: 2\n")).otherwise(lit("")),
+          when(length($"source") % 2 === 0,
+            lit("\nUser-agent: GraftBot\nCrawl-delay: 0.5\n")).otherwise(lit("")))
+          .as("txt"))
+      val delays = graft.ingest.Robots.crawlDelays(robots, "host", "txt", "GraftBot")
+      val urls = docsParallel(s, dir).select($"doc_id",
+        $"source".as("host"), (($"doc_id" * 7) % 101).as("priority"))
+      graft.ingest.Frontier.schedule(urls, "doc_id", "host",
+          $"priority", delays, defaultDelayMs = 1000L, maxPerHost = 20)
+        .select($"doc_id", $"host", $"delay_ms", $"slot", $"fetch_offset_ms")
+        .orderBy($"doc_id")
+    },
+
     // ---- Bloom-filter decontamination probe, cross-engine-exact: the
     // benchmark partition's shingles set k salted bits over m; every
     // doc reports how many of its shingles the filter claims present
@@ -1563,7 +1586,7 @@ object TextOps {
         |    trim(regexp_extract(clean, '^\s*[A-Za-z-]+\s*:(.*)$', 1)) AS val
         |  FROM lines
         |  WHERE lower(regexp_extract(clean, '^\s*([A-Za-z-]+)\s*:', 1))
-        |        IN ('user-agent', 'allow', 'disallow')),
+        |        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
         |g AS (
         |  SELECT host, ln, key, val,
         |    CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS is_ua,
@@ -1579,7 +1602,7 @@ object TextOps {
         |rules AS (
         |  SELECT host, grp, val AS path,
         |         CASE WHEN key = 'allow' THEN 1 ELSE 0 END AS allow
-        |  FROM gg WHERE is_ua = 0 AND length(val) > 0 AND grp > 0),
+        |  FROM gg WHERE key IN ('allow', 'disallow') AND length(val) > 0 AND grp > 0),
         |rt AS (
         |  SELECT a.host, a.agent, r.path, r.allow
         |  FROM agents a JOIN rules r ON a.host = r.host AND a.grp = r.grp
@@ -1607,6 +1630,71 @@ object TextOps {
         |SELECT u.doc_id, u.host, u.path,
         |  CASE WHEN w.allow IS NULL THEN 1 ELSE w.allow END AS allowed, w.rule
         |FROM urls u LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // fetch-schedule mirror: the q150 parse chain with crawl-delay
+    // rows, exact-over-* delay precedence (max at winning precedence),
+    // then the per-host ROW_NUMBER slot assignment under the budget
+    "q152_fetch_schedule" ->
+      """WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+        |rob AS (
+        |  SELECT host,
+        |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+        |    CASE WHEN host NOT LIKE '%7' THEN 'Crawl-delay: 2' || chr(10) ELSE '' END ||
+        |    CASE WHEN length(host) % 2 = 0
+        |         THEN chr(10) || 'User-agent: GraftBot' || chr(10) || 'Crawl-delay: 0.5' || chr(10)
+        |         ELSE '' END AS txt
+        |  FROM hosts),
+        |p AS (SELECT host, string_split(txt, chr(10)) AS parts FROM rob),
+        |lines AS (
+        |  SELECT host, i AS ln, regexp_replace(parts[i], '#.*$', '') AS clean
+        |  FROM p, unnest(generate_series(1, len(parts))) t(i)),
+        |kv AS (
+        |  SELECT host, ln,
+        |    lower(regexp_extract(clean, '^\s*([A-Za-z-]+)\s*:', 1)) AS key,
+        |    trim(regexp_extract(clean, '^\s*[A-Za-z-]+\s*:(.*)$', 1)) AS val
+        |  FROM lines
+        |  WHERE lower(regexp_extract(clean, '^\s*([A-Za-z-]+)\s*:', 1))
+        |        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+        |g AS (
+        |  SELECT host, ln, key, val,
+        |    CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS is_ua,
+        |    COALESCE(LAG(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY host ORDER BY ln), 0) AS prev_ua
+        |  FROM kv),
+        |gg AS (
+        |  SELECT host, ln, key, val, is_ua,
+        |    SUM(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY host ORDER BY ln) AS grp
+        |  FROM g),
+        |agents AS (SELECT host, grp, lower(val) AS agent FROM gg WHERE is_ua = 1 AND grp > 0),
+        |del AS (
+        |  SELECT host, grp, CAST(CAST(val AS DOUBLE) * 1000.0 AS BIGINT) AS delay_ms
+        |  FROM gg
+        |  WHERE key = 'crawl-delay' AND grp > 0
+        |    AND regexp_matches(val, '^[0-9]+(\.[0-9]+)?$')),
+        |t AS (
+        |  SELECT a.host, a.agent, d.delay_ms
+        |  FROM agents a JOIN del d ON a.host = d.host AND a.grp = d.grp
+        |  WHERE a.agent IN ('graftbot', '*')),
+        |prec AS (
+        |  SELECT host, MAX(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_exact
+        |  FROM t GROUP BY host),
+        |eff AS (
+        |  SELECT t.host, MAX(delay_ms) AS delay_ms
+        |  FROM t JOIN prec USING (host)
+        |  WHERE (CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) = has_exact
+        |  GROUP BY t.host),
+        |urls AS (
+        |  SELECT doc_id, source AS host, (doc_id * 7) % 101 AS priority
+        |  FROM documents),
+        |s AS (
+        |  SELECT u.doc_id, u.host,
+        |    COALESCE(e.delay_ms, 1000) AS delay_ms,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY u.host
+        |      ORDER BY u.priority DESC, u.doc_id ASC) - 1 AS BIGINT) AS slot
+        |  FROM urls u LEFT JOIN eff e USING (host))
+        |SELECT doc_id, host, delay_ms, slot, slot * delay_ms AS fetch_offset_ms
+        |FROM s WHERE slot < 20 ORDER BY doc_id""".stripMargin,
 
     // Bloom probe over the q16/q17 shingle relation: the benchmark
     // partition's k salted bit positions (distinct), every doc's

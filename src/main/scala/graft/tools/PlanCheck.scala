@@ -656,7 +656,12 @@ object PlanCheck {
     // URL-side host-keyed rule join; CartesianProduct would mean the
     // prefix test lost its host equi-key
     Expectation("q150_robots_admission",
-      mustContain = Seq("Generate", "Window", "HashAggregate")))
+      mustContain = Seq("Generate", "Window", "HashAggregate")),
+    // schedule: per-HOST slot window; the URL-side delay join must
+    // BROADCAST (the robots-parse internals may host-key-shuffle —
+    // scale-correct for a million-host robots table)
+    Expectation("q152_fetch_schedule",
+      mustContain = Seq("Window", "BroadcastHashJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

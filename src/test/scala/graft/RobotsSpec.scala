@@ -86,6 +86,48 @@ class RobotsSpec extends SparkSpec {
     assert(out == 1)
   }
 
+  test("crawlDelays: precedence, fractional seconds, conflict-max, non-numeric drop") {
+    val txt =
+      """User-agent: *
+        |Crawl-delay: 2
+        |User-agent: MyBot
+        |Crawl-delay: 0.5
+        |User-agent: mybot
+        |Crawl-delay: 1
+        |User-agent: junk
+        |Crawl-delay: soon
+        |""".stripMargin
+    val robots = Seq(("h1", txt), ("h2", "User-agent: *\nCrawl-delay: 3\n"),
+      ("h3", "User-agent: *\nDisallow: /x\n")).toDF("host", "txt")
+    val d = Robots.crawlDelays(robots, "host", "txt", "MyBot")
+      .as[(String, Long)].collect().toMap
+    // exact groups shadow *; two exact groups conflict -> max(500, 1000)
+    assert(d("h1") == 1000L)
+    assert(d("h2") == 3000L, "star fallback")
+    assert(!d.contains("h3"), "no delay parsed -> absent, caller default")
+    val junk = Robots.crawlDelays(robots, "host", "txt", "junk")
+      .as[(String, Long)].collect().toMap
+    assert(junk("h1") == 2000L, "non-numeric exact delay drops -> star wins")
+  }
+
+  test("Frontier.schedule: per-host slots by priority, budget cap, default delay") {
+    import graft.ingest.Frontier
+    val urls = Seq(
+      (1L, "a", 5L), (2L, "a", 9L), (3L, "a", 9L), (4L, "a", 1L),
+      (5L, "b", 7L)).toDF("id", "host", "priority")
+    val delays = Seq(("a", 200L)).toDF("host", "delay_ms")
+    val out = Frontier.schedule(urls, "id", "host", $"priority",
+        delays, defaultDelayMs = 1000L, maxPerHost = 3)
+      .select($"id", $"slot", $"delay_ms", $"fetch_offset_ms")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // host a: priority desc, id asc -> 2, 3, 1, (4 over budget)
+    assert(out(2L) == ((2L, 0L, 200L, 0L)))
+    assert(out(3L) == ((3L, 1L, 200L, 200L)))
+    assert(out(1L) == ((1L, 2L, 200L, 400L)))
+    assert(!out.contains(4L), "budget cap drops the lowest priority")
+    assert(out(5L) == ((5L, 0L, 1000L, 0L)), "absent host gets the default delay")
+  }
+
   test("parser: garbage lines, comments, and case-insensitive keys survive") {
     val messy = Seq(("h1",
       "this is not a directive\nUSER-AGENT: *\n DISALLOW : /z # inline\nnoise\n"))
