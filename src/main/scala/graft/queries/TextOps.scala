@@ -36,6 +36,55 @@ object TextOps {
     * UTF-8 read back as Latin-1 (Ã-bigrams). Moj2: a U+FFFD
     * replacement char. Moj3: a C1 control (U+0085 NEL).
     */
+  /** q148/q153 page synthesis: absolute links (host varies by doc), a
+    * relative link, a fragment-only href, a mailto, an UPPERCASE
+    * tag/scheme trap — shared by the edge gate and its in-degree
+    * rollup.
+    */
+  private def linkedPages(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val page = concat(
+      lit("<html><body><p>"), $"text",
+      lit("</p><a href=\"https://ex"), ($"doc_id" % 5).cast("string"),
+      lit(".test/p/"), $"doc_id", lit("\">x</a>"),
+      when($"doc_id" % 3 === 0,
+        lit("<a class=\"nav\" href=\"/local/page\">rel</a>")).otherwise(lit("")),
+      when($"doc_id" % 4 === 0,
+        lit("<a href=\"#top\">top</a>")).otherwise(lit("")),
+      when($"doc_id" % 7 === 0,
+        lit("<a href=\"mailto:a@b.test\">m</a>")).otherwise(lit("")),
+      when($"doc_id" % 6 === 0,
+        concat(lit("<A HREF=\"HTTP://UP"), ($"doc_id" % 2).cast("string"),
+          lit(".TEST/x\">c</A>"))).otherwise(lit("")),
+      lit("</body></html>"))
+    docsParallel(s, dir).select($"doc_id", page.as("page"))
+  }
+
+  /** The q148/q153 oracle edge relation — the [[linkedPages]] template
+    * and the engine's drop/classify rules, mirrored once.
+    */
+  private val OutlinkCte =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    '<html><body><p>' || text || '</p><a href="https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.test/p/' || doc_id || '">x</a>' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '<a class="nav" href="/local/page">rel</a>' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '<a href="#top">top</a>' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN '<a href="mailto:a@b.test">m</a>' ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 0 THEN '<A HREF="HTTP://UP' || CAST(doc_id % 2 AS VARCHAR) || '.TEST/x">c</A>' ELSE '' END ||
+      |    '</body></html>' AS page
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(page, '(?is)<a\s[^>]*?href="([^"#]*)', 1)) AS href
+      |  FROM aug),
+      |f AS (
+      |  SELECT doc_id, href FROM e
+      |  WHERE length(href) > 0 AND NOT regexp_matches(lower(href), '^(mailto|javascript):')),
+      |h AS (
+      |  SELECT doc_id, href,
+      |         CASE WHEN regexp_matches(href, '(?i)^https?://')
+      |              THEN lower(regexp_extract(href, '(?i)^https?://([^/]+)', 1)) END AS host
+      |  FROM f)""".stripMargin
+
   private val Moj1 = " cafÃ© naÃ¯ve"
   private val Moj2 = " bad�char"
   private val Moj3 = " xy"
@@ -473,23 +522,36 @@ object TextOps {
     // math — no join, no aggregate.
     "q148_outlinks" -> { (s, dir) =>
       import s.implicits._
-      val page = concat(
-        lit("<html><body><p>"), $"text",
-        lit("</p><a href=\"https://ex"), ($"doc_id" % 5).cast("string"),
-        lit(".test/p/"), $"doc_id", lit("\">x</a>"),
-        when($"doc_id" % 3 === 0,
-          lit("<a class=\"nav\" href=\"/local/page\">rel</a>")).otherwise(lit("")),
-        when($"doc_id" % 4 === 0,
-          lit("<a href=\"#top\">top</a>")).otherwise(lit("")),
-        when($"doc_id" % 7 === 0,
-          lit("<a href=\"mailto:a@b.test\">m</a>")).otherwise(lit("")),
-        when($"doc_id" % 6 === 0,
-          concat(lit("<A HREF=\"HTTP://UP"), ($"doc_id" % 2).cast("string"),
-            lit(".TEST/x\">c</A>"))).otherwise(lit("")),
-        lit("</body></html>"))
-      val aug = docsParallel(s, dir).select($"doc_id", page.as("page"))
-      graft.textops.TextAnalysis.outlinkEdges(aug, "doc_id", "page")
+      graft.textops.TextAnalysis.outlinkEdges(
+          linkedPages(s, dir), "doc_id", "page")
         .orderBy($"doc_id", $"href")
+    },
+
+    // ---- host in-degree panel (q148's rollup — what PageRank priors
+    // and frontier priorities seed from; StreamHostGraph's batch
+    // twin): external edges only, links + distinct source pages per
+    // target host. One explode + one map-side-combined groupBy.
+    "q153_host_indegree" -> { (s, dir) =>
+      import s.implicits._
+      graft.streaming.StreamHostGraph.hostInDegree(
+          linkedPages(s, dir), "doc_id", "page")
+        .orderBy($"host")
+    },
+
+    // ---- IBAN mod-97 PII validation (q146's sibling): candidates
+    // synthesized with varying check digits (~1/97 validate), a
+    // malformed class (digit country code), and the streaming mod-97
+    // fold mirrored digit-for-digit.
+    "q154_iban_pii" -> { (s, dir) =>
+      import s.implicits._
+      val cand = concat(
+        when($"doc_id" % 11 === 0, lit("1E")).otherwise(lit("DE")),
+        lpad(($"doc_id" % 100).cast("string"), 2, "0"),
+        lpad($"doc_id".cast("string"), 18, "0"))
+      docsParallel(s, dir).select($"doc_id", cand.as("candidate"))
+        .withColumn("iban_valid",
+          graft.textops.TextAnalysis.ibanValidCol($"candidate").cast("int"))
+        .orderBy($"doc_id")
     },
 
     // ---- mojibake / encoding damage: docs augmented with the three
@@ -1507,33 +1569,54 @@ object TextOps {
     // Markdown mirror (generated — see MarkdownExtractSql).
     "q142_markdown_extract" -> MarkdownExtractSql,
 
-    // outlink mirror: identical page template, the same RE2-parity
-    // href pattern through regexp_extract_all group 1, the same drop
-    // rules and host extraction
-    "q148_outlinks" ->
-      """WITH aug AS (
-        |  SELECT doc_id,
-        |    '<html><body><p>' || text || '</p><a href="https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.test/p/' || doc_id || '">x</a>' ||
-        |    CASE WHEN doc_id % 3 = 0 THEN '<a class="nav" href="/local/page">rel</a>' ELSE '' END ||
-        |    CASE WHEN doc_id % 4 = 0 THEN '<a href="#top">top</a>' ELSE '' END ||
-        |    CASE WHEN doc_id % 7 = 0 THEN '<a href="mailto:a@b.test">m</a>' ELSE '' END ||
-        |    CASE WHEN doc_id % 6 = 0 THEN '<A HREF="HTTP://UP' || CAST(doc_id % 2 AS VARCHAR) || '.TEST/x">c</A>' ELSE '' END ||
-        |    '</body></html>' AS page
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(page, '(?is)<a\s[^>]*?href="([^"#]*)', 1)) AS href
-        |  FROM aug),
-        |f AS (
-        |  SELECT doc_id, href FROM e
-        |  WHERE length(href) > 0 AND NOT regexp_matches(lower(href), '^(mailto|javascript):')),
-        |h AS (
-        |  SELECT doc_id, href,
-        |         CASE WHEN regexp_matches(href, '(?i)^https?://')
-        |              THEN lower(regexp_extract(href, '(?i)^https?://([^/]+)', 1)) END AS host
-        |  FROM f)
+    // outlink mirror: identical page template (shared CTE), the same
+    // RE2-parity href pattern through regexp_extract_all group 1, the
+    // same drop rules and host extraction
+    "q148_outlinks" -> (OutlinkCte +
+      """
         |SELECT doc_id, href, host,
         |       CASE WHEN host IS NOT NULL THEN 1 ELSE 0 END AS external
-        |FROM h ORDER BY doc_id, href""".stripMargin,
+        |FROM h ORDER BY doc_id, href""".stripMargin),
+
+    // in-degree mirror over the same edge CTE
+    "q153_host_indegree" -> (OutlinkCte +
+      """
+        |SELECT host, COUNT(*) AS n_links,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
+        |FROM h WHERE host IS NOT NULL GROUP BY host ORDER BY host""".stripMargin),
+
+    // IBAN mirror: identical candidate synthesis, the same structural
+    // regex, rotate, letter expansion (A=10..Z=35), and the
+    // list_reduce streaming mod-97 (prepended 0 = the engine fold's
+    // init; reduce of a single element returns it, matching the
+    // empty-array fold)
+    "q154_iban_pii" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 11 = 0 THEN '1E' ELSE 'DE' END) ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+        |    lpad(CAST(doc_id AS VARCHAR), 18, '0') AS candidate
+        |  FROM documents),
+        |u AS (SELECT doc_id, candidate, upper(candidate) AS uc FROM c),
+        |r AS (
+        |  SELECT doc_id, candidate,
+        |    CASE WHEN regexp_matches(uc, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$')
+        |         THEN 1 ELSE 0 END AS structural,
+        |    substr(uc, 5) || substr(uc, 1, 4) AS rot
+        |  FROM u),
+        |d AS (
+        |  SELECT doc_id, candidate, structural,
+        |    list_reduce(list_prepend(0, list_transform(
+        |      regexp_extract_all(
+        |        array_to_string(list_transform(regexp_extract_all(rot, '.'),
+        |          ch -> CASE WHEN ch BETWEEN '0' AND '9' THEN ch
+        |                     ELSE CAST(ascii(ch) - 55 AS VARCHAR) END), ''),
+        |        '.'),
+        |      ch -> ascii(ch) - 48)), (a, b) -> (a * 10 + b) % 97) AS rem
+        |  FROM r)
+        |SELECT doc_id, candidate,
+        |       CASE WHEN structural = 1 AND rem = 1 THEN 1 ELSE 0 END AS iban_valid
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // encoding-damage mirror: identical artifact augmentation (the
     // Moj* constants interpolate the SAME chars both engines see),

@@ -533,6 +533,32 @@ object TextAnalysis {
       .withColumn("external", col("host").isNotNull.cast("int"))
   }
 
+  /** IBAN (ISO 13616) validity — [[luhnValidCol]]'s sibling for the
+    * bank-account PII class: normalize to uppercase, check the
+    * structural shape (2 letters, 2 check digits, 11-30 alphanumeric),
+    * rotate the first 4 chars to the end, expand letters to two-digit
+    * values (A=10..Z=35), and fold the digit string through the
+    * streaming mod-97 (acc·10 + d mod 97 per digit — the full number
+    * exceeds every fixed-width integer, the fold never exceeds 977).
+    * Valid iff the remainder is 1. Pure per-row HOF math (transform /
+    * aggregate over char arrays) — codegen'd, no explode, no shuffle;
+    * null/malformed input yields false.
+    */
+  def ibanValidCol(iban: Column): Column = {
+    val u = upper(iban)
+    val structural = iban.isNotNull &&
+      u.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
+    val re = concat(substring(u, 5, 34), substring(u, 1, 4))
+    val chars = filter(split(re, ""), c => c =!= "")
+    val expanded = array_join(transform(chars, c =>
+      when(c.between("0", "9"), c)
+        .otherwise((ascii(c) - 55).cast("string"))), "")
+    val digits = filter(split(expanded, ""), c => c =!= "")
+    val rem = aggregate(digits, lit(0), (acc, d) =>
+      (acc * 10 + (ascii(d) - 48)) % 97)
+    when(structural, rem === 1).otherwise(lit(false))
+  }
+
   /** Mojibake / encoding-damage signals (the ftfy-style triage every
     * web corpus runs before quality gating — encoding damage is
     * invisible to length/stopword heuristics but poisons tokenization):

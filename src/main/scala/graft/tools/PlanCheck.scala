@@ -661,7 +661,14 @@ object PlanCheck {
     // BROADCAST (the robots-parse internals may host-key-shuffle —
     // scale-correct for a million-host robots table)
     Expectation("q152_fetch_schedule",
-      mustContain = Seq("Window", "BroadcastHashJoin")))
+      mustContain = Seq("Window", "BroadcastHashJoin")),
+    // in-degree: edge explode + ONE rollup; no join
+    Expectation("q153_host_indegree",
+      mustContain = Seq("Generate", "HashAggregate"),
+      mustNotContain = Seq("BroadcastHashJoin", "SortMergeJoin")),
+    // IBAN is per-row HOF math — aggregates mean an accidental explode
+    Expectation("q154_iban_pii",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate", "Generate")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

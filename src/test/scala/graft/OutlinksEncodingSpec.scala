@@ -59,6 +59,25 @@ class OutlinksEncodingSpec extends SparkSpec {
       math.abs(ratio - 1000.0 / 3.0) < 1e-6)
   }
 
+  test("ibanValidCol: published vectors, check-digit rejects, malformed input") {
+    val cases = Seq(
+      ("GB82WEST12345698765432", true),   // the ISO 13616 example
+      ("DE89370400440532013000", true),   // published DE example
+      ("gb82west12345698765432", true),   // case-normalized
+      ("GB82WEST12345698765431", false),  // last digit off
+      ("GB00WEST12345698765432", false),  // wrong check digits
+      ("1E82WEST12345698765432", false),  // digit country code
+      ("GB82", false),                    // too short
+      ("GB82 WEST 1234 5698 7654 32", false)) // spaces not normalized here
+    val out = cases.map(_._1).toDF("iban")
+      .select($"iban", graft.textops.TextAnalysis.ibanValidCol($"iban").as("v"))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (n, exp) => assert(out(n) == exp, s"'$n'") }
+    val nulls = Seq(Tuple1[String](null)).toDF("iban")
+      .select(graft.textops.TextAnalysis.ibanValidCol($"iban")).as[Boolean].collect()
+    assert(nulls.toSeq == Seq(false))
+  }
+
   test("encodingQuality: C1 char after a lead byte is NOT double-counted as both") {
     // U+00C3 U+0085: a continuation-range char that is ALSO C1 — the
     // bigram counter and the C1 counter both see it (documented: the
