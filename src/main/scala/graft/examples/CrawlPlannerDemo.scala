@@ -1,0 +1,94 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ingest.{Frontier, Robots}
+import graft.streaming.StreamHostGraph
+import graft.textops.TextAnalysis
+
+/** The crawl-side loop composed end to end — the half of the web
+  * pipeline [[WebIngestDemo]] doesn't show, at demo scale. Run:
+  * `sbt "runMain graft.examples.CrawlPlannerDemo"`.
+  *
+  * Frontier candidates → robots.txt admission (q150: precedence,
+  * longest-prefix, Allow ties) → politeness schedule (q152:
+  * Crawl-delay parse, per-host slots under a budget) → [fetch] →
+  * outlink extraction from the fetched pages (q148) → host in-degree
+  * panel (q153, the [[StreamHostGraph]] batch twin) → the NEXT
+  * frontier wave prioritized by in-degree. Every stage is per-row
+  * math, a per-HOST window, or one rollup — at a billion URLs the
+  * only shuffles are host- and id-keyed.
+  */
+object CrawlPlannerDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-crawl-planner")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    // per-host crawl policy (a * group; even-length hosts add a
+    // stricter bot-specific group — the precedence case)
+    val robots = docs.select($"source").distinct()
+      .select($"source".as("host"), concat(
+        lit("User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+        when(length($"source") % 2 === 0,
+          lit("\nUser-agent: GraftBot\nAllow: /private/ok\nCrawl-delay: 0.5\n"))
+          .otherwise(lit("")))
+        .as("txt"))
+
+    // frontier wave 1: candidate URLs
+    val frontier = docs.select($"doc_id", $"source".as("host"),
+      when($"doc_id" % 5 === 0,
+        concat(lit("/private/ok/"), $"doc_id")).otherwise(
+        concat(lit("/page/"), $"doc_id")).as("path"),
+      ($"doc_id" % 97).as("priority"))
+
+    val admitted = Robots.allowed(frontier, "doc_id", "host", "path",
+        robots, "host", "txt", "GraftBot")
+      .filter($"allowed" === 1)
+    println(s"[demo] admitted ${admitted.count()} of ${frontier.count()} candidates")
+
+    val delays = Robots.crawlDelays(robots, "host", "txt", "GraftBot")
+    val wave = Frontier.schedule(admitted, "doc_id", "host", $"priority",
+      delays, defaultDelayMs = 1000L, maxPerHost = 10)
+    val makespan = wave.groupBy($"host")
+      .agg(max($"fetch_offset_ms").as("makespan_ms"))
+      .agg(max($"makespan_ms")).as[Long].head()
+    println(s"[demo] wave of ${wave.count()} fetches, politeness makespan ${makespan} ms")
+
+    // "fetched" pages: synthesize outlinks from the docs themselves
+    val pages = docs.select($"doc_id", concat(
+      lit("<html><body><a href=\"https://hub"), ($"doc_id" % 3).cast("string"),
+      lit(".test/x\">h</a>"),
+      when($"doc_id" % 2 === 0,
+        concat(lit("<a href=\"https://long"), ($"doc_id" % 7).cast("string"),
+          lit(".tail/y\">t</a>"))).otherwise(lit("")),
+      lit("</body></html>")).as("page"))
+
+    val panel = new StreamHostGraph.HostGraphSession(spark, "doc_id", "page")
+    panel.ingest(pages.filter($"doc_id" % 2 === 0)) // first crawl batch
+    panel.ingest(pages.filter($"doc_id" % 2 === 1)) // second crawl batch
+    val indeg = panel.currentInDegree.orderBy(desc("n_links"))
+    println("[demo] live in-degree panel (top 5):")
+    indeg.limit(5).collect().foreach(r => println(s"[demo]   $r"))
+
+    // next wave: discovered hosts prioritized by in-degree
+    val next = TextAnalysis.outlinkEdges(pages, "doc_id", "page")
+      .filter($"external" === 1)
+      .join(indeg, Seq("host"))
+      .select($"doc_id", $"host", lit("/").as("path"), $"n_links".as("priority"))
+      .distinct()
+    println(s"[demo] next frontier: ${next.count()} discovered edges, " +
+      s"${next.select($"host").distinct().count()} hosts")
+    spark.stop()
+  }
+}
