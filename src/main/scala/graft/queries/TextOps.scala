@@ -85,6 +85,71 @@ object TextOps {
       |              THEN lower(regexp_extract(href, '(?i)^https?://([^/]+)', 1)) END AS host
       |  FROM f)""".stripMargin
 
+  /** q155/q156 shape: universe 2^12 (per-doc word counts clamp there),
+    * k = 32 → threshold n/32, digest O(k·L).
+    */
+  private val QdLogU = 12
+  private val QdK = 32
+  private val QdTwentieths = Seq(1, 5, 10, 15, 19)
+
+  /** Generates the q-digest CTE chain: clamped word-count leaves at
+    * depth L, threshold `n // k`, then one generated (family, fold)
+    * CTE pair per level mirroring [[graft.sketch.QDigest.compress]]'s
+    * level loop exactly — families are disjoint within a level, so the
+    * relational form and the Scala loop provably agree. Ends with
+    * `n0` = the digest node map and `geo` = nodes with their ranges
+    * (depth via generated integer CASE — no log2, the libm ban).
+    */
+  private def qdigestCte(logU: Int, k: Int): String = {
+    val u = 1L << logU
+    val passes = (logU to 1 by -1).map { d =>
+      val loP = 1L << (d - 1)
+      val loC = 1L << d
+      val hiC = 1L << (d + 1)
+      s"""f$d AS MATERIALIZED (
+         |  SELECT COALESCE(p.id, c.pid) AS pid,
+         |         COALESCE(p.cnt, 0) AS pcnt, COALESCE(c.ccnt, 0) AS ccnt
+         |  FROM (SELECT id, cnt FROM n$d WHERE id >= $loP AND id < $loC) p
+         |  FULL JOIN (SELECT id // 2 AS pid, SUM(cnt) AS ccnt
+         |             FROM n$d WHERE id >= $loC AND id < $hiC GROUP BY 1) c
+         |    ON p.id = c.pid),
+         |n${d - 1} AS MATERIALIZED (
+         |  SELECT id, cnt FROM n$d WHERE id < $loP OR id >= $hiC
+         |  UNION ALL
+         |  SELECT nd.id, nd.cnt FROM n$d nd JOIN f$d f ON nd.id // 2 = f.pid
+         |  WHERE nd.id >= $loC AND nd.id < $hiC
+         |    AND f.pcnt + f.ccnt > (SELECT t FROM th)
+         |  UNION ALL
+         |  SELECT f.pid AS id,
+         |         CASE WHEN f.pcnt + f.ccnt <= (SELECT t FROM th)
+         |              THEN f.pcnt + f.ccnt ELSE f.pcnt END AS cnt
+         |  FROM f$d f
+         |  WHERE CASE WHEN f.pcnt + f.ccnt <= (SELECT t FROM th)
+         |             THEN f.pcnt + f.ccnt ELSE f.pcnt END > 0)""".stripMargin
+    }.mkString(",\n")
+    val loCase = (logU to 0 by -1).map { d =>
+      val base = 1L << d
+      val width = u >> d
+      s"WHEN id >= $base THEN (id - $base) * $width"
+    }.mkString(" ", "\n         ", "")
+    val hiCase = (logU to 0 by -1).map { d =>
+      val base = 1L << d
+      val width = u >> d
+      s"WHEN id >= $base THEN (id - $base) * $width + $width"
+    }.mkString(" ", "\n         ", "")
+    s"""WITH vals AS (
+       |  SELECT least(greatest(CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0)) AS BIGINT), 0), ${u - 1}) AS v
+       |  FROM documents),
+       |n$logU AS MATERIALIZED (SELECT $u + v AS id, COUNT(*) AS cnt FROM vals GROUP BY 1),
+       |th AS MATERIALIZED (SELECT SUM(cnt) // $k AS t, SUM(cnt) AS n FROM n$logU),
+       |$passes,
+       |geo AS (
+       |  SELECT id, cnt,
+       |    CASE$loCase END AS lo,
+       |    CASE$hiCase END AS hi
+       |  FROM n0)""".stripMargin
+  }
+
   private val Moj1 = " cafÃ© naÃ¯ve"
   private val Moj2 = " bad�char"
   private val Moj3 = " xy"
@@ -272,6 +337,30 @@ object TextOps {
         .select(explode(graft.textops.TextTokens.wordsCol($"text")).as("word"))
       graft.sketch.Sketches.cmsTable(toks, "word", CmsDepth, CmsWidth)
         .orderBy($"sk_row", $"bucket")
+    },
+
+    // ---- q-digest over per-doc word counts (the QUANTILE member of
+    // the mergeable-sketch family): distributed universe-bounded leaf
+    // groupBy, level-by-level family fold unrolled in the oracle —
+    // the driver hash-compares the DIGEST ITSELF (all-integer nodes).
+    "q155_qdigest" -> { (s, dir) =>
+      import s.implicits._
+      graft.sketch.QDigest.digestTable(
+          docsParallel(s, dir),
+          graft.textops.TextAnalysis.wordCountCol($"text"), QdLogU, QdK)
+        .orderBy($"id")
+    },
+
+    // ---- q-digest rank queries at twentieth quantiles — integer
+    // ranks (the q106 /20 discipline), the canonical
+    // (hi asc, lo desc) walk; exact integers end-to-end.
+    "q156_qdigest_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      graft.sketch.QDigest.quantilesTable(
+          docsParallel(s, dir),
+          graft.textops.TextAnalysis.wordCountCol($"text"), QdLogU, QdK,
+          QdTwentieths)
+        .orderBy($"twentieths")
     },
 
     // ---- Count-Min point estimates end-to-end: the 50 first distinct
@@ -1244,6 +1333,24 @@ object TextOps {
 
     // The CMS table cell-for-cell: the salted 60-bit md5 (HashSql with
     // the row index folded into the hashed string) mod width, counted.
+    // q-digest mirrors (generated — see qdigestCte)
+    "q155_qdigest" -> (qdigestCte(QdLogU, QdK) +
+      "\nSELECT id, lo, hi, cnt FROM geo ORDER BY id"),
+
+    "q156_qdigest_quantiles" -> (qdigestCte(QdLogU, QdK) +
+      s""",
+        |o AS (
+        |  SELECT *, SUM(cnt) OVER (ORDER BY hi ASC, lo DESC
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM geo),
+        |r AS (
+        |  SELECT j, (n * j + 19) // 20 AS rank
+        |  FROM th, (VALUES ${QdTwentieths.map(j => s"($j)").mkString(", ")}) v(j))
+        |SELECT r.j AS twentieths, r.rank,
+        |  (SELECT o.hi - 1 FROM o WHERE o.cum >= r.rank
+        |   ORDER BY o.hi ASC, o.lo DESC LIMIT 1) AS value
+        |FROM r ORDER BY r.j""".stripMargin),
+
     "q118_cms_sketch" -> (WordsCte +
       s""", w AS (SELECT unnest(ws) AS item FROM words),
         |c AS (

@@ -668,7 +668,14 @@ object PlanCheck {
       mustNotContain = Seq("BroadcastHashJoin", "SortMergeJoin")),
     // IBAN is per-row HOF math — aggregates mean an accidental explode
     Expectation("q154_iban_pii",
-      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate", "Generate")))
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate", "Generate")),
+    // q-digest emissions are control-plane local tables (the
+    // distributed stage is the universe-bounded leaf groupBy the
+    // collect consumed) — the q143/q151 contract
+    Expectation("q155_qdigest",
+      mustContain = Seq("LocalTableScan"), mustNotContain = Seq("FileScan")),
+    Expectation("q156_qdigest_quantiles",
+      mustContain = Seq("LocalTableScan"), mustNotContain = Seq("FileScan")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
