@@ -1,92 +1,119 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.textops.CurationOps
 
-/** Incrementally-maintained per-domain cap retention (q110 live — the
-  * FineWeb/RefinedWeb "domain budget" held open while the crawl
-  * streams): at most k documents per group, best-by-quality with the
-  * deterministic (quality desc, id asc) tiebreak.
+/** Streaming twin of [[CurationOps.domainCapRetention]] (q110) — a
+  * maintained per-domain quality budget over a document stream: at
+  * any point, the retained set is the k BEST documents per eTLD+1
+  * (quality desc, id tiebreak) of everything ingested so far.
   *
-  * Exactness by the top-k fold law: `topk(A ∪ B) = topk(topk(A) ∪ B)`
-  * under a TOTAL order (the id tiebreak makes it one), so the
-  * maintained state IS the retained set and folding each batch's own
-  * pruned top-k reproduces the batch operator over everything ingested
-  * EXACTLY — rank column included (recomputed on the capped set, same
-  * order). Eviction is permanent by the same law: once a document
-  * falls outside a group's top-k it can never re-enter (later rows
-  * only push quality UP), which is what a budget means. State is
-  * groups × k rows — the output's own size. Durable twin commits each
-  * batch's pruned top-k delta (deterministic per batch → replay-safe
-  * by overwrite-by-batch-id); the read-side fold re-caps, so ledger
-  * compaction is free.
+  * Same mergeable-state argument as [[StreamSample]]: top-k under a
+  * TOTAL order is a bottom-k sketch over the ordering key
+  * `(-quality, id)` — the top-k of a union is the top-k of the
+  * concatenated per-part top-k's — so the stream state IS the
+  * retained set (k·|domains| rows), every batch folds in its own
+  * pruned top-k associatively, and the maintained retention is
+  * BIT-IDENTICAL to the batch operator over everything ingested
+  * (rank column included, spec-pinned). Redelivery contract: a
+  * replayed batch reproduces identical rows, which collapse in the
+  * (domain, id) dedup — same as the other document sessions.
+  *
+  * [[DurableDomainCapSession]] commits each batch's pruned top-k to a
+  * [[DurableLedger]]; read folds by concat → distinct → rank, so
+  * compaction never changes the retained set. Durable rows are
+  * `(doc_id, domain, quality)` — the budget decision needs no text.
   */
 object StreamDomainCap {
 
-  /** In-memory session over `(id, group, quality)` projections. */
-  final class DomainCapSession(spark: SparkSession, idCol: String,
-      groupCol: String, qualityCol: String, k: Int) {
-    @volatile private var state: DataFrame = null
+  /** Rank-prune to each domain's top-k by the batch operator's exact
+    * order.
+    */
+  private def pruneTopK(df: DataFrame, idCol: String, domainCol: String,
+      qualityCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 
-    /** The retained set with its rank — ≡ the batch
-      * [[CurationOps.domainCapRetention]] over everything ingested.
-      */
-    def currentRetained: DataFrame = {
-      require(state != null, "retention requested before any ingest")
-      CurationOps.domainCapRetention(state, idCol, groupCol, qualityCol, k)
+  /** In-memory session over arbitrary-schema frames. */
+  final class DomainCapSession(spark: SparkSession,
+      idCol: String, domainCol: String, qualityCol: String, k: Int) {
+    @volatile private var state: Option[DataFrame] = None
+
+    /** Retained rows WITHOUT ranks. */
+    def retainedRows: Option[DataFrame] = state
+
+    /** The retained set with the batch operator's `rk` column. */
+    def currentRetention: Option[DataFrame] =
+      state.map(s => CurationOps.domainCapRetention(s, idCol, domainCol, qualityCol, k))
+
+    def ingest(batch: DataFrame): DataFrame = {
+      val merged = state match {
+        case None => pruneTopK(batch, idCol, domainCol, qualityCol, k)
+        case Some(s) =>
+          pruneTopK(s.union(batch.select(s.columns.map(col).toSeq: _*))
+              .dropDuplicates(domainCol, idCol),
+            idCol, domainCol, qualityCol, k)
+      }
+      val pinned = merged.localCheckpoint()
+      state = Some(pinned)
+      CurationOps.domainCapRetention(pinned, idCol, domainCol, qualityCol, k)
     }
 
-    def ingest(batch: DataFrame): Unit = {
-      val delta = batch.select(col(idCol), col(groupCol), col(qualityCol))
-      val merged = if (state == null) delta else state.union(delta)
-      state = CurationOps
-        .domainCapRetention(merged, idCol, groupCol, qualityCol, k)
-        .drop("rk")
-        .localCheckpoint()
-    }
-
-    def start(docs: DataFrame): StreamingQuery =
-      docs.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) => ingest(batch) }
+    def start(docs: DataFrame)(sink: (DataFrame, Long) => Unit): StreamingQuery =
+      docs.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          sink(ingest(batch), batchId)
+        }
         .start()
   }
 
-  /** Durable session; `idType`/`qualityType` default to the common
-    * (long id, double quality) shape — pass a schema for others.
-    */
-  final class DurableDomainCapSession(spark: SparkSession, path: String,
-      idCol: String, groupCol: String, qualityCol: String, k: Int,
-      compactEvery: Int = 0) {
+  /** Durable session over `(doc_id, domain, quality)` rows. */
+  final class DurableDomainCapSession(spark: SparkSession, ledgerPath: String,
+      k: Int, compactEvery: Int = 0) {
 
     private val schema = StructType(Seq(
-      StructField(idCol, LongType), StructField(groupCol, StringType),
-      StructField(qualityCol, DoubleType)))
+      StructField("doc_id", LongType),
+      StructField("domain", StringType),
+      StructField("quality", LongType)))
 
-    def currentRetained: DataFrame =
+    /** Committed candidate rows (concat of per-batch top-k's). */
+    def candidates: DataFrame = DurableLedger.load(spark, ledgerPath, schema)
+
+    /** The retained set with ranks. */
+    def currentRetention: DataFrame =
       CurationOps.domainCapRetention(
-        DurableLedger.load(spark, path, schema), idCol, groupCol, qualityCol, k)
+        candidates.dropDuplicates("domain", "doc_id"),
+        "doc_id", "domain", "quality", k)
 
-    /** Commit the batch's OWN pruned top-k (deterministic —
-      * redelivery overwrites with identical rows).
-      */
-    def ingest(batch: DataFrame, batchId: Long): Unit = {
-      val pruned = CurationOps.domainCapRetention(
-          batch.select(col(idCol), col(groupCol), col(qualityCol)),
-          idCol, groupCol, qualityCol, k)
-        .drop("rk")
-      DurableLedger.commit(pruned, path, batchId)
+    def ingest(batch: DataFrame, batchId: Long): DataFrame = {
+      val pruned = pruneTopK(
+        batch.select(col("doc_id").cast("long").as("doc_id"),
+          col("domain").cast("string").as("domain"),
+          col("quality").cast("long").as("quality")),
+        "doc_id", "domain", "quality", k)
+      DurableLedger.commit(pruned, ledgerPath, batchId)
       if (compactEvery > 0)
-        DurableLedger.maybeCompact(spark, path, schema, compactEvery)
+        DurableLedger.maybeCompact(spark, ledgerPath, schema, compactEvery)
+      currentRetention
     }
 
-    def start(docs: DataFrame, checkpointLocation: Option[String] = None): StreamingQuery = {
+    def start(docs: DataFrame, checkpointLocation: Option[String] = None)(
+        sink: (DataFrame, Long) => Unit): StreamingQuery = {
       val w = docs.writeStream.outputMode("append")
       checkpointLocation.foreach(w.option("checkpointLocation", _))
-      w.foreachBatch { (batch: DataFrame, batchId: Long) => ingest(batch, batchId) }
+      w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          sink(ingest(batch, batchId), batchId)
+        }
         .start()
     }
   }

@@ -1,77 +1,70 @@
 package graft
 
-import java.nio.file.Files
-
-import org.apache.spark.sql.DataFrame
-
-import graft.streaming.{DurableLedger, StreamDomainCap}
+import graft.streaming.StreamDomainCap
 import graft.textops.CurationOps
 
-/** Streamed ≡ batch for per-domain cap retention — EXACT by the top-k
-  * fold law under the total (quality desc, id asc) order.
+/** Streaming per-domain quality budget: the maintained retention is
+  * bit-identical to the batch operator over everything ingested,
+  * under any batching; a better late arrival evicts a worse early
+  * one; redelivery and restarts change nothing.
   */
 class StreamDomainCapSpec extends SparkSpec {
   import spark.implicits._
 
-  private val K = 3
+  private val K = 2
 
-  private def docs(seed: Int, n: Int): Seq[(Long, String, Double)] = {
-    val rnd = new scala.util.Random(seed)
-    (1 to n).map { i =>
-      (i.toLong, s"d${rnd.nextInt(12)}", (rnd.nextInt(1000) / 10.0))
+  // (doc_id, domain, quality)
+  private val rows = Seq(
+    (1L, "a.com", 10L), (2L, "a.com", 30L), (3L, "a.com", 20L),
+    (4L, "b.org", 5L), (5L, "b.org", 50L), (6L, "b.org", 40L),
+    (7L, "c.net", 1L))
+
+  private def batchOp(rs: Seq[(Long, String, Long)]): Set[(Long, String, Int)] =
+    CurationOps.domainCapRetention(
+        rs.toDF("doc_id", "domain", "quality"), "doc_id", "domain", "quality", K)
+      .select($"doc_id", $"domain", $"rk").as[(Long, String, Int)].collect().toSet
+
+  test("maintained retention equals the batch operator under any batching") {
+    val expected = batchOp(rows)
+    assert(expected === Set((2L, "a.com", 1), (3L, "a.com", 2),
+      (5L, "b.org", 1), (6L, "b.org", 2), (7L, "c.net", 1)))
+    for (parts <- Seq(1, 3, 7)) {
+      val s = new StreamDomainCap.DomainCapSession(spark, "doc_id", "domain", "quality", K)
+      var last: Set[(Long, String, Int)] = Set.empty
+      rows.grouped((rows.size + parts - 1) / parts).foreach { b =>
+        last = s.ingest(b.toDF("doc_id", "domain", "quality"))
+          .select($"doc_id", $"domain", $"rk").as[(Long, String, Int)].collect().toSet
+      }
+      assert(last === expected, s"$parts-way batching diverged")
     }
   }
 
-  private def sortedRows(df: DataFrame) =
-    df.orderBy("grp", "rk").collect().toSeq
-
-  test("in-memory session ≡ the batch retention under random batching") {
-    val d = docs(13, 400)
-    val whole = d.toDF("doc_id", "grp", "q")
-    val batch = CurationOps.domainCapRetention(whole, "doc_id", "grp", "q", K)
-    val session = new StreamDomainCap.DomainCapSession(spark, "doc_id", "grp", "q", K)
-    val rnd = new scala.util.Random(4)
-    d.groupBy(_ => rnd.nextInt(7)).values.foreach { b =>
-      session.ingest(b.toDF("doc_id", "grp", "q"))
-    }
-    assert(sortedRows(session.currentRetained) === sortedRows(batch))
+  test("a better late arrival evicts a worse early retention") {
+    val s = new StreamDomainCap.DomainCapSession(spark, "doc_id", "domain", "quality", K)
+    s.ingest(Seq((1L, "a.com", 10L), (3L, "a.com", 20L)).toDF("doc_id", "domain", "quality"))
+    val after = s.ingest(Seq((2L, "a.com", 30L)).toDF("doc_id", "domain", "quality"))
+      .select($"doc_id", $"rk").as[(Long, Int)].collect().toSet
+    assert(after === Set((2L, 1), (3L, 2)))  // doc 1 evicted
   }
 
-  test("eviction is permanent: a document outside the cap never re-enters") {
-    val session = new StreamDomainCap.DomainCapSession(spark, "doc_id", "grp", "q", 2)
-    session.ingest(Seq((1L, "a", 5.0), (2L, "a", 4.0)).toDF("doc_id", "grp", "q"))
-    assert(session.currentRetained.count() == 2)
-    // two better docs arrive -> 1 and 2 evicted
-    session.ingest(Seq((3L, "a", 9.0), (4L, "a", 8.0)).toDF("doc_id", "grp", "q"))
-    val kept = session.currentRetained.select($"doc_id").as[Long].collect().toSet
-    assert(kept == Set(3L, 4L))
-    // a low-quality batch cannot resurrect anything
-    session.ingest(Seq((5L, "a", 1.0)).toDF("doc_id", "grp", "q"))
-    assert(session.currentRetained.select($"doc_id").as[Long].collect().toSet
-      == Set(3L, 4L))
-  }
-
-  test("durable session: restart, replay, compaction preserve the retention") {
-    val dir = Files.createTempDirectory("domaincap_ledger").toString
-    val d = docs(29, 300)
-    val batches = d.grouped(100).toSeq
-    def mk() = new StreamDomainCap.DurableDomainCapSession(
-      spark, dir, "doc_id", "grp", "q", K)
-    val s1 = mk()
+  test("durable session: restart resumes, replay exactly-once, compaction stable") {
+    val dir = java.nio.file.Files.createTempDirectory("domaincap").toString
+    val batches = rows.grouped(3).toSeq
+    val s1 = new StreamDomainCap.DurableDomainCapSession(spark, dir, K, compactEvery = 2)
     batches.zipWithIndex.foreach { case (b, i) =>
-      s1.ingest(b.toDF("doc_id", "grp", "q"), i.toLong)
+      s1.ingest(b.toDF("doc_id", "domain", "quality"), i.toLong)
     }
-    val expect = sortedRows(CurationOps.domainCapRetention(
-      d.toDF("doc_id", "grp", "q"), "doc_id", "grp", "q", K))
-    assert(sortedRows(s1.currentRetained) === expect)
-    s1.ingest(batches.head.toDF("doc_id", "grp", "q"), 0L) // replay overwrites
-    assert(sortedRows(s1.currentRetained) === expect)
-    val s2 = mk()
-    assert(sortedRows(s2.currentRetained) === expect)
-    import org.apache.spark.sql.types._
-    DurableLedger.compact(spark, dir, StructType(Seq(
-      StructField("doc_id", LongType), StructField("grp", StringType),
-      StructField("q", DoubleType))))
-    assert(sortedRows(s2.currentRetained) === expect)
+    val expected = batchOp(rows)
+    def got(s: StreamDomainCap.DurableDomainCapSession) =
+      s.currentRetention.select($"doc_id", $"domain", $"rk")
+        .as[(Long, String, Int)].collect().toSet
+    assert(got(s1) === expected)
+    s1.ingest(batches.last.toDF("doc_id", "domain", "quality"), (batches.size - 1).toLong)
+    assert(got(s1) === expected)
+    val s2 = new StreamDomainCap.DurableDomainCapSession(spark, dir, K)
+    assert(got(s2) === expected)
+    // candidate ledger bounded by k per domain per batch
+    assert(s2.candidates.count() <=
+      (batches.size * K * rows.map(_._2).distinct.size).toLong)
   }
 }
