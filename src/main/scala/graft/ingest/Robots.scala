@@ -82,6 +82,28 @@ object Robots {
         col("path"), col("allow"))
   }
 
+  /** Per-host `Sitemap:` URLs — GLOBAL directives per RFC 9309 §2.3:
+    * valid anywhere in the file (before any group included), not
+    * scoped to an agent, and NOT part of the group-header model (a
+    * `Sitemap:` line between two `User-agent` lines must not split
+    * their group — which is why this parses the lines independently
+    * of [[directives]]' grouping stream). Every non-empty value is an
+    * entry; duplicates collapse.
+    */
+  def sitemapUrls(robots: DataFrame, hostCol: String,
+      txtCol: String): DataFrame = {
+    robots.select(col(hostCol).as("__host"),
+        explode(split(col(txtCol), "\n")).as("__raw"))
+      .withColumn("__clean", regexp_replace(col("__raw"), "#.*$", ""))
+      .filter(lower(regexp_extract(col("__clean"), "^\\s*([A-Za-z-]+)\\s*:", 1))
+        === "sitemap")
+      .select(col("__host").as(hostCol),
+        trim(regexp_extract(col("__clean"), "^\\s*[A-Za-z-]+\\s*:(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(length(col("sitemap_url")) > 0)
+      .distinct()
+  }
+
   /** Per-host `Crawl-delay` for the named agent, in milliseconds:
     * exact-agent groups shadow `*` groups (the [[effectiveRules]]
     * precedence), the largest delay at the winning precedence wins

@@ -627,6 +627,46 @@ object TextOps {
         .orderBy($"host")
     },
 
+    // ---- sitemap frontier seeding (the q150/q152 trio's third leg):
+    // robots `Sitemap:` directives (global, duplicate collapses, one
+    // host class has none) joined to per-host <urlset> blobs built
+    // q136-style, parsed back with a commented-out <url> trap and
+    // whitespace-padded <loc>s — verified against an independent
+    // derivation from the table.
+    "q157_sitemap_frontier" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val robots = Tables.load(s, dir, "documents").select($"source").distinct()
+        .select($"source".as("host"), concat(
+          lit("User-agent: *\nDisallow: /private\n"),
+          when(!$"source".endsWith("7"),
+            concat(lit("Sitemap: https://"), $"source", lit("/sitemap.xml\n")))
+            .otherwise(lit("")),
+          when(length($"source") % 2 === 0 && !$"source".endsWith("7"),
+            concat(lit("# mirror\nSitemap: https://"), $"source",
+              lit("/sitemap.xml\n"))).otherwise(lit(""))).as("txt"))
+      val entryXml = concat(
+        lit("<url><loc> https://"), $"source", lit("/p/"), $"doc_id",
+        lit(" </loc>"),
+        when($"doc_id" % 5 =!= 0,
+          concat(lit("<lastmod>2026-08-"),
+            lpad((($"doc_id" % 28) + 1).cast("string"), 2, "0"),
+            lit("</lastmod>"))).otherwise(lit("")),
+        lit("</url>"))
+      val blobs = docs.select($"source", $"doc_id", entryXml.as("e"))
+        .groupBy($"source")
+        .agg(concat(
+          lit("<urlset><!-- trap <url><loc>https://trap.test/x</loc></url> -->"),
+          array_join(transform(array_sort(collect_list(struct($"doc_id", $"e"))),
+            x => x.getField("e")), ""),
+          lit("</urlset>")).as("xml"))
+      val sm = graft.ingest.Robots.sitemapUrls(robots, "host", "txt")
+      graft.ingest.Sitemaps.entries(
+          sm.join(blobs, sm("host") === blobs("source")).drop("source"), "xml")
+        .select($"host", $"sitemap_url", $"loc", $"lastmod")
+        .orderBy($"host", $"loc")
+    },
+
     // ---- IBAN mod-97 PII validation (q146's sibling): candidates
     // synthesized with varying check digits (~1/97 validate), a
     // malformed class (digit country code), and the streaming mod-97
@@ -1691,6 +1731,20 @@ object TextOps {
         |SELECT host, COUNT(*) AS n_links,
         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
         |FROM h WHERE host IS NOT NULL GROUP BY host ORDER BY host""".stripMargin),
+
+    // sitemap mirror: ground truth stated INDEPENDENTLY from the table
+    // (the q136 round-trip discipline) — the engine's parse must strip
+    // the comment trap, trim the padded locs, and null absent lastmods
+    // to land on this relation
+    "q157_sitemap_frontier" ->
+      """SELECT source AS host,
+        |  'https://' || source || '/sitemap.xml' AS sitemap_url,
+        |  'https://' || source || '/p/' || doc_id AS loc,
+        |  CASE WHEN doc_id % 5 <> 0
+        |       THEN '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |  END AS lastmod
+        |FROM documents WHERE source NOT LIKE '%7'
+        |ORDER BY host, loc""".stripMargin,
 
     // IBAN mirror: identical candidate synthesis, the same structural
     // regex, rotate, letter expansion (A=10..Z=35), and the

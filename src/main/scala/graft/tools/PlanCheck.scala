@@ -669,6 +669,10 @@ object PlanCheck {
     // IBAN is per-row HOF math — aggregates mean an accidental explode
     Expectation("q154_iban_pii",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate", "Generate")),
+    // sitemap composition: blob build is ONE collect_list rollup, the
+    // parse an entry-bounded explode; the sitemap-URL join keys on host
+    Expectation("q157_sitemap_frontier",
+      mustContain = Seq("Generate", "ObjectHashAggregate")),
     // q-digest emissions are control-plane local tables (the
     // distributed stage is the universe-bounded leaf groupBy the
     // collect consumed) — the q143/q151 contract

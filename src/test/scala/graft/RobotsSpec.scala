@@ -128,6 +128,41 @@ class RobotsSpec extends SparkSpec {
     assert(out(5L) == ((5L, 0L, 1000L, 0L)), "absent host gets the default delay")
   }
 
+  test("sitemapUrls: global position, no group impact, dup collapse") {
+    import graft.ingest.Sitemaps
+    val txt =
+      """Sitemap: https://h/pre-group.xml
+        |User-agent: a
+        |Sitemap: https://h/mid.xml # trailing comment
+        |User-agent: b
+        |Disallow: /x
+        |SITEMAP: https://h/pre-group.xml
+        |Sitemap:
+        |""".stripMargin
+    val robots = Seq(("h", txt)).toDF("host", "txt")
+    val urls = Robots.sitemapUrls(robots, "host", "txt")
+      .as[(String, String)].collect().toSet
+    assert(urls == Set(("h", "https://h/pre-group.xml"), ("h", "https://h/mid.xml")))
+    // RFC: a Sitemap line between two User-agent lines must NOT split
+    // their header run — a and b share one group
+    val t = Robots.ruleTable(robots, "host", "txt")
+      .as[(String, Long, String, String, Int)].collect().toSet
+    assert(t == Set(("h", 1L, "a", "/x", 0), ("h", 1L, "b", "/x", 0)))
+    // sitemap XML subset: comment trap, padded loc, absent lastmod,
+    // case-insensitive tags, loc-less entry drop
+    val xml = Seq(("h",
+      """<urlset><!-- <url><loc>https://h/trap</loc></url> -->
+        |<url><LOC>  https://h/a  </LOC><lastmod> 2026-01-02 </lastmod></url>
+        |<url><loc>https://h/b</loc></url>
+        |<url><lastmod>2026-01-03</lastmod></url>
+        |</urlset>""".stripMargin)).toDF("host", "xml")
+    val es = Sitemaps.entries(xml, "xml")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(es == Set(
+      ("h", "https://h/a", Some("2026-01-02")),
+      ("h", "https://h/b", None)))
+  }
+
   test("parser: garbage lines, comments, and case-insensitive keys survive") {
     val messy = Seq(("h1",
       "this is not a directive\nUSER-AGENT: *\n DISALLOW : /z # inline\nnoise\n"))
