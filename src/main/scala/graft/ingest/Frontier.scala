@@ -44,4 +44,48 @@ object Frontier {
       .filter(col("slot") < maxPerHost)
       .withColumn("fetch_offset_ms", col("slot") * col("delay_ms"))
   }
+
+  /** Recrawl planning — the FRESHNESS half of incremental crawling
+    * ([[graft.textops.CurationOps.snapshotDiff]] is the content half
+    * AFTER a fetch; this decides which fetches to spend at all, from
+    * sitemap `lastmod` claims vs the crawl log):
+    *
+    *  - no log row → `fetch` / `new`;
+    *  - `lastmod > last_crawl` (ISO-8601 strings compare
+    *    lexicographically — no date parsing, no timezone ambiguity) →
+    *    `fetch` / `stale`;
+    *  - `lastmod ≤ last_crawl` → `skip` / `fresh`;
+    *  - no `lastmod` claim → age-based refresh: `fetch` / `aged` iff
+    *    `last_crawl < agedCutoff`, else `skip` / `unclaimed`.
+    *
+    * Scale shape: ONE equi-join on the URL (the crawl log projects to
+    * `(loc, last_crawl)` — no page content crosses the shuffle) + a
+    * per-row CASE; at a billion URLs this is the honest sort-merge on
+    * the frontier key, or co-located under a shared bucketing.
+    */
+  def recrawlPlan(entries: DataFrame, locCol: String, lastmodCol: String,
+      crawlLog: DataFrame, logLocCol: String, lastCrawlCol: String,
+      agedCutoff: String): DataFrame = {
+    val log = crawlLog.select(col(logLocCol).as("__loc"),
+      col(lastCrawlCol).as("last_crawl"))
+    entries
+      .join(log, entries(locCol) === col("__loc"), "left")
+      .drop("__loc")
+      .withColumn("action",
+        when(col("last_crawl").isNull, "fetch")
+          .when(col(lastmodCol).isNotNull,
+            when(col(lastmodCol) > col("last_crawl"), "fetch")
+              .otherwise("skip"))
+          .otherwise(
+            when(col("last_crawl") < lit(agedCutoff), "fetch")
+              .otherwise("skip")))
+      .withColumn("reason",
+        when(col("last_crawl").isNull, "new")
+          .when(col(lastmodCol).isNotNull,
+            when(col(lastmodCol) > col("last_crawl"), "stale")
+              .otherwise("fresh"))
+          .otherwise(
+            when(col("last_crawl") < lit(agedCutoff), "aged")
+              .otherwise("unclaimed")))
+  }
 }

@@ -43,8 +43,11 @@ object Robots {
     */
   private def directives(robots: DataFrame, hostCol: String,
       txtCol: String): DataFrame = {
+    // CRLF-tolerant: real robots.txt files ship \r\n; a \n-only split
+    // would leave \r inside every value (and a rule path of "/x\r"
+    // never prefix-matches anything)
     val lines = robots.select(col(hostCol).as("__host"),
-        posexplode(split(col(txtCol), "\n")).as(Seq("__ln", "__raw")))
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("__ln", "__raw")))
       .withColumn("__clean", regexp_replace(col("__raw"), "#.*$", ""))
       .withColumn("__key",
         lower(regexp_extract(col("__clean"), "^\\s*([A-Za-z-]+)\\s*:", 1)))
@@ -93,7 +96,7 @@ object Robots {
   def sitemapUrls(robots: DataFrame, hostCol: String,
       txtCol: String): DataFrame = {
     robots.select(col(hostCol).as("__host"),
-        explode(split(col(txtCol), "\n")).as("__raw"))
+        explode(split(col(txtCol), "\r?\n")).as("__raw"))
       .withColumn("__clean", regexp_replace(col("__raw"), "#.*$", ""))
       .filter(lower(regexp_extract(col("__clean"), "^\\s*([A-Za-z-]+)\\s*:", 1))
         === "sitemap")

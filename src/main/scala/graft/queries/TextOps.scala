@@ -667,6 +667,29 @@ object TextOps {
         .orderBy($"host", $"loc")
     },
 
+    // ---- recrawl planning (the freshness half of incremental
+    // crawling; q95's content diff is the post-fetch half): sitemap
+    // lastmod claims vs a synthesized crawl log — all four decision
+    // classes fire (new / stale / fresh / aged+unclaimed); one
+    // URL-keyed equi-join, ISO strings compare lexicographically.
+    "q158_recrawl_plan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val entries = docs.select(
+        concat(lit("https://"), $"source", lit("/p/"), $"doc_id").as("loc"),
+        when($"doc_id" % 5 =!= 0,
+          concat(lit("2026-08-"),
+            lpad((($"doc_id" % 28) + 1).cast("string"), 2, "0")))
+          .as("lastmod"))
+      val crawlLog = docs.filter($"doc_id" % 3 =!= 0).select(
+        concat(lit("https://"), $"source", lit("/p/"), $"doc_id").as("loc"),
+        concat(lit("2026-08-"),
+          lpad((($"doc_id" % 15) + 1).cast("string"), 2, "0")).as("last_crawl"))
+      graft.ingest.Frontier.recrawlPlan(entries, "loc", "lastmod",
+          crawlLog, "loc", "last_crawl", agedCutoff = "2026-08-10")
+        .orderBy($"loc")
+    },
+
     // ---- IBAN mod-97 PII validation (q146's sibling): candidates
     // synthesized with varying check digits (~1/97 validate), a
     // malformed class (digit country code), and the streaming mod-97
@@ -711,8 +734,10 @@ object TextOps {
       val robots = Tables.load(s, dir, "documents").select($"source").distinct()
         .select($"source".as("host"), concat(
           lit("Disallow: /early\n# policy\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 5\n"),
+          // the exact group ships CRLF (a mixed-endings file — the
+          // wild-robots norm the \r?\n split must absorb)
           when(length($"source") % 2 === 0,
-            lit("\nUser-agent: GraftBot\nUser-agent: otherbot\nDisallow: /p/9\nAllow: /p/91\nDisallow:\n"))
+            lit("\r\nUser-agent: GraftBot\r\nUser-agent: otherbot\r\nDisallow: /p/9\r\nAllow: /p/91\r\nDisallow:\r\n"))
             .otherwise(lit(""))).as("txt"))
       val urls = docsParallel(s, dir).select($"doc_id",
         $"source".as("host"),
@@ -1746,6 +1771,32 @@ object TextOps {
         |FROM documents WHERE source NOT LIKE '%7'
         |ORDER BY host, loc""".stripMargin,
 
+    // recrawl mirror: identical synthesis, the same left join + CASE
+    "q158_recrawl_plan" ->
+      """WITH e AS (
+        |  SELECT 'https://' || source || '/p/' || doc_id AS loc,
+        |         CASE WHEN doc_id % 5 <> 0
+        |              THEN '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |         END AS lastmod
+        |  FROM documents),
+        |cl AS (
+        |  SELECT 'https://' || source || '/p/' || doc_id AS loc,
+        |         '2026-08-' || lpad(CAST(doc_id % 15 + 1 AS VARCHAR), 2, '0') AS last_crawl
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT e.loc, e.lastmod, cl.last_crawl,
+        |  CASE WHEN cl.last_crawl IS NULL THEN 'fetch'
+        |       WHEN e.lastmod IS NOT NULL THEN
+        |         CASE WHEN e.lastmod > cl.last_crawl THEN 'fetch' ELSE 'skip' END
+        |       WHEN cl.last_crawl < '2026-08-10' THEN 'fetch'
+        |       ELSE 'skip' END AS action,
+        |  CASE WHEN cl.last_crawl IS NULL THEN 'new'
+        |       WHEN e.lastmod IS NOT NULL THEN
+        |         CASE WHEN e.lastmod > cl.last_crawl THEN 'stale' ELSE 'fresh' END
+        |       WHEN cl.last_crawl < '2026-08-10' THEN 'aged'
+        |       ELSE 'unclaimed' END AS reason
+        |FROM e LEFT JOIN cl ON e.loc = cl.loc
+        |ORDER BY e.loc""".stripMargin,
+
     // IBAN mirror: identical candidate synthesis, the same structural
     // regex, rotate, letter expansion (A=10..Z=35), and the
     // list_reduce streaming mod-97 (prepended 0 = the engine fold's
@@ -1816,11 +1867,11 @@ object TextOps {
         |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
         |    'Allow: /private/ok' || chr(10) || 'Crawl-delay: 5' || chr(10) ||
         |    CASE WHEN length(host) % 2 = 0 THEN
-        |      chr(10) || 'User-agent: GraftBot' || chr(10) || 'User-agent: otherbot' || chr(10) ||
-        |      'Disallow: /p/9' || chr(10) || 'Allow: /p/91' || chr(10) || 'Disallow:' || chr(10)
+        |      chr(13) || chr(10) || 'User-agent: GraftBot' || chr(13) || chr(10) || 'User-agent: otherbot' || chr(13) || chr(10) ||
+        |      'Disallow: /p/9' || chr(13) || chr(10) || 'Allow: /p/91' || chr(13) || chr(10) || 'Disallow:' || chr(13) || chr(10)
         |    ELSE '' END AS txt
         |  FROM hosts),
-        |p AS (SELECT host, string_split(txt, chr(10)) AS parts FROM rob),
+        |p AS (SELECT host, string_split_regex(txt, '\r?\n') AS parts FROM rob),
         |lines AS (
         |  SELECT host, i AS ln, regexp_replace(parts[i], '#.*$', '') AS clean
         |  FROM p, unnest(generate_series(1, len(parts))) t(i)),
@@ -1888,7 +1939,7 @@ object TextOps {
         |         THEN chr(10) || 'User-agent: GraftBot' || chr(10) || 'Crawl-delay: 0.5' || chr(10)
         |         ELSE '' END AS txt
         |  FROM hosts),
-        |p AS (SELECT host, string_split(txt, chr(10)) AS parts FROM rob),
+        |p AS (SELECT host, string_split_regex(txt, '\r?\n') AS parts FROM rob),
         |lines AS (
         |  SELECT host, i AS ln, regexp_replace(parts[i], '#.*$', '') AS clean
         |  FROM p, unnest(generate_series(1, len(parts))) t(i)),

@@ -669,6 +669,11 @@ object PlanCheck {
     // IBAN is per-row HOF math — aggregates mean an accidental explode
     Expectation("q154_iban_pii",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate", "Generate")),
+    // recrawl plan: one URL-keyed equi-join + per-row CASE — no
+    // window, no aggregate, no cartesian
+    Expectation("q158_recrawl_plan",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "Window", "Generate")),
     // sitemap composition: blob build is ONE collect_list rollup, the
     // parse an entry-bounded explode; the sitemap-URL join keys on host
     Expectation("q157_sitemap_frontier",

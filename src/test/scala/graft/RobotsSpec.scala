@@ -128,6 +128,33 @@ class RobotsSpec extends SparkSpec {
     assert(out(5L) == ((5L, 0L, 1000L, 0L)), "absent host gets the default delay")
   }
 
+  test("recrawlPlan: all five decision classes, ISO string comparison") {
+    import graft.ingest.Frontier
+    val entries = Seq(
+      ("u/new", Some("2026-08-05")),       // not in log
+      ("u/stale", Some("2026-08-20")),     // lastmod after crawl
+      ("u/fresh", Some("2026-08-02")),     // lastmod before crawl
+      ("u/aged", None),                    // no claim, old crawl
+      ("u/unclaimed", None),               // no claim, recent crawl
+      ("u/boundary", Some("2026-08-04")))  // lastmod == last_crawl -> fresh
+      .toDF("loc", "lastmod")
+    val log = Seq(
+      ("u/stale", "2026-08-04"), ("u/fresh", "2026-08-04"),
+      ("u/aged", "2026-08-01"), ("u/unclaimed", "2026-08-12"),
+      ("u/boundary", "2026-08-04")).toDF("loc", "last_crawl")
+    val out = Frontier.recrawlPlan(entries, "loc", "lastmod",
+        log, "loc", "last_crawl", agedCutoff = "2026-08-10")
+      .select($"loc", $"action", $"reason")
+      .as[(String, String, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out("u/new") == (("fetch", "new")))
+    assert(out("u/stale") == (("fetch", "stale")))
+    assert(out("u/fresh") == (("skip", "fresh")))
+    assert(out("u/aged") == (("fetch", "aged")))
+    assert(out("u/unclaimed") == (("skip", "unclaimed")))
+    assert(out("u/boundary") == (("skip", "fresh")), "equal timestamps are fresh")
+  }
+
   test("sitemapUrls: global position, no group impact, dup collapse") {
     import graft.ingest.Sitemaps
     val txt =
@@ -161,6 +188,22 @@ class RobotsSpec extends SparkSpec {
     assert(es == Set(
       ("h", "https://h/a", Some("2026-01-02")),
       ("h", "https://h/b", None)))
+  }
+
+  test("parser: CRLF and mixed line endings parse identically to LF") {
+    val lf = "User-agent: *\nDisallow: /x\nAllow: /x/ok\nSitemap: https://h/s.xml\n"
+    val crlf = lf.replace("\n", "\r\n")
+    val mixed = "User-agent: *\r\nDisallow: /x\nAllow: /x/ok\r\nSitemap: https://h/s.xml\n"
+    def rules(txt: String) =
+      Robots.ruleTable(Seq(("h", txt)).toDF("host", "txt"), "host", "txt")
+        .as[(String, Long, String, String, Int)].collect().toSet
+    def maps(txt: String) =
+      Robots.sitemapUrls(Seq(("h", txt)).toDF("host", "txt"), "host", "txt")
+        .as[(String, String)].collect().toSet
+    assert(rules(crlf) == rules(lf) && rules(mixed) == rules(lf))
+    assert(rules(lf).exists(_._4 == "/x"), "no \\r inside rule paths")
+    assert(maps(crlf) == maps(lf) && maps(mixed) == maps(lf))
+    assert(maps(lf) == Set(("h", "https://h/s.xml")))
   }
 
   test("parser: garbage lines, comments, and case-insensitive keys survive") {
