@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ingest.{Frontier, Robots}
+import graft.ingest.{Frontier, Robots, Sitemaps}
 import graft.streaming.StreamHostGraph
 import graft.textops.TextAnalysis
 
@@ -12,14 +12,15 @@ import graft.textops.TextAnalysis
   * pipeline [[WebIngestDemo]] doesn't show, at demo scale. Run:
   * `sbt "runMain graft.examples.CrawlPlannerDemo"`.
   *
-  * Frontier candidates → robots.txt admission (q150: precedence,
-  * longest-prefix, Allow ties) → politeness schedule (q152:
-  * Crawl-delay parse, per-host slots under a budget) → [fetch] →
-  * outlink extraction from the fetched pages (q148) → host in-degree
-  * panel (q153, the [[StreamHostGraph]] batch twin) → the NEXT
-  * frontier wave prioritized by in-degree. Every stage is per-row
-  * math, a per-HOST window, or one rollup — at a billion URLs the
-  * only shuffles are host- and id-keyed.
+  * Sitemap seeding (q157: robots `Sitemap:` directives → urlset
+  * parse) → recrawl plan (q158: lastmod vs the crawl log) → robots
+  * admission (q150: precedence, longest-prefix, Allow ties) →
+  * politeness schedule (q152: Crawl-delay parse, per-host slots under
+  * a budget) → [fetch] → outlink extraction from the fetched pages
+  * (q148) → host in-degree panel (q153, the [[StreamHostGraph]] batch
+  * twin) → the NEXT frontier wave prioritized by in-degree. Every
+  * stage is per-row math, a per-HOST window, or one rollup — at a
+  * billion URLs the only shuffles are host- and id-keyed.
   */
 object CrawlPlannerDemo {
   def main(args: Array[String]): Unit = {
@@ -36,14 +37,36 @@ object CrawlPlannerDemo {
     val docs = Tables.load(spark, sfDir, "documents")
 
     // per-host crawl policy (a * group; even-length hosts add a
-    // stricter bot-specific group — the precedence case)
+    // stricter bot-specific group — the precedence case; every host
+    // advertises its sitemap)
     val robots = docs.select($"source").distinct()
       .select($"source".as("host"), concat(
         lit("User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+        lit("Sitemap: https://"), $"source", lit("/sitemap.xml\n"),
         when(length($"source") % 2 === 0,
           lit("\nUser-agent: GraftBot\nAllow: /private/ok\nCrawl-delay: 0.5\n"))
           .otherwise(lit("")))
         .as("txt"))
+    println(s"[demo] sitemap directives: ${
+      Robots.sitemapUrls(robots, "host", "txt").count()} hosts advertise one")
+
+    // sitemap seeding + recrawl plan: each host's urlset claims
+    // lastmods; a synthetic crawl log makes some entries fresh
+    val xml = docs.groupBy($"source").agg(concat(lit("<urlset>"),
+      array_join(collect_list(concat(
+        lit("<url><loc>https://"), $"source", lit("/p/"), $"doc_id",
+        lit("</loc><lastmod>2026-08-"),
+        lpad((($"doc_id" % 28) + 1).cast("string"), 2, "0"),
+        lit("</lastmod></url>"))), ""),
+      lit("</urlset>")).as("xml"))
+    val entries = Sitemaps.entries(xml, "xml")
+    val crawlLog = docs.filter($"doc_id" % 2 === 0).select(
+      concat(lit("https://"), $"source", lit("/p/"), $"doc_id").as("loc"),
+      lit("2026-08-14").as("last_crawl"))
+    val plan = Frontier.recrawlPlan(entries, "loc", "lastmod",
+      crawlLog, "loc", "last_crawl", agedCutoff = "2026-08-01")
+    println(s"[demo] recrawl plan: ${
+      plan.filter($"action" === "fetch").count()} fetches of ${plan.count()} entries")
 
     // frontier wave 1: candidate URLs
     val frontier = docs.select($"doc_id", $"source".as("host"),
