@@ -108,8 +108,8 @@ object Robots {
   }
 
   /** Per-host `Crawl-delay` for the named agent, in milliseconds:
-    * exact-agent groups shadow `*` groups (the [[effectiveRules]]
-    * precedence), the largest delay at the winning precedence wins
+    * longest-matching-agent groups win (the [[effectiveRules]]
+    * precedence), the largest delay at the winning length wins
     * (conservative when several groups conflict), non-numeric values
     * drop. Seconds may be fractional (`0.5`); ms = value × 1000 in one
     * IEEE multiply. Hosts with no parsed delay are ABSENT — the
@@ -117,7 +117,6 @@ object Robots {
     */
   def crawlDelays(robots: DataFrame, hostCol: String, txtCol: String,
       agent: String): DataFrame = {
-    val a = agent.toLowerCase
     val grouped = directives(robots, hostCol, txtCol).filter(col("grp") > 0)
     val delays = grouped
       .filter(col("__key") === "crawl-delay" &&
@@ -125,30 +124,47 @@ object Robots {
       .select(col("__host"), col("grp"),
         (col("__val").cast("double") * 1000.0).cast("long").as("delay_ms"))
     val t = agentsOf(grouped)
-      .filter(col("agent") === a || col("agent") === "*")
+      .withColumn("__mlen", matchLen(agent.toLowerCase))
+      .filter(col("__mlen") >= 0)
       .join(delays, Seq("__host", "grp"))
     val hostPrec = t.groupBy(col("__host"))
-      .agg(max((col("agent") === a).cast("int")).as("__hasExact"))
+      .agg(max(col("__mlen")).as("__best"))
     t.join(hostPrec, Seq("__host"))
-      .filter((col("agent") === a) === (col("__hasExact") === 1))
+      .filter(col("__mlen") === col("__best"))
       .groupBy(col("__host"))
       .agg(max(col("delay_ms")).as("delay_ms"))
       .withColumnRenamed("__host", hostCol)
   }
 
-  /** The rule set the named agent actually obeys per host: exact-token
-    * groups when the host has any, else `*` groups, all groups at the
-    * winning precedence combined, duplicates collapsed.
+  /** Matched-token length of a group agent against the caller's
+    * token: exact match, or a token-boundary prefix (caller
+    * `googlebot-news` obeys a `googlebot` group — the most-specific-
+    * match rule of RFC 9309 §2.2.1 / Google's matcher; the boundary
+    * `-` keeps `goo` from matching `googlebot`). `*` matches
+    * everything at length 0; non-matches are −1.
+    */
+  private def matchLen(callerLower: String) =
+    when(col("agent") === callerLower ||
+        lit(callerLower).startsWith(concat(col("agent"), lit("-"))),
+      length(col("agent")).cast("long"))
+      .when(col("agent") === "*", 0L)
+      .otherwise(-1L)
+
+  /** The rule set the named agent actually obeys per host: the groups
+    * with the LONGEST matching agent token win (exact beats prefix
+    * beats `*` — `*` only when nothing names the caller); all groups
+    * at the winning length combine (the RFC merge rule), duplicates
+    * collapse.
     */
   def effectiveRules(robots: DataFrame, hostCol: String, txtCol: String,
       agent: String): DataFrame = {
-    val a = agent.toLowerCase
     val t = ruleTable(robots, hostCol, txtCol)
-      .filter(col("agent") === a || col("agent") === "*")
+      .withColumn("__mlen", matchLen(agent.toLowerCase))
+      .filter(col("__mlen") >= 0)
     val hostPrec = t.groupBy(col(hostCol))
-      .agg(max((col("agent") === a).cast("int")).as("__hasExact"))
+      .agg(max(col("__mlen")).as("__best"))
     t.join(hostPrec, Seq(hostCol))
-      .filter((col("agent") === a) === (col("__hasExact") === 1))
+      .filter(col("__mlen") === col("__best"))
       .select(col(hostCol), col("path"), col("allow"))
       .distinct()
   }

@@ -1898,17 +1898,17 @@ object TextOps {
         |  SELECT host, grp, val AS path,
         |         CASE WHEN key = 'allow' THEN 1 ELSE 0 END AS allow
         |  FROM gg WHERE key IN ('allow', 'disallow') AND length(val) > 0 AND grp > 0),
-        |rt AS (
-        |  SELECT a.host, a.agent, r.path, r.allow
-        |  FROM agents a JOIN rules r ON a.host = r.host AND a.grp = r.grp
-        |  WHERE a.agent IN ('graftbot', '*')),
-        |prec AS (
-        |  SELECT host, MAX(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_exact
-        |  FROM rt GROUP BY host),
+        |rt0 AS (
+        |  SELECT a.host, r.path, r.allow,
+        |    CASE WHEN a.agent = 'graftbot' OR starts_with('graftbot', a.agent || '-')
+        |         THEN CAST(length(a.agent) AS BIGINT)
+        |         WHEN a.agent = '*' THEN 0 ELSE -1 END AS mlen
+        |  FROM agents a JOIN rules r ON a.host = r.host AND a.grp = r.grp),
+        |rt AS (SELECT * FROM rt0 WHERE mlen >= 0),
+        |prec AS (SELECT host, MAX(mlen) AS best FROM rt GROUP BY host),
         |eff AS (
         |  SELECT DISTINCT rt.host, path, allow
-        |  FROM rt JOIN prec USING (host)
-        |  WHERE (CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) = has_exact),
+        |  FROM rt JOIN prec USING (host) WHERE mlen = best),
         |urls AS (
         |  SELECT doc_id, source AS host,
         |    CASE WHEN doc_id % 4 = 0 THEN '/private/area' || CAST(doc_id % 3 AS VARCHAR)
@@ -1967,17 +1967,17 @@ object TextOps {
         |  FROM gg
         |  WHERE key = 'crawl-delay' AND grp > 0
         |    AND regexp_matches(val, '^[0-9]+(\.[0-9]+)?$')),
-        |t AS (
-        |  SELECT a.host, a.agent, d.delay_ms
-        |  FROM agents a JOIN del d ON a.host = d.host AND a.grp = d.grp
-        |  WHERE a.agent IN ('graftbot', '*')),
-        |prec AS (
-        |  SELECT host, MAX(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS has_exact
-        |  FROM t GROUP BY host),
+        |t0 AS (
+        |  SELECT a.host, d.delay_ms,
+        |    CASE WHEN a.agent = 'graftbot' OR starts_with('graftbot', a.agent || '-')
+        |         THEN CAST(length(a.agent) AS BIGINT)
+        |         WHEN a.agent = '*' THEN 0 ELSE -1 END AS mlen
+        |  FROM agents a JOIN del d ON a.host = d.host AND a.grp = d.grp),
+        |t AS (SELECT * FROM t0 WHERE mlen >= 0),
+        |prec AS (SELECT host, MAX(mlen) AS best FROM t GROUP BY host),
         |eff AS (
         |  SELECT t.host, MAX(delay_ms) AS delay_ms
-        |  FROM t JOIN prec USING (host)
-        |  WHERE (CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) = has_exact
+        |  FROM t JOIN prec USING (host) WHERE mlen = best
         |  GROUP BY t.host),
         |urls AS (
         |  SELECT doc_id, source AS host, (doc_id * 7) % 101 AS priority

@@ -50,6 +50,31 @@ class RobotsSpec extends SparkSpec {
     assert(star == Set(("h1", "/a", 0), ("h1", "/a/ok", 1)))
   }
 
+  test("effectiveRules: longest token-boundary prefix wins (googlebot-news rule)") {
+    val txt =
+      """User-agent: *
+        |Disallow: /star
+        |User-agent: mybot
+        |Disallow: /base
+        |User-agent: mybot-news
+        |Disallow: /news
+        |""".stripMargin
+    val r = Seq(("h", txt)).toDF("host", "txt")
+    def eff(caller: String) =
+      Robots.effectiveRules(r, "host", "txt", caller)
+        .as[(String, String, Int)].collect().map(_._2).toSet
+    assert(eff("MyBot-News") == Set("/news"), "exact beats shorter prefix")
+    assert(eff("mybot-news-eu") == Set("/news"), "longest prefix wins")
+    assert(eff("mybot-video") == Set("/base"), "prefix group when no exact")
+    assert(eff("my") == Set("/star"), "'my' is NOT under 'mybot' — boundary")
+    assert(eff("mybotx") == Set("/star"), "no token boundary, no match")
+    // crawlDelays uses the same precedence
+    val dtxt = "User-agent: *\nCrawl-delay: 9\nUser-agent: mybot\nCrawl-delay: 1\n"
+    val d = Robots.crawlDelays(Seq(("h", dtxt)).toDF("host", "txt"),
+      "host", "txt", "mybot-news").as[(String, Long)].collect().toMap
+    assert(d("h") == 1000L, "prefix group's delay, not *'s")
+  }
+
   test("allowed: longest prefix wins, Allow wins ties, no match allows") {
     val urls = Seq(
       (1L, "h1", "/b/page"),      // /b disallow
