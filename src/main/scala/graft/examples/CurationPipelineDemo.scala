@@ -103,7 +103,8 @@ object CurationPipelineDemo {
     // boilerplate prefixes, partial overlaps) becomes a per-doc
     // sampling weight the trainer can consume instead of a drop
     val softW = CurationOps.softDedupWeights(deduped, "doc_id", "text", n = 3)
-      .agg(min($"weight").as("min_w"), avg($"weight").as("avg_w"))
+      .select(($"weight_e9".cast("double") / 1e9).as("w"))
+      .agg(min($"w").as("min_w"), avg($"w").as("avg_w"))
       .as[(Double, Double)].head()
 
     // 3c. per-domain budget (the FineWeb cap): synthesize each doc's

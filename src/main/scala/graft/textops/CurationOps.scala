@@ -289,15 +289,19 @@ object CurationOps {
     * raise it on the shared prefix only — the graded signal hard dedup
     * (q11/q81) collapses to a binary.
     *
-    * Emits `(id, n_shingles, sum_df, commonness = sum_df/n_shingles,
-    * weight = n_shingles/sum_df)`; the exact-integer columns
-    * (`n_shingles`, `sum_df`) are the correctness carriers, and both
-    * emitted ratios are quantized at 9 digits (the q132/q76
-    * rounded-emission discipline: even single IEEE divisions of exact
-    * integers have proven non-portable across engine toolchains on
-    * some boxes, so no gate emits a raw float). A fully unique
-    * document has commonness 1.0 / weight 1.0; weight is the
-    * reciprocal, bounded into (0, 1].
+    * Emits `(id, n_shingles, sum_df, commonness_e9 = sum_df*1e9 div
+    * n_shingles, weight_e9 = n_shingles*1e9 div sum_df)` — ALL-LONG
+    * columns. The ratios are scaled-integer (nano) fixed-point, pure
+    * 64-bit integer division on both engines (Spark `div`, DuckDB
+    * `//`): the r8 attempt quantized doubles with `round(x, 9)` and
+    * stayed driver-red because `ROUND(DOUBLE, 9)` itself is not
+    * portable across DuckDB versions (float-multiply+rint in some,
+    * exact decimal in others) and never equals Spark's BigDecimal
+    * HALF_UP by construction. Integer `+ * div` is the only
+    * cross-engine-pinned arithmetic, so the gate emits no floats at
+    * all. Range: sum_df ≤ ~10^7 at sf0.1, ×10^9 < 2^63. A fully
+    * unique document has commonness_e9 = weight_e9 = 1_000_000_000;
+    * weight_e9 is the reciprocal, in (0, 1e9].
     *
     * Scale shape (the q42 unigram-surprisal shape): distinct
     * (doc, shingle-hash) pairs → map-side-combined df aggregate →
@@ -320,10 +324,10 @@ object CurationOps {
     sh.join(dfreq, "h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sum_df"))
-      .withColumn("commonness",
-        round(col("sum_df").cast("double") / col("n_shingles").cast("double"), 9))
-      .withColumn("weight",
-        round(col("n_shingles").cast("double") / col("sum_df").cast("double"), 9))
+      .withColumn("commonness_e9",
+        expr("sum_df * CAST(1000000000 AS BIGINT) div n_shingles"))
+      .withColumn("weight_e9",
+        expr("n_shingles * CAST(1000000000 AS BIGINT) div sum_df"))
   }
 
   // ---- deterministic stratified sampling ---------------------------------

@@ -979,26 +979,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.forall { case (id, _, n) => copies(id).length == n })
   }
 
-  test("softDedupWeights: unique=1.0, exact dup halves, near-dup graded between") {
+  test("softDedupWeights: unique=1e9, exact dup halves, near-dup graded between") {
     val out = CurationOps.softDedupWeights(docs(
         1L -> "alpha bravo charlie delta echo",
         2L -> "alpha bravo charlie delta echo", // exact dup of 1
         3L -> "alpha bravo charlie golf hotel", // shares the prefix shingle
         4L -> "india juliet kilo lima mike"), // fully unique
       "doc_id", "text", n = 3)
-      .as[(Long, Long, Long, Double, Double)].collect()
+      .as[(Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     // docs 1/2: 3 shingles, each df 2 except "alpha bravo charlie" df 3.
-    // Emitted ratios carry the 9-digit quantization (r9: the q132
-    // rounded-emission discipline applied to the suite's one
-    // repeat-offender gate).
-    def q9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(out(1L) == ((3L, 7L, q9(7.0 / 3), q9(3.0 / 7))))
+    // Ratios emit as scaled-integer e9 columns via pure long division
+    // (r10: the only cross-engine-pinned arithmetic; round(x,9)
+    // doubles proved DuckDB-version-dependent on the driver).
+    def e9(num: Long, den: Long): Long = num * 1000000000L / den
+    assert(out(1L) == ((3L, 7L, e9(7, 3), e9(3, 7))))
     assert(out(1L) == out(2L))
     // doc 3: one shared shingle (df 3), two unique -> graded between
-    assert(out(3L) == ((3L, 5L, q9(5.0 / 3), q9(3.0 / 5))))
-    assert(out(4L) == ((3L, 3L, 1.0, 1.0)))
+    assert(out(3L) == ((3L, 5L, e9(5, 3), e9(3, 5))))
+    assert(out(4L) == ((3L, 3L, 1000000000L, 1000000000L)))
     assert(out(4L)._4 > out(3L)._4 && out(3L)._4 > out(1L)._4)
   }
 
@@ -1006,10 +1005,10 @@ class CurationOpsSpec extends SparkSpec {
     val out = CurationOps.softDedupWeights(docs(
         1L -> "alpha bravo", 2L -> "alpha bravo", 3L -> "charlie"),
       "doc_id", "text", n = 3)
-      .as[(Long, Long, Long, Double, Double)].collect()
+      .as[(Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._5))).toMap
-    assert(out(1L) == ((1L, 0.5)) && out(2L) == ((1L, 0.5)))
-    assert(out(3L) == ((1L, 1.0)))
+    assert(out(1L) == ((1L, 500000000L)) && out(2L) == ((1L, 500000000L)))
+    assert(out(3L) == ((1L, 1000000000L)))
   }
 
   test("importanceWeights with an empty target degrades to the uniform prior") {

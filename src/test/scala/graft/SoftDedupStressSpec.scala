@@ -12,9 +12,11 @@ import org.apache.spark.sql.DataFrame
   * bit-identical result hash every time. Doubles are hashed via
   * `doubleToLongBits`, so even a last-ulp drift between runs fails.
   *
-  * Also pins the round-9 quantization contract: both emitted ratio
-  * columns equal `round(integer ratio, 9)` exactly (the q132/q76
-  * rounded-emission discipline — no gate emits a raw libm/IEEE value).
+  * Also pins the round-10 emission contract: the gate is ALL-LONG —
+  * both ratio columns are scaled-integer e9 values from pure 64-bit
+  * integer division (round(x,9) doubles proved DuckDB-version-
+  * dependent in the driver's oracle; integer `div` is the only
+  * cross-engine-pinned arithmetic).
   */
 class SoftDedupStressSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
@@ -54,20 +56,19 @@ class SoftDedupStressSpec extends SparkSpec {
     }
   }
 
-  test("q89 emitted ratios are exactly the 9-digit quantization of the integer columns") {
+  test("q89 emitted ratios are exactly the e9 integer division of the integer columns") {
     import spark.implicits._
     val rows = run("q89_soft_dedup_weights")
       .select($"n_shingles".cast("long"), $"sum_df".cast("long"),
-        $"commonness", $"weight")
-      .as[(Long, Long, Double, Double)].collect()
+        $"commonness_e9", $"weight_e9")
+      .as[(Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (n, s, c, w) =>
-      val expC = BigDecimal(s.toDouble / n.toDouble)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val expW = BigDecimal(n.toDouble / s.toDouble)
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(c == expC, s"commonness not quantized: $c vs $expC (n=$n sum=$s)")
-      assert(w == expW, s"weight not quantized: $w vs $expW (n=$n sum=$s)")
+      assert(c == s * 1000000000L / n, s"commonness_e9 mismatch (n=$n sum=$s): $c")
+      assert(w == n * 1000000000L / s, s"weight_e9 mismatch (n=$n sum=$s): $w")
+      // gate schema is all-LONG by construction: no float column exists
     }
+    val types = run("q89_soft_dedup_weights").schema.fields.map(_.dataType.typeName).toSet
+    assert(types == Set("long"), s"q89 must be all-LONG, got $types")
   }
 }
