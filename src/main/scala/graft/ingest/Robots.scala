@@ -17,13 +17,21 @@ import org.apache.spark.sql.functions._
   *   - Agent selection per host: groups naming the caller's token
   *     exactly (case-insensitive) win; hosts with no exact group fall
   *     back to `*` groups. ALL groups at the winning precedence
-  *     combine (the RFC 9309 merge rule).
-  *   - Path decision: matching rules are PREFIX matches (no `*`/`$`
-  *     wildcards in this subset — a deployment widens the match
-  *     expression behind the same shape); the LONGEST matching path
-  *     wins, `Allow` wins length ties, no match ⇒ allowed, and an
-  *     empty `Disallow:` value means allow-all (it contributes no
-  *     rule).
+  *     combine (the RFC 9309 merge rule). Precedence is computed over
+  *     EVERY matching group — rule-bearing or not — so a group that
+  *     names the caller but carries no Allow/Disallow (say, only a
+  *     `Crawl-delay`) still wins, and its empty rule set means
+  *     allow-all (RFC 9309 §2.2.1: `*` applies only when NO group
+  *     names the caller, never as a fallback past one that does).
+  *   - Path decision: RFC 9309 §2.2.3 pattern matches — `*` matches
+  *     any character run, a TRAILING `$` anchors at end-of-path (a
+  *     mid-pattern `$` is a literal), everything else is a literal
+  *     prefix match; the LONGEST matching pattern (its rule text
+  *     length, wildcards counted) wins, `Allow` wins length ties, no
+  *     match ⇒ allowed, and an empty `Disallow:` value means
+  *     allow-all (it contributes no rule). Wildcard-free rules keep
+  *     the codegen'd `startsWith` fast path; only rules that carry a
+  *     wildcard pay the regex.
   *
   * Scale shape: parsing is a per-host posexplode over the file's own
   * lines (robots files are KB-bounded by convention) with per-HOST
@@ -109,11 +117,16 @@ object Robots {
 
   /** Per-host `Crawl-delay` for the named agent, in milliseconds:
     * longest-matching-agent groups win (the [[effectiveRules]]
-    * precedence), the largest delay at the winning length wins
-    * (conservative when several groups conflict), non-numeric values
-    * drop. Seconds may be fractional (`0.5`); ms = value × 1000 in one
-    * IEEE multiply. Hosts with no parsed delay are ABSENT — the
-    * caller's default applies (the [[Frontier.schedule]] seam).
+    * precedence, computed over ALL matching groups — so a winning
+    * group WITHOUT a delay means no delay, never a fallback to `*`'s),
+    * the largest delay at the winning precedence wins (conservative
+    * when several winning groups conflict), non-numeric values drop.
+    * Seconds may be fractional (`0.5`); ms = round(value × 1000) —
+    * the rounding is EXPLICIT and mirrored in the oracle because a
+    * bare long cast truncates toward zero and an IEEE product like
+    * 2.9 × 1000 = 2899.999… would otherwise emit 2899 here and 2900
+    * there. Hosts whose winning groups carry no delay are ABSENT —
+    * the caller's default applies (the [[Frontier.schedule]] seam).
     */
   def crawlDelays(robots: DataFrame, hostCol: String, txtCol: String,
       agent: String): DataFrame = {
@@ -122,15 +135,9 @@ object Robots {
       .filter(col("__key") === "crawl-delay" &&
         col("__val").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .select(col("__host"), col("grp"),
-        (col("__val").cast("double") * 1000.0).cast("long").as("delay_ms"))
-    val t = agentsOf(grouped)
-      .withColumn("__mlen", matchLen(agent.toLowerCase))
-      .filter(col("__mlen") >= 0)
+        round(col("__val").cast("double") * 1000.0).cast("long").as("delay_ms"))
+    winningGroups(grouped, agent)
       .join(delays, Seq("__host", "grp"))
-    val hostPrec = t.groupBy(col("__host"))
-      .agg(max(col("__mlen")).as("__best"))
-    t.join(hostPrec, Seq("__host"))
-      .filter(col("__mlen") === col("__best"))
       .groupBy(col("__host"))
       .agg(max(col("delay_ms")).as("delay_ms"))
       .withColumnRenamed("__host", hostCol)
@@ -150,40 +157,88 @@ object Robots {
       .when(col("agent") === "*", 0L)
       .otherwise(-1L)
 
+  /** Per-host winning (host, grp) set for the named agent: precedence
+    * computed from the agent headers of EVERY group — rule-bearing or
+    * not — so a caller-named group holding only a `Crawl-delay` still
+    * shadows `*` (the r9 ADVICE finding: deriving precedence from the
+    * rule table silently handed such callers the `*` rules).
+    */
+  private def winningGroups(grouped: DataFrame, agent: String): DataFrame = {
+    val am = agentsOf(grouped)
+      .withColumn("__mlen", matchLen(agent.toLowerCase))
+      .filter(col("__mlen") >= 0)
+    val hostPrec = am.groupBy(col("__host"))
+      .agg(max(col("__mlen")).as("__best"))
+    am.join(hostPrec, Seq("__host"))
+      .filter(col("__mlen") === col("__best"))
+      .select(col("__host"), col("grp"))
+      .distinct()
+  }
+
   /** The rule set the named agent actually obeys per host: the groups
     * with the LONGEST matching agent token win (exact beats prefix
-    * beats `*` — `*` only when nothing names the caller); all groups
-    * at the winning length combine (the RFC merge rule), duplicates
+    * beats `*` — `*` only when nothing names the caller, even when
+    * the caller's group carries no path rules: that winning-but-empty
+    * group means allow-all, not a fallback); all groups at the
+    * winning length combine (the RFC merge rule), duplicates
     * collapse.
     */
   def effectiveRules(robots: DataFrame, hostCol: String, txtCol: String,
       agent: String): DataFrame = {
-    val t = ruleTable(robots, hostCol, txtCol)
-      .withColumn("__mlen", matchLen(agent.toLowerCase))
-      .filter(col("__mlen") >= 0)
-    val hostPrec = t.groupBy(col(hostCol))
-      .agg(max(col("__mlen")).as("__best"))
-    t.join(hostPrec, Seq(hostCol))
-      .filter(col("__mlen") === col("__best"))
-      .select(col(hostCol), col("path"), col("allow"))
+    val grouped = directives(robots, hostCol, txtCol).filter(col("grp") > 0)
+    val rules = grouped
+      .filter(col("__key").isin("allow", "disallow") && length(col("__val")) > 0)
+      .select(col("__host"), col("grp"), col("__val").as("path"),
+        (col("__key") === "allow").cast("int").as("allow"))
+    winningGroups(grouped, agent)
+      .join(rules, Seq("__host", "grp"))
+      .select(col("__host").as(hostCol), col("path"), col("allow"))
       .distinct()
+  }
+
+  /** RFC 9309 §2.2.3 pattern columns for a rule-path column: `__wild`
+    * (does the rule need the regex path at all), and `__rx` — the
+    * anchored regex equivalent: a trailing `$` becomes the end
+    * anchor, every regex metacharacter in the body is escaped, `*`
+    * becomes `.*`, and the whole pattern is start-anchored (robots
+    * matches always bind at the path's first byte). Built once per
+    * RULE row — never per URL — and the identical construction is
+    * mirrored verbatim in the DuckDB oracle, so both engines match
+    * through the same generated regex.
+    */
+  private def patternCols(df: DataFrame, pathCol: String): DataFrame = {
+    val p = col(pathCol)
+    val anchored = p.endsWith("$")
+    val body = when(anchored, p.substr(lit(1), length(p) - 1)).otherwise(p)
+    val esc = regexp_replace(body, "([.^$+?()\\[\\]{}|\\\\])", "\\\\$1")
+    df.withColumn("__wild", p.contains("*") || anchored)
+      .withColumn("__rx",
+        concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+          when(anchored, lit("$")).otherwise(lit(""))))
   }
 
   /** Per-URL admission under [[effectiveRules]]: emits every URL row
     * with `allowed` and the winning `rule` path (null when no rule
-    * matched — allowed by default). `urls` needs a unique id column
-    * (the min-struct tiebreak also orders on the rule path, so the
-    * output is deterministic even under duplicate ids).
+    * matched — allowed by default). Wildcard-free rules match via the
+    * codegen'd `startsWith`; rules carrying `*`/`$` go through the
+    * generated regex ([[patternCols]]). Longest rule TEXT wins
+    * (wildcards counted — the Googlebot/RFC specificity convention),
+    * `Allow` wins ties. `urls` needs a unique id column (the
+    * max-struct tiebreak also orders on the rule path, so the output
+    * is deterministic even under duplicate ids).
     */
   def allowed(urls: DataFrame, idCol: String, urlHostCol: String,
       pathCol: String, robots: DataFrame, robotsHostCol: String,
       txtCol: String, agent: String): DataFrame = {
-    val rules = effectiveRules(robots, robotsHostCol, txtCol, agent)
-      .withColumnRenamed(robotsHostCol, "__rhost")
-      .withColumnRenamed("path", "__rpath")
+    val rules = patternCols(
+      effectiveRules(robots, robotsHostCol, txtCol, agent)
+        .withColumnRenamed(robotsHostCol, "__rhost")
+        .withColumnRenamed("path", "__rpath"),
+      "__rpath")
     val hits = urls
-      .join(rules, urls(urlHostCol) === col("__rhost") &&
-        urls(pathCol).startsWith(col("__rpath")))
+      .join(rules, urls(urlHostCol) === col("__rhost") && (
+        (!col("__wild") && urls(pathCol).startsWith(col("__rpath"))) ||
+        (col("__wild") && regexp_like(urls(pathCol), col("__rx")))))
       .groupBy(col(idCol))
       .agg(max(struct(length(col("__rpath")).as("l"), col("allow").as("a"),
         col("__rpath").as("p"))).as("__win"))

@@ -56,6 +56,9 @@ object TextOps {
       when($"doc_id" % 6 === 0,
         concat(lit("<A HREF=\"HTTP://UP"), ($"doc_id" % 2).cast("string"),
           lit(".TEST/x\">c</A>"))).otherwise(lit("")),
+      // attribute merely ENDING in href — not an edge (boundary pin)
+      when($"doc_id" % 9 === 0,
+        lit("<a data-href=\"/decoy\">d</a>")).otherwise(lit("")),
       lit("</body></html>"))
     docsParallel(s, dir).select($"doc_id", page.as("page"))
   }
@@ -71,10 +74,11 @@ object TextOps {
       |    CASE WHEN doc_id % 4 = 0 THEN '<a href="#top">top</a>' ELSE '' END ||
       |    CASE WHEN doc_id % 7 = 0 THEN '<a href="mailto:a@b.test">m</a>' ELSE '' END ||
       |    CASE WHEN doc_id % 6 = 0 THEN '<A HREF="HTTP://UP' || CAST(doc_id % 2 AS VARCHAR) || '.TEST/x">c</A>' ELSE '' END ||
+      |    CASE WHEN doc_id % 9 = 0 THEN '<a data-href="/decoy">d</a>' ELSE '' END ||
       |    '</body></html>' AS page
       |  FROM documents),
       |e AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(page, '(?is)<a\s[^>]*?href="([^"#]*)', 1)) AS href
+      |  SELECT doc_id, unnest(regexp_extract_all(page, '(?is)<a\s(?:[^>]*?\s)?href="([^"#]*)', 1)) AS href
       |  FROM aug),
       |f AS (
       |  SELECT doc_id, href FROM e
@@ -743,20 +747,29 @@ object TextOps {
 
     // ---- robots.txt admission: per-host policies (a `*` group for
     // everyone; even-length hosts add an exact GraftBot group that
-    // SHADOWS the `*` rules — the RFC precedence trap), candidate
-    // paths exercising prefix longest-match with Allow tie wins, an
-    // unreachable pre-group rule, a comment, an unsupported key, and
-    // an empty Disallow. Per-host windows; URL decision is one
-    // host-keyed join + min-struct rollup.
+    // SHADOWS the `*` rules — the RFC precedence trap; odd-length
+    // hosts ending in 3/5 add a GraftBot group with ONLY a
+    // Crawl-delay — a winning group with no path rules means
+    // allow-all, never a fallback to `*`, the r9 ADVICE case),
+    // candidate paths exercising longest-match with Allow tie wins,
+    // RFC 9309 `*`/`$` pattern rules (mid-pattern wildcard, end
+    // anchor, and a literal-vs-wildcard length tie), an unreachable
+    // pre-group rule, a comment, an unsupported key, and an empty
+    // Disallow. Per-host windows; URL decision is one host-keyed
+    // join + max-struct rollup.
     "q150_robots_admission" -> { (s, dir) =>
       import s.implicits._
       val robots = Tables.load(s, dir, "documents").select($"source").distinct()
         .select($"source".as("host"), concat(
-          lit("Disallow: /early\n# policy\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 5\n"),
+          lit("Disallow: /early\n# policy\nUser-agent: *\nDisallow: /private\nAllow: /private/area1$\nAllow: /private/ok\nDisallow: /pub/*2$\nCrawl-delay: 5\n"),
           // the exact group ships CRLF (a mixed-endings file — the
           // wild-robots norm the \r?\n split must absorb)
           when(length($"source") % 2 === 0,
-            lit("\r\nUser-agent: GraftBot\r\nUser-agent: otherbot\r\nDisallow: /p/9\r\nAllow: /p/91\r\nDisallow:\r\n"))
+            lit("\r\nUser-agent: GraftBot\r\nUser-agent: otherbot\r\nDisallow: /p/9\r\nAllow: /p/91\r\nDisallow: /p/*1\r\nDisallow:\r\n"))
+            .otherwise(lit("")),
+          when(length($"source") % 2 === 1 &&
+              ($"source".endsWith("3") || $"source".endsWith("5")),
+            lit("\nUser-agent: GraftBot\nCrawl-delay: 4\n"))
             .otherwise(lit(""))).as("txt"))
       val urls = docsParallel(s, dir).select($"doc_id",
         $"source".as("host"),
@@ -777,7 +790,10 @@ object TextOps {
 
     // ---- politeness fetch schedule (q150's companion): Crawl-delay
     // parsed from per-host robots (exact group 0.5 s shadows the
-    // star group's 2 s; hosts ending in 7 carry no star delay → the
+    // star group's 2 s; hosts ending in 3 carry a FRACTIONAL star
+    // delay 2.9 whose IEEE ×1000 product is 2899.999… — the explicit
+    // round() both engines now share must emit 2900, the r9 ADVICE
+    // truncation trap; hosts ending in 7 carry no star delay → the
     // caller default), then per-host FIFO slots by priority with a
     // per-host budget — slot × delay politeness offsets.
     "q152_fetch_schedule" -> { (s, dir) =>
@@ -785,7 +801,9 @@ object TextOps {
       val robots = Tables.load(s, dir, "documents").select($"source").distinct()
         .select($"source".as("host"), concat(
           lit("User-agent: *\nDisallow: /private\n"),
-          when(!$"source".endsWith("7"), lit("Crawl-delay: 2\n")).otherwise(lit("")),
+          when($"source".endsWith("3"), lit("Crawl-delay: 2.9\n"))
+            .when(!$"source".endsWith("7"), lit("Crawl-delay: 2\n"))
+            .otherwise(lit("")),
           when(length($"source") % 2 === 0,
             lit("\nUser-agent: GraftBot\nCrawl-delay: 0.5\n")).otherwise(lit("")))
           .as("txt"))
@@ -1884,19 +1902,28 @@ object TextOps {
 
     // robots mirror: identical policy synthesis, the same parse chain
     // (comment strip, key/value regexes, LAG/SUM group numbering,
-    // pre-group drop), precedence via has_exact, longest-match with
-    // Allow tie via ROW_NUMBER (l DESC, allow DESC, path DESC — the
-    // struct-max direction)
+    // pre-group drop), precedence from the agent headers of ALL
+    // groups (rule-bearing or not — the winning-but-empty group is
+    // allow-all), the same generated RFC 9309 pattern regexes
+    // (trailing $ → anchor, metas escaped, * → .*), longest-match
+    // with Allow tie via ROW_NUMBER (l DESC, allow DESC, path DESC —
+    // the struct-max direction)
     "q150_robots_admission" ->
       """WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
         |rob AS (
         |  SELECT host,
         |    'Disallow: /early' || chr(10) || '# policy' || chr(10) ||
         |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
-        |    'Allow: /private/ok' || chr(10) || 'Crawl-delay: 5' || chr(10) ||
+        |    'Allow: /private/area1$' || chr(10) ||
+        |    'Allow: /private/ok' || chr(10) ||
+        |    'Disallow: /pub/*2$' || chr(10) || 'Crawl-delay: 5' || chr(10) ||
         |    CASE WHEN length(host) % 2 = 0 THEN
         |      chr(13) || chr(10) || 'User-agent: GraftBot' || chr(13) || chr(10) || 'User-agent: otherbot' || chr(13) || chr(10) ||
-        |      'Disallow: /p/9' || chr(13) || chr(10) || 'Allow: /p/91' || chr(13) || chr(10) || 'Disallow:' || chr(13) || chr(10)
+        |      'Disallow: /p/9' || chr(13) || chr(10) || 'Allow: /p/91' || chr(13) || chr(10) ||
+        |      'Disallow: /p/*1' || chr(13) || chr(10) || 'Disallow:' || chr(13) || chr(10)
+        |    ELSE '' END ||
+        |    CASE WHEN length(host) % 2 = 1 AND (host LIKE '%3' OR host LIKE '%5') THEN
+        |      chr(10) || 'User-agent: GraftBot' || chr(10) || 'Crawl-delay: 4' || chr(10)
         |    ELSE '' END AS txt
         |  FROM hosts),
         |p AS (SELECT host, string_split_regex(txt, '\r?\n') AS parts FROM rob),
@@ -1926,17 +1953,30 @@ object TextOps {
         |  SELECT host, grp, val AS path,
         |         CASE WHEN key = 'allow' THEN 1 ELSE 0 END AS allow
         |  FROM gg WHERE key IN ('allow', 'disallow') AND length(val) > 0 AND grp > 0),
-        |rt0 AS (
-        |  SELECT a.host, r.path, r.allow,
-        |    CASE WHEN a.agent = 'graftbot' OR starts_with('graftbot', a.agent || '-')
-        |         THEN CAST(length(a.agent) AS BIGINT)
-        |         WHEN a.agent = '*' THEN 0 ELSE -1 END AS mlen
-        |  FROM agents a JOIN rules r ON a.host = r.host AND a.grp = r.grp),
-        |rt AS (SELECT * FROM rt0 WHERE mlen >= 0),
-        |prec AS (SELECT host, MAX(mlen) AS best FROM rt GROUP BY host),
+        |am AS (
+        |  SELECT host, grp,
+        |    CASE WHEN agent = 'graftbot' OR starts_with('graftbot', agent || '-')
+        |         THEN CAST(length(agent) AS BIGINT)
+        |         WHEN agent = '*' THEN 0 ELSE -1 END AS mlen
+        |  FROM agents),
+        |amv AS (SELECT * FROM am WHERE mlen >= 0),
+        |prec AS (SELECT host, MAX(mlen) AS best FROM amv GROUP BY host),
+        |winners AS (
+        |  SELECT DISTINCT amv.host, grp
+        |  FROM amv JOIN prec USING (host) WHERE mlen = best),
         |eff AS (
-        |  SELECT DISTINCT rt.host, path, allow
-        |  FROM rt JOIN prec USING (host) WHERE mlen = best),
+        |  SELECT DISTINCT w.host, r.path, r.allow
+        |  FROM winners w JOIN rules r ON w.host = r.host AND w.grp = r.grp),
+        |effr AS (
+        |  SELECT host, path, allow,
+        |    (path LIKE '%*%' OR path LIKE '%$') AS wild,
+        |    '^' ||
+        |    regexp_replace(regexp_replace(
+        |      CASE WHEN path LIKE '%$' THEN substr(path, 1, length(path) - 1)
+        |           ELSE path END,
+        |      '([.^$+?()\[\]{}|\\])', '\\\1', 'g'), '\*', '.*', 'g') ||
+        |    CASE WHEN path LIKE '%$' THEN '$' ELSE '' END AS rx
+        |  FROM eff),
         |urls AS (
         |  SELECT doc_id, source AS host,
         |    CASE WHEN doc_id % 4 = 0 THEN '/private/area' || CAST(doc_id % 3 AS VARCHAR)
@@ -1948,21 +1988,27 @@ object TextOps {
         |  SELECT doc_id, e.allow, e.path AS rule,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
         |      ORDER BY length(e.path) DESC, e.allow DESC, e.path DESC) AS rn
-        |  FROM urls u JOIN eff e ON u.host = e.host AND starts_with(u.path, e.path)),
+        |  FROM urls u JOIN effr e ON u.host = e.host AND
+        |    ((NOT e.wild AND starts_with(u.path, e.path)) OR
+        |     (e.wild AND regexp_matches(u.path, e.rx)))),
         |w AS (SELECT doc_id, allow, rule FROM m WHERE rn = 1)
         |SELECT u.doc_id, u.host, u.path,
         |  CASE WHEN w.allow IS NULL THEN 1 ELSE w.allow END AS allowed, w.rule
         |FROM urls u LEFT JOIN w USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // fetch-schedule mirror: the q150 parse chain with crawl-delay
-    // rows, exact-over-* delay precedence (max at winning precedence),
+    // rows, delay precedence from the agent headers of ALL groups
+    // (the effectiveRules rule), ms = round(val*1000) — explicit on
+    // both engines (truncation would emit 2899 for the 2.9 fixture),
     // then the per-host ROW_NUMBER slot assignment under the budget
     "q152_fetch_schedule" ->
       """WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
         |rob AS (
         |  SELECT host,
         |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
-        |    CASE WHEN host NOT LIKE '%7' THEN 'Crawl-delay: 2' || chr(10) ELSE '' END ||
+        |    CASE WHEN host LIKE '%3' THEN 'Crawl-delay: 2.9' || chr(10)
+        |         WHEN host NOT LIKE '%7' THEN 'Crawl-delay: 2' || chr(10)
+        |         ELSE '' END ||
         |    CASE WHEN length(host) % 2 = 0
         |         THEN chr(10) || 'User-agent: GraftBot' || chr(10) || 'Crawl-delay: 0.5' || chr(10)
         |         ELSE '' END AS txt
@@ -1991,22 +2037,26 @@ object TextOps {
         |  FROM g),
         |agents AS (SELECT host, grp, lower(val) AS agent FROM gg WHERE is_ua = 1 AND grp > 0),
         |del AS (
-        |  SELECT host, grp, CAST(CAST(val AS DOUBLE) * 1000.0 AS BIGINT) AS delay_ms
+        |  SELECT host, grp,
+        |    CAST(round(CAST(val AS DOUBLE) * 1000.0) AS BIGINT) AS delay_ms
         |  FROM gg
         |  WHERE key = 'crawl-delay' AND grp > 0
         |    AND regexp_matches(val, '^[0-9]+(\.[0-9]+)?$')),
-        |t0 AS (
-        |  SELECT a.host, d.delay_ms,
-        |    CASE WHEN a.agent = 'graftbot' OR starts_with('graftbot', a.agent || '-')
-        |         THEN CAST(length(a.agent) AS BIGINT)
-        |         WHEN a.agent = '*' THEN 0 ELSE -1 END AS mlen
-        |  FROM agents a JOIN del d ON a.host = d.host AND a.grp = d.grp),
-        |t AS (SELECT * FROM t0 WHERE mlen >= 0),
-        |prec AS (SELECT host, MAX(mlen) AS best FROM t GROUP BY host),
+        |am AS (
+        |  SELECT host, grp,
+        |    CASE WHEN agent = 'graftbot' OR starts_with('graftbot', agent || '-')
+        |         THEN CAST(length(agent) AS BIGINT)
+        |         WHEN agent = '*' THEN 0 ELSE -1 END AS mlen
+        |  FROM agents),
+        |amv AS (SELECT * FROM am WHERE mlen >= 0),
+        |prec AS (SELECT host, MAX(mlen) AS best FROM amv GROUP BY host),
+        |winners AS (
+        |  SELECT DISTINCT amv.host, grp
+        |  FROM amv JOIN prec USING (host) WHERE mlen = best),
         |eff AS (
-        |  SELECT t.host, MAX(delay_ms) AS delay_ms
-        |  FROM t JOIN prec USING (host) WHERE mlen = best
-        |  GROUP BY t.host),
+        |  SELECT w.host, MAX(d.delay_ms) AS delay_ms
+        |  FROM winners w JOIN del d ON w.host = d.host AND w.grp = d.grp
+        |  GROUP BY w.host),
         |urls AS (
         |  SELECT doc_id, source AS host, (doc_id * 7) % 101 AS priority
         |  FROM documents),

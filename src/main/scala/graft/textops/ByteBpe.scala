@@ -118,15 +118,24 @@ object ByteBpe {
     var exhausted = false
     while (merges < numMerges && !exhausted) {
       // best pair: highest count (>= minFreq), then
-      // lexicographically-least concatenated bytes
+      // lexicographically-least concatenated bytes, then least
+      // (left id, right id) — the final tiebreak matters when two
+      // DISTINCT pairs concatenate to identical bytes (('a','bc') vs
+      // ('ab','c') both → 'abc'): without it the winner would follow
+      // mutable.Map iteration order and the whole downstream
+      // vocabulary with it (the r9 ADVICE determinism hole)
       var best: (Int, Int) = null
       var bestCount = 0L
       var bestBytes: Array[Byte] = null
+      def pairLess(a: (Int, Int), b: (Int, Int)): Boolean =
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
       pairCount.foreach { case (p, c) =>
         if (c >= minFreq && c >= bestCount) {
           val bytes = tokens(p._1) ++ tokens(p._2)
           if (best == null || c > bestCount ||
-              (c == bestCount && unsignedLess(bytes, bestBytes))) {
+              (c == bestCount && unsignedLess(bytes, bestBytes)) ||
+              (c == bestCount && java.util.Arrays.equals(bytes, bestBytes) &&
+                pairLess(p, best))) {
             best = p; bestCount = c; bestBytes = bytes
           }
         }

@@ -502,11 +502,15 @@ object TextAnalysis {
   /** Href pattern [[outlinkEdges]] extracts (group 1 = the target up
     * to the closing quote or a fragment `#`) — RE2-parity: lazy
     * quantifier + literal classes, no backrefs, identical under Java
-    * regex and DuckDB's RE2. Double-quoted hrefs only (the normalized
-    * form the q135-q137 front door emits); a production crawler widens
-    * the quote class behind the same shape.
+    * regex and DuckDB's RE2. The attribute name requires a preceding
+    * whitespace boundary (`<a\s(?:[^>]*?\s)?href=`), so an attribute
+    * that merely ENDS in "href" (`<a data-href="/x">` with no real
+    * href) is not an edge (the r9 ADVICE fidelity hole). Double-quoted
+    * hrefs only (the normalized form the q135-q137 front door emits);
+    * a production crawler widens the quote class behind the same
+    * shape.
     */
-  val HrefRe = "(?is)<a\\s[^>]*?href=\"([^\"#]*)"
+  val HrefRe = "(?is)<a\\s(?:[^>]*?\\s)?href=\"([^\"#]*)"
 
   /** Outlink (web-graph edge) extraction — the step between q135's
     * HTML strip and any link-based analysis (PageRank seeds, domain

@@ -17,14 +17,20 @@ class OutlinksEncodingSpec extends SparkSpec {
       (3L, """<A HREF="HTTP://UP.TEST/q">caps</A>"""),
       (4L, """<a href="javascript:void(0)">skip</a>"""),
       (5L, """<a class="n" href="https://a.test/x#sec">fragment strips</a>"""),
-      (6L, "no links here")).toDF("id", "page")
+      (6L, "no links here"),
+      // an attribute that merely ENDS in "href" is not an edge — the
+      // pattern requires a whitespace boundary before the name
+      (7L, """<a data-href="/decoy">no real href</a>"""),
+      (8L, """<a data-href="/decoy" href="https://b.test/r">real one kept</a>"""))
+      .toDF("id", "page")
     val out = TextAnalysis.outlinkEdges(pages, "id", "page")
       .as[(Long, String, Option[String], Int)].collect().toSeq.sorted
     assert(out == Seq(
       (1L, "/rel/p", None, 0),
       (1L, "https://a.test/x", Some("a.test"), 1),
       (3L, "HTTP://UP.TEST/q", Some("up.test"), 1),
-      (5L, "https://a.test/x", Some("a.test"), 1)))
+      (5L, "https://a.test/x", Some("a.test"), 1),
+      (8L, "https://b.test/r", Some("b.test"), 1)))
   }
 
   test("outlinkEdges: multiple links per page keep multiplicity") {

@@ -123,16 +123,74 @@ class RobotsSpec extends SparkSpec {
         |Crawl-delay: soon
         |""".stripMargin
     val robots = Seq(("h1", txt), ("h2", "User-agent: *\nCrawl-delay: 3\n"),
-      ("h3", "User-agent: *\nDisallow: /x\n")).toDF("host", "txt")
+      ("h3", "User-agent: *\nDisallow: /x\n"),
+      ("h4", "User-agent: *\nCrawl-delay: 2.9\n")).toDF("host", "txt")
     val d = Robots.crawlDelays(robots, "host", "txt", "MyBot")
       .as[(String, Long)].collect().toMap
     // exact groups shadow *; two exact groups conflict -> max(500, 1000)
     assert(d("h1") == 1000L)
     assert(d("h2") == 3000L, "star fallback")
     assert(!d.contains("h3"), "no delay parsed -> absent, caller default")
+    // 2.9 × 1000 = 2899.999… in IEEE — the explicit round() must emit
+    // 2900 (a bare long cast truncates to 2899, the r9 ADVICE trap)
+    assert(d("h4") == 2900L, "fractional delay rounds, never truncates")
     val junk = Robots.crawlDelays(robots, "host", "txt", "junk")
       .as[(String, Long)].collect().toMap
-    assert(junk("h1") == 2000L, "non-numeric exact delay drops -> star wins")
+    // the junk group NAMES the caller, so it wins precedence even
+    // though its delay value is garbage: no valid delay in the winning
+    // group means ABSENT (caller default) — never a fallback to *'s
+    // (precedence is computed over ALL matching groups, RFC 9309)
+    assert(!junk.contains("h1"),
+      "caller-named group with unparseable delay -> absent, not *'s")
+  }
+
+  test("a caller-named group with only Crawl-delay wins: allow-all, its delay") {
+    val txt = "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n" +
+      "User-agent: mybot\nCrawl-delay: 4\n"
+    val r = Seq(("h", txt)).toDF("host", "txt")
+    // the mybot group carries no Allow/Disallow: it still wins the
+    // agent precedence (RFC 9309 — * applies only when NO group names
+    // the caller), and an empty winning rule set means allow-all
+    assert(Robots.effectiveRules(r, "host", "txt", "MyBot").count() == 0)
+    val urls = Seq((1L, "h", "/private/x")).toDF("id", "host", "path")
+    val mine = Robots.allowed(urls, "id", "host", "path", r, "host", "txt", "MyBot")
+      .select($"allowed").as[Int].head()
+    assert(mine == 1, "winning empty group = allow-all, not *'s rules")
+    val d = Robots.crawlDelays(r, "host", "txt", "MyBot")
+      .as[(String, Long)].collect().toMap
+    assert(d("h") == 4000L, "the winning group's delay, not *'s")
+    // a stranger still falls back to the * group's rules
+    val stranger = Robots.allowed(urls, "id", "host", "path", r, "host", "txt", "stranger")
+      .select($"allowed").as[Int].head()
+    assert(stranger == 0)
+  }
+
+  test("allowed: RFC 9309 * and $ patterns — mid wildcard, end anchor, escaped metas") {
+    val txt = "User-agent: *\nDisallow: /p/*1\nDisallow: /*.php$\n" +
+      "Allow: /a/ok$\nDisallow: /a\nDisallow: /q.x*\n"
+    val r = Seq(("h", txt)).toDF("host", "txt")
+    val urls = Seq(
+      (1L, "h", "/p/31"),     // mid wildcard: ^/p/.*1 matches
+      (2L, "h", "/p/3"),      // no 1 after /p/ -> no match
+      (3L, "h", "/x/y.php"),  // /*.php$ anchors and matches
+      (4L, "h", "/x/y.phpx"), // anchor rejects the longer path
+      (5L, "h", "/a/ok"),     // Allow /a/ok$ (len 6) beats Disallow /a (len 2)
+      (6L, "h", "/a/okz"),    // anchor rejects the Allow; /a disallows
+      (7L, "h", "/q.xz"),     // /q.x* regex path: literal dot escaped
+      (8L, "h", "/qzxz"))     // the escaped dot must NOT match 'z'
+      .toDF("id", "host", "path")
+    val out = Robots.allowed(urls, "id", "host", "path", r, "host", "txt", "any")
+      .select($"id", $"allowed", $"rule")
+      .as[(Long, Int, Option[String])].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(out(1L) == ((0, Some("/p/*1"))))
+    assert(out(2L) == ((1, None)))
+    assert(out(3L) == ((0, Some("/*.php$"))))
+    assert(out(4L) == ((1, None)))
+    assert(out(5L) == ((1, Some("/a/ok$"))))
+    assert(out(6L) == ((0, Some("/a"))))
+    assert(out(7L) == ((0, Some("/q.x*"))))
+    assert(out(8L) == ((1, None)))
   }
 
   test("Frontier.schedule: per-host slots by priority, budget cap, default delay") {
