@@ -11,17 +11,20 @@ import org.apache.spark.sql.types.StructType
   * restart: state is on disk, not in the driver.
   *
   * Layout: `<path>/b<batchId>/` — ONE directory per committed
-  * micro-batch, holding that batch's NEW rows only, written with
-  * overwrite. Two properties follow:
+  * micro-batch, holding that batch's NEW rows only, published by
+  * temp-write + atomic rename ([[commit]]). Two properties follow:
   *
   *  - exactly-once ledger contents without a transaction log: a batch
-  *    replayed after a crash rewrites ITS OWN directory and touches
-  *    nothing else (the idempotent-foreachBatch sink discipline).
-  *    Writers must derive the committed rows deterministically from
-  *    (batch, ledger-excluding-this-batch) — the sessions here
-  *    anti-join the batch against [[load]] with `excludeBatch` set to
-  *    the current id, so a replay cannot read back its own partial
-  *    write;
+  *    directory either exists complete or not at all (a crashed
+  *    attempt leaves only a private temp), a replay publishes only
+  *    when its earlier attempt never did, and two writers racing the
+  *    SAME batch id resolve first-writer-wins with the loser aborting
+  *    clean (the idempotent-foreachBatch sink discipline, made safe
+  *    for concurrent drivers). Writers must derive the committed rows
+  *    deterministically from (batch, ledger-excluding-this-batch) —
+  *    the sessions here anti-join the batch against [[load]] with
+  *    `excludeBatch` set to the current id, so a replay recomputes
+  *    exactly what the winner published;
   *  - O(batch) commit cost: the ledger grows by one append per batch,
   *    never an O(corpus) rewrite — the property that makes a
   *    continuously-ingesting 100 TB corpus affordable. Readers union
@@ -117,9 +120,49 @@ object DurableLedger {
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
-  /** Overwrite-commit `rows` as batch `batchId`'s directory. */
-  def commit(rows: DataFrame, path: String, batchId: Long): Unit =
-    rows.write.mode("overwrite").parquet(dir(path, batchId))
+  /** Publish `rows` as batch `batchId`'s directory — exactly-once via
+    * OPTIMISTIC CONCURRENCY: rows land in a writer-private temp
+    * directory (`b<id>.tmp.<pid>-<nonce>`) and publication is ONE
+    * atomic directory rename, so `b<id>` either exists COMPLETE or
+    * not at all — no reader, replayer, or concurrent writer can ever
+    * observe a half-written batch. When the target already exists the
+    * rename fails and THIS writer aborts (first-writer-wins), its
+    * temp discarded: two processes committing the SAME batch id can
+    * no longer interleave files inside one directory (the pre-r10
+    * overwrite-commit was last-writer-wins with a corruption window
+    * while both writers' files coexisted). Under the ledger contract
+    * (rows derived deterministically from (batch, ledger minus this
+    * batch)) the loser's rows equal the winner's, so aborting loses
+    * nothing.
+    *
+    * Returns true when this call published, false when a complete
+    * directory already existed — a concurrent winner or an earlier
+    * replay of the same batch; both mean the rows are durable.
+    * Crashed losers leave only temp directories, never a partial
+    * `b<id>`; [[compact]] sweeps temps whose batch is already folded.
+    */
+  def commit(rows: DataFrame, path: String, batchId: Long): Boolean = {
+    val dst = new java.io.File(dir(path, batchId)).toPath
+    // fast path: a replay of an already-published batch skips the write
+    if (java.nio.file.Files.exists(dst)) return false
+    val tmp = new java.io.File(path,
+      s"b$batchId.tmp.${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    rows.write.mode("overwrite").parquet(tmp.getPath)
+    try {
+      java.nio.file.Files.move(tmp.toPath, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      // rename onto an existing directory surfaces differently by
+      // JDK/filesystem (FileAlreadyExistsException,
+      // DirectoryNotEmptyException, or the raw ENOTEMPTY
+      // FileSystemException) — when the destination EXISTS now,
+      // someone else won the race; any other IO failure rethrows
+      case e: java.nio.file.FileSystemException =>
+        if (java.nio.file.Files.exists(dst)) { deleteRec(tmp); false }
+        else throw e
+    }
+  }
 
   /** Fold committed batch directories (and the previous segment) into
     * one new segment, bounding the ledger's file count: after years of
@@ -194,7 +237,18 @@ object DurableLedger {
             f.isDirectory && f.getName.startsWith("s") &&
               scala.util.Try(f.getName.drop(1).toLong).toOption.exists(_ < m.epoch)
           }
-        (oldDeadDirs ++ oldDeadSegs).foreach(deleteRec)
+        // crashed commit() losers leave `b<id>.tmp.<nonce>` directories;
+        // once id is folded (≤ old compactedUpTo) no writer can still be
+        // filling one (batch ids are monotonic), so they are pure garbage
+        val deadTmps = Option(new java.io.File(path).listFiles()).toSeq.flatten
+          .filter { f =>
+            f.isDirectory && f.getName.startsWith("b") &&
+              f.getName.contains(".tmp.") &&
+              scala.util.Try(
+                f.getName.drop(1).takeWhile(_ != '.').toLong
+              ).toOption.exists(_ <= m.compactedUpTo)
+          }
+        (oldDeadDirs ++ oldDeadSegs ++ deadTmps).foreach(deleteRec)
         foldIds.size
       }
     }.getOrElse(-1)

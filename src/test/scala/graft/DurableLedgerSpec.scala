@@ -194,4 +194,62 @@ class DurableLedgerSpec extends SparkSpec {
     assert(DurableLedger.compact(spark, path, schema) == 0)
     assert(rows(path) == only)
   }
+
+  test("OCC commit: two writers racing the SAME batch id — one publishes, no mix") {
+    val path = tmp()
+    // deliberately DIFFERENT rows per writer (violating the
+    // deterministic-derivation contract) so the winner is observable:
+    // the ledger must hold exactly one writer's rows, never a blend
+    val a = (0 until 4).map(i => (100L + i, s"writer-a-$i"))
+    val b = (0 until 4).map(i => (200L + i, s"writer-b-$i"))
+    // a start gate so both writers pass the exists-check before either
+    // publishes — the tightest interleaving the rename must resolve
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futs = Seq(a, b).map { data =>
+      Future { gate.await(); DurableLedger.commit(data.toDF("id", "tag"), path, 0L) }
+    }
+    gate.countDown()
+    val outcomes = futs.map(Await.result(_, 180.seconds))
+    assert(outcomes.count(identity) == 1,
+      s"exactly one writer must publish, got $outcomes")
+    val got = rows(path)
+    assert(got == a.toSet || got == b.toSet,
+      s"ledger must hold one writer's rows intact, got $got")
+    // losers' and winners' temps are both gone on the clean path
+    val leftovers = new java.io.File(path).listFiles()
+      .filter(_.getName.contains(".tmp.")).toSeq
+    assert(leftovers.isEmpty, s"no temp dirs may linger: $leftovers")
+  }
+
+  test("OCC commit: replay of a published batch aborts clean and keeps contents") {
+    val path = tmp()
+    val first = (0 until 3).map(i => (i.toLong, s"v1-$i"))
+    assert(DurableLedger.commit(first.toDF("id", "tag"), path, 0L))
+    // a replay (same id) publishes nothing and cannot clobber
+    val again = (0 until 3).map(i => (i.toLong, s"v2-$i"))
+    assert(!DurableLedger.commit(again.toDF("id", "tag"), path, 0L))
+    assert(rows(path) == first.toSet, "first writer's rows are immutable")
+  }
+
+  test("OCC commit: a crashed loser's temp directory is invisible and swept") {
+    val path = tmp()
+    val all = (0L to 2L).flatMap(i => commitBatch(path, i, 2)).toSet
+    // simulate a writer that died mid-write of batch 1: temp on disk
+    Seq((999L, "ghost")).toDF("id", "tag")
+      .write.parquet(s"$path/b1.tmp.12345-67890")
+    assert(rows(path) == all, "temps never load")
+    assert(DurableLedger.batches(path) == Seq(0L, 1L, 2L), "temps are not batches")
+    // fold b0..b1; the dead temp's batch is now ≤ compactedUpTo ...
+    assert(DurableLedger.compact(spark, path, schema) == 2)
+    assert(rows(path) == all)
+    // ... so the NEXT compact (one-epoch-deferred GC) sweeps it
+    commitBatch(path, 3L, 2)
+    DurableLedger.compact(spark, path, schema)
+    val ghost = new java.io.File(path).listFiles()
+      .filter(_.getName.contains(".tmp.")).toSeq
+    assert(ghost.isEmpty, s"dead temp must be swept by compaction GC: $ghost")
+  }
 }
