@@ -323,6 +323,21 @@ object VectorOps {
       val emb = Tables.load(s, dir, "embeddings")
       Vectors.opqAllocationRank(emb, "embedding", JacobiDim, OpqM)
         .orderBy($"rnk")
+    },
+
+    // ---- the MULTI-sweep Jacobi eigensolve, gated (r9 VERDICT #5 —
+    // q143 gates the first sweep; this runs TWO full cyclic sweeps,
+    // 56 rotations, through the shared jacobiSweeps loop and the
+    // oracle's doubled unroll). At d=8 two cyclic sweeps drive the
+    // off-diagonal mass down ~10³× (spec-pinned in VectorsSpec) — the
+    // convergent eigensolve, not just its opening move. Emission is
+    // scaled-integer e6 (floor(x·10⁶+0.5) both engines): no rounded
+    // doubles in new gates (the r9 ROUND-portability lesson).
+    "q159_jacobi_two_sweeps" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.jacobiSweepTable(emb, "embedding", JacobiDim, sweeps = 2)
+        .orderBy($"i", $"j")
     }
   )
 
@@ -393,7 +408,17 @@ object VectorOps {
        |FROM r JOIN alloc ON r.rnk = alloc.rnk ORDER BY r.rnk""".stripMargin
   }
 
-  private def jacobiSweepOracleSql(dim: Int): String = {
+  /** Generates the q143/q159 oracle: `sweeps` full cyclic sweeps
+    * unrolled — 3 chained CTEs per rotation in the engine's exact
+    * IEEE op order. Emission: q143 keeps its original `round(x,6)`
+    * doubles (green across driver rounds); q159 emits scaled-integer
+    * e6 columns (`e6 = true`) — `floor(x·10⁶ + 0.5)` on both engines,
+    * because `ROUND(DOUBLE, n)` itself proved DuckDB-version-
+    * dependent (the r9 q89 lesson) and new gates emit no rounded
+    * doubles.
+    */
+  private def jacobiSweepOracleSql(dim: Int, sweeps: Int = 1,
+      e6: Boolean = false): String = {
     def aN(i: Int, j: Int) = s"a_${i}_$j"
     def vN(i: Int, j: Int) = s"v_${i}_$j"
     val cells = for { i <- 0 until dim; j <- 0 until dim } yield (i, j)
@@ -422,7 +447,7 @@ object VectorOps {
     }
     sb.append((covCells ++ vInit).mkString(",\n")).append("\n  FROM cc0)")
     var r = 0
-    for (p <- 0 until dim - 1; q <- p + 1 until dim) {
+    for (_ <- 0 until sweeps; p <- 0 until dim - 1; q <- p + 1 until dim) {
       r += 1
       sb.append(s""",
         |g$r AS (SELECT *, CASE WHEN abs(${aN(p, q)}) > 1e-14
@@ -448,8 +473,13 @@ object VectorOps {
       sb.append(s",\nf$r AS (SELECT ${half2.mkString(", ")} FROM h$r)")
     }
     val rows = cells.map { case (i, j) =>
-      s"SELECT $i AS i, $j AS j, round(${aN(i, j)}, 6) + 0.0 AS a, " +
-        s"round(${vN(i, j)}, 6) + 0.0 AS v FROM f$r"
+      if (e6)
+        s"SELECT $i AS i, $j AS j, " +
+          s"CAST(floor(${aN(i, j)} * 1000000.0 + 0.5) AS BIGINT) AS a_e6, " +
+          s"CAST(floor(${vN(i, j)} * 1000000.0 + 0.5) AS BIGINT) AS v_e6 FROM f$r"
+      else
+        s"SELECT $i AS i, $j AS j, round(${aN(i, j)}, 6) + 0.0 AS a, " +
+          s"round(${vN(i, j)}, 6) + 0.0 AS v FROM f$r"
     }
     sb.append("\n").append(rows.mkString("\nUNION ALL\n"))
     sb.toString
@@ -1308,6 +1338,8 @@ object VectorOps {
     // cyclic rotations unrolled as 3 CTEs each, same IEEE op order as
     // Vectors.jacobiSweeps (column half-step, then row + V half-step)
     "q143_jacobi_first_sweep" -> jacobiSweepOracleSql(JacobiDim),
+    "q159_jacobi_two_sweeps" ->
+      jacobiSweepOracleSql(JacobiDim, sweeps = 2, e6 = true),
 
     // generated greedy unroll — see opqAllocOracleSql
     "q151_opq_allocation" -> opqAllocOracleSql(JacobiDim, 2)

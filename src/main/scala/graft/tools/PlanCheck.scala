@@ -556,6 +556,10 @@ object PlanCheck {
     // dim-bounded spectrum, the plan is a local table
     Expectation("q151_opq_allocation",
       mustContain = Seq("LocalTableScan"), mustNotContain = Seq("FileScan")),
+    // q143's multi-sweep sibling: same driver dim×dim control-plane
+    // emission after the one distributed moment aggregate
+    Expectation("q159_jacobi_two_sweeps",
+      mustContain = Seq("LocalTableScan"), mustNotContain = Seq("FileScan")),
     Expectation("q14_json_extract_agg", mustContain = Seq("HashAggregate")),
     // multi-label matcher explodes its hits; the match itself is the
     // codegen-asserted native expression below

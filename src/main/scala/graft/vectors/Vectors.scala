@@ -1502,14 +1502,7 @@ object Vectors {
     */
   def jacobiFirstSweep(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val (n, sums, prods) = pcaMomentsExact(corpus, vecCol, dim)
-    require(n > 1, s"need at least 2 vectors: $n")
-    val sc = (1L << 20).toDouble
-    val mean = sums.map(_.toDouble / n / sc)
-    val cov = Array.tabulate(dim, dim) { (i, j) =>
-      prods(i * dim + j).toDouble / n / (sc * sc) - mean(i) * mean(j)
-    }
-    val (a, vmat) = jacobiSweeps(cov, dim, sweeps = 1)
+    val (a, vmat) = jacobiFromCorpus(corpus, vecCol, dim, sweeps = 1)
     import spark.implicits._
     val rows = for { i <- 0 until dim; j <- 0 until dim }
       yield (i, j, a(i)(j), vmat(i)(j))
@@ -1517,6 +1510,51 @@ object Vectors {
       .select(col("i"), col("j"),
         (round(col("a_raw"), 6) + lit(0.0)).as("a"),
         (round(col("v_raw"), 6) + lit(0.0)).as("v"))
+  }
+
+  /** The shared corpus → (post-sweep A, accumulated V) pipeline behind
+    * [[jacobiFirstSweep]] and [[jacobiSweepTable]]: exact fixed-point
+    * moments, the covariance pivot, then `sweeps` cyclic Jacobi
+    * sweeps — the IDENTICAL code path [[pcaRotationFit]] runs.
+    */
+  private def jacobiFromCorpus(corpus: DataFrame, vecCol: String, dim: Int,
+      sweeps: Int): (Array[Array[Double]], Array[Array[Double]]) = {
+    val (n, sums, prods) = pcaMomentsExact(corpus, vecCol, dim)
+    require(n > 1, s"need at least 2 vectors: $n")
+    val sc = (1L << 20).toDouble
+    val mean = sums.map(_.toDouble / n / sc)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      prods(i * dim + j).toDouble / n / (sc * sc) - mean(i) * mean(j)
+    }
+    jacobiSweeps(cov, dim, sweeps)
+  }
+
+  /** MULTI-sweep Jacobi, gated (q159 — the convergent eigensolve the
+    * q143 first sweep brackets): `sweeps` full cyclic sweeps over the
+    * exact-moment covariance, emitted cell-by-cell like
+    * [[jacobiFirstSweep]] but as SCALED-INTEGER e6 columns
+    * (`floor(x·10⁶ + 0.5)` — exact IEEE multiply + exact floor on
+    * both engines; the r10 lesson is that `ROUND(DOUBLE, n)` itself
+    * is not portable across DuckDB versions, so new gates emit no
+    * rounded doubles). The oracle unrolls the full rotation sequence
+    * — sweeps × dim·(dim−1)/2 rotations — in generated SQL with the
+    * identical IEEE op order.
+    *
+    * Scale shape unchanged from q143: one distributed exact moment
+    * aggregate, then O(sweeps·dim³) on the driver's dim×dim matrix —
+    * control-plane work, corpus-size-independent.
+    */
+  def jacobiSweepTable(corpus: DataFrame, vecCol: String, dim: Int,
+      sweeps: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val (a, vmat) = jacobiFromCorpus(corpus, vecCol, dim, sweeps)
+    import spark.implicits._
+    val rows = for { i <- 0 until dim; j <- 0 until dim }
+      yield (i, j, a(i)(j), vmat(i)(j))
+    rows.toDF("i", "j", "a_raw", "v_raw")
+      .select(col("i"), col("j"),
+        floor(col("a_raw") * lit(1000000.0) + lit(0.5)).cast("long").as("a_e6"),
+        floor(col("v_raw") * lit(1000000.0) + lit(0.5)).cast("long").as("v_e6"))
   }
 
   /** The fit's exact fixed-point moment accumulation, factored out so

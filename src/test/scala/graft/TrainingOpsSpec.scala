@@ -905,6 +905,43 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("jacobiSweepTable: the q159 gate IS sweeps 1-2; convergence is real") {
+    val dim = 8
+    val (df, _) = anisotropicFixture(dim, n = 240)
+    val (n, sums, prods) = Vectors.pcaMomentsExact(df, "embedding", dim)
+    val sc = (1L << 20).toDouble
+    val mean = sums.map(_.toDouble / n / sc)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      prods(i * dim + j).toDouble / n / (sc * sc) - mean(i) * mean(j)
+    }
+    val (a1, _) = Vectors.jacobiSweeps(cov, dim, sweeps = 1)
+    val (a2, v2) = Vectors.jacobiSweeps(cov, dim, sweeps = 2)
+    // the gate's e6 integers are exactly floor(x*1e6 + 0.5) of the
+    // shared loop's two-sweep output (the portable quantization new
+    // gates use instead of rounded doubles)
+    def e6(x: Double): Long = math.floor(x * 1000000.0 + 0.5).toLong
+    val gate = Vectors.jacobiSweepTable(df, "embedding", dim, sweeps = 2)
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        (r.getAs[Long]("a_e6"), r.getAs[Long]("v_e6"))).toMap
+    assert(gate.size == dim * dim)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      assert(gate((i, j))._1 == e6(a2(i)(j)), s"a_e6($i,$j)")
+      assert(gate((i, j))._2 == e6(v2(i)(j)), s"v_e6($i,$j)")
+    }
+    // convergence: each sweep strictly shrinks the off-diagonal mass,
+    // and two sweeps reach near-diagonal (the convergent eigensolve,
+    // not just its opening move)
+    def off(m: Array[Array[Double]]) =
+      (for { i <- 0 until dim; j <- 0 until dim if i != j } yield m(i)(j) * m(i)(j)).sum
+    assert(off(a2) < off(a1) * 0.5, s"sweep 2 must keep converging: ${off(a2)} vs ${off(a1)}")
+    assert(off(a2) < off(cov) * 1e-3, s"two sweeps near-diagonal: ${off(a2)} vs ${off(cov)}")
+    // V after two sweeps stays orthonormal
+    for (a <- 0 until dim; b <- 0 until dim) {
+      val dot = (0 until dim).map(k => v2(k)(a) * v2(k)(b)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-10, s"VᵀV($a,$b)=$dot")
+    }
+  }
+
   test("pcaVarianceRank: gate frame carries EXACTLY the fit's moment integers") {
     val dim = 16
     val (df, _) = anisotropicFixture(dim, n = 240)
