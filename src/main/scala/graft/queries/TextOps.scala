@@ -171,6 +171,81 @@ object TextOps {
        |  FROM n0)""".stripMargin
   }
 
+  /** q160: the grouped (per-host) twin of [[qdigestCte]] — the same
+    * UNION ALL + GROUP BY family folds and BIGINT casts (the r10
+    * portability form), with the group key `g` threaded through every
+    * CTE: leaves group by `(g, v)`, the threshold is per-group
+    * (`n_g // k`), the fold join keys on `(g, id//2)`, and the
+    * threshold joins back ON g instead of a CROSS JOIN. `valsSql`
+    * must emit `(g, v)` rows.
+    */
+  private def qdigestCteGrouped(logU: Int, k: Int, valsSql: String): String = {
+    val u = 1L << logU
+    val passes = (logU to 1 by -1).map { d =>
+      val loP = 1L << (d - 1)
+      val loC = 1L << d
+      val hiC = 1L << (d + 1)
+      s"""f$d AS MATERIALIZED (
+         |  SELECT g, pid, CAST(SUM(pcnt) AS BIGINT) AS pcnt,
+         |         CAST(SUM(ccnt) AS BIGINT) AS ccnt
+         |  FROM (
+         |    SELECT g, id AS pid, cnt AS pcnt, CAST(0 AS BIGINT) AS ccnt
+         |    FROM n$d WHERE id >= $loP AND id < $loC
+         |    UNION ALL
+         |    SELECT g, id // 2 AS pid, CAST(0 AS BIGINT) AS pcnt, cnt AS ccnt
+         |    FROM n$d WHERE id >= $loC AND id < $hiC)
+         |  GROUP BY g, pid),
+         |n${d - 1} AS MATERIALIZED (
+         |  SELECT g, id, cnt FROM n$d WHERE id < $loP OR id >= $hiC
+         |  UNION ALL
+         |  SELECT nd.g, nd.id, nd.cnt
+         |  FROM n$d nd
+         |    JOIN f$d f ON nd.g = f.g AND nd.id // 2 = f.pid
+         |    JOIN th ON th.g = nd.g
+         |  WHERE nd.id >= $loC AND nd.id < $hiC AND f.pcnt + f.ccnt > th.t
+         |  UNION ALL
+         |  SELECT f.g, f.pid AS id,
+         |         CASE WHEN f.pcnt + f.ccnt <= th.t
+         |              THEN f.pcnt + f.ccnt ELSE f.pcnt END AS cnt
+         |  FROM f$d f JOIN th ON th.g = f.g
+         |  WHERE CASE WHEN f.pcnt + f.ccnt <= th.t
+         |             THEN f.pcnt + f.ccnt ELSE f.pcnt END > 0)""".stripMargin
+    }.mkString(",\n")
+    val loCase = (logU to 0 by -1).map { d =>
+      val base = 1L << d
+      val width = u >> d
+      s"WHEN id >= $base THEN (id - $base) * $width"
+    }.mkString(" ", "\n         ", "")
+    val hiCase = (logU to 0 by -1).map { d =>
+      val base = 1L << d
+      val width = u >> d
+      s"WHEN id >= $base THEN (id - $base) * $width + $width"
+    }.mkString(" ", "\n         ", "")
+    s"""WITH vals AS ($valsSql),
+       |cl AS (SELECT g, least(greatest(v, 0), ${u - 1}) AS v FROM vals),
+       |n$logU AS MATERIALIZED (
+       |  SELECT g, $u + v AS id, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM cl GROUP BY 1, 2),
+       |th AS MATERIALIZED (
+       |  SELECT g, CAST(SUM(cnt) AS BIGINT) // $k AS t,
+       |         CAST(SUM(cnt) AS BIGINT) AS n
+       |  FROM n$logU GROUP BY g),
+       |$passes,
+       |geo AS (
+       |  SELECT g, id, cnt,
+       |    CASE$loCase END AS lo,
+       |    CASE$hiCase END AS hi
+       |  FROM n0)""".stripMargin
+  }
+
+  /** q160 fixture: synthetic per-doc fetch latency, integer-exact and
+    * identical on both engines (multiply/add/mod over doc_id and the
+    * text's char length).
+    */
+  private val QdLatLogU = 11
+  private val QdLatValsSql =
+    "SELECT source AS g, CAST((doc_id * 1009 + length(text)) % 2048 AS BIGINT) AS v FROM documents"
+
   private val Moj1 = " cafÃ© naÃ¯ve"
   private val Moj2 = " bad�char"
   private val Moj3 = " xy"
@@ -384,6 +459,24 @@ object TextOps {
           graft.textops.TextAnalysis.wordCountCol($"text"), QdLogU, QdK,
           QdTwentieths)
         .orderBy($"twentieths")
+    },
+
+    // ---- per-HOST q-digest latency panel (q155's grouped twin, r9
+    // VERDICT #8): one digest per host over synthetic fetch
+    // latencies, each compressed at its own n_g/k threshold — the
+    // crawl-ops shape (per-host p99 fetch latency / response size
+    // without a per-host sort). Engine: map-side-combined
+    // (host, leaf) count → flatMapGroups compression, NO driver
+    // collect (hosts are unbounded at 100 TB where the global
+    // digest's universe is not). Oracle: the grouped CTE chain with
+    // the same UNION ALL + GROUP BY folds, threshold joined ON g.
+    "q160_qdigest_by_host" -> { (s, dir) =>
+      import s.implicits._
+      graft.sketch.QDigest.digestByGroup(
+          docsParallel(s, dir), $"source",
+          ($"doc_id" * 1009 + length($"text")) % 2048, QdLatLogU, QdK)
+        .withColumnRenamed("group", "host")
+        .orderBy($"host", $"id")
     },
 
     // ---- Count-Min point estimates end-to-end: the 50 first distinct
@@ -1441,6 +1534,10 @@ object TextOps {
     // q-digest mirrors (generated — see qdigestCte)
     "q155_qdigest" -> (qdigestCte(QdLogU, QdK) +
       "\nSELECT id, lo, hi, cnt FROM geo ORDER BY id"),
+
+    // grouped q-digest mirror (generated — see qdigestCteGrouped)
+    "q160_qdigest_by_host" -> (qdigestCteGrouped(QdLatLogU, QdK, QdLatValsSql) +
+      "\nSELECT g AS host, id, lo, hi, cnt FROM geo ORDER BY host, id"),
 
     // First-match via MIN_BY over the cumulative walk instead of a
     // correlated ORDER BY … LIMIT 1 subquery (r10 version-portability:

@@ -134,6 +134,60 @@ object QDigest {
     }.sortBy(_._1).toDF("id", "lo", "hi", "cnt")
   }
 
+  /** Per-GROUP digests — the panel form (q160: one latency/size
+    * digest per HOST): `(group, id, lo, hi, cnt)`, one digest per
+    * distinct group value, each compressed by the same [[compress]]
+    * at ITS OWN threshold `n_g / k`.
+    *
+    * Scale shape: this one must NOT collect (hosts are unbounded
+    * where the global digest's universe is not) — the distributed
+    * stage is a map-side-combined `(group, leaf)` count, then
+    * `flatMapGroups` compresses each group's ≤ 2^logU-row histogram
+    * where it sits. State per task is one group's histogram — never
+    * the corpus, never the host count. A 100 TB crawl log with 10⁸
+    * hosts shuffles only its (host, leaf) count table, ≤ 2^logU rows
+    * per host.
+    */
+  def digestByGroup(df: DataFrame, groupCol: Column, valueCol: Column,
+      logU: Int, k: Int): DataFrame = {
+    require(logU > 0 && logU < 40, s"logU out of range: $logU")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = 1L << logU
+    val counts = df
+      .select(groupCol.cast("string").as("g"),
+        greatest(least(valueCol.cast("long"), lit(u - 1)), lit(0L)).as("v"))
+      .groupBy($"g", $"v").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long, Long)]
+    digestsFromGroupCounts(counts, logU, k)
+  }
+
+  /** Per-group digests from an already-aggregated `(group, clamped
+    * leaf value, cnt)` relation — the derivation [[digestByGroup]]
+    * and the grouped streaming session share, so streamed ≡ batch is
+    * equality of code paths, not a re-implementation.
+    */
+  def digestsFromGroupCounts(
+      counts: org.apache.spark.sql.Dataset[(String, Long, Long)],
+      logU: Int, k: Int): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val u = 1L << logU
+    val lU = logU
+    val kk = k
+    counts
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val leaves = it.map { case (_, v, c) => (u + v) -> c }.toMap
+        compress(leaves, lU, kk).toSeq
+          .map { case (id, cnt) =>
+            val (lo, hi) = rangeOf(id, lU)
+            (g, id, lo, hi, cnt)
+          }.sortBy(_._2)
+      }
+      .toDF("group", "id", "lo", "hi", "cnt")
+  }
+
   /** Quantile estimates at twentieth ranks (`j/20`, the q106
     * fracTwentieths discipline — integer rank `r = ⌈n·j/20⌉` keeps the
     * gate exact): one row `(twentieths, rank, value)` per requested j.

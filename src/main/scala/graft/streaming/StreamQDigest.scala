@@ -73,6 +73,58 @@ object StreamQDigest {
   private[streaming] def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
     a.union(b).groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Per-batch clamped (group, leaf) deltas — the grouped session's
+    * additive state unit.
+    */
+  def groupedLeafDeltas(batch: DataFrame, groupCol: Column,
+      valueCol: Column, logU: Int): DataFrame = {
+    val u = 1L << logU
+    batch
+      .select(groupCol.cast("string").as("g"),
+        greatest(least(valueCol.cast("long"), lit(u - 1)), lit(0L)).as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Grouped (per-host) session — q160 live: the state is the
+    * (group, leaf) histogram (additive, so per-batch deltas merge by
+    * sum; size ≤ hosts × 2^L keys and the DERIVATION never collects —
+    * [[graft.sketch.QDigest.digestsFromGroupCounts]] compresses each
+    * group where it sits). Streamed ≡ the batch
+    * [[graft.sketch.QDigest.digestByGroup]] bit-for-bit, same
+    * sufficient-statistics argument as the flat session, and the SAME
+    * shared derivation code path.
+    */
+  final class GroupedQDigestSession(spark: SparkSession, groupCol: Column,
+      valueCol: Column, logU: Int, k: Int) {
+    @volatile private var counts: DataFrame = null
+
+    def currentCounts: DataFrame = counts
+
+    /** One digest per group ingested so far — ≡ the batch
+      * [[graft.sketch.QDigest.digestByGroup]] over everything.
+      */
+    def currentDigests: DataFrame = {
+      require(counts != null, "digests requested before any ingest")
+      import spark.implicits._
+      QDigest.digestsFromGroupCounts(
+        counts.as[(String, Long, Long)], logU, k)
+    }
+
+    def ingest(batch: DataFrame): Unit = {
+      val delta = groupedLeafDeltas(batch, groupCol, valueCol, logU)
+      counts = (if (counts == null) delta else mergeGroupCounts(counts, delta))
+        .localCheckpoint()
+    }
+
+    def start(rows: DataFrame): StreamingQuery =
+      rows.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) => ingest(batch) }
+        .start()
+  }
+
+  private[streaming] def mergeGroupCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt"))
+
   private val CountSchema = StructType(Seq(
     StructField("v", LongType), StructField("cnt", LongType)))
 

@@ -688,7 +688,15 @@ object PlanCheck {
     Expectation("q155_qdigest",
       mustContain = Seq("LocalTableScan"), mustNotContain = Seq("FileScan")),
     Expectation("q156_qdigest_quantiles",
-      mustContain = Seq("LocalTableScan"), mustNotContain = Seq("FileScan")))
+      mustContain = Seq("LocalTableScan"), mustNotContain = Seq("FileScan")),
+    // the grouped digest is the one q-digest that must NOT collect:
+    // map-side-combined (host, leaf) counts, then per-group
+    // compression WHERE THE DATA SITS (MapGroups) — hosts are
+    // unbounded at 100 TB, so a LocalTableScan here would mean a
+    // driver-side fold over every host
+    Expectation("q160_qdigest_by_host",
+      mustContain = Seq("MapGroups", "HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

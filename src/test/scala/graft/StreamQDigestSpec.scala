@@ -37,6 +37,33 @@ class StreamQDigestSpec extends SparkSpec {
     assert(sortedRows(session.currentDigest) === sortedRows(batch))
   }
 
+  test("grouped session ≡ batch digestByGroup under random batching (q160 live)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map(_ =>
+      (s"host${rnd.nextInt(7)}", rnd.nextInt(1 << LogU).toLong))
+    val df = rows.toDF("host", "v")
+    val batch = QDigest.digestByGroup(df, col("host"), col("v"), LogU, K)
+      .orderBy("group", "id").collect().toSeq
+    val session = new StreamQDigest.GroupedQDigestSession(
+      spark, col("host"), col("v"), LogU, K)
+    rows.groupBy(_ => rnd.nextInt(5)).values.foreach { b =>
+      session.ingest(b.toDF("host", "v"))
+    }
+    assert(session.currentDigests.orderBy("group", "id").collect().toSeq
+      === batch)
+    // each group's panel IS the flat digest of that group's values
+    // (the shared-derivation claim, checked per group)
+    rows.map(_._1).distinct.foreach { h =>
+      val flat = QDigest.digestTable(
+        rows.filter(_._1 == h).map(_._2).toDF("v"), col("v"), LogU, K)
+        .orderBy("id").collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val grouped = batch.filter(_.getString(0) == h).map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(grouped === flat, s"host $h")
+    }
+  }
+
   test("durable session: restart, replay, compaction preserve the digest") {
     val dir = Files.createTempDirectory("qdigest_ledger").toString
     val vs = values(19, 1800)
