@@ -63,6 +63,47 @@ object Frontier {
     * per-row CASE; at a billion URLs this is the honest sort-merge on
     * the frontier key, or co-located under a shared bucketing.
     */
+  /** Crawl-trap / URL-template explosion panel — the frontier's
+    * third input besides robots admission and recrawl freshness: a
+    * calendar, session-id, or faceted-search trap generates unbounded
+    * DISTINCT URLs from a handful of path TEMPLATES, and a frontier
+    * that can't see template mass spends its fetch budget inside one
+    * generator. Each path folds to its template (long hex runs → `H`
+    * first — ids/uuids/hashes — then digit runs → `N`; lowercased);
+    * the panel emits per (host, template): URL mass, distinct-path
+    * cardinality, the host-relative share as an INTEGER percentage
+    * (`n·100 div total` — the r10 no-floats-in-gates discipline), and
+    * a trap flag: share ≥ `sharePct` AND distinct paths ≥
+    * `minPaths` (one popular static page is not a trap — its distinct
+    * cardinality is 1; a calendar's is its URL count).
+    *
+    * Scale shape: one map-side-combinable groupBy on (host,
+    * template); the per-host total is a window over the AGGREGATED
+    * relation (rows per host = its template count, thousands at
+    * worst — never its URL count), so a million-URL trap host costs
+    * one combine, not a sort of its URLs.
+    */
+  def trapPanel(urls: DataFrame, hostCol: String, pathCol: String,
+      sharePct: Int, minPaths: Int): DataFrame = {
+    val template = regexp_replace(
+      regexp_replace(lower(col(pathCol)), "[0-9a-f]{8,}", "H"),
+      "[0-9]+", "N")
+    val agg = urls
+      .select(col(hostCol), col(pathCol), template.as("template"))
+      .groupBy(col(hostCol), col("template"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(pathCol)).as("n_paths"))
+    val w = Window.partitionBy(col(hostCol))
+    agg
+      .withColumn("__total", sum(col("n_urls")).over(w))
+      .withColumn("share_pct",
+        expr("n_urls * CAST(100 AS BIGINT) div __total"))
+      .drop("__total")
+      .withColumn("trap",
+        (col("share_pct") >= sharePct && col("n_paths") >= minPaths)
+          .cast("int"))
+  }
+
   def recrawlPlan(entries: DataFrame, locCol: String, lastmodCol: String,
       crawlLog: DataFrame, logLocCol: String, lastCrawlCol: String,
       agedCutoff: String): DataFrame = {

@@ -806,6 +806,37 @@ object TextOps {
         .orderBy($"loc")
     },
 
+    // ---- crawl-trap / URL-template explosion panel (the frontier's
+    // third input besides robots admission and recrawl freshness):
+    // per (host, template) URL mass after hex→H / digit→N folding,
+    // host-relative share as integer percentage, and the trap flag
+    // (share ≥ 50 AND distinct paths ≥ 10 — a popular static page has
+    // cardinality 1, a calendar's cardinality IS its URL count).
+    // Even-length hosts carry a calendar trap at ~86% share; odd
+    // hosts mix statics with md5-id pages exercising the hex fold
+    // below both thresholds. Selectors use mod-7/mod-3 residues —
+    // COPRIME with the testdata's source = src(doc_id % 20), so every
+    // class actually varies within each host (mod-4/mod-5 residues
+    // are CONSTANT per host here). All-integer emission.
+    "q161_crawl_traps" -> { (s, dir) =>
+      import s.implicits._
+      val urls = docsParallel(s, dir).select($"source".as("host"),
+        when(length($"source") % 2 === 0,
+          when($"doc_id" % 7 =!= 3,
+            concat(lit("/cal/"), ($"doc_id" % 28 + 1).cast("string"),
+              lit("/"), ($"doc_id" % 12 + 1).cast("string")))
+            .otherwise(lit("/about")))
+          .otherwise(
+            when($"doc_id" % 7 === 0,
+              concat(lit("/id/"), md5($"doc_id".cast("string"))))
+              .when($"doc_id" % 3 === 0, lit("/home"))
+              .when($"doc_id" % 3 === 1, lit("/about"))
+              .otherwise(lit("/contact"))).as("path"))
+      graft.ingest.Frontier.trapPanel(urls, "host", "path",
+          sharePct = 50, minPaths = 10)
+        .orderBy($"host", $"template")
+    },
+
     // ---- IBAN mod-97 PII validation (q146's sibling): candidates
     // synthesized with varying check digits (~1/97 validate), a
     // malformed class (digit country code), and the streaming mod-97
@@ -1538,6 +1569,40 @@ object TextOps {
     // grouped q-digest mirror (generated — see qdigestCteGrouped)
     "q160_qdigest_by_host" -> (qdigestCteGrouped(QdLatLogU, QdK, QdLatValsSql) +
       "\nSELECT g AS host, id, lo, hi, cnt FROM geo ORDER BY host, id"),
+
+    // crawl-trap mirror: the same hex→H / digit→N fold (DuckDB's
+    // regexp_replace needs the 'g' flag Spark applies by default),
+    // window total per host, integer-// share, CASTs pinning BIGINT
+    "q161_crawl_traps" ->
+      """WITH urls AS (
+        |  SELECT source AS host,
+        |    CASE WHEN length(source) % 2 = 0 THEN
+        |      CASE WHEN doc_id % 7 <> 3
+        |           THEN '/cal/' || CAST(doc_id % 28 + 1 AS VARCHAR) || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+        |           ELSE '/about' END
+        |    ELSE
+        |      CASE WHEN doc_id % 7 = 0 THEN '/id/' || md5(CAST(doc_id AS VARCHAR))
+        |           WHEN doc_id % 3 = 0 THEN '/home'
+        |           WHEN doc_id % 3 = 1 THEN '/about'
+        |           ELSE '/contact' END
+        |    END AS path
+        |  FROM documents),
+        |t AS (
+        |  SELECT host, path,
+        |    regexp_replace(regexp_replace(lower(path), '[0-9a-f]{8,}', 'H', 'g'),
+        |                   '[0-9]+', 'N', 'g') AS template
+        |  FROM urls),
+        |a AS (
+        |  SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |         CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths
+        |  FROM t GROUP BY host, template),
+        |s AS (
+        |  SELECT host, template, n_urls, n_paths,
+        |    CAST((n_urls * 100) // CAST(SUM(n_urls) OVER (PARTITION BY host) AS BIGINT) AS BIGINT) AS share_pct
+        |  FROM a)
+        |SELECT host, template, n_urls, n_paths, share_pct,
+        |  CASE WHEN share_pct >= 50 AND n_paths >= 10 THEN 1 ELSE 0 END AS trap
+        |FROM s ORDER BY host, template""".stripMargin,
 
     // First-match via MIN_BY over the cumulative walk instead of a
     // correlated ORDER BY … LIMIT 1 subquery (r10 version-portability:

@@ -120,6 +120,31 @@ object DurableLedger {
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
+  /** TIME TRAVEL: the ledger as of batch `upToBatch` INCLUSIVE — the
+    * Delta `VERSION AS OF` shape on the batch-directory log. Works for
+    * any point at or above the compaction horizon
+    * (`manifest.compactedUpTo`): the fold keeps total contents but
+    * destroys per-batch granularity BELOW it — exactly the
+    * time-travel-depth vs file-count trade Delta's `VACUUM` makes —
+    * so traveling past the horizon throws rather than silently
+    * answering with folded rows. A deployment that needs deeper
+    * travel compacts less often (or never).
+    */
+  def loadAt(spark: SparkSession, path: String, schema: StructType,
+      upToBatch: Long): DataFrame = {
+    val m = readManifest(path)
+    require(upToBatch >= m.compactedUpTo,
+      s"time travel below the compaction horizon: asked $upToBatch, " +
+        s"folded through ${m.compactedUpTo} — folded batches have no " +
+        "per-batch granularity left")
+    val ids = allBatchDirs(path)
+      .filter(id => id > m.compactedUpTo && id <= upToBatch)
+    val dirs = m.segment.map(s => s"$path/$s").toSeq ++ ids.map(dir(path, _))
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
   /** Publish `rows` as batch `batchId`'s directory — exactly-once via
     * OPTIMISTIC CONCURRENCY: rows land in a writer-private temp
     * directory (`b<id>.tmp.<pid>-<nonce>`) and publication is ONE

@@ -696,6 +696,12 @@ object PlanCheck {
     // driver-side fold over every host
     Expectation("q160_qdigest_by_host",
       mustContain = Seq("MapGroups", "HashAggregate"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // trap panel: map-side-combinable (host, template) aggregate, the
+    // per-host total window runs over the AGGREGATED relation (rows
+    // per host = its template count, never its URL count)
+    Expectation("q161_crawl_traps",
+      mustContain = Seq("HashAggregate", "Window"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

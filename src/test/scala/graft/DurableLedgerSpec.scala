@@ -195,6 +195,50 @@ class DurableLedgerSpec extends SparkSpec {
     assert(rows(path) == only)
   }
 
+  test("time travel: loadAt answers any point at or above the fold horizon") {
+    val path = tmp()
+    val perBatch = (0L to 4L).map(i => i -> commitBatch(path, i, 2)).toMap
+    // every historical point answers exactly its prefix
+    (0L to 4L).foreach { t =>
+      val expect = (0L to t).flatMap(perBatch).toSet
+      val got = DurableLedger.loadAt(spark, path, schema, t)
+        .as[(Long, String)].collect().toSet
+      assert(got == expect, s"as of $t")
+    }
+    // compaction folds b0..b3: travel to the horizon and above works,
+    // below throws (per-batch granularity is gone — the VACUUM trade)
+    assert(DurableLedger.compact(spark, path, schema) == 4)
+    val atHorizon = DurableLedger.loadAt(spark, path, schema, 3L)
+      .as[(Long, String)].collect().toSet
+    assert(atHorizon == (0L to 3L).flatMap(perBatch).toSet)
+    assert(DurableLedger.loadAt(spark, path, schema, 4L)
+      .as[(Long, String)].collect().toSet == (0L to 4L).flatMap(perBatch).toSet)
+    intercept[IllegalArgumentException] {
+      DurableLedger.loadAt(spark, path, schema, 2L)
+    }
+  }
+
+  test("schema evolution: widened reads fill old batches with null") {
+    val path = tmp()
+    // epoch 1 of the pipeline writes (id, tag); epoch 2 adds a column
+    DurableLedger.commit(Seq((1L, "a")).toDF("id", "tag"), path, 0L)
+    DurableLedger.commit(
+      Seq((2L, "b", 9L)).toDF("id", "tag", "score"), path, 1L)
+    val widened = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType))
+    val got = DurableLedger.load(spark, path, widened)
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "b", Some(9L))),
+      "old batches read the new column as null; new batches carry it")
+    // the fold preserves the widened contents
+    DurableLedger.commit(Seq((3L, "c", 7L)).toDF("id", "tag", "score"), path, 2L)
+    assert(DurableLedger.compact(spark, path, widened) == 2)
+    val afterFold = DurableLedger.load(spark, path, widened)
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(afterFold == Set((1L, "a", None), (2L, "b", Some(9L)), (3L, "c", Some(7L))))
+  }
+
   test("OCC commit: two writers racing the SAME batch id — one publishes, no mix") {
     val path = tmp()
     // deliberately DIFFERENT rows per writer (violating the

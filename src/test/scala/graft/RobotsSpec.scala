@@ -211,6 +211,29 @@ class RobotsSpec extends SparkSpec {
     assert(out(5L) == ((5L, 0L, 1000L, 0L)), "absent host gets the default delay")
   }
 
+  test("trapPanel: calendar trap flagged, popular static and hex ids are not") {
+    import graft.ingest.Frontier
+    val urls = (
+      // h1: a calendar trap — one template, many distinct URLs
+      (1 to 40).map(i => ("h1", s"/cal/2026/$i")) ++
+      (1 to 8).map(_ => ("h1", "/about")) ++
+      // h2: one POPULAR static page (cardinality 1 — not a trap) plus
+      // a below-share hex-id class exercising the H fold
+      (1 to 40).map(_ => ("h2", "/home")) ++
+      (1 to 10).map(i => ("h2", s"/id/${"%032x".format(i)}"))
+    ).toDF("host", "path")
+    val out = Frontier.trapPanel(urls, "host", "path", sharePct = 50, minPaths = 10)
+      .select($"host", $"template", $"n_urls", $"n_paths", $"share_pct", $"trap")
+      .as[(String, String, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out(("h1", "/cal/N/N")) == ((40L, 40L, 83L, 1)), "the trap")
+    assert(out(("h1", "/about")) == ((8L, 1L, 16L, 0)))
+    // 40/50 = 80% share but cardinality 1: a popular page, not a trap
+    assert(out(("h2", "/home")) == ((40L, 1L, 80L, 0)))
+    // hex ids fold to one template; 20% share keeps it under the bar
+    assert(out(("h2", "/id/H")) == ((10L, 10L, 20L, 0)))
+  }
+
   test("recrawlPlan: all five decision classes, ISO string comparison") {
     import graft.ingest.Frontier
     val entries = Seq(
