@@ -666,6 +666,32 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- sitemapindex parsing (q157's upper level — the blind-probe
+    // leg of the indexEntries → fetch → entries ingest loop): per-host
+    // index blobs with a commented-out trap child, a padded loc, an
+    // uppercase tag, a lastmod-less child, and a loc-less drop; hosts
+    // ending in an odd digit ship a urlset instead, which must yield
+    // ZERO index rows (the blind-probe contract).
+    "q162_sitemap_index" -> { (s, dir) =>
+      import s.implicits._
+      val idxXml = concat(
+        lit("<sitemapindex><!-- <sitemap><loc>https://"), $"source",
+        lit("/trap.xml</loc></sitemap> -->\n<sitemap><loc> https://"),
+        $"source", lit("/s1.xml </loc><lastmod>2026-0"),
+        (($"doc_id" % 9) + 1).cast("string"),
+        lit("-01</lastmod></sitemap>\n<SITEMAP><loc>https://"), $"source",
+        lit("/s"), ($"doc_id" % 4).cast("string"),
+        lit(".xml</loc></SITEMAP>\n<sitemap><lastmod>2026-01-02</lastmod></sitemap></sitemapindex>"))
+      val urlsetXml = concat(
+        lit("<urlset><url><loc>https://"), $"source", lit("/p/"), $"doc_id",
+        lit("</loc></url></urlset>"))
+      val blobs = docsParallel(s, dir).select($"doc_id", $"source",
+        when($"doc_id" % 2 === 0, idxXml).otherwise(urlsetXml).as("xml"))
+      graft.ingest.Sitemaps.indexEntries(blobs, "xml")
+        .select($"doc_id", $"source", $"loc", $"lastmod")
+        .orderBy($"doc_id", $"loc")
+    },
+
     // ---- positional phrase search: consecutive-word match through
     // term-filtered positional postings (k−1 bounded equi-joins — the
     // operator bag-of-words BM25 can't express), occurrence counts per
@@ -1978,6 +2004,26 @@ object TextOps {
         |  END AS lastmod
         |FROM documents WHERE source NOT LIKE '%7'
         |ORDER BY host, loc""".stripMargin,
+
+    // sitemapindex oracle: states the EXPECTED rows independently of
+    // the parser (the q157/q150 convention — stronger than mirroring
+    // the regexes): index hosts yield exactly their two loc-bearing
+    // children (trap comment and loc-less child excluded), urlset
+    // hosts yield nothing
+    "q162_sitemap_index" ->
+      """WITH idx AS (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         'https://' || source || '/s1.xml' AS loc,
+        |         '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod
+        |  FROM idx
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |         'https://' || source || '/s' || CAST(doc_id % 4 AS VARCHAR) || '.xml' AS loc,
+        |         CAST(NULL AS VARCHAR) AS lastmod
+        |  FROM idx)
+        |SELECT doc_id, source, loc, lastmod FROM r
+        |ORDER BY doc_id, loc""".stripMargin,
 
     // recrawl mirror: identical synthesis, the same left join + CASE
     "q158_recrawl_plan" ->

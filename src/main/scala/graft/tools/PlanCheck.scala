@@ -702,7 +702,12 @@ object PlanCheck {
     // per host = its template count, never its URL count)
     Expectation("q161_crawl_traps",
       mustContain = Seq("HashAggregate", "Window"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // sitemapindex parse: per-blob regex explode, no state, no shuffle
+    // beyond the gate's output sort (the q157/q136 segment argument)
+    Expectation("q162_sitemap_index",
+      mustContain = Seq("Generate"),
+      mustNotContain = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -294,6 +294,22 @@ class RobotsSpec extends SparkSpec {
     assert(es == Set(
       ("h", "https://h/a", Some("2026-01-02")),
       ("h", "https://h/b", None)))
+    // sitemapindex: <sitemap> children parse with the same rules; a
+    // urlset probed as an index yields zero rows and vice versa, so
+    // the ingest loop (indexEntries -> fetch -> entries) probes blind
+    val idx = Seq(("h",
+      """<sitemapindex><!-- <sitemap><loc>https://h/trap.xml</loc></sitemap> -->
+        |<sitemap><loc> https://h/s1.xml </loc><lastmod>2026-02-01</lastmod></sitemap>
+        |<SITEMAP><loc>https://h/s2.xml</loc></SITEMAP>
+        |<sitemap><lastmod>2026-02-02</lastmod></sitemap>
+        |</sitemapindex>""".stripMargin)).toDF("host", "xml")
+    val is = Sitemaps.indexEntries(idx, "xml")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(is == Set(
+      ("h", "https://h/s1.xml", Some("2026-02-01")),
+      ("h", "https://h/s2.xml", None)))
+    assert(Sitemaps.entries(idx, "xml").count() == 0, "index is not a urlset")
+    assert(Sitemaps.indexEntries(xml, "xml").count() == 0, "urlset is not an index")
   }
 
   test("parser: CRLF and mixed line endings parse identically to LF") {
