@@ -50,6 +50,17 @@ object CrawlPlannerDemo {
     println(s"[demo] sitemap directives: ${
       Robots.sitemapUrls(robots, "host", "txt").count()} hosts advertise one")
 
+    // sitemapindex level (q162): big sites advertise an INDEX whose
+    // children are the real urlsets — the loop probes blind
+    // (indexEntries on a urlset yields zero rows) and fetches one
+    // level deeper
+    val index = docs.select($"source").distinct().select($"source",
+      concat(lit("<sitemapindex><sitemap><loc>https://"), $"source",
+        lit("/sitemap.xml</loc><lastmod>2026-08-01</lastmod></sitemap>"),
+        lit("</sitemapindex>")).as("xml"))
+    println(s"[demo] sitemapindex: ${
+      Sitemaps.indexEntries(index, "xml").count()} child sitemaps discovered")
+
     // sitemap seeding + recrawl plan: each host's urlset claims
     // lastmods; a synthetic crawl log makes some entries fresh
     val xml = docs.groupBy($"source").agg(concat(lit("<urlset>"),
@@ -70,9 +81,13 @@ object CrawlPlannerDemo {
 
     // frontier wave 1: candidate URLs
     val frontier = docs.select($"doc_id", $"source".as("host"),
-      when($"doc_id" % 5 === 0,
-        concat(lit("/private/ok/"), $"doc_id")).otherwise(
-        concat(lit("/page/"), $"doc_id")).as("path"),
+      // mod-7 splitter: coprime with the demo corpus's source =
+      // src(doc_id % 20), so both path classes occur on EVERY host
+      // (a mod-5 split would give each host exactly one class)
+      when($"doc_id" % 7 === 0,
+        concat(lit("/private/ok/"), $"doc_id"))
+        .when($"doc_id" % 7 === 1, concat(lit("/docs/v"), $"doc_id"))
+        .otherwise(concat(lit("/page/"), $"doc_id")).as("path"),
       ($"doc_id" % 97).as("priority"))
 
     val admitted = Robots.allowed(frontier, "doc_id", "host", "path",
@@ -80,13 +95,50 @@ object CrawlPlannerDemo {
       .filter($"allowed" === 1)
     println(s"[demo] admitted ${admitted.count()} of ${frontier.count()} candidates")
 
+    // crawl-trap mitigation (q161): one host grew a calendar
+    // generator; the panel flags its template (high share AND high
+    // distinct-path cardinality) and the wave caps flagged templates
+    // at 15 URLs instead of letting the generator flood the budget
+    val trapGen = docs.limit(250).select(($"doc_id" + 100000L).as("doc_id"),
+      lit("src0").as("host"),
+      concat(lit("/cal/"), (($"doc_id" % 28) + 1).cast("string"), lit("/"),
+        (($"doc_id" % 12) + 1).cast("string")).as("path"),
+      lit(1L).as("priority"), lit(1).as("allowed"),
+      lit(null).cast("string").as("rule"))
+    val aug = admitted.unionByName(trapGen)
+    val tpanel = Frontier.trapPanel(aug, "host", "path",
+      sharePct = 90, minPaths = 20)
+    val flagged = tpanel.filter($"trap" === 1)
+      .select($"host".as("__fhost"), $"template".as("__ftpl"))
+    println(s"[demo] trap templates flagged: ${flagged.count()}")
+    val wTpl = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host", $"__tpl").orderBy($"priority".desc, $"doc_id".asc)
+    val mitigated = aug
+      .withColumn("__tpl", Frontier.urlTemplate($"path"))
+      .join(flagged, $"host" === $"__fhost" && $"__tpl" === $"__ftpl", "left")
+      .withColumn("__rk", row_number().over(wTpl))
+      .filter($"__fhost".isNull || $"__rk" <= 15)
+      .drop("__fhost", "__ftpl", "__tpl", "__rk")
+    println(s"[demo] trap cap: ${aug.count()} -> ${mitigated.count()} URLs in the wave")
+
     val delays = Robots.crawlDelays(robots, "host", "txt", "GraftBot")
-    val wave = Frontier.schedule(admitted, "doc_id", "host", $"priority",
+    val wave = Frontier.schedule(mitigated, "doc_id", "host", $"priority",
       delays, defaultDelayMs = 1000L, maxPerHost = 10)
     val makespan = wave.groupBy($"host")
       .agg(max($"fetch_offset_ms").as("makespan_ms"))
       .agg(max($"makespan_ms")).as[Long].head()
     println(s"[demo] wave of ${wave.count()} fetches, politeness makespan ${makespan} ms")
+
+    // the same wave as a LIVE frontier (StreamFrontier): URLs arrive
+    // in two discovery batches, slots continue per host across them
+    // (FIFO-by-arrival — a slot handed out is a fetch in flight)
+    val live = new graft.streaming.StreamFrontier.FrontierSession(
+      spark, "doc_id", "host", $"priority", delays,
+      defaultDelayMs = 1000L, maxPerHost = 10)
+    live.ingest(mitigated.filter($"doc_id" % 2 === 0))
+    live.ingest(mitigated.filter($"doc_id" % 2 === 1))
+    println(s"[demo] live frontier: ${live.currentSchedule.count()} slots " +
+      s"handed out across two arrival batches")
 
     // "fetched" pages: synthesize outlinks from the docs themselves
     val pages = docs.select($"doc_id", concat(

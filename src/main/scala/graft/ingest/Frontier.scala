@@ -83,13 +83,20 @@ object Frontier {
     * worst — never its URL count), so a million-URL trap host costs
     * one combine, not a sort of its URLs.
     */
+  /** The [[trapPanel]] template fold, exposed so callers can key
+    * per-URL mitigation (caps, drops) on the same fold the panel
+    * aggregated by.
+    */
+  def urlTemplate(path: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(path), "[0-9a-f]{8,}", "H"),
+      "[0-9]+", "N")
+
   def trapPanel(urls: DataFrame, hostCol: String, pathCol: String,
       sharePct: Int, minPaths: Int): DataFrame = {
-    val template = regexp_replace(
-      regexp_replace(lower(col(pathCol)), "[0-9a-f]{8,}", "H"),
-      "[0-9]+", "N")
     val agg = urls
-      .select(col(hostCol), col(pathCol), template.as("template"))
+      .select(col(hostCol), col(pathCol),
+        urlTemplate(col(pathCol)).as("template"))
       .groupBy(col(hostCol), col("template"))
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col(pathCol)).as("n_paths"))
