@@ -134,14 +134,25 @@ object Sketches {
     * both engines (`rank = W + 1 − bitlen(rest)`, all-zero rest
     * saturating at `W + 1`), so every cell is cross-engine-exact.
     */
-  def hllRegisters(items: DataFrame, itemCol: String, p: Int = 8): DataFrame = {
+  /** The per-row HLL (idx, rank) column pair for `item` at precision
+    * `p` — the shared substream split [[hllRegisters]]/
+    * [[hllRegistersByGroup]] fold and other modules (the sketched
+    * trap panel) reuse, so every register table in the engine is the
+    * same hash recipe.
+    */
+  private[graft] def hllRegisterCols(item: Column, p: Int): (Column, Column) = {
     require(p >= 4 && p <= 16, s"bad HLL precision: $p")
     val w = hllW(p)
-    val h = saltedHash(0, col(itemCol))
+    val h = saltedHash(0, item)
     val rest = h.bitwiseAND(lit((1L << w) - 1))
-    items.select(shiftright(h, w).as("idx"),
-        when(rest === 0L, lit(w + 1))
-          .otherwise(lit(w + 1) - length(bin(rest))).cast("long").as("rank"))
+    (shiftright(h, w),
+      when(rest === 0L, lit(w + 1))
+        .otherwise(lit(w + 1) - length(bin(rest))).cast("long"))
+  }
+
+  def hllRegisters(items: DataFrame, itemCol: String, p: Int = 8): DataFrame = {
+    val (idx, rank) = hllRegisterCols(col(itemCol), p)
+    items.select(idx.as("idx"), rank.as("rank"))
       .groupBy(col("idx"))
       .agg(max(col("rank")).as("r"))
   }
@@ -154,13 +165,8 @@ object Sketches {
     */
   def hllRegistersByGroup(items: DataFrame, groupCol: String, itemCol: String,
       p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, s"bad HLL precision: $p")
-    val w = hllW(p)
-    val h = saltedHash(0, col(itemCol))
-    val rest = h.bitwiseAND(lit((1L << w) - 1))
-    items.select(col(groupCol).as("grp"), shiftright(h, w).as("idx"),
-        when(rest === 0L, lit(w + 1))
-          .otherwise(lit(w + 1) - length(bin(rest))).cast("long").as("rank"))
+    val (idx, rank) = hllRegisterCols(col(itemCol), p)
+    items.select(col(groupCol).as("grp"), idx.as("idx"), rank.as("rank"))
       .groupBy(col("grp"), col("idx"))
       .agg(max(col("rank")).as("r"))
   }
