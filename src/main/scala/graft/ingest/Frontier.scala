@@ -40,8 +40,16 @@ object Frontier {
       .withColumn("delay_ms",
         coalesce(col("delay_ms"), lit(defaultDelayMs)))
       .drop("__dhost")
-      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
-      .filter(col("slot") < maxPerHost)
+      // the budget filter runs on the RAW row_number so Catalyst's
+      // InferWindowGroupLimit rewrite fires (map tasks truncate each
+      // host to maxPerHost rows BEFORE the exchange — the r10 plan
+      // probe showed the previous `slot < k` form, a filter on the
+      // derived column, shipped every URL of a million-URL host into
+      // the window sort instead)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerHost)
+      .withColumn("slot", (col("__rn") - 1).cast("long"))
+      .drop("__rn")
       .withColumn("fetch_offset_ms", col("slot") * col("delay_ms"))
   }
 

@@ -57,9 +57,14 @@ object StreamFrontier {
       .join(b, batch(hostCol) === col("__bhost"), "left")
       .withColumn("__base", coalesce(col("base"), lit(0L)))
       .drop("__bhost", "base")
-      .withColumn("slot",
-        (col("__base") + row_number().over(w) - 1).cast("long"))
-      .drop("__base")
+      // two-stage budget: `rn <= maxPerHost` on the RAW row_number
+      // fires the WindowGroupLimit map-side truncation (base ≥ 0
+      // makes it a valid upper bound), then the exact cross-batch
+      // budget filters on the continued slot
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerHost)
+      .withColumn("slot", (col("__base") + col("__rn") - 1).cast("long"))
+      .drop("__base", "__rn")
       .filter(col("slot") < maxPerHost)
       .withColumn("fetch_offset_ms", col("slot") * col("delay_ms"))
   }

@@ -664,8 +664,12 @@ object PlanCheck {
     // schedule: per-HOST slot window; the URL-side delay join must
     // BROADCAST (the robots-parse internals may host-key-shuffle —
     // scale-correct for a million-host robots table)
+    // the budget must map-side truncate each host to maxPerHost rows
+    // BEFORE the exchange (r10: the filter moved onto the raw
+    // row_number so InferWindowGroupLimit fires — the previous
+    // derived-column filter shipped every URL into the window sort)
     Expectation("q152_fetch_schedule",
-      mustContain = Seq("Window", "BroadcastHashJoin")),
+      mustContain = Seq("WindowGroupLimit", "BroadcastHashJoin")),
     // in-degree: edge explode + ONE rollup; no join
     Expectation("q153_host_indegree",
       mustContain = Seq("Generate", "HashAggregate"),
