@@ -7,16 +7,20 @@ import org.apache.spark.sql.functions._
   * video ride as opaque `binary` columns with typed metadata; decode /
   * feature-extract run as batch functions over `mapPartitions`.
   *
-  * Codec layer: HEADERS decode for real, payload CONTENT is stubbed.
-  * Image headers via the JDK's `javax.imageio` ([[ImageHeaderDecoder]]
-  * — PNG/JPEG/GIF/BMP width/height, no external deps); video/audio
-  * CONTAINER headers via [[ContainerProbe]] (MP4 box walk, EBML/WebM
-  * element walk, WAV RIFF chunks → dimensions + duration). Only
-  * frame/sample content uses [[StubDecoder]]'s deterministic fake
-  * bytes (this box ships no AV codecs), and payloads with no parseable
-  * header fall back to it entirely. Everything Spark-side is real —
-  * schema, partition sizing, batch iteration shape — so swapping in a
-  * full pixel/AV codec is a one-function change.
+  * Codec layer (r10 revision): image PIXELS and WAV PCM SAMPLES decode
+  * FOR REAL — the JDK ships full PNG/JPEG/GIF/BMP decoders
+  * (`ImageIO.read`, [[PixelDecoder]]) and integer PCM needs no codec
+  * at all ([[WavPcm]]) — so luminance-grid features, real thumbnails
+  * (`resizeImages`), per-window loudness (`segmentLoudness`), and
+  * content embeddings (`embedMedia`) are actual content math.
+  * Video/audio CONTAINER headers parse via [[ContainerProbe]] (MP4
+  * box walk, EBML/WebM element walk, WAV RIFF chunks → dimensions +
+  * duration). The one genuinely codec-blocked surface on this box is
+  * COMPRESSED AV content (MP4/WebM frames, MP3/AAC samples), which
+  * keeps [[StubDecoder]]'s deterministic stand-ins; payloads with no
+  * parseable header fall back to it entirely. Everything Spark-side
+  * is real — schema, partition sizing, batch iteration shape — so a
+  * full AV codec drops into the same slots.
   *
   * Scale notes: media rows are orders of magnitude wider than text —
   * partition budgets must be set by BYTES not rows
@@ -91,25 +95,235 @@ object Multimodal {
     /** Full decode contract: real header metadata whenever the payload
       * carries a parseable header — image dimensions via `javax.imageio`,
       * video/audio dimensions+duration via [[ContainerProbe]]
-      * (MP4/EBML/WAV) — and [[StubDecoder]] values otherwise.
+      * (MP4/EBML/WAV) — PLUS real CONTENT features where a codec-free
+      * decode exists (r10): decodable images carry a 4×2 area-averaged
+      * luminance grid ([[PixelDecoder.lumaGrid]]) as their 8-float
+      * feature, WAV-PCM audio carries an 8-bin RMS loudness grid
+      * ([[WavPcm.rmsGrid]]). [[StubDecoder]] values fill everything
+      * else (compressed AV content — the one genuinely codec-blocked
+      * surface).
       */
     def decode(row: MediaRow): MediaFeatures = {
       val stub = StubDecoder.decode(row)
       row.kind match {
         case "image" =>
-          dimensions(row.bytes) match {
-            case Some((w, h)) => stub.copy(width = w, height = h)
-            case None => stub
+          PixelDecoder.image(row.bytes) match {
+            case Some(img) => stub.copy(
+              width = img.getWidth, height = img.getHeight,
+              feature = PixelDecoder.lumaGrid(img, 4, 2))
+            case None =>
+              dimensions(row.bytes) match {
+                case Some((w, h)) => stub.copy(width = w, height = h)
+                case None => stub
+              }
           }
         case "video" | "audio" =>
-          ContainerProbe.probe(row.bytes) match {
+          val withHeader = ContainerProbe.probe(row.bytes) match {
             case Some(p) => stub.copy(
               width = p.width.getOrElse(stub.width),
               height = p.height.getOrElse(stub.height),
               duration_ms = p.durationMs.getOrElse(stub.duration_ms))
             case None => stub
           }
+          if (row.kind == "audio")
+            WavPcm.decode(row.bytes) match {
+              case Some(pcm) =>
+                withHeader.copy(feature = WavPcm.rmsGrid(pcm, 8))
+              case None => withHeader
+            }
+          else withHeader
         case _ => stub
+      }
+    }
+  }
+
+  /** REAL pixel decode — the r9 "sandbox has no codec libs" constraint
+    * is true only for COMPRESSED AUDIO/VIDEO: the JDK itself ships
+    * full pixel decoders for PNG/JPEG/GIF/BMP (`ImageIO.read`), so
+    * image payload CONTENT decodes for real with zero external deps.
+    * Everything derived here is hand-rolled integer-area arithmetic
+    * (no Graphics2D filtering, whose interpolation is
+    * platform-variant): deterministic across JVMs and runs.
+    */
+  object PixelDecoder {
+    import java.awt.image.BufferedImage
+
+    /** Full pixel decode (sniffed first — see
+      * [[ImageHeaderDecoder.looksLikeImage]]); None for payloads no
+      * JDK reader accepts, and never throws (scan-stage contract).
+      */
+    def image(b: Array[Byte]): Option[BufferedImage] =
+      if (!ImageHeaderDecoder.looksLikeImage(b)) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        catch { case _: Throwable => None }
+
+    private def lumaAt(img: BufferedImage, x: Int, y: Int): Double = {
+      val rgb = img.getRGB(x, y)
+      (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)) / 255.0
+    }
+
+    /** `gw × gh` area-averaged luminance grid in [0, 1], row-major —
+      * the REAL resolution-independent content feature (cell (cx, cy)
+      * covers pixel box `[cx·w/gw, (cx+1)·w/gw) × [cy·h/gh,
+      * (cy+1)·h/gh)`, integer boundaries, every pixel in exactly one
+      * cell). Deterministic: pure integer loops + one double sum per
+      * cell in raster order.
+      */
+    def lumaGrid(img: BufferedImage, gw: Int, gh: Int): Array[Float] = {
+      require(gw > 0 && gh > 0, s"grid must be positive: ${gw}x$gh")
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Float](gw * gh)
+      var cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw) {
+          val x0 = cx.toLong * w / gw; val x1 = (cx + 1).toLong * w / gw
+          val y0 = cy.toLong * h / gh; val y1 = (cy + 1).toLong * h / gh
+          var sum = 0.0
+          var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              sum += lumaAt(img, x.toInt, y.toInt); n += 1; x += 1
+            }
+            y += 1
+          }
+          out(cy * gw + cx) = if (n == 0) 0f else (sum / n).toFloat
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+
+    /** Aspect-preserving REAL thumbnail into `maxW × maxH` (never
+      * upscales): per-channel integer-area averaging — each target
+      * pixel is the mean of its exact source box. Returns
+      * `(w, h, rgb)` with `rgb` packed row-major 3 bytes/pixel.
+      */
+    def resize(img: BufferedImage, maxW: Int, maxH: Int): (Int, Int, Array[Byte]) = {
+      require(maxW > 0 && maxH > 0, s"target box must be positive: ${maxW}x$maxH")
+      val w = img.getWidth
+      val h = img.getHeight
+      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+      val tw = math.max(1, (w * scale).toInt)
+      val th = math.max(1, (h * scale).toInt)
+      val out = new Array[Byte](tw * th * 3)
+      var ty = 0
+      while (ty < th) {
+        var tx = 0
+        while (tx < tw) {
+          val x0 = tx.toLong * w / tw; val x1 = math.max(x0 + 1, (tx + 1).toLong * w / tw)
+          val y0 = ty.toLong * h / th; val y1 = math.max(y0 + 1, (ty + 1).toLong * h / th)
+          var r = 0L; var g = 0L; var b = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x.toInt, y.toInt)
+              r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          val o = (ty * tw + tx) * 3
+          out(o) = (r / n).toByte; out(o + 1) = (g / n).toByte; out(o + 2) = (b / n).toByte
+          tx += 1
+        }
+        ty += 1
+      }
+      (tw, th, out)
+    }
+  }
+
+  /** REAL PCM decode for WAV payloads — uncompressed PCM needs no
+    * codec, just the RIFF walk [[ContainerProbe.wav]] already does
+    * plus the sample read: format 1 (integer PCM) at 8 or 16 bits,
+    * any channel count (mixed down to mono by plain averaging).
+    * Bounds-checked; None rather than throw on anything else
+    * (compressed WAV variants stay honestly undecoded).
+    */
+  object WavPcm {
+    final case class Pcm(sampleRate: Int, channels: Int,
+        bitsPerSample: Int, mono: Array[Float]) {
+      def durationMs: Long =
+        if (sampleRate == 0) 0L else mono.length.toLong * 1000 / sampleRate
+    }
+
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    def decode(b: Array[Byte]): Option[Pcm] = {
+      if (!ContainerProbe.looksLikeWav(b)) return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
+      var data: Option[(Int, Int)] = None          // (offset, length)
+      while (off + 8 <= b.length) {
+        val id = new String(b, off, 4, "ISO-8859-1")
+        val sz = le32(b, off + 4)
+        if (sz < 0 || off + 8 + sz > b.length) return fmtData(fmt, data, b)
+        if (id == "fmt " && sz >= 16)
+          fmt = Some((le16(b, off + 8), le16(b, off + 10),
+            le32(b, off + 12).toInt, le16(b, off + 22)))
+        else if (id == "data")
+          data = Some((off + 8, sz.toInt))
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      fmtData(fmt, data, b)
+    }
+
+    private def fmtData(fmt: Option[(Int, Int, Int, Int)],
+        data: Option[(Int, Int)], b: Array[Byte]): Option[Pcm] =
+      (fmt, data) match {
+        case (Some((1, ch, rate, bits)), Some((off, len)))
+            if ch > 0 && rate > 0 && (bits == 8 || bits == 16) =>
+          val bytesPerFrame = ch * bits / 8
+          val frames = len / bytesPerFrame
+          val mono = new Array[Float](frames)
+          var f = 0
+          while (f < frames) {
+            var sum = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = off + f * bytesPerFrame + c * bits / 8
+              sum += (if (bits == 16)
+                (le16(b, o).toShort).toDouble / 32768.0
+              else ((b(o) & 0xff) - 128).toDouble / 128.0)
+              c += 1
+            }
+            mono(f) = (sum / ch).toFloat
+            f += 1
+          }
+          Some(Pcm(rate, ch, bits, mono))
+        case _ => None
+      }
+
+    /** Root-mean-square loudness of a sample slice, in [0, 1]. */
+    def rms(samples: Array[Float], from: Int, until: Int): Float = {
+      val lo = math.max(0, from)
+      val hi = math.min(samples.length, until)
+      if (hi <= lo) return 0f
+      var s = 0.0
+      var i = lo
+      while (i < hi) { s += samples(i).toDouble * samples(i); i += 1 }
+      math.sqrt(s / (hi - lo)).toFloat
+    }
+
+    /** `bins` equal-width RMS bins over the whole clip — the audio
+      * twin of [[PixelDecoder.lumaGrid]].
+      */
+    def rmsGrid(p: Pcm, bins: Int): Array[Float] = {
+      require(bins > 0, s"bins must be positive: $bins")
+      Array.tabulate(bins) { i =>
+        rms(p.mono, (i.toLong * p.mono.length / bins).toInt,
+          ((i + 1).toLong * p.mono.length / bins).toInt)
       }
     }
   }
@@ -453,6 +667,92 @@ object Multimodal {
     }
   }
 
+  /** REAL resize stage for decodable images (r10 — PNG/JPEG/GIF/BMP
+    * pixels decode with the JDK alone): aspect-preserving integer-area
+    * thumbnail, `n_bytes` and `sha256` of the ACTUAL resized RGB
+    * payload. Rows whose pixels don't decode (and non-images) fall
+    * back to [[resizeStub]]'s deterministic behavior, so the stage
+    * never loses rows. Same `mapPartitions` payload-rewriting shape —
+    * move thumbnails across the shuffle, not sources.
+    */
+  def resizeImages(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    require(maxW > 0 && maxH > 0, s"target box must be positive: ${maxW}x$maxH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { row =>
+        PixelDecoder.image(row.bytes) match {
+          case Some(img) =>
+            val (w, h, rgb) = PixelDecoder.resize(img, maxW, maxH)
+            sha.reset()
+            val f = StubDecoder.decode(row)
+            f.copy(width = w, height = h, n_bytes = rgb.length.toLong,
+              sha256 = sha.digest(rgb).map("%02x".format(_)).mkString,
+              feature = {
+                // feature of the RESIZED content: spec-pinned ≈ the
+                // original's grid (area averaging commutes up to the
+                // integer box boundaries)
+                val tmp = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var i = 0
+                while (i < w * h) {
+                  val o = i * 3
+                  tmp.setRGB(i % w, i / w,
+                    ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+                  i += 1
+                }
+                PixelDecoder.lumaGrid(tmp, 4, 2)
+              })
+          case None =>
+            // the stub path, inlined (one row, same math as resizeStub)
+            val f = StubDecoder.decode(row)
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+            val (w, h) =
+              (math.max(1, (f.width * scale).toInt), math.max(1, (f.height * scale).toInt))
+            sha.reset()
+            sha.update(row.bytes)
+            sha.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+            f.copy(width = w, height = h, n_bytes = w.toLong * h * 3,
+              sha256 = sha.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** Per-window REAL loudness for WAV-PCM audio rows: one
+    * `(media_id, seg_index, start_ms, end_ms, rms)` row per window —
+    * the content-bearing twin of [[segmentAudio]] (which emits
+    * deterministic segment IDs for any container). Non-PCM rows emit
+    * nothing; a caller that needs every row unions with
+    * [[segmentAudio]] on the anti-set.
+    */
+  final case class LoudnessRow(
+      media_id: Long, seg_index: Int, start_ms: Long, end_ms: Long,
+      rms: Float)
+
+  def segmentLoudness(media: Dataset[MediaRow],
+      windowMs: Long): Dataset[LoudnessRow] = {
+    require(windowMs > 0, s"window must be positive, got $windowMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "audio").flatMap { row =>
+        WavPcm.decode(row.bytes).iterator.flatMap { pcm =>
+          val dur = pcm.durationMs
+          (0L until dur by windowMs).iterator.zipWithIndex.map { case (start, i) =>
+            val end = math.min(start + windowMs, dur)
+            val from = (start * pcm.sampleRate / 1000).toInt
+            val until = (end * pcm.sampleRate / 1000).toInt
+            LoudnessRow(row.media_id, i, start, end,
+              WavPcm.rms(pcm.mono, from, until))
+          }
+        }
+      }
+    }
+  }
+
   final case class AudioSegment(
       media_id: Long,
       seg_index: Int,
@@ -532,6 +832,42 @@ object Multimodal {
         (row.media_id, row.kind, out)
       }
     }.toDF("media_id", "kind", "embedding")
+  }
+
+  /** CONTENT embedding (r10): decodable images embed as a `dim`-cell
+    * area-averaged luminance grid (near-duplicate images — recompressed,
+    * slightly rescaled — land NEAR each other in cosine, which the
+    * SHA-counter stub can never do: its vectors are orthogonal unless
+    * payloads are byte-identical); WAV-PCM audio embeds as a `dim`-bin
+    * RMS loudness grid. Everything else falls back to [[embedStub]]'s
+    * deterministic vector, so the output covers every row and feeds the
+    * same vector suite. `dim` must factor as a grid for images — pass
+    * a perfect square or `gw×gh` explicitly via the default split.
+    */
+  def embedMedia(media: Dataset[MediaRow], dim: Int): DataFrame = {
+    require(dim > 0, s"embedding width must be positive, got $dim")
+    val gw = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val gh = math.max(1, dim / gw)
+    require(gw * gh == dim,
+      s"dim $dim must factor as a near-square grid (got ${gw}x$gh)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val stub = embedStub(media, dim).withColumnRenamed("embedding", "__stub")
+    val real = media.mapPartitions { rows =>
+      rows.map { row =>
+        val content: Option[Array[Float]] = row.kind match {
+          case "image" =>
+            PixelDecoder.image(row.bytes).map(PixelDecoder.lumaGrid(_, gw, gh))
+          case "audio" =>
+            WavPcm.decode(row.bytes).map(WavPcm.rmsGrid(_, dim))
+          case _ => None
+        }
+        (row.media_id, content)
+      }
+    }.toDF("media_id", "__real")
+    stub.join(real, Seq("media_id"))
+      .withColumn("embedding", coalesce(col("__real"), col("__stub")))
+      .select(col("media_id"), col("kind"), col("embedding"))
   }
 
   /** Exact-duplicate media detection by payload hash — same hash-groupBy

@@ -1274,6 +1274,146 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1L).n_bytes == png.bytes.length && feats(1L).sha256.length == 64)
   }
 
+  /** Left half black, right half white — luma grid ground truth. */
+  private def halfWhitePng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  /** Mono 16-bit PCM WAV: first half silence, second half a ±amp
+    * square wave (RMS exactly amp).
+    */
+  private def pcmWav(rate: Int, ms: Int, amp: Double): Array[Byte] = {
+    val n = rate * ms / 1000
+    val data = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val v: Short =
+        if (i < n / 2) 0
+        else if (i % 2 == 0) (amp * 32767).toShort else (-amp * 32767).toShort
+      data(i * 2) = (v & 0xff).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + data.length); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(rate); bb.putInt(rate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(data.length); bb.put(data)
+    bb.array()
+  }
+
+  test("REAL pixel decode: luma grid features from actual image content") {
+    val row = MediaRow(1L, "image", halfWhitePng(64, 32), "t")
+    val f = Multimodal.ImageHeaderDecoder.decode(row)
+    assert((f.width, f.height) == ((64, 32)))
+    // 4×2 grid: left two columns black (0), right two white (1)
+    assert(f.feature.length == 8)
+    val expect = Array(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f)
+    f.feature.zip(expect).zipWithIndex.foreach { case ((got, e), i) =>
+      assert(math.abs(got - e) < 0.02f, s"cell $i: $got vs $e")
+    }
+    // a corrupt payload keeps the stub feature (never throws)
+    val bad = MediaRow(2L, "image", Array[Byte](0x50, 0x4b, 3, 4), "t")
+    val fb = Multimodal.ImageHeaderDecoder.decode(bad)
+    assert(fb.feature.toSeq == Multimodal.StubDecoder.decode(bad).feature.toSeq)
+  }
+
+  test("REAL resize: integer-area thumbnail, content-derived sha, grid preserved") {
+    val row = MediaRow(1L, "image", halfWhitePng(64, 32), "t")
+    val out = Multimodal.resizeImages(
+      spark.createDataset(Seq(row)), 16, 16).collect().head
+    assert((out.width, out.height) == ((16, 8)), "aspect-preserving fit")
+    assert(out.n_bytes == 16L * 8 * 3, "actual RGB payload size")
+    // the thumbnail's OWN luma grid matches the source's (area
+    // averaging at the same relative boundaries)
+    val expect = Array(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f)
+    out.feature.zip(expect).foreach { case (got, e) =>
+      assert(math.abs(got - e) < 0.02f)
+    }
+    // sha comes from resized CONTENT: two different-size sources with
+    // the same content scale to the same thumbnail bytes
+    val big = MediaRow(2L, "image", halfWhitePng(128, 64), "t")
+    val out2 = Multimodal.resizeImages(
+      spark.createDataset(Seq(big)), 16, 16).collect().head
+    assert(out2.sha256 == out.sha256,
+      "same content at 2x resolution must produce the identical thumbnail")
+    // undecodable rows keep resizeStub's deterministic behavior
+    val bad = MediaRow(3L, "image", Array[Byte](9, 9, 9), "t")
+    val stubOut = Multimodal.resizeStub(
+      spark.createDataset(Seq(bad)), 16, 16).collect().head
+    val realOut = Multimodal.resizeImages(
+      spark.createDataset(Seq(bad)), 16, 16).collect().head
+    assert((realOut.width, realOut.height, realOut.n_bytes, realOut.sha256) ==
+      ((stubOut.width, stubOut.height, stubOut.n_bytes, stubOut.sha256)))
+    assert(realOut.feature.toSeq == stubOut.feature.toSeq)
+  }
+
+  test("REAL WAV PCM decode: RMS grid, duration, per-window loudness") {
+    val row = MediaRow(1L, "audio", pcmWav(8000, 1000, 0.5), "t")
+    val pcm = Multimodal.WavPcm.decode(row.bytes).get
+    assert(pcm.sampleRate == 8000 && pcm.channels == 1 && pcm.bitsPerSample == 16)
+    assert(pcm.durationMs == 1000L)
+    val grid = Multimodal.WavPcm.rmsGrid(pcm, 8)
+    (0 until 4).foreach(i => assert(grid(i) < 0.01f, s"bin $i silent"))
+    (4 until 8).foreach(i =>
+      assert(math.abs(grid(i) - 0.5f) < 0.01f, s"bin $i at the square-wave RMS"))
+    // decode() carries the grid as the audio feature + the REAL duration
+    val f = Multimodal.ImageHeaderDecoder.decode(row)
+    assert(f.duration_ms == 1000L)
+    assert(f.feature.toSeq == Multimodal.WavPcm.rmsGrid(pcm, 8).toSeq)
+    // per-window loudness rows
+    val loud = Multimodal.segmentLoudness(
+      spark.createDataset(Seq(row)), 250L).collect().sortBy(_.seg_index)
+    assert(loud.length == 4)
+    assert(loud(0).rms < 0.01f && loud(1).rms < 0.01f)
+    assert(math.abs(loud(2).rms - 0.5f) < 0.01f && math.abs(loud(3).rms - 0.5f) < 0.01f)
+    // non-PCM audio emits nothing here (the honest boundary)
+    val mp3ish = MediaRow(2L, "audio", Array[Byte](0x49, 0x44, 0x33, 0), "t")
+    assert(Multimodal.segmentLoudness(
+      spark.createDataset(Seq(mp3ish)), 250L).collect().isEmpty)
+  }
+
+  test("embedMedia: content embeddings cluster near-duplicate images") {
+    def grayPng(w: Int, h: Int, level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    // same content at two resolutions = near-dup; a different level is not
+    val rows = Seq(
+      MediaRow(1L, "image", grayPng(40, 40, 200), "t"),
+      MediaRow(2L, "image", grayPng(80, 80, 200), "t"),
+      MediaRow(3L, "image", grayPng(40, 40, 20), "t"),
+      MediaRow(4L, "image", Array[Byte](1, 2), "t")) // stub fallback
+    val emb = Multimodal.embedMedia(spark.createDataset(rows), 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / na / nb
+    }
+    assert(cos(emb(1L), emb(2L)) > 0.999,
+      "same content at different resolutions must embed together")
+    // magnitudes differ 10x even though cosine of flat images ties
+    assert(math.abs(emb(1L).sum / emb(3L).sum - 10.0) < 0.5)
+    // stub fallback matches embedStub exactly
+    val stub = Multimodal.embedStub(
+        spark.createDataset(Seq(rows(3))), 16)
+      .collect().head.getSeq[Float](2).toArray
+    assert(emb(4L).toSeq == stub.toSeq)
+  }
+
   test("exactDupMedia flags duplicated payloads") {
     val withDup = media :+ media.head.copy(media_id = 9999L)
     val dups = Multimodal.exactDupMedia(
