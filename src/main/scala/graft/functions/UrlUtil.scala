@@ -126,6 +126,125 @@ object UrlUtil {
     }
   }
 
+  /** RFC 3986 §6 syntax-based canonicalization for absolute http(s)
+    * URLs — the frontier-dedup key ([[normalizeUrl]] is the
+    * reference's HOST-level normalize; this one makes two spellings
+    * of the same resource collide):
+    *
+    *  - scheme and host lowercase, trailing host dot stripped;
+    *  - default ports dropped (`:80` http, `:443` https; empty `:`
+    *    too), others kept;
+    *  - fragment dropped (never sent to the server);
+    *  - percent-encodings normalized per §2.3/§6.2.2.2: octets that
+    *    decode to UNRESERVED chars (`A–Z a–z 0–9 - . _ ~`) decode,
+    *    everything else keeps `%` + UPPERCASE hex (reserved octets
+    *    like `%2F` must NOT decode — that changes meaning);
+    *  - dot-segments removed by the §5.2.4 stack walk (`.` skipped,
+    *    `..` pops, never above root; a trailing `.`/`..` keeps the
+    *    trailing slash);
+    *  - empty path becomes `/`.
+    *
+    * Inputs that are not absolute http(s) URLs return unchanged
+    * (trimmed) — a canonicalizer must never throw mid-frontier.
+    * Hand-rolled (no `java.net.URI`, whose normalization rejects the
+    * hostile inputs a crawl sees and resolves `..` differently at
+    * root) and deterministic.
+    */
+  def canonicalUrl(raw: String): String = {
+    if (raw == null) return null
+    val u = raw.trim
+    val si = u.indexOf("://")
+    if (si <= 0) return u
+    val scheme = u.substring(0, si).toLowerCase(java.util.Locale.ROOT)
+    if (scheme != "http" && scheme != "https") return u
+    val rest = u.substring(si + 3)
+    val authEnd = rest.indexWhere(c => c == '/' || c == '?' || c == '#') match {
+      case -1 => rest.length
+      case i => i
+    }
+    val auth = rest.substring(0, authEnd)
+    val afterAuth = rest.substring(authEnd)
+    val (hostRaw, portRaw) = auth.lastIndexOf(':') match {
+      // an IPv6 literal's colons sit inside [...]; only a colon after
+      // the closing bracket (or in a bracket-less authority) is a port
+      case i if i >= 0 && auth.lastIndexOf(']') < i =>
+        (auth.substring(0, i), auth.substring(i + 1))
+      case _ => (auth, "")
+    }
+    val host = hostRaw.toLowerCase(java.util.Locale.ROOT).replaceAll("\\.+$", "")
+    val defaultPort = if (scheme == "http") "80" else "443"
+    val port =
+      if (portRaw.isEmpty || portRaw == defaultPort ||
+        !portRaw.forall(_.isDigit)) ""
+      else ":" + portRaw
+    // split off fragment, then query
+    val hashAt = afterAuth.indexOf('#')
+    val noFrag = if (hashAt < 0) afterAuth else afterAuth.substring(0, hashAt)
+    val qAt = noFrag.indexOf('?')
+    val (path0, query) =
+      if (qAt < 0) (noFrag, "") else (noFrag.substring(0, qAt), noFrag.substring(qAt))
+    def pctNormalize(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+          val v = Character.digit(s.charAt(i + 1), 16) * 16 +
+            Character.digit(s.charAt(i + 2), 16)
+          val ch = v.toChar
+          if (ch.isLetterOrDigit && ch < 128 || "-._~".indexOf(ch) >= 0)
+            sb.append(ch)
+          else {
+            sb.append('%')
+            sb.append(Character.toUpperCase(s.charAt(i + 1)))
+            sb.append(Character.toUpperCase(s.charAt(i + 2)))
+          }
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    val path1 = pctNormalize(if (path0.isEmpty) "/" else path0)
+    // RFC 3986 §5.2.4 remove_dot_segments, the faithful string walk
+    // (a naive nonempty-segment stack would also collapse `//`, which
+    // syntax-based normalization must NOT do — empty segments are
+    // real segments)
+    def removeDotSegments(p: String): String = {
+      var in = p
+      val out = new StringBuilder
+      def popOut(): Unit = {
+        val idx = out.lastIndexOf("/")
+        out.setLength(if (idx < 0) 0 else idx)
+      }
+      while (in.nonEmpty) {
+        if (in.startsWith("../")) in = in.substring(3)
+        else if (in.startsWith("./")) in = in.substring(2)
+        else if (in.startsWith("/./")) in = "/" + in.substring(3)
+        else if (in == "/.") in = "/"
+        else if (in.startsWith("/../")) { popOut(); in = "/" + in.substring(4) }
+        else if (in == "/..") { popOut(); in = "/" }
+        else if (in == "." || in == "..") in = ""
+        else {
+          val start = if (in.startsWith("/")) 1 else 0
+          val next = in.indexOf('/', start)
+          if (next < 0) { out.append(in); in = "" }
+          else { out.append(in.substring(0, next)); in = in.substring(next) }
+        }
+      }
+      out.toString
+    }
+    val path = removeDotSegments(path1) match {
+      case "" => "/"
+      case p => p
+    }
+    s"$scheme://$host$port$path${pctNormalize(query)}"
+  }
+
+  val canonicalUrlUdf = udf((u: String) => Option(u).map(canonicalUrl))
+  def canonicalUrlCol(c: Column): Column = canonicalUrlUdf(c)
+
   /** Column forms (null-safe: nulls pass through). */
   val etld1Udf = udf((h: String) => Option(h).map(etld1FromHost))
   def etld1Col(c: Column): Column = etld1Udf(c)

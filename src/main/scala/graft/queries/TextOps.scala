@@ -1134,6 +1134,38 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- RFC 3986 URL canonicalization (q94's path-level sibling —
+    // the frontier-dedup key): seven fixture classes through the real
+    // canonicalizer — case+default-port+dot-segment, pop+unreserved
+    // decode, trailing host dot+fragment+preserved //, reserved %2f
+    // uppercased+non-default port kept, empty path, traversal above
+    // root+query decode, and a non-http pass-through. The oracle
+    // STATES the expected canonical string per class (the q94/q162
+    // independent-ground-truth convention) — mod-7 selector, coprime
+    // with source = src(doc_id % 20).
+    "q163_url_canonical" -> { (s, dir) =>
+      import s.implicits._
+      val d = $"doc_id".cast("string")
+      val url =
+        when($"doc_id" % 7 === 0,
+          concat(lit("HTTP://WWW."), upper($"source"), lit(".TEST:80/a/./"), d))
+          .when($"doc_id" % 7 === 1,
+            concat(lit("https://"), $"source", lit(".test:443/p/../q%7e/"), d))
+          .when($"doc_id" % 7 === 2,
+            concat(lit("http://"), $"source", lit(".test./x//y/"), d, lit("#frag")))
+          .when($"doc_id" % 7 === 3,
+            concat(lit("http://"), $"source", lit(".test:8080/%2fup/"), d))
+          .when($"doc_id" % 7 === 4,
+            concat(lit("http://"), $"source", lit(".test")))
+          .when($"doc_id" % 7 === 5,
+            concat(lit("http://"), $"source", lit(".test/a/../../b?q=%41"), d))
+          .otherwise(concat(lit("ftp://"), $"source", lit(".test/"), d))
+      docsParallel(s, dir)
+        .select($"doc_id", url.as("url"),
+          graft.functions.UrlUtil.canonicalUrlCol(url).as("canonical"))
+        .orderBy($"doc_id")
+    },
+
     "q52_media_decode" -> { (s, dir) =>
       import s.implicits._
       val media = docsParallel(s, dir).select(
@@ -2379,6 +2411,28 @@ object TextOps {
         |    || '.co.uk' AS normalized,
         |  'example' || CAST(doc_id % 3 AS VARCHAR) || '.co.uk' AS etld1
         |FROM documents""".stripMargin,
+
+    // RFC 3986 canonicalization ground truth, stated per fixture
+    // class (never derived by re-running the canonicalizer)
+    "q163_url_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.TEST:80/a/./' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'https://' || source || '.test:443/p/../q%7e/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'http://' || source || '.test./x//y/' || CAST(doc_id AS VARCHAR) || '#frag'
+        |    WHEN 3 THEN 'http://' || source || '.test:8080/%2fup/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 4 THEN 'http://' || source || '.test'
+        |    WHEN 5 THEN 'http://' || source || '.test/a/../../b?q=%41' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'ftp://' || source || '.test/' || CAST(doc_id AS VARCHAR) END AS url,
+        |  CASE doc_id % 7
+        |    WHEN 0 THEN 'http://www.' || source || '.test/a/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'https://' || source || '.test/q~/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'http://' || source || '.test/x//y/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN 'http://' || source || '.test:8080/%2Fup/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 4 THEN 'http://' || source || '.test/'
+        |    WHEN 5 THEN 'http://' || source || '.test/b?q=A' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'ftp://' || source || '.test/' || CAST(doc_id AS VARCHAR) END AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // DuckDB mirror of StubDecoder: sha256 over the SAME UTF-8 bytes,
     // dimensions from the digest's first bytes (hex-pair parses).

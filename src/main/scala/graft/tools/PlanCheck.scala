@@ -711,7 +711,12 @@ object PlanCheck {
     // beyond the gate's output sort (the q157/q136 segment argument)
     Expectation("q162_sitemap_index",
       mustContain = Seq("Generate"),
-      mustNotContain = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("Window", "CartesianProduct", "BroadcastNestedLoopJoin")),
+    // URL canonicalization: pure per-row map (the q83 contract) — the
+    // UDF is a bounded string walk, no shuffle beyond the output sort
+    Expectation("q163_url_canonical",
+      mustNotContain = Seq("Window", "HashAggregate", "CartesianProduct",
+        "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -89,6 +89,40 @@ class UrlUtilSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       UrlUtil.withCompatibleProtocol("example.com", dead))
   }
+
+  test("canonicalUrl: RFC 3986 syntax-based normalization") {
+    import UrlUtil.canonicalUrl
+    // case, trailing host dot, default port, dot segments, fragment
+    assert(canonicalUrl("HTTP://WWW.Example.COM.:80/a/b/../c/./d.html?x=1#frag") ==
+      "http://www.example.com/a/c/d.html?x=1")
+    assert(canonicalUrl("https://h.test:443/") == "https://h.test/")
+    assert(canonicalUrl("https://h.test:8443/p") == "https://h.test:8443/p",
+      "non-default port kept")
+    assert(canonicalUrl("http://h.test") == "http://h.test/", "empty path -> /")
+    // percent-encoding: unreserved decodes, reserved stays uppercase hex
+    assert(canonicalUrl("http://h.test/%7euser/%2fx/%4a") ==
+      "http://h.test/~user/%2Fx/J")
+    // traversal never climbs above root
+    assert(canonicalUrl("http://h.test/a/../../../b") == "http://h.test/b")
+    // empty segments are REAL segments — // is not collapsed
+    assert(canonicalUrl("http://h.test/a//b/") == "http://h.test/a//b/")
+    // trailing dot segments keep the trailing slash
+    assert(canonicalUrl("http://h.test/a/b/..") == "http://h.test/a/")
+    assert(canonicalUrl("http://h.test/a/.") == "http://h.test/a/")
+    // IPv6 authority: bracket colons are not a port
+    assert(canonicalUrl("http://[2001:DB8::1]:80/x") == "http://[2001:db8::1]/x")
+    assert(canonicalUrl("http://[2001:DB8::1]:8080/x") == "http://[2001:db8::1]:8080/x")
+    // query percent-normalization
+    assert(canonicalUrl("http://h.test/p?q=%41%2f") == "http://h.test/p?q=A%2F")
+    // pass-throughs: non-http schemes, relative refs, garbage, null
+    assert(canonicalUrl("ftp://h.test/x") == "ftp://h.test/x")
+    assert(canonicalUrl("/relative/path") == "/relative/path")
+    assert(canonicalUrl("  spaced  ") == "spaced")
+    assert(canonicalUrl(null) == null)
+    // idempotence: canonical of canonical is itself
+    val u = "HTTP://H.Test:80/a/./b/%7e?x=%2f#f"
+    assert(canonicalUrl(canonicalUrl(u)) == canonicalUrl(u))
+  }
 }
 
 class EmailsSpec extends SparkSpec {
