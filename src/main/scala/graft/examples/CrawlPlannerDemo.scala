@@ -156,11 +156,15 @@ object CrawlPlannerDemo {
     println("[demo] live in-degree panel (top 5):")
     indeg.limit(5).collect().foreach(r => println(s"[demo]   $r"))
 
-    // next wave: discovered hosts prioritized by in-degree
+    // next wave: discovered hosts prioritized by in-degree; discovered
+    // URLs collapse through the RFC 3986 canonicalizer FIRST (q163 —
+    // two spellings of one resource must be one frontier entry)
     val next = TextAnalysis.outlinkEdges(pages, "doc_id", "page")
       .filter($"external" === 1)
+      .withColumn("canon",
+        graft.functions.UrlUtil.canonicalUrlCol($"href"))
       .join(indeg, Seq("host"))
-      .select($"doc_id", $"host", lit("/").as("path"), $"n_links".as("priority"))
+      .select($"doc_id", $"host", $"canon".as("path"), $"n_links".as("priority"))
       .distinct()
     println(s"[demo] next frontier: ${next.count()} discovered edges, " +
       s"${next.select($"host").distinct().count()} hosts")

@@ -164,19 +164,21 @@ object UrlUtil {
     }
     val auth = rest.substring(0, authEnd)
     val afterAuth = rest.substring(authEnd)
-    val (hostRaw, portRaw) = auth.lastIndexOf(':') match {
-      // an IPv6 literal's colons sit inside [...]; only a colon after
-      // the closing bracket (or in a bracket-less authority) is a port
-      case i if i >= 0 && auth.lastIndexOf(']') < i =>
-        (auth.substring(0, i), auth.substring(i + 1))
-      case _ => (auth, "")
-    }
-    val host = hostRaw.toLowerCase(java.util.Locale.ROOT).replaceAll("\\.+$", "")
+    // authority normalization applies only to WELL-FORMED authorities
+    // (a colon-free host or one bracketed IPv6 block, plus an optional
+    // NUMERIC port); anything else is kept verbatim, case-folded only.
+    // Trying to "fix" garbage authorities is a fuzzer-proven
+    // idempotence trap: each pass re-splits at a different colon.
+    val AuthRe = "^(\\[[^\\]]*\\]|[^:\\[\\]]*)(?::([0-9]*))?$".r
     val defaultPort = if (scheme == "http") "80" else "443"
-    val port =
-      if (portRaw.isEmpty || portRaw == defaultPort ||
-        !portRaw.forall(_.isDigit)) ""
-      else ":" + portRaw
+    val hostPort = auth match {
+      case AuthRe(h, p) =>
+        val host = h.toLowerCase(java.util.Locale.ROOT).replaceAll("\\.+$", "")
+        val port =
+          if (p == null || p.isEmpty || p == defaultPort) "" else ":" + p
+        host + port
+      case _ => auth.toLowerCase(java.util.Locale.ROOT)
+    }
     // split off fragment, then query
     val hashAt = afterAuth.indexOf('#')
     val noFrag = if (hashAt < 0) afterAuth else afterAuth.substring(0, hashAt)
@@ -202,6 +204,15 @@ object UrlUtil {
             sb.append(Character.toUpperCase(s.charAt(i + 2)))
           }
           i += 3
+        } else if (c <= ' ' || c == 0x7f || c > 0x7f) {
+          // whitespace/control/non-ASCII chars are illegal in a URI —
+          // a canonicalizer percent-encodes them (UTF-8 octets), which
+          // is also what keeps the function idempotent: a raw space
+          // surviving into the output would be trimmed by the next
+          // pass's input trim (fuzzer-found)
+          String.valueOf(c).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .foreach(b => sb.append(f"%%${b & 0xff}%02X")) // '%' + 2 hex
+          i += 1
         } else { sb.append(c); i += 1 }
       }
       sb.toString
@@ -239,7 +250,7 @@ object UrlUtil {
       case "" => "/"
       case p => p
     }
-    s"$scheme://$host$port$path${pctNormalize(query)}"
+    s"$scheme://$hostPort$path${pctNormalize(query)}"
   }
 
   val canonicalUrlUdf = udf((u: String) => Option(u).map(canonicalUrl))

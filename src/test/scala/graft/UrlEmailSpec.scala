@@ -123,6 +123,25 @@ class UrlUtilSpec extends AnyFunSuite {
     val u = "HTTP://H.Test:80/a/./b/%7e?x=%2f#f"
     assert(canonicalUrl(canonicalUrl(u)) == canonicalUrl(u))
   }
+
+  test("canonicalUrl: never throws and is idempotent on hostile random inputs") {
+    import UrlUtil.canonicalUrl
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abAB01:/%.?#~-_[]{}&=+ \t!$'()*,;@\\é"
+    (1 to 2000).foreach { i =>
+      val len = rnd.nextInt(40)
+      val body = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val s = rnd.nextInt(4) match {
+        case 0 => body
+        case 1 => "http://" + body
+        case 2 => "https://h.test" + body
+        case 3 => "HTTP://" + body + ":80/" + body
+      }
+      val once = canonicalUrl(s) // must not throw
+      val twice = canonicalUrl(once)
+      assert(twice == once, s"not idempotent on case $i: '$s' -> '$once' -> '$twice'")
+    }
+  }
 }
 
 class EmailsSpec extends SparkSpec {
