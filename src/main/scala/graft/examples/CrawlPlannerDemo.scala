@@ -18,9 +18,11 @@ import graft.textops.TextAnalysis
   * politeness schedule (q152: Crawl-delay parse, per-host slots under
   * a budget) → [fetch] → outlink extraction from the fetched pages
   * (q148) → host in-degree panel (q153, the [[StreamHostGraph]] batch
-  * twin) → the NEXT frontier wave prioritized by in-degree. Every
-  * stage is per-row math, a per-HOST window, or one rollup — at a
-  * billion URLs the only shuffles are host- and id-keyed.
+  * twin) + anchor-text panel (q164 live) → the priority fold (q166:
+  * freshness × authority × trap demotion) → redirect resolution
+  * (q167) → the NEXT frontier wave. Every stage is per-row math, a
+  * per-HOST window, or one rollup — at a billion URLs the only
+  * shuffles are host- and id-keyed.
   */
 object CrawlPlannerDemo {
   def main(args: Array[String]): Unit = {
@@ -140,13 +142,18 @@ object CrawlPlannerDemo {
     println(s"[demo] live frontier: ${live.currentSchedule.count()} slots " +
       s"handed out across two arrival batches")
 
-    // "fetched" pages: synthesize outlinks from the docs themselves
+    // "fetched" pages: synthesize outlinks from the docs themselves —
+    // hub/long-tail targets plus a link back into the corpus's own
+    // hosts (so the in-degree panel covers the hosts the recrawl plan
+    // schedules, and the priority fold below has authority to read)
     val pages = docs.select($"doc_id", concat(
       lit("<html><body><a href=\"https://hub"), ($"doc_id" % 3).cast("string"),
       lit(".test/x\">h</a>"),
       when($"doc_id" % 2 === 0,
         concat(lit("<a href=\"https://long"), ($"doc_id" % 7).cast("string"),
           lit(".tail/y\">t</a>"))).otherwise(lit("")),
+      lit("<a href=\"https://src"), (($"doc_id" * 3 + 7) % 20).cast("string"),
+      lit("/seen\"> See ALSO </a>"),
       lit("</body></html>")).as("page"))
 
     val panel = new StreamHostGraph.HostGraphSession(spark, "doc_id", "page")
@@ -155,6 +162,42 @@ object CrawlPlannerDemo {
     val indeg = panel.currentInDegree.orderBy(desc("n_links"))
     println("[demo] live in-degree panel (top 5):")
     indeg.limit(5).collect().foreach(r => println(s"[demo]   $r"))
+
+    // anchor-text panel (q164 live): what the crawled web SAYS about
+    // each target — the retrieval-training signal, maintained
+    // incrementally beside the in-degree panel
+    val anchors = new graft.streaming.StreamAnchorText.AnchorTextSession(
+      spark, "doc_id", "page")
+    anchors.ingest(pages.filter($"doc_id" % 2 === 0))
+    anchors.ingest(pages.filter($"doc_id" % 2 === 1))
+    println("[demo] anchor-text panel (top 3):")
+    anchors.currentPanel.orderBy(desc("n_links")).limit(3).collect()
+      .foreach(r => println(s"[demo]   $r"))
+
+    // priority fold (q166): freshness band × in-degree authority ×
+    // trap demotion — the recrawl plan becomes ONE fetch order
+    val planH = plan.withColumn("host",
+      regexp_extract($"loc", "^https://([^/]+)", 1))
+    val prio = Frontier.prioritize(planH, "loc", "host", "reason",
+      panel.currentInDegree.select($"host", $"n_pages"), "host", "n_pages",
+      tpanel, "host", "template", "trap")
+    println("[demo] prioritized fetch order (top 3):")
+    prio.filter($"action" === "fetch")
+      .orderBy(desc("priority"), $"loc")
+      .select($"loc", $"reason", $"authority", $"priority")
+      .limit(3).collect().foreach(r => println(s"[demo]   $r"))
+
+    // redirect resolution (q167): the fetch log's 301 chains collapse
+    // to endpoints in log₂(hops) keyed self-joins before any frontier
+    // key is compared
+    val redirects = docs.filter($"doc_id" % 16 =!= 0).select(
+      concat(lit("https://moved.test/p/"), $"doc_id").as("src"),
+      concat(lit("https://moved.test/p/"),
+        ($"doc_id" - 1).cast("string")).as("dst"))
+    val resolved = graft.graph.Redirects.resolve(redirects, "src", "dst", 4)
+    println(s"[demo] redirects: ${resolved.count()} sources resolved, " +
+      s"${resolved.filter($"terminal" === 1).count()} terminal, max chain " +
+      s"${resolved.agg(max($"hops")).head().getLong(0)} hops")
 
     // next wave: discovered hosts prioritized by in-degree; discovered
     // URLs collapse through the RFC 3986 canonicalizer FIRST (q163 —

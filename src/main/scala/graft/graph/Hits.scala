@@ -1,0 +1,87 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS (Kleinberg 1999) hub/authority scores over a weighted edge
+  * list, in EXACT integer arithmetic — the [[PageRank]] float policy
+  * applied to the mutually-recursive pair: a good HUB points at good
+  * authorities (`h(u) = Σ_{u→v} w·a(v)`), a good AUTHORITY is pointed
+  * at by good hubs (`a(v) = Σ_{u→v} w·h(u)`). Where PageRank ranks by
+  * stationary visiting mass, HITS separates "pages that link well"
+  * from "pages worth linking to" — the frontier wants BOTH (hubs seed
+  * discovery, authorities deserve fetch budget).
+  *
+  * The textbook iteration L2-normalizes each half-step; exact
+  * cross-engine arithmetic forbids square roots, so this uses the
+  * equally standard MAX normalization: after each half-step the raw
+  * sums rescale to `(raw · scale) div max(raw)` — the leader pins at
+  * `scale`, everything else is an integer fraction of it. A fixed
+  * round count is then a total, deterministic function of the graph
+  * (integer sums cannot drift by shuffle order; the max is a 1-row
+  * aggregate broadcast back, never collected).
+  *
+  * Overflow headroom: raw sums are bounded by `scale · totalW`, and
+  * the rescale multiplies by `scale` again — keep
+  * `scale² · totalW < 2^63` (the default scale 10^5 allows ~10^8
+  * total edge weight; normalize weights first beyond that).
+  *
+  * Scale shape: each half-step is one keyed equi-join (edges ⋈ scores)
+  * + one sum-aggregate on the opposite endpoint — node-id-keyed
+  * shuffles, AQE-reusable partitioning, exactly the [[PageRank]]
+  * round; each round cuts lineage eagerly (both score frames feed the
+  * next round AND its max aggregate — two consumers, the
+  * redistributed-PageRank situation).
+  */
+object Hits {
+
+  /** Scores after `iters` rounds: `(node, hub, auth)`, one row per
+    * node in `nodes` — MAX-normalized to `scale` each half-step;
+    * nodes with no out-edges have hub 0, with no in-edges auth 0
+    * (after the first round). Edge weights must be positive integers.
+    */
+  def scores(
+      nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      iters: Int,
+      scale: Long = 100000L): DataFrame = {
+    require(iters >= 1, s"iters must be at least 1: $iters")
+    require(scale > 0, s"scale must be positive: $scale")
+    val n = nodes.select(col(nodeCol).as("node"))
+    val e = edges.select(
+      col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("long").as("w"))
+    require(e.filter(col("w") <= 0 || col("w").isNull).limit(1).count() == 0L,
+      "edge weights must be positive integers")
+    val ew = e.localCheckpoint()
+    var h = n.withColumn("s", lit(scale)).localCheckpoint()
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = rescale(n, halfStep(ew, h, from = "src", to = "dst"), scale)
+      h = rescale(n, halfStep(ew, a, from = "dst", to = "src"), scale)
+    }
+    n.join(h.select(col("node"), col("s").as("hub")), Seq("node"), "left")
+      .join(a.select(col("node"), col("s").as("auth")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+  }
+
+  /** `raw(to) = Σ w · s(from)` — one keyed join + one sum-aggregate. */
+  private def halfStep(ew: DataFrame, s: DataFrame,
+      from: String, to: String): DataFrame =
+    ew.join(s, ew(from) === s("node"))
+      .select(col(to).as("node"), (col("w") * col("s")).as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+
+  /** MAX-normalize to `scale` over the node set (absent nodes get 0);
+    * the max is a 1-row broadcast. An all-zero round (possible only on
+    * an empty edge set) keeps zeros rather than dividing by it.
+    */
+  private def rescale(n: DataFrame, raw: DataFrame, scale: Long): DataFrame = {
+    val m = raw.agg(greatest(max(col("raw")), lit(1L)).as("__max"))
+    n.join(raw, Seq("node"), "left")
+      .join(broadcast(m))
+      .select(col("node"),
+        expr(s"(coalesce(raw, 0L) * $scale) div __max").as("s"))
+      .localCheckpoint()
+  }
+}

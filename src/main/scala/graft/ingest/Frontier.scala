@@ -119,6 +119,116 @@ object Frontier {
           .cast("int"))
   }
 
+  /** Frontier priority scoring — the fold that turns the three crawl
+    * panels into ONE fetch order (what Nutch's scoring filters and
+    * every production frontier do before handing URLs to
+    * [[schedule]]):
+    *
+    *  - freshness band from [[recrawlPlan]]'s reason:
+    *    `new`=3 > `stale`=2 > `aged`=1 > anything else 0;
+    *  - authority from the host in-degree panel
+    *    ([[graft.streaming.StreamHostGraph.hostInDegree]]): distinct
+    *    linking pages, capped at 999 999 so it can never cross bands;
+    *  - trap demotion from [[trapPanel]]: a URL whose
+    *    [[urlTemplate]] fold is trap-flagged on its host drops to
+    *    band 0 outright — a frontier spends nothing inside a URL
+    *    generator until the panel clears it.
+    *
+    * `priority = band * 1 000 000 + authority` — all-LONG arithmetic,
+    * total order with any deterministic tiebreak the caller adds
+    * (the gates use the URL itself). Rows are NOT filtered: skip
+    * decisions keep their row at band 0 so a budget-starved wave can
+    * still audit what it passed over; callers filter on action.
+    *
+    * Scale shape: both side tables are host- / (host, template)-
+    * grained — millions of rows against billions of URLs — so both
+    * joins broadcast (size-pinned by the panels' own grain, not
+    * guessed); the template fold and band math are per-row codegen.
+    * Nothing here shuffles the URL relation.
+    */
+  def prioritize(plan: DataFrame, locCol: String, hostCol: String,
+      reasonCol: String,
+      indegree: DataFrame, indegHostCol: String, authCol: String,
+      traps: DataFrame, trapHostCol: String, trapTemplateCol: String,
+      trapFlagCol: String): DataFrame = {
+    val path = regexp_extract(col(locCol), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+    val ind = indegree.select(col(indegHostCol).as("__ihost"),
+      col(authCol).cast("long").as("__auth"))
+    val tr = traps.filter(col(trapFlagCol) === 1)
+      .select(col(trapHostCol).as("__thost"),
+        col(trapTemplateCol).as("__ttpl"))
+    plan
+      .withColumn("__tpl", urlTemplate(path))
+      .join(broadcast(ind), col(hostCol) === col("__ihost"), "left")
+      .join(broadcast(tr),
+        col(hostCol) === col("__thost") && col("__tpl") === col("__ttpl"),
+        "left")
+      .withColumn("authority",
+        least(coalesce(col("__auth"), lit(0L)), lit(999999L)))
+      .withColumn("trapped", col("__thost").isNotNull.cast("int"))
+      .withColumn("band",
+        when(col("trapped") === 1, lit(0L))
+          .when(col(reasonCol) === "new", lit(3L))
+          .when(col(reasonCol) === "stale", lit(2L))
+          .when(col(reasonCol) === "aged", lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("priority", col("band") * lit(1000000L) + col("authority"))
+      .drop("__ihost", "__auth", "__thost", "__ttpl", "__tpl")
+  }
+
+  /** Fetch-budget apportionment — largest-remainder (Hamilton) method
+    * over host mass: a wave has `budget` fetches to spend and each
+    * host a nonnegative integer `mass` (priority sum, backlog, page
+    * count); each host gets `⌊budget·mass/total⌋` plus one top-up for
+    * the `budget − Σ⌊·⌋` largest remainders (ties broken by host asc —
+    * total order, deterministic). Quotas sum to EXACTLY `budget` (the
+    * fractional parts sum to the leftover count), every step is 64-bit
+    * integer arithmetic — bit-identical on any engine. Requires
+    * `budget · max(mass) < 2^63` (normalize mass first at extreme
+    * scales) and at least one positive mass.
+    *
+    * Scale shape: two 1-row aggregates (total, leftover) broadcast
+    * back — never collected; the remainder rank is the TWO-PHASE
+    * global rank ([[graft.textops.CurationOps.trainOrder]]'s pattern):
+    * range-partition on (−remainder, host), rank within partitions (a
+    * PARTITIONED window — parallel), add per-partition offsets (one
+    * control-plane row per shuffle partition). No single-task window
+    * ever sees the host relation.
+    */
+  def apportion(mass: DataFrame, hostCol: String, massCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val spark = mass.sparkSession
+    import spark.implicits._
+    val m = mass.select(col(hostCol).as("host"),
+      col(massCol).cast("long").as("mass"))
+    val tot = m.agg(sum(col("mass")).as("__tot"))
+    val based = m.join(broadcast(tot))
+      .withColumn("__base", expr(s"($budget * mass) div __tot"))
+      .withColumn("__nr", -expr(s"($budget * mass) % __tot"))
+      // two consumers (the leftover aggregate and the rank pass)
+      .localCheckpoint(eager = false)
+    val leftover = based.agg((lit(budget) - sum(col("__base"))).as("__left"))
+    val parted = based
+      .repartitionByRange(col("__nr"), col("host"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false) // size agg + rank must see same pids
+    val sizes = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.map { case (pid, n) => val off = acc; acc += n; (pid, off) }
+    val offs = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__nr"), col("host"))
+    parted
+      .withColumn("__lr", row_number().over(w))
+      .join(offs, "__pid")
+      .join(broadcast(leftover))
+      .withColumn("quota",
+        col("__base") + when(col("__lr") + col("__off") <= col("__left"), 1L)
+          .otherwise(0L))
+      .select(col("host"), col("mass"), col("quota"))
+  }
+
   def recrawlPlan(entries: DataFrame, locCol: String, lastmodCol: String,
       crawlLog: DataFrame, logLocCol: String, lastCrawlCol: String,
       agedCutoff: String): DataFrame = {

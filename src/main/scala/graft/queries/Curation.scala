@@ -119,6 +119,20 @@ object Curation {
         .orderBy($"lang", $"cum_tokens")
     },
 
+    // ---- curriculum mix schedule (the staged-training consumer of
+    // the mix family: anneal from char-mass weights to doc-count
+    // weights over 10 steps, a 1000-row budget Hamilton-apportioned
+    // WITHIN each step): per-step exact-sum quotas, all integer, all
+    // windows partitioned by step.
+    "q170_mix_schedule" -> { (s, dir) =>
+      import s.implicits._
+      val srcs = docsParallel(s, dir).groupBy($"source")
+        .agg(sum($"n_chars").as("w0"), count(lit(1)).as("w1"))
+      CurationOps.mixSchedule(srcs, "source", "w0", "w1",
+          steps = 10, budget = 1000L)
+        .orderBy($"step", $"source")
+    },
+
     // ---- per-stratum corpus length statistics: the distribution
     // summary that tunes curation thresholds (percentile_cont is the
     // SQL-standard linear interpolation on exact integer token counts,
@@ -1692,6 +1706,32 @@ object Curation {
         |       ROUND((sy - ((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)) * sx)
         |         / n_types, 6) AS zipf_intercept
         |FROM sums""".stripMargin),
+
+    // Mirrors CurationOps.mixSchedule: integer lerp between endpoint
+    // weights, per-step Hamilton apportionment (base //, remainder
+    // rank within the step, exact-sum top-ups), every SUM-derived
+    // value CAST to BIGINT
+    "q170_mix_schedule" ->
+      """WITH m AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w0,
+        |         CAST(COUNT(*) AS BIGINT) AS w1
+        |  FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT m.source, t.step, m.w0 * (10 - t.step) + m.w1 * t.step AS w
+        |  FROM m, unnest(generate_series(1, 10)) AS t(step)),
+        |b AS (
+        |  SELECT step, source, w,
+        |    CAST((1000 * w) // CAST(SUM(w) OVER (PARTITION BY step) AS BIGINT) AS BIGINT) AS base,
+        |    CAST((1000 * w) % CAST(SUM(w) OVER (PARTITION BY step) AS BIGINT) AS BIGINT) AS rem
+        |  FROM g),
+        |r AS (
+        |  SELECT step, source, w, base,
+        |    CAST(1000 - SUM(base) OVER (PARTITION BY step) AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (PARTITION BY step ORDER BY rem DESC, source ASC) AS rk
+        |  FROM b)
+        |SELECT step, source, w,
+        |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r ORDER BY step, source""".stripMargin,
 
     // Mirrors CurationOps.temperatureMix: integer-quantized sqrt
     // weights, exact integer target division (// = Spark's div), the

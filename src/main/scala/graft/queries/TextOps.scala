@@ -63,6 +63,148 @@ object TextOps {
     docsParallel(s, dir).select($"doc_id", page.as("page"))
   }
 
+  /** q165 PageRank rounds — 3 keeps the oracle unroll compact while
+    * the dangling share (all targets are sinks in the q148 graph)
+    * flows through every round.
+    */
+  private val PrIters = 3
+
+  /** q169 HITS rounds — 2 lets hub scores see authority structure
+    * (round 1's authorities feed round 2's hubs) while keeping the
+    * oracle unroll compact.
+    */
+  private val HitsIters = 2
+
+  /** The q165/q169 host graph: q148's extracted external edges keyed
+    * by the linking doc's own host, weights = link multiplicity;
+    * nodes = both endpoints (every ex/up target is a sink).
+    */
+  private def hostGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val edges = graft.textops.TextAnalysis.outlinkEdges(
+        linkedPages(s, dir), "doc_id", "page")
+      .filter($"host".isNotNull)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source".as("src"), $"host".as("dst"))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    val nodes = edges.select($"src".as("host"))
+      .union(edges.select($"dst")).distinct()
+    (nodes, edges)
+  }
+
+  /** The q165/q169 oracle edge relation over [[OutlinkCte]]'s `h`. */
+  private val HostEdgesCte =
+    """pr_edges AS (
+      |  SELECT d.source AS src, h.host AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM h JOIN documents d USING (doc_id)
+      |  WHERE h.host IS NOT NULL
+      |  GROUP BY 1, 2),
+      |pr_nodes AS (SELECT src AS host FROM pr_edges UNION SELECT dst FROM pr_edges)""".stripMargin
+
+  /** Generates the q169 round unroll, mirroring
+    * [[graft.graph.Hits.scores]] exactly: per half-step, raw sums
+    * `Σ w·s` over the incoming (authority) or outgoing (hub) side,
+    * then MAX-normalization `(raw · scale) // max(raw, 1)` over the
+    * full node set. SUMs CAST to BIGINT; `//` ≡ `div` on positives.
+    */
+  private def hitsRounds(iters: Int, scale: Long): String =
+    (1 to iters).map { i =>
+      s"""a${i}r AS (
+         |  SELECT e.dst AS node, CAST(SUM(e.w * s.s) AS BIGINT) AS raw
+         |  FROM pr_edges e JOIN h${i - 1} s ON e.src = s.node GROUP BY 1),
+         |a${i}m AS (SELECT greatest(MAX(raw), 1) AS mx FROM a${i}r),
+         |a$i AS (
+         |  SELECT n.host AS node,
+         |         CAST((COALESCE(r.raw, 0) * $scale) // m.mx AS BIGINT) AS s
+         |  FROM pr_nodes n LEFT JOIN a${i}r r ON n.host = r.node
+         |  CROSS JOIN a${i}m m),
+         |h${i}r AS (
+         |  SELECT e.src AS node, CAST(SUM(e.w * s.s) AS BIGINT) AS raw
+         |  FROM pr_edges e JOIN a$i s ON e.dst = s.node GROUP BY 1),
+         |h${i}m AS (SELECT greatest(MAX(raw), 1) AS mx FROM h${i}r),
+         |h$i AS (
+         |  SELECT n.host AS node,
+         |         CAST((COALESCE(r.raw, 0) * $scale) // m.mx AS BIGINT) AS s
+         |  FROM pr_nodes n LEFT JOIN h${i}r r ON n.host = r.node
+         |  CROSS JOIN h${i}m m)""".stripMargin
+    }.mkString(",\n")
+
+  /** Generates the q165 round unroll, mirroring
+    * [[graft.graph.PageRank.ranks]]'s redistributed-dangling step
+    * exactly in scale-10^12 integer fixed point: per round, edge
+    * contributions `(rank·w) // tw` sum per target, the dangling mass
+    * (nodes absent from `pr_tw`) splits `// nn.n` ways, and
+    * `rank' = base + ((Σ + share)·85) // 100` with
+    * base = 10^12·15 // 100. Every SUM CASTs to BIGINT (the q155
+    * HUGEINT lesson); all values positive, so `//` (floor) ≡ Spark
+    * `div` (truncate).
+    */
+  private def pagerankRounds(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS host, CAST(SUM((r.rank * e.w) // t.tw) AS BIGINT) AS s
+         |  FROM pr_edges e
+         |  JOIN pr_tw t ON e.src = t.src
+         |  JOIN r${i - 1} r ON r.host = e.src
+         |  GROUP BY e.dst),
+         |d$i AS (
+         |  SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dmass
+         |  FROM r${i - 1} r LEFT JOIN pr_tw t ON r.host = t.src
+         |  WHERE t.src IS NULL),
+         |r$i AS (
+         |  SELECT n.host,
+         |         CAST(150000000000 + ((COALESCE(s.s, 0) + d$i.dmass // nn.n) * 85) // 100 AS BIGINT) AS rank
+         |  FROM pr_nodes n
+         |  LEFT JOIN s$i s ON n.host = s.host
+         |  CROSS JOIN d$i CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+
+  /** q164 page synthesis — anchors exercising every extraction class:
+    * trim+lower normalization, same-host second opinions, text-free
+    * kept, child-tag skipped-by-the-anchor-pass, relative/external
+    * split, and the q148 non-edge traps.
+    */
+  private def anchorPages(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val page = concat(
+      lit("<p>"), $"text", lit("</p>"),
+      lit("<a href=\"https://t"), ($"doc_id" % 6).cast("string"),
+      lit(".test/p/"), ($"doc_id" % 40).cast("string"),
+      lit("\"> Read In "), upper($"lang"), lit(" </a>"),
+      when($"doc_id" % 3 === 0,
+        concat(lit("<a rel=\"nofollow\" href=\"https://t"),
+          ($"doc_id" % 6).cast("string"),
+          lit(".test/p/"), ($"doc_id" % 40).cast("string"),
+          lit("\">Click HERE</a>"))).otherwise(lit("")),
+      when($"doc_id" % 4 === 0,
+        lit("<a href=\"https://t0.test/banner\"></a>")).otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        lit("<a href=\"https://t1.test/img\"><b>x</b></a>")).otherwise(lit("")),
+      when($"doc_id" % 7 === 0,
+        lit("<a href=\"/local\">home</a>")).otherwise(lit("")),
+      when($"doc_id" % 8 === 0, lit("<a href=\"#x\">top</a>")).otherwise(lit("")),
+      when($"doc_id" % 9 === 0,
+        lit("<a href=\"mailto:a@b.test\">mail</a>")).otherwise(lit("")),
+      when($"doc_id" % 11 === 0,
+        lit("<a data-href=\"/decoy\">d</a>")).otherwise(lit("")))
+    docsParallel(s, dir).select($"doc_id", page.as("page"))
+  }
+
+  /** Generates the q167 pointer-doubling unroll — one MATERIALIZED
+    * self-composition per round (`f_{k+1}(x) = f_k(f_k(x))`, hop
+    * counts summing through), mirroring
+    * [[graft.graph.Redirects.resolve]] exactly. Plain `+` on BIGINTs
+    * (no SUM — no HUGEINT surface).
+    */
+  private def redirectRounds(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT a.src, COALESCE(b.dst, a.dst) AS dst,
+         |         a.hops + COALESCE(b.hops, 0) AS hops
+         |  FROM f${i - 1} a LEFT JOIN f${i - 1} b ON a.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+
   /** The q148/q153 oracle edge relation — the [[linkedPages]] template
     * and the engine's drop/classify rules, mirrored once.
     */
@@ -1166,6 +1308,136 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- anchor-text panel (q148/q153's semantic sibling — what the
+    // web SAYS about each target, the classic retrieval-training
+    // signal): pages synthesized with a lang-varying padded-mixed-case
+    // main anchor (trim+lower must fire), a duplicate-host generic
+    // anchor, a text-free anchor (kept, empty string), a child-tag
+    // anchor (an outlink but NOT an anchor-text row), a relative link
+    // (dropped by the panel's external filter), and the q148 non-edge
+    // traps (fragment-only, mailto, data-href decoy). Two extract_all
+    // passes zipped positionally, one map-side-combinable rollup.
+    "q164_anchor_text" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.TextAnalysis.anchorTextPanel(
+          anchorPages(s, dir), "doc_id", "page")
+        .orderBy($"host", $"anchor")
+    },
+
+    // ---- host-graph PageRank (q57's web twin, and the gate for the
+    // REDISTRIBUTED-dangling path q57's leak variant leaves spec-only):
+    // edges = q148's extracted external links keyed by the linking
+    // doc's own host, so every ex*/up* target is dangling by
+    // construction and the dangling share flows every round. 3 rounds,
+    // exact pico-unit fixed point — BIGINT on both engines.
+    "q165_host_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val (nodes, edges) = hostGraph(s, dir)
+      graft.graph.PageRank.ranks(nodes, "host", edges, "src", "dst", "w",
+          iters = PrIters, redistributeDangling = true)
+        .select($"node".as("host"), $"rank".as("rank_pp"))
+        .orderBy($"host")
+    },
+
+    // ---- host-graph HITS (q165's mutually-recursive sibling — the
+    // frontier wants BOTH: PageRank mass says fetch, hub scores say
+    // DISCOVER THROUGH): sources are pure hubs and ex*/up* targets
+    // pure authorities by construction, weights vary per edge; 2
+    // rounds, MAX-normalized exact integer fixed point at 10^5.
+    "q169_host_hits" -> { (s, dir) =>
+      import s.implicits._
+      val (nodes, edges) = hostGraph(s, dir)
+      graft.graph.Hits.scores(nodes, "host", edges, "src", "dst", "w",
+          iters = HitsIters)
+        .select($"node".as("host"), $"hub", $"auth")
+        .orderBy($"host")
+    },
+
+    // ---- frontier priority scoring (the composition the three crawl
+    // panels exist FOR — recrawl freshness × host authority × trap
+    // demotion folded into one all-integer fetch order): the q161 URL
+    // shape gives even-length hosts a flagged calendar template; the
+    // q158 lastmod/crawl-log shape fires all four freshness classes;
+    // in-degree authority varies per host via a residue-filtered
+    // doc→host link table (divisor 2..21 by target). Both side tables
+    // are host/template-grained — broadcast joins; per-row CASE math.
+    "q166_frontier_priority" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val urls = docs.select($"source".as("host"), $"doc_id",
+        when(length($"source") % 2 === 0,
+          when($"doc_id" % 7 =!= 3,
+            concat(lit("/cal/"), ($"doc_id" % 28 + 1).cast("string"),
+              lit("/"), ($"doc_id" % 12 + 1).cast("string")))
+            .otherwise(lit("/about")))
+          .otherwise(concat(lit("/p/"), $"doc_id".cast("string"))).as("path"))
+      val traps = graft.ingest.Frontier.trapPanel(
+        urls, "host", "path", sharePct = 50, minPaths = 10)
+      val locs = urls.select($"host", $"doc_id",
+        concat(lit("https://"), $"host", $"path").as("loc"))
+      val entries = locs.select($"host", $"loc",
+        when($"doc_id" % 5 =!= 0,
+          concat(lit("2026-08-"),
+            lpad((($"doc_id" % 28) + 1).cast("string"), 2, "0")))
+          .as("lastmod"))
+      val crawlLog = locs.filter($"doc_id" % 3 =!= 0).select($"loc",
+        concat(lit("2026-08-"),
+          lpad((($"doc_id" % 15) + 1).cast("string"), 2, "0")).as("last_crawl"))
+      val plan = graft.ingest.Frontier.recrawlPlan(entries, "loc", "lastmod",
+        crawlLog, "loc", "last_crawl", agedCutoff = "2026-08-10")
+      val d2 = Tables.load(s, dir, "documents").filter($"doc_id" < 20)
+        .select($"doc_id".as("k"), $"source".as("thost"))
+      val indeg = docs.select($"doc_id", (($"doc_id" * 3 + 7) % 20).as("k"))
+        .join(d2, "k")
+        .filter($"doc_id" % ($"k" + 2) === 0)
+        .groupBy($"thost")
+        .agg(count_distinct($"doc_id").as("n_pages"))
+        .withColumnRenamed("thost", "host")
+      graft.ingest.Frontier.prioritize(plan, "loc", "host", "reason",
+          indeg, "host", "n_pages", traps, "host", "template", "trap")
+        .filter($"action" === "fetch")
+        .select($"loc", $"host", $"reason", $"authority", $"trapped",
+          $"priority")
+        .orderBy($"priority".desc, $"loc")
+    },
+
+    // ---- redirect-chain resolution (the step between q163's
+    // canonicalization — SPELLINGS of one resource — and frontier
+    // dedup: 301 chains resolved to endpoints by pointer doubling):
+    // chains up to 15 hops (doc_id descends to the block-of-16 floor)
+    // against rounds=3 = an 8-hop ceiling, so BOTH boundary classes
+    // fire (o ≤ 8 terminal with exact hop counts, o > 8 unresolved);
+    // 2-cycles in a /c/ namespace pin the never-terminates class.
+    "q167_redirect_resolve" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val chain = docs.filter($"doc_id" % 16 =!= 0).select(
+        concat(lit("https://ex.test/p/"), $"doc_id".cast("string")).as("src"),
+        concat(lit("https://ex.test/p/"),
+          ($"doc_id" - 1).cast("string")).as("dst"))
+      val cyc = docs.filter($"doc_id" % 10 === 9).select(
+        concat(lit("https://ex.test/c/"), $"doc_id".cast("string")).as("src"),
+        concat(lit("https://ex.test/c/"),
+          when(expr("doc_id div 10") % 2 === 0, $"doc_id" + 10)
+            .otherwise($"doc_id" - 10).cast("string")).as("dst"))
+      graft.graph.Redirects.resolve(chain.union(cyc), "src", "dst", rounds = 3)
+        .orderBy($"src")
+    },
+
+    // ---- fetch-budget apportionment (the quantity half of frontier
+    // scheduling — q166 orders, this SIZES: a wave's global fetch
+    // budget split across hosts by Hamilton largest-remainder over
+    // char mass): exact-sum quotas, all 64-bit integer, the remainder
+    // rank two-phase (never a single-task window).
+    "q168_budget_apportion" -> { (s, dir) =>
+      import s.implicits._
+      val mass = docsParallel(s, dir).groupBy($"source")
+        .agg(sum($"n_chars").as("mass"))
+        .withColumnRenamed("source", "host")
+      graft.ingest.Frontier.apportion(mass, "host", "mass", budget = 1000L)
+        .orderBy($"host")
+    },
+
     "q52_media_decode" -> { (s, dir) =>
       import s.implicits._
       val media = docsParallel(s, dir).select(
@@ -1661,6 +1933,179 @@ object TextOps {
         |SELECT host, template, n_urls, n_paths, share_pct,
         |  CASE WHEN share_pct >= 50 AND n_paths >= 10 THEN 1 ELSE 0 END AS trap
         |FROM s ORDER BY host, template""".stripMargin,
+
+    // anchor-text mirror: the [[anchorPages]] template, two parallel
+    // regexp_extract_all unnests (DuckDB zips same-SELECT unnests
+    // positionally — the lists are same-length by construction, one
+    // pattern), the engine's drop rules, one rollup
+    "q164_anchor_text" ->
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |    '<p>' || text || '</p>' ||
+        |    '<a href="https://t' || CAST(doc_id % 6 AS VARCHAR) || '.test/p/' || CAST(doc_id % 40 AS VARCHAR) || '"> Read In ' || upper(lang) || ' </a>' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '<a rel="nofollow" href="https://t' || CAST(doc_id % 6 AS VARCHAR) || '.test/p/' || CAST(doc_id % 40 AS VARCHAR) || '">Click HERE</a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '<a href="https://t0.test/banner"></a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '<a href="https://t1.test/img"><b>x</b></a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '<a href="/local">home</a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 8 = 0 THEN '<a href="#x">top</a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN '<a href="mailto:a@b.test">mail</a>' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '<a data-href="/decoy">d</a>' ELSE '' END AS page
+        |  FROM documents),
+        |ae AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(page, '${graft.textops.TextAnalysis.AnchorRe}', 1)) AS href,
+        |         unnest(regexp_extract_all(page, '${graft.textops.TextAnalysis.AnchorRe}', 2)) AS anchor0
+        |  FROM aug),
+        |ke AS (
+        |  SELECT doc_id, href, trim(lower(anchor0)) AS anchor,
+        |         CASE WHEN regexp_matches(href, '(?i)^https?://')
+        |              THEN lower(regexp_extract(href, '(?i)^https?://([^/]+)', 1)) END AS host
+        |  FROM ae
+        |  WHERE length(href) > 0
+        |    AND NOT regexp_matches(lower(href), '^(mailto|javascript):'))
+        |SELECT host, anchor,
+        |       CAST(COUNT(*) AS BIGINT) AS n_links,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
+        |FROM ke WHERE host IS NOT NULL
+        |GROUP BY host, anchor
+        |ORDER BY host, anchor""".stripMargin,
+
+    // host PageRank mirror: q148's edge relation keyed by the linking
+    // doc's host, then the generated round unroll (see pagerankRounds)
+    "q165_host_pagerank" -> (OutlinkCte + s""",
+        |$HostEdgesCte,
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pr_nodes),
+        |pr_tw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM pr_edges GROUP BY src),
+        |r0 AS (SELECT host, CAST(1000000000000 AS BIGINT) AS rank FROM pr_nodes),
+        |${pagerankRounds(PrIters)}
+        |SELECT host, rank AS rank_pp FROM r$PrIters ORDER BY host""".stripMargin),
+
+    // HITS mirror: the same host-graph relation, the generated
+    // half-step/max-normalize unroll (see hitsRounds)
+    "q169_host_hits" -> (OutlinkCte + s""",
+        |$HostEdgesCte,
+        |h0 AS (SELECT host AS node, CAST(100000 AS BIGINT) AS s FROM pr_nodes),
+        |${hitsRounds(HitsIters, 100000L)}
+        |SELECT h$HitsIters.node AS host, h$HitsIters.s AS hub, a$HitsIters.s AS auth
+        |FROM h$HitsIters JOIN a$HitsIters ON h$HitsIters.node = a$HitsIters.node
+        |ORDER BY host""".stripMargin),
+
+    // frontier priority mirror: q161's trap fold + q158's freshness
+    // classes + the residue-filtered in-degree, folded by the
+    // band*1e6+authority law; the oracle derives the template from the
+    // synthesized PATH directly (independent of the engine's loc→path
+    // re-extraction — which this therefore tests)
+    "q166_frontier_priority" ->
+      """WITH urls AS (
+        |  SELECT source AS host, doc_id,
+        |    CASE WHEN length(source) % 2 = 0 THEN
+        |      CASE WHEN doc_id % 7 <> 3
+        |           THEN '/cal/' || CAST(doc_id % 28 + 1 AS VARCHAR) || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+        |           ELSE '/about' END
+        |    ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+        |  FROM documents),
+        |a AS (
+        |  SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |         CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths
+        |  FROM (SELECT host, path,
+        |          regexp_replace(regexp_replace(lower(path), '[0-9a-f]{8,}', 'H', 'g'),
+        |                         '[0-9]+', 'N', 'g') AS template
+        |        FROM urls)
+        |  GROUP BY host, template),
+        |tr AS (
+        |  SELECT host, template FROM (
+        |    SELECT host, template, n_paths,
+        |      CAST((n_urls * 100) // CAST(SUM(n_urls) OVER (PARTITION BY host) AS BIGINT) AS BIGINT) AS share_pct
+        |    FROM a)
+        |  WHERE share_pct >= 50 AND n_paths >= 10),
+        |locs AS (
+        |  SELECT host, doc_id, path, 'https://' || host || path AS loc FROM urls),
+        |entries AS (
+        |  SELECT host, doc_id, path, loc,
+        |    CASE WHEN doc_id % 5 <> 0
+        |         THEN '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END AS lastmod
+        |  FROM locs),
+        |log AS (
+        |  SELECT loc, '2026-08-' || lpad(CAST(doc_id % 15 + 1 AS VARCHAR), 2, '0') AS last_crawl
+        |  FROM locs WHERE doc_id % 3 <> 0),
+        |plan AS (
+        |  SELECT e.host, e.loc,
+        |    regexp_replace(regexp_replace(lower(e.path), '[0-9a-f]{8,}', 'H', 'g'),
+        |                   '[0-9]+', 'N', 'g') AS template,
+        |    CASE WHEN l.last_crawl IS NULL THEN 'new'
+        |         WHEN e.lastmod IS NOT NULL THEN
+        |           CASE WHEN e.lastmod > l.last_crawl THEN 'stale' ELSE 'fresh' END
+        |         ELSE CASE WHEN l.last_crawl < '2026-08-10' THEN 'aged' ELSE 'unclaimed' END
+        |    END AS reason,
+        |    CASE WHEN l.last_crawl IS NULL THEN 'fetch'
+        |         WHEN e.lastmod IS NOT NULL THEN
+        |           CASE WHEN e.lastmod > l.last_crawl THEN 'fetch' ELSE 'skip' END
+        |         ELSE CASE WHEN l.last_crawl < '2026-08-10' THEN 'fetch' ELSE 'skip' END
+        |    END AS action
+        |  FROM entries e LEFT JOIN log l ON e.loc = l.loc),
+        |ind AS (
+        |  SELECT d2.source AS host, CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_pages
+        |  FROM documents d JOIN documents d2 ON d2.doc_id = (d.doc_id * 3 + 7) % 20
+        |  WHERE d2.doc_id < 20 AND d.doc_id % (d2.doc_id + 2) = 0
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT pl.loc, pl.host, pl.reason, pl.action,
+        |    CAST(least(COALESCE(i.n_pages, 0), 999999) AS BIGINT) AS authority,
+        |    CASE WHEN tr.host IS NOT NULL THEN 1 ELSE 0 END AS trapped
+        |  FROM plan pl
+        |  LEFT JOIN ind i ON pl.host = i.host
+        |  LEFT JOIN tr ON tr.host = pl.host AND tr.template = pl.template)
+        |SELECT loc, host, reason, authority, trapped,
+        |  CAST((CASE WHEN trapped = 1 THEN 0
+        |             WHEN reason = 'new' THEN 3
+        |             WHEN reason = 'stale' THEN 2
+        |             WHEN reason = 'aged' THEN 1 ELSE 0 END) * 1000000 + authority AS BIGINT) AS priority
+        |FROM p WHERE action = 'fetch'
+        |ORDER BY priority DESC, loc""".stripMargin,
+
+    // redirect mirror: the chain/cycle synthesis, the generated
+    // pointer-doubling unroll, and the terminal probe against the raw
+    // (functional) edge list
+    "q167_redirect_resolve" -> (s"""WITH e AS (
+        |  SELECT 'https://ex.test/p/' || CAST(doc_id AS VARCHAR) AS src,
+        |         'https://ex.test/p/' || CAST(doc_id - 1 AS VARCHAR) AS dst
+        |  FROM documents WHERE doc_id % 16 <> 0
+        |  UNION ALL
+        |  SELECT 'https://ex.test/c/' || CAST(doc_id AS VARCHAR),
+        |         'https://ex.test/c/' || CAST(CASE WHEN (doc_id // 10) % 2 = 0
+        |                                           THEN doc_id + 10
+        |                                           ELSE doc_id - 10 END AS VARCHAR)
+        |  FROM documents WHERE doc_id % 10 = 9),
+        |f0 AS (SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM e),
+        |${redirectRounds(3)}
+        |SELECT f.src, f.dst AS target, f.hops,
+        |       CASE WHEN t.src IS NULL THEN 1 ELSE 0 END AS terminal
+        |FROM f3 f LEFT JOIN e t ON f.dst = t.src
+        |ORDER BY f.src""".stripMargin),
+
+    // apportionment mirror: base = (B·mass)//total, top-ups by global
+    // remainder rank (the oracle may use a plain global window —
+    // DuckDB is single-node; the ENGINE's two-phase rank is the part
+    // under test), every SUM CAST to BIGINT
+    "q168_budget_apportion" ->
+      """WITH m AS (
+        |  SELECT source AS host, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS t FROM m),
+        |b AS (
+        |  SELECT host, mass,
+        |         CAST((1000 * mass) // tot.t AS BIGINT) AS base,
+        |         CAST((1000 * mass) % tot.t AS BIGINT) AS rem
+        |  FROM m CROSS JOIN tot),
+        |l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM b),
+        |r AS (
+        |  SELECT host, mass, base,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rk
+        |  FROM b)
+        |SELECT r.host, r.mass,
+        |       CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r CROSS JOIN l
+        |ORDER BY r.host""".stripMargin,
 
     // First-match via MIN_BY over the cumulative walk instead of a
     // correlated ORDER BY … LIMIT 1 subquery (r10 version-portability:

@@ -330,6 +330,48 @@ object CurationOps {
         expr("n_shingles * CAST(1000000000 AS BIGINT) div sum_df"))
   }
 
+  /** Curriculum mix schedule — the per-STEP twin of
+    * [[graft.ingest.Frontier.apportion]], and the thing a staged
+    * training run actually consumes (start natural-text-heavy, end
+    * code-heavy; anneal a contaminated source out): each source
+    * carries two endpoint weights, step `s` of `S` uses the integer
+    * lerp `w(s) = w0·(S−s) + w1·s`, and the per-step fetch budget
+    * splits by Hamilton largest-remainder within the step — base
+    * `⌊B·w/totₛ⌋` plus one top-up per largest remainder (source-asc
+    * ties). Per step, quotas sum to EXACTLY `B`; everything is 64-bit
+    * integer arithmetic (`budget · w(s) < 2^63` — w(s) ≤
+    * max(w0,w1)·S).
+    *
+    * Emits one row per (step, source): `(step, source, w, quota)`.
+    *
+    * Scale shape: steps explode per source row (S × sources rows —
+    * the schedule grain, thousands at worst), then every pass is a
+    * window PARTITIONED BY step (totals, leftover, remainder rank) —
+    * parallel across steps, never a single-task window, no collect,
+    * no join.
+    */
+  def mixSchedule(sources: DataFrame, srcCol: String, w0Col: String,
+      w1Col: String, steps: Int, budget: Long): DataFrame = {
+    require(steps >= 1, s"steps must be positive: $steps")
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val w = Window.partitionBy(col("step"))
+    val wr = w.orderBy(col("__rem").desc, col(srcCol).asc)
+    sources
+      .select(col(srcCol), col(w0Col).cast("long").as("__w0"),
+        col(w1Col).cast("long").as("__w1"))
+      .withColumn("step", explode(sequence(lit(1), lit(steps))))
+      .withColumn("w",
+        col("__w0") * (lit(steps) - col("step")) + col("__w1") * col("step"))
+      .withColumn("__tot", sum(col("w")).over(w))
+      .withColumn("__base", expr(s"($budget * w) div __tot"))
+      .withColumn("__rem", expr(s"($budget * w) % __tot"))
+      .withColumn("__left", lit(budget) - sum(col("__base")).over(w))
+      .withColumn("__rk", row_number().over(wr))
+      .withColumn("quota",
+        col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select(col("step"), col(srcCol), col("w"), col("quota"))
+  }
+
   // ---- deterministic stratified sampling ---------------------------------
 
   /** Up to `k` rows per stratum, chosen by md5 rank over a salted key —

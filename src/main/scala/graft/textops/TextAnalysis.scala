@@ -537,6 +537,63 @@ object TextAnalysis {
       .withColumn("external", col("host").isNotNull.cast("int"))
   }
 
+  /** [[HrefRe]] extended to the whole anchor element: group 1 = the
+    * target up to the closing quote or a fragment `#` (the HrefRe
+    * contract), group 2 = the element's inner TEXT — `[^<]*</a>`, so
+    * only child-tag-free anchors match this pass at all (an
+    * `<a><b>bold</b></a>` element is outlinkEdges' business, not an
+    * anchor-text row; a production extractor recurses into children, a
+    * regex that did would lose RE2 parity). `<a href="x"></a>` — a
+    * text-free anchor — matches with group 2 empty. Same whitespace
+    * boundary before `href=`, so `data-href` decoys stay non-edges.
+    */
+  val AnchorRe =
+    "(?is)<a\\s(?:[^>]*?\\s)?href=\"([^\"#]*)[^\"]*\"[^>]*>([^<]*)</a>"
+
+  /** Anchor-text edge extraction — [[outlinkEdges]] carrying what the
+    * linking page SAYS about the target (the classic web-corpus
+    * relevance signal: anchor text is human-written annotation of the
+    * target page, and every large crawl aggregates it per target for
+    * retrieval training and query mining). Emits one row per kept link:
+    * `(id, href, host, anchor)` with the anchor lower-cased and
+    * whitespace-trimmed; drop rules are exactly outlinkEdges'
+    * (fragment-only / mailto / javascript / empty targets are not
+    * edges; EMPTY anchors from text-free `<a href></a>` elements are
+    * KEPT — such links carry rank even without text).
+    *
+    * Scale shape: two codegen'd `regexp_extract_all` passes over the
+    * same pattern (so the group-1 and group-2 arrays are index-aligned
+    * by construction), one `arrays_zip` + link-bounded explode, per-row
+    * host math — no shuffle, no join.
+    */
+  def anchorEdges(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val hs = regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(1))
+    val as = regexp_extract_all(col(htmlCol), lit(AnchorRe), lit(2))
+    df.select(col(idCol), explode(arrays_zip(hs, as)).as("z"))
+      .select(col(idCol), col("z").getField("0").as("href"),
+        trim(lower(col("z").getField("1"))).as("anchor"))
+      .filter(length(col("href")) > 0 &&
+        !lower(col("href")).rlike("^(mailto|javascript):"))
+      .withColumn("host",
+        when(col("href").rlike("(?i)^https?://"),
+          lower(regexp_extract(col("href"), "(?i)^https?://([^/]+)", 1))))
+  }
+
+  /** Per-target anchor-text panel: for every (external target host,
+    * normalized anchor term) — how many links carry that text and how
+    * many distinct source pages said it (the dampener against a single
+    * spam page repeating an anchor a thousand times). One map-side-
+    * combinable rollup over [[anchorEdges]]; state is (host × distinct
+    * anchors), never pages — the StreamHostGraph merge law applies
+    * verbatim, so the panel maintains incrementally.
+    */
+  def anchorTextPanel(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    anchorEdges(df, idCol, htmlCol)
+      .filter(col("host").isNotNull)
+      .groupBy(col("host"), col("anchor"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col(idCol)).as("n_pages"))
+
   /** IBAN (ISO 13616) validity — [[luhnValidCol]]'s sibling for the
     * bank-account PII class: normalize to uppercase, check the
     * structural shape (2 letters, 2 check digits, 11-30 alphanumeric),

@@ -716,7 +716,50 @@ object PlanCheck {
     // UDF is a bounded string walk, no shuffle beyond the output sort
     Expectation("q163_url_canonical",
       mustNotContain = Seq("Window", "HashAggregate", "CartesianProduct",
-        "BroadcastNestedLoopJoin")))
+        "BroadcastNestedLoopJoin")),
+    // anchor panel: zipped extract_all explode + ONE map-side-combinable
+    // rollup; no join (the q153 shape with the anchor key added)
+    Expectation("q164_anchor_text",
+      mustContain = Seq("Generate", "HashAggregate"),
+      mustNotContain = Seq("BroadcastHashJoin", "SortMergeJoin",
+        "CartesianProduct")),
+    // host PageRank (redistributed): every round ends in an eager
+    // localCheckpoint (the rank frame is read twice per round — see
+    // PageRank.ranks), so the visible readout is checkpoint-truncated
+    // (the q57/q78 situation); it must stay cross-product-free
+    Expectation("q165_host_pagerank",
+      mustNotContain = Seq("CartesianProduct")),
+    // priority fold: BOTH side tables (host-grained in-degree,
+    // (host,template)-grained traps) broadcast against the URL
+    // relation — a sort-merge here would shuffle billions of URLs to
+    // join a panel of thousands
+    Expectation("q166_frontier_priority",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // redirect resolution: each doubling ends in an eager checkpoint
+    // (the map is read twice per round — see Redirects.resolve), so
+    // the visible readout is the terminal-probe equi-join only; it
+    // must stay cross-product-free
+    Expectation("q167_redirect_resolve",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // apportionment: the remainder rank must be the PARTITIONED
+    // two-phase window (WindowAudit holds the no-single-task-window
+    // line); the two 1-row aggregates broadcast back — their
+    // nested-loop joins are intentional single-row crosses
+    Expectation("q168_budget_apportion",
+      mustContain = Seq("Window"),
+      mustNotContain = Seq("CartesianProduct")),
+    // HITS: every half-step ends in an eager checkpoint (score frames
+    // feed the next half-step AND their max aggregate), so the visible
+    // readout is the final node⋈hub⋈auth equi-joins; cross-product-free
+    Expectation("q169_host_hits",
+      mustNotContain = Seq("CartesianProduct")),
+    // mix schedule: step explode + windows PARTITIONED BY step — no
+    // join anywhere, and never a single-task (empty-partition) window
+    Expectation("q170_mix_schedule",
+      mustContain = Seq("Window", "Generate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

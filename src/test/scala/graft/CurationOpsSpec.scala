@@ -1578,4 +1578,45 @@ class CurationOpsSpec extends SparkSpec {
       .collect().head.getAs[Double]("jsd")
     assert(one === many && one > 0.0 && one < 1.0)
   }
+
+  test("mixSchedule: endpoint anchoring, per-step exact sums, monotone anneal") {
+    // w0-heavy 'nat' anneals down, w1-heavy 'code' anneals up
+    val srcs = Seq(("nat", 90L, 10L), ("code", 10L, 90L), ("mid", 50L, 50L))
+      .toDF("source", "w0", "w1")
+    val out = CurationOps.mixSchedule(srcs, "source", "w0", "w1",
+        steps = 9, budget = 100L)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // every step's quotas sum to the budget exactly
+    (1 to 9).foreach { s =>
+      val tot = Seq("nat", "code", "mid").map(n => out((s, n))._2).sum
+      assert(tot == 100L, s"step $s sums to $tot")
+    }
+    // lerp law: w(s) = w0·(9−s) + w1·s
+    assert(out((1, "nat"))._1 == 90L * 8 + 10L)
+    assert(out((9, "code"))._1 == 90L * 9)
+    // anneal direction: nat quota non-increasing, code non-decreasing
+    val natQ = (1 to 9).map(s => out((s, "nat"))._2)
+    val codeQ = (1 to 9).map(s => out((s, "code"))._2)
+    assert(natQ.zip(natQ.tail).forall { case (a, b) => a >= b }, natQ)
+    assert(codeQ.zip(codeQ.tail).forall { case (a, b) => a <= b }, codeQ)
+  }
+
+  test("mixSchedule: partitioning invariance and zero-weight endpoints") {
+    val srcs = (1 to 30).map(i => (f"s$i%02d", i.toLong, (31 - i).toLong))
+    for (parts <- Seq(1, 7)) {
+      val out = CurationOps.mixSchedule(
+          srcs.toDF("source", "w0", "w1").repartition(parts),
+          "source", "w0", "w1", steps = 4, budget = 17L)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(3)))
+      assert(out.groupBy(_._1).values.forall(_.map(_._3).sum == 17L))
+      // deterministic across partitionings
+      val again = CurationOps.mixSchedule(
+          srcs.toDF("source", "w0", "w1").repartition(13),
+          "source", "w0", "w1", steps = 4, budget = 17L)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(3)))
+      assert(out.sortBy(t => (t._1, t._2)).toSeq ==
+        again.sortBy(t => (t._1, t._2)).toSeq)
+    }
+  }
 }
