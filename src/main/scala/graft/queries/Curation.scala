@@ -548,6 +548,34 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // ---- T5-style span corruption (q83's denoising sibling): block-
+    // deterministic span placement, sentinel-indexed corrupted/targets
+    // pair, ~10% noise density — every column oracle-checkable because
+    // the placement law is pure salted-hash integer math.
+    "q171_span_corruption" -> { (s, dir) =>
+      import s.implicits._
+      CurationOps.spanCorruption(docsParallel(s, dir), "doc_id", "text",
+          salt = "sc")
+        .orderBy($"doc_id")
+    },
+
+    // ---- best-representative dedup (q81's keep rule upgraded: among
+    // normalized-key duplicates keep the LONGEST raw text, not the
+    // smallest id): every third doc gains an upper-cased variant with
+    // appended punctuation — same dedup key, longer raw bytes — and
+    // must LOSE its kept flag to it.
+    "q172_dedup_keep_best" -> { (s, dir) =>
+      import s.implicits._
+      val base = docsParallel(s, dir).select($"doc_id", $"text")
+      val variants = base.filter($"doc_id" % 3 === 0).select(
+        ($"doc_id" + 100000L).as("doc_id"),
+        concat(upper($"text"), lit(" !!!")).as("text"))
+      val all = base.unionByName(variants)
+        .withColumn("q", length($"text").cast("long"))
+      CurationOps.dedupKeepBest(all, "doc_id", "text", "q")
+        .orderBy($"doc_id")
+    },
+
     // ---- per-doc contamination fraction vs the q30 benchmark split:
     // every corpus doc scored (0.0 when clean), exact-integer ratio —
     // the thresholdable report q30's flag list can't give.
@@ -1706,6 +1734,70 @@ object Curation {
         |       ROUND((sy - ((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)) * sx)
         |         / n_types, 6) AS zipf_intercept
         |FROM sums""".stripMargin),
+
+    // Mirrors CurationOps.spanCorruption: positioned words via
+    // generate_series subscripts, the salted-hash placement law
+    // (o = h%17, len = 1+(h//17)%3 inside blocks of 20), sentinel =
+    // block index, both strings assembled by ORDER BY pos string_agg
+    // (null pieces skip on both engines; COALESCE '' for the
+    // nothing-masked doc)
+    "q171_span_corruption" -> (WordsCte + """,
+        |wp AS (
+        |  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        |  FROM words, unnest(generate_series(1, len(ws))) AS u(i)),
+        |m AS (
+        |  SELECT doc_id, pos, w, pos // 20 AS block,
+        |         CAST(('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos // 20 AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM wp),
+        |c AS (
+        |  SELECT doc_id, pos, block, w,
+        |         h % 17 AS o, 1 + (h // 17) % 3 AS ln, pos % 20 AS off
+        |  FROM m),
+        |p AS (
+        |  SELECT doc_id, pos, block,
+        |    CASE WHEN off >= o AND off < o + ln THEN 1 ELSE 0 END AS masked,
+        |    CASE WHEN off < o OR off >= o + ln THEN w
+        |         WHEN off = o THEN '<extra_id_' || CAST(block AS VARCHAR) || '>' END AS cpiece,
+        |    CASE WHEN off = o THEN '<extra_id_' || CAST(block AS VARCHAR) || '> ' || w
+        |         WHEN off > o AND off < o + ln THEN w END AS tpiece
+        |  FROM c)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(masked) AS BIGINT) AS n_masked,
+        |       CAST(COUNT(DISTINCT CASE WHEN masked = 1 THEN block END) AS BIGINT) AS n_spans,
+        |       COALESCE(string_agg(cpiece, ' ' ORDER BY pos), '') AS corrupted,
+        |       COALESCE(string_agg(tpiece, ' ' ORDER BY pos), '') AS targets
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Mirrors CurationOps.dedupKeepBest over the variant-augmented
+    // corpus: the q81 normalization chain, winner = max quality then
+    // min id via the boring two-step (max per key, then min id among
+    // maxima) instead of an argmax-struct — independent formulation,
+    // same total order
+    "q172_dedup_keep_best" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) || ' !!!' FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |k AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS quality,
+        |    md5(trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[0-9]+', '0', 'g'),
+        |      '[^a-z0-9 \t\n\x0B\f\r]+', ' ', 'g'),
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS kk
+        |  FROM base),
+        |g AS (
+        |  SELECT kk, CAST(COUNT(*) AS BIGINT) AS group_size,
+        |         MAX(quality) AS mq
+        |  FROM k GROUP BY kk),
+        |w AS (
+        |  SELECT k.kk, MIN(k.doc_id) AS win
+        |  FROM k JOIN g ON k.kk = g.kk AND k.quality = g.mq
+        |  GROUP BY k.kk)
+        |SELECT k.doc_id, k.quality, g.group_size,
+        |       CASE WHEN k.doc_id = w.win THEN 1 ELSE 0 END AS kept
+        |FROM k JOIN g ON k.kk = g.kk JOIN w ON k.kk = w.kk
+        |ORDER BY k.doc_id""".stripMargin,
 
     // Mirrors CurationOps.mixSchedule: integer lerp between endpoint
     // weights, per-step Hamilton apportionment (base //, remainder

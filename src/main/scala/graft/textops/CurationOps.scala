@@ -1353,6 +1353,93 @@ object CurationOps {
         .otherwise(lit("")).as("suffix"))
   }
 
+  /** Best-representative exact dedup — q81's keep rule upgraded from
+    * "smallest id" to "highest quality", which is what production
+    * curation actually keeps: normalized-key duplicates (casing,
+    * punctuation, digit variants of one page) differ in their RAW
+    * bytes, and the pipeline should keep the longest / best-scored
+    * raw text, not whichever arrived first. Winner per key =
+    * argmax(quality, then smallest id) — a total order, so the
+    * survivor set is deterministic under any partitioning.
+    *
+    * Emits one row per input doc: `(id, quality, group_size, kept)`.
+    *
+    * Scale shape: keys are md5 digests (fixed-width shuffle, never
+    * the text); ONE map-side-combinable groupBy (max_by struct +
+    * count) and ONE keyed join back — no window over the corpus, no
+    * quality sort anywhere.
+    */
+  def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String): DataFrame = {
+    val keyed = df.select(col(idCol),
+        md5(TextTokens.dedupKeyCol(col(textCol))).as("__k"),
+        col(qualityCol).cast("long").as("quality"))
+      // two consumers (the winner aggregate and the join back): one
+      // materialization, or the text normalizes twice
+      .localCheckpoint(eager = false)
+    val winners = keyed.groupBy(col("__k")).agg(
+      max_by(col(idCol), struct(col("quality"), negate(col(idCol))))
+        .as("__win"),
+      count(lit(1)).as("group_size"))
+    keyed.join(winners, "__k")
+      .select(col(idCol), col("quality"), col("group_size"),
+        (col(idCol) === col("__win")).cast("int").as("kept"))
+  }
+
+  /** T5/UL2-style span corruption — [[fimSplit]]'s denoising sibling
+    * (the objective that masks SPANS and asks the model to emit them
+    * behind sentinel tokens): deterministic, cross-engine-exact span
+    * placement so the corrupted corpus is reproducible and
+    * oracle-checkable. Words partition into fixed blocks of
+    * `blockWords`; block `b` of a doc draws a 60-bit salted hash and
+    * masks the span starting at offset `h mod 17` with length
+    * `1 + (h div 17) mod 3` (clipped by the block edge — only the
+    * final partial block can miss its span entirely). Non-overlap is
+    * by construction (span stays inside its block: 17 + 3 ≤ 20), the
+    * sentinel index is the block index, and the noise density is
+    * ~2/20 = 10% in expectation — the T5 neighborhood.
+    *
+    * Emits one row per doc WITH AT LEAST ONE WORD: `(id, n_words,
+    * n_masked, n_spans, corrupted, targets)` where `corrupted` is the
+    * text with each span replaced by its `<extra_id_b>` sentinel and
+    * `targets` the span contents prefixed by their sentinels — the
+    * standard encoder/decoder pair.
+    *
+    * Scale shape: one posexplode (word-bounded), per-row hash/CASE
+    * math, ONE map-side-combinable groupBy assembling both strings
+    * from sorted piece structs — no join, no window; the corpus
+    * shuffles once, keyed by doc.
+    */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+      salt: String, blockWords: Int = 20): DataFrame = {
+    require(blockWords >= 20, s"blockWords must be >= 20 (span offset+len reach 19): $blockWords")
+    val wp = df.select(col(idCol),
+        posexplode(TextTokens.wordsCol(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("block", expr(s"pos div $blockWords"))
+      .withColumn("h", NearDup.shingleHash60(concat_ws(":",
+        lit(salt), col(idCol).cast("string"), col("block").cast("string"))))
+      .withColumn("o", col("h") % 17)
+      .withColumn("ln", expr("1 + (h div 17) % 3"))
+      .withColumn("off", col("pos") % blockWords)
+      .withColumn("masked",
+        (col("off") >= col("o") && col("off") < col("o") + col("ln")).cast("int"))
+    val sentinel = concat(lit("<extra_id_"), col("block").cast("string"), lit(">"))
+    val cpiece = when(col("masked") === 0, col("w"))
+      .when(col("off") === col("o"), sentinel)
+    val tpiece = when(col("off") === col("o"), concat(sentinel, lit(" "), col("w")))
+      .when(col("masked") === 1, col("w"))
+    def joined(piece: Column) = array_join(transform(
+      array_sort(collect_list(when(piece.isNotNull,
+        struct(col("pos"), piece.as("p"))))),
+      x => x.getField("p")), " ")
+    wp.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("masked")).as("n_masked"),
+        count_distinct(when(col("masked") === 1, col("block"))).as("n_spans"),
+        joined(cpiece).as("corrupted"),
+        joined(tpiece).as("targets"))
+  }
+
   /** Deterministic global training order + shard assignment: every row
     * gets a position in a seeded pseudo-random permutation of the whole
     * corpus (sort key = `md5(seed:id)` — new seed, new epoch order) and

@@ -759,7 +759,21 @@ object PlanCheck {
     Expectation("q170_mix_schedule",
       mustContain = Seq("Window", "Generate"),
       mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
-        "CartesianProduct")))
+        "CartesianProduct")),
+    // span corruption: word-bounded posexplode + ONE string-assembling
+    // rollup (collect_list → ObjectHashAggregate); no join, no window
+    Expectation("q171_span_corruption",
+      mustContain = Seq("Generate", "ObjectHashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "Window", "CartesianProduct")),
+    // keep-best dedup: one key rollup (max_by-of-struct has no hash
+    // impl → partial+final SortAggregate, still map-side combined —
+    // the sort is per-partition on the md5 key, never a quality sort
+    // of the corpus) + one keyed join back; never a window
+    Expectation("q172_dedup_keep_best",
+      mustContain = Seq("SortAggregate"),
+      mustNotContain = Seq("Window", "CartesianProduct",
+        "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -1619,4 +1619,54 @@ class CurationOpsSpec extends SparkSpec {
         again.sortBy(t => (t._1, t._2)).toSeq)
     }
   }
+
+  test("spanCorruption: placement law, sentinel indexing, round-trip word conservation") {
+    val text = (0 until 45).map(i => s"w$i").mkString(" ") // 3 blocks: 20/20/5
+    val out = CurationOps.spanCorruption(
+        Seq((7L, text)).toDF("id", "text"), "id", "text", salt = "sc")
+      .collect().head
+    assert(out.getAs[Long]("n_words") == 45L)
+    val nMasked = out.getAs[Long]("n_masked")
+    val nSpans = out.getAs[Long]("n_spans")
+    val corrupted = out.getAs[String]("corrupted").split(" ").toSeq
+    val targets = out.getAs[String]("targets").split(" ").toSeq
+    // every word is either in corrupted or in targets, exactly once
+    val sentinels = corrupted.filter(_.startsWith("<extra_id_"))
+    assert(sentinels.distinct.size == sentinels.size)
+    assert(sentinels.size.toLong == nSpans)
+    val corruptedWords = corrupted.filterNot(_.startsWith("<extra_id_"))
+    val targetWords = targets.filterNot(_.startsWith("<extra_id_"))
+    assert(targetWords.size.toLong == nMasked)
+    assert((corruptedWords ++ targetWords).sorted ==
+      (0 until 45).map(i => s"w$i").sorted)
+    // sentinel index = block index; targets carry the same sentinels
+    assert(targets.filter(_.startsWith("<extra_id_")).toSet == sentinels.toSet)
+    // spans stay inside their block: 1..3 masked words per span
+    assert(nSpans >= 2L && nMasked >= nSpans && nMasked <= 3 * nSpans)
+  }
+
+  test("spanCorruption: deterministic, salt-sensitive, partition-invariant") {
+    val docs = (1 to 50).map(i => (i.toLong,
+      (0 until 30).map(j => s"t$i-$j").mkString(" ")))
+    def run(salt: String, parts: Int) = CurationOps.spanCorruption(
+        docs.toDF("id", "text").repartition(parts), "id", "text", salt)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(run("a", 1) == run("a", 13))
+    assert(run("a", 4) != run("b", 4), "different salt must move spans")
+  }
+
+  test("dedupKeepBest: quality argmax wins, id tiebreak, singletons kept") {
+    val docs = Seq(
+      (1L, "Hello, World!", 10L),  // key 'hello world'
+      (2L, "hello world", 99L),    // same key, higher quality -> wins
+      (3L, "HELLO world!!!", 99L), // same key, same quality -> id 2 wins
+      (4L, "something else", 1L))
+      .toDF("id", "text", "q")
+    val out = CurationOps.dedupKeepBest(docs, "id", "text", "q")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((3L, 0)))
+    assert(out(2L) == ((3L, 1)))
+    assert(out(3L) == ((3L, 0)))
+    assert(out(4L) == ((1L, 1)))
+  }
 }
