@@ -100,6 +100,24 @@ object Curation {
         .orderBy($"doc_id")
     },
 
+    // ---- leakage-safe splitting (q35's clusters become the SPLIT
+    // key, so a near-dup pair can never straddle train/eval — the
+    // failure q147 audits, prevented by construction): cluster-hash
+    // buckets 80/10/10, singletons hash themselves.
+    "q173_cluster_safe_split" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val pairs = graft.textops.NearDup.minhashLshPairs(
+        docs, "doc_id", "text", n = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.5)
+      val clusters = graft.graph.ConnectedComponents.dedupClusters(
+        pairs, "id_a", "id_b")
+      CurationOps.clusterSafeSplit(docs.select($"doc_id"), "doc_id",
+          clusters, "doc_id", "cluster_id",
+          salt = "split", trainPct = 80, validPct = 10)
+        .orderBy($"doc_id")
+    },
+
     // ---- Gopher-rule composite quality gate: every signal an exact
     // integer ratio, keep = AND of the published thresholds (pure
     // per-row array math, zero shuffles like q29).
@@ -1340,6 +1358,22 @@ object Curation {
     // termination), then label = min reachable id. Fine at oracle scale;
     // the Spark side's label propagation is the form that scales.
     "q35_dedup_clusters" -> DedupClustersOracle,
+
+    // cluster-safe split mirror: the q35 recursive-closure oracle as a
+    // derived table, singleton fallback to the own id, the same
+    // 60-bit salted hash mod 100
+    "q173_cluster_safe_split" ->
+      s"""SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT d.doc_id,
+        |         COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+        |         CAST(('0x' || substr(md5('split:' || CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM documents d
+        |  LEFT JOIN ($DedupClustersOracle) cl ON d.doc_id = cl.doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // q84 runs the SAME clustering through the alternating
     // large-star/small-star path (forced distributed): identical

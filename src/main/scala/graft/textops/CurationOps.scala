@@ -1353,6 +1353,44 @@ object CurationOps {
         .otherwise(lit("")).as("suffix"))
   }
 
+  /** Leakage-safe train/valid/test split — assign by dedup CLUSTER,
+    * not by doc: a doc-keyed hash split puts near-duplicate twins on
+    * opposite sides of the boundary, and the eval set silently scores
+    * memorization ([[splitLeakage]]/q147 AUDITS that failure after the
+    * fact; this prevents it by construction — every member of a
+    * cluster hashes the same key, so a near-dup pair can never
+    * straddle splits). Docs in no pair are their own singleton
+    * cluster. Buckets: 60-bit salted hash of the cluster id mod 100 —
+    * `[0, trainPct)` train, `[trainPct, trainPct+validPct)` valid,
+    * rest test; deterministic, reproducible, re-derivable.
+    *
+    * `clusters` is (id, cluster) from
+    * [[graft.graph.ConnectedComponents.dedupClusters]] (pair members
+    * only — absent docs default to themselves).
+    *
+    * Scale shape: ONE id-keyed left join (cluster table ≤ pair
+    * members ≪ corpus; size-gated broadcast or honest sort-merge) +
+    * per-row hash math. The expensive part — pairs and components —
+    * is the upstream dedup work the pipeline already ran.
+    */
+  def clusterSafeSplit(docs: DataFrame, idCol: String,
+      clusters: DataFrame, cIdCol: String, cClusterCol: String,
+      salt: String, trainPct: Int, validPct: Int): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"bad split percentages: $trainPct/$validPct")
+    val c = clusters.select(col(cIdCol).as("__cid"),
+      col(cClusterCol).as("__cluster"))
+    docs.join(c, col(idCol) === col("__cid"), "left")
+      .withColumn("cluster_id", coalesce(col("__cluster"), col(idCol)))
+      .withColumn("__b", NearDup.shingleHash60(concat_ws(":",
+        lit(salt), col("cluster_id").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("__b") < trainPct, "train")
+          .when(col("__b") < trainPct + validPct, "valid")
+          .otherwise("test"))
+      .select(col(idCol), col("cluster_id"), col("split"))
+  }
+
   /** Best-representative exact dedup — q81's keep rule upgraded from
     * "smallest id" to "highest quality", which is what production
     * curation actually keeps: normalized-key duplicates (casing,
@@ -1371,20 +1409,45 @@ object CurationOps {
     */
   def dedupKeepBest(df: DataFrame, idCol: String, textCol: String,
       qualityCol: String): DataFrame = {
-    val keyed = df.select(col(idCol),
-        md5(TextTokens.dedupKeyCol(col(textCol))).as("__k"),
-        col(qualityCol).cast("long").as("quality"))
+    val keyed = keyedFor(df, idCol, textCol, qualityCol)
       // two consumers (the winner aggregate and the join back): one
       // materialization, or the text normalizes twice
       .localCheckpoint(eager = false)
-    val winners = keyed.groupBy(col("__k")).agg(
-      max_by(col(idCol), struct(col("quality"), negate(col(idCol))))
-        .as("__win"),
-      count(lit(1)).as("group_size"))
-    keyed.join(winners, "__k")
+    val winners = panelOfKeyed(keyed, idCol)
+      .select(col("key"), col("win_id"), col("group_size"))
+    keyed.join(winners, "key")
       .select(col(idCol), col("quality"), col("group_size"),
-        (col(idCol) === col("__win")).cast("int").as("kept"))
+        (col(idCol).cast("long") === col("win_id")).cast("int").as("kept"))
   }
+
+  private def keyedFor(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(TextTokens.dedupKeyCol(col(textCol))).as("key"),
+      col(qualityCol).cast("long").as("quality"))
+
+  /** The `(key, win_id, win_quality, group_size)` PANEL
+    * [[dedupKeepBest]] derives its per-doc flags from — exposed
+    * because the panel is the MERGEABLE form a streaming session
+    * maintains: panels over disjoint batches merge by key (winners
+    * re-argmax, sizes sum — argmax over a total order is associative
+    * and commutative), so a live crawl keeps the survivor set current
+    * without ever re-reading old text. State is keyed by the md5
+    * dedup key — bounded by distinct content, not arrivals.
+    */
+  def keepBestPanel(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String): DataFrame =
+    panelOfKeyed(keyedFor(df, idCol, textCol, qualityCol), idCol)
+
+  private def panelOfKeyed(keyed: DataFrame, idCol: String): DataFrame =
+    keyed.groupBy(col("key"))
+      .agg(max(struct(col("quality"),
+          negate(col(idCol).cast("long")).as("nid"))).as("__mx"),
+        count(lit(1)).as("group_size"))
+      .select(col("key"),
+        negate(col("__mx").getField("nid")).as("win_id"),
+        col("__mx").getField("quality").as("win_quality"),
+        col("group_size"))
 
   /** T5/UL2-style span corruption — [[fimSplit]]'s denoising sibling
     * (the objective that masks SPANS and asks the model to emit them

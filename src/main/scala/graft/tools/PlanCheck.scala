@@ -773,7 +773,12 @@ object PlanCheck {
     Expectation("q172_dedup_keep_best",
       mustContain = Seq("SortAggregate"),
       mustNotContain = Seq("Window", "CartesianProduct",
-        "BroadcastNestedLoopJoin")))
+        "BroadcastNestedLoopJoin")),
+    // cluster-safe split: the cluster table joins the corpus on the
+    // doc id (small side broadcasts here; honest sort-merge at scale)
+    // + per-row hash math — never a cross product
+    Expectation("q173_cluster_safe_split",
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

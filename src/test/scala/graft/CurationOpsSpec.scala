@@ -1655,6 +1655,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(run("a", 4) != run("b", 4), "different salt must move spans")
   }
 
+  test("clusterSafeSplit: cluster members share a split; singletons hash themselves; no pair straddles") {
+    val docs = (1L to 100L).toDF("id")
+    // clusters: {1,2,3} -> 1, {10,11} -> 10; everyone else singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val out = CurationOps.clusterSafeSplit(docs, "id",
+        clusters, "id", "cluster", salt = "s", trainPct = 80, validPct = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 100)
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size == 1,
+      "cluster members must land in ONE split")
+    assert(out(10L) == out(11L))
+    assert(out(4L)._1 == 4L, "non-members are their own cluster")
+    val splits = out.values.map(_._2).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")))
+    assert(out.values.count(_._2 == "train") > 50, "~80% should be train")
+  }
+
   test("dedupKeepBest: quality argmax wins, id tiebreak, singletons kept") {
     val docs = Seq(
       (1L, "Hello, World!", 10L),  // key 'hello world'
