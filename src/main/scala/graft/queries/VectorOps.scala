@@ -24,6 +24,19 @@ object VectorOps {
         .orderBy($"query_id", $"rnk")
     },
 
+    // ---- bitext margin mining (the CCMatrix/LASER alignment law):
+    // even vec_ids are side A, odd side B; k=4 neighborhoods, best
+    // margin pair per source with the acceptance flag. Shifted-e6
+    // integer fixed point end to end (div ≡ // only on nonnegatives).
+    "q174_bitext_margin" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.bitextMarginPairs(
+          emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1),
+          "vec_id", "embedding", k = 4, thresholdE6 = 1020000L)
+        .orderBy($"src_id")
+    },
+
     // ---- LSH-bucketed ANN (oracled: the hyperplane constants are
     // embedded into the DuckDB SQL from the same seeded array; recall
     // vs q22 additionally asserted in VectorsSpec).
@@ -1133,6 +1146,45 @@ object VectorOps {
         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rnk
         |  FROM scored)
         |SELECT query_id, rnk, neighbor_id, cosine FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // bitext margin mirror: the q22 cosine op order quantized at e6
+    // and shifted nonnegative, both neighborhood means as integer
+    // top-k window sums div k, the same guarded ratio
+    "q174_bitext_margin" ->
+      """WITH a AS (
+        |  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (
+        |  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS nv
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |scored AS (
+        |  SELECT src_id, tgt_id,
+        |         CAST(floor(list_dot_product(qv, nv) /
+        |              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) * 1000000.0 + 0.5) AS BIGINT)
+        |           + 1000000 AS sim_e6
+        |  FROM a, b),
+        |r AS (
+        |  SELECT src_id, tgt_id, sim_e6,
+        |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim_e6 DESC, tgt_id ASC) AS rx,
+        |    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY sim_e6 DESC, src_id ASC) AS ry
+        |  FROM scored),
+        |m AS (
+        |  SELECT src_id, tgt_id, sim_e6,
+        |    CAST(SUM(CASE WHEN rx <= 4 THEN sim_e6 ELSE 0 END) OVER (PARTITION BY src_id) AS BIGINT) AS sa,
+        |    CAST(SUM(CASE WHEN ry <= 4 THEN sim_e6 ELSE 0 END) OVER (PARTITION BY tgt_id) AS BIGINT) AS sb
+        |  FROM r),
+        |g AS (
+        |  SELECT src_id, tgt_id, sim_e6,
+        |    CAST((2 * sim_e6 * 1000000) // greatest(sa // 4 + sb // 4, 1) AS BIGINT) AS margin_e6
+        |  FROM m),
+        |best AS (
+        |  SELECT src_id, tgt_id, sim_e6, margin_e6,
+        |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin_e6 DESC, tgt_id ASC) AS rb
+        |  FROM g)
+        |SELECT src_id, tgt_id, sim_e6, margin_e6,
+        |       CASE WHEN margin_e6 >= 1020000 THEN 1 ELSE 0 END AS accepted
+        |FROM best WHERE rb = 1
+        |ORDER BY src_id""".stripMargin,
 
     // SemDeDup mirror: same codebook (vec_id < 8), same round-6 cosine
     // op order, argmax assignment via (csim DESC, cid ASC) window,

@@ -778,7 +778,12 @@ object PlanCheck {
     // doc id (small side broadcasts here; honest sort-merge at scale)
     // + per-row hash math — never a cross product
     Expectation("q173_cluster_safe_split",
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // bitext margin: the broadcast cross score is the q22 intentional
+    // shape; the rank/mean windows partition by endpoint id
+    Expectation("q174_bitext_margin",
+      mustContain = Seq("BroadcastNestedLoopJoin", "Window"),
+      mustNotContain = Seq("CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -67,6 +67,74 @@ object Vectors {
       .select($"query_id", $"rank", $"neighbor_id", $"cosine")
   }
 
+  /** Bitext margin mining (Artetxe & Schwenk 2019, the CCMatrix /
+    * LASER alignment law) — the parallel-corpus op a multilingual
+    * training pipeline runs over two embedded monolingual sides:
+    * raw cosine over-selects hubs (vectors near everything), so each
+    * candidate pair scores by its MARGIN over both endpoints' local
+    * neighborhoods:
+    *
+    *   margin(x, y) = 2·cos(x, y) / (meanₖ(x→B) + meanₖ(y→A))
+    *
+    * where meanₖ is the mean cosine of the endpoint's k nearest
+    * candidates on the other side. Per source vector the best-margin
+    * candidate is emitted with `accepted = margin ≥ threshold`.
+    *
+    * Exactness: the per-pair cosine quantizes once to e6 fixed point
+    * (`floor(cos·10⁶ + 0.5)` — the q159 recipe, identical IEEE op
+    * order on both engines) and then SHIFTS by +10⁶ to the
+    * nonnegative affinity `sim_e6 = (1 + cos)·10⁶ ∈ [0, 2·10⁶]` — the
+    * margin ratio runs over shifted affinities because Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, and the two
+    * only agree on nonnegative operands (the same selection behavior
+    * in the CCMatrix regime, where candidate cosines are positive);
+    * every downstream step (top-k sums, means `div k`, the margin
+    * ratio ×10⁶) is 64-bit integer arithmetic, so rank order and
+    * acceptance are order-independent and cross-engine-exact.
+    * Requires ≥ k vectors on each side (the means divide by k).
+    *
+    * Scale shape: this is the CORRECTNESS baseline over a broadcast
+    * cross score (q22's intentional BroadcastNestedLoopJoin — the
+    * smaller side broadcasts); at corpus scale feed both sides
+    * through the bucketed candidate paths (LSH/IVF) and score only
+    * candidates — the margin law is unchanged. The rank/mean windows
+    * partition by endpoint id, never globally.
+    */
+  def bitextMarginPairs(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int, thresholdE6: Long): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val qa = broadcast(a.select(col(idCol).as("src_id"), col(vecCol).as("qv"))
+      .withColumn("qn", normCol($"qv")))
+    val cb = b.select(col(idCol).as("tgt_id"), col(vecCol).as("nv"))
+      .withColumn("nn", normCol($"nv"))
+    val scored = qa.join(cb)
+      .withColumn("sim_e6",
+        floor(cosineWithNorms($"qv", $"qn", $"nv", $"nn") * 1000000.0 + 0.5)
+          .cast("long") + 1000000L)
+      .select($"src_id", $"tgt_id", $"sim_e6")
+    val wx = Window.partitionBy($"src_id").orderBy($"sim_e6".desc, $"tgt_id".asc)
+    val wy = Window.partitionBy($"tgt_id").orderBy($"sim_e6".desc, $"src_id".asc)
+    val wxp = Window.partitionBy($"src_id")
+    val wyp = Window.partitionBy($"tgt_id")
+    val wBest = Window.partitionBy($"src_id")
+      .orderBy($"margin_e6".desc, $"tgt_id".asc)
+    scored
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy))
+      .withColumn("__sa",
+        sum(when($"rx" <= k, $"sim_e6").otherwise(0L)).over(wxp))
+      .withColumn("__sb",
+        sum(when($"ry" <= k, $"sim_e6").otherwise(0L)).over(wyp))
+      .withColumn("margin_e6",
+        expr(s"(2 * sim_e6 * 1000000) div greatest(__sa div $k + __sb div $k, 1)"))
+      .withColumn("__rb", row_number().over(wBest))
+      .filter($"__rb" === 1)
+      .select($"src_id", $"tgt_id", $"sim_e6", $"margin_e6",
+        ($"margin_e6" >= thresholdE6).cast("int").as("accepted"))
+  }
+
   /** Deterministic random hyperplane constants (fixed seed). Public so
     * the DuckDB oracle SQL is generated from the SAME array — both
     * engines bucket with literally identical plane coefficients.
