@@ -43,10 +43,17 @@ object CrawlPlannerDemo {
     // advertises its sitemap)
     val robots = docs.select($"source").distinct()
       .select($"source".as("host"), concat(
-        lit("User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+        // the * group carries an RFC 9309 wildcard rule: block every
+        // /page/ URL ending in 7 (the `*`/`$` pattern path)
+        lit("User-agent: *\nDisallow: /private\nDisallow: /page/*7$\nCrawl-delay: 2\n"),
         lit("Sitemap: https://"), $"source", lit("/sitemap.xml\n"),
+        // even hosts add a GraftBot group that SHADOWS `*` (so it
+        // needs its own wildcard Disallow) and carves an Allow
+        // exception back out — longest-match wins the `*7$` vs `*47$`
+        // overlap, so /page/147 fetches while /page/137 blocks
         when(length($"source") % 2 === 0,
-          lit("\nUser-agent: GraftBot\nAllow: /private/ok\nCrawl-delay: 0.5\n"))
+          lit("\nUser-agent: GraftBot\nAllow: /private/ok\n" +
+            "Disallow: /page/*7$\nAllow: /page/*47$\nCrawl-delay: 0.5\n"))
           .otherwise(lit("")))
         .as("txt"))
     println(s"[demo] sitemap directives: ${

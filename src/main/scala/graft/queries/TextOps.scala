@@ -603,6 +603,25 @@ object TextOps {
         .orderBy($"twentieths")
     },
 
+    // ---- the digest ACTING on the pipeline (q155/q156 exist for
+    // this): the p10 word-count floor read off the corpus q-digest
+    // becomes a per-doc admission flag — a length filter whose
+    // threshold is data-derived and sketch-cheap instead of
+    // hand-tuned. The digest walk is control-plane (universe ≤ 2^12);
+    // the admission pass is per-row math against one broadcast value.
+    "q175_digest_length_floor" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val wc = graft.textops.TextAnalysis.wordCountCol($"text")
+      val floorValue = graft.sketch.QDigest.quantilesTable(
+          docs, wc, QdLogU, QdK, Seq(2))
+        .select($"value").as[Long].head()
+      docs.select($"doc_id", wc.cast("long").as("n_words"))
+        .withColumn("floor_value", lit(floorValue))
+        .withColumn("admitted", ($"n_words" >= lit(floorValue)).cast("int"))
+        .orderBy($"doc_id")
+    },
+
     // ---- per-HOST q-digest latency panel (q155's grouped twin, r9
     // VERDICT #8): one digest per host over synthetic fetch
     // latencies, each compressed at its own n_g/k threshold — the
@@ -2126,6 +2145,26 @@ object TextOps {
         |FROM r JOIN o ON o.cum >= r.rank
         |GROUP BY r.j, r.rank
         |ORDER BY r.j""".stripMargin),
+
+    // digest-floor mirror: the q155 chain + the q156 MIN_BY walk at
+    // j=2, CROSS JOINed into a per-doc admission flag
+    "q175_digest_length_floor" -> (qdigestCte(QdLogU, QdK) +
+      """,
+        |o AS (
+        |  SELECT *, CAST(SUM(cnt) OVER (ORDER BY hi ASC, lo DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM geo),
+        |rk AS (SELECT CAST((th.n * 2 + 19) // 20 AS BIGINT) AS rank FROM th),
+        |fv AS (
+        |  SELECT CAST(MIN_BY(o.hi - 1, o.cum) AS BIGINT) AS v
+        |  FROM rk JOIN o ON o.cum >= rk.rank)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS n_words,
+        |       fv.v AS floor_value,
+        |       CASE WHEN CAST(len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS BIGINT) >= fv.v
+        |            THEN 1 ELSE 0 END AS admitted
+        |FROM documents CROSS JOIN fv
+        |ORDER BY doc_id""".stripMargin),
 
     "q118_cms_sketch" -> (WordsCte +
       s""", w AS (SELECT unnest(ws) AS item FROM words),

@@ -783,7 +783,13 @@ object PlanCheck {
     // shape; the rank/mean windows partition by endpoint id
     Expectation("q174_bitext_margin",
       mustContain = Seq("BroadcastNestedLoopJoin", "Window"),
-      mustNotContain = Seq("CartesianProduct")))
+      mustNotContain = Seq("CartesianProduct")),
+    // digest length floor: the walk is control-plane; the visible
+    // admission pass is per-row math against a literal — no join, no
+    // window, no aggregate beyond none at all
+    Expectation("q175_digest_length_floor",
+      mustNotContain = Seq("Window", "HashAggregate", "ObjectHashAggregate",
+        "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
