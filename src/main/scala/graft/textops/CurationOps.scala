@@ -330,6 +330,41 @@ object CurationOps {
         expr("n_shingles * CAST(1000000000 AS BIGINT) div sum_df"))
   }
 
+  /** Tokenizer fertility panel — the multilingual budget signal the
+    * mix family consumes: the SAME text costs different token counts
+    * per language under one vocabulary (fertility = tokens per word;
+    * compression = bytes per token), and a token-budgeted mix
+    * (q37/q67/q170) that ignores fertility silently under-samples
+    * high-fertility languages. Per group: docs, words, UTF-8 bytes,
+    * tokens under the injected [[graft.functions.Tokenizer]], and the
+    * two scaled-integer ratios `tokens_per_kword = tokens·1000 div
+    * words` and `bytes_per_token_e3 = bytes·1000 div tokens`
+    * (zero-guarded). Spec-verified rather than oracled: the tokenizer
+    * is engine-side (a BPE walk is not SQL-expressible — the
+    * q-digest/BPE boundary).
+    *
+    * Scale shape: one per-row tokenize (the one UDF builtins can't
+    * reach — a bounded string walk) + one map-side-combinable groupBy
+    * on the language key.
+    */
+  def tokenizerFertility(df: DataFrame, groupCol: String, textCol: String,
+      tokenizer: graft.functions.Tokenizer): DataFrame = {
+    val tok = udf((s: String) => if (s == null) 0L else tokenizer.count(s).toLong)
+    df.select(col(groupCol),
+        TextTokens.wordsCol(col(textCol)).as("__ws"),
+        octet_length(col(textCol)).cast("long").as("__bytes"),
+        tok(col(textCol)).as("__toks"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__ws")).cast("long")).as("n_words"),
+        sum(col("__bytes")).as("n_bytes"),
+        sum(col("__toks")).as("n_tokens"))
+      .withColumn("tokens_per_kword",
+        expr("CASE WHEN n_words > 0 THEN n_tokens * 1000 div n_words ELSE 0 END"))
+      .withColumn("bytes_per_token_e3",
+        expr("CASE WHEN n_tokens > 0 THEN n_bytes * 1000 div n_tokens ELSE 0 END"))
+  }
+
   /** Curriculum mix schedule — the per-STEP twin of
     * [[graft.ingest.Frontier.apportion]], and the thing a staged
     * training run actually consumes (start natural-text-heavy, end

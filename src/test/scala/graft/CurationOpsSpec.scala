@@ -1673,6 +1673,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.values.count(_._2 == "train") > 50, "~80% should be train")
   }
 
+  test("tokenizerFertility: exact panel under pinned tokenizers; zero guards") {
+    val docs = Seq(("en", "one two three"), ("en", "four five"),
+      ("de", "sechs"), ("zz", "")).toDF("lang", "text")
+    val char = CurationOps.tokenizerFertility(docs, "lang", "text",
+        graft.functions.CharTokenizer)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // en: 2 docs, 5 words, 22 bytes, 22 char-tokens
+    assert(char("en") == ((2L, 5L, 22L, 22L, 4400L, 1000L)))
+    assert(char("de") == ((1L, 1L, 5L, 5L, 5000L, 1000L)))
+    assert(char("zz") == ((1L, 0L, 0L, 0L, 0L, 0L)), "empty group zero-guards")
+    // whitespace tokenizer: tokens ≡ words -> fertility exactly 1000
+    val ws = CurationOps.tokenizerFertility(docs.filter($"lang" =!= "zz"),
+        "lang", "text", graft.functions.WhitespaceTokenizer)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(ws.values.forall(_ == 1000L))
+  }
+
   test("dedupKeepBest: quality argmax wins, id tiebreak, singletons kept") {
     val docs = Seq(
       (1L, "Hello, World!", 10L),  // key 'hello world'
