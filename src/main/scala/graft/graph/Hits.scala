@@ -59,10 +59,11 @@ object Hits {
       a = rescale(n, halfStep(ew, h, from = "src", to = "dst"), scale)
       h = rescale(n, halfStep(ew, a, from = "dst", to = "src"), scale)
     }
-    n.join(h.select(col("node"), col("s").as("hub")), Seq("node"), "left")
-      .join(a.select(col("node"), col("s").as("auth")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
-        coalesce(col("auth"), lit(0L)).as("auth"))
+    // rescale already emitted one non-null row per node in n (absent
+    // nodes got 0), so these joins are total — inner, no coalesce
+    h.select(col("node"), col("s").as("hub"))
+      .join(a.select(col("node"), col("s").as("auth")), Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
   }
 
   /** `raw(to) = Σ w · s(from)` — one keyed join + one sum-aggregate. */

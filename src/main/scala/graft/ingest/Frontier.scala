@@ -151,7 +151,11 @@ object Frontier {
       indegree: DataFrame, indegHostCol: String, authCol: String,
       traps: DataFrame, trapHostCol: String, trapTemplateCol: String,
       trapFlagCol: String): DataFrame = {
-    val path = regexp_extract(col(locCol), "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+    // case-insensitive scheme: an uncanonicalized 'HTTP://…' loc must
+    // still yield its path, or its template silently escapes trap
+    // demotion (nothing here requires canonicalUrl ran upstream)
+    val path = regexp_extract(col(locCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)$", 1)
     val ind = indegree.select(col(indegHostCol).as("__ihost"),
       col(authCol).cast("long").as("__auth"))
     val tr = traps.filter(col(trapFlagCol) === 1)
@@ -202,6 +206,14 @@ object Frontier {
     import spark.implicits._
     val m = mass.select(col(hostCol).as("host"),
       col(massCol).cast("long").as("mass"))
+    // enforce the documented precondition up front (the PageRank/Hits
+    // convention): a negative mass corrupts the div/% pair silently,
+    // and an all-zero table would emit all-NULL quotas instead of the
+    // exact-sum guarantee. Bounded jobs: limit-1 scan + one aggregate.
+    require(m.filter(col("mass") < 0 || col("mass").isNull).limit(1).count() == 0L,
+      "host mass must be non-negative")
+    require(m.agg(coalesce(sum(col("mass")), lit(0L))).as[Long].head() > 0L,
+      "at least one host must carry positive mass")
     val tot = m.agg(sum(col("mass")).as("__tot"))
     val based = m.join(broadcast(tot))
       .withColumn("__base", expr(s"($budget * mass) div __tot"))

@@ -349,7 +349,10 @@ object CurationOps {
     */
   def tokenizerFertility(df: DataFrame, groupCol: String, textCol: String,
       tokenizer: graft.functions.Tokenizer): DataFrame = {
-    val tok = udf((s: String) => if (s == null) 0L else tokenizer.count(s).toLong)
+    // ONE definition of "tokens of a text column" engine-wide — the
+    // chunker/budget UDF, not a local twin that could drift on nulls
+    val tok = (c: Column) =>
+      TextAnalysis.tokenCountUdf(tokenizer)(c).cast("long")
     df.select(col(groupCol),
         TextTokens.wordsCol(col(textCol)).as("__ws"),
         octet_length(col(textCol)).cast("long").as("__bytes"),
@@ -389,11 +392,26 @@ object CurationOps {
       w1Col: String, steps: Int, budget: Long): DataFrame = {
     require(steps >= 1, s"steps must be positive: $steps")
     require(budget >= 0, s"budget must be non-negative: $budget")
-    val w = Window.partitionBy(col("step"))
-    val wr = w.orderBy(col("__rem").desc, col(srcCol).asc)
-    sources
+    val src = sources
       .select(col(srcCol), col(w0Col).cast("long").as("__w0"),
         col(w1Col).cast("long").as("__w1"))
+    // enforce what the integer law needs (the apportion convention):
+    // a NEGATIVE weight breaks div/`//` parity (they only agree on
+    // nonnegatives — the file's own pinned rule), and a zero endpoint
+    // SUM zeroes some step's total, turning that step's quotas NULL.
+    // Two bounded jobs: limit-1 scan + one two-column aggregate.
+    require(src.filter(col("__w0") < 0 || col("__w1") < 0 ||
+        col("__w0").isNull || col("__w1").isNull).limit(1).count() == 0L,
+      "endpoint weights must be non-negative")
+    // only the w1 endpoint sum must be positive: step S's total is
+    // S·Σw1 (the w0 coefficient is zero there), and every earlier
+    // step's total ≥ s·Σw1 ≥ Σw1 — so Σw1 > 0 keeps ALL step totals
+    // positive while a pure-w1 schedule (Σw0 = 0) stays legal
+    require(src.agg(coalesce(sum(col("__w1")), lit(0L))).head().getLong(0) > 0L,
+      "the w1 endpoint needs positive total weight (step S's total is S*sum(w1))")
+    val w = Window.partitionBy(col("step"))
+    val wr = w.orderBy(col("__rem").desc, col(srcCol).asc)
+    src
       .withColumn("step", explode(sequence(lit(1), lit(steps))))
       .withColumn("w",
         col("__w0") * (lit(steps) - col("step")) + col("__w1") * col("step"))

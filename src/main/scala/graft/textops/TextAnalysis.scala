@@ -163,9 +163,11 @@ object TextAnalysis {
 
   /** Pluggable tokenizer count (BPE-ish by default) as a UDF — for
     * budget checks that must agree with the chunker's tokenizer.
+    * Null text counts 0 (the fold-friendly choice — a null cell must
+    * not NPE a corpus-wide budget sum).
     */
   def tokenCountUdf(tok: Tokenizer): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => tok.count(s))
+    udf((s: String) => if (s == null) 0 else tok.count(s))
 
   // ---- document fingerprinting -------------------------------------------
 

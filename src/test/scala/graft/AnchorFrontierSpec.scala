@@ -101,6 +101,30 @@ class AnchorFrontierSpec extends SparkSpec {
     }
   }
 
+  test("apportion: all-zero and negative mass are rejected, not silently NULL") {
+    val zero = Seq(("a", 0L), ("b", 0L)).toDF("host", "mass")
+    val ex = intercept[IllegalArgumentException] {
+      Frontier.apportion(zero, "host", "mass", 10L).collect()
+    }
+    assert(ex.getMessage.contains("positive mass"))
+    val neg = Seq(("a", 5L), ("b", -1L)).toDF("host", "mass")
+    val ex2 = intercept[IllegalArgumentException] {
+      Frontier.apportion(neg, "host", "mass", 10L).collect()
+    }
+    assert(ex2.getMessage.contains("non-negative"))
+  }
+
+  test("prioritize: an uppercase-scheme loc still resolves its template for trap demotion") {
+    val plan = Seq(("HTTP://h2.test/cal/3/4", "h2.test", "new", "fetch"))
+      .toDF("loc", "host", "reason", "action")
+    val indeg = Seq(("h2.test", 7L)).toDF("host", "n_pages")
+    val traps = Seq(("h2.test", "/cal/N/N", 1)).toDF("host", "template", "trap")
+    val out = Frontier.prioritize(plan, "loc", "host", "reason",
+        indeg, "host", "n_pages", traps, "host", "template", "trap")
+      .select($"trapped", $"band").as[(Int, Long)].head()
+    assert(out == ((1, 0L)), "scheme case must not defeat the trap join")
+  }
+
   test("prioritize: authority saturates at 999999 so it can never cross bands") {
     val plan = Seq(("https://h9.test/p/1", "h9.test", "aged", "fetch"))
       .toDF("loc", "host", "reason", "action")

@@ -1673,6 +1673,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.values.count(_._2 == "train") > 50, "~80% should be train")
   }
 
+  test("mixSchedule: negative weights and a zero w1 endpoint are rejected; pure-w1 schedules are legal") {
+    val neg = Seq(("a", -1L, 5L)).toDF("source", "w0", "w1")
+    val ex = intercept[IllegalArgumentException] {
+      CurationOps.mixSchedule(neg, "source", "w0", "w1", 3, 10L).collect()
+    }
+    assert(ex.getMessage.contains("non-negative"))
+    // sum(w1) = 0 zeroes step S's total -> rejected up front
+    val zw1 = Seq(("a", 5L, 0L), ("b", 3L, 0L)).toDF("source", "w0", "w1")
+    val ex2 = intercept[IllegalArgumentException] {
+      CurationOps.mixSchedule(zw1, "source", "w0", "w1", 3, 10L).collect()
+    }
+    assert(ex2.getMessage.contains("w1 endpoint"))
+    // sum(w0) = 0 is fine: every step's total is s*sum(w1) > 0
+    val zw0 = Seq(("a", 0L, 5L), ("b", 0L, 3L)).toDF("source", "w0", "w1")
+    val out = CurationOps.mixSchedule(zw0, "source", "w0", "w1", 3, 10L)
+      .collect()
+    assert(out.groupBy(_.getInt(0)).values.forall(_.map(_.getLong(3)).sum == 10L))
+  }
+
   test("tokenizerFertility: exact panel under pinned tokenizers; zero guards") {
     val docs = Seq(("en", "one two three"), ("en", "four five"),
       ("de", "sechs"), ("zz", "")).toDF("lang", "text")
