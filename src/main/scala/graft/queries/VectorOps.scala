@@ -37,6 +37,20 @@ object VectorOps {
         .orderBy($"src_id")
     },
 
+    // ---- bucketed bitext margin (q174's candidate-bounded scale
+    // path): the same margin law over hyperplane-bucket candidates —
+    // pairs AND neighborhoods come only from the shared-bucket hash
+    // join (3 planes → 8 buckets at this SF), never a cross score.
+    "q176_bitext_lsh_margin" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      Vectors.bitextMarginPairsBucketed(
+          emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1),
+          "vec_id", "embedding", k = 4, thresholdE6 = 1020000L,
+          planes = 3, dim = 64)
+        .orderBy($"src_id")
+    },
+
     // ---- LSH-bucketed ANN (oracled: the hyperplane constants are
     // embedded into the DuckDB SQL from the same seeded array; recall
     // vs q22 additionally asserted in VectorsSpec).
@@ -594,6 +608,35 @@ object VectorOps {
     * q58 passes its own planes and per-table seeds; q24 uses the
     * masked data-dependent form below.
     */
+  /** The q174/q176 shared margin chain over a `scored (src_id,
+    * tgt_id, sim_e6)` CTE — the engine's `marginFromScored` mirrored
+    * once (k = 4, threshold 1 020 000, e6-shifted integers).
+    */
+  private val BitextChainSql: String =
+    """
+      |r AS (
+      |  SELECT src_id, tgt_id, sim_e6,
+      |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim_e6 DESC, tgt_id ASC) AS rx,
+      |    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY sim_e6 DESC, src_id ASC) AS ry
+      |  FROM scored),
+      |m AS (
+      |  SELECT src_id, tgt_id, sim_e6,
+      |    CAST(SUM(CASE WHEN rx <= 4 THEN sim_e6 ELSE 0 END) OVER (PARTITION BY src_id) AS BIGINT) AS sa,
+      |    CAST(SUM(CASE WHEN ry <= 4 THEN sim_e6 ELSE 0 END) OVER (PARTITION BY tgt_id) AS BIGINT) AS sb
+      |  FROM r),
+      |g AS (
+      |  SELECT src_id, tgt_id, sim_e6,
+      |    CAST((2 * sim_e6 * 1000000) // greatest(sa // 4 + sb // 4, 1) AS BIGINT) AS margin_e6
+      |  FROM m),
+      |best AS (
+      |  SELECT src_id, tgt_id, sim_e6, margin_e6,
+      |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin_e6 DESC, tgt_id ASC) AS rb
+      |  FROM g)
+      |SELECT src_id, tgt_id, sim_e6, margin_e6,
+      |       CASE WHEN margin_e6 >= 1020000 THEN 1 ELSE 0 END AS accepted
+      |FROM best WHERE rb = 1
+      |ORDER BY src_id""".stripMargin
+
   private def bucketSql(v: String, planes: Int = 4, dim: Int = 64, seed: Int = 42): String =
     Vectors.hyperplanes(planes, dim, seed).zipWithIndex.map { case (plane, p) =>
       s"(CASE WHEN list_dot_product($v, [${plane.mkString(", ")}]) >= 0 THEN ${1L << p} ELSE 0 END)"
@@ -1151,7 +1194,7 @@ object VectorOps {
     // and shifted nonnegative, both neighborhood means as integer
     // top-k window sums div k, the same guarded ratio
     "q174_bitext_margin" ->
-      """WITH a AS (
+      ("""WITH a AS (
         |  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id % 2 = 0),
         |b AS (
@@ -1162,29 +1205,25 @@ object VectorOps {
         |         CAST(floor(list_dot_product(qv, nv) /
         |              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) * 1000000.0 + 0.5) AS BIGINT)
         |           + 1000000 AS sim_e6
-        |  FROM a, b),
-        |r AS (
-        |  SELECT src_id, tgt_id, sim_e6,
-        |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim_e6 DESC, tgt_id ASC) AS rx,
-        |    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY sim_e6 DESC, src_id ASC) AS ry
-        |  FROM scored),
-        |m AS (
-        |  SELECT src_id, tgt_id, sim_e6,
-        |    CAST(SUM(CASE WHEN rx <= 4 THEN sim_e6 ELSE 0 END) OVER (PARTITION BY src_id) AS BIGINT) AS sa,
-        |    CAST(SUM(CASE WHEN ry <= 4 THEN sim_e6 ELSE 0 END) OVER (PARTITION BY tgt_id) AS BIGINT) AS sb
-        |  FROM r),
-        |g AS (
-        |  SELECT src_id, tgt_id, sim_e6,
-        |    CAST((2 * sim_e6 * 1000000) // greatest(sa // 4 + sb // 4, 1) AS BIGINT) AS margin_e6
-        |  FROM m),
-        |best AS (
-        |  SELECT src_id, tgt_id, sim_e6, margin_e6,
-        |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin_e6 DESC, tgt_id ASC) AS rb
-        |  FROM g)
-        |SELECT src_id, tgt_id, sim_e6, margin_e6,
-        |       CASE WHEN margin_e6 >= 1020000 THEN 1 ELSE 0 END AS accepted
-        |FROM best WHERE rb = 1
-        |ORDER BY src_id""".stripMargin,
+        |  FROM a, b),""".stripMargin + BitextChainSql),
+
+    // bucketed bitext-margin mirror: the q23 plane embedding produces
+    // the candidate join, then the SAME chain as q174
+    "q176_bitext_lsh_margin" ->
+      (s"""WITH a AS (
+        |  SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (
+        |  SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS nv
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |qb AS (SELECT src_id, qv, ${bucketSql("qv", planes = 3)} AS bucket FROM a),
+        |cb AS (SELECT tgt_id, nv, ${bucketSql("nv", planes = 3)} AS bucket FROM b),
+        |scored AS (
+        |  SELECT src_id, tgt_id,
+        |         CAST(floor(list_dot_product(qv, nv) /
+        |              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) * 1000000.0 + 0.5) AS BIGINT)
+        |           + 1000000 AS sim_e6
+        |  FROM qb JOIN cb USING (bucket)),""".stripMargin + BitextChainSql),
 
     // SemDeDup mirror: same codebook (vec_id < 8), same round-6 cosine
     // op order, argmax assignment via (csim DESC, cid ASC) window,

@@ -789,7 +789,13 @@ object PlanCheck {
     // window, no aggregate beyond none at all
     Expectation("q175_digest_length_floor",
       mustNotContain = Seq("Window", "HashAggregate", "ObjectHashAggregate",
-        "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")))
+        "SortMergeJoin", "BroadcastHashJoin", "CartesianProduct")),
+    // bucketed bitext margin: the candidate join is a HASH equi-join
+    // on the bucket key — the whole point vs q174's broadcast cross
+    // score; no nested-loop anywhere
+    Expectation("q176_bitext_lsh_margin",
+      mustContain = Seq("BroadcastHashJoin", "Window"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

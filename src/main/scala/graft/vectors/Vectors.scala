@@ -114,25 +114,69 @@ object Vectors {
         floor(cosineWithNorms($"qv", $"qn", $"nv", $"nn") * 1000000.0 + 0.5)
           .cast("long") + 1000000L)
       .select($"src_id", $"tgt_id", $"sim_e6")
-    val wx = Window.partitionBy($"src_id").orderBy($"sim_e6".desc, $"tgt_id".asc)
-    val wy = Window.partitionBy($"tgt_id").orderBy($"sim_e6".desc, $"src_id".asc)
-    val wxp = Window.partitionBy($"src_id")
-    val wyp = Window.partitionBy($"tgt_id")
-    val wBest = Window.partitionBy($"src_id")
-      .orderBy($"margin_e6".desc, $"tgt_id".asc)
+    marginFromScored(scored, k, thresholdE6)
+  }
+
+  /** [[bitextMarginPairs]]'s candidate-bounded scale path: the SAME
+    * margin law over hyperplane-bucket candidates instead of the full
+    * cross score — pairs (and each endpoint's neighborhood) come only
+    * from the shared-bucket join, so the score relation is
+    * candidate-sized and the join is a hash equi-join on the bucket
+    * key (broadcast or shuffled — never a cross product). Two
+    * documented deltas from the brute baseline: a source with no
+    * shared-bucket candidate emits NO row (the bucketed path cannot
+    * propose what it never scored), and a sparse bucket's
+    * neighborhood sum still divides by k (fewer-than-k candidates →
+    * smaller mean → inflated margin; the CCMatrix situation — margins
+    * are only comparable within a candidate-generation scheme).
+    */
+  def bitextMarginPairsBucketed(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int, thresholdE6: Long,
+      planes: Int, dim: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val qa = broadcast(a.select(col(idCol).as("src_id"), col(vecCol).as("qv"))
+      .withColumn("qn", normCol($"qv"))
+      .withColumn("bucket", hyperplaneBucket($"qv", planes, dim)))
+    val cb = b.select(col(idCol).as("tgt_id"), col(vecCol).as("nv"))
+      .withColumn("nn", normCol($"nv"))
+      .withColumn("bucket", hyperplaneBucket($"nv", planes, dim))
+    val scored = qa.join(cb, Seq("bucket"))
+      .withColumn("sim_e6",
+        floor(cosineWithNorms($"qv", $"qn", $"nv", $"nn") * 1000000.0 + 0.5)
+          .cast("long") + 1000000L)
+      .select($"src_id", $"tgt_id", $"sim_e6")
+    marginFromScored(scored, k, thresholdE6)
+  }
+
+  /** The shared margin chain over a `(src_id, tgt_id, sim_e6)` score
+    * relation — brute and bucketed paths differ ONLY in how that
+    * relation is produced.
+    */
+  private def marginFromScored(scored: DataFrame, k: Int,
+      thresholdE6: Long): DataFrame = {
+    val wx = Window.partitionBy(col("src_id"))
+      .orderBy(col("sim_e6").desc, col("tgt_id").asc)
+    val wy = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("sim_e6").desc, col("src_id").asc)
+    val wxp = Window.partitionBy(col("src_id"))
+    val wyp = Window.partitionBy(col("tgt_id"))
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_e6").desc, col("tgt_id").asc)
     scored
       .withColumn("rx", row_number().over(wx))
       .withColumn("ry", row_number().over(wy))
       .withColumn("__sa",
-        sum(when($"rx" <= k, $"sim_e6").otherwise(0L)).over(wxp))
+        sum(when(col("rx") <= k, col("sim_e6")).otherwise(0L)).over(wxp))
       .withColumn("__sb",
-        sum(when($"ry" <= k, $"sim_e6").otherwise(0L)).over(wyp))
+        sum(when(col("ry") <= k, col("sim_e6")).otherwise(0L)).over(wyp))
       .withColumn("margin_e6",
         expr(s"(2 * sim_e6 * 1000000) div greatest(__sa div $k + __sb div $k, 1)"))
       .withColumn("__rb", row_number().over(wBest))
-      .filter($"__rb" === 1)
-      .select($"src_id", $"tgt_id", $"sim_e6", $"margin_e6",
-        ($"margin_e6" >= thresholdE6).cast("int").as("accepted"))
+      .filter(col("__rb") === 1)
+      .select(col("src_id"), col("tgt_id"), col("sim_e6"), col("margin_e6"),
+        (col("margin_e6") >= thresholdE6).cast("int").as("accepted"))
   }
 
   /** Deterministic random hyperplane constants (fixed seed). Public so

@@ -49,6 +49,21 @@ class BitextMarginSpec extends SparkSpec {
       s"the hub must not win any pair: $out")
   }
 
+  test("bucketed path: identical vectors share a bucket, so twins still pair; subset of brute") {
+    val a = Seq(1L -> Seq(1f, 0f, 0f), 2L -> Seq(0f, 1f, 0f), 3L -> Seq(0f, 0f, 1f))
+    val b = Seq(10L -> Seq(1f, 0f, 0f), 20L -> Seq(0f, 1f, 0f), 30L -> Seq(0f, 0f, 1f))
+    val out = Vectors.bitextMarginPairsBucketed(
+        a.toDF("id", "v"), b.toDF("id", "v"), "id", "v",
+        k = 2, thresholdE6 = 1000000L, planes = 2, dim = 3)
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // a twin is bit-identical to its partner, so it ALWAYS shares the
+    // partner's bucket — every emitted winner must be the twin
+    out.foreach { case (s, t) => assert(t == s * 10, s"$s paired $t") }
+    // emitted sources are a subset of side A (empty buckets emit none)
+    assert(out.keySet.subsetOf(Set(1L, 2L, 3L)))
+  }
+
   test("deterministic under partitioning; margins are exact integers") {
     val rnd = new scala.util.Random(5)
     def vecs(n: Int, off: Long) = (0 until n).map(i =>
