@@ -180,6 +180,50 @@ object Frontier {
       .drop("__ihost", "__auth", "__thost", "__ttpl", "__tpl")
   }
 
+  /** [[schedule]] with PER-HOST budgets — the consumer that makes
+    * [[apportion]]'s quotas real: each host fetches its first
+    * `quota_h` URLs by descending priority (id-asc tiebreak) at its
+    * politeness spacing, instead of one global `maxPerHost`. Hosts
+    * absent from `budgets` (or with quota 0) contribute NOTHING to
+    * the wave — an unbudgeted host must not fetch.
+    *
+    * `hardCap` is the map-side truncation bound: the per-host window
+    * filter carries BOTH `rn ≤ hardCap` (a literal —
+    * InferWindowGroupLimit fires on it, so map tasks truncate every
+    * host to hardCap rows before the exchange) and `rn ≤ quota_h`
+    * (the dynamic refinement Catalyst cannot pre-push). Pass the
+    * wave's total budget: no host's quota can exceed it, so the
+    * literal bound never clips a legitimate slot.
+    *
+    * Scale shape: [[schedule]]'s — per-host window, broadcast delay
+    * and budget tables (both host-grained), WindowGroupLimit at
+    * hardCap; the quota filter then drops rank rows beyond each
+    * host's allocation.
+    */
+  def scheduleBudgeted(urls: DataFrame, idCol: String, hostCol: String,
+      priorityCol: Column, delays: DataFrame, defaultDelayMs: Long,
+      budgets: DataFrame, bHostCol: String, quotaCol: String,
+      hardCap: Int): DataFrame = {
+    require(hardCap > 0, s"hardCap must be positive: $hardCap")
+    val d = delays.withColumnRenamed(hostCol, "__dhost")
+    val b = budgets.select(col(bHostCol).as("__bhost"),
+      col(quotaCol).cast("long").as("__quota"))
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(priorityCol.desc, col(idCol).asc)
+    urls
+      .join(broadcast(d), urls(hostCol) === col("__dhost"), "left")
+      .withColumn("delay_ms",
+        coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .drop("__dhost")
+      .join(broadcast(b), col(hostCol) === col("__bhost"), "left")
+      .withColumn("__quota", coalesce(col("__quota"), lit(0L)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= hardCap && col("__rn") <= col("__quota"))
+      .withColumn("slot", (col("__rn") - 1).cast("long"))
+      .drop("__rn", "__bhost", "__quota")
+      .withColumn("fetch_offset_ms", col("slot") * col("delay_ms"))
+  }
+
   /** Fetch-budget apportionment — largest-remainder (Hamilton) method
     * over host mass: a wave has `budget` fetches to spend and each
     * host a nonnegative integer `mass` (priority sum, backlog, page

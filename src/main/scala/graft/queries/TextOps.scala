@@ -1457,6 +1457,31 @@ object TextOps {
         .orderBy($"host")
     },
 
+    // ---- budgeted politeness schedule (q168's quotas CONSUMED by
+    // q152's scheduler — the whole apportionment loop closed): per
+    // host, the first quota_h URLs by priority at politeness spacing;
+    // the hardCap literal keeps the map-side WindowGroupLimit while
+    // the dynamic quota refines behind it.
+    "q177_budgeted_schedule" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val urls = docs.select($"doc_id", $"source".as("host"),
+        ($"doc_id" % 97).as("priority"))
+      val delays = docs.select($"source".as("host")).distinct()
+        .withColumn("delay_ms", (length($"host") % 3) * 500 + 500)
+      val budgets = graft.ingest.Frontier.apportion(
+        docs.groupBy($"source").agg(sum($"n_chars").as("mass"))
+          .withColumnRenamed("source", "host"),
+        "host", "mass", budget = 200L)
+      graft.ingest.Frontier.scheduleBudgeted(urls, "doc_id", "host",
+          $"priority", delays, defaultDelayMs = 1000L,
+          budgets, "host", "quota", hardCap = 200)
+        .select($"doc_id", $"host", $"slot",
+          $"delay_ms".cast("long").as("delay_ms"),
+          $"fetch_offset_ms".cast("long").as("fetch_offset_ms"))
+        .orderBy($"host", $"slot")
+    },
+
     "q52_media_decode" -> { (s, dir) =>
       import s.implicits._
       val media = docsParallel(s, dir).select(
@@ -2165,6 +2190,49 @@ object TextOps {
         |            THEN 1 ELSE 0 END AS admitted
         |FROM documents CROSS JOIN fv
         |ORDER BY doc_id""".stripMargin),
+
+    // budgeted-schedule mirror: the q168 apportionment chain at
+    // budget 200, then per-host priority ranks joined against quota
+    // and delay tables — every emitted column BIGINT
+    "q177_budgeted_schedule" ->
+      """WITH m AS (
+        |  SELECT source AS host, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS t FROM m),
+        |bse AS (
+        |  SELECT host, mass,
+        |         CAST((200 * mass) // tot.t AS BIGINT) AS base,
+        |         CAST((200 * mass) % tot.t AS BIGINT) AS rem
+        |  FROM m CROSS JOIN tot),
+        |l AS (SELECT CAST(200 - SUM(base) AS BIGINT) AS leftover FROM bse),
+        |rr AS (
+        |  SELECT host, base,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rk
+        |  FROM bse),
+        |q AS (
+        |  SELECT rr.host,
+        |         CAST(rr.base + CASE WHEN rr.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM rr CROSS JOIN l),
+        |urls AS (
+        |  SELECT doc_id, source AS host, doc_id % 97 AS priority
+        |  FROM documents),
+        |d AS (
+        |  SELECT DISTINCT source AS host,
+        |         (length(source) % 3) * 500 + 500 AS delay_ms
+        |  FROM documents),
+        |rn AS (
+        |  SELECT u.doc_id, u.host,
+        |         ROW_NUMBER() OVER (PARTITION BY u.host
+        |                            ORDER BY u.priority DESC, u.doc_id ASC) AS rn
+        |  FROM urls u)
+        |SELECT rn.doc_id, rn.host, CAST(rn.rn - 1 AS BIGINT) AS slot,
+        |       CAST(d.delay_ms AS BIGINT) AS delay_ms,
+        |       CAST((rn.rn - 1) * d.delay_ms AS BIGINT) AS fetch_offset_ms
+        |FROM rn
+        |JOIN q ON rn.host = q.host
+        |JOIN d ON rn.host = d.host
+        |WHERE rn.rn <= q.quota
+        |ORDER BY rn.host, slot""".stripMargin,
 
     "q118_cms_sketch" -> (WordsCte +
       s""", w AS (SELECT unnest(ws) AS item FROM words),

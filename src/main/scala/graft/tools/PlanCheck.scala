@@ -795,7 +795,13 @@ object PlanCheck {
     // score; no nested-loop anywhere
     Expectation("q176_bitext_lsh_margin",
       mustContain = Seq("BroadcastHashJoin", "Window"),
-      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // budgeted schedule: the hardCap LITERAL must keep the map-side
+    // WindowGroupLimit even though the quota bound is dynamic; delay
+    // and budget tables broadcast
+    Expectation("q177_budgeted_schedule",
+      mustContain = Seq("WindowGroupLimit", "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -101,6 +101,36 @@ class AnchorFrontierSpec extends SparkSpec {
     }
   }
 
+  test("scheduleBudgeted: per-host quotas bite; unbudgeted hosts emit nothing; uniform quotas ≡ schedule") {
+    val urls = (1L to 20L).map(i => (i, if (i <= 12) "h1" else "h2", i % 7))
+      .toDF("id", "host", "priority")
+    val delays = Seq(("h1", 100L), ("h2", 200L)).toDF("host", "delay_ms")
+    val budgets = Seq(("h1", 3L), ("h2", 0L), ("ghost", 5L))
+      .toDF("host", "quota")
+    val out = Frontier.scheduleBudgeted(urls, "id", "host", $"priority",
+        delays, 1000L, budgets, "host", "quota", hardCap = 100)
+      .select($"id", $"host", $"slot", $"fetch_offset_ms")
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(out.forall(_._2 == "h1"), "quota-0 h2 must emit nothing")
+    assert(out.length == 3, "h1 fetches exactly its quota")
+    assert(out.map(_._4).toSeq == Seq(0L, 100L, 200L), "politeness spacing holds")
+    // uniform quotas reproduce the static scheduler exactly
+    val uni = Seq(("h1", 4L), ("h2", 4L)).toDF("host", "quota")
+    val a = Frontier.scheduleBudgeted(urls, "id", "host", $"priority",
+        delays, 1000L, uni, "host", "quota", hardCap = 100)
+      .select($"id", $"slot").as[(Long, Long)].collect().toSet
+    val b = Frontier.schedule(urls, "id", "host", $"priority",
+        delays, 1000L, maxPerHost = 4)
+      .select($"id", $"slot").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    // the hardCap literal is a map-side bound, NOT a semantic one:
+    // callers must pass >= max quota (pinned: a low cap clips)
+    val clipped = Frontier.scheduleBudgeted(urls, "id", "host", $"priority",
+        delays, 1000L, uni, "host", "quota", hardCap = 2)
+      .count()
+    assert(clipped == 4L)
+  }
+
   test("apportion: all-zero and negative mass are rejected, not silently NULL") {
     val zero = Seq(("a", 0L), ("b", 0L)).toDF("host", "mass")
     val ex = intercept[IllegalArgumentException] {
