@@ -285,6 +285,38 @@ object Frontier {
       .select(col("host"), col("mass"), col("quota"))
   }
 
+  /** Fetch-status triage — the health panel the scheduler reads
+    * before spending budget on a host: per host, fetch counts by
+    * status class (2xx/3xx/4xx/5xx), the error rate as integer ppm
+    * (`(n_4xx + n_5xx)·10⁶ div n` — the no-floats-in-gates
+    * discipline), and a backoff flag at the given ppm threshold — a
+    * host past it gets its politeness delay raised or its wave quota
+    * zeroed rather than hammered while it is failing. Statuses
+    * outside 200-599 count toward `n_fetches` only (connection-level
+    * failures logged as 0/−1 are neither success nor an HTTP error
+    * class; track them upstream).
+    *
+    * Scale shape: per-row CASE math + ONE map-side-combinable groupBy
+    * on the host — the fetch log shuffles once, host-keyed, and the
+    * panel is host-grained state a streaming session could sum-merge
+    * (the StreamHostGraph law — every column is an additive count or
+    * derived from one).
+    */
+  def statusTriage(log: DataFrame, hostCol: String, statusCol: String,
+      backoffPpm: Long): DataFrame = {
+    require(backoffPpm >= 0, s"backoffPpm must be non-negative: $backoffPpm")
+    val s = col(statusCol)
+    def cls(lo: Int, hi: Int) =
+      sum(when(s >= lo && s <= hi, 1L).otherwise(0L))
+    log.groupBy(col(hostCol))
+      .agg(count(lit(1)).as("n_fetches"),
+        cls(200, 299).as("n_2xx"), cls(300, 399).as("n_3xx"),
+        cls(400, 499).as("n_4xx"), cls(500, 599).as("n_5xx"))
+      .withColumn("error_ppm",
+        expr("(n_4xx + n_5xx) * CAST(1000000 AS BIGINT) div n_fetches"))
+      .withColumn("backoff", (col("error_ppm") >= backoffPpm).cast("int"))
+  }
+
   def recrawlPlan(entries: DataFrame, locCol: String, lastmodCol: String,
       crawlLog: DataFrame, logLocCol: String, lastCrawlCol: String,
       agedCutoff: String): DataFrame = {

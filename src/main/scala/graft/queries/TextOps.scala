@@ -1482,6 +1482,24 @@ object TextOps {
         .orderBy($"host", $"slot")
     },
 
+    // ---- fetch-status triage (the scheduler's health input): a
+    // synthesized fetch log with mod-31 status classes — coprime with
+    // source = src(doc_id % 20), so every host sees every class —
+    // rolled to per-host counts, integer-ppm error rate, backoff at
+    // 10%. One map-side-combinable rollup.
+    "q178_status_triage" -> { (s, dir) =>
+      import s.implicits._
+      val log = docsParallel(s, dir).select($"source".as("host"),
+        when($"doc_id" % 31 === 0, 500)
+          .when($"doc_id" % 31 === 1, 503)
+          .when($"doc_id" % 31 < 5, 404)
+          .when($"doc_id" % 31 < 7, 301)
+          .otherwise(200).as("status"))
+      graft.ingest.Frontier.statusTriage(log, "host", "status",
+          backoffPpm = 100000L)
+        .orderBy($"host")
+    },
+
     "q52_media_decode" -> { (s, dir) =>
       import s.implicits._
       val media = docsParallel(s, dir).select(
@@ -2233,6 +2251,30 @@ object TextOps {
         |JOIN d ON rn.host = d.host
         |WHERE rn.rn <= q.quota
         |ORDER BY rn.host, slot""".stripMargin,
+
+    // status-triage mirror: identical class CASEs, integer-// ppm,
+    // every SUM CAST to BIGINT
+    "q178_status_triage" ->
+      """WITH log AS (
+        |  SELECT source AS host,
+        |    CASE WHEN doc_id % 31 = 0 THEN 500
+        |         WHEN doc_id % 31 = 1 THEN 503
+        |         WHEN doc_id % 31 < 5 THEN 404
+        |         WHEN doc_id % 31 < 7 THEN 301
+        |         ELSE 200 END AS status
+        |  FROM documents),
+        |p AS (
+        |  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+        |    CAST(SUM(CASE WHEN status BETWEEN 200 AND 299 THEN 1 ELSE 0 END) AS BIGINT) AS n_2xx,
+        |    CAST(SUM(CASE WHEN status BETWEEN 300 AND 399 THEN 1 ELSE 0 END) AS BIGINT) AS n_3xx,
+        |    CAST(SUM(CASE WHEN status BETWEEN 400 AND 499 THEN 1 ELSE 0 END) AS BIGINT) AS n_4xx,
+        |    CAST(SUM(CASE WHEN status BETWEEN 500 AND 599 THEN 1 ELSE 0 END) AS BIGINT) AS n_5xx
+        |  FROM log GROUP BY host)
+        |SELECT host, n_fetches, n_2xx, n_3xx, n_4xx, n_5xx,
+        |       CAST((n_4xx + n_5xx) * 1000000 // n_fetches AS BIGINT) AS error_ppm,
+        |       CASE WHEN (n_4xx + n_5xx) * 1000000 // n_fetches >= 100000
+        |            THEN 1 ELSE 0 END AS backoff
+        |FROM p ORDER BY host""".stripMargin,
 
     "q118_cms_sketch" -> (WordsCte +
       s""", w AS (SELECT unnest(ws) AS item FROM words),

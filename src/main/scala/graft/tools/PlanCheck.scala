@@ -801,7 +801,13 @@ object PlanCheck {
     // and budget tables broadcast
     Expectation("q177_budgeted_schedule",
       mustContain = Seq("WindowGroupLimit", "BroadcastHashJoin"),
-      mustNotContain = Seq("CartesianProduct")))
+      mustNotContain = Seq("CartesianProduct")),
+    // status triage: per-row CASE + ONE host rollup — no join, no
+    // window, no explode
+    Expectation("q178_status_triage",
+      mustContain = Seq("HashAggregate"),
+      mustNotContain = Seq("BroadcastHashJoin", "SortMergeJoin",
+        "Window", "Generate", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

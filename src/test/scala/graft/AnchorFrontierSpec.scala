@@ -131,6 +131,24 @@ class AnchorFrontierSpec extends SparkSpec {
     assert(clipped == 4L)
   }
 
+  test("statusTriage: class boundaries, ppm exactness, backoff threshold, out-of-range statuses") {
+    val log = Seq(
+      ("h1", 200), ("h1", 299), ("h1", 301), ("h1", 404), ("h1", 500),
+      ("h2", 200), ("h2", 200), ("h2", 200), ("h2", 200), ("h2", 404),
+      ("h3", 0), ("h3", 200)) // a connection-level failure: counted in n only
+      .toDF("host", "status")
+    val out = Frontier.statusTriage(log, "host", "status", backoffPpm = 250000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getInt(7)))).toMap
+    // h1: 5 fetches, 2 ok (200, 299), 1 redirect, 1+1 errors -> 400000 ppm, backoff
+    assert(out("h1") == ((5L, 2L, 1L, 1L, 1L, 400000L, 1)))
+    // h2: 1/5 errors = 200000 ppm, below the 250000 threshold
+    assert(out("h2") == ((5L, 4L, 0L, 1L, 0L, 200000L, 0)))
+    // h3: the status-0 row is a fetch but no HTTP class
+    assert(out("h3") == ((2L, 1L, 0L, 0L, 0L, 0L, 0)))
+  }
+
   test("apportion: all-zero and negative mass are rejected, not silently NULL") {
     val zero = Seq(("a", 0L), ("b", 0L)).toDF("host", "mass")
     val ex = intercept[IllegalArgumentException] {
