@@ -127,14 +127,15 @@ object Bench {
     }
     java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_DETAIL.json"), detail)
-    // The parseable driver line, printed LAST and kept COMPACT
-    // (~1.4 KB): per-query keys are the qNN prefix (unique across the
-    // suite — full names in BENCH_DETAIL.json), medians at 3 decimals.
-    val qsShort = results.map { case (k, v, _, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
+    // The parseable driver line, printed LAST and TOTALS-ONLY (<300
+    // bytes at any suite size): ten rounds of `"parsed": null` showed
+    // the driver keeps only ~2 KB of stdout tail, and even qNN-prefix
+    // per-query keys overflow that at 178 queries. Per-query medians,
+    // per-rep raws, and the calibration series all live in
+    // BENCH_DETAIL.json (written above) — the stdout line carries just
+    // the headline totals the driver plots.
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_norm":${f"$totalNorm%.3f"},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_norm":${f"$totalNorm%.3f"},"cal_ref":${f"$calRef%.3f"},"cal_min":${f"${calSorted.head}%.3f"},"cal_max":${f"${calSorted.last}%.3f"},"n_queries":${results.size},"unit":"sec","detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,16 +31,27 @@ object TextTokens {
     * key, so trivially-edited duplicates collide where raw-text
     * hashing misses them.
     *
-    * Pure `regexp_replace` chain: codegen'd, zero shuffles, and
-    * mirrored verbatim in DuckDB. Character classes are EXPLICIT ASCII
-    * (no `\s`, no `\p{L}`): Java regex counts vertical tab in `\s`
-    * while RE2 does not, and Unicode classes differ wholesale — either
-    * would be a silent cross-engine drift. NOT a tokenizer: compose it
-    * BEFORE [[wordsCol]]/shingling via
+    * Engine side is the single-pass native expression
+    * [[graft.functions.DedupKeyNormalize]] (codegen'd, one byte scan);
+    * the DuckDB oracle mirrors the equivalent `regexp_replace` chain
+    * kept verbatim in [[dedupKeyRegexCol]], and `DedupKeySpec`
+    * differentially pins the two byte-for-byte. Character classes are
+    * EXPLICIT ASCII (no `\s`, no `\p{L}`): Java regex counts vertical
+    * tab in `\s` while RE2 does not, and Unicode classes differ
+    * wholesale — either would be a silent cross-engine drift. NOT a
+    * tokenizer: compose it BEFORE [[wordsCol]]/shingling via
     * `withColumn(textCol, dedupKeyCol(col(textCol)))` when a dedup
     * pass should be edit-robust; analysis operators keep raw text.
     */
   def dedupKeyCol(text: Column): Column =
+    graft.functions.DedupKeyNormalize.dedupKeyCol(text)
+
+  /** The original three-pass `regexp_replace` form of [[dedupKeyCol]]
+    * — the exact expression the DuckDB oracles transliterate (with
+    * RE2's 'g' flag), retained as the differential anchor for the
+    * fused native expression. Not used on the hot path.
+    */
+  def dedupKeyRegexCol(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(lower(text), "[0-9]+", "0"),
