@@ -38,7 +38,12 @@ object Hits {
   /** Scores after `iters` rounds: `(node, hub, auth)`, one row per
     * node in `nodes` — MAX-normalized to `scale` each half-step;
     * nodes with no out-edges have hub 0, with no in-edges auth 0
-    * (after the first round). Edge weights must be positive integers.
+    * (after the first round). ENFORCED preconditions (each a bounded
+    * probe, failing loudly like `iters`/`scale`): edge weights are
+    * positive integers, `scale²·ΣW` fits in a Long (the half-step ×
+    * rescale product bound), and `nodes` covers every edge endpoint
+    * (rescale's left join would otherwise drop absent endpoints' mass
+    * each half-step).
     */
   def scores(
       nodes: DataFrame, nodeCol: String,
@@ -53,6 +58,22 @@ object Hits {
     require(e.filter(col("w") <= 0 || col("w").isNull).limit(1).count() == 0L,
       "edge weights must be positive integers")
     val ew = e.localCheckpoint()
+    // both preconditions below were document-only; enforce them like
+    // the positive-weight check so violation fails loudly instead of
+    // silently corrupting scores (each is one bounded aggregate/probe
+    // on the already-checkpointed edge frame):
+    // (1) overflow bound — a half-step holds raw ≤ scale·ΣW and rescale
+    // multiplies by scale again, so scale²·ΣW must fit in a Long
+    val totalW = ew.agg(sum(col("w"))).head.getLong(0)
+    require(scale <= Long.MaxValue / math.max(totalW, 1L) / scale,
+      s"scale^2 * total edge weight overflows 64-bit: scale=$scale totalW=$totalW")
+    // (2) coverage — rescale left-joins raw sums onto `nodes`, so an
+    // edge endpoint absent from `nodes` would silently drop its score
+    // mass each half-step
+    require(ew.select(col("src").as("node"))
+        .union(ew.select(col("dst").as("node")))
+        .join(n, Seq("node"), "left_anti").limit(1).count() == 0L,
+      "nodes must cover every edge endpoint (src and dst)")
     var h = n.withColumn("s", lit(scale)).localCheckpoint()
     var a: DataFrame = null
     for (_ <- 1 to iters) {

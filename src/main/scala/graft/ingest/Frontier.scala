@@ -28,10 +28,25 @@ object Frontier {
     * [[Robots.crawlDelays]] (or any source); hosts absent from it get
     * `defaultDelayMs`.
     */
+  /** Side tables joined onto the URL relation are host-grained BY
+    * CONTRACT — a duplicate host row would silently multiply every
+    * URL of that host through the schedule window. Enforced up front
+    * with the bounded stop-at-first-dup job
+    * [[graft.graph.Redirects.resolve]] uses for its functionality
+    * check (the tables are host-grained and broadcast-sized, so the
+    * probe is control-plane cheap).
+    */
+  private def requireOneRowPerHost(
+      t: DataFrame, hostCol: String, what: String): Unit =
+    require(t.groupBy(col(hostCol)).count()
+        .filter(col("count") > 1).limit(1).count() == 0L,
+      s"$what must have exactly one row per host")
+
   def schedule(urls: DataFrame, idCol: String, hostCol: String,
       priorityCol: Column, delays: DataFrame, defaultDelayMs: Long,
       maxPerHost: Int): DataFrame = {
     require(maxPerHost > 0, s"maxPerHost must be positive: $maxPerHost")
+    requireOneRowPerHost(delays, hostCol, "delays")
     val d = delays.withColumnRenamed(hostCol, "__dhost")
     val w = Window.partitionBy(col(hostCol))
       .orderBy(priorityCol.desc, col(idCol).asc)
@@ -205,6 +220,8 @@ object Frontier {
       budgets: DataFrame, bHostCol: String, quotaCol: String,
       hardCap: Int): DataFrame = {
     require(hardCap > 0, s"hardCap must be positive: $hardCap")
+    requireOneRowPerHost(delays, hostCol, "delays")
+    requireOneRowPerHost(budgets, bHostCol, "budgets")
     val d = delays.withColumnRenamed(hostCol, "__dhost")
     val b = budgets.select(col(bHostCol).as("__bhost"),
       col(quotaCol).cast("long").as("__quota"))

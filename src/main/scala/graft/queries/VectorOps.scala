@@ -622,11 +622,13 @@ object VectorOps {
       |m AS (
       |  SELECT src_id, tgt_id, sim_e6,
       |    CAST(SUM(CASE WHEN rx <= 4 THEN sim_e6 ELSE 0 END) OVER (PARTITION BY src_id) AS BIGINT) AS sa,
-      |    CAST(SUM(CASE WHEN ry <= 4 THEN sim_e6 ELSE 0 END) OVER (PARTITION BY tgt_id) AS BIGINT) AS sb
+      |    CAST(SUM(CASE WHEN ry <= 4 THEN sim_e6 ELSE 0 END) OVER (PARTITION BY tgt_id) AS BIGINT) AS sb,
+      |    least(CAST(COUNT(*) OVER (PARTITION BY src_id) AS BIGINT), 4) AS na,
+      |    least(CAST(COUNT(*) OVER (PARTITION BY tgt_id) AS BIGINT), 4) AS nb
       |  FROM r),
       |g AS (
       |  SELECT src_id, tgt_id, sim_e6,
-      |    CAST((2 * sim_e6 * 1000000) // greatest(sa // 4 + sb // 4, 1) AS BIGINT) AS margin_e6
+      |    CAST((2 * sim_e6 * 1000000) // greatest(sa // na + sb // nb, 1) AS BIGINT) AS margin_e6
       |  FROM m),
       |best AS (
       |  SELECT src_id, tgt_id, sim_e6, margin_e6,

@@ -1474,10 +1474,19 @@ object CurationOps {
   }
 
   private def keyedFor(df: DataFrame, idCol: String, textCol: String,
-      qualityCol: String): DataFrame =
+      qualityCol: String): DataFrame = {
+    // the winner argmax negates the id for the smallest-id tiebreak,
+    // so the id column MUST be numeric: a string id would cast to null
+    // nid inside max(struct(...)) and silently crown a wrong/null
+    // winner — fail loudly at plan time instead
+    require(df.schema(idCol).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"id column '$idCol' must be numeric (argmax tiebreak negates it); " +
+        s"got ${df.schema(idCol).dataType.simpleString} — hash it to long first")
     df.select(col(idCol),
       md5(TextTokens.dedupKeyCol(col(textCol))).as("key"),
       col(qualityCol).cast("long").as("quality"))
+  }
 
   /** The `(key, win_id, win_quality, group_size)` PANEL
     * [[dedupKeepBest]] derives its per-doc flags from — exposed

@@ -123,12 +123,13 @@ object Vectors {
     * from the shared-bucket join, so the score relation is
     * candidate-sized and the join is a hash equi-join on the bucket
     * key (broadcast or shuffled — never a cross product). Two
-    * documented deltas from the brute baseline: a source with no
+    * documented delta from the brute baseline: a source with no
     * shared-bucket candidate emits NO row (the bucketed path cannot
-    * propose what it never scored), and a sparse bucket's
-    * neighborhood sum still divides by k (fewer-than-k candidates →
-    * smaller mean → inflated margin; the CCMatrix situation — margins
-    * are only comparable within a candidate-generation scheme).
+    * propose what it never scored). A sparse bucket's neighborhood
+    * mean divides by `least(k, candidates)` — the shared chain counts
+    * what it summed — so `thresholdE6` means the same thing on both
+    * paths (dividing a short sum by the full k would shrink the mean
+    * and inflate every sparse endpoint's margin).
     */
   def bitextMarginPairsBucketed(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String, k: Int, thresholdE6: Long,
@@ -171,8 +172,14 @@ object Vectors {
         sum(when(col("rx") <= k, col("sim_e6")).otherwise(0L)).over(wxp))
       .withColumn("__sb",
         sum(when(col("ry") <= k, col("sim_e6")).otherwise(0L)).over(wyp))
+      // mean divisor is least(k, candidate count): a sparse-candidate
+      // endpoint (possible only on the bucketed path) divides by what
+      // it actually summed, so margins stay comparable across paths
+      // and a thin bucket cannot inflate its mean downward
+      .withColumn("__na", least(count(lit(1)).over(wxp), lit(k.toLong)))
+      .withColumn("__nb", least(count(lit(1)).over(wyp), lit(k.toLong)))
       .withColumn("margin_e6",
-        expr(s"(2 * sim_e6 * 1000000) div greatest(__sa div $k + __sb div $k, 1)"))
+        expr("(2 * sim_e6 * 1000000) div greatest(__sa div __na + __sb div __nb, 1)"))
       .withColumn("__rb", row_number().over(wBest))
       .filter(col("__rb") === 1)
       .select(col("src_id"), col("tgt_id"), col("sim_e6"), col("margin_e6"),

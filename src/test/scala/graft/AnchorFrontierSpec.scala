@@ -131,6 +131,28 @@ class AnchorFrontierSpec extends SparkSpec {
     assert(clipped == 4L)
   }
 
+  test("schedule/scheduleBudgeted: duplicate host rows in a side table are rejected") {
+    val urls = Seq((1L, "h1", 1L)).toDF("id", "host", "priority")
+    val delays = Seq(("h1", 100L)).toDF("host", "delay_ms")
+    val dupDelays = Seq(("h1", 100L), ("h1", 200L)).toDF("host", "delay_ms")
+    val dupBudgets = Seq(("h1", 3L), ("h1", 4L)).toDF("host", "quota")
+    val e1 = intercept[IllegalArgumentException] {
+      Frontier.schedule(urls, "id", "host", $"priority", dupDelays, 1000L, 4)
+    }
+    assert(e1.getMessage.contains("one row per host"))
+    val e2 = intercept[IllegalArgumentException] {
+      Frontier.scheduleBudgeted(urls, "id", "host", $"priority",
+        dupDelays, 1000L, Seq(("h1", 3L)).toDF("host", "quota"),
+        "host", "quota", hardCap = 10)
+    }
+    assert(e2.getMessage.contains("delays"))
+    val e3 = intercept[IllegalArgumentException] {
+      Frontier.scheduleBudgeted(urls, "id", "host", $"priority",
+        delays, 1000L, dupBudgets, "host", "quota", hardCap = 10)
+    }
+    assert(e3.getMessage.contains("budgets"))
+  }
+
   test("statusTriage: class boundaries, ppm exactness, backoff threshold, out-of-range statuses") {
     val log = Seq(
       ("h1", 200), ("h1", 299), ("h1", 301), ("h1", 404), ("h1", 500),

@@ -64,6 +64,17 @@ class BitextMarginSpec extends SparkSpec {
     assert(out.keySet.subsetOf(Set(1L, 2L, 3L)))
   }
 
+  test("sparse neighborhoods divide by their own size, not k (threshold comparable across paths)") {
+    // single twin pair: with k = 4 but only ONE candidate per side the
+    // mean must divide by 1 — sim 2e6, means 2e6 each, margin exactly
+    // (2·2e6·1e6) div (2e6 + 2e6) = 1e6. Dividing by k would have
+    // quartered the means and inflated the margin to 4e6.
+    val a = Seq(1L -> Seq(1f, 0f, 0f))
+    val b = Seq(10L -> Seq(1f, 0f, 0f))
+    val out = run(a, b, k = 4, thr = 1000000L)
+    assert(out(1L) == ((10L, 1000000L, 1)), s"got $out")
+  }
+
   test("deterministic under partitioning; margins are exact integers") {
     val rnd = new scala.util.Random(5)
     def vecs(n: Int, off: Long) = (0 until n).map(i =>

@@ -1725,4 +1725,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 0)))
     assert(out(4L) == ((1L, 1)))
   }
+
+  test("dedupKeepBest/keepBestPanel: non-numeric id column fails loudly") {
+    val docs = Seq(("a", "hello", 1L)).toDF("id", "text", "q")
+    val e1 = intercept[IllegalArgumentException] {
+      CurationOps.dedupKeepBest(docs, "id", "text", "q")
+    }
+    assert(e1.getMessage.contains("numeric"))
+    val e2 = intercept[IllegalArgumentException] {
+      CurationOps.keepBestPanel(docs, "id", "text", "q")
+    }
+    assert(e2.getMessage.contains("numeric"))
+  }
 }

@@ -61,4 +61,20 @@ class HitsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("positive"))
   }
+
+  test("edge endpoints absent from the node set are rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq("a", "b"), Seq(("a", "b", 1L), ("a", "ghost", 1L)), 1)
+    }
+    assert(ex.getMessage.contains("endpoint"))
+  }
+
+  test("scale^2 * total weight overflow is rejected up front") {
+    val n = Seq("a", "b").toDF("node")
+    val e = Seq(("a", "b", Long.MaxValue / 4)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Hits.scores(n, "node", e, "src", "dst", "w", 1, scale = 100000L)
+    }
+    assert(ex.getMessage.contains("overflow"))
+  }
 }
