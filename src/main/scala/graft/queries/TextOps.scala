@@ -808,6 +808,58 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- DSv2 WARC FILE source (`spark.read.format("warc")`): q136's
+    // record derivation, but entering from an on-disk hive-layout
+    // crawl store (one `host=<source>.ex.test` directory per source,
+    // multi-record segment files) read through graft.sources
+    // .WarcDataSource with splits forced small enough to land
+    // mid-record, plus a pushed host-prefix filter that prunes
+    // non-matching host directories at planning. The fixture is
+    // content-keyed (xxhash64 over the rows) so regenerated testdata
+    // can never collide with a stale store; the 20-segment write is a
+    // bounded driver-side fixture build, not a data path.
+    "q179_warc_source" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val payload = when($"doc_id" % 17 === 0,
+        concat(lit("WARC/1.0\r\n"), $"text")).otherwise($"text")
+      val fp = docs.agg(expr("bit_xor(xxhash64(doc_id, text, source))"))
+        .head.getLong(0)
+      val root = new java.io.File(
+        s"/tmp/graft_warc_store_${java.lang.Long.toHexString(fp)}")
+      val ready = new java.io.File(root, "_READY")
+      if (!ready.exists()) {
+        val rec = concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://"),
+          $"source", lit(".ex.test/doc/"), $"doc_id",
+          lit("\r\nWARC-Date: 2026-08-15T00:00:00Z\r\nContent-Length: "),
+          octet_length(payload), lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+        val segs = docs.select($"source", $"doc_id", rec.as("rec"))
+          .groupBy($"source")
+          .agg(array_join(
+            transform(array_sort(collect_list(struct($"doc_id", $"rec"))),
+              x => x.getField("rec")), "").as("blob"))
+          .collect()
+        segs.foreach { r =>
+          val d = new java.io.File(root, s"host=${r.getString(0)}.ex.test")
+          d.mkdirs()
+          java.nio.file.Files.write(
+            new java.io.File(d, "segment.warc").toPath,
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        java.nio.file.Files.write(ready.toPath, Array.emptyByteArray)
+      }
+      s.read.format("warc").option("maxSplitBytes", 8192)
+        .load(root.toString)
+        .where($"host".startsWith("src1"))
+        .select(
+          regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          $"host",
+          octet_length($"payload").cast("long").as("n_bytes"),
+          md5($"payload").as("payload_md5"))
+        .orderBy($"doc_id")
+    },
+
     // ---- HTTP response split (the step between q136's WARC records
     // and q135's HTML strip): status / media type / body from
     // synthesized response messages — pure per-row column expressions.
@@ -2496,6 +2548,23 @@ object TextOps {
         |             THEN 'WARC/1.0' || chr(13) || chr(10) || text
         |             ELSE text END AS payload
         |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // WARC file-source mirror: like q136, the oracle derives the
+    // expected relation from `documents` directly (payload rule + the
+    // host-prefix predicate the engine pushes into the scan) — the
+    // gate proves the write→split→sync→parse→filter loop reproduces
+    // the source rows.
+    "q179_warc_source" ->
+      """SELECT doc_id, source || '.ex.test' AS host,
+        |  CAST(strlen(payload) AS BIGINT) AS n_bytes,
+        |  md5(payload) AS payload_md5
+        |FROM (SELECT doc_id, source,
+        |        CASE WHEN doc_id % 17 = 0
+        |             THEN 'WARC/1.0' || chr(13) || chr(10) || text
+        |             ELSE text END AS payload
+        |      FROM documents)
+        |WHERE source LIKE 'src1%'
         |ORDER BY doc_id""".stripMargin,
 
     // HTTP mirror: same blank-line split arithmetic, same status-line

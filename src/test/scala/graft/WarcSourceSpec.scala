@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Warc
+import graft.sources.WarcDataSource
+
+/** The DSv2 `format("warc")` file source: record set ≡ the blob
+  * parser's on the same bytes under EVERY split size (including splits
+  * landing mid-record and mid-payload), the embedded-version-line trap,
+  * malformed-record resilience, `host=` directory pruning, record-side
+  * filter pushdown, and payload-skipping column pruning.
+  */
+class WarcSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(uri: String, payload: String,
+      warcType: String = "response"): Warc.WarcRecord =
+    Warc.WarcRecord(warcType, uri, "2026-08-16T00:00:00Z",
+      payload.getBytes(UTF_8))
+
+  /** Write one segment file per (relative path, records). */
+  private def store(files: (String, Seq[Warc.WarcRecord])*): Path = {
+    val dir = Files.createTempDirectory("warcsrc")
+    files.foreach { case (rel, rs) =>
+      val f = dir.resolve(rel)
+      Files.createDirectories(f.getParent)
+      Files.write(f, Warc.format(rs))
+    }
+    dir
+  }
+
+  private def readAll(dir: Path, split: Long) =
+    spark.read.format("warc")
+      .option("maxSplitBytes", split)
+      .load(dir.toString)
+      .select($"host", $"target_uri", $"warc_type",
+        length($"payload").as("n"), md5($"payload").as("m"))
+      .collect().map(_.toSeq).toSet
+
+  test("record set matches the blob parser under every split size, traps included") {
+    // records sized so small split sizes land mid-header and
+    // mid-payload; every 3rd payload embeds the bare version-line trap
+    val rs = (1 to 40).map { i =>
+      val body = ("x" * (i * 7 % 53)) + s" doc $i " + ("y" * (i % 11))
+      rec(s"https://h$i.ex.test/p/$i",
+        if (i % 3 == 0) "WARC/1.0\r\n" + body else body)
+    }
+    val dir = store("seg-a.warc" -> rs.take(25), "seg-b.warc" -> rs.drop(25))
+    val expected = spark.createDataFrame(Seq(
+        ("a", Warc.format(rs.take(25))), ("b", Warc.format(rs.drop(25)))))
+      .toDF("seg", "blob")
+    val exp = Warc.records(expected, $"blob")
+      .select(lower(regexp_extract($"target_uri", "https://([^/]+)/", 1)).as("host"),
+        $"target_uri", $"warc_type",
+        length($"payload").as("n"), md5($"payload").as("m"))
+      .collect().map(_.toSeq).toSet
+    // whole-file, comfortable, tiny, and pathological split sizes
+    for (split <- Seq(1L << 20, 512L, 64L, 17L)) {
+      assert(readAll(dir, split) === exp, s"split=$split diverged")
+    }
+  }
+
+  test("malformed garbage between records is skipped, like the blob parser") {
+    val good = Seq(rec("https://a.test/1", "first"),
+      rec("https://a.test/2", "second"))
+    val dir = Files.createTempDirectory("warcsrc")
+    val bytes = Warc.format(good.take(1)) ++
+      "JUNK LINE no colon\r\nWARC/1.0\r\nbroken: yes\r\n\r\n".getBytes(UTF_8) ++
+      Warc.format(good.drop(1))
+    Files.write(dir.resolve("seg.warc"), bytes)
+    for (split <- Seq(1L << 20, 32L)) {
+      val uris = spark.read.format("warc").option("maxSplitBytes", split)
+        .load(dir.toString).select($"target_uri").as[String].collect().sorted
+      assert(uris.toSeq == Seq("https://a.test/1", "https://a.test/2"),
+        s"split=$split")
+    }
+  }
+
+  test("host= directories prune files at planning and set the host column") {
+    val dir = store(
+      "host=alpha.test/part-0.warc" -> Seq(rec("https://alpha.test/x", "pa")),
+      "host=beta.test/part-0.warc" -> Seq(rec("https://beta.test/y", "pb")),
+      "flat.warc" -> Seq(rec("https://Gamma.test:443/z", "pg")))
+    val all = spark.read.format("warc").load(dir.toString)
+    assert(all.select($"host").as[String].collect().sorted.toSeq ==
+      Seq("alpha.test", "beta.test", "gamma.test"))
+    // equality filter prunes to one partition-dir file + the flat file
+    val filtered = all.where($"host" === "alpha.test")
+    assert(filtered.select($"target_uri").as[String].collect().toSeq ==
+      Seq("https://alpha.test/x"))
+    val parts = filtered.rdd.getNumPartitions
+    assert(parts == 2, s"beta dir must be pruned at planning: $parts")
+    // prefix filter on host
+    val pre = all.where($"host".startsWith("bet"))
+      .select($"target_uri").as[String].collect().toSeq
+    assert(pre == Seq("https://beta.test/y"))
+  }
+
+  test("pushed filters appear in the scan description; warc_type filters apply") {
+    val dir = store("seg.warc" -> Seq(
+      rec("https://a.test/1", "r1"),
+      rec("https://a.test/2", "m1", warcType = "metadata")))
+    val q = spark.read.format("warc").load(dir.toString)
+      .where($"warc_type" === "response" && $"target_uri".startsWith("https://a"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters=[EqualTo(warc_type,response)"),
+      s"plan must show the pushed filter:\n$plan")
+    assert(q.select($"target_uri").as[String].collect().toSeq ==
+      Seq("https://a.test/1"))
+  }
+
+  test("column pruning drops payload from the read schema") {
+    val dir = store("seg.warc" -> Seq(rec("https://a.test/1", "payload-bytes")))
+    val q = spark.read.format("warc").load(dir.toString)
+      .select($"target_uri", $"warc_date")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadColumns=[target_uri, warc_date]"),
+      s"payload must be pruned from the scan:\n$plan")
+    assert(q.count() == 1L)
+  }
+
+  test("splittable=false yields one partition per file") {
+    val dir = store(
+      "s1.warc" -> Seq(rec("https://a.test/1", "x" * 500)),
+      "s2.warc" -> Seq(rec("https://a.test/2", "y" * 500)))
+    val df = spark.read.format("warc")
+      .option("maxSplitBytes", 64).option("splittable", "false")
+      .load(dir.toString)
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 2L)
+  }
+
+  test("hostOf: scheme, port, case; dirHost capture") {
+    assert(WarcDataSource.hostOf("https://EX.Test:8080/a/b") == "ex.test")
+    assert(WarcDataSource.hostOf("ex.test/a") == "ex.test")
+    assert(WarcDataSource.dirHost("/x/host=h.test/f.warc").contains("h.test"))
+    assert(WarcDataSource.dirHost("/x/flat/f.warc").isEmpty)
+  }
+}
