@@ -218,6 +218,29 @@ object CrawlPlannerDemo {
       .distinct()
     println(s"[demo] next frontier: ${next.count()} discovered edges, " +
       s"${next.select($"host").distinct().count()} hosts")
+
+    // the CONTROL LOOP closed (StreamCrawlControl): fetch results
+    // stream into the per-host status panel; each wave is
+    // triage → apportion → scheduleBudgeted over the panel's state,
+    // so error-heavy hosts drop out of the budget until they recover
+    val ctl = new graft.streaming.StreamCrawlControl.ControlSession(
+      "host", "status")
+    // wave-1 results: doc_id-derived statuses, one error-prone host
+    ctl.ingest(docs.select($"source".as("host"),
+      when($"source" === "src3", when($"doc_id" % 3 < 2, 503).otherwise(200))
+        .when($"doc_id" % 11 === 0, 404).otherwise(200).as("status")))
+    val ctlDelays = docs.select($"source").distinct()
+      .select($"source".as("host"), lit(250L).as("delay_ms"))
+    val ctlUrls = docs.select($"doc_id".as("id"), $"source".as("host"),
+      ($"doc_id" % 97).as("priority"))
+    val wave2 = ctl.nextWave(backoffPpm = 400000L, ctlUrls, "id", "host",
+      $"priority", ctlDelays, 1000L, budget = 64L, hardCap = 64)
+    val backoffHosts = graft.streaming.StreamCrawlControl
+      .triageOf(ctl.currentPanel, 400000L)
+      .filter($"backoff" === 1).select($"host").as[String].collect().toSeq
+    println(s"[demo] control loop: wave-2 spends ${wave2.count()}/64 fetches " +
+      s"across ${wave2.select($"host").distinct().count()} hosts; " +
+      s"backoff: ${backoffHosts.mkString(",")}")
     spark.stop()
   }
 }

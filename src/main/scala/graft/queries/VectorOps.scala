@@ -298,6 +298,24 @@ object VectorOps {
         .orderBy($"query_id", $"rnk")
     },
 
+    // ---- plain PQ gated end-to-end (the last un-oracled ANN member):
+    // q101's fixture-codebook recipe applied to product quantization —
+    // centroids are the vec_id < 4 vectors quantized UNDER CORPUS
+    // STATS (the q92 CTEs), corpus codes are per-subspace INT64 argmin
+    // with the (d2 ASC, cid ASC) tie discipline, and candidates rank
+    // by the symmetric-ADC sum of the query's per-(subspace, centroid)
+    // block distances — every stage integer-exact, zero float channel.
+    "q180_pq_adc_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val centers = emb.filter($"vec_id" < 4).orderBy($"vec_id")
+        .select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].collect().map(_.toArray)
+      Vectors.pqAdcTopKWith(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding",
+          k = 3, dim = SqDim, m = PqM, centers)
+        .orderBy($"query_id", $"rnk")
+    },
+
     // ---- the coarse-to-fine retrieval CASCADE: binary Hamming
     // shortlist (24) → SQ8 integer re-rank (8) → exact float cosine
     // top-3. Per-candidate cost rises ~30× per stage while candidates
@@ -514,6 +532,11 @@ object VectorOps {
 
   /** q101: queries probe 3 of the 8 fixture cells. */
   private val IvfSqProbe = 3
+
+  /** q180: 8 subspaces of width 8 over the 64-dim table; the fixture
+    * codebook is the vec_id < 4 vectors (ksub = 4).
+    */
+  private val PqM = 8
 
   /** q102 cascade widths: 24 binary survivors → 8 SQ8 survivors → 3. */
   private val CascBin = 24
@@ -890,6 +913,62 @@ object VectorOps {
         |                            ORDER BY qdist ASC, neighbor_id ASC) AS rnk
         |  FROM sc)
         |SELECT query_id, rnk, neighbor_id, qdist FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // Plain-PQ mirror: the q92 unit/stats/quantize CTEs, centroid codes
+    // from qz (vec_id < 4), one `sd` relation holding EVERY
+    // (vector, centroid, subspace) INT64 block distance — corpus codes
+    // are its per-(vector, subspace) argmin and the query ADC sum
+    // re-joins it on the assigned code, so encode and scoring share
+    // literally one distance derivation.
+    "q180_pq_adc_topk" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sqrt(list_dot_product(v, v)) = 0
+        |              THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |         END AS v
+        |  FROM e0),
+        |st AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e, unnest(generate_series(1, $SqDim)) t(i)
+        |  GROUP BY i),
+        |stats AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans
+        |  FROM st),
+        |qz AS (
+        |  SELECT vec_id,
+        |         list_transform(generate_series(1, $SqDim), i ->
+        |           CASE WHEN spans[i] = 0 THEN 0
+        |                ELSE CAST(LEAST(GREATEST(
+        |                       round((v[i] - mns[i]) * 255.0 / spans[i]), 0.0), 255.0)
+        |                     AS BIGINT) END) AS q
+        |  FROM e, stats),
+        |cb AS (SELECT vec_id AS cid, q AS cq FROM qz WHERE vec_id < 4),
+        |sd AS (
+        |  SELECT z.vec_id, cb.cid, j.j,
+        |         CAST(list_sum(list_transform(generate_series(1, ${SqDim / PqM}), i ->
+        |           (z.q[(j.j-1)*${SqDim / PqM} + i] - cb.cq[(j.j-1)*${SqDim / PqM} + i]) *
+        |           (z.q[(j.j-1)*${SqDim / PqM} + i] - cb.cq[(j.j-1)*${SqDim / PqM} + i]))) AS BIGINT) AS d2
+        |  FROM qz z, cb, unnest(generate_series(1, $PqM)) j(j)),
+        |enc AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT vec_id, j, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+        |                              ORDER BY d2 ASC, cid ASC) AS rn
+        |    FROM sd) t WHERE rn = 1),
+        |adc AS (
+        |  SELECT qsd.vec_id AS query_id, enc.vec_id AS neighbor_id,
+        |         CAST(SUM(qsd.d2) AS BIGINT) AS adist
+        |  FROM enc JOIN sd qsd ON qsd.j = enc.j AND qsd.cid = enc.code
+        |  WHERE qsd.vec_id < 8 AND enc.vec_id <> qsd.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, adist,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY adist ASC, neighbor_id ASC) AS rnk
+        |  FROM adc)
+        |SELECT query_id, rnk, neighbor_id, adist FROM ranked WHERE rnk <= 3""".stripMargin,
 
     // Cascade mirror: q99's sign-disagreement Hamming rank filtered at
     // 24, q92's quantization CTEs re-ranking the survivors at 8, q22's

@@ -145,6 +145,198 @@ object DurableLedger {
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
+  // ---- per-directory column stats (the Delta data-skipping half) ----
+
+  /** One column's serialized min/max inside a directory's `_stats`
+    * file. `typ` ∈ long | double | string; values are Base64 of their
+    * canonical string form (Long.toString / Double.toString /
+    * the raw string bytes) so strings with tabs or newlines are safe.
+    */
+  private[streaming] final case class ColStats(typ: String, min: String, max: String)
+
+  private def statsFile(d: java.io.File) = new java.io.File(d, "_stats")
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  private def statsTyp(dt: org.apache.spark.sql.types.DataType): Option[String] =
+    dt match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType =>
+        Some("long")
+      case _: org.apache.spark.sql.types.FloatType | _: org.apache.spark.sql.types.DoubleType =>
+        Some("double")
+      case _: org.apache.spark.sql.types.StringType => Some("string")
+      case _ => None // timestamps/decimals/complex: no stats, never pruned
+    }
+
+  /** Aggregate min/max of `cols` over `df` and write the directory's
+    * `_stats` file (underscore prefix: parquet readers ignore it).
+    * Unsupported-type and all-null columns are silently absent —
+    * absence always means "cannot prune".
+    */
+  private[streaming] def writeStats(d: java.io.File, df: DataFrame,
+      cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    val fields = cols.flatMap(c =>
+      df.schema.fields.find(_.name == c).flatMap(f =>
+        statsTyp(f.dataType).map(t => (c, t))))
+    if (fields.isEmpty) return
+    val aggs = fields.flatMap { case (c, _) => Seq(smin(col(c)), smax(col(c))) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    // floats widen to double BEFORE serialization: Float.toString's
+    // shortest-repr round trip re-parses to a DIFFERENT double than
+    // the float's exact value, which could mis-prune boundary queries
+    def ser(v: Any): String = v match {
+      case f: Float => f.toDouble.toString
+      case other => other.toString
+    }
+    val lines = fields.zipWithIndex.flatMap { case ((c, t), i) =>
+      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
+      if (mn == null || mx == null) None // empty/all-null batch
+      else Some(s"${b64(c)}\t$t\t${b64(ser(mn))}\t${b64(ser(mx))}")
+    }
+    if (lines.nonEmpty)
+      java.nio.file.Files.write(statsFile(d).toPath,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Tolerant stats read: absent/corrupt file → empty map (no pruning
+    * for that directory), mirroring [[readManifest]]'s degradation.
+    */
+  private[streaming] def readStats(d: java.io.File): Map[String, ColStats] =
+    if (!statsFile(d).isFile) Map.empty
+    else scala.util.Try {
+      java.nio.file.Files.readAllLines(statsFile(d).toPath).toArray.toSeq
+        .map(_.toString.split("\t", -1))
+        .collect { case Array(c, t, mn, mx) =>
+          unb64(c) -> ColStats(t, unb64(mn), unb64(mx))
+        }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Inclusive range predicate for directory pruning: `None` bounds
+    * are unbounded. Bound values must match the stats type (Long-ish
+    * for long, Number for double, String for string) — a mismatched
+    * type fails loudly rather than silently scanning everything.
+    */
+  final case class Bound(column: String, lo: Option[Any] = None, hi: Option[Any] = None)
+
+  /** Unsigned UTF-8 byte comparison — the order Spark's min/max on
+    * strings uses (UTF8String binary order), so string pruning
+    * decisions agree with how the stats were computed. Java
+    * String.compareTo differs for supplementary characters.
+    */
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def cmp(typ: String, statVal: String, bound: Any): Int = typ match {
+    case "long" => bound match {
+      case n: Byte => java.lang.Long.compare(statVal.toLong, n.toLong)
+      case n: Short => java.lang.Long.compare(statVal.toLong, n.toLong)
+      case n: Int => java.lang.Long.compare(statVal.toLong, n.toLong)
+      case n: Long => java.lang.Long.compare(statVal.toLong, n)
+      case other => throw new IllegalArgumentException(
+        s"long-typed stats need an integral bound, got $other")
+    }
+    case "double" => bound match {
+      case n: Number => java.lang.Double.compare(statVal.toDouble, n.doubleValue())
+      case other => throw new IllegalArgumentException(
+        s"double-typed stats need a numeric bound, got $other")
+    }
+    case "string" => bound match {
+      case s: String => cmpUtf8(statVal, s)
+      case other => throw new IllegalArgumentException(
+        s"string-typed stats need a String bound, got $other")
+    }
+    case other => throw new IllegalArgumentException(s"unknown stats type $other")
+  }
+
+  /** May the directory hold rows satisfying every bound? Missing
+    * stats for a bound's column → yes (conservative).
+    */
+  private def mayMatch(stats: Map[String, ColStats], bounds: Seq[Bound]): Boolean =
+    bounds.forall { b =>
+      stats.get(b.column).forall { s =>
+        b.lo.forall(lo => cmp(s.typ, s.max, lo) >= 0) &&
+          b.hi.forall(hi => cmp(s.typ, s.min, hi) <= 0)
+      }
+    }
+
+  /** [[load]] with DIRECTORY-LEVEL data skipping: batch directories
+    * (and the compaction segment) whose `_stats` prove no row can
+    * satisfy `bounds` are never handed to the parquet scan — the
+    * file-skipping half of "store the ledger as Delta so stats prune
+    * files". Returns a SUPERSET of the matching rows (every row of
+    * every surviving directory): callers apply the real filter on the
+    * result exactly as before — pruning is an optimization, never the
+    * correctness line (spec-pinned: filtered results are identical
+    * with and without stats present).
+    */
+  def loadWhere(spark: SparkSession, path: String, schema: StructType,
+      bounds: Seq[Bound], excludeBatch: Option[Long] = None): DataFrame = {
+    val m = readManifest(path)
+    val ids = allBatchDirs(path)
+      .filter(_ > m.compactedUpTo).filterNot(excludeBatch.contains)
+    val dirs = m.segment.map(s => s"$path/$s").toSeq ++ ids.map(dir(path, _))
+    val kept = dirs.filter(d => mayMatch(readStats(new java.io.File(d)), bounds))
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(kept: _*)
+  }
+
+  /** Fold source-directory stats for the compaction segment: a column
+    * keeps stats only when EVERY source directory carries them with
+    * one type (any gap poisons the column — folded rows from a
+    * stats-less source could lie anywhere). Empty sources (no `_stats`
+    * at all, e.g. pre-stats ledgers) therefore yield a stats-less
+    * segment, which is never pruned.
+    */
+  private def mergeStats(srcs: Seq[java.io.File]): Map[String, ColStats] = {
+    val all = srcs.map(readStats)
+    if (all.isEmpty) return Map.empty
+    all.head.keySet
+      .filter(c => all.forall(_.contains(c)))
+      .flatMap { c =>
+        val ss = all.map(_(c))
+        val t = ss.head.typ
+        if (!ss.forall(_.typ == t)) None
+        else {
+          def lt(a: String, b: String): Boolean = t match {
+            case "long" => a.toLong < b.toLong
+            case "double" => a.toDouble < b.toDouble
+            case _ => cmpUtf8(a, b) < 0
+          }
+          Some(c -> ColStats(t,
+            ss.map(_.min).reduce((a, b) => if (lt(a, b)) a else b),
+            ss.map(_.max).reduce((a, b) => if (lt(a, b)) b else a)))
+        }
+      }.toMap
+  }
+
+  private def writeMergedStats(segDir: java.io.File,
+      merged: Map[String, ColStats]): Unit = {
+    val lines = merged.toSeq.sortBy(_._1).map { case (c, s) =>
+      s"${b64(c)}\t${s.typ}\t${b64(s.min)}\t${b64(s.max)}"
+    }
+    if (lines.nonEmpty)
+      java.nio.file.Files.write(statsFile(segDir).toPath,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Publish `rows` as batch `batchId`'s directory — exactly-once via
     * OPTIMISTIC CONCURRENCY: rows land in a writer-private temp
     * directory (`b<id>.tmp.<pid>-<nonce>`) and publication is ONE
@@ -166,13 +358,20 @@ object DurableLedger {
     * Crashed losers leave only temp directories, never a partial
     * `b<id>`; [[compact]] sweeps temps whose batch is already folded.
     */
-  def commit(rows: DataFrame, path: String, batchId: Long): Boolean = {
+  def commit(rows: DataFrame, path: String, batchId: Long,
+      statsCols: Seq[String] = Nil): Boolean = {
     val dst = new java.io.File(dir(path, batchId)).toPath
     // fast path: a replay of an already-published batch skips the write
     if (java.nio.file.Files.exists(dst)) return false
     val tmp = new java.io.File(path,
       s"b$batchId.tmp.${ProcessHandle.current().pid()}-${System.nanoTime()}")
     rows.write.mode("overwrite").parquet(tmp.getPath)
+    // per-directory min/max stats land INSIDE the temp before the
+    // rename, so stats publish atomically with their batch; computed
+    // from the just-written parquet (batch-sized second scan — never
+    // re-running the upstream derivation)
+    if (statsCols.nonEmpty)
+      writeStats(tmp, rows.sparkSession.read.parquet(tmp.getPath), statsCols)
     try {
       java.nio.file.Files.move(tmp.toPath, dst,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -245,6 +444,11 @@ object DurableLedger {
         val segName = s"s${m.epoch + 1}"
         spark.read.schema(schema).parquet(srcDirs: _*)
           .write.mode("overwrite").parquet(s"$path/$segName")
+        // fold stats with the rows (before the manifest swap, so the
+        // segment is never visible without them): compaction preserves
+        // pruning power whenever every folded source carried stats
+        writeMergedStats(new java.io.File(s"$path/$segName"),
+          mergeStats(srcDirs.map(new java.io.File(_))))
         writeManifest(path, Manifest(upTo, m.epoch + 1, Some(segName)))
         // ONE-EPOCH-DEFERRED GC: the dirs folded RIGHT NOW (and the
         // just-superseded segment) stay on disk — an in-flight job whose

@@ -1342,6 +1342,102 @@ object Vectors {
       .select($"query_id", $"rnk", $"neighbor_id", $"qdist")
   }
 
+  /** Plain PQ with ASYMMETRIC-turned-SYMMETRIC ADC over SQ8 codes and
+    * a FIXTURE codebook — [[pqTopK]]'s gateable core (q101's recipe
+    * applied to product quantization): the data-dependent k-means
+    * codebook is replaced by CALLER-SUPPLIED centroid vectors, and
+    * every distance runs in INT64 over corpus-stat uint8 codes, so
+    * encode, table build, and ADC ranking are cross-engine exact (the
+    * q92 discipline — no float channel anywhere past quantization).
+    *
+    *  - centroids quantize under the CORPUS stats through the same
+    *    [[scalarQuantize]] expression the corpus uses (a ≤256-row
+    *    bounded control-plane pass — never a reimplemented round());
+    *  - corpus encode: per subspace `j` (of `m`, width `dim/m`), the
+    *    code is the argmin INT64 L2 between the vector's and each
+    *    centroid's j-th code block, ties to the smaller centroid id;
+    *  - query ADC table: the same per-(subspace, centroid) INT64
+    *    block distances for each query; a candidate's approximate
+    *    distance is `Σ_j table(j, code_j)` — m lookups per pair
+    *    instead of a dim-wide scan, the PQ economics;
+    *  - per-query rank `(adist ASC, neighbor_id ASC)`, self excluded.
+    *
+    * Emits `(query_id, rnk, neighbor_id, adist)`. Degenerate exactness
+    * anchor (spec-pinned): with every corpus vector its own centroid,
+    * each vector encodes to itself and `adist` equals [[sqTopK]]'s
+    * exact code distance, so the two operators return identical
+    * rankings. Scale shape: [[bruteTopK]]'s broadcast-query form; the
+    * codebook is a literal broadcast, encode is one per-row pass, and
+    * at corpus scale the same codes feed the IVF cell join unchanged
+    * ([[ivfPqTopK]] composes the two).
+    */
+  def pqAdcTopKWith(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, m: Int,
+      centers: Array[Array[Double]]): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(centers.nonEmpty && centers.length <= 256,
+      s"fixture codebook must hold 1..256 centroids, got ${centers.length}")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val ksub = centers.length
+    val cu = unitFrame(corpus, idCol, vecCol).localCheckpoint(eager = false)
+    val (mins, maxs) = sqStats(cu, "uv", dim)
+    // centroid codes via the SAME quantize expression as the corpus
+    val cbDf = spark.createDataFrame(
+      centers.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) })
+      .toDF("cid", "cv")
+    val cb: Array[Array[Long]] =
+      scalarQuantize(unitFrame(cbDf, "cid", "cv"), "id", "uv", mins, maxs)
+        .orderBy($"id").select($"qvec").as[Seq[Long]].collect()
+        .map(_.toArray)
+    def blockDist(q: Array[Long], c: Int, j: Int): Long = {
+      var s = 0L; var i = j * sub
+      val hi = i + sub
+      while (i < hi) { val d = q(i) - cb(c)(i); s += d * d; i += 1 }
+      s
+    }
+    val encodeUdf = udf((q: Seq[Long]) => {
+      val qa = q.toArray
+      (0 until m).map { j =>
+        var best = 0; var bd = blockDist(qa, 0, j); var c = 1
+        while (c < ksub) {
+          val d = blockDist(qa, c, j)
+          if (d < bd) { bd = d; best = c } // strict: ties keep smaller cid
+          c += 1
+        }
+        best
+      }
+    })
+    val tableUdf = udf((q: Seq[Long]) => {
+      val qa = q.toArray
+      val t = new Array[Long](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) { t(j * ksub + c) = blockDist(qa, c, j); c += 1 }
+        j += 1
+      }
+      t.toSeq
+    })
+    val adcUdf = udf((table: Seq[Long], codes: Seq[Int]) => {
+      var s = 0L; var j = 0
+      while (j < codes.length) { s += table(j * ksub + codes(j)); j += 1 }
+      s
+    })
+    val c = scalarQuantize(cu, "id", "uv", mins, maxs)
+      .select($"id".as("neighbor_id"), encodeUdf($"qvec").as("codes"))
+    val q = broadcast(
+      scalarQuantize(unitFrame(queries, idCol, vecCol), "id", "uv", mins, maxs)
+        .select($"id".as("query_id"), tableUdf($"qvec").as("qtab")))
+    val scored = q.join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("adist", adcUdf($"qtab", $"codes"))
+    val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"neighbor_id".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"neighbor_id", $"adist")
+  }
+
   /** IVF cell pruning with SQ8 codes inside the cells — the FAISS
     * "IVF,SQ8" index shape, composing the two independent wins: the
     * coarse quantizer prunes the corpus to `nProbe` cells per query,

@@ -296,4 +296,95 @@ class DurableLedgerSpec extends SparkSpec {
       .filter(_.getName.contains(".tmp.")).toSeq
     assert(ghost.isEmpty, s"dead temp must be swept by compaction GC: $ghost")
   }
+
+  // ---- per-directory stats + loadWhere data skipping ----------------
+
+  private def commitWithStats(path: String, id: Long): Set[(Long, String)] = {
+    // batch i holds ids [i*100, i*100+2] and tags "bi-*": disjoint
+    // ranges per batch, so range predicates can prove non-overlap
+    val data = (0 until 3).map(i => (id * 100 + i, s"b$id-$i"))
+    DurableLedger.commit(data.toDF("id", "tag"), path, id,
+      statsCols = Seq("id", "tag"))
+    data.toSet
+  }
+
+  private def dirsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+
+  test("loadWhere prunes non-overlapping batch directories, results identical") {
+    val path = tmp()
+    val all = (0L to 3L).flatMap(commitWithStats(path, _)).toSet
+    // range fully inside batch 2 → exactly one directory survives
+    val pruned = DurableLedger.loadWhere(spark, path, schema,
+      Seq(DurableLedger.Bound("id", lo = Some(200L), hi = Some(250L))))
+    assert(dirsOf(pruned).size == 1, s"expected 1 dir: ${dirsOf(pruned)}")
+    assert(pruned.as[(Long, String)].collect().toSet ==
+      all.filter(r => r._1 >= 200 && r._1 <= 250))
+    // filtered result ≡ unpruned load + filter (pruning is a superset)
+    val full = DurableLedger.load(spark, path, schema)
+      .where($"id" >= 200 && $"id" <= 250).as[(Long, String)].collect().toSet
+    assert(pruned.where($"id" >= 200 && $"id" <= 250)
+      .as[(Long, String)].collect().toSet == full)
+    // no overlap anywhere → empty frame, zero directories
+    val none = DurableLedger.loadWhere(spark, path, schema,
+      Seq(DurableLedger.Bound("id", lo = Some(9999L))))
+    assert(none.count() == 0L && none.inputFiles.isEmpty)
+    // string bounds prune too (UTF-8 order)
+    val s = DurableLedger.loadWhere(spark, path, schema,
+      Seq(DurableLedger.Bound("tag", lo = Some("b3"), hi = Some("b3￿"))))
+    assert(dirsOf(s).size == 1)
+  }
+
+  test("loadWhere without stats keeps every directory (conservative)") {
+    val path = tmp()
+    val all = (0L to 2L).flatMap(i => commitBatch(path, i, 3)).toSet // no stats
+    val df = DurableLedger.loadWhere(spark, path, schema,
+      Seq(DurableLedger.Bound("id", lo = Some(10000L))))
+    assert(df.as[(Long, String)].collect().toSet == all,
+      "stats-less directories must never be pruned")
+    // unknown column bound: same conservative answer
+    val df2 = DurableLedger.loadWhere(spark, path, schema,
+      Seq(DurableLedger.Bound("nope", lo = Some(1L))))
+    assert(df2.count() == all.size.toLong)
+  }
+
+  test("compaction folds stats: the segment still prunes, results identical") {
+    val path = tmp()
+    val all = (0L to 3L).flatMap(commitWithStats(path, _)).toSet
+    assert(DurableLedger.compact(spark, path, schema) == 3)
+    // segment covers ids [0, 202]; batch 3 is live with [300, 302]
+    val onlyLive = DurableLedger.loadWhere(spark, path, schema,
+      Seq(DurableLedger.Bound("id", lo = Some(300L))))
+    assert(dirsOf(onlyLive).size == 1, "segment must be pruned for id>=300")
+    assert(onlyLive.as[(Long, String)].collect().toSet ==
+      all.filter(_._1 >= 300))
+    val onlySeg = DurableLedger.loadWhere(spark, path, schema,
+      Seq(DurableLedger.Bound("id", hi = Some(150L))))
+    assert(dirsOf(onlySeg).size == 1, "live batch must be pruned for id<=150")
+    assert(onlySeg.as[(Long, String)].collect().toSet ==
+      all.filter(_._1 <= 202), "segment rows are a superset of the range")
+  }
+
+  test("a stats-less source poisons the folded segment's stats, not its rows") {
+    val path = tmp()
+    commitWithStats(path, 0L)
+    commitBatch(path, 1L, 3) // no stats
+    commitWithStats(path, 2L)
+    assert(DurableLedger.compact(spark, path, schema) == 2)
+    // segment has no stats → never pruned; contents complete
+    val df = DurableLedger.loadWhere(spark, path, schema,
+      Seq(DurableLedger.Bound("id", lo = Some(5000L))))
+    assert(df.count() == 6L, "stats-poisoned segment must always load")
+    assert(rows(path).size == 9)
+  }
+
+  test("mismatched bound type fails loudly instead of scanning everything") {
+    val path = tmp()
+    commitWithStats(path, 0L)
+    val ex = intercept[IllegalArgumentException] {
+      DurableLedger.loadWhere(spark, path, schema,
+        Seq(DurableLedger.Bound("id", lo = Some("not-a-number")))).count()
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
 }

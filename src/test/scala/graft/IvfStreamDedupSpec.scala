@@ -122,6 +122,50 @@ class IvfSpec extends SparkSpec {
     assert(again.toSet == pq.toSet)
   }
 
+  test("pqAdcTopKWith: every-vector-its-own-centroid degenerates to sqTopK exactly") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter($"vec_id" < 64) // codebook cap is 256; keep the fixture snappy
+    val queries = emb.filter($"vec_id" < 8)
+    val centers = emb.orderBy($"vec_id")
+      .select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    // with the full corpus as codebook each vector encodes to itself,
+    // so ADC distance IS the exact SQ8 code distance — rankings and
+    // integer scores must match sqTopK bit-for-bit
+    val pq = Vectors.pqAdcTopKWith(emb, queries, "vec_id", "embedding",
+        k = 3, dim = 64, m = 8, centers)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val sq = Vectors.sqTopK(emb, queries, "vec_id", "embedding", k = 3, dim = 64)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(pq == sq)
+  }
+
+  test("pqAdcTopKWith: fixture codebook is deterministic and keeps decent recall") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val centers = emb.filter($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    val pq = Vectors.pqAdcTopKWith(emb, queries, "vec_id", "embedding",
+        k = 3, dim = 64, m = 8, centers)
+      .as[(Long, Int, Long, Long)].collect()
+    val byQ = pq.groupBy(_._1)
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      rs.foreach { case (_, _, n, _) => assert(n != q) }
+    }
+    val brute = Vectors.bruteTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = pq.map(r => (r._1, r._3)).toSet.intersect(brute).size.toDouble /
+      brute.size
+    info(f"PQ-ADC recall@3 = $recall%.2f (ksub=16, m=8)")
+    val again = Vectors.pqAdcTopKWith(emb, queries, "vec_id", "embedding",
+        k = 3, dim = 64, m = 8, centers)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(again.toSet == pq.toSet)
+  }
+
   test("ivfPqTopK: full probe equals pqTopK; partial probe keeps decent recall") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 8)
