@@ -55,19 +55,23 @@ object Hits {
     val n = nodes.select(col(nodeCol).as("node"))
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("long").as("w"))
-    require(e.filter(col("w") <= 0 || col("w").isNull).limit(1).count() == 0L,
-      "edge weights must be positive integers")
     val ew = e.localCheckpoint()
-    // both preconditions below were document-only; enforce them like
-    // the positive-weight check so violation fails loudly instead of
-    // silently corrupting scores (each is one bounded aggregate/probe
-    // on the already-checkpointed edge frame):
-    // (1) overflow bound — a half-step holds raw ≤ scale·ΣW and rescale
+    // three enforced preconditions (violations silently corrupted
+    // scores when these were document-only), costed as TWO bounded
+    // control-plane jobs on the checkpointed edge frame:
+    // (1)+(2) one aggregate: positive integer weights, and the
+    // overflow bound — a half-step holds raw ≤ scale·ΣW and rescale
     // multiplies by scale again, so scale²·ΣW must fit in a Long
-    val totalW = ew.agg(sum(col("w"))).head.getLong(0)
+    val agg = ew.agg(
+      count(lit(1)).as("n"), count(col("w")).as("nw"),
+      coalesce(min(col("w")), lit(0L)).as("mn"),
+      coalesce(sum(col("w")), lit(0L)).as("tw")).head
+    require(agg.getLong(0) == agg.getLong(1) && (agg.getLong(0) == 0L || agg.getLong(2) > 0L),
+      "edge weights must be positive integers")
+    val totalW = agg.getLong(3)
     require(scale <= Long.MaxValue / math.max(totalW, 1L) / scale,
       s"scale^2 * total edge weight overflows 64-bit: scale=$scale totalW=$totalW")
-    // (2) coverage — rescale left-joins raw sums onto `nodes`, so an
+    // (3) coverage — rescale left-joins raw sums onto `nodes`, so an
     // edge endpoint absent from `nodes` would silently drop its score
     // mass each half-step
     require(ew.select(col("src").as("node"))

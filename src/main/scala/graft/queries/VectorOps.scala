@@ -316,6 +316,27 @@ object VectorOps {
         .orderBy($"query_id", $"rnk")
     },
 
+    // ---- IVF-PQ gated end-to-end (the production ANN composition,
+    // now oracled whole): q101's fixture coarse quantizer (vec_id < 8
+    // cells, argmin float L2 with the (d2 ASC, cid ASC) ties, 3-cell
+    // probes) prunes candidates, q180's integer PQ-ADC (vec_id < 4
+    // codebook under corpus stats) ranks them — the equi join on the
+    // cell id composed with m INT64 table lookups.
+    "q181_ivf_pq_topk" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val cells = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+        .select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].collect().map(_.toArray)
+      val pqCenters = emb.filter($"vec_id" < 4).orderBy($"vec_id")
+        .select($"embedding".cast("array<double>"))
+        .as[Seq[Double]].collect().map(_.toArray)
+      Vectors.ivfPqAdcTopKWith(emb, emb.filter($"vec_id" < 8), "vec_id",
+          "embedding", k = 3, dim = SqDim, m = PqM, cells, pqCenters,
+          nProbe = IvfSqProbe)
+        .orderBy($"query_id", $"rnk")
+    },
+
     // ---- the coarse-to-fine retrieval CASCADE: binary Hamming
     // shortlist (24) → SQ8 integer re-rank (8) → exact float cosine
     // top-3. Per-candidate cost rises ~30× per stage while candidates
@@ -962,6 +983,82 @@ object VectorOps {
         |         CAST(SUM(qsd.d2) AS BIGINT) AS adist
         |  FROM enc JOIN sd qsd ON qsd.j = enc.j AND qsd.cid = enc.code
         |  WHERE qsd.vec_id < 8 AND enc.vec_id <> qsd.vec_id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, adist,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY adist ASC, neighbor_id ASC) AS rnk
+        |  FROM adc)
+        |SELECT query_id, rnk, neighbor_id, adist FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // IVF-PQ mirror: q101's cd/asn/probes CTEs (float cell space) +
+    // q180's qz/cb/sd/enc CTEs (integer PQ space); the ADC sum joins
+    // through (neighbor cell = a probed cell of the query) — cell
+    // membership is unique per neighbor and probes unique per
+    // (query, cell), so the join never duplicates a pair.
+    "q181_ivf_pq_topk" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cells AS (SELECT vec_id AS ccid, v AS ccv FROM e0 WHERE vec_id < 8),
+        |cd AS (
+        |  SELECT e0.vec_id, cells.ccid,
+        |         list_sum(list_transform(generate_series(1, $SqDim),
+        |           i -> (e0.v[i] - cells.ccv[i]) * (e0.v[i] - cells.ccv[i]))) AS d2
+        |  FROM e0, cells),
+        |asn AS (
+        |  SELECT vec_id, ccid AS cell FROM (
+        |    SELECT vec_id, ccid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY d2 ASC, ccid ASC) AS rn
+        |    FROM cd) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, ccid AS cell FROM (
+        |    SELECT vec_id, ccid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                              ORDER BY d2 ASC, ccid ASC) AS rn
+        |    FROM cd WHERE vec_id < 8) t WHERE rn <= $IvfSqProbe),
+        |e AS (
+        |  SELECT vec_id,
+        |         CASE WHEN sqrt(list_dot_product(v, v)) = 0
+        |              THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |         END AS v
+        |  FROM e0),
+        |st AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e, unnest(generate_series(1, $SqDim)) t(i)
+        |  GROUP BY i),
+        |stats AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx - mn ORDER BY i) AS spans
+        |  FROM st),
+        |qz AS (
+        |  SELECT vec_id,
+        |         list_transform(generate_series(1, $SqDim), i ->
+        |           CASE WHEN spans[i] = 0 THEN 0
+        |                ELSE CAST(LEAST(GREATEST(
+        |                       round((v[i] - mns[i]) * 255.0 / spans[i]), 0.0), 255.0)
+        |                     AS BIGINT) END) AS q
+        |  FROM e, stats),
+        |cb AS (SELECT vec_id AS cid, q AS cq FROM qz WHERE vec_id < 4),
+        |sd AS (
+        |  SELECT z.vec_id, cb.cid, j.j,
+        |         CAST(list_sum(list_transform(generate_series(1, ${SqDim / PqM}), i ->
+        |           (z.q[(j.j-1)*${SqDim / PqM} + i] - cb.cq[(j.j-1)*${SqDim / PqM} + i]) *
+        |           (z.q[(j.j-1)*${SqDim / PqM} + i] - cb.cq[(j.j-1)*${SqDim / PqM} + i]))) AS BIGINT) AS d2
+        |  FROM qz z, cb, unnest(generate_series(1, $PqM)) j(j)),
+        |enc AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT vec_id, j, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+        |                              ORDER BY d2 ASC, cid ASC) AS rn
+        |    FROM sd) t WHERE rn = 1),
+        |adc AS (
+        |  SELECT qsd.vec_id AS query_id, enc.vec_id AS neighbor_id,
+        |         CAST(SUM(qsd.d2) AS BIGINT) AS adist
+        |  FROM enc
+        |  JOIN sd qsd ON qsd.j = enc.j AND qsd.cid = enc.code
+        |  JOIN asn ON asn.vec_id = enc.vec_id
+        |  JOIN probes p ON p.query_id = qsd.vec_id AND p.cell = asn.cell
+        |  WHERE enc.vec_id <> qsd.vec_id
         |  GROUP BY 1, 2),
         |ranked AS (
         |  SELECT query_id, neighbor_id, adist,

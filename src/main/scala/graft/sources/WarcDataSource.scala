@@ -134,15 +134,21 @@ object WarcDataSource {
     h.forall(passes(filters, "host", _))
 }
 
-final class WarcTable(path: String) extends Table with SupportsRead {
+final class WarcTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null && path.nonEmpty,
     "the warc source requires a single load path")
   override def name(): String = s"warc($path)"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new WarcWriteBuilder(path, info)
 }
 
 final class WarcScanBuilder(path: String, options: CaseInsensitiveStringMap)
@@ -196,7 +202,11 @@ final class WarcScan(path: String, required: StructType,
     files.sortBy(_._1).iterator.flatMap { case (p, len) =>
       val dh = WarcDataSource.dirHost(p)
       if (!WarcDataSource.dirMayMatch(pushed, dh)) Iterator.empty
-      else if (!splittable) Iterator(WarcInputPartition(p, 0L, len, len, dh))
+      // gzip segments have no random access: whole-file split, the
+      // reader decompresses and runs the blob parser (size segments
+      // accordingly, or store uncompressed for splittable scans)
+      else if (!splittable || p.endsWith(".gz"))
+        Iterator(WarcInputPartition(p, 0L, len, len, dh))
       else (0L until len by maxSplitBytes).iterator.map(s =>
         WarcInputPartition(p, s, math.min(s + maxSplitBytes, len), len, dh))
     }.toArray
@@ -346,6 +356,36 @@ final class WarcPartitionReader(p: WarcInputPartition, required: StructType,
   private var row: InternalRow = _
   private var done = false
 
+  // gzip segments: whole-file decompress + the blob parser (planning
+  // made them single-split, so this reader owns every record)
+  private val isGz = p.path.endsWith(".gz")
+  private lazy val gzRecords: Iterator[graft.ingest.Warc.WarcRecord] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPInputStream(in)
+    val buf = new Array[Byte](1 << 16)
+    var n = gz.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = gz.read(buf) }
+    graft.ingest.Warc.parse(bos.toByteArray).iterator
+  }
+
+  private def nextGz(): Boolean = {
+    while (gzRecords.hasNext) {
+      val r = gzRecords.next()
+      val host = p.dirHost.getOrElse(WarcDataSource.hostOf(r.targetUri))
+      if (WarcDataSource.passes(pushed, "host", host) &&
+          WarcDataSource.passes(pushed, "target_uri", r.targetUri) &&
+          WarcDataSource.passes(pushed, "warc_type", r.warcType) &&
+          WarcDataSource.passes(pushed, "warc_date", r.date) &&
+          WarcDataSource.passes(pushed, "segment", p.path)) {
+        row = materializeVals(r.warcType, r.targetUri, r.date,
+          () => r.payload, host)
+        return true
+      }
+    }
+    done = true
+    false
+  }
+
   private def sync(): Long = {
     if (p.start == 0L) return 0L
     var q = p.start
@@ -358,6 +398,7 @@ final class WarcPartitionReader(p: WarcInputPartition, required: StructType,
 
   override def next(): Boolean = {
     if (done) return false
+    if (isGz) return nextGz()
     if (pos < 0) pos = sync()
     while (pos < p.end) {
       val r = recordAt(pos, strict = false)
@@ -383,16 +424,21 @@ final class WarcPartitionReader(p: WarcInputPartition, required: StructType,
     false
   }
 
-  private def materialize(r: WarcRec, host: String): InternalRow = {
+  private def materialize(r: WarcRec, host: String): InternalRow =
+    // payload bytes are only read when the column survives pruning
+    materializeVals(r.warcType, r.uri, r.date,
+      () => bytesAt(r.payloadStart, r.payloadLen), host)
+
+  private def materializeVals(warcType: String, uri: String, date: String,
+      payload: () => Array[Byte], host: String): InternalRow = {
     val vals = required.fields.map { f =>
       f.name match {
         case "segment" => segmentU
         case "host" => UTF8String.fromString(host)
-        case "warc_type" => UTF8String.fromString(r.warcType)
-        case "target_uri" => UTF8String.fromString(r.uri)
-        case "warc_date" => UTF8String.fromString(r.date)
-        // payload bytes are only read when the column survives pruning
-        case "payload" => bytesAt(r.payloadStart, r.payloadLen)
+        case "warc_type" => UTF8String.fromString(warcType)
+        case "target_uri" => UTF8String.fromString(uri)
+        case "warc_date" => UTF8String.fromString(date)
+        case "payload" => payload()
         case other => throw new IllegalStateException(s"unknown column $other")
       }
     }

@@ -1438,6 +1438,107 @@ object Vectors {
       .select($"query_id", $"rnk", $"neighbor_id", $"adist")
   }
 
+  /** IVF-PQ with FIXTURE codebooks — [[ivfPqTopK]]'s gateable core,
+    * composing the two oracled recipes verbatim: q101's coarse
+    * quantizer (argmin float L2 to caller-supplied `cells`, ties to
+    * the smaller cell id; queries probe their `nProbe` nearest cells)
+    * prunes the corpus, and q180's integer PQ-ADC
+    * ([[pqAdcTopKWith]]'s encode/table/score over `pqCenters`
+    * quantized under corpus stats) ranks the survivors — candidates
+    * come from an EQUI join on the cell id, scores from m INT64 table
+    * lookups, so past the float cell assignment (mirrored with the
+    * q87 tie discipline) there is no cross-engine channel at all.
+    * Emits `(query_id, rnk, neighbor_id, adist)`.
+    */
+  def ivfPqAdcTopKWith(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, m: Int,
+      cells: Array[Array[Double]], pqCenters: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(nProbe >= 1 && nProbe <= cells.length,
+      s"nProbe $nProbe out of range for ${cells.length} cells")
+    require(pqCenters.nonEmpty && pqCenters.length <= 256,
+      s"fixture codebook must hold 1..256 centroids, got ${pqCenters.length}")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    val ksub = pqCenters.length
+    val cellDim = cells.head.length
+    val assignUdf = udf((v: Seq[Float]) =>
+      nearestIdx(v.map(_.toDouble).toArray, cells))
+    val probeUdf = udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble).toArray
+      cells.indices.map { i =>
+        var d = 0.0; var j = 0
+        while (j < cellDim) { val x = vd(j) - cells(i)(j); d += x * x; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    def prep(df: DataFrame, probe: Boolean): DataFrame = {
+      val base = df.select(col(idCol).as("id"), col(vecCol).as("v0"))
+        .withColumn("cell",
+          if (probe) explode(probeUdf(col("v0"))) else assignUdf(col("v0")))
+        .withColumn("v", col("v0").cast("array<double>"))
+        .withColumn("n", normCol($"v"))
+      base.select($"id", $"cell", transform($"v", x =>
+        when($"n" === 0.0, lit(0.0)).otherwise(x / $"n")).as("uv"))
+    }
+    val cu = prep(corpus, probe = false).localCheckpoint(eager = false)
+    val (mins, maxs) = sqStats(cu, "uv", dim)
+    val cbDf = spark.createDataFrame(
+      pqCenters.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) })
+      .toDF("cid", "cv")
+    val cb: Array[Array[Long]] =
+      scalarQuantize(unitFrame(cbDf, "cid", "cv"), "id", "uv", mins, maxs)
+        .orderBy($"id").select($"qvec").as[Seq[Long]].collect()
+        .map(_.toArray)
+    def blockDist(q: Array[Long], c: Int, j: Int): Long = {
+      var s = 0L; var i = j * sub
+      val hi = i + sub
+      while (i < hi) { val d = q(i) - cb(c)(i); s += d * d; i += 1 }
+      s
+    }
+    val encodeUdf = udf((q: Seq[Long]) => {
+      val qa = q.toArray
+      (0 until m).map { j =>
+        var best = 0; var bd = blockDist(qa, 0, j); var c = 1
+        while (c < ksub) {
+          val d = blockDist(qa, c, j)
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+    })
+    val tableUdf = udf((q: Seq[Long]) => {
+      val qa = q.toArray
+      val t = new Array[Long](m * ksub)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < ksub) { t(j * ksub + c) = blockDist(qa, c, j); c += 1 }
+        j += 1
+      }
+      t.toSeq
+    })
+    val adcUdf = udf((table: Seq[Long], codes: Seq[Int]) => {
+      var s = 0L; var j = 0
+      while (j < codes.length) { s += table(j * ksub + codes(j)); j += 1 }
+      s
+    })
+    val c = cu.select($"id".as("neighbor_id"), $"cell",
+      encodeUdf(quantizeExpr($"uv", mins, maxs)).as("codes"))
+    val q = broadcast(prep(queries, probe = true)
+      .select($"id".as("query_id"), $"cell",
+        tableUdf(quantizeExpr($"uv", mins, maxs)).as("qtab")))
+    val scored = q.join(c, Seq("cell")).filter($"query_id" =!= $"neighbor_id")
+      .withColumn("adist", adcUdf($"qtab", $"codes"))
+    val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"neighbor_id".asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"neighbor_id", $"adist")
+  }
+
   /** IVF cell pruning with SQ8 codes inside the cells — the FAISS
     * "IVF,SQ8" index shape, composing the two independent wins: the
     * coarse quantizer prunes the corpus to `nProbe` cells per query,

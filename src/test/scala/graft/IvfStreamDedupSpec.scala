@@ -166,6 +166,30 @@ class IvfSpec extends SparkSpec {
     assert(again.toSet == pq.toSet)
   }
 
+  test("ivfPqAdcTopKWith: full probe equals pqAdcTopKWith exactly") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val cells = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    val pqCenters = emb.filter($"vec_id" < 4).orderBy($"vec_id")
+      .select($"embedding".cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    val full = Vectors.ivfPqAdcTopKWith(emb, queries, "vec_id", "embedding",
+        k = 3, dim = 64, m = 8, cells, pqCenters, nProbe = cells.length)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val pq = Vectors.pqAdcTopKWith(emb, queries, "vec_id", "embedding",
+        k = 3, dim = 64, m = 8, pqCenters)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(full == pq, "probing every cell must reduce to plain PQ-ADC")
+    // partial probe: well-formed, deterministic
+    val part = Vectors.ivfPqAdcTopKWith(emb, queries, "vec_id", "embedding",
+        k = 3, dim = 64, m = 8, cells, pqCenters, nProbe = 3)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(part.groupBy(_._1).size == 8)
+    part.foreach { case (q, _, n, _) => assert(q != n) }
+  }
+
   test("ivfPqTopK: full probe equals pqTopK; partial probe keeps decent recall") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 8)

@@ -134,6 +134,63 @@ class WarcSourceSpec extends SparkSpec {
     assert(df.count() == 2L)
   }
 
+  test("write side: df.write.format(warc) round-trips through both read paths") {
+    val dir = Files.createTempDirectory("warcw")
+    val in = (1 to 30).map(i =>
+      ("response", s"https://h${i % 5}.test/p/$i", "2026-08-16T00:00:00Z",
+        (s"payload $i " + "z" * (i % 13)).getBytes(UTF_8)))
+      .toDF("warc_type", "target_uri", "warc_date", "payload")
+    in.write.format("warc").mode("append").save(dir.toString)
+    val back = spark.read.format("warc").option("maxSplitBytes", 128)
+      .load(dir.toString)
+      .select($"warc_type", $"target_uri", $"warc_date", md5($"payload"))
+      .collect().map(_.toSeq).toSet
+    val exp = in.select($"warc_type", $"target_uri", $"warc_date", md5($"payload"))
+      .collect().map(_.toSeq).toSet
+    assert(back == exp)
+  }
+
+  test("write side: partitionByHost lays out host= dirs the reader prunes") {
+    val dir = Files.createTempDirectory("warcw")
+    val in = Seq(
+      ("a.test", "response", "https://a.test/1", "d", "pa".getBytes(UTF_8)),
+      ("b.test", "response", "https://b.test/1", "d", "pb".getBytes(UTF_8)))
+      .toDF("host", "warc_type", "target_uri", "warc_date", "payload")
+    in.write.format("warc").option("partitionByHost", "true")
+      .mode("append").save(dir.toString)
+    assert(new java.io.File(dir.toFile, "host=a.test").isDirectory)
+    val pruned = spark.read.format("warc").load(dir.toString)
+      .where($"host" === "b.test")
+    assert(pruned.rdd.getNumPartitions == 1, "a.test dir must be pruned")
+    assert(pruned.select($"target_uri").as[String].collect().toSeq ==
+      Seq("https://b.test/1"))
+  }
+
+  test("gzip segments: written as .warc.gz, read as whole-file splits") {
+    val dir = Files.createTempDirectory("warcgz")
+    val in = (1 to 20).map(i =>
+      ("response", s"https://gz.test/p/$i", "2026-08-16T00:00:00Z",
+        // the embedded-version-line trap survives gzip too
+        ((if (i % 3 == 0) "WARC/1.0\r\n" else "") + s"body $i").getBytes(UTF_8)))
+      .toDF("warc_type", "target_uri", "warc_date", "payload")
+    in.write.format("warc").option("compress", "gzip")
+      .mode("append").save(dir.toString)
+    val files = dir.toFile.listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.nonEmpty, "gzip files must carry the .warc.gz extension")
+    // maxSplitBytes is ignored for .gz: one partition per file
+    val df = spark.read.format("warc").option("maxSplitBytes", 16)
+      .load(dir.toString)
+    assert(df.rdd.getNumPartitions == files.length)
+    val back = df.select($"target_uri", md5($"payload"))
+      .collect().map(_.toSeq).toSet
+    val exp = in.select($"target_uri", md5($"payload"))
+      .collect().map(_.toSeq).toSet
+    assert(back == exp)
+    // record-side filters still apply on the gz path
+    assert(spark.read.format("warc").load(dir.toString)
+      .where($"target_uri" === "https://gz.test/p/7").count() == 1L)
+  }
+
   test("hostOf: scheme, port, case; dirHost capture") {
     assert(WarcDataSource.hostOf("https://EX.Test:8080/a/b") == "ex.test")
     assert(WarcDataSource.hostOf("ex.test/a") == "ex.test")
