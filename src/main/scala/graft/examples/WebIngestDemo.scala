@@ -53,6 +53,22 @@ object WebIngestDemo {
         x => x.getField("rec")), "").as("blob"))
     println(s"crawl: ${blobs.count()} WARC segments")
 
+    // ---- the crawl store ON DISK: the same records written as a
+    // host-partitioned gzip segment store through format("warc") and
+    // read back through the DSv2 scan (record-boundary splits, host
+    // pruning) — the file-level front door a real 100 TB archive uses
+    val store = java.nio.file.Files.createTempDirectory("webingest").toString
+    Warc.records(blobs.withColumnRenamed("source", "host"),
+        $"blob".cast("binary"))
+      .select($"host", $"warc_type", $"target_uri",
+        $"warc_date", $"payload")
+      .write.format("warc").option("partitionByHost", "true")
+      .option("compress", "gzip").mode("append").save(store)
+    val scanned = spark.read.format("warc").load(store)
+    println(s"store: ${scanned.count()} records from " +
+      s"${scanned.select($"segment").distinct().count()} segment files " +
+      s"(${scanned.where($"host" === "src1").count()} on src1 via a pruned scan)")
+
     // ---- the front door
     val responses = Warc.records(blobs, $"blob".cast("binary"))
       .select($"target_uri",

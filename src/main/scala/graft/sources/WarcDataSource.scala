@@ -142,6 +142,7 @@ final class WarcTable(path: String) extends Table
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(path, options)
@@ -181,6 +182,9 @@ final class WarcScan(path: String, required: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, pushed, required, maxSplitBytes, splittable)
   override def description(): String =
     s"WarcScan path=$path PushedFilters=[${pushed.mkString(", ")}] " +
       s"ReadColumns=[${required.fieldNames.mkString(", ")}]"

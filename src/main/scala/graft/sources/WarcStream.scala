@@ -1,0 +1,114 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("warc")` — the continuous-ingest half of
+  * the WARC file source: a live crawl store grows by segment files,
+  * and each micro-batch processes exactly the files that appeared
+  * since the last committed offset (file-level exactly-once through
+  * the checkpointed offset log; a file is assumed COMPLETE when
+  * listed — the [[WarcDataWriter]] temp-write + rename publication
+  * guarantees that for stores this library writes, and any
+  * atomic-rename producer matches the contract).
+  *
+  * The offset is the SET of `length:path` entries seen so far
+  * (order-canonicalized JSON). That keeps the source log-free and
+  * correct under out-of-order file names, at the cost of offset size
+  * linear in total file count — right for segment-grained stores
+  * (thousands of multi-GB files), and the documented trade against a
+  * compacted file log for million-file layouts. Host-directory
+  * pruning and pushed filters apply exactly as in the batch scan;
+  * per-batch files split at `maxSplitBytes` through the same
+  * record-boundary discipline and the SAME reader.
+  */
+final class WarcMicroBatchStream(path: String, pushed: Array[Filter],
+    required: StructType, maxSplitBytes: Long, splittable: Boolean)
+    extends MicroBatchStream {
+
+  private def listNow(): Seq[String] = {
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return Nil
+    val out = ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val base = st.getPath.getName
+      if (st.isFile && st.getLen > 0 &&
+          !base.startsWith("_") && !base.startsWith(".") &&
+          WarcDataSource.dirMayMatch(pushed,
+            WarcDataSource.dirHost(st.getPath.toString)))
+        out += s"${st.getLen}:${st.getPath.toString}"
+    }
+    out.sorted.toSeq
+  }
+
+  override def initialOffset(): Offset = WarcFilesOffset(Nil)
+
+  override def latestOffset(): Offset = WarcFilesOffset(listNow())
+
+  override def deserializeOffset(json: String): Offset =
+    WarcFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcFilesOffset].files.toSet
+    val fresh = end.asInstanceOf[WarcFilesOffset].files.filterNot(seen)
+    fresh.iterator.flatMap { entry =>
+      val i = entry.indexOf(':')
+      val len = entry.substring(0, i).toLong
+      val p = entry.substring(i + 1)
+      val dh = WarcDataSource.dirHost(p)
+      if (!splittable || p.endsWith(".gz"))
+        Iterator(WarcInputPartition(p, 0L, len, len, dh))
+      else (0L until len by maxSplitBytes).iterator.map(s =>
+        WarcInputPartition(p, s, math.min(s + maxSplitBytes, len), len, dh))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Canonical-order file-set offset. Equality is set equality because
+  * the entry list is sorted at construction; JSON is one array of
+  * strings (paths escaped minimally — quotes and backslashes).
+  */
+final case class WarcFilesOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object WarcFilesOffset {
+  def fromJson(json: String): WarcFilesOffset = {
+    val t = json.trim
+    require(t.startsWith("[") && t.endsWith("]"), s"bad warc offset: $json")
+    val body = t.substring(1, t.length - 1)
+    if (body.isEmpty) return WarcFilesOffset(Nil)
+    val out = ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var esc = false
+    body.foreach { ch =>
+      if (esc) { sb.append(ch); esc = false }
+      else if (ch == '\\' && inStr) esc = true
+      else if (ch == '"') {
+        if (inStr) { out += sb.toString; sb.clear() }
+        inStr = !inStr
+      } else if (inStr) sb.append(ch)
+      // commas/whitespace between strings are skipped
+    }
+    WarcFilesOffset(out.toSeq)
+  }
+}

@@ -807,7 +807,23 @@ object PlanCheck {
     Expectation("q178_status_triage",
       mustContain = Seq("HashAggregate"),
       mustNotContain = Seq("BroadcastHashJoin", "SortMergeJoin",
-        "Window", "Generate", "CartesianProduct")))
+        "Window", "Generate", "CartesianProduct")),
+    // DSv2 warc file source: the host-prefix filter must reach the
+    // scan (directory pruning + record-side skip), never a cross
+    // product anywhere downstream
+    Expectation("q179_warc_source",
+      mustContain = Seq("PushedFilters=[StringStartsWith(host,src1)"),
+      mustNotContain = Seq("CartesianProduct")),
+    // plain PQ-ADC: broadcast-query cross score (the q22 intentional
+    // shape) + the per-query rank window
+    Expectation("q180_pq_adc_topk",
+      mustContain = Seq("BroadcastNestedLoopJoin", "Window"),
+      mustNotContain = Seq("CartesianProduct")),
+    // IVF-PQ: candidates come from the HASH equi-join on the cell id —
+    // the whole point vs q180's cross score
+    Expectation("q181_ivf_pq_topk",
+      mustContain = Seq("BroadcastHashJoin", "Window"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside
@@ -826,7 +842,10 @@ object PlanCheck {
     // q72 buckets with the same fused expression as q23
     "q72_hard_negatives" -> "graft_hyperplane_buckets",
     // native Jaro-Winkler verify (the fuzzy-linkage join's hot filter)
-    "q109_jw_entity_pairs" -> "graft_jaro_winkler")
+    "q109_jw_entity_pairs" -> "graft_jaro_winkler",
+    // fused single-pass dedup-key normalizer (replaced the three-pass
+    // regexp_replace chain — the r10→r11 q81 perf fix)
+    "q81_normalized_dedup" -> "graft_dedup_key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

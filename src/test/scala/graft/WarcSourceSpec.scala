@@ -191,6 +191,49 @@ class WarcSourceSpec extends SparkSpec {
       .where($"target_uri" === "https://gz.test/p/7").count() == 1L)
   }
 
+  test("readStream: files arriving mid-stream ingest exactly once; restart resumes") {
+    val dir = Files.createTempDirectory("warcstream")
+    val ckpt = Files.createTempDirectory("warcstream-ckpt").toString
+    def seg(name: String, ids: Range): Unit = {
+      val f = dir.resolve(name)
+      Files.write(f, Warc.format(ids.map(i => rec(s"https://s.test/$i", s"p$i"))))
+    }
+    seg("seg-1.warc", 1 to 5)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def run(): Unit = {
+      val q = spark.readStream.format("warc")
+        .option("maxSplitBytes", 64) // several splits per file
+        .load(dir.toString)
+        .select($"target_uri")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          got.synchronized {
+            got ++= b.collect().map(r => (id, r.getString(0)))
+          }
+          ()
+        }.start()
+      q.processAllAvailable()
+      // a file landing mid-stream is picked up by a later trigger
+      if (Files.list(dir).count() < 2) {
+        seg("seg-2.warc", 6 to 8)
+        q.processAllAvailable()
+      }
+      q.stop()
+    }
+    run()
+    assert(got.map(_._2).sorted.toSeq ==
+      (1 to 8).map(i => s"https://s.test/$i").sorted,
+      s"each record exactly once across triggers: $got")
+    assert(got.map(_._1).distinct.size >= 2, "two files → two micro-batches")
+    // restart from the checkpoint: old files are NOT re-read, a new one is
+    val before = got.size
+    seg("seg-3.warc", 9 to 10)
+    run()
+    assert(got.size == before + 2, s"restart must ingest only seg-3: $got")
+    assert(got.map(_._2).toSet.size == 10)
+  }
+
   test("hostOf: scheme, port, case; dirHost capture") {
     assert(WarcDataSource.hostOf("https://EX.Test:8080/a/b") == "ex.test")
     assert(WarcDataSource.hostOf("ex.test/a") == "ex.test")
