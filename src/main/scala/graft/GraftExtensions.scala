@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_vocab_match"),
       new ExpressionInfo(classOf[VocabMatch].getName, "graft_vocab_match"),
       (children: Seq[Expression]) => GraftExtensions.buildVocabMatch(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dedup_key"),
+      new ExpressionInfo(
+        classOf[graft.functions.DedupKeyNormalize].getName, "graft_dedup_key"),
+      (children: Seq[Expression]) => GraftExtensions.buildDedupKey(children)))
   }
 }
 
@@ -56,8 +61,22 @@ object GraftExtensions {
     VocabMatch(children.head, labels.zip(names))
   }
 
+  /** `graft_dedup_key(text)` — the fused normalized-dedup key over
+    * `lower(text)` (the [[graft.textops.TextTokens.dedupKeyCol]]
+    * composition), so SQL callers hash/group on the exact same key as
+    * the DataFrame dedup operators.
+    */
+  private[graft] def buildDedupKey(children: Seq[Expression]): Expression = {
+    require(children.length == 1, "graft_dedup_key(text)")
+    graft.functions.DedupKeyNormalize(
+      org.apache.spark.sql.catalyst.expressions.Lower(children.head))
+  }
+
   /** Imperative registration for sessions built without the config. */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vocab_match", buildVocabMatch, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dedup_key", buildDedupKey, "built-in")
+  }
 }

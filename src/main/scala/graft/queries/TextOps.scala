@@ -860,6 +860,32 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- DSIR bucket panel (Xie et al. 2023 — targeted data
+    // selection): per-bucket word-occurrence counts for the TARGET
+    // slice (doc_id % 7 = 0) vs the RAW corpus, buckets =
+    // shingleHash60(word) mod 256. The exact-integer relation both
+    // importance distributions are estimated from; the ln() fit over
+    // its collected form is driver-side and spec-pinned (libm is not
+    // cross-engine mirrorable — the kmeans-codebook discipline).
+    "q182_dsir_buckets" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.Dsir.bucketPanel(
+          docsParallel(s, dir), "text", $"doc_id" % 7 === 0, buckets = 256)
+        .orderBy($"bucket")
+    },
+
+    // ---- DSIR scoring pass over a FIXTURE weight table (w[b] =
+    // (b·37 mod 2001) − 1000 — formula-mirrorable, so the oracle
+    // carries no literal blob): per-doc Σ w[bucket(word)], integer
+    // e6 weights, selected = score > 0. Pure per-row array math
+    // against a broadcast literal — the corpus never shuffles.
+    "q183_dsir_score" -> { (s, dir) =>
+      import s.implicits._
+      val w = Array.tabulate(256)(b => (b * 37 % 2001) - 1000L)
+      graft.textops.Dsir.score(docsParallel(s, dir), "doc_id", "text", w)
+        .orderBy($"doc_id")
+    },
+
     // ---- HTTP response split (the step between q136's WARC records
     // and q135's HTML strip): status / media type / body from
     // synthesized response messages — pure per-row column expressions.
@@ -2566,6 +2592,33 @@ object TextOps {
         |      FROM documents)
         |WHERE source LIKE 'src1%'
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR bucket mirror: the WordsCte occurrence relation, the HashSql
+    // 60-bit fold mod 256 (nonnegative, so % ≡ pmod), SUM(CASE) target
+    // counts with the q155 BIGINT cast.
+    "q182_dsir_buckets" -> (WordsCte +
+      """, wx AS (SELECT doc_id, unnest(ws) AS w FROM words)
+        |SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |       CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_count,
+        |       CAST(COUNT(*) AS BIGINT) AS r_count
+        |FROM wx GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // DSIR score mirror: the same bucket fold, the weight FORMULA
+    // applied in place of a literal table, zero-word docs kept at
+    // score 0 through the LEFT JOIN back to the words relation.
+    "q183_dsir_score" -> (WordsCte +
+      """, wx AS (SELECT doc_id, unnest(ws) AS w FROM words),
+        |bx AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket
+        |       FROM wx),
+        |scores AS (
+        |  SELECT doc_id, CAST(SUM((bucket * 37) % 2001 - 1000) AS BIGINT) AS s
+        |  FROM bx GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        |       COALESCE(s.s, 0) AS dsir_score_e6,
+        |       CASE WHEN COALESCE(s.s, 0) > 0 THEN 1 ELSE 0 END AS selected
+        |FROM words w LEFT JOIN scores s USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin),
 
     // HTTP mirror: same blank-line split arithmetic, same status-line
     // and (?im) Content-Type regexes (RE2 ≡ Java for these).

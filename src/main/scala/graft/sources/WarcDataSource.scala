@@ -65,7 +65,7 @@ final class WarcDataSource extends TableProvider with DataSourceRegister {
     WarcDataSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new WarcTable(properties.get("path"))
+    new WarcTable(WarcDataSource.resolvePaths(properties))
 }
 
 object WarcDataSource {
@@ -78,6 +78,26 @@ object WarcDataSource {
     StructField("payload", BinaryType)))
 
   private val HostDir = ".*/host=([^/]+)(/.*)?".r
+
+  /** Load paths from DSv2 properties: `path` (single load / SQL DDL
+    * OPTIONS) or `paths` (the JSON string array `load(p1, p2, …)`
+    * sets). Paths here are plain filesystem/URI strings — commas and
+    * quotes inside them are unsupported (matching the option's
+    * producer, which never escapes them either).
+    */
+  def resolvePaths(properties: JMap[String, String]): Seq[String] = {
+    val multi = Option(properties.get("paths")).map { json =>
+      val t = json.trim
+      require(t.startsWith("[") && t.endsWith("]"), s"bad paths option: $json")
+      t.substring(1, t.length - 1).split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty)
+    }.getOrElse(Nil)
+    val single = Option(properties.get("path")).toSeq
+    val all = (single ++ multi).distinct
+    require(all.nonEmpty, "the warc source requires at least one load path")
+    all
+  }
 
   /** `host=` partition value captured from a file path, if any. */
   def dirHost(path: String): Option[String] = path match {
@@ -134,25 +154,27 @@ object WarcDataSource {
     h.forall(passes(filters, "host", _))
 }
 
-final class WarcTable(path: String) extends Table
+final class WarcTable(paths: Seq[String]) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  require(path != null && path.nonEmpty,
-    "the warc source requires a single load path")
-  override def name(): String = s"warc($path)"
+  require(paths.nonEmpty && paths.forall(p => p != null && p.nonEmpty),
+    "the warc source requires at least one load path")
+  override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path, options)
+    new WarcScanBuilder(paths, options)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    new WarcWriteBuilder(path, info)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.size == 1, "the warc sink writes to exactly one directory")
+    new WarcWriteBuilder(paths.head, info)
+  }
 }
 
-final class WarcScanBuilder(path: String, options: CaseInsensitiveStringMap)
+final class WarcScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
@@ -170,12 +192,12 @@ final class WarcScanBuilder(path: String, options: CaseInsensitiveStringMap)
     required = requiredSchema
 
   override def build(): Scan = new WarcScan(
-    path, required, pushed,
+    paths, required, pushed,
     maxSplitBytes = options.getLong("maxSplitBytes", 128L * 1024 * 1024),
     splittable = options.getBoolean("splittable", true))
 }
 
-final class WarcScan(path: String, required: StructType,
+final class WarcScan(paths: Seq[String], required: StructType,
     pushed: Array[Filter], maxSplitBytes: Long, splittable: Boolean)
     extends Scan with Batch {
   require(maxSplitBytes > 0, s"maxSplitBytes must be positive: $maxSplitBytes")
@@ -184,24 +206,27 @@ final class WarcScan(path: String, required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(path, pushed, required, maxSplitBytes, splittable)
+    new WarcMicroBatchStream(paths, pushed, required, maxSplitBytes, splittable)
   override def description(): String =
-    s"WarcScan path=$path PushedFilters=[${pushed.mkString(", ")}] " +
+    s"WarcScan path=${paths.mkString(",")} " +
+      s"PushedFilters=[${pushed.mkString(", ")}] " +
       s"ReadColumns=[${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(hconf)
     val files = ArrayBuffer.empty[(String, Long)]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath.toString
-      val base = st.getPath.getName
-      if (st.isFile && st.getLen > 0 &&
-          !base.startsWith("_") && !base.startsWith("."))
-        files += ((p, st.getLen))
+    paths.foreach { one =>
+      val root = new Path(one)
+      val fs = root.getFileSystem(hconf)
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath.toString
+        val base = st.getPath.getName
+        if (st.isFile && st.getLen > 0 &&
+            !base.startsWith("_") && !base.startsWith("."))
+          files += ((p, st.getLen))
+      }
     }
     files.sortBy(_._1).iterator.flatMap { case (p, len) =>
       val dh = WarcDataSource.dirHost(p)

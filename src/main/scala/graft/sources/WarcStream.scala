@@ -28,25 +28,28 @@ import org.apache.spark.sql.types.StructType
   * per-batch files split at `maxSplitBytes` through the same
   * record-boundary discipline and the SAME reader.
   */
-final class WarcMicroBatchStream(path: String, pushed: Array[Filter],
+final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
     required: StructType, maxSplitBytes: Long, splittable: Boolean)
     extends MicroBatchStream {
 
   private def listNow(): Seq[String] = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(hconf)
-    if (!fs.exists(root)) return Nil
     val out = ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val base = st.getPath.getName
-      if (st.isFile && st.getLen > 0 &&
-          !base.startsWith("_") && !base.startsWith(".") &&
-          WarcDataSource.dirMayMatch(pushed,
-            WarcDataSource.dirHost(st.getPath.toString)))
-        out += s"${st.getLen}:${st.getPath.toString}"
+    paths.foreach { one =>
+      val root = new Path(one)
+      val fs = root.getFileSystem(hconf)
+      if (fs.exists(root)) {
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val base = st.getPath.getName
+          if (st.isFile && st.getLen > 0 &&
+              !base.startsWith("_") && !base.startsWith(".") &&
+              WarcDataSource.dirMayMatch(pushed,
+                WarcDataSource.dirHost(st.getPath.toString)))
+            out += s"${st.getLen}:${st.getPath.toString}"
+        }
+      }
     }
     out.sorted.toSeq
   }

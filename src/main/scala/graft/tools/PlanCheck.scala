@@ -823,7 +823,20 @@ object PlanCheck {
     // the whole point vs q180's cross score
     Expectation("q181_ivf_pq_topk",
       mustContain = Seq("BroadcastHashJoin", "Window"),
-      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")))
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
+    // DSIR panel: word explode + ONE map-side-combinable rollup onto
+    // ≤256 keys — no join anywhere
+    Expectation("q182_dsir_buckets",
+      mustContain = Seq("Generate", "HashAggregate"),
+      mustNotContain = Seq("BroadcastHashJoin", "SortMergeJoin",
+        "Window", "CartesianProduct")),
+    // DSIR scoring: pure per-row array math against a broadcast
+    // literal — the corpus shuffles for nothing (no explode, no
+    // aggregate, no join)
+    Expectation("q183_dsir_score",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "Generate", "BroadcastHashJoin", "SortMergeJoin", "Window",
+        "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in
     * the named query's executed plan — a static contract alongside

@@ -56,4 +56,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getAs[scala.collection.Seq[String]]("m").toSeq
     assert(got == Seq("Copper Pipe"))
   }
+
+  test("graft_dedup_key callable from SQL; equals the DataFrame key column") {
+    val got = spark.sql(
+      "SELECT graft_dedup_key('The QUICK  brown fox, v2.1!') AS k")
+      .collect().head.getString(0)
+    assert(got == "the quick brown fox v0 0") // "2" and "1" are separate digit runs
+    // same key as TextTokens.dedupKeyCol over a frame
+    import spark.implicits._
+    val df = Seq("The QUICK  brown fox, v2.1!").toDF("text")
+    val viaCol = df.select(
+      graft.textops.TextTokens.dedupKeyCol(org.apache.spark.sql.functions.col("text")))
+      .collect().head.getString(0)
+    assert(got == viaCol)
+  }
 }

@@ -234,6 +234,23 @@ class WarcSourceSpec extends SparkSpec {
     assert(got.map(_._2).toSet.size == 10)
   }
 
+  test("multi-path load and SQL DDL (CREATE TABLE USING warc)") {
+    val d1 = store("a.warc" -> Seq(rec("https://m.test/1", "p1")))
+    val d2 = store("b.warc" -> Seq(rec("https://m.test/2", "p2")))
+    val both = spark.read.format("warc").load(d1.toString, d2.toString)
+      .select($"target_uri").as[String].collect().sorted.toSeq
+    assert(both == Seq("https://m.test/1", "https://m.test/2"))
+    // the catalog path: a named table over the store, plain SQL on top
+    spark.sql("DROP TABLE IF EXISTS warc_store")
+    spark.sql(
+      s"CREATE TABLE warc_store USING warc OPTIONS (path '${d1.toString}')")
+    val viaSql = spark.sql(
+      "SELECT target_uri, octet_length(payload) AS n FROM warc_store")
+      .as[(String, Long)].collect().toSeq
+    assert(viaSql == Seq(("https://m.test/1", 2L)))
+    spark.sql("DROP TABLE warc_store")
+  }
+
   test("hostOf: scheme, port, case; dirHost capture") {
     assert(WarcDataSource.hostOf("https://EX.Test:8080/a/b") == "ex.test")
     assert(WarcDataSource.hostOf("ex.test/a") == "ex.test")
