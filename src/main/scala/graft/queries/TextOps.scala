@@ -861,12 +861,14 @@ object TextOps {
     },
 
     // ---- DSIR bucket panel (Xie et al. 2023 — targeted data
-    // selection): per-bucket word-occurrence counts for the TARGET
-    // slice (doc_id % 7 = 0) vs the RAW corpus, buckets =
-    // shingleHash60(word) mod 256. The exact-integer relation both
-    // importance distributions are estimated from; the ln() fit over
-    // its collected form is driver-side and spec-pinned (libm is not
-    // cross-engine mirrorable — the kmeans-codebook discipline).
+    // selection; q71 gates the ONE-SHOT fit-and-score law, this pair
+    // gates the SPLIT-PHASE deployment form): per-bucket
+    // word-occurrence counts for the TARGET slice (doc_id % 7 = 0)
+    // vs the RAW corpus, buckets = shingleHash60(word) mod 256. The
+    // exact-integer relation both importance distributions are
+    // estimated from; the ln() fit over its collected form is
+    // driver-side and spec-pinned (libm is not cross-engine
+    // mirrorable — the kmeans-codebook discipline).
     "q182_dsir_buckets" -> { (s, dir) =>
       import s.implicits._
       graft.textops.Dsir.bucketPanel(

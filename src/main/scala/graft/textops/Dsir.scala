@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   * hashed-n-gram distribution over a RAW one, and selection keeps the
   * docs the target distribution prefers.
   *
+  * This is the SPLIT-PHASE form of
+  * [[CurationOps.importanceWeights]] (q71 — the one-shot
+  * fit-and-score query over unigram+bigram features, joins per
+  * feature): here FIT and SCORE are separate artifacts, which is what
+  * a deployment actually wants — fit once (or maintain live via
+  * [[graft.streaming.StreamDsir]]'s mergeable panel session), then
+  * score any stream of arrivals as a pure map against the frozen
+  * weight table, with no per-feature join anywhere near the corpus.
+  * Features here are unigrams (the panel gate keeps one mirrorable
+  * relation); the law is otherwise q71's.
+  *
   * Decomposition (the suite's data-dependent-float discipline, the
   * kmeans-codebook precedent):
   *  - [[bucketPanel]] — the per-bucket occurrence counts BOTH
