@@ -194,11 +194,13 @@ final class WarcScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMa
   override def build(): Scan = new WarcScan(
     paths, required, pushed,
     maxSplitBytes = options.getLong("maxSplitBytes", 128L * 1024 * 1024),
-    splittable = options.getBoolean("splittable", true))
+    splittable = options.getBoolean("splittable", true),
+    recordGzip = options.getBoolean("recordGzip", false))
 }
 
 final class WarcScan(paths: Seq[String], required: StructType,
-    pushed: Array[Filter], maxSplitBytes: Long, splittable: Boolean)
+    pushed: Array[Filter], maxSplitBytes: Long, splittable: Boolean,
+    recordGzip: Boolean = false)
     extends Scan with Batch {
   require(maxSplitBytes > 0, s"maxSplitBytes must be positive: $maxSplitBytes")
 
@@ -206,7 +208,8 @@ final class WarcScan(paths: Seq[String], required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcMicroBatchStream(paths, pushed, required, maxSplitBytes, splittable)
+    new WarcMicroBatchStream(paths, pushed, required, maxSplitBytes,
+      splittable, recordGzip)
   override def description(): String =
     s"WarcScan path=${paths.mkString(",")} " +
       s"PushedFilters=[${pushed.mkString(", ")}] " +
@@ -231,10 +234,11 @@ final class WarcScan(paths: Seq[String], required: StructType,
     files.sortBy(_._1).iterator.flatMap { case (p, len) =>
       val dh = WarcDataSource.dirHost(p)
       if (!WarcDataSource.dirMayMatch(pushed, dh)) Iterator.empty
-      // gzip segments have no random access: whole-file split, the
-      // reader decompresses and runs the blob parser (size segments
-      // accordingly, or store uncompressed for splittable scans)
-      else if (!splittable || p.endsWith(".gz"))
+      // WHOLE-FILE gzip has no random access: single split, the reader
+      // decompresses through the blob parser. With recordGzip declared
+      // (one member per record — the CommonCrawl layout), member
+      // headers are validated sync points and .gz files split too.
+      else if (!splittable || (p.endsWith(".gz") && !recordGzip))
         Iterator(WarcInputPartition(p, 0L, len, len, dh))
       else (0L until len by maxSplitBytes).iterator.map(s =>
         WarcInputPartition(p, s, math.min(s + maxSplitBytes, len), len, dh))
@@ -242,7 +246,7 @@ final class WarcScan(paths: Seq[String], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushed)
+    new WarcReaderFactory(required, pushed, recordGzip)
 }
 
 final case class WarcInputPartition(path: String, start: Long, end: Long,
@@ -252,11 +256,11 @@ final case class WarcInputPartition(path: String, start: Long, end: Long,
 private[sources] final case class WarcRec(warcType: String, uri: String,
     date: String, payloadStart: Long, payloadLen: Int, next: Long)
 
-final class WarcReaderFactory(required: StructType, pushed: Array[Filter])
-    extends PartitionReaderFactory {
+final class WarcReaderFactory(required: StructType, pushed: Array[Filter],
+    recordGzip: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition], required, pushed)
+      partition.asInstanceOf[WarcInputPartition], required, pushed, recordGzip)
 }
 
 /** One split's reader: positioned reads over the Hadoop stream, sync
@@ -266,7 +270,8 @@ final class WarcReaderFactory(required: StructType, pushed: Array[Filter])
   * for records starting before `end`.
   */
 final class WarcPartitionReader(p: WarcInputPartition, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], recordGzip: Boolean = false)
+    extends PartitionReader[InternalRow] {
 
   private val in: FSDataInputStream = {
     val hp = new Path(p.path)
@@ -388,7 +393,74 @@ final class WarcPartitionReader(p: WarcInputPartition, required: StructType,
   // gzip segments: whole-file decompress + the blob parser (planning
   // made them single-split, so this reader owns every record)
   private val isGz = p.path.endsWith(".gz")
-  private lazy val gzRecords: Iterator[graft.ingest.Warc.WarcRecord] = {
+
+  // ---- record-gzip members (splittable compressed segments) ---------
+  private def nextMagic(from: Long): Long = {
+    var q = from
+    while (q + 2 < p.fileLen && q < p.end) {
+      if (byteAt(q) == 0x1f.toByte && byteAt(q + 1) == 0x8b.toByte &&
+          byteAt(q + 2) == 8.toByte) return q
+      q += 1
+    }
+    p.end
+  }
+
+  private def isWarcPayload(data: Array[Byte]): Boolean = {
+    if (data.length < Marker.length) return false
+    var i = 0
+    while (i < Marker.length) {
+      if (data(i) != Marker(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** First VALIDATED member start at-or-after `from`: full
+    * decompression + CRC/ISIZE trailer + the payload opening with the
+    * WARC version line — a stray magic triple inside compressed data
+    * fails one of the three.
+    */
+  private def syncMember(from: Long): Long = {
+    var q = if (from == 0L) 0L else nextMagic(from)
+    while (q < p.end) {
+      val m = GzipMembers.readMember(bytesAt, q, p.fileLen)
+      if (m != null && isWarcPayload(m._1)) return q
+      q = nextMagic(q + 1)
+    }
+    p.end
+  }
+
+  /** Records from members whose COMPRESSED start lies in this split
+    * (the member-grain attribution rule; the last member may extend
+    * past the range end and is read fully).
+    */
+  private def memberRecords: Iterator[graft.ingest.Warc.WarcRecord] =
+    new Iterator[graft.ingest.Warc.WarcRecord] {
+      private var mOff: Long = syncMember(p.start)
+      private var pending: Iterator[graft.ingest.Warc.WarcRecord] =
+        Iterator.empty
+      private def fill(): Unit = {
+        while (!pending.hasNext && mOff < p.end) {
+          val m = GzipMembers.readMember(bytesAt, mOff, p.fileLen)
+          if (m != null && isWarcPayload(m._1)) {
+            pending = graft.ingest.Warc.parse(m._1).iterator
+            mOff += m._2
+          } else {
+            // corrupt member mid-store: resync forward, don't sink the split
+            mOff = syncMember(mOff + 1)
+          }
+        }
+      }
+      override def hasNext: Boolean = { fill(); pending.hasNext }
+      override def next(): graft.ingest.Warc.WarcRecord = {
+        fill(); pending.next()
+      }
+    }
+
+  private lazy val gzRecords: Iterator[graft.ingest.Warc.WarcRecord] =
+    if (recordGzip) memberRecords else wholeFileGzRecords
+
+  private def wholeFileGzRecords: Iterator[graft.ingest.Warc.WarcRecord] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPInputStream(in)
     val buf = new Array[Byte](1 << 16)

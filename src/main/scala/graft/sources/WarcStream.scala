@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.StructType
   * record-boundary discipline and the SAME reader.
   */
 final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
-    required: StructType, maxSplitBytes: Long, splittable: Boolean)
+    required: StructType, maxSplitBytes: Long, splittable: Boolean,
+    recordGzip: Boolean = false)
     extends MicroBatchStream {
 
   private def listNow(): Seq[String] = {
@@ -69,7 +70,7 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
       val len = entry.substring(0, i).toLong
       val p = entry.substring(i + 1)
       val dh = WarcDataSource.dirHost(p)
-      if (!splittable || p.endsWith(".gz"))
+      if (!splittable || (p.endsWith(".gz") && !recordGzip))
         Iterator(WarcInputPartition(p, 0L, len, len, dh))
       else (0L until len by maxSplitBytes).iterator.map(s =>
         WarcInputPartition(p, s, math.min(s + maxSplitBytes, len), len, dh))
@@ -77,7 +78,7 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushed)
+    new WarcReaderFactory(required, pushed, recordGzip)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -42,15 +42,17 @@ final class WarcWriteBuilder(path: String, info: LogicalWriteInfo)
       new WarcBatchWrite(path, info.schema(),
         partitionByHost =
           "true".equalsIgnoreCase(info.options.getOrDefault("partitionByHost", "false")),
-        gzip = "gzip".equalsIgnoreCase(info.options.getOrDefault("compress", "none")))
+        compress = info.options.getOrDefault("compress", "none").toLowerCase)
   }
 }
 
 final class WarcBatchWrite(path: String, schema: StructType,
-    partitionByHost: Boolean, gzip: Boolean) extends BatchWrite {
+    partitionByHost: Boolean, compress: String) extends BatchWrite {
+  require(Set("none", "gzip", "record-gzip").contains(compress),
+    s"compress must be none | gzip | record-gzip: $compress")
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new WarcWriterFactory(path, schema, partitionByHost, gzip)
+    new WarcWriterFactory(path, schema, partitionByHost, compress)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -59,10 +61,11 @@ private final case class WarcCommit(files: Seq[String])
     extends WriterCommitMessage
 
 final class WarcWriterFactory(path: String, schema: StructType,
-    partitionByHost: Boolean, gzip: Boolean) extends DataWriterFactory {
+    partitionByHost: Boolean, compress: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(path, schema, partitionByHost, gzip, partitionId, taskId)
+    new WarcDataWriter(path, schema, partitionByHost, compress,
+      partitionId, taskId)
 }
 
 /** Buffers records per output file (one per host under
@@ -70,8 +73,11 @@ final class WarcWriterFactory(path: String, schema: StructType,
   * [[Warc.format]], publishes via temp-write + rename on commit.
   */
 final class WarcDataWriter(path: String, schema: StructType,
-    partitionByHost: Boolean, gzip: Boolean, partitionId: Int, taskId: Long)
+    partitionByHost: Boolean, compress: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
+
+  private val gzip = compress == "gzip"
+  private val recordGzip = compress == "record-gzip"
 
   private val idx = Map(
     "warc_type" -> schema.fieldNames.indexOf("warc_type"),
@@ -102,12 +108,15 @@ final class WarcDataWriter(path: String, schema: StructType,
       str(row, "warc_type"), str(row, "target_uri"), str(row, "warc_date"),
       payload)))
     val key = if (partitionByHost) str(row, "host") else ""
-    buffers.getOrElseUpdate(key, new ByteArrayOutputStream()).write(rec)
+    // record-gzip: each record is its OWN gzip member (the CommonCrawl
+    // layout — the read side can then split the compressed file)
+    val bytes = if (recordGzip) GzipMembers.gzipMember(rec) else rec
+    buffers.getOrElseUpdate(key, new ByteArrayOutputStream()).write(bytes)
   }
 
   override def commit(): WriterCommitMessage = {
     val conf = new Configuration()
-    val ext = if (gzip) ".warc.gz" else ".warc"
+    val ext = if (gzip || recordGzip) ".warc.gz" else ".warc"
     val files = buffers.map { case (key, bos) =>
       val dir = if (partitionByHost) s"$path/host=$key" else path
       val fin = new Path(dir, f"part-$partitionId%05d-$taskId$ext")

@@ -234,6 +234,59 @@ class WarcSourceSpec extends SparkSpec {
     assert(got.map(_._2).toSet.size == 10)
   }
 
+  test("record-gzip segments: splittable compressed reads, any split size") {
+    val dir = Files.createTempDirectory("warcrg")
+    val in = (1 to 40).map(i =>
+      ("response", s"https://rg.test/p/$i", "2026-08-16T00:00:00Z",
+        // traps survive compression too; varied sizes move member
+        // boundaries around relative to split edges
+        ((if (i % 3 == 0) "WARC/1.0\r\n" else "") + s"body $i " + "q" * (i % 17))
+          .getBytes(UTF_8)))
+      .toDF("warc_type", "target_uri", "warc_date", "payload")
+    in.write.format("warc").option("compress", "record-gzip")
+      .mode("append").save(dir.toString)
+    val exp = in.select($"target_uri", md5($"payload"))
+      .collect().map(_.toSeq).toSet
+    for (split <- Seq(1L << 20, 256L, 64L, 23L)) {
+      val df = spark.read.format("warc")
+        .option("recordGzip", "true").option("maxSplitBytes", split)
+        .load(dir.toString)
+      val back = df.select($"target_uri", md5($"payload"))
+        .collect().map(_.toSeq).toSet
+      assert(back == exp, s"split=$split diverged")
+    }
+    // small splits really do fan out into multiple partitions
+    val parts = spark.read.format("warc")
+      .option("recordGzip", "true").option("maxSplitBytes", 256)
+      .load(dir.toString).rdd.getNumPartitions
+    assert(parts > 1, s"expected multiple splits, got $parts")
+    // without the recordGzip declaration the same files still read
+    // correctly as whole-file gzip splits (concatenated members —
+    // GZIPInputStream reads them transparently), one per file
+    val nFiles = dir.toFile.listFiles().count(_.getName.endsWith(".warc.gz"))
+    val whole = spark.read.format("warc").load(dir.toString)
+    assert(whole.rdd.getNumPartitions == nFiles)
+    assert(whole.select($"target_uri", md5($"payload"))
+      .collect().map(_.toSeq).toSet == exp)
+  }
+
+  test("gzip member codec: round trip, header options, corruption rejected") {
+    val data = "WARC/1.0\r\npayload".getBytes(UTF_8)
+    val member = graft.sources.GzipMembers.gzipMember(data)
+    val read = (o: Long, l: Int) =>
+      java.util.Arrays.copyOfRange(member, o.toInt, o.toInt + l)
+    val got = graft.sources.GzipMembers.readMember(read, 0L, member.length.toLong)
+    assert(got != null && got._1.toSeq == data.toSeq &&
+      got._2 == member.length.toLong)
+    // flipped payload byte → CRC mismatch → rejected
+    val bad = member.clone(); bad(12) = (bad(12) ^ 0x5a).toByte
+    val readBad = (o: Long, l: Int) =>
+      java.util.Arrays.copyOfRange(bad, o.toInt, o.toInt + l)
+    assert(graft.sources.GzipMembers.readMember(readBad, 0L, bad.length.toLong) == null)
+    // truncated member → rejected
+    assert(graft.sources.GzipMembers.readMember(read, 0L, member.length - 4L) == null)
+  }
+
   test("multi-path load and SQL DDL (CREATE TABLE USING warc)") {
     val d1 = store("a.warc" -> Seq(rec("https://m.test/1", "p1")))
     val d2 = store("b.warc" -> Seq(rec("https://m.test/2", "p2")))
