@@ -876,6 +876,17 @@ object TextOps {
         .orderBy($"bucket")
     },
 
+    // ---- q182 with q71's FULL feature space: unigrams ++ bigrams
+    // (space-joined, size-guarded) hashed into the same 256 buckets —
+    // the panel the bigram-featured fit estimates from.
+    "q184_dsir_bigram_buckets" -> { (s, dir) =>
+      import s.implicits._
+      graft.textops.Dsir.bucketPanel(
+          docsParallel(s, dir), "text", $"doc_id" % 7 === 0, buckets = 256,
+          bigrams = true)
+        .orderBy($"bucket")
+    },
+
     // ---- DSIR scoring pass over a FIXTURE weight table (w[b] =
     // (b·37 mod 2001) − 1000 — formula-mirrorable, so the oracle
     // carries no literal blob): per-doc Σ w[bucket(word)], integer
@@ -2600,6 +2611,19 @@ object TextOps {
     // counts with the q155 BIGINT cast.
     "q182_dsir_buckets" -> (WordsCte +
       """, wx AS (SELECT doc_id, unnest(ws) AS w FROM words)
+        |SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |       CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_count,
+        |       CAST(COUNT(*) AS BIGINT) AS r_count
+        |FROM wx GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Bigram-featured DSIR panel mirror: the q71 feature CTE (unigrams
+    // || space-joined bigrams) under the q182 count law.
+    "q184_dsir_bigram_buckets" -> (WordsCte +
+      """, wx AS (
+        |  SELECT doc_id,
+        |         unnest(ws || list_transform(generate_series(1, len(ws) - 1),
+        |                                     i -> ws[i] || ' ' || ws[i+1])) AS w
+        |  FROM words)
         |SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket,
         |       CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_count,
         |       CAST(COUNT(*) AS BIGINT) AS r_count

@@ -52,11 +52,19 @@ object Dsir {
     * zeros).
     */
   def bucketPanel(docs: DataFrame, textCol: String, isTarget: Column,
-      buckets: Int): DataFrame = {
+      buckets: Int, bigrams: Boolean = false): DataFrame = {
     require(buckets >= 2, s"buckets must be at least 2: $buckets")
+    val ws = TextTokens.wordsCol(col(textCol))
+    // q71's feature space when bigrams are on: unigrams ++ space-joined
+    // bigrams (size-guarded — an empty doc makes size-1 negative)
+    val feats =
+      if (!bigrams) ws
+      else concat(ws, when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i + lit(1), lit(2)))))
+        .otherwise(array().cast("array<string>")))
     docs
-      .select(explode(TextTokens.wordsCol(col(textCol))).as("__w"),
-        isTarget.as("__t"))
+      .select(explode(feats).as("__w"), isTarget.as("__t"))
       .withColumn("bucket", pmod(NearDup.shingleHash60(col("__w")), lit(buckets.toLong)))
       .groupBy(col("bucket"))
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("t_count"),

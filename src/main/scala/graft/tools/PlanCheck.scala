@@ -830,6 +830,11 @@ object PlanCheck {
       mustContain = Seq("Generate", "HashAggregate"),
       mustNotContain = Seq("BroadcastHashJoin", "SortMergeJoin",
         "Window", "CartesianProduct")),
+    // bigram-featured panel: q182's shape over the wider feature space
+    Expectation("q184_dsir_bigram_buckets",
+      mustContain = Seq("Generate", "HashAggregate"),
+      mustNotContain = Seq("BroadcastHashJoin", "SortMergeJoin",
+        "Window", "CartesianProduct")),
     // DSIR scoring: pure per-row array math against a broadcast
     // literal — the corpus shuffles for nothing (no explode, no
     // aggregate, no join)

@@ -64,4 +64,15 @@ class DsirSpec extends SparkSpec {
     assert(panel.map(_._3).sum == 5L, "raw counts all word occurrences")
     assert(panel.map(_._2).sum == 3L, "target counts only target docs")
   }
+
+  test("bucketPanel bigrams: unigrams + n-1 bigrams; short docs guarded") {
+    // "a b c" → 3 unigrams + 2 bigrams; "a" → 1; "" → 0
+    val docs = Seq((1L, "a b c", 1), (2L, "a", 0), (3L, "", 0))
+      .toDF("id", "text", "is_t")
+    val panel = Dsir.bucketPanel(docs, "text", $"is_t" === 1, buckets = 32,
+        bigrams = true)
+      .as[(Long, Long, Long)].collect()
+    assert(panel.map(_._3).sum == 6L, "3+2 target features + 1 raw unigram")
+    assert(panel.map(_._2).sum == 5L)
+  }
 }
