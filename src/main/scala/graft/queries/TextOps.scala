@@ -899,6 +899,17 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- q183 over the bigram feature space: the scoring map MUST
+    // hash exactly what the panel counted, so the bigram-fitted path
+    // gets its own gate (same formula table, wider features).
+    "q185_dsir_bigram_score" -> { (s, dir) =>
+      import s.implicits._
+      val w = Array.tabulate(256)(b => (b * 37 % 2001) - 1000L)
+      graft.textops.Dsir.score(docsParallel(s, dir), "doc_id", "text", w,
+          bigrams = true)
+        .orderBy($"doc_id")
+    },
+
     // ---- HTTP response split (the step between q136's WARC records
     // and q135's HTML strip): status / media type / body from
     // synthesized response messages — pure per-row column expressions.
@@ -2634,6 +2645,27 @@ object TextOps {
     // score 0 through the LEFT JOIN back to the words relation.
     "q183_dsir_score" -> (WordsCte +
       """, wx AS (SELECT doc_id, unnest(ws) AS w FROM words),
+        |bx AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket
+        |       FROM wx),
+        |scores AS (
+        |  SELECT doc_id, CAST(SUM((bucket * 37) % 2001 - 1000) AS BIGINT) AS s
+        |  FROM bx GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        |       COALESCE(s.s, 0) AS dsir_score_e6,
+        |       CASE WHEN COALESCE(s.s, 0) > 0 THEN 1 ELSE 0 END AS selected
+        |FROM words w LEFT JOIN scores s USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin),
+
+    // Bigram-featured DSIR score mirror: q183's chain over q184's
+    // feature CTE (n_words stays the UNIGRAM count — the budget
+    // column, not the feature count).
+    "q185_dsir_bigram_score" -> (WordsCte +
+      """, wx AS (
+        |  SELECT doc_id,
+        |         unnest(ws || list_transform(generate_series(1, len(ws) - 1),
+        |                                     i -> ws[i] || ' ' || ws[i+1])) AS w
+        |  FROM words),
         |bx AS (SELECT doc_id,
         |         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 256 AS bucket
         |       FROM wx),

@@ -106,14 +106,22 @@ object Dsir {
     * broadcast array literal.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      w: Array[Long]): DataFrame = {
+      w: Array[Long], bigrams: Boolean = false): DataFrame = {
     require(w.nonEmpty, "weight table must be non-empty")
     val wArr = array(w.toIndexedSeq.map(lit): _*)
     val words = TextTokens.wordsCol(col(textCol))
+    // MUST hash the same feature space the panel counted — a
+    // bigram-fitted table scored over unigrams silently misweights
+    val feats =
+      if (!bigrams) words
+      else concat(words, when(size(words) >= 2,
+        transform(sequence(lit(0), size(words) - 2),
+          i => concat_ws(" ", slice(words, i + lit(1), lit(2)))))
+        .otherwise(array().cast("array<string>")))
     docs.select(col(idCol),
       size(words).cast("long").as("n_words"),
       aggregate(
-        transform(words, wd =>
+        transform(feats, wd =>
           element_at(wArr,
             pmod(NearDup.shingleHash60(wd), lit(w.length.toLong)).cast("int") + 1)),
         lit(0L), (acc, x) => acc + x).as("dsir_score_e6"))
@@ -125,7 +133,9 @@ object Dsir {
     * one map — what a pipeline actually calls.
     */
   def select(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int): DataFrame =
+      isTarget: Column, buckets: Int, bigrams: Boolean = false): DataFrame =
     score(docs, idCol, textCol,
-      logRatiosE6(bucketPanel(docs, textCol, isTarget, buckets), buckets))
+      logRatiosE6(bucketPanel(docs, textCol, isTarget, buckets, bigrams),
+        buckets),
+      bigrams)
 }

@@ -841,6 +841,12 @@ object PlanCheck {
     Expectation("q183_dsir_score",
       mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
         "Generate", "BroadcastHashJoin", "SortMergeJoin", "Window",
+        "CartesianProduct")),
+    // bigram scoring keeps the same pure-map shape (feature widening
+    // is per-row array construction, not an explode)
+    Expectation("q185_dsir_bigram_score",
+      mustNotContain = Seq("HashAggregate", "ObjectHashAggregate",
+        "Generate", "BroadcastHashJoin", "SortMergeJoin", "Window",
         "CartesianProduct")))
 
   /** Native expressions that must stay INSIDE whole-stage codegen in

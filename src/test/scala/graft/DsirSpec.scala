@@ -65,6 +65,24 @@ class DsirSpec extends SparkSpec {
     assert(panel.map(_._2).sum == 3L, "target counts only target docs")
   }
 
+  test("bigram fit→score composition: feature spaces must match end to end") {
+    val docs = (
+      (1 to 10).map(i => (i.toLong, s"alpha beta gamma doc$i", 1)) ++
+      (11 to 30).map(i => (i.toLong, s"delta epsilon zeta doc$i", 0))
+    ).toDF("id", "text", "is_t")
+    val out = Dsir.select(docs, "id", "text", $"is_t" === 1, buckets = 64,
+        bigrams = true)
+      .select($"id", $"dsir_score_e6").as[(Long, Long)].collect()
+    val (target, raw) = out.partition(_._1 <= 10)
+    assert(target.map(_._2).min > raw.map(_._2).max,
+      "bigram-featured fit must still separate the vocabularies")
+    // n_words stays the unigram count even under bigram features
+    val nw = Dsir.score(Seq((1L, "a b c")).toDF("id", "text"),
+      "id", "text", Array.fill(8)(1L), bigrams = true)
+      .select($"n_words", $"dsir_score_e6").as[(Long, Long)].head()
+    assert(nw == ((3L, 5L)), "3 words; 3+2 features each weighted 1")
+  }
+
   test("bucketPanel bigrams: unigrams + n-1 bigrams; short docs guarded") {
     // "a b c" → 3 unigrams + 2 bigrams; "a" → 1; "" → 0
     val docs = Seq((1L, "a b c", 1), (2L, "a", 0), (3L, "", 0))
