@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.DedupKeyNormalize].getName, "graft_dedup_key"),
       (children: Seq[Expression]) => GraftExtensions.buildDedupKey(children)))
+    // optimizer rule: the authored three-pass dedup-key regex chain
+    // fuses to the single-scan codegen expression at plan time
+    ext.injectOptimizerRule(_ => graft.plans.DedupKeyFuse)
   }
 }
 
@@ -72,11 +75,20 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.Lower(children.head))
   }
 
-  /** Imperative registration for sessions built without the config. */
+  /** Imperative registration for sessions built without the config:
+    * the SQL functions land in the function registry, and the
+    * [[graft.plans.DedupKeyFuse]] rewrite lands in
+    * `spark.experimental.extraOptimizations` (a post-optimizer batch —
+    * same fixed-point semantics as `injectOptimizerRule`, applied to
+    * every query planned after this call). Idempotent.
+    */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vocab_match", buildVocabMatch, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dedup_key", buildDedupKey, "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DedupKeyFuse))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DedupKeyFuse
   }
 }

@@ -426,6 +426,28 @@ object TextOps {
         .orderBy($"keep_id")
     },
 
+    // ---- q81 through the OPTIMIZER RULE path: the query is authored
+    // with the documented three-pass regexp_replace chain (the form
+    // any SQL/DataFrame user writes from the docs, and the exact form
+    // the DuckDB oracle mirrors), and graft.plans.DedupKeyFuse —
+    // installed imperatively here, injected via spark.sql.extensions
+    // in production — rewrites it to the fused single-scan codegen
+    // expression at plan time (PlanCheck: `graft_dedup_key` present,
+    // `regexp_replace` absent). Same relation as q81, arrived at from
+    // the user-authored plan instead of the engine-native one.
+    // NOTE: install() mutates the session's extraOptimizations, so
+    // any later chain-authored query in the same session also fuses —
+    // the intended production behavior.
+    "q186_dedup_fuse_rule" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.install(s)
+      docsParallel(s, dir)
+        .groupBy(graft.textops.TextTokens.dedupKeyRegexCol($"text").as("k"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+        .select($"keep_id", $"dup_count")
+        .orderBy($"keep_id")
+    },
+
     // ---- soft dedup (SoftDedup, She et al. ACL 2024): reweight
     // instead of drop — per-doc sampling weight inversely proportional
     // to the mean corpus df of its distinct shingles. Near-duplicates
@@ -1898,6 +1920,20 @@ object TextOps {
     // Same regex chain as TextTokens.dedupKeyCol with RE2's 'g' flag
     // (Spark's regexp_replace is global by default; DuckDB's is not).
     "q81_normalized_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(regexp_replace(
+        |           lower(text), '[0-9]+', '0', 'g'),
+        |           '[^a-z0-9 \t\n\x0B\f\r]+', ' ', 'g'),
+        |           '[ \t\n\x0B\f\r]+', ' ', 'g')) AS k
+        |  FROM documents)
+        |GROUP BY k""".stripMargin,
+
+    // The fuse-rule gate shares q81's oracle verbatim: the engine
+    // side authors the regex chain and the rule rewrites it, so the
+    // oracle mirrors the chain exactly as q81's does.
+    "q186_dedup_fuse_rule" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM (
         |  SELECT doc_id,

@@ -46,15 +46,27 @@ object TextTokens {
   def dedupKeyCol(text: Column): Column =
     graft.functions.DedupKeyNormalize.dedupKeyCol(text)
 
+  /** The chain's three pattern literals, shared verbatim between
+    * [[dedupKeyRegexCol]] (the authored form) and
+    * [[graft.plans.DedupKeyFuse]] (the optimizer rule that recognizes
+    * it) — one definition, so the rule can never drift from the form
+    * the docs and oracles publish.
+    */
+  private[graft] val DedupDigitsRe = "[0-9]+"
+  private[graft] val DedupOtherRe = "[^a-z0-9 \\t\\n\\x0B\\f\\r]+"
+  private[graft] val DedupWsRe = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** The original three-pass `regexp_replace` form of [[dedupKeyCol]]
     * — the exact expression the DuckDB oracles transliterate (with
     * RE2's 'g' flag), retained as the differential anchor for the
-    * fused native expression. Not used on the hot path.
+    * fused native expression. Not used on the hot path by the engine
+    * itself; a session with [[graft.plans.DedupKeyFuse]] installed
+    * rewrites any occurrence to the fused expression at plan time.
     */
   def dedupKeyRegexCol(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(
-        regexp_replace(lower(text), "[0-9]+", "0"),
-        "[^a-z0-9 \\t\\n\\x0B\\f\\r]+", " "),
-      "[ \\t\\n\\x0B\\f\\r]+", " "))
+        regexp_replace(lower(text), DedupDigitsRe, "0"),
+        DedupOtherRe, " "),
+      DedupWsRe, " "))
 }

@@ -814,6 +814,12 @@ object PlanCheck {
     Expectation("q179_warc_source",
       mustContain = Seq("PushedFilters=[StringStartsWith(host,src1)"),
       mustNotContain = Seq("CartesianProduct")),
+    // the fuse rule must rewrite the authored regex chain: the fused
+    // expression present, NO regexp_replace surviving anywhere
+    Expectation("q186_dedup_fuse_rule",
+      mustContain = Seq("graft_dedup_key", "HashAggregate"),
+      mustNotContain = Seq("regexp_replace", "Window ",
+        "CartesianProduct")),
     // plain PQ-ADC: broadcast-query cross score (the q22 intentional
     // shape) + the per-query rank window
     Expectation("q180_pq_adc_topk",
