@@ -57,11 +57,22 @@ object Hits {
       col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("long").as("w"))
     val ew = e.localCheckpoint()
     // three enforced preconditions (violations silently corrupted
-    // scores when these were document-only), costed as TWO bounded
-    // control-plane jobs on the checkpointed edge frame:
-    // (1)+(2) one aggregate: positive integer weights, and the
-    // overflow bound — a half-step holds raw ≤ scale·ΣW and rescale
-    // multiplies by scale again, so scale²·ΣW must fit in a Long
+    // scores when these were document-only). The r11 form costed them
+    // as TWO bounded control-plane jobs (weight aggregate + coverage
+    // anti-join), and at local job latency that pair was q169's only
+    // >2× bench regression. Now: (1)+(2) stay ONE eager aggregate —
+    // positive integer weights, and the overflow bound (a half-step
+    // holds raw ≤ scale·ΣW and rescale multiplies by scale again, so
+    // scale²·ΣW must fit in a Long; totalW gates driver-side math, so
+    // this cannot defer); (3) coverage moves IN-PLAN: the FIRST
+    // round's half-steps run as left joins whose score operand
+    // `raise_error`s on an unmatched endpoint (rescale's left join
+    // would otherwise silently drop that endpoint's mass each
+    // half-step), so the check rides a join the round already pays —
+    // zero extra jobs, and the localCheckpoint inside the first
+    // rescale still surfaces the failure eagerly at the `scores`
+    // call. Coverage is a static property of (nodes, edges); rounds
+    // after the first keep the plain inner join.
     val agg = ew.agg(
       count(lit(1)).as("n"), count(col("w")).as("nw"),
       coalesce(min(col("w")), lit(0L)).as("mn"),
@@ -71,18 +82,13 @@ object Hits {
     val totalW = agg.getLong(3)
     require(scale <= Long.MaxValue / math.max(totalW, 1L) / scale,
       s"scale^2 * total edge weight overflows 64-bit: scale=$scale totalW=$totalW")
-    // (3) coverage — rescale left-joins raw sums onto `nodes`, so an
-    // edge endpoint absent from `nodes` would silently drop its score
-    // mass each half-step
-    require(ew.select(col("src").as("node"))
-        .union(ew.select(col("dst").as("node")))
-        .join(n, Seq("node"), "left_anti").limit(1).count() == 0L,
-      "nodes must cover every edge endpoint (src and dst)")
     var h = n.withColumn("s", lit(scale)).localCheckpoint()
     var a: DataFrame = null
-    for (_ <- 1 to iters) {
-      a = rescale(n, halfStep(ew, h, from = "src", to = "dst"), scale)
-      h = rescale(n, halfStep(ew, a, from = "dst", to = "src"), scale)
+    for (i <- 1 to iters) {
+      a = rescale(n, halfStep(ew, h, from = "src", to = "dst",
+        checkCoverage = i == 1), scale)
+      h = rescale(n, halfStep(ew, a, from = "dst", to = "src",
+        checkCoverage = i == 1), scale)
     }
     // rescale already emitted one non-null row per node in n (absent
     // nodes got 0), so these joins are total — inner, no coalesce
@@ -91,12 +97,28 @@ object Hits {
       .select(col("node"), col("hub"), col("auth"))
   }
 
-  /** `raw(to) = Σ w · s(from)` — one keyed join + one sum-aggregate. */
+  /** `raw(to) = Σ w · s(from)` — one keyed join + one sum-aggregate.
+    * With `checkCoverage` the join is LEFT and an unmatched `from`
+    * endpoint raises in the score operand (the `when` keeps the join
+    * an outer one — the predicate tolerates the null — and the raise
+    * sits inside an expression the aggregate consumes, so pruning
+    * can never drop it).
+    */
   private def halfStep(ew: DataFrame, s: DataFrame,
-      from: String, to: String): DataFrame =
-    ew.join(s, ew(from) === s("node"))
-      .select(col(to).as("node"), (col("w") * col("s")).as("c"))
-      .groupBy(col("node")).agg(sum(col("c")).as("raw"))
+      from: String, to: String, checkCoverage: Boolean = false): DataFrame = {
+    val joined =
+      if (checkCoverage)
+        ew.join(s, ew(from) === s("node"), "left")
+          .select(col(to).as("node"),
+            (col("w") * when(s("node").isNull,
+              raise_error(lit(
+                "nodes must cover every edge endpoint (src and dst)")))
+              .otherwise(col("s"))).as("c"))
+      else
+        ew.join(s, ew(from) === s("node"))
+          .select(col(to).as("node"), (col("w") * col("s")).as("c"))
+    joined.groupBy(col("node")).agg(sum(col("c")).as("raw"))
+  }
 
   /** MAX-normalize to `scale` over the node set (absent nodes get 0);
     * the max is a 1-row broadcast. An all-zero round (possible only on

@@ -30,24 +30,39 @@ object Frontier {
     */
   /** Side tables joined onto the URL relation are host-grained BY
     * CONTRACT — a duplicate host row would silently multiply every
-    * URL of that host through the schedule window. Enforced up front
-    * with the bounded stop-at-first-dup job
-    * [[graft.graph.Redirects.resolve]] uses for its functionality
-    * check (the tables are host-grained and broadcast-sized, so the
-    * probe is control-plane cheap).
+    * URL of that host through the schedule window. Enforced IN-PLAN
+    * (r12, the VERDICT-r11 probe-cost item — the r11 eager probe job
+    * was q152's only >2× bench regression): the side table folds to
+    * one row per host with a dup counter, and the JOIN KEY itself
+    * `raise_error`s when the counter exceeds 1. Zero extra jobs — the
+    * groupBy runs on the broadcast-sized side inside the query the
+    * caller already pays — and the check is structurally unprunable:
+    * the key expression feeds the join, so no downstream column
+    * selection can optimize it away (unlike a check riding a payload
+    * column). A duplicate therefore still fails loudly and
+    * UNCONDITIONALLY, at first execution rather than at call time; a
+    * single null-host row passes exactly as before (null joins
+    * nothing). Output is `(__key, valueCol)` with the value renamed
+    * to `valueCol`'s name, extra input columns dropped (the schedule
+    * contract uses exactly host + value).
     */
-  private def requireOneRowPerHost(
-      t: DataFrame, hostCol: String, what: String): Unit =
-    require(t.groupBy(col(hostCol)).count()
-        .filter(col("count") > 1).limit(1).count() == 0L,
-      s"$what must have exactly one row per host")
+  private def oneRowPerHostKeyed(t: DataFrame, hostCol: String,
+      valueCol: Column, valueName: String, keyName: String,
+      what: String): DataFrame =
+    t.groupBy(col(hostCol))
+      .agg(first(valueCol).as(valueName), count(lit(1)).as("__dupc"))
+      .select(
+        when(col("__dupc") > 1,
+          raise_error(lit(s"$what must have exactly one row per host")))
+          .otherwise(col(hostCol)).as(keyName),
+        col(valueName))
 
   def schedule(urls: DataFrame, idCol: String, hostCol: String,
       priorityCol: Column, delays: DataFrame, defaultDelayMs: Long,
       maxPerHost: Int): DataFrame = {
     require(maxPerHost > 0, s"maxPerHost must be positive: $maxPerHost")
-    requireOneRowPerHost(delays, hostCol, "delays")
-    val d = delays.withColumnRenamed(hostCol, "__dhost")
+    val d = oneRowPerHostKeyed(delays, hostCol,
+      col("delay_ms"), "delay_ms", "__dhost", "delays")
     val w = Window.partitionBy(col(hostCol))
       .orderBy(priorityCol.desc, col(idCol).asc)
     urls
@@ -220,11 +235,10 @@ object Frontier {
       budgets: DataFrame, bHostCol: String, quotaCol: String,
       hardCap: Int): DataFrame = {
     require(hardCap > 0, s"hardCap must be positive: $hardCap")
-    requireOneRowPerHost(delays, hostCol, "delays")
-    requireOneRowPerHost(budgets, bHostCol, "budgets")
-    val d = delays.withColumnRenamed(hostCol, "__dhost")
-    val b = budgets.select(col(bHostCol).as("__bhost"),
-      col(quotaCol).cast("long").as("__quota"))
+    val d = oneRowPerHostKeyed(delays, hostCol,
+      col("delay_ms"), "delay_ms", "__dhost", "delays")
+    val b = oneRowPerHostKeyed(budgets, bHostCol,
+      col(quotaCol).cast("long"), "__quota", "__bhost", "budgets")
     val w = Window.partitionBy(col(hostCol))
       .orderBy(priorityCol.desc, col(idCol).asc)
     urls

@@ -132,25 +132,43 @@ class AnchorFrontierSpec extends SparkSpec {
   }
 
   test("schedule/scheduleBudgeted: duplicate host rows in a side table are rejected") {
+    // enforcement is IN-PLAN since r12 (raise_error on the join key —
+    // zero probe jobs), so the dup fails at first EXECUTION rather
+    // than at call time, wrapped by Spark's task-failure chain
+    def chain(t: Throwable): String = {
+      var m = ""
+      var c: Throwable = t
+      while (c != null) { m += Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m
+    }
     val urls = Seq((1L, "h1", 1L)).toDF("id", "host", "priority")
     val delays = Seq(("h1", 100L)).toDF("host", "delay_ms")
     val dupDelays = Seq(("h1", 100L), ("h1", 200L)).toDF("host", "delay_ms")
     val dupBudgets = Seq(("h1", 3L), ("h1", 4L)).toDF("host", "quota")
-    val e1 = intercept[IllegalArgumentException] {
+    val e1 = intercept[Exception] {
       Frontier.schedule(urls, "id", "host", $"priority", dupDelays, 1000L, 4)
+        .collect()
     }
-    assert(e1.getMessage.contains("one row per host"))
-    val e2 = intercept[IllegalArgumentException] {
+    assert(chain(e1).contains("delays must have exactly one row per host"))
+    val e2 = intercept[Exception] {
       Frontier.scheduleBudgeted(urls, "id", "host", $"priority",
         dupDelays, 1000L, Seq(("h1", 3L)).toDF("host", "quota"),
-        "host", "quota", hardCap = 10)
+        "host", "quota", hardCap = 10).collect()
     }
-    assert(e2.getMessage.contains("delays"))
-    val e3 = intercept[IllegalArgumentException] {
+    assert(chain(e2).contains("delays must have exactly one row per host"))
+    val e3 = intercept[Exception] {
       Frontier.scheduleBudgeted(urls, "id", "host", $"priority",
-        delays, 1000L, dupBudgets, "host", "quota", hardCap = 10)
+        delays, 1000L, dupBudgets, "host", "quota", hardCap = 10).collect()
     }
-    assert(e3.getMessage.contains("budgets"))
+    assert(chain(e3).contains("budgets must have exactly one row per host"))
+    // the dup check must NOT be prunable away: selecting only columns
+    // that never touch the side table still trips it (the raise rides
+    // the join key, not a payload column)
+    val e4 = intercept[Exception] {
+      Frontier.schedule(urls, "id", "host", $"priority", dupDelays, 1000L, 4)
+        .select($"id").collect()
+    }
+    assert(chain(e4).contains("one row per host"))
   }
 
   test("statusTriage: class boundaries, ppm exactness, backoff threshold, out-of-range statuses") {

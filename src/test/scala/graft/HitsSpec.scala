@@ -63,10 +63,26 @@ class HitsSpec extends SparkSpec {
   }
 
   test("edge endpoints absent from the node set are rejected") {
-    val ex = intercept[IllegalArgumentException] {
+    // coverage enforcement rides the first round's half-step joins
+    // (raise_error on the unmatched side — zero probe jobs), so it
+    // surfaces through Spark's task-failure chain when the first
+    // rescale's localCheckpoint executes — still eagerly, inside the
+    // scores() call itself
+    def chain(t: Throwable): String = {
+      var m = ""
+      var c: Throwable = t
+      while (c != null) { m += Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m
+    }
+    val ex = intercept[Exception] {
       run(Seq("a", "b"), Seq(("a", "b", 1L), ("a", "ghost", 1L)), 1)
     }
-    assert(ex.getMessage.contains("endpoint"))
+    assert(chain(ex).contains("endpoint"))
+    // missing SRC endpoint trips the other half-step's check
+    val ex2 = intercept[Exception] {
+      run(Seq("a", "b"), Seq(("a", "b", 1L), ("ghost", "b", 1L)), 1)
+    }
+    assert(chain(ex2).contains("endpoint"))
   }
 
   test("scale^2 * total weight overflow is rejected up front") {
