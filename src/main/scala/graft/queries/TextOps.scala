@@ -882,6 +882,48 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    // ---- WARC write→read round trip through the DSv2 SINK (q179
+    // enters from a hand-built store; this gate exercises the write
+    // half as the data path): documents → `df.write.format("warc")`
+    // with partitionByHost (hive `host=` layout), record-gzip members
+    // (the splittable compressed form), and mode("overwrite")
+    // (SupportsTruncate) — then read back under a pushed host-prefix
+    // filter with splits forced to land mid-member, against the same
+    // documents-derived oracle. The store is rewritten EVERY
+    // invocation (overwrite), so the gate times the real write+read
+    // loop and a scale change can never serve a stale store; one
+    // repartition(host) first so each host lands as one segment file
+    // (the production layout, not one-file-per-task-per-host).
+    "q187_warc_write_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val payload = when($"doc_id" % 17 === 0,
+        concat(lit("WARC/1.0\r\n"), $"text")).otherwise($"text")
+      val root = "/tmp/graft_warc_wstore"
+      docs.select(
+          concat($"source", lit(".ex.test")).as("host"),
+          lit("response").as("warc_type"),
+          concat(lit("https://"), $"source", lit(".ex.test/doc/"), $"doc_id")
+            .as("target_uri"),
+          lit("2026-08-15T00:00:00Z").as("warc_date"),
+          payload.cast("binary").as("payload"))
+        .repartition($"host")
+        .write.format("warc")
+        .option("partitionByHost", "true")
+        .option("compress", "record-gzip")
+        .mode("overwrite").save(root)
+      s.read.format("warc")
+        .option("maxSplitBytes", 4096).option("recordGzip", true)
+        .load(root)
+        .where($"host".startsWith("src1"))
+        .select(
+          regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          $"host",
+          octet_length($"payload").cast("long").as("n_bytes"),
+          md5($"payload").as("payload_md5"))
+        .orderBy($"doc_id")
+    },
+
     // ---- DSIR bucket panel (Xie et al. 2023 — targeted data
     // selection; q71 gates the ONE-SHOT fit-and-score law, this pair
     // gates the SPLIT-PHASE deployment form): per-bucket
@@ -2642,6 +2684,22 @@ object TextOps {
     // gate proves the write→split→sync→parse→filter loop reproduces
     // the source rows.
     "q179_warc_source" ->
+      """SELECT doc_id, source || '.ex.test' AS host,
+        |  CAST(strlen(payload) AS BIGINT) AS n_bytes,
+        |  md5(payload) AS payload_md5
+        |FROM (SELECT doc_id, source,
+        |        CASE WHEN doc_id % 17 = 0
+        |             THEN 'WARC/1.0' || chr(13) || chr(10) || text
+        |             ELSE text END AS payload
+        |      FROM documents)
+        |WHERE source LIKE 'src1%'
+        |ORDER BY doc_id""".stripMargin,
+
+    // write→read mirror: identical derivation — the engine side goes
+    // documents → warc sink (host= layout, record-gzip, overwrite) →
+    // warc source under the pushed filter, so equality proves the
+    // WRITE half round-trips byte-exactly too.
+    "q187_warc_write_roundtrip" ->
       """SELECT doc_id, source || '.ex.test' AS host,
         |  CAST(strlen(payload) AS BIGINT) AS n_bytes,
         |  md5(payload) AS payload_md5

@@ -4,7 +4,6 @@ import java.util.{Locale, Map => JMap}
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FSDataInputStream, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -81,18 +80,16 @@ object WarcDataSource {
 
   /** Load paths from DSv2 properties: `path` (single load / SQL DDL
     * OPTIONS) or `paths` (the JSON string array `load(p1, p2, …)`
-    * sets). Paths here are plain filesystem/URI strings — commas and
-    * quotes inside them are unsupported (matching the option's
-    * producer, which never escapes them either).
+    * sets — Spark JSON-escapes each element, so paths containing
+    * commas or quotes arrive intact). Parsed with the same
+    * quote/escape-aware scanner the stream offsets use
+    * ([[WarcFilesOffset.fromJson]]) rather than a comma split, which
+    * silently shredded any path with a comma in it.
     */
   def resolvePaths(properties: JMap[String, String]): Seq[String] = {
-    val multi = Option(properties.get("paths")).map { json =>
-      val t = json.trim
-      require(t.startsWith("[") && t.endsWith("]"), s"bad paths option: $json")
-      t.substring(1, t.length - 1).split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty)
-    }.getOrElse(Nil)
+    val multi = Option(properties.get("paths"))
+      .map(json => WarcFilesOffset.fromJson(json).files.filter(_.nonEmpty))
+      .getOrElse(Nil)
     val single = Option(properties.get("path")).toSeq
     val all = (single ++ multi).distinct
     require(all.nonEmpty, "the warc source requires at least one load path")
@@ -246,7 +243,9 @@ final class WarcScan(paths: Seq[String], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushed, recordGzip)
+    new WarcReaderFactory(required, pushed, recordGzip,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 final case class WarcInputPartition(path: String, start: Long, end: Long,
@@ -256,11 +255,17 @@ final case class WarcInputPartition(path: String, start: Long, end: Long,
 private[sources] final case class WarcRec(warcType: String, uri: String,
     date: String, payloadStart: Long, payloadLen: Int, next: Long)
 
+/** Created on the DRIVER (which captures the session Hadoop conf),
+  * serialized to executors with the conf inside — executor-side file
+  * opens resolve the same filesystem planning listed.
+  */
 final class WarcReaderFactory(required: StructType, pushed: Array[Filter],
-    recordGzip: Boolean = false) extends PartitionReaderFactory {
+    recordGzip: Boolean, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition], required, pushed, recordGzip)
+      partition.asInstanceOf[WarcInputPartition], required, pushed,
+      recordGzip, conf)
 }
 
 /** One split's reader: positioned reads over the Hadoop stream, sync
@@ -270,12 +275,13 @@ final class WarcReaderFactory(required: StructType, pushed: Array[Filter],
   * for records starting before `end`.
   */
 final class WarcPartitionReader(p: WarcInputPartition, required: StructType,
-    pushed: Array[Filter], recordGzip: Boolean = false)
+    pushed: Array[Filter], recordGzip: Boolean,
+    conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val in: FSDataInputStream = {
     val hp = new Path(p.path)
-    hp.getFileSystem(new Configuration()).open(hp)
+    hp.getFileSystem(conf.value).open(hp)
   }
   private val segmentU = UTF8String.fromString(p.path)
 

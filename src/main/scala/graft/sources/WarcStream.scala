@@ -65,10 +65,26 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[WarcFilesOffset].files.toSet
     val fresh = end.asInstanceOf[WarcFilesOffset].files.filterNot(seen)
+    // a path reappearing under a DIFFERENT length means the segment
+    // was appended to or overwritten in place — the immutability
+    // contract is violated, and silently replanning the whole file
+    // would re-emit every record it already produced. Fail loudly
+    // instead (the offset keys on length:path, so the violation is
+    // detectable exactly here).
+    val seenLen = seen.iterator.map { e =>
+      val i = e.indexOf(':')
+      e.substring(i + 1) -> e.substring(0, i)
+    }.toMap
     fresh.iterator.flatMap { entry =>
       val i = entry.indexOf(':')
       val len = entry.substring(0, i).toLong
       val p = entry.substring(i + 1)
+      seenLen.get(p).foreach { old =>
+        throw new IllegalStateException(
+          s"warc stream source: $p changed length ($old -> $len) after " +
+            "being processed — segment files must be immutable " +
+            "(write via temp + atomic rename, as the warc sink does)")
+      }
       val dh = WarcDataSource.dirHost(p)
       if (!splittable || (p.endsWith(".gz") && !recordGzip))
         Iterator(WarcInputPartition(p, 0L, len, len, dh))
@@ -78,7 +94,9 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushed, recordGzip)
+    new WarcReaderFactory(required, pushed, recordGzip,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -1,10 +1,10 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
+import java.io.OutputStream
 import java.util.zip.GZIPOutputStream
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
@@ -13,10 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.ingest.Warc
 
 /** The write half of `format("warc")` — `df.write.format("warc")
-  * .save(dir)`: each task serializes its partition's records through
+  * .save(dir)`: each task STREAMS its partition's records through
   * [[Warc.format]] (byte-identical to the codec the reader and the
-  * blob path parse), so a corpus written here round-trips through
-  * either read path exactly.
+  * blob path parse) into per-key temp files, so a corpus written here
+  * round-trips through either read path exactly and a multi-GB task
+  * partition never buffers on-heap (records flow straight to the
+  * filesystem stream; only the open stream handles live in memory).
   *
   * Input columns: `warc_type`, `target_uri`, `warc_date` (strings,
   * null → empty) and `payload` (binary, null → empty). An optional
@@ -24,35 +26,77 @@ import graft.ingest.Warc
   * writes the hive-layout store (`host=<h>/part-*.warc`) whose
   * directories the read side prunes — the layout a 100 TB crawl
   * store wants. `option("compress", "gzip")` emits `.warc.gz`
-  * segments (JDK gzip; the reader treats them as whole-file splits).
+  * segments (JDK gzip; the reader treats them as whole-file splits);
+  * `option("compress", "record-gzip")` emits one gzip member per
+  * record — the CommonCrawl layout the reader can split.
+  *
+  * `mode("overwrite")` truncates: existing data files under the
+  * target (and its `host=` subdirectories) are deleted on the driver
+  * when the batch write is planned — before any task runs, non-atomic
+  * by design (the same visibility window every non-transactional file
+  * sink has; the [[graft.streaming.DurableLedger]] seam is the
+  * transactional alternative). Dotfiles/underscore files are spared,
+  * matching what the read side ignores.
   *
   * Task commit protocol: every attempt writes to a UNIQUE temp file
   * and renames into place on task commit (rename is the publish —
   * speculative duplicates of one task collide on the same final name,
   * first wins, the loser's rename failure aborts a file that is
-  * byte-identical anyway); job abort deletes temps. No job-level
-  * manifest: a WARC store is append-shaped, and readers list files,
-  * never a log — the [[graft.streaming.DurableLedger]] seam is the
-  * transactional alternative when one is needed.
+  * byte-identical anyway); job abort deletes temps. All file access
+  * goes through the SESSION Hadoop conf captured at planning
+  * ([[SerializableHadoopConf]]) so executors resolve the same
+  * filesystem the driver did. No job-level manifest: a WARC store is
+  * append-shaped, and readers list files, never a log.
   */
 final class WarcWriteBuilder(path: String, info: LogicalWriteInfo)
-    extends WriteBuilder {
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new WarcBatchWrite(path, info.schema(),
         partitionByHost =
           "true".equalsIgnoreCase(info.options.getOrDefault("partitionByHost", "false")),
-        compress = info.options.getOrDefault("compress", "none").toLowerCase)
+        compress = info.options.getOrDefault("compress", "none").toLowerCase,
+        truncate = doTruncate)
   }
 }
 
 final class WarcBatchWrite(path: String, schema: StructType,
-    partitionByHost: Boolean, compress: String) extends BatchWrite {
+    partitionByHost: Boolean, compress: String, truncate: Boolean)
+    extends BatchWrite {
   require(Set("none", "gzip", "record-gzip").contains(compress),
     s"compress must be none | gzip | record-gzip: $compress")
+
+  /** Delete existing DATA files (recursively; `_`/`.` names spared,
+    * the read side's ignore set) — the overwrite contract. Runs on
+    * the driver, once, before the writer factory ships.
+    */
+  private def truncateNow(conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val it = fs.listFiles(root, true)
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      val base = st.getPath.getName
+      if (st.isFile && !base.startsWith("_") && !base.startsWith("."))
+        doomed += st.getPath
+    }
+    doomed.foreach(fs.delete(_, false))
+  }
+
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
-    new WarcWriterFactory(path, schema, partitionByHost, compress)
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    if (truncate) truncateNow(conf.value)
+    new WarcWriterFactory(path, schema, partitionByHost, compress, conf)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -61,19 +105,24 @@ private final case class WarcCommit(files: Seq[String])
     extends WriterCommitMessage
 
 final class WarcWriterFactory(path: String, schema: StructType,
-    partitionByHost: Boolean, compress: String) extends DataWriterFactory {
+    partitionByHost: Boolean, compress: String, conf: SerializableHadoopConf)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new WarcDataWriter(path, schema, partitionByHost, compress,
-      partitionId, taskId)
+      partitionId, taskId, conf)
 }
 
-/** Buffers records per output file (one per host under
-  * `partitionByHost`, else one per task), serializes with
-  * [[Warc.format]], publishes via temp-write + rename on commit.
+/** Streams records per output file (one per host under
+  * `partitionByHost`, else one per task): the temp file opens at the
+  * key's FIRST record and every record's bytes go straight through it
+  * ([[Warc.format]], gzip-wrapped when whole-file compression is on),
+  * so task memory holds open streams, never content. Publish is
+  * temp-write + rename on commit.
   */
 final class WarcDataWriter(path: String, schema: StructType,
-    partitionByHost: Boolean, compress: String, partitionId: Int, taskId: Long)
+    partitionByHost: Boolean, compress: String, partitionId: Int, taskId: Long,
+    conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
   private val gzip = compress == "gzip"
@@ -89,9 +138,11 @@ final class WarcDataWriter(path: String, schema: StructType,
   require(!partitionByHost || idx("host") >= 0,
     "partitionByHost requires a host column")
 
-  private val buffers =
-    scala.collection.mutable.LinkedHashMap.empty[String, ByteArrayOutputStream]
-  private val temps = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+  /** key → (temp path, final path, open stream). LinkedHashMap keeps
+    * commit order deterministic.
+    */
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, (Path, Path, OutputStream)]
 
   private def str(row: InternalRow, name: String): String = {
     val i = idx(name)
@@ -99,6 +150,18 @@ final class WarcDataWriter(path: String, schema: StructType,
     else row.get(i, org.apache.spark.sql.types.StringType)
       .asInstanceOf[UTF8String].toString
   }
+
+  private def streamFor(key: String): OutputStream =
+    open.getOrElseUpdate(key, {
+      val dir = if (partitionByHost) s"$path/host=$key" else path
+      val ext = if (gzip || recordGzip) ".warc.gz" else ".warc"
+      val fin = new Path(dir, f"part-$partitionId%05d-$taskId$ext")
+      val tmp = new Path(dir, s".part-$partitionId-$taskId-${System.nanoTime()}.tmp")
+      val fs = fin.getFileSystem(conf.value)
+      val raw = fs.create(tmp, true)
+      val out: OutputStream = if (gzip) new GZIPOutputStream(raw) else raw
+      (tmp, fin, out)
+    })._3
 
   override def write(row: InternalRow): Unit = {
     val payload =
@@ -110,26 +173,13 @@ final class WarcDataWriter(path: String, schema: StructType,
     val key = if (partitionByHost) str(row, "host") else ""
     // record-gzip: each record is its OWN gzip member (the CommonCrawl
     // layout — the read side can then split the compressed file)
-    val bytes = if (recordGzip) GzipMembers.gzipMember(rec) else rec
-    buffers.getOrElseUpdate(key, new ByteArrayOutputStream()).write(bytes)
+    streamFor(key).write(if (recordGzip) GzipMembers.gzipMember(rec) else rec)
   }
 
   override def commit(): WriterCommitMessage = {
-    val conf = new Configuration()
-    val ext = if (gzip || recordGzip) ".warc.gz" else ".warc"
-    val files = buffers.map { case (key, bos) =>
-      val dir = if (partitionByHost) s"$path/host=$key" else path
-      val fin = new Path(dir, f"part-$partitionId%05d-$taskId$ext")
-      val tmp = new Path(dir, s".part-$partitionId-$taskId-${System.nanoTime()}.tmp")
-      val fs = fin.getFileSystem(conf)
-      val out = fs.create(tmp, true)
-      try {
-        if (gzip) {
-          val gz = new GZIPOutputStream(out)
-          gz.write(bos.toByteArray); gz.finish(); gz.close()
-        } else { out.write(bos.toByteArray); out.close() }
-      } finally scala.util.Try(out.close())
-      temps += ((tmp, fin))
+    val files = open.map { case (_, (tmp, fin, out)) =>
+      out.close() // GZIPOutputStream.close finishes the member
+      val fs = fin.getFileSystem(conf.value)
       if (!fs.rename(tmp, fin)) {
         // a speculative twin already published this task's file; the
         // content is a pure function of the partition, so drop ours
@@ -137,15 +187,23 @@ final class WarcDataWriter(path: String, schema: StructType,
       }
       fin.toString
     }.toSeq
+    open.clear()
     WarcCommit(files)
   }
 
   override def abort(): Unit = {
-    val conf = new Configuration()
-    temps.foreach { case (tmp, _) =>
-      scala.util.Try(tmp.getFileSystem(conf).delete(tmp, false))
+    open.values.foreach { case (tmp, _, out) =>
+      scala.util.Try(out.close())
+      scala.util.Try(tmp.getFileSystem(conf.value).delete(tmp, false))
     }
+    open.clear()
   }
 
-  override def close(): Unit = buffers.clear()
+  override def close(): Unit = {
+    open.values.foreach { case (tmp, _, out) =>
+      scala.util.Try(out.close())
+      scala.util.Try(tmp.getFileSystem(conf.value).delete(tmp, false))
+    }
+    open.clear()
+  }
 }

@@ -814,6 +814,11 @@ object PlanCheck {
     Expectation("q179_warc_source",
       mustContain = Seq("PushedFilters=[StringStartsWith(host,src1)"),
       mustNotContain = Seq("CartesianProduct")),
+    // write→read: the sink ran eagerly inside the gate fn; the
+    // visible plan is the read back under the pushed host filter
+    Expectation("q187_warc_write_roundtrip",
+      mustContain = Seq("PushedFilters=[StringStartsWith(host,src1)"),
+      mustNotContain = Seq("CartesianProduct")),
     // the fuse rule must rewrite the authored regex chain: the fused
     // expression present, NO regexp_replace surviving anywhere
     Expectation("q186_dedup_fuse_rule",

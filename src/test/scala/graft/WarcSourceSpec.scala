@@ -234,6 +234,105 @@ class WarcSourceSpec extends SparkSpec {
     assert(got.map(_._2).toSet.size == 10)
   }
 
+  test("overwrite mode truncates existing data files (SupportsTruncate)") {
+    val dir = Files.createTempDirectory("warcow")
+    def df(ids: Range) = ids.map(i =>
+      ("response", s"https://ow.test/$i", "d", s"p$i".getBytes(UTF_8)))
+      .toDF("warc_type", "target_uri", "warc_date", "payload")
+    df(1 to 3).write.format("warc").mode("append").save(dir.toString)
+    df(4 to 5).write.format("warc").mode("overwrite").save(dir.toString)
+    val uris = spark.read.format("warc").load(dir.toString)
+      .select($"target_uri").as[String].collect().toSet
+    assert(uris == Set("https://ow.test/4", "https://ow.test/5"),
+      "overwrite must drop the previously-written records")
+    // truncation reaches host= subdirectories too
+    val hdir = Files.createTempDirectory("warcowh")
+    def hdf(host: String, id: Int) = Seq(
+      (host, "response", s"https://$host/$id", "d", "p".getBytes(UTF_8)))
+      .toDF("host", "warc_type", "target_uri", "warc_date", "payload")
+    hdf("a.test", 1).write.format("warc")
+      .option("partitionByHost", "true").mode("append").save(hdir.toString)
+    hdf("b.test", 2).write.format("warc")
+      .option("partitionByHost", "true").mode("overwrite").save(hdir.toString)
+    assert(spark.read.format("warc").load(hdir.toString)
+      .select($"target_uri").as[String].collect().toSeq ==
+      Seq("https://b.test/2"))
+  }
+
+  test("paths with commas survive multi-path load (JSON paths option)") {
+    val d1 = store("a.warc" -> Seq(rec("https://x.test/1", "p1")))
+    val base = Files.createTempDirectory("warcc")
+    val d2 = base.resolve("part,two") // legal in URIs; the old comma
+    Files.createDirectories(d2)       // split shredded it into two paths
+    Files.write(d2.resolve("b.warc"),
+      Warc.format(Seq(rec("https://x.test/2", "p2"))))
+    val got = spark.read.format("warc").load(d1.toString, d2.toString)
+      .select($"target_uri").as[String].collect().toSet
+    assert(got == Set("https://x.test/1", "https://x.test/2"))
+  }
+
+  test("host pruning drops non-matching dirs at PLANNING: partition counts") {
+    val dir = Files.createTempDirectory("warcprune")
+    def write(host: String): java.nio.file.Path = {
+      val f = dir.resolve(s"host=$host/seg.warc")
+      Files.createDirectories(f.getParent)
+      Files.write(f, Warc.format(
+        (1 to 20).map(i => rec(s"https://$host/p/$i", "x" * 50))))
+      f
+    }
+    val fa = write("a.test")
+    val fb = write("b.test")
+    val split = 256L
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    def nSplits(f: java.nio.file.Path): Int =
+      ((Files.size(f) + split - 1) / split).toInt
+    val all = spark.read.format("warc").option("maxSplitBytes", split)
+      .load(dir.toString)
+    // unfiltered: every file contributes ceil(len/split) partitions
+    assert(scanParts(all) == nSplits(fa) + nSplits(fb))
+    // filtered: the non-matching host= directory contributes ZERO
+    // planned partitions — pruned at planInputPartitions, not merely
+    // filtered record-side
+    val one = all.where($"host" === "a.test")
+    assert(scanParts(one) == nSplits(fa),
+      "b.test's directory must be dropped at planning")
+    assert(one.count() == 20)
+  }
+
+  test("stream source fails loudly when a seen file changes length") {
+    val dir = Files.createTempDirectory("warcmut")
+    val ckpt = Files.createTempDirectory("warcmut-ckpt").toString
+    val f = dir.resolve("seg-1.warc")
+    Files.write(f, Warc.format(Seq(rec("https://m.test/1", "p1"))))
+    def start() = spark.readStream.format("warc").load(dir.toString)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.count(); ()
+      }.start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // append in place: same path, new length — the immutability
+    // contract is violated and the source must say so, not re-emit
+    Files.write(f, Warc.format(Seq(rec("https://m.test/2", "p2"))),
+      java.nio.file.StandardOpenOption.APPEND)
+    val q2 = start()
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    def chain(t: Throwable): String = {
+      var m = ""
+      var c: Throwable = t
+      while (c != null) { m += Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m
+    }
+    assert(chain(ex).contains("changed length"), chain(ex))
+    q2.stop()
+  }
+
   test("record-gzip segments: splittable compressed reads, any split size") {
     val dir = Files.createTempDirectory("warcrg")
     val in = (1 to 40).map(i =>
