@@ -148,24 +148,46 @@ object StreamCrawlControl {
     * the batch alone, so replay publishes identical rows and
     * [[DurableLedger.commit]]'s first-writer-wins keeps duplicates
     * harmless; the folded panel is one sum over the ledger. Restart
-    * is reopening the path.
+    * is reopening the path. Commits carry per-directory `host`
+    * min/max stats, so [[panelSlice]] reads prune batch directories
+    * (and the compaction segment) whose host range provably misses.
     */
   final class DurableControlSession(spark: SparkSession, path: String,
       compactEvery: Int = 0) {
 
-    def currentPanel: DataFrame =
-      DurableLedger.load(spark, path, PanelSchema)
-        .groupBy(col("host"))
+    private def fold(ledger: DataFrame): DataFrame =
+      ledger.groupBy(col("host"))
         .agg(sum(col(PanelCols.head)).as(PanelCols.head),
-        PanelCols.tail.map(c => sum(col(c)).as(c)): _*)
+          PanelCols.tail.map(c => sum(col(c)).as(c)): _*)
+
+    def currentPanel: DataFrame =
+      fold(DurableLedger.load(spark, path, PanelSchema))
+
+    /** The panel restricted to hosts in `[loHost, hiHost]` — the
+      * operational read ("how is this host family doing?") that pays
+      * for the stats: directories whose host range cannot overlap are
+      * never scanned ([[DurableLedger.loadWhere]]; pruning is a
+      * superset read, the real filter applies below, so results are
+      * identical with or without stats — spec-pinned, including after
+      * compaction folds the stats).
+      */
+    def panelSlice(loHost: String, hiHost: String): DataFrame =
+      fold(DurableLedger.loadWhere(spark, path, PanelSchema,
+          Seq(DurableLedger.Bound("host", Some(loHost), Some(hiHost))))
+        .filter(col("host") >= loHost && col("host") <= hiHost))
 
     def ingest(logBatch: DataFrame, batchId: Long): Unit = {
       val delta = panelOf(logBatch.select(col("host"), col("status")),
         "host", "status")
-      DurableLedger.commit(delta, path, batchId)
+      DurableLedger.commit(delta, path, batchId, statsCols = Seq("host"))
       if (compactEvery > 0)
         DurableLedger.maybeCompact(spark, path, PanelSchema, compactEvery)
     }
+
+    /** Out-of-band compaction (the maintenance turn when
+      * `compactEvery` is off). Returns folded directory count.
+      */
+    def compactNow(): Int = DurableLedger.compact(spark, path, PanelSchema)
 
     def nextWave(backoffPpm: Long, urls: DataFrame, idCol: String,
         uHostCol: String, priorityCol: org.apache.spark.sql.Column,

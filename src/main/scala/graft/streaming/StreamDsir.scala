@@ -61,25 +61,47 @@ object StreamDsir {
     StructField("r_count", LongType)))
 
   /** Durable twin: fixed `(text, is_target)` input columns; each batch
-    * commits its delta panel, restart is reopening the path.
+    * commits its delta panel, restart is reopening the path. Commits
+    * carry per-directory `bucket` min/max stats so [[panelForBuckets]]
+    * prunes directories whose bucket range provably misses.
     */
   final class DurableDsirSession(spark: SparkSession, path: String,
       buckets: Int, compactEvery: Int = 0) {
 
-    def currentPanel: DataFrame =
-      DurableLedger.load(spark, path, PanelSchema)
-        .groupBy(col("bucket"))
+    private def fold(ledger: DataFrame): DataFrame =
+      ledger.groupBy(col("bucket"))
         .agg(sum(col("t_count")).as("t_count"),
           sum(col("r_count")).as("r_count"))
+
+    def currentPanel: DataFrame =
+      fold(DurableLedger.load(spark, path, PanelSchema))
+
+    /** The panel restricted to buckets in `[lo, hi]` — the diagnostic
+      * read ("which features drive this score band?") that pays for
+      * the stats: a sparse batch (few buckets touched) commits a
+      * narrow range and is skipped entirely by reads outside it
+      * ([[DurableLedger.loadWhere]]; superset read + real filter, so
+      * results are identical with or without stats — spec-pinned,
+      * including after compaction).
+      */
+    def panelForBuckets(lo: Long, hi: Long): DataFrame =
+      fold(DurableLedger.loadWhere(spark, path, PanelSchema,
+          Seq(DurableLedger.Bound("bucket", Some(lo), Some(hi))))
+        .filter(col("bucket") >= lo && col("bucket") <= hi))
 
     def ingest(docs: DataFrame, batchId: Long): Unit = {
       val delta = Dsir.bucketPanel(
         docs.select(col("text"), col("is_target")),
         "text", col("is_target") === 1, buckets)
-      DurableLedger.commit(delta, path, batchId)
+      DurableLedger.commit(delta, path, batchId, statsCols = Seq("bucket"))
       if (compactEvery > 0)
         DurableLedger.maybeCompact(spark, path, PanelSchema, compactEvery)
     }
+
+    /** Out-of-band compaction (the maintenance turn when
+      * `compactEvery` is off). Returns folded directory count.
+      */
+    def compactNow(): Int = DurableLedger.compact(spark, path, PanelSchema)
 
     def currentWeights: Array[Long] = Dsir.logRatiosE6(currentPanel, buckets)
 

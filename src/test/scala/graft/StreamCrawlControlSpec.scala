@@ -129,6 +129,39 @@ class StreamCrawlControlSpec extends SparkSpec {
     assert(w1 == w2)
   }
 
+  test("panelSlice prunes batch directories by host stats, identical results") {
+    val path = Files.createTempDirectory("crawlctl").toFile.getAbsolutePath
+    val s = new StreamCrawlControl.DurableControlSession(spark, path)
+    def log(host: String) = Seq((host, 200), (host, 503), (host, 200))
+      .toDF("host", "status")
+    s.ingest(log("apple.test"), 0L)
+    s.ingest(log("mango.test"), 1L)
+    s.ingest(log("zebra.test"), 2L)
+    def dirs(df: DataFrame): Set[String] =
+      df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+    val slice = s.panelSlice("a", "b")
+    assert(dirs(slice).size == 1,
+      s"mango/zebra batch dirs must be stats-pruned: ${dirs(slice)}")
+    def rows(df: DataFrame) =
+      df.select($"host", $"n_fetches", $"n_2xx", $"n_5xx")
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(rows(slice) ==
+      rows(s.currentPanel.filter($"host" >= "a" && $"host" <= "b")))
+    // after compaction: batches 0-1 fold into a segment carrying
+    // merged stats (apple..mango); batch 2 stays live. A high-range
+    // slice must skip the segment, a low-range one must skip batch 2,
+    // and both must equal the full-fold + filter derivation.
+    assert(s.compactNow() == 2)
+    val hi = s.panelSlice("z", "zz")
+    assert(dirs(hi).size == 1, s"segment must be stats-pruned: ${dirs(hi)}")
+    assert(rows(hi) ==
+      rows(s.currentPanel.filter($"host" >= "z" && $"host" <= "zz")))
+    val lo = s.panelSlice("a", "n")
+    assert(dirs(lo).size == 1, s"live batch 2 must be stats-pruned: ${dirs(lo)}")
+    assert(rows(lo) ==
+      rows(s.currentPanel.filter($"host" >= "a" && $"host" <= "n")))
+  }
+
   test("durable session compacts without changing the panel") {
     val path = Files.createTempDirectory("crawlctl").toFile.getAbsolutePath
     val s = new StreamCrawlControl.DurableControlSession(spark, path,

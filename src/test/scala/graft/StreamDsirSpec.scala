@@ -49,4 +49,42 @@ class StreamDsirSpec extends SparkSpec {
       Dsir.bucketPanel(docs(1 to 30), "text", $"is_t" === 1, 64), 64)
     assert(w == batch.toSeq, "durable fold ≡ batch fit")
   }
+
+  test("panelForBuckets prunes directories by bucket stats, identical results") {
+    // find single words whose buckets land in disjoint thirds of the
+    // space, by asking the SAME fold the panel uses
+    def bucketOf(word: String): Long =
+      Dsir.bucketPanel(Seq(word).toDF("text"), "text", lit(false), 256)
+        .select($"bucket").head.getLong(0)
+    val lowW = (0 to 500).iterator.map(i => s"w$i")
+      .find(bucketOf(_) < 64).get
+    val highW = (0 to 500).iterator.map(i => s"v$i")
+      .find(bucketOf(_) >= 192).get
+    def batchOf(word: String) =
+      Seq((word, 1), (word, 0)).toDF("text", "is_target")
+    val path = Files.createTempDirectory("dsirledger").toFile.getAbsolutePath
+    val s = new StreamDsir.DurableDsirSession(spark, path, buckets = 256)
+    s.ingest(batchOf(lowW), 0L)
+    s.ingest(batchOf(highW), 1L)
+    def dirs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val lo = s.panelForBuckets(0L, 63L)
+    assert(dirs(lo).size == 1,
+      s"the high-bucket batch dir must be stats-pruned: ${dirs(lo)}")
+    assert(rows(lo) ==
+      rows(s.currentPanel.filter($"bucket" <= 63)))
+    // out-of-domain range: every directory pruned, empty result
+    val none = s.panelForBuckets(300L, 400L)
+    assert(none.inputFiles.isEmpty && none.count() == 0L)
+    // compaction folds batch 0 into a segment (newest stays live);
+    // merged stats keep pruning where provable, results identical
+    assert(s.compactNow() == 1)
+    val hi = s.panelForBuckets(192L, 255L)
+    assert(dirs(hi).size == 1,
+      s"the low-bucket segment must be stats-pruned: ${dirs(hi)}")
+    assert(rows(hi) ==
+      rows(s.currentPanel.filter($"bucket" >= 192)))
+  }
 }
