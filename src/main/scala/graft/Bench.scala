@@ -67,6 +67,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       settle()
       val cal = calibrate()
+      var best = Double.MaxValue
       val reps = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         // a crashing query must NOT masquerade as a fast one: record -1
@@ -81,6 +82,16 @@ object Bench {
         // no further actions, so dropping their blocks is safe here.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // ADAPTIVE inter-rep settle (the r11 q89 watch item): a rep
+        // blowing past 3× the query's best-so-far usually means a GC
+        // or ContextCleaner landed mid-measurement — settle before the
+        // next rep so ONE accident doesn't cascade into the tail reps.
+        // Unconditional per-rep settles would add ~3 min to the run;
+        // this triggers only on the pathological case it repairs.
+        if (ok) {
+          if (best < Double.MaxValue && dt > 3 * best) settle()
+          best = math.min(best, dt)
+        }
         if (ok) dt else -1.0
       }
       (name, if (reps.contains(-1.0)) -1.0 else reps.sorted.apply(2), reps, cal)
@@ -134,8 +145,23 @@ object Bench {
     // per-rep raws, and the calibration series all live in
     // BENCH_DETAIL.json (written above) — the stdout line carries just
     // the headline totals the driver plots.
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"value_norm":${f"$totalNorm%.3f"},"cal_ref":${f"$calRef%.3f"},"cal_min":${f"${calSorted.head}%.3f"},"cal_max":${f"${calSorted.last}%.3f"},"n_queries":${results.size},"unit":"sec","detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f"$total%.3f"},"value_norm":${f"$totalNorm%.3f"},"cal_ref":${f"$calRef%.3f"},"cal_min":${f"${calSorted.head}%.3f"},"cal_max":${f"${calSorted.last}%.3f"},"n_queries":${results.size},"unit":"sec","detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    println(line)
+    // Bare-file handshake: eleven rounds of the driver recording
+    // `"parsed": null` even after the line shrank under its ~2 KB
+    // stdout tail window — the remaining suspect is sbt's `[info] `
+    // decoration on every logged stdout line. Two undecorated copies:
+    // (1) the same JSON as a sidecar file next to BENCH_DETAIL.json;
+    // (2) a raw write to file descriptor 1 AFTER spark.stop(), which
+    // bypasses System.out (sbt swaps that for its logger; the fd
+    // itself still reaches the real process stdout), so the line
+    // lands in the tail with no prefix.
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_TOTAL.json"), line + "\n")
     spark.stop()
+    val fd = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    fd.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    fd.flush()
   }
 }
