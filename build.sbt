@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run JVM's stdout normally pipes through sbt's logger,
+// which prefixes EVERY line with "[info] " — the decoration that kept
+// the driver's bench-line parser at "parsed": null for eleven rounds
+// (even a raw FileDescriptor.out write can't escape a piped child
+// process). StdoutOutput wires the child straight to sbt's own
+// stdout/stderr, so graft.Bench's totals JSON reaches the driver's
+// tail capture bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
