@@ -61,7 +61,16 @@ object GzipMembers {
           inPos += chunk.length
           fed += chunk.length
         }
-        val n = inf.inflate(outBuf)
+        // a FALSE magic candidate (a `1f 8b 08` triple inside some
+        // real member's compressed data) usually yields garbage
+        // deflate that THROWS DataFormatException rather than
+        // decoding to a CRC mismatch — that is "not a valid member",
+        // the null contract, not a task failure (r12: a split-sync
+        // scan crashed on exactly this, surfacing only under layouts
+        // whose record order produced the false triple)
+        val n =
+          try inf.inflate(outBuf)
+          catch { case _: java.util.zip.DataFormatException => return null }
         if (n == 0 && inf.needsDictionary()) return null
         out.write(outBuf, 0, n)
         if (out.size() > maxOut) return null

@@ -48,7 +48,14 @@ object ShuffleAudit {
     println(f"${"query"}%-28s ${"rows"}%10s ${"shuffle_w"}%12s ${"shuffle_r"}%12s ${"spill"}%12s")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       metrics.reset()
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val rows = try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          // -1 in the rows column plus the WHY: a silent -1 cost a
+          // debugging round (r12: q187's failure here was invisible)
+          System.err.println(s"[audit] $name failed: " +
+            s"${e.toString.linesIterator.next().take(300)}")
+          -1L
+      }
       // listener events are posted asynchronously; give the bus a moment
       // (listenerBus.waitUntilEmpty is private[spark])
       Thread.sleep(300)

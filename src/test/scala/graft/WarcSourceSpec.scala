@@ -384,6 +384,19 @@ class WarcSourceSpec extends SparkSpec {
     assert(graft.sources.GzipMembers.readMember(readBad, 0L, bad.length.toLong) == null)
     // truncated member → rejected
     assert(graft.sources.GzipMembers.readMember(read, 0L, member.length - 4L) == null)
+    // a FALSE magic candidate whose deflate body is invalid (stored
+    // block with LEN/NLEN mismatch — the exact shape a 1f 8b 08
+    // triple inside real compressed data produces) must return null,
+    // never throw: the split-sync scan probes arbitrary offsets and a
+    // DataFormatException there killed the task (r12 regression fix)
+    val falseCandidate = Array[Byte](
+      0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0, // header
+      0x01, 0x01, 0x00, 0x00, 0x00, // stored block, NLEN != ~LEN
+      0, 0, 0, 0, 0, 0, 0, 0) // "trailer" padding
+    val readFalse = (o: Long, l: Int) =>
+      java.util.Arrays.copyOfRange(falseCandidate, o.toInt, o.toInt + l)
+    assert(graft.sources.GzipMembers.readMember(
+      readFalse, 0L, falseCandidate.length.toLong) == null)
   }
 
   test("multi-path load and SQL DDL (CREATE TABLE USING warc)") {
