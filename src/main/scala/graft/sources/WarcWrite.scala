@@ -39,14 +39,27 @@ import graft.ingest.Warc
   * matching what the read side ignores.
   *
   * Task commit protocol: every attempt writes to a UNIQUE temp file
-  * and renames into place on task commit (rename is the publish —
-  * speculative duplicates of one task collide on the same final name,
-  * first wins, the loser's rename failure aborts a file that is
-  * byte-identical anyway); job abort deletes temps. All file access
-  * goes through the SESSION Hadoop conf captured at planning
-  * ([[SerializableHadoopConf]]) so executors resolve the same
-  * filesystem the driver did. No job-level manifest: a WARC store is
-  * append-shaped, and readers list files, never a log.
+  * and renames into place on task commit. The FINAL name is a pure
+  * function of (write job, partition) — `part-<job uuid>-p<id>` for
+  * batch, `part-<query id>-e<epoch>-p<id>` for streaming — so rename
+  * is the idempotency line: speculative attempts of one task, and
+  * streaming REPLAYS of one epoch after a restart, collide on the
+  * same final name and the loser drops a byte-identical file (the
+  * pre-r12 name embedded the per-ATTEMPT task id, which made
+  * speculative twins publish under two names — a silent duplicate on
+  * any cluster with speculation on). Job abort deletes temps. All
+  * file access goes through the SESSION Hadoop conf captured at
+  * planning ([[SerializableHadoopConf]]) so executors resolve the
+  * same filesystem the driver did. No job-level manifest: a WARC
+  * store is append-shaped, and readers list files, never a log.
+  *
+  * `df.writeStream.format("warc")` (append mode) archives a live
+  * stream into the same store layout: one file set per micro-batch,
+  * epoch-deterministic names, replay-idempotent by the rename
+  * protocol under Structured Streaming's deterministic-batch
+  * contract. The store then feeds `readStream.format("warc")`
+  * downstream — the crawl → archive → extract loop entirely on this
+  * source.
   */
 final class WarcWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -55,13 +68,22 @@ final class WarcWriteBuilder(path: String, info: LogicalWriteInfo)
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  private def partitionByHost =
+    "true".equalsIgnoreCase(info.options.getOrDefault("partitionByHost", "false"))
+  private def compress =
+    info.options.getOrDefault("compress", "none").toLowerCase
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new WarcBatchWrite(path, info.schema(),
-        partitionByHost =
-          "true".equalsIgnoreCase(info.options.getOrDefault("partitionByHost", "false")),
-        compress = info.options.getOrDefault("compress", "none").toLowerCase,
+      new WarcBatchWrite(path, info.schema(), partitionByHost, compress,
         truncate = doTruncate)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!doTruncate,
+        "the warc sink is append-only as a streaming sink (no complete/truncate mode)")
+      new WarcStreamingWrite(path, info.schema(), partitionByHost, compress,
+        info.queryId())
+    }
   }
 }
 
@@ -90,12 +112,17 @@ final class WarcBatchWrite(path: String, schema: StructType,
     doomed.foreach(fs.delete(_, false))
   }
 
+  // one tag per write JOB (driver-side): attempts of a task share it,
+  // separate appends to the same store do not
+  private val jobTag =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
     if (truncate) truncateNow(conf.value)
-    new WarcWriterFactory(path, schema, partitionByHost, compress, conf)
+    new WarcWriterFactory(path, schema, partitionByHost, compress, jobTag, conf)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -105,12 +132,52 @@ private final case class WarcCommit(files: Seq[String])
     extends WriterCommitMessage
 
 final class WarcWriterFactory(path: String, schema: StructType,
-    partitionByHost: Boolean, compress: String, conf: SerializableHadoopConf)
+    partitionByHost: Boolean, compress: String, jobTag: String,
+    conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new WarcDataWriter(path, schema, partitionByHost, compress,
-      partitionId, taskId, conf)
+      fileTag = f"$jobTag-p$partitionId%05d", conf)
+}
+
+/** Streaming half of the sink: epoch-deterministic file names
+  * (`part-<queryId8>-e<epoch>-p<partition>`), so a replayed
+  * micro-batch after restart re-derives the same names and the
+  * rename protocol drops the duplicates — exactly-once files under
+  * Structured Streaming's deterministic-batch contract. The query id
+  * is checkpoint-stable (restarts keep it), so two DIFFERENT queries
+  * appending to one store can never collide. Epoch commit is the
+  * task-level rename; `commit(epochId)` has nothing left to do.
+  */
+final class WarcStreamingWrite(path: String, schema: StructType,
+    partitionByHost: Boolean, compress: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  require(Set("none", "gzip", "record-gzip").contains(compress),
+    s"compress must be none | gzip | record-gzip: $compress")
+  private val qTag = queryId.replace("-", "").take(8)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    new WarcStreamingWriterFactory(path, schema, partitionByHost, compress,
+      qTag, conf)
+  }
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class WarcStreamingWriterFactory(path: String, schema: StructType,
+    partitionByHost: Boolean, compress: String, qTag: String,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(path, schema, partitionByHost, compress,
+      fileTag = f"$qTag-e$epochId-p$partitionId%05d", conf)
 }
 
 /** Streams records per output file (one per host under
@@ -118,10 +185,12 @@ final class WarcWriterFactory(path: String, schema: StructType,
   * key's FIRST record and every record's bytes go straight through it
   * ([[Warc.format]], gzip-wrapped when whole-file compression is on),
   * so task memory holds open streams, never content. Publish is
-  * temp-write + rename on commit.
+  * temp-write + rename on commit; `fileTag` IS the final name's
+  * identity (`part-<fileTag>`), deterministic across attempts and
+  * replays — see the rename-idempotency protocol in the builder doc.
   */
 final class WarcDataWriter(path: String, schema: StructType,
-    partitionByHost: Boolean, compress: String, partitionId: Int, taskId: Long,
+    partitionByHost: Boolean, compress: String, fileTag: String,
     conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
@@ -155,8 +224,9 @@ final class WarcDataWriter(path: String, schema: StructType,
     open.getOrElseUpdate(key, {
       val dir = if (partitionByHost) s"$path/host=$key" else path
       val ext = if (gzip || recordGzip) ".warc.gz" else ".warc"
-      val fin = new Path(dir, f"part-$partitionId%05d-$taskId$ext")
-      val tmp = new Path(dir, s".part-$partitionId-$taskId-${System.nanoTime()}.tmp")
+      val fin = new Path(dir, s"part-$fileTag$ext")
+      val tmp = new Path(dir,
+        s".part-$fileTag-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val fs = fin.getFileSystem(conf.value)
       val raw = fs.create(tmp, true)
       val out: OutputStream = if (gzip) new GZIPOutputStream(raw) else raw

@@ -333,6 +333,90 @@ class WarcSourceSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("speculative twin attempts collide on the final name: one file, no dups") {
+    val dir = Files.createTempDirectory("warcspec")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("warc_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("target_uri",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("warc_date",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType)))
+    val conf = new graft.sources.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    def row(i: Int) = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("response"),
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"https://s.test/$i"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("d"),
+      s"p$i".getBytes(UTF_8))
+    // two ATTEMPTS of the same task share the fileTag (the job+partition
+    // identity); both write identical content, both commit — rename
+    // first-wins must leave exactly ONE published file
+    def attempt(): Unit = {
+      val w = new graft.sources.WarcDataWriter(dir.toString, schema,
+        partitionByHost = false, compress = "none", fileTag = "job1-p00001",
+        conf = conf)
+      (1 to 3).foreach(i => w.write(row(i)))
+      w.commit(); w.close()
+    }
+    attempt(); attempt()
+    val files = Files.list(dir).toArray.map(_.toString)
+      .filterNot(f => f.contains("/.") || f.contains("/_"))
+    assert(files.length == 1, s"one published file expected: ${files.toSeq}")
+    val uris = spark.read.format("warc").load(dir.toString)
+      .select($"target_uri").as[String].collect().sorted.toSeq
+    assert(uris == (1 to 3).map(i => s"https://s.test/$i"),
+      "records exactly once despite two committed attempts")
+  }
+
+  test("writeStream.format(warc): live archive, restart appends, no dups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{concat, lit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("warcssink").toString
+    val ckpt = Files.createTempDirectory("warcssink-ckpt").toString
+    val stream = MemoryStream[(String, Int)]
+    def archive() = stream.toDF().toDF("host", "i")
+      .select($"host",
+        lit("response").as("warc_type"),
+        concat(lit("https://"), $"host", lit("/"), $"i").as("target_uri"),
+        lit("2026-08-16T00:00:00Z").as("warc_date"),
+        concat(lit("payload "), $"i").cast("binary").as("payload"))
+      .writeStream.format("warc")
+      .option("partitionByHost", "true")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(dir)
+    val q1 = archive()
+    stream.addData(("a.test", 1), ("a.test", 2), ("b.test", 3))
+    q1.processAllAvailable()
+    stream.addData(("b.test", 4))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: committed epochs are not replayed,
+    // a new batch lands under a new epoch name
+    val q2 = archive()
+    stream.addData(("a.test", 5))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.format("warc").load(dir)
+      .select($"host", $"target_uri").as[(String, String)]
+      .collect().toSet
+    assert(got == Set(
+      ("a.test", "https://a.test/1"), ("a.test", "https://a.test/2"),
+      ("b.test", "https://b.test/3"), ("b.test", "https://b.test/4"),
+      ("a.test", "https://a.test/5")),
+      s"each record exactly once across batches and a restart: $got")
+    // epoch-deterministic names: every published file carries the
+    // query/epoch/partition identity, no attempt-unique component
+    val names = java.nio.file.Files.walk(java.nio.file.Path.of(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".warc"))
+    assert(names.nonEmpty && names.forall(_.matches(".*part-[0-9a-f]{8}-e\\d+-p\\d{5}\\.warc$")),
+      s"epoch-deterministic names expected: ${names.toSeq}")
+  }
+
   test("record-gzip segments: splittable compressed reads, any split size") {
     val dir = Files.createTempDirectory("warcrg")
     val in = (1 to 40).map(i =>
