@@ -69,6 +69,26 @@ object WebIngestDemo {
       s"${scanned.select($"segment").distinct().count()} segment files " +
       s"(${scanned.where($"host" === "src1").count()} on src1 via a pruned scan)")
 
+    // ---- the LIVE archive loop: a crawl stream lands in a second
+    // store through the STREAMING sink (epoch-deterministic file
+    // names, replay-idempotent renames) and the batch scan reads the
+    // archive back — crawl → archive → extract entirely on
+    // format("warc")
+    val liveStore = java.nio.file.Files.createTempDirectory("webingest-live").toString
+    val liveCkpt = java.nio.file.Files.createTempDirectory("webingest-ckpt").toString
+    val liveQ = spark.readStream.format("warc").load(store)
+      .select($"host", $"warc_type", $"target_uri", $"warc_date", $"payload")
+      .writeStream.format("warc")
+      .option("partitionByHost", "true")
+      .option("checkpointLocation", liveCkpt)
+      .outputMode("append")
+      .start(liveStore)
+    liveQ.processAllAvailable()
+    liveQ.stop()
+    val archived = spark.read.format("warc").load(liveStore)
+    println(s"archive: streaming sink re-archived ${archived.count()} records " +
+      s"across ${archived.select($"segment").distinct().count()} epoch files")
+
     // ---- the front door
     val responses = Warc.records(blobs, $"blob".cast("binary"))
       .select($"target_uri",
