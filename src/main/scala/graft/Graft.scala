@@ -14,9 +14,19 @@ import graft.textops.NearDup
   * graft.Graft.registerAll(spark)
   * spark.sql("SELECT graft_etld1(host), graft_emails(body) FROM corpus")
   * }}}
+  *
+  * Also delegates to [[GraftExtensions.install]] so one call gives the
+  * FULL SQL surface: the native Catalyst expressions
+  * (`graft_vocab_match`, `graft_dedup_key`) and the
+  * [[graft.plans.DedupKeyFuse]] optimizer rewrite — a SQL-first user
+  * who authors the documented dedup-key regex chain gets the fused
+  * single-scan plan without knowing the native expression exists.
+  * (Sessions built with `spark.sql.extensions=graft.GraftExtensions`
+  * already have those; the install is idempotent.)
   */
 object Graft {
   def registerAll(spark: SparkSession): Unit = {
+    GraftExtensions.install(spark)
     spark.udf.register("graft_etld1",
       (h: String) => Option(h).map(UrlUtil.etld1FromHost).orNull)
     spark.udf.register("graft_normalize_url",

@@ -27,6 +27,12 @@ class GraftSqlSpec extends SparkSpec {
     assert(row.getAs[String]("u") == "ISO%209001")
     assert(row.getAs[String]("nu") == "https://www.example.com")
     assert(row.getAs[String]("bad") == null)
+    // registerAll is the one-stop SQL surface: the native expressions
+    // and the DedupKeyFuse optimizer rewrite install with it
+    assert(spark.sql("SELECT graft_dedup_key('A, 12!') AS k")
+      .collect().head.getString(0) == "a 0")
+    assert(spark.experimental.extraOptimizations
+      .contains(graft.plans.DedupKeyFuse))
   }
 
   test("simhash + shingles from SQL") {
