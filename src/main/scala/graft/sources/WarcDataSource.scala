@@ -56,7 +56,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    copies payload bytes — `Content-Length` lets it SEEK over them,
   *    so a metadata-only query reads headers, not the corpus.
   *
-  * Options: `maxSplitBytes` (long), `splittable` (default true).
+  * Options: `maxSplitBytes` (long), `splittable` (default true),
+  * `recordGzip` (member-per-record compressed segments),
+  * `maxFilesPerTrigger` (streaming reads: admission control — at most
+  * N fresh files per micro-batch, so a backlog drains in bounded
+  * checkpointed steps; default unlimited).
   */
 final class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
@@ -193,12 +197,13 @@ final class WarcScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMa
     paths, required, pushed,
     maxSplitBytes = options.getLong("maxSplitBytes", 128L * 1024 * 1024),
     splittable = options.getBoolean("splittable", true),
-    recordGzip = options.getBoolean("recordGzip", false))
+    recordGzip = options.getBoolean("recordGzip", false),
+    maxFilesPerTrigger = options.getInt("maxFilesPerTrigger", 0))
 }
 
 final class WarcScan(paths: Seq[String], required: StructType,
     pushed: Array[Filter], maxSplitBytes: Long, splittable: Boolean,
-    recordGzip: Boolean = false)
+    recordGzip: Boolean = false, maxFilesPerTrigger: Int = 0)
     extends Scan with Batch {
   require(maxSplitBytes > 0, s"maxSplitBytes must be positive: $maxSplitBytes")
 
@@ -207,7 +212,7 @@ final class WarcScan(paths: Seq[String], required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(paths, pushed, required, maxSplitBytes,
-      splittable, recordGzip)
+      splittable, recordGzip, maxFilesPerTrigger)
   override def description(): String =
     s"WarcScan path=${paths.mkString(",")} " +
       s"PushedFilters=[${pushed.mkString(", ")}] " +

@@ -30,8 +30,9 @@ import org.apache.spark.sql.types.StructType
   */
 final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
     required: StructType, maxSplitBytes: Long, splittable: Boolean,
-    recordGzip: Boolean = false)
-    extends MicroBatchStream {
+    recordGzip: Boolean = false, maxFilesPerTrigger: Int = 0)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def listNow(): Seq[String] = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
@@ -58,6 +59,35 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
   override def initialOffset(): Offset = WarcFilesOffset(Nil)
 
   override def latestOffset(): Offset = WarcFilesOffset(listNow())
+
+  // ---- admission control: bound each micro-batch's file intake -----
+  // A restart against a year of backlog (or the first run over an
+  // existing 100 TB store) would otherwise plan ONE batch over every
+  // segment; `maxFilesPerTrigger` takes the fresh files in canonical
+  // (sorted length:path) order, N per trigger, and the offset after
+  // each batch is start ∪ taken — so the backlog drains in bounded,
+  // checkpointed steps, each exactly-once like any other batch.
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    if (maxFilesPerTrigger > 0)
+      org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .maxFiles(maxFilesPerTrigger)
+    else
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val seen = start.asInstanceOf[WarcFilesOffset].files
+    val fresh = listNow().filterNot(seen.toSet)
+    val taken = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    WarcFilesOffset((seen ++ taken).sorted)
+  }
+
+  override def reportLatestOffset(): Offset = WarcFilesOffset(listNow())
 
   override def deserializeOffset(json: String): Offset =
     WarcFilesOffset.fromJson(json)

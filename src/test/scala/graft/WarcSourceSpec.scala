@@ -303,6 +303,34 @@ class WarcSourceSpec extends SparkSpec {
     assert(one.count() == 20)
   }
 
+  test("maxFilesPerTrigger drains a backlog in bounded batches, exactly once") {
+    val dir = Files.createTempDirectory("warcadm")
+    val ckpt = Files.createTempDirectory("warcadm-ckpt").toString
+    (1 to 5).foreach { f =>
+      Files.write(dir.resolve(s"seg-$f.warc"),
+        Warc.format(Seq(rec(s"https://adm.test/$f", s"p$f"))))
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("warc")
+      .option("maxFilesPerTrigger", 2)
+      .load(dir.toString)
+      .select($"target_uri")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        got.synchronized { got ++= b.collect().map(r => (id, r.getString(0))) }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.map(_._2).sorted.toSeq ==
+      (1 to 5).map(i => s"https://adm.test/$i"),
+      s"every record exactly once: $got")
+    // 5 pre-existing files at 2 per trigger → at least 3 micro-batches
+    assert(got.map(_._1).distinct.size >= 3,
+      s"the backlog must drain in bounded steps: ${got.map(_._1).distinct}")
+  }
+
   test("stream source fails loudly when a seen file changes length") {
     val dir = Files.createTempDirectory("warcmut")
     val ckpt = Files.createTempDirectory("warcmut-ckpt").toString
