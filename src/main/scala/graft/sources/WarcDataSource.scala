@@ -153,6 +153,57 @@ object WarcDataSource {
     */
   def dirMayMatch(filters: Array[Filter], h: Option[String]): Boolean =
     h.forall(passes(filters, "host", _))
+
+  /** Prune + chunk + bin-pack: the planning pipeline shared by the
+    * batch scan and the micro-batch stream. Files are pruned by
+    * `host=` directory, split into record-boundary chunks at
+    * `maxSplitBytes` (whole-file for non-splittable/gzip-without-
+    * recordGzip), then PACKED greedily in order into bins of capacity
+    * `maxSplitBytes`, each chunk weighing `size + openCostBytes`
+    * (Spark's file-source law: the open cost keeps a bin from
+    * accumulating thousands of tiny files whose per-file open/seek
+    * dominates). A chunk always fits an empty bin; split chunks of
+    * one large file each weigh ≥ capacity with the default open cost
+    * and keep their own bins, so large-file parallelism is untouched
+    * — packing only collapses the many-small-files tail.
+    */
+  def planChunks(files: Seq[(String, Long)], pushed: Array[Filter],
+      splittable: Boolean, recordGzip: Boolean, maxSplitBytes: Long,
+      openCostBytes: Long): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val chunks = files.iterator.flatMap { case (p, len) =>
+      val dh = dirHost(p)
+      if (!dirMayMatch(pushed, dh)) Iterator.empty
+      // WHOLE-FILE gzip has no random access: single chunk, the reader
+      // decompresses through the blob parser. With recordGzip declared
+      // (one member per record — the CommonCrawl layout), member
+      // headers are validated sync points and .gz files split too.
+      else if (!splittable || (p.endsWith(".gz") && !recordGzip))
+        Iterator(WarcChunk(p, 0L, len, len, dh))
+      else (0L until len by maxSplitBytes).iterator.map(s =>
+        WarcChunk(p, s, math.min(s + maxSplitBytes, len), len, dh))
+    }.toSeq
+    pack(chunks, maxSplitBytes, openCostBytes)
+  }
+
+  /** Greedy in-order bin packing (see [[planChunks]]). */
+  def pack(chunks: Seq[WarcChunk], capacity: Long,
+      openCostBytes: Long): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val bins = ArrayBuffer.empty[org.apache.spark.sql.connector.read.InputPartition]
+    val bin = ArrayBuffer.empty[WarcChunk]
+    var used = 0L
+    def weight(c: WarcChunk): Long =
+      math.max(c.end - c.start, 0L) + math.max(openCostBytes, 0L)
+    chunks.foreach { c =>
+      if (bin.nonEmpty && used + weight(c) > capacity) {
+        bins += WarcInputPartition(bin.toSeq)
+        bin.clear(); used = 0L
+      }
+      bin += c
+      used += weight(c)
+    }
+    if (bin.nonEmpty) bins += WarcInputPartition(bin.toSeq)
+    bins.toArray
+  }
 }
 
 final class WarcTable(paths: Seq[String]) extends Table
@@ -198,12 +249,14 @@ final class WarcScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMa
     maxSplitBytes = options.getLong("maxSplitBytes", 128L * 1024 * 1024),
     splittable = options.getBoolean("splittable", true),
     recordGzip = options.getBoolean("recordGzip", false),
-    maxFilesPerTrigger = options.getInt("maxFilesPerTrigger", 0))
+    maxFilesPerTrigger = options.getInt("maxFilesPerTrigger", 0),
+    openCostBytes = options.getLong("openCostBytes", 4L * 1024 * 1024))
 }
 
 final class WarcScan(paths: Seq[String], required: StructType,
     pushed: Array[Filter], maxSplitBytes: Long, splittable: Boolean,
-    recordGzip: Boolean = false, maxFilesPerTrigger: Int = 0)
+    recordGzip: Boolean = false, maxFilesPerTrigger: Int = 0,
+    openCostBytes: Long = 4L * 1024 * 1024)
     extends Scan with Batch {
   require(maxSplitBytes > 0, s"maxSplitBytes must be positive: $maxSplitBytes")
 
@@ -212,7 +265,7 @@ final class WarcScan(paths: Seq[String], required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(paths, pushed, required, maxSplitBytes,
-      splittable, recordGzip, maxFilesPerTrigger)
+      splittable, recordGzip, maxFilesPerTrigger, openCostBytes)
   override def description(): String =
     s"WarcScan path=${paths.mkString(",")} " +
       s"PushedFilters=[${pushed.mkString(", ")}] " +
@@ -234,18 +287,8 @@ final class WarcScan(paths: Seq[String], required: StructType,
           files += ((p, st.getLen))
       }
     }
-    files.sortBy(_._1).iterator.flatMap { case (p, len) =>
-      val dh = WarcDataSource.dirHost(p)
-      if (!WarcDataSource.dirMayMatch(pushed, dh)) Iterator.empty
-      // WHOLE-FILE gzip has no random access: single split, the reader
-      // decompresses through the blob parser. With recordGzip declared
-      // (one member per record — the CommonCrawl layout), member
-      // headers are validated sync points and .gz files split too.
-      else if (!splittable || (p.endsWith(".gz") && !recordGzip))
-        Iterator(WarcInputPartition(p, 0L, len, len, dh))
-      else (0L until len by maxSplitBytes).iterator.map(s =>
-        WarcInputPartition(p, s, math.min(s + maxSplitBytes, len), len, dh))
-    }.toArray
+    WarcDataSource.planChunks(files.sortBy(_._1).toSeq, pushed,
+      splittable, recordGzip, maxSplitBytes, openCostBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -254,8 +297,20 @@ final class WarcScan(paths: Seq[String], required: StructType,
         SparkSession.active.sessionState.newHadoopConf()))
 }
 
-final case class WarcInputPartition(path: String, start: Long, end: Long,
-    fileLen: Long, dirHost: Option[String]) extends InputPartition
+/** One contiguous byte range of one file — the unit of record
+  * ownership (sync-to-first-validated-record discipline applies per
+  * chunk).
+  */
+final case class WarcChunk(path: String, start: Long, end: Long,
+    fileLen: Long, dirHost: Option[String])
+
+/** One TASK's work: a bin of chunks ([[WarcDataSource.pack]]) — many
+  * small segment files ride one task instead of one task each (the
+  * small-files problem; a `host=`-partitioned store of a million
+  * sub-split-size segments would otherwise schedule a million tasks).
+  */
+final case class WarcInputPartition(chunks: Seq[WarcChunk])
+    extends InputPartition
 
 /** One parsed record's coordinates inside a split's file. */
 private[sources] final case class WarcRec(warcType: String, uri: String,
@@ -274,13 +329,40 @@ final class WarcReaderFactory(required: StructType, pushed: Array[Filter],
       recordGzip, conf)
 }
 
-/** One split's reader: positioned reads over the Hadoop stream, sync
+/** One task's reader: walks the partition's chunks sequentially, one
+  * [[WarcChunkReader]] (and one open file handle) at a time.
+  */
+final class WarcPartitionReader(p: WarcInputPartition, required: StructType,
+    pushed: Array[Filter], recordGzip: Boolean,
+    conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+  private val it = p.chunks.iterator
+  private var cur: WarcChunkReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new WarcChunkReader(it.next(), required, pushed,
+          recordGzip, conf)
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+}
+
+/** One chunk's reader: positioned reads over the Hadoop stream, sync
   * to the first validated record start ≥ `start`, then the SAME lax
   * sequential walk as [[graft.ingest.Warc.parse]] (any `:`-bearing
   * header line counts, malformed records skip one line and rescan)
   * for records starting before `end`.
   */
-final class WarcPartitionReader(p: WarcInputPartition, required: StructType,
+final class WarcChunkReader(p: WarcChunk, required: StructType,
     pushed: Array[Filter], recordGzip: Boolean,
     conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {

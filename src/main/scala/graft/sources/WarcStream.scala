@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.StructType
   */
 final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
     required: StructType, maxSplitBytes: Long, splittable: Boolean,
-    recordGzip: Boolean = false, maxFilesPerTrigger: Int = 0)
+    recordGzip: Boolean = false, maxFilesPerTrigger: Int = 0,
+    openCostBytes: Long = 4L * 1024 * 1024)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -105,7 +106,7 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
       val i = e.indexOf(':')
       e.substring(i + 1) -> e.substring(0, i)
     }.toMap
-    fresh.iterator.flatMap { entry =>
+    val files = fresh.map { entry =>
       val i = entry.indexOf(':')
       val len = entry.substring(0, i).toLong
       val p = entry.substring(i + 1)
@@ -115,12 +116,13 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
             "being processed — segment files must be immutable " +
             "(write via temp + atomic rename, as the warc sink does)")
       }
-      val dh = WarcDataSource.dirHost(p)
-      if (!splittable || (p.endsWith(".gz") && !recordGzip))
-        Iterator(WarcInputPartition(p, 0L, len, len, dh))
-      else (0L until len by maxSplitBytes).iterator.map(s =>
-        WarcInputPartition(p, s, math.min(s + maxSplitBytes, len), len, dh))
-    }.toArray
+      (p, len)
+    }
+    // listNow already applied directory pruning, so pass no filters
+    // here (re-applying is harmless but redundant); chunking + bin
+    // packing are the batch scan's exact law
+    WarcDataSource.planChunks(files, Array.empty, splittable, recordGzip,
+      maxSplitBytes, openCostBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -92,8 +92,20 @@ class WarcSourceSpec extends SparkSpec {
     val filtered = all.where($"host" === "alpha.test")
     assert(filtered.select($"target_uri").as[String].collect().toSeq ==
       Seq("https://alpha.test/x"))
-    val parts = filtered.rdd.getNumPartitions
-    assert(parts == 2, s"beta dir must be pruned at planning: $parts")
+    // pruning is visible at the CHUNK level (beta's file never planned);
+    // the two tiny surviving files bin-pack into one task
+    val chunkPaths = filtered.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions
+    }.flatten.collect {
+      case wp: graft.sources.WarcInputPartition => wp.chunks.map(_.path)
+    }.flatten
+    assert(chunkPaths.exists(_.contains("alpha")) &&
+      chunkPaths.exists(_.contains("flat")) &&
+      !chunkPaths.exists(_.contains("beta")),
+      s"beta dir must be pruned at planning: $chunkPaths")
+    assert(filtered.rdd.getNumPartitions == 1,
+      "two sub-split-size surviving files pack into one task")
     // prefix filter on host
     val pre = all.where($"host".startsWith("bet"))
       .select($"target_uri").as[String].collect().toSeq
@@ -331,6 +343,31 @@ class WarcSourceSpec extends SparkSpec {
       s"the backlog must drain in bounded steps: ${got.map(_._1).distinct}")
   }
 
+  test("bin packing: many small segments ride few tasks, records exact") {
+    val dir = Files.createTempDirectory("warcpack")
+    (1 to 60).foreach { f =>
+      val d = dir.resolve(s"host=h$f.test")
+      Files.createDirectories(d)
+      Files.write(d.resolve("seg.warc"),
+        Warc.format(Seq(rec(s"https://h$f.test/$f", s"p$f"))))
+    }
+    // default open cost (4 MiB) against the default 128 MiB capacity:
+    // ~32 small files per bin → 60 files plan as 2 tasks, not 60
+    val df = spark.read.format("warc").load(dir.toString)
+    val parts = df.rdd.getNumPartitions
+    assert(parts <= 3, s"small files must pack: $parts tasks for 60 files")
+    assert(df.select($"target_uri").as[String].collect().sorted.toSeq ==
+      (1 to 60).map(i => s"https://h$i.test/$i").sorted,
+      "packing must not lose or duplicate records")
+    // pack() law directly: split chunks of a large file weigh >= the
+    // capacity with the default open cost and keep their own bins
+    val big = (0L until 512L by 128L).map(s =>
+      graft.sources.WarcChunk("f", s, s + 128L, 512L, None))
+    val bins = graft.sources.WarcDataSource.pack(big, capacity = 128L,
+      openCostBytes = 4L * 1024 * 1024)
+    assert(bins.length == big.length, "large-file parallelism untouched")
+  }
+
   test("stream source fails loudly when a seen file changes length") {
     val dir = Files.createTempDirectory("warcmut")
     val ckpt = Files.createTempDirectory("warcmut-ckpt").toString
@@ -473,11 +510,18 @@ class WarcSourceSpec extends SparkSpec {
     assert(parts > 1, s"expected multiple splits, got $parts")
     // without the recordGzip declaration the same files still read
     // correctly as whole-file gzip splits (concatenated members —
-    // GZIPInputStream reads them transparently), one per file
+    // GZIPInputStream reads them transparently); small .gz files
+    // bin-pack under the default open cost, and openCostBytes =
+    // capacity recovers the one-task-per-file layout exactly
     val nFiles = dir.toFile.listFiles().count(_.getName.endsWith(".warc.gz"))
     val whole = spark.read.format("warc").load(dir.toString)
-    assert(whole.rdd.getNumPartitions == nFiles)
+    assert(whole.rdd.getNumPartitions <= nFiles)
     assert(whole.select($"target_uri", md5($"payload"))
+      .collect().map(_.toSeq).toSet == exp)
+    val solo = spark.read.format("warc")
+      .option("openCostBytes", 128L * 1024 * 1024).load(dir.toString)
+    assert(solo.rdd.getNumPartitions == nFiles)
+    assert(solo.select($"target_uri", md5($"payload"))
       .collect().map(_.toSeq).toSet == exp)
   }
 
