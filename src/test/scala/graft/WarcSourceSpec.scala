@@ -343,6 +343,27 @@ class WarcSourceSpec extends SparkSpec {
       s"the backlog must drain in bounded steps: ${got.map(_._1).distinct}")
   }
 
+  test("vacuum sweeps aged orphan temps, spares young ones and data files") {
+    val dir = Files.createTempDirectory("warcvac")
+    val host = dir.resolve("host=v.test")
+    Files.createDirectories(host)
+    Files.write(host.resolve("part-aaaa-p00001.warc"),
+      Warc.format(Seq(rec("https://v.test/1", "p"))))
+    val orphan = host.resolve(".part-dead-12345678.tmp")
+    Files.write(orphan, "partial".getBytes(UTF_8))
+    orphan.toFile.setLastModified(System.currentTimeMillis() - 3600_000L)
+    val young = host.resolve(".part-live-87654321.tmp")
+    Files.write(young, "in flight".getBytes(UTF_8))
+    val n = graft.sources.WarcStore.vacuum(dir.toString, olderThanMs = 60_000L)
+    assert(n == 1, s"exactly the aged orphan: $n")
+    assert(!Files.exists(orphan) && Files.exists(young))
+    assert(spark.read.format("warc").load(dir.toString).count() == 1L,
+      "data files untouched")
+    intercept[IllegalArgumentException] {
+      graft.sources.WarcStore.vacuum(dir.toString, olderThanMs = 0L)
+    }
+  }
+
   test("bin packing: many small segments ride few tasks, records exact") {
     val dir = Files.createTempDirectory("warcpack")
     (1 to 60).foreach { f =>
