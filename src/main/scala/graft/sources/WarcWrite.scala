@@ -42,12 +42,15 @@ import graft.ingest.Warc
   * and renames into place on task commit. The FINAL name is a pure
   * function of (write job, partition) — `part-<job uuid>-p<id>` for
   * batch, `part-<query id>-e<epoch>-p<id>` for streaming — so rename
-  * is the idempotency line: speculative attempts of one task, and
-  * streaming REPLAYS of one epoch after a restart, collide on the
-  * same final name and the loser drops a byte-identical file (the
-  * pre-r12 name embedded the per-ATTEMPT task id, which made
-  * speculative twins publish under two names — a silent duplicate on
-  * any cluster with speculation on). Job abort deletes temps. All
+  * is the idempotency line. Within ONE batch job Spark's task-commit
+  * coordinator already serializes attempts (one commit per
+  * partition); the deterministic names close the cases the
+  * coordinator cannot: a streaming epoch REPLAYED after a restart
+  * re-commits with fresh coordinator state (the pre-r12 name embedded
+  * the per-attempt task id, so a replay published DUPLICATE files;
+  * now it collides on the same name and drops a byte-identical copy),
+  * and any coordinator-less runner gets the same protection for
+  * speculative twins. Job abort deletes temps. All
   * file access goes through the SESSION Hadoop conf captured at
   * planning ([[SerializableHadoopConf]]) so executors resolve the
   * same filesystem the driver did. No job-level manifest: a WARC
