@@ -250,13 +250,14 @@ final class WarcScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMa
     splittable = options.getBoolean("splittable", true),
     recordGzip = options.getBoolean("recordGzip", false),
     maxFilesPerTrigger = options.getInt("maxFilesPerTrigger", 0),
-    openCostBytes = options.getLong("openCostBytes", 4L * 1024 * 1024))
+    openCostBytes = options.getLong("openCostBytes", 4L * 1024 * 1024),
+    maxBytesPerTrigger = options.getLong("maxBytesPerTrigger", 0L))
 }
 
 final class WarcScan(paths: Seq[String], required: StructType,
     pushed: Array[Filter], maxSplitBytes: Long, splittable: Boolean,
     recordGzip: Boolean = false, maxFilesPerTrigger: Int = 0,
-    openCostBytes: Long = 4L * 1024 * 1024)
+    openCostBytes: Long = 4L * 1024 * 1024, maxBytesPerTrigger: Long = 0L)
     extends Scan with Batch {
   require(maxSplitBytes > 0, s"maxSplitBytes must be positive: $maxSplitBytes")
 
@@ -265,7 +266,8 @@ final class WarcScan(paths: Seq[String], required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(paths, pushed, required, maxSplitBytes,
-      splittable, recordGzip, maxFilesPerTrigger, openCostBytes)
+      splittable, recordGzip, maxFilesPerTrigger, openCostBytes,
+      maxBytesPerTrigger)
   override def description(): String =
     s"WarcScan path=${paths.mkString(",")} " +
       s"PushedFilters=[${pushed.mkString(", ")}] " +

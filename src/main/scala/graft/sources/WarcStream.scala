@@ -31,7 +31,7 @@ import org.apache.spark.sql.types.StructType
 final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
     required: StructType, maxSplitBytes: Long, splittable: Boolean,
     recordGzip: Boolean = false, maxFilesPerTrigger: Int = 0,
-    openCostBytes: Long = 4L * 1024 * 1024)
+    openCostBytes: Long = 4L * 1024 * 1024, maxBytesPerTrigger: Long = 0L)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -61,31 +61,58 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
 
   override def latestOffset(): Offset = WarcFilesOffset(listNow())
 
-  // ---- admission control: bound each micro-batch's file intake -----
+  // ---- admission control: bound each micro-batch's intake ----------
   // A restart against a year of backlog (or the first run over an
   // existing 100 TB store) would otherwise plan ONE batch over every
-  // segment; `maxFilesPerTrigger` takes the fresh files in canonical
-  // (sorted length:path) order, N per trigger, and the offset after
-  // each batch is start ∪ taken — so the backlog drains in bounded,
-  // checkpointed steps, each exactly-once like any other batch.
+  // segment; `maxFilesPerTrigger` / `maxBytesPerTrigger` take the
+  // fresh files in canonical (sorted length:path) order up to the
+  // budget — bytes is the better budget when segment sizes vary, and
+  // both compose (whichever bites first). At least one file is always
+  // admitted (a segment larger than the byte budget must still
+  // drain). The offset after each batch is start ∪ taken, so the
+  // backlog drains in bounded, checkpointed steps, each exactly-once
+  // like any other batch.
   override def getDefaultReadLimit
-      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
-    if (maxFilesPerTrigger > 0)
-      org.apache.spark.sql.connector.read.streaming.ReadLimit
-        .maxFiles(maxFilesPerTrigger)
-    else
-      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit => RL}
+    val limits = Seq(
+      if (maxFilesPerTrigger > 0) Some(RL.maxFiles(maxFilesPerTrigger)) else None,
+      if (maxBytesPerTrigger > 0) Some(RL.maxBytes(maxBytesPerTrigger)) else None
+    ).flatten
+    limits match {
+      case Nil => RL.allAvailable()
+      case Seq(one) => one
+      case many => RL.compositeLimit(many.toArray)
+    }
+  }
+
+  private def entryLen(e: String): Long =
+    e.substring(0, e.indexOf(':')).toLong
+
+  private def admit(fresh: Seq[String],
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Seq[String] =
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        fresh.take(mf.maxFiles())
+      case mb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+        // always admit the first file, then stop before the budget bursts
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var used = 0L
+        fresh.foreach { e =>
+          val len = entryLen(e)
+          if (out.isEmpty || used + len <= mb.maxBytes()) { out += e; used += len }
+        }
+        out.toSeq
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.foldLeft(fresh)((acc, l) => admit(acc, l))
+      case _ => fresh
+    }
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val seen = start.asInstanceOf[WarcFilesOffset].files
     val fresh = listNow().filterNot(seen.toSet)
-    val taken = limit match {
-      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        fresh.take(mf.maxFiles())
-      case _ => fresh
-    }
-    WarcFilesOffset((seen ++ taken).sorted)
+    WarcFilesOffset((seen ++ admit(fresh, limit)).sorted)
   }
 
   override def reportLatestOffset(): Offset = WarcFilesOffset(listNow())

@@ -341,6 +341,31 @@ class WarcSourceSpec extends SparkSpec {
     // 5 pre-existing files at 2 per trigger → at least 3 micro-batches
     assert(got.map(_._1).distinct.size >= 3,
       s"the backlog must drain in bounded steps: ${got.map(_._1).distinct}")
+    // maxBytesPerTrigger: tiny byte budget → one file per batch (the
+    // first file always admits even past the budget), same exactly-once
+    val dir2 = Files.createTempDirectory("warcadmb")
+    val ckpt2 = Files.createTempDirectory("warcadmb-ckpt").toString
+    (1 to 3).foreach { f =>
+      Files.write(dir2.resolve(s"seg-$f.warc"),
+        Warc.format(Seq(rec(s"https://admb.test/$f", s"p$f"))))
+    }
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q2 = spark.readStream.format("warc")
+      .option("maxBytesPerTrigger", 1) // smaller than any segment
+      .load(dir2.toString)
+      .select($"target_uri")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt2)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        got2.synchronized { got2 ++= b.collect().map(r => (id, r.getString(0))) }
+        ()
+      }.start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.map(_._2).sorted.toSeq ==
+      (1 to 3).map(i => s"https://admb.test/$i"), s"exactly once: $got2")
+    assert(got2.map(_._1).distinct.size == 3,
+      s"1-byte budget admits one file per batch: ${got2.map(_._1).distinct}")
   }
 
   test("vacuum sweeps aged orphan temps, spares young ones and data files") {
