@@ -64,15 +64,22 @@ object Hits {
     // positive integer weights, and the overflow bound (a half-step
     // holds raw ≤ scale·ΣW and rescale multiplies by scale again, so
     // scale²·ΣW must fit in a Long; totalW gates driver-side math, so
-    // this cannot defer); (3) coverage moves IN-PLAN: the FIRST
-    // round's half-steps run as left joins whose score operand
-    // `raise_error`s on an unmatched endpoint (rescale's left join
-    // would otherwise silently drop that endpoint's mass each
-    // half-step), so the check rides a join the round already pays —
-    // zero extra jobs, and the localCheckpoint inside the first
-    // rescale still surfaces the failure eagerly at the `scores`
-    // call. Coverage is a static property of (nodes, edges); rounds
-    // after the first keep the plain inner join.
+    // this cannot defer); (3) coverage moves IN-PLAN, on the FIRST
+    // half-step + rescale pair ONLY (the r12 form checked BOTH round-1
+    // half-steps; coverage is a static property of (nodes, edges), so
+    // one checked pass suffices — the VERDICT-r12 q169 item): the
+    // first half-step joins edges⋈hubs on SRC as a left join whose
+    // score operand `raise_error`s on an unmatched src endpoint, and
+    // the first rescale's node join runs FULL OUTER with a raise on a
+    // raw node absent from `nodes` — which is exactly a DST endpoint
+    // outside the node set (raw is keyed by dst there). Both checks
+    // ride joins the round already pays — zero extra jobs — and the
+    // localCheckpoint inside the first rescale surfaces a failure
+    // eagerly at the `scores` call. Every later join is plain inner/
+    // left. CAVEAT (execution-time, not call-time): like any in-plan
+    // probe, the raises fire only when the carrying joins evaluate —
+    // a never-executed result or AQE empty-relation propagation on an
+    // empty edge set skips them (harmless: no mass flows to corrupt).
     val agg = ew.agg(
       count(lit(1)).as("n"), count(col("w")).as("nw"),
       coalesce(min(col("w")), lit(0L)).as("mn"),
@@ -86,9 +93,8 @@ object Hits {
     var a: DataFrame = null
     for (i <- 1 to iters) {
       a = rescale(n, halfStep(ew, h, from = "src", to = "dst",
-        checkCoverage = i == 1), scale)
-      h = rescale(n, halfStep(ew, a, from = "dst", to = "src",
-        checkCoverage = i == 1), scale)
+        checkCoverage = i == 1), scale, checkCoverage = i == 1)
+      h = rescale(n, halfStep(ew, a, from = "dst", to = "src"), scale)
     }
     // rescale already emitted one non-null row per node in n (absent
     // nodes got 0), so these joins are total — inner, no coalesce
@@ -123,13 +129,30 @@ object Hits {
   /** MAX-normalize to `scale` over the node set (absent nodes get 0);
     * the max is a 1-row broadcast. An all-zero round (possible only on
     * an empty edge set) keeps zeros rather than dividing by it.
+    * With `checkCoverage` the node join runs FULL OUTER and a raw node
+    * with no `nodes` row raises — in the first round `raw` is keyed by
+    * DST endpoints, so this is the dst half of the coverage contract,
+    * riding the join the rescale already pays (a plain left join would
+    * silently drop that endpoint's mass).
     */
-  private def rescale(n: DataFrame, raw: DataFrame, scale: Long): DataFrame = {
+  private def rescale(n: DataFrame, raw: DataFrame, scale: Long,
+      checkCoverage: Boolean = false): DataFrame = {
     val m = raw.agg(greatest(max(col("raw")), lit(1L)).as("__max"))
-    n.join(raw, Seq("node"), "left")
+    val joined =
+      if (checkCoverage)
+        n.withColumn("__in_n", lit(1)).join(raw, Seq("node"), "full")
+          .select(col("node"),
+            when(col("__in_n").isNull,
+              raise_error(lit(
+                "nodes must cover every edge endpoint (src and dst)")))
+              .otherwise(coalesce(col("raw"), lit(0L))).as("raw"))
+      else
+        n.join(raw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+    joined
       .join(broadcast(m))
       .select(col("node"),
-        expr(s"(coalesce(raw, 0L) * $scale) div __max").as("s"))
+        expr(s"(raw * $scale) div __max").as("s"))
       .localCheckpoint()
   }
 }

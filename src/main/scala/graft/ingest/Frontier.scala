@@ -40,8 +40,17 @@ object Frontier {
     * the key expression feeds the join, so no downstream column
     * selection can optimize it away (unlike a check riding a payload
     * column). A duplicate therefore still fails loudly and
-    * UNCONDITIONALLY, at first execution rather than at call time; a
-    * single null-host row passes exactly as before (null joins
+    * UNCONDITIONALLY, at first execution rather than at call time.
+    * CAVEAT (the call-time → execution-time trade, documented): the
+    * probe fires only if the join's build side is actually evaluated —
+    * a plan that is never executed, a `limit(0)` above it, or AQE
+    * empty-relation propagation (an empty `urls` side folds the join
+    * away before the side table materializes) skips validation for
+    * that run. Acceptable here because an unexecuted or empty-input
+    * schedule emits no rows a duplicate could corrupt; a caller
+    * needing call-time strictness can probe the (broadcast-small)
+    * side table driver-side before calling. A single null-host row
+    * passes exactly as before (null joins
     * nothing). Output is `(__key, valueCol)` with the value renamed
     * to `valueCol`'s name, extra input columns dropped (the schedule
     * contract uses exactly host + value).

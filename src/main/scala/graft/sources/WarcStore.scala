@@ -23,12 +23,22 @@ object WarcStore {
     * `olderThanMs` (by filesystem modification time). Returns the
     * number of files removed. `olderThanMs` must be positive — a zero
     * grace would race in-flight attempts.
+    *
+    * `conf` defaults to the ACTIVE session's Hadoop conf when a session
+    * exists (a bare `new Configuration()` resolved the wrong filesystem
+    * or lost credentials for an s3a/defaultFS-configured store — the
+    * exact failure mode [[SerializableHadoopConf]] exists to prevent);
+    * pass one explicitly only for session-less maintenance tooling.
     */
   def vacuum(dir: String, olderThanMs: Long,
-      conf: Configuration = new Configuration()): Int = {
+      conf: Configuration = null): Int = {
     require(olderThanMs > 0, s"grace age must be positive: $olderThanMs")
+    val resolved = Option(conf).getOrElse(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration()))
     val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
+    val fs = root.getFileSystem(resolved)
     if (!fs.exists(root)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
     var n = 0

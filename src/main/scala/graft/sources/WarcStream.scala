@@ -89,18 +89,31 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
   private def entryLen(e: String): Long =
     e.substring(0, e.indexOf(':')).toLong
 
-  private def admit(fresh: Seq[String],
+  private[graft] def admit(fresh: Seq[String],
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Seq[String] =
     limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
         fresh.take(mf.maxFiles())
       case mb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
-        // always admit the first file, then stop before the budget bursts
+        // STRICT PREFIX of the canonical order: admit until the first
+        // file that does not fit, then stop — never skip-and-continue.
+        // Skipping an over-budget file while admitting later smaller
+        // ones starved a large segment indefinitely in a continuously
+        // growing store (it was only admitted when it happened to head
+        // the fresh list); the prefix guarantees every file is admitted
+        // within a bounded number of batches, matching upstream Spark's
+        // maxBytesPerTrigger semantics. The first file always admits
+        // even past the budget (a segment larger than the whole budget
+        // must still drain).
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var used = 0L
-        fresh.foreach { e =>
+        val it = fresh.iterator
+        var full = false
+        while (!full && it.hasNext) {
+          val e = it.next()
           val len = entryLen(e)
           if (out.isEmpty || used + len <= mb.maxBytes()) { out += e; used += len }
+          else full = true
         }
         out.toSeq
       case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
@@ -163,15 +176,33 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
 
 /** Canonical-order file-set offset. Equality is set equality because
   * the entry list is sorted at construction; JSON is one array of
-  * strings (paths escaped minimally — quotes and backslashes).
+  * strings with FULL string escaping (quotes, backslashes, and control
+  * characters as `\uXXXX`), so the round trip through the checkpoint
+  * offset log is exact for any legal path.
   */
 final case class WarcFilesOffset(files: Seq[String]) extends Offset {
   override def json(): String =
-    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    files.map { f =>
+      val sb = new StringBuilder("\"")
+      f.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"' => sb.append("\\\"")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }.mkString("[", ",", "]")
 }
 
 object WarcFilesOffset {
+  /** Parse a JSON string array. Decodes the FULL JSON escape set
+    * (`\" \\ \/ \b \f \n \r \t \uXXXX`) — this scanner also parses the
+    * Spark-produced `paths` option ([[WarcDataSource.resolvePaths]]),
+    * which escapes control and non-ASCII characters the standard way;
+    * a decoder handling only quote/backslash silently mangled such
+    * paths (`\n` → literal `n`) and missed the files. An escape
+    * outside the JSON set fails loudly rather than guessing.
+    */
   def fromJson(json: String): WarcFilesOffset = {
     val t = json.trim
     require(t.startsWith("[") && t.endsWith("]"), s"bad warc offset: $json")
@@ -180,15 +211,37 @@ object WarcFilesOffset {
     val out = ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inStr = false
-    var esc = false
-    body.foreach { ch =>
-      if (esc) { sb.append(ch); esc = false }
-      else if (ch == '\\' && inStr) esc = true
-      else if (ch == '"') {
+    var i = 0
+    while (i < body.length) {
+      val ch = body.charAt(i)
+      if (inStr && ch == '\\') {
+        require(i + 1 < body.length, s"dangling escape in warc offset: $json")
+        body.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' =>
+            require(i + 5 < body.length, s"truncated \\u escape: $json")
+            sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported JSON escape \\$other in warc offset/paths: $json")
+        }
+      } else if (ch == '"') {
         if (inStr) { out += sb.toString; sb.clear() }
         inStr = !inStr
-      } else if (inStr) sb.append(ch)
-      // commas/whitespace between strings are skipped
+        i += 1
+      } else {
+        if (inStr) sb.append(ch)
+        // commas/whitespace between strings are skipped
+        i += 1
+      }
     }
     WarcFilesOffset(out.toSeq)
   }

@@ -116,9 +116,12 @@ final class WarcBatchWrite(path: String, schema: StructType,
   }
 
   // one tag per write JOB (driver-side): attempts of a task share it,
-  // separate appends to the same store do not
+  // separate appends to the same store do not. The FULL 128-bit UUID:
+  // a truncated tag colliding across two appends would make the rename
+  // protocol silently drop a NON-identical file as a presumed duplicate
+  // — collision probability must be negligible, not merely small
   private val jobTag =
-    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    java.util.UUID.randomUUID().toString.replace("-", "")
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -145,20 +148,22 @@ final class WarcWriterFactory(path: String, schema: StructType,
 }
 
 /** Streaming half of the sink: epoch-deterministic file names
-  * (`part-<queryId8>-e<epoch>-p<partition>`), so a replayed
-  * micro-batch after restart re-derives the same names and the
-  * rename protocol drops the duplicates — exactly-once files under
-  * Structured Streaming's deterministic-batch contract. The query id
-  * is checkpoint-stable (restarts keep it), so two DIFFERENT queries
-  * appending to one store can never collide. Epoch commit is the
-  * task-level rename; `commit(epochId)` has nothing left to do.
+  * (`part-<queryId>-e<epoch>-p<partition>`, the FULL dash-stripped
+  * query UUID), so a replayed micro-batch after restart re-derives the
+  * same names and the rename protocol drops the duplicates —
+  * exactly-once files under Structured Streaming's deterministic-batch
+  * contract. The query id is checkpoint-stable (restarts keep it), and
+  * carrying all 128 bits keeps a cross-query tag collision (which
+  * would silently drop a NON-identical file as a presumed duplicate)
+  * out of practical reach. Epoch commit is the task-level rename;
+  * `commit(epochId)` has nothing left to do.
   */
 final class WarcStreamingWrite(path: String, schema: StructType,
     partitionByHost: Boolean, compress: String, queryId: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   require(Set("none", "gzip", "record-gzip").contains(compress),
     s"compress must be none | gzip | record-gzip: $compress")
-  private val qTag = queryId.replace("-", "").take(8)
+  private val qTag = queryId.replace("-", "")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {

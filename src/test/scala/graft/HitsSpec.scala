@@ -63,11 +63,12 @@ class HitsSpec extends SparkSpec {
   }
 
   test("edge endpoints absent from the node set are rejected") {
-    // coverage enforcement rides the first round's half-step joins
-    // (raise_error on the unmatched side — zero probe jobs), so it
-    // surfaces through Spark's task-failure chain when the first
-    // rescale's localCheckpoint executes — still eagerly, inside the
-    // scores() call itself
+    // coverage enforcement rides the FIRST half-step + rescale pair
+    // only (src via the half-step's left join, dst via the first
+    // rescale's full-outer node join — raise_error on the unmatched
+    // side, zero probe jobs), so it surfaces through Spark's
+    // task-failure chain when the first rescale's localCheckpoint
+    // executes — still eagerly, inside the scores() call itself
     def chain(t: Throwable): String = {
       var m = ""
       var c: Throwable = t

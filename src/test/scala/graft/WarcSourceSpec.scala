@@ -521,10 +521,12 @@ class WarcSourceSpec extends SparkSpec {
       ("a.test", "https://a.test/5")),
       s"each record exactly once across batches and a restart: $got")
     // epoch-deterministic names: every published file carries the
-    // query/epoch/partition identity, no attempt-unique component
+    // query/epoch/partition identity — the FULL 32-hex query UUID (a
+    // truncated tag risked a silent cross-query rename collision) and
+    // no attempt-unique component
     val names = java.nio.file.Files.walk(java.nio.file.Path.of(dir))
       .toArray.map(_.toString).filter(_.endsWith(".warc"))
-    assert(names.nonEmpty && names.forall(_.matches(".*part-[0-9a-f]{8}-e\\d+-p\\d{5}\\.warc$")),
+    assert(names.nonEmpty && names.forall(_.matches(".*part-[0-9a-f]{32}-e\\d+-p\\d{5}\\.warc$")),
       s"epoch-deterministic names expected: ${names.toSeq}")
   }
 
@@ -616,6 +618,46 @@ class WarcSourceSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(viaSql == Seq(("https://m.test/1", 2L)))
     spark.sql("DROP TABLE warc_store")
+  }
+
+  test("maxBytes admission is a strict prefix: an over-budget file is never starved") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val stream = new graft.sources.WarcMicroBatchStream(
+      Seq("/nonexistent"), Array.empty, WarcDataSource.Schema,
+      maxSplitBytes = 128, splittable = true)
+    // canonical (lexicographic length:path) order puts the big segment
+    // between two small ones; skip-and-continue admission took the
+    // LATER small file past it every batch, so the big one was only
+    // admitted when it happened to head the fresh list — starvation in
+    // a continuously growing store. Prefix semantics stop at the first
+    // file that does not fit.
+    val fresh = Seq("15:a", "800:b", "90:c")
+    assert(stream.admit(fresh, ReadLimit.maxBytes(120)) == Seq("15:a"),
+      "must stop at the first non-fitting file, not skip it")
+    // next batch: the big file heads the fresh list and admits alone
+    assert(stream.admit(fresh.drop(1), ReadLimit.maxBytes(120)) == Seq("800:b"),
+      "the first file always admits, even past the budget")
+    assert(stream.admit(fresh.drop(2), ReadLimit.maxBytes(120)) == Seq("90:c"))
+    // bounded-delay guarantee: every file drains within 3 batches here
+  }
+
+  test("offset JSON: full escape round trip; Spark-style escapes decode") {
+    import graft.sources.WarcFilesOffset
+    // paths with quotes, backslashes, control chars, and non-ASCII
+    // survive the checkpoint offset log byte-exactly
+    val weird = Seq("10:/a\nb", "5:/c\"d\\e", "7:/t\tuü", "3:/f\rg")
+    val rt = WarcFilesOffset.fromJson(WarcFilesOffset(weird).json()).files
+    assert(rt == weird, s"round trip diverged: $rt")
+    // the Spark-produced `paths` option escapes the standard way —
+    // \n, \t, \uXXXX must decode to the real characters, not literals
+    val sparkStyle =
+      "[\"5:/a\\" + "u0041b\",\"4:/x\\ny\",\"2:/p\\tq\",\"1:/s\\/t\"]"
+    assert(WarcFilesOffset.fromJson(sparkStyle).files ==
+      Seq("5:/aAb", "4:/x\ny", "2:/p\tq", "1:/s/t"))
+    // an escape outside the JSON set fails loudly, never mangles
+    intercept[IllegalArgumentException] {
+      WarcFilesOffset.fromJson("""["bad\qescape"]""")
+    }
   }
 
   test("hostOf: scheme, port, case; dirHost capture") {
