@@ -30,6 +30,49 @@ object TextOps {
   private[queries] def docsParallel(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
+  /** Content-keyed on-disk WARC crawl-store fixture shared by the warc
+    * SOURCE gates (q179/q188): one `host=<source>.ex.test` directory
+    * per source, one multi-record segment per host, q136's record
+    * derivation (every 17th payload embeds the version-line trap).
+    * Built once per testdata content (xxhash64 key + `_READY` marker,
+    * so regenerated testdata can never collide with a stale store);
+    * the ≤20-segment write is a bounded driver-side fixture build, not
+    * a data path. Returns the store root.
+    */
+  private def warcStoreFixture(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val docs = docsParallel(s, dir)
+    val payload = when($"doc_id" % 17 === 0,
+      concat(lit("WARC/1.0\r\n"), $"text")).otherwise($"text")
+    val fp = docs.agg(expr("bit_xor(xxhash64(doc_id, text, source))"))
+      .head.getLong(0)
+    val root = new java.io.File(
+      s"/tmp/graft_warc_store_${java.lang.Long.toHexString(fp)}")
+    val ready = new java.io.File(root, "_READY")
+    if (!ready.exists()) {
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://"),
+        $"source", lit(".ex.test/doc/"), $"doc_id",
+        lit("\r\nWARC-Date: 2026-08-15T00:00:00Z\r\nContent-Length: "),
+        octet_length(payload), lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val segs = docs.select($"source", $"doc_id", rec.as("rec"))
+        .groupBy($"source")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"doc_id", $"rec"))),
+            x => x.getField("rec")), "").as("blob"))
+        .collect()
+      segs.foreach { r =>
+        val d = new java.io.File(root, s"host=${r.getString(0)}.ex.test")
+        d.mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(d, "segment.warc").toPath,
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      java.nio.file.Files.write(ready.toPath, Array.emptyByteArray)
+    }
+    root.toString
+  }
+
   /** q149's encoding-damage artifacts — ONE Scala constant interpolated
     * into BOTH the Spark `lit` and the oracle SQL, so the two engines
     * provably see identical characters. Moj1: "café naïve" shipped as
@@ -842,37 +885,9 @@ object TextOps {
     // bounded driver-side fixture build, not a data path.
     "q179_warc_source" -> { (s, dir) =>
       import s.implicits._
-      val docs = docsParallel(s, dir)
-      val payload = when($"doc_id" % 17 === 0,
-        concat(lit("WARC/1.0\r\n"), $"text")).otherwise($"text")
-      val fp = docs.agg(expr("bit_xor(xxhash64(doc_id, text, source))"))
-        .head.getLong(0)
-      val root = new java.io.File(
-        s"/tmp/graft_warc_store_${java.lang.Long.toHexString(fp)}")
-      val ready = new java.io.File(root, "_READY")
-      if (!ready.exists()) {
-        val rec = concat(
-          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://"),
-          $"source", lit(".ex.test/doc/"), $"doc_id",
-          lit("\r\nWARC-Date: 2026-08-15T00:00:00Z\r\nContent-Length: "),
-          octet_length(payload), lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
-        val segs = docs.select($"source", $"doc_id", rec.as("rec"))
-          .groupBy($"source")
-          .agg(array_join(
-            transform(array_sort(collect_list(struct($"doc_id", $"rec"))),
-              x => x.getField("rec")), "").as("blob"))
-          .collect()
-        segs.foreach { r =>
-          val d = new java.io.File(root, s"host=${r.getString(0)}.ex.test")
-          d.mkdirs()
-          java.nio.file.Files.write(
-            new java.io.File(d, "segment.warc").toPath,
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }
-        java.nio.file.Files.write(ready.toPath, Array.emptyByteArray)
-      }
+      val root = warcStoreFixture(s, dir)
       s.read.format("warc").option("maxSplitBytes", 8192)
-        .load(root.toString)
+        .load(root)
         .where($"host".startsWith("src1"))
         .select(
           regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("long").as("doc_id"),
@@ -922,6 +937,35 @@ object TextOps {
           octet_length($"payload").cast("long").as("n_bytes"),
           md5($"payload").as("payload_md5"))
         .orderBy($"doc_id")
+    },
+
+    // ---- WARC scan ⋈ host dimension under DSv2 STATISTICS (the
+    // VERDICT-r12 item): the scan reports its post-pruning listing
+    // bytes through SupportsReportStatistics, so Catalyst costs the
+    // warc relation from REAL bytes instead of defaultSizeInBytes and
+    // the aggregated host dimension broadcasts — PlanCheck pins
+    // BroadcastHashJoin and forbids SortMergeJoin. The scan also
+    // accepts runtime In(host,…) filters (SupportsRuntimeFiltering):
+    // the dimension's selective predicate makes this join
+    // DPP-eligible, and the numeric planned-partition contract under
+    // a runtime (not literal) filter is pinned in WarcSourceSpec.
+    // Per-host rollup: record count + payload bytes from the store,
+    // doc count from the dimension.
+    "q188_warc_host_join" -> { (s, dir) =>
+      import s.implicits._
+      val root = warcStoreFixture(s, dir)
+      val dim = docsParallel(s, dir)
+        .where(length($"source") === 5) // the two-digit sources
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(concat($"source", lit(".ex.test")).as("host"), $"n_docs")
+      s.read.format("warc").option("maxSplitBytes", 8192).load(root)
+        .join(dim, Seq("host"))
+        .groupBy($"host")
+        .agg(count(lit(1)).cast("long").as("n_recs"),
+          sum(octet_length($"payload")).cast("long").as("n_bytes"),
+          max($"n_docs").as("n_docs"))
+        .orderBy($"host")
     },
 
     // ---- DSIR bucket panel (Xie et al. 2023 — targeted data
@@ -2710,6 +2754,28 @@ object TextOps {
         |      FROM documents)
         |WHERE source LIKE 'src1%'
         |ORDER BY doc_id""".stripMargin,
+
+    // stats-driven store⋈dimension join mirror: the same record
+    // derivation rolled up per host, joined to the length-5-source
+    // dimension the engine side broadcasts under the scan's reported
+    // statistics.
+    "q188_warc_host_join" ->
+      """WITH pay AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 17 = 0
+        |         THEN 'WARC/1.0' || chr(13) || chr(10) || text
+        |         ELSE text END AS payload
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE length(source) = 5 GROUP BY source)
+        |SELECT p.source || '.ex.test' AS host,
+        |  CAST(COUNT(*) AS BIGINT) AS n_recs,
+        |  CAST(SUM(strlen(p.payload)) AS BIGINT) AS n_bytes,
+        |  MAX(d.n_docs) AS n_docs
+        |FROM pay p JOIN d ON p.source = d.source
+        |GROUP BY p.source
+        |ORDER BY host""".stripMargin,
 
     // DSIR bucket mirror: the WordsCte occurrence relation, the HashSql
     // 60-bit fold mod 256 (nonnegative, so % ≡ pmod), SUM(CASE) target

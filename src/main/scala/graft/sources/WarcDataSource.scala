@@ -258,7 +258,9 @@ final class WarcScan(paths: Seq[String], required: StructType,
     pushed: Array[Filter], maxSplitBytes: Long, splittable: Boolean,
     recordGzip: Boolean = false, maxFilesPerTrigger: Int = 0,
     openCostBytes: Long = 4L * 1024 * 1024, maxBytesPerTrigger: Long = 0L)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   require(maxSplitBytes > 0, s"maxSplitBytes must be positive: $maxSplitBytes")
 
   override def readSchema(): StructType = required
@@ -273,7 +275,11 @@ final class WarcScan(paths: Seq[String], required: StructType,
       s"PushedFilters=[${pushed.mkString(", ")}] " +
       s"ReadColumns=[${required.fieldNames.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** One listing per Scan instance (a Scan is per-query): statistics
+    * estimation and partition planning — possibly re-run after a
+    * runtime filter lands — reuse it instead of re-walking the tree.
+    */
+  private lazy val listedFiles: Seq[(String, Long)] = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     val files = ArrayBuffer.empty[(String, Long)]
     paths.foreach { one =>
@@ -289,12 +295,59 @@ final class WarcScan(paths: Seq[String], required: StructType,
           files += ((p, st.getLen))
       }
     }
-    WarcDataSource.planChunks(files.sortBy(_._1).toSeq, pushed,
-      splittable, recordGzip, maxSplitBytes, openCostBytes)
+    files.sortBy(_._1).toSeq
   }
 
+  // ---- statistics: the listing Catalyst plans joins with ------------
+  // Without this, a DataSourceV2 relation gets `defaultSizeInBytes`
+  // (effectively infinite), so a FILTERED warc relation could never be
+  // the broadcast side of a join no matter how small the surviving
+  // host= directories are. The estimate is the byte sum of the files
+  // that survive pushed-filter directory pruning — exact for a fully
+  // host-partitioned store, conservative (an over-estimate) for flat
+  // files that record-side filters would shrink further. No row-count
+  // estimate: records are length-delimited, counting them costs a read.
+  override def estimateStatistics(): Statistics = {
+    val bytes = listedFiles.iterator
+      .filter { case (p, _) =>
+        WarcDataSource.dirMayMatch(pushed, WarcDataSource.dirHost(p)) }
+      .map(_._2).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  // ---- runtime filtering: dynamic host= pruning ---------------------
+  // `warc JOIN hosts_of_interest` prunes host directories at RUN time
+  // the way a literal host predicate does at PLAN time: Spark's
+  // dynamic-pruning machinery builds an `In(host, …)` filter from the
+  // join's build side, hands it over via `filter(...)`, and re-plans
+  // the partitions — planChunks then drops whole files through the
+  // same dirMayMatch path. Record-side skipping applies the runtime
+  // filters too (the join above re-checks, so this only ever skips
+  // work). Filters are declared on `host` only — the one column with
+  // planning-grain (directory) selectivity.
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("host"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = WarcDataSource.pushable(filters)
+
+  /** Plan-time pushed filters plus any runtime (dynamic-pruning) ones. */
+  private def effectiveFilters: Array[Filter] = pushed ++ runtime
+
+  override def planInputPartitions(): Array[InputPartition] =
+    WarcDataSource.planChunks(listedFiles, effectiveFilters,
+      splittable, recordGzip, maxSplitBytes, openCostBytes)
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushed, recordGzip,
+    new WarcReaderFactory(required, effectiveFilters, recordGzip,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()))
 }

@@ -819,6 +819,12 @@ object PlanCheck {
     Expectation("q187_warc_write_roundtrip",
       mustContain = Seq("PushedFilters=[StringStartsWith(host,src1)"),
       mustNotContain = Seq("CartesianProduct")),
+    // the scan's SupportsReportStatistics sizes the warc relation from
+    // real bytes, so the host dimension must broadcast (never a
+    // sort-merge join against the store)
+    Expectation("q188_warc_host_join",
+      mustContain = Seq("BroadcastHashJoin", "HashAggregate"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
     // the fuse rule must rewrite the authored regex chain: the fused
     // expression present, NO regexp_replace surviving anywhere
     Expectation("q186_dedup_fuse_rule",

@@ -620,6 +620,138 @@ class WarcSourceSpec extends SparkSpec {
     spark.sql("DROP TABLE warc_store")
   }
 
+  test("estimateStatistics: Catalyst sees the pruned byte size of the store") {
+    val dir = Files.createTempDirectory("warcstats")
+    def write(host: String, n: Int): java.nio.file.Path = {
+      val f = dir.resolve(s"host=$host/seg.warc")
+      Files.createDirectories(f.getParent)
+      Files.write(f, Warc.format(
+        (1 to n).map(i => rec(s"https://$host/p/$i", "x" * 40))))
+      f
+    }
+    val fa = write("a.test", 3)
+    val fb = write("b.test", 30)
+    def scanStats(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.sizeInBytes
+      }.head
+    val all = spark.read.format("warc").load(dir.toString)
+    assert(scanStats(all) == BigInt(Files.size(fa) + Files.size(fb)),
+      "unfiltered estimate = total store bytes")
+    // a pushed host filter shrinks the ESTIMATE, not just the scan —
+    // this is what lets Catalyst broadcast a filtered warc relation
+    assert(scanStats(all.where($"host" === "a.test")) == BigInt(Files.size(fa)),
+      "filtered estimate = surviving host= directory bytes only")
+  }
+
+  test("a filtered warc relation becomes the BROADCAST side by its own stats") {
+    val dir = Files.createTempDirectory("warcbcast")
+    def write(host: String, n: Int): Unit = {
+      val f = dir.resolve(s"host=$host/seg.warc")
+      Files.createDirectories(f.getParent)
+      Files.write(f, Warc.format(
+        (1 to n).map(i => rec(s"https://$host/p/$i", "x" * 30))))
+    }
+    write("tiny.test", 2)
+    write("other.test", 50)
+    val warc = spark.read.format("warc").load(dir.toString)
+      .where($"host" === "tiny.test")
+      .select($"host", $"target_uri")
+    // the other side's estimate is well past the broadcast threshold,
+    // so the ONLY way this plans as a broadcast join is the warc scan
+    // reporting its (pruned, tiny) size — default v2 estimates are
+    // effectively infinite and forced a sort-merge join here
+    val big = spark.range(2000000L)
+      .select(when($"id" % 100 === 0, lit("tiny.test"))
+        .otherwise(concat(lit("h"), $"id" % 100)).as("bhost"))
+    val q = big.join(warc, $"bhost" === $"host")
+    // STATIC planning (pre-AQE): broadcast must come from the estimate,
+    // not from AQE's runtime shuffle-size rescue
+    val static = q.queryExecution.sparkPlan
+    assert(static.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"expected a stats-driven broadcast join:\n$static")
+    assert(!static.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"no sort-merge fallback expected:\n$static")
+    assert(q.count() == 2L * 20000L, "2 tiny records x 20000 matching ids")
+  }
+
+  test("runtime In(host) filter re-prunes planned partitions numerically") {
+    val dir = Files.createTempDirectory("warcrtf")
+    def write(host: String): java.nio.file.Path = {
+      val f = dir.resolve(s"host=$host/seg.warc")
+      Files.createDirectories(f.getParent)
+      Files.write(f, Warc.format(
+        (1 to 20).map(i => rec(s"https://$host/p/$i", "x" * 50))))
+      f
+    }
+    val fa = write("a.test")
+    val fb = write("b.test")
+    val split = 256L
+    def nSplits(f: java.nio.file.Path): Int =
+      ((Files.size(f) + split - 1) / split).toInt
+    val df = spark.read.format("warc").option("maxSplitBytes", split)
+      .load(dir.toString)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[graft.sources.WarcScan]
+    assert(scan.planInputPartitions().length == nSplits(fa) + nSplits(fb))
+    // the DPP/runtime-filter handshake: Spark hands an In(host, …)
+    // filter to the scan AFTER planning and re-plans the partitions —
+    // the non-matching host= directory must then contribute ZERO
+    // planned partitions (the q187 numeric-assertion discipline, under
+    // a RUNTIME rather than literal filter)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("host", Array("a.test"))))
+    assert(scan.planInputPartitions().length == nSplits(fa),
+      "b.test's directory must contribute zero partitions under the runtime filter")
+  }
+
+  test("dynamic pruning injects a runtime filter through a broadcast join") {
+    val dir = Files.createTempDirectory("warcdpp")
+    def write(host: String): Unit = {
+      val f = dir.resolve(s"host=$host/seg.warc")
+      Files.createDirectories(f.getParent)
+      Files.write(f, Warc.format(
+        (1 to 10).map(i => rec(s"https://$host/p/$i", "y" * 40))))
+    }
+    write("a.test"); write("b.test"); write("c.test")
+    // the dim must come from a SOURCE (not a literal LocalRelation):
+    // constant folding would otherwise evaluate the filter at plan time
+    // and PartitionPruning sees no selective predicate to key DPP on
+    // a bare boolean column is not "likely selective" to the DPP rule;
+    // an equality comparison is
+    val dimPath = Files.createTempDirectory("warcdppdim").resolve("dim").toString
+    Seq(("a.test", 1), ("b.test", 2), ("c.test", 3))
+      .toDF("dhost", "grp").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = spark.read.format("warc").load(dir.toString)
+      .join(dim.where($"grp" === 1), $"host" === $"dhost")
+      .select($"target_uri")
+    assert(q.count() == 10L)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          allNodes(r.child)
+        case _ => Nil
+      })
+    val executed = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = allNodes(executed).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.exists(_.runtimeFilters.nonEmpty),
+      s"expected a dynamic-pruning runtime filter on the warc scan:\n$executed")
+  }
+
   test("maxBytes admission is a strict prefix: an over-budget file is never starved") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val stream = new graft.sources.WarcMicroBatchStream(
