@@ -951,6 +951,71 @@ object TextOps {
     // a runtime (not literal) filter is pinned in WarcSourceSpec.
     // Per-host rollup: record count + payload bytes from the store,
     // doc count from the dimension.
+    // ---- streaming WARC archive loop with a CHECKPOINT RESTART (the
+    // q187 discipline applied to readStream→writeStream): phase 1
+    // batch-writes half the corpus into a source store, a streaming
+    // query (admission control: maxFilesPerTrigger=7, so the backlog
+    // drains in several checkpointed micro-batches under
+    // Trigger.AvailableNow) archives it into a sink store through the
+    // streaming warc SINK (epoch-deterministic names); phase 2 appends
+    // the other half to the source and RESTARTS the query from the
+    // same checkpoint — committed segments must not re-emit, the delta
+    // must land exactly once. Everything (source, sink, checkpoint) is
+    // rebuilt every invocation, so the gate times the real
+    // write→stream→write→read loop and the oracle equality over the
+    // sink (rows + md5) IS the exactly-once proof: a replayed segment
+    // duplicates rows, a dropped one loses them.
+    "q189_warc_stream_archive" -> { (s, dir) =>
+      import s.implicits._
+      val docs = docsParallel(s, dir)
+      val base = new java.io.File("/tmp/graft_warc_stream_gate")
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      rmrf(base)
+      val srcRoot = s"${base.getPath}/src"
+      val sinkRoot = s"${base.getPath}/sink"
+      val ckpt = s"${base.getPath}/ckpt"
+      val payload = when($"doc_id" % 17 === 0,
+        concat(lit("WARC/1.0\r\n"), $"text")).otherwise($"text")
+      def warcify(half: org.apache.spark.sql.Column) = docs.where(half)
+        .select(
+          concat($"source", lit(".ex.test")).as("host"),
+          lit("response").as("warc_type"),
+          concat(lit("https://"), $"source", lit(".ex.test/doc/"), $"doc_id")
+            .as("target_uri"),
+          lit("2026-08-15T00:00:00Z").as("warc_date"),
+          payload.cast("binary").as("payload"))
+        .repartition($"host")
+      def drain(): Unit = {
+        val q = s.readStream.format("warc")
+          .option("maxFilesPerTrigger", 7)
+          .load(srcRoot)
+          .writeStream.format("warc")
+          .option("partitionByHost", "true")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(sinkRoot)
+        q.awaitTermination()
+      }
+      warcify($"doc_id" % 2 === 0).write.format("warc")
+        .option("partitionByHost", "true").mode("append").save(srcRoot)
+      drain()
+      warcify($"doc_id" % 2 =!= 0).write.format("warc")
+        .option("partitionByHost", "true").mode("append").save(srcRoot)
+      drain()
+      s.read.format("warc").option("maxSplitBytes", 4096).load(sinkRoot)
+        .where($"host".startsWith("src1"))
+        .select(
+          regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          $"host",
+          octet_length($"payload").cast("long").as("n_bytes"),
+          md5($"payload").as("payload_md5"))
+        .orderBy($"doc_id")
+    },
+
     "q188_warc_host_join" -> { (s, dir) =>
       import s.implicits._
       val root = warcStoreFixture(s, dir)
@@ -2744,6 +2809,23 @@ object TextOps {
     // warc source under the pushed filter, so equality proves the
     // WRITE half round-trips byte-exactly too.
     "q187_warc_write_roundtrip" ->
+      """SELECT doc_id, source || '.ex.test' AS host,
+        |  CAST(strlen(payload) AS BIGINT) AS n_bytes,
+        |  md5(payload) AS payload_md5
+        |FROM (SELECT doc_id, source,
+        |        CASE WHEN doc_id % 17 = 0
+        |             THEN 'WARC/1.0' || chr(13) || chr(10) || text
+        |             ELSE text END AS payload
+        |      FROM documents)
+        |WHERE source LIKE 'src1%'
+        |ORDER BY doc_id""".stripMargin,
+
+    // streaming-archive mirror: identical derivation to q187 — the
+    // engine side routes documents → batch warc write → readStream
+    // (admission-controlled) → streaming warc sink (with a checkpoint
+    // restart between halves) → batch read; equality proves the loop
+    // is exactly-once end to end.
+    "q189_warc_stream_archive" ->
       """SELECT doc_id, source || '.ex.test' AS host,
         |  CAST(strlen(payload) AS BIGINT) AS n_bytes,
         |  md5(payload) AS payload_md5

@@ -825,6 +825,11 @@ object PlanCheck {
     Expectation("q188_warc_host_join",
       mustContain = Seq("BroadcastHashJoin", "HashAggregate"),
       mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // the streaming loop ran eagerly inside the gate fn; the visible
+    // plan is the sink read-back under the pushed host filter
+    Expectation("q189_warc_stream_archive",
+      mustContain = Seq("PushedFilters=[StringStartsWith(host,src1)"),
+      mustNotContain = Seq("CartesianProduct")),
     // the fuse rule must rewrite the authored regex chain: the fused
     // expression present, NO regexp_replace surviving anywhere
     Expectation("q186_dedup_fuse_rule",
