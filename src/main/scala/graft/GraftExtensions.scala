@@ -35,9 +35,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.DedupKeyNormalize].getName, "graft_dedup_key"),
       (children: Seq[Expression]) => GraftExtensions.buildDedupKey(children)))
-    // optimizer rule: the authored three-pass dedup-key regex chain
-    // fuses to the single-scan codegen expression at plan time
+    ext.injectFunction((
+      new FunctionIdentifier("graft_chunks"),
+      new ExpressionInfo(
+        classOf[graft.functions.ChunkSplit].getName, "graft_chunks"),
+      (children: Seq[Expression]) => GraftExtensions.buildChunkSplit(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vocab_spans"),
+      new ExpressionInfo(
+        classOf[graft.functions.VocabMatchSpans].getName, "graft_vocab_spans"),
+      (children: Seq[Expression]) => GraftExtensions.buildVocabSpans(children)))
+    // optimizer rules: the authored three-pass dedup-key regex chain
+    // fuses to the single-scan codegen expression at plan time, and
+    // vocab matching over exploded chunks pushes below the explode
     ext.injectOptimizerRule(_ => graft.plans.DedupKeyFuse)
+    ext.injectOptimizerRule(_ => graft.plans.VocabBelowExplode)
   }
 }
 
@@ -75,6 +87,41 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.Lower(children.head))
   }
 
+  /** `graft_chunks(text, soft_limit_tokens, overlap_ratio, max_chunks)`
+    * — the Catalyst-visible soft-limit chunker
+    * ([[graft.functions.ChunkSplit]]); limits are plan-time literals.
+    * `max_chunks <= 0` means unlimited.
+    */
+  private[graft] def buildChunkSplit(children: Seq[Expression]): Expression = {
+    require(children.length == 4,
+      "graft_chunks(text, soft_limit_tokens, overlap_ratio, max_chunks)")
+    def num(e: Expression, what: String): Double = {
+      require(e.foldable, s"graft_chunks: $what must be a literal")
+      e.eval(null) match {
+        case n: java.lang.Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_chunks: $what must be numeric, got $other")
+      }
+    }
+    graft.functions.ChunkSplit(children.head,
+      num(children(1), "soft_limit_tokens").toInt,
+      num(children(2), "overlap_ratio"),
+      num(children(3), "max_chunks").toInt)
+  }
+
+  /** `graft_vocab_spans(text, labels_array, concept_names_array)` —
+    * line-grain match spans ([[graft.functions.VocabMatchSpans]]).
+    */
+  private[graft] def buildVocabSpans(children: Seq[Expression]): Expression = {
+    require(children.length == 3,
+      "graft_vocab_spans(text, labels_array, concept_names_array)")
+    val labels = literalStrings(children(1), "labels")
+    val names = literalStrings(children(2), "concept names")
+    require(labels.length == names.length,
+      s"graft_vocab_spans: ${labels.length} labels vs ${names.length} concept names")
+    graft.functions.VocabMatchSpans(children.head, labels.zip(names))
+  }
+
   /** Imperative registration for sessions built without the config:
     * the SQL functions land in the function registry, and the
     * [[graft.plans.DedupKeyFuse]] rewrite lands in
@@ -87,8 +134,15 @@ object GraftExtensions {
       "graft_vocab_match", buildVocabMatch, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dedup_key", buildDedupKey, "built-in")
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.DedupKeyFuse))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.DedupKeyFuse
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_chunks", buildChunkSplit, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vocab_spans", buildVocabSpans, "built-in")
+    Seq(graft.plans.DedupKeyFuse, graft.plans.VocabBelowExplode)
+      .foreach { r =>
+        if (!spark.experimental.extraOptimizations.contains(r))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ r
+      }
   }
 }

@@ -33,7 +33,8 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
     recordGzip: Boolean = false, maxFilesPerTrigger: Int = 0,
     openCostBytes: Long = 4L * 1024 * 1024, maxBytesPerTrigger: Long = 0L)
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def listNow(): Seq[String] = {
     val hconf = SparkSession.active.sessionState.newHadoopConf()
@@ -59,7 +60,25 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
 
   override def initialOffset(): Offset = WarcFilesOffset(Nil)
 
-  override def latestOffset(): Offset = WarcFilesOffset(listNow())
+  // ---- Trigger.AvailableNow ----------------------------------------
+  // Without this, Spark falls back to ONE unbounded batch and IGNORES
+  // the admission limits (MicroBatchExecution's documented fallback) —
+  // the exact backlog-restart hazard admission control exists for. The
+  // contract: snapshot the listing when the query starts; every batch
+  // admits from the snapshot under the configured limits; the query
+  // terminates once the committed offset reaches the snapshot. Files
+  // landing mid-run wait for the next start (or a continuous trigger).
+  private var prepared: Seq[String] = null
+
+  override def prepareForTriggerAvailableNow(): Unit = prepared = listNow()
+
+  /** The file universe for this planning call: the AvailableNow
+    * snapshot when prepared, a fresh listing otherwise.
+    */
+  private def universe(): Seq[String] =
+    if (prepared != null) prepared else listNow()
+
+  override def latestOffset(): Offset = WarcFilesOffset(universe())
 
   // ---- admission control: bound each micro-batch's intake ----------
   // A restart against a year of backlog (or the first run over an
@@ -124,11 +143,11 @@ final class WarcMicroBatchStream(paths: Seq[String], pushed: Array[Filter],
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val seen = start.asInstanceOf[WarcFilesOffset].files
-    val fresh = listNow().filterNot(seen.toSet)
+    val fresh = universe().filterNot(seen.toSet)
     WarcFilesOffset((seen ++ admit(fresh, limit)).sorted)
   }
 
-  override def reportLatestOffset(): Offset = WarcFilesOffset(listNow())
+  override def reportLatestOffset(): Offset = WarcFilesOffset(universe())
 
   override def deserializeOffset(json: String): Offset =
     WarcFilesOffset.fromJson(json)

@@ -72,6 +72,53 @@ final class LabelMatcher(labelToConcept: Seq[(String, String)]) extends Serializ
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       names.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
   }
+
+  /** LINE-grain match spans: for every line of `text` (Python
+    * `splitlines(keepends)` boundaries — [[graft.ingest.Blocks
+    * .splitKeepEnds]], the exact splitter the chunkers build on) and
+    * every concept with ≥1 label match in that line, one
+    * `(concept, lineStart, lineEnd)` span in ORIGINAL character
+    * coordinates.
+    *
+    * Why line grain is the factoring that makes chunk-level rewrites
+    * sound: provided no label contains a line-terminator character, a
+    * match can never cross a line boundary, and every piece of CONTEXT
+    * a match consults stays inside its line too — the word-boundary
+    * check looks one char past each end (a terminator, which is
+    * non-word, or the line/string edge, same verdict), and
+    * `toLowerCase`'s only context-sensitive rule in Locale.ROOT
+    * (Greek final sigma) keys on adjacent cased letters, which a
+    * terminator is not. So for ANY chunk assembled from whole lines —
+    * soft/hard-limit chunks at any overlap — `matchedConcepts(chunk
+    * .text)` equals the sorted distinct concepts of the spans lying
+    * inside `[chunk_start, chunk_end)`; this also dodges the
+    * lowercase-length-change hazard (U+0130) entirely, because spans
+    * carry original LINE offsets, never offsets into a lowercased
+    * string. [[graft.plans.VocabBelowExplode]] rewrites on exactly
+    * this equivalence; `VocabBelowExplodeSpec` pins it differentially
+    * (final-sigma, U+0130, and terminator-zoo corpora included).
+    */
+  def lineSpans(text: String): Seq[(String, Int, Int)] = {
+    if (text == null || text.isEmpty) return Nil
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = 0
+    graft.ingest.Blocks.splitKeepEnds(text).foreach { line =>
+      matchedConcepts(line).foreach { c => out += ((c, off, off + line.length)) }
+      off += line.length
+    }
+    out.result()
+  }
+
+  /** Codegen entry point for [[graft.functions.VocabMatchSpans]]. */
+  def lineSpansArrayData(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val rows = lineSpans(text.toString).map { case (c, s, e) =>
+      InternalRow(UTF8String.fromString(c), s, e)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray[Any])
+  }
 }
 
 object BruteSearch {

@@ -368,6 +368,44 @@ class WarcSourceSpec extends SparkSpec {
       s"1-byte budget admits one file per batch: ${got2.map(_._1).distinct}")
   }
 
+  test("Trigger.AvailableNow drains the snapshot in bounded batches, then stops") {
+    val dir = Files.createTempDirectory("warcavn")
+    val ckpt = Files.createTempDirectory("warcavn-ckpt").toString
+    def seg(i: Int, dirP: java.nio.file.Path = dir): Unit =
+      Files.write(dirP.resolve(s"seg-$i.warc"),
+        Warc.format(Seq(rec(s"https://avn.test/$i", s"p$i"))))
+    (1 to 5).foreach(seg(_))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def run(): Unit = {
+      val q = spark.readStream.format("warc")
+        .option("maxFilesPerTrigger", 2)
+        .load(dir.toString)
+        .select($"target_uri")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          got.synchronized { got ++= b.collect().map(r => (id, r.getString(0))) }
+          ()
+        }.start()
+      assert(q.awaitTermination(60000), "AvailableNow must self-terminate")
+    }
+    run()
+    // WITHOUT SupportsTriggerAvailableNow Spark logged "falling back to
+    // single batch execution ... read limit ignored" — one unbounded
+    // batch. With it, the 5-file snapshot drains at 2 per trigger.
+    assert(got.map(_._2).sorted.toSeq ==
+      (1 to 5).map(i => s"https://avn.test/$i"), s"exactly once: $got")
+    assert(got.map(_._1).distinct.size >= 3,
+      s"admission must bound each batch: ${got.map(_._1).distinct}")
+    // restart after more files land: only the delta, again bounded
+    val before = got.size
+    (6 to 8).foreach(seg(_))
+    run()
+    assert(got.size == before + 3 && got.map(_._2).toSet.size == 8,
+      s"restart ingests exactly the delta: $got")
+  }
+
   test("vacuum sweeps aged orphan temps, spares young ones and data files") {
     val dir = Files.createTempDirectory("warcvac")
     val host = dir.resolve("host=v.test")
