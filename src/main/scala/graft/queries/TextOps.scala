@@ -491,6 +491,39 @@ object TextOps {
         .orderBy($"keep_id")
     },
 
+    // ---- chunk-explode × vocab-match through the SECOND optimizer
+    // rule (SURVEY §4's named candidate, VERDICT-r12 item 4): the
+    // query is AUTHORED as `graft_chunks` → `explode` →
+    // `graft_vocab_match(chunk.text)` — the user-facing composition —
+    // and graft.plans.VocabBelowExplode rewrites it to ONE line-grain
+    // span scan per document below the Generate plus a per-chunk
+    // span-range slice above it (PlanCheck: `graft_vocab_spans` +
+    // `graft_vocab_slice` present, `graft_vocab_match` absent). The
+    // oracle mirrors the chunking exactly because the input is
+    // normalized to one WORD per line (whitespace → newline), so
+    // soft-limit-8 chunks are exactly 8-line groups with closed-form
+    // offsets; the corpus is lowercase ASCII words, so a label
+    // matches a chunk iff it equals one of its words.
+    "q190_vocab_below_explode" -> { (s, dir) =>
+      import s.implicits._
+      graft.GraftExtensions.install(s)
+      val labels = Seq("spark", "join", "merge", "filter", "scan", "window")
+      val arr = labels.map(l => s"'$l'").mkString("array(", ",", ")")
+      docsParallel(s, dir)
+        .where(length(trim($"text")) > 0)
+        .select($"doc_id",
+          expr("regexp_replace(trim(text), '\\\\s+', chr(10))").as("t"))
+        .select($"doc_id",
+          explode(expr("graft_chunks(t, 8, cast(0 as double), -1)")).as("chunk"))
+        .select($"doc_id",
+          $"chunk.chunk_start".as("chunk_start"),
+          $"chunk.chunk_end".as("chunk_end"),
+          $"chunk.tokens".cast("long").as("n_tokens"),
+          expr(s"array_join(graft_vocab_match(chunk.text, $arr, $arr), ',')")
+            .as("concepts"))
+        .orderBy($"doc_id", $"chunk_start")
+    },
+
     // ---- soft dedup (SoftDedup, She et al. ACL 2024): reweight
     // instead of drop — per-doc sampling weight inversely proportional
     // to the mean corpus df of its distinct shingles. Near-duplicates
@@ -2819,6 +2852,43 @@ object TextOps {
         |      FROM documents)
         |WHERE source LIKE 'src1%'
         |ORDER BY doc_id""".stripMargin,
+
+    // vocab-below-explode mirror: one word per line (the derived
+    // text), soft-limit-8 chunks = 8-line groups with running-sum
+    // offsets (every line 1 token, lines keep their newline except
+    // the last), matched concepts = sorted distinct chunk words in
+    // the vocabulary. Mirrors the ENGINE's rewritten plan relation
+    // exactly — the rule must be semantics-preserving for this to
+    // hash-match.
+    "q190_vocab_below_explode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', chr(10), 'g'), chr(10)) AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |w AS (
+        |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i,
+        |    len(ws) AS n
+        |  FROM d),
+        |pos AS (
+        |  SELECT doc_id, w, i, n,
+        |    CAST(COALESCE(SUM(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS s
+        |  FROM w),
+        |lines AS (
+        |  SELECT doc_id, w, i, n, s,
+        |    s + length(w) + (CASE WHEN i = n THEN 0 ELSE 1 END) AS e,
+        |    CAST((i - 1) // 8 AS INTEGER) AS c
+        |  FROM pos)
+        |SELECT doc_id,
+        |  CAST(MIN(s) AS INTEGER) AS chunk_start,
+        |  CAST(MAX(e) AS INTEGER) AS chunk_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  COALESCE(array_to_string(list_sort(list(DISTINCT w)
+        |    FILTER (WHERE w IN ('spark','join','merge','filter','scan','window'))),
+        |    ','), '') AS concepts
+        |FROM lines
+        |GROUP BY doc_id, c
+        |ORDER BY doc_id, chunk_start""".stripMargin,
 
     // streaming-archive mirror: identical derivation to q187 — the
     // engine side routes documents → batch warc write → readStream

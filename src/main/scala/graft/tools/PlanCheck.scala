@@ -836,6 +836,13 @@ object PlanCheck {
       mustContain = Seq("graft_dedup_key", "HashAggregate"),
       mustNotContain = Seq("regexp_replace", "Window ",
         "CartesianProduct")),
+    // the vocab-below-explode rule must rewrite the authored
+    // chunk-explode × match: span scan below the Generate, slice
+    // above it, NO per-chunk matcher surviving anywhere
+    Expectation("q190_vocab_below_explode",
+      mustContain = Seq("graft_vocab_spans", "graft_vocab_slice",
+        "Generate"),
+      mustNotContain = Seq("graft_vocab_match", "CartesianProduct")),
     // plain PQ-ADC: broadcast-query cross score (the q22 intentional
     // shape) + the per-query rank window
     Expectation("q180_pq_adc_topk",
