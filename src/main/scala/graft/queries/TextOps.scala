@@ -987,9 +987,11 @@ object TextOps {
     // ---- streaming WARC archive loop with a CHECKPOINT RESTART (the
     // q187 discipline applied to readStream→writeStream): phase 1
     // batch-writes half the corpus into a source store, a streaming
-    // query (admission control: maxFilesPerTrigger=7, so the backlog
-    // drains in several checkpointed micro-batches under
-    // Trigger.AvailableNow) archives it into a sink store through the
+    // query (admission control: maxFilesPerTrigger=12 over the 20
+    // per-phase host segments → ≥2 checkpointed micro-batches per
+    // phase under Trigger.AvailableNow; the deeper ≥3-batch drain +
+    // snapshot-termination law is WarcSourceSpec's) archives it into
+    // a sink store through the
     // streaming warc SINK (epoch-deterministic names); phase 2 appends
     // the other half to the source and RESTARTS the query from the
     // same checkpoint — committed segments must not re-emit, the delta
@@ -1023,7 +1025,7 @@ object TextOps {
         .repartition($"host")
       def drain(): Unit = {
         val q = s.readStream.format("warc")
-          .option("maxFilesPerTrigger", 7)
+          .option("maxFilesPerTrigger", 12)
           .load(srcRoot)
           .writeStream.format("warc")
           .option("partitionByHost", "true")
