@@ -52,7 +52,12 @@ object Hits {
       scale: Long = 100000L): DataFrame = {
     require(iters >= 1, s"iters must be at least 1: $iters")
     require(scale > 0, s"scale must be positive: $scale")
-    val n = nodes.select(col(nodeCol).as("node"))
+    // every rescale (2 per round, each behind an eager localCheckpoint)
+    // joins the node frame — left lazy, each cut re-executes the
+    // caller's node-derivation subtree from the source (q169: the full
+    // outlink extraction, 2×iters times; at corpus scale, one redundant
+    // full scan per half-step). Materialize it once.
+    val n = nodes.select(col(nodeCol).as("node")).localCheckpoint()
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("long").as("w"))
     val ew = e.localCheckpoint()

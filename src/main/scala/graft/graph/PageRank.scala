@@ -68,7 +68,18 @@ object PageRank {
     require(iters >= 0, s"iters must be non-negative: $iters")
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen not in (0,1)")
     require(checkpointInterval > 0, s"checkpointInterval must be positive: $checkpointInterval")
-    val n = nodes.select(col(nodeCol).as("node"))
+    // The deep paths below cut lineage eagerly (per round when
+    // redistributing, per interval otherwise), and EVERY cut's rank
+    // join re-reads the node frame — left lazy, each cut re-executes
+    // the caller's node-derivation subtree from the source (q165: the
+    // full outlink extraction, once per round; at corpus scale, one
+    // redundant full scan per cut). Materialize the node frame once on
+    // those paths. The shallow leak path stays fully lazy — one action,
+    // ReusedExchange dedupes the per-round node reads, and callers'
+    // plan shapes (q57's broadcast-join contract) remain visible.
+    val deep = redistributeDangling || iters > checkpointInterval
+    val n0 = nodes.select(col(nodeCol).as("node"))
+    val n = if (deep) n0.localCheckpoint() else n0
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).cast("long").as("w"))
     // enforce the documented positive-weight precondition up front: a
@@ -82,7 +93,6 @@ object PageRank {
     // the plan would DOUBLE per round (2^iters subtrees), so it always
     // cuts per round; the leak path references r once per round (linear
     // plan depth) and cuts only past checkpointInterval.
-    val deep = redistributeDangling || iters > checkpointInterval
     val tw = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
     // the per-round contribution join re-reads the weighted edge frame
     // EVERY round; left lazy, each round re-derives it from the source

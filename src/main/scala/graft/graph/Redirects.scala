@@ -42,7 +42,11 @@ object Redirects {
   def resolve(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be non-negative: $rounds")
+    // materialized once: three consumers (functionality probe, initial
+    // map, terminal probe) would otherwise each re-derive the edge
+    // frame from the source
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     // enforce functionality up front (bounded job: stops at first dup)
     require(e.groupBy(col("src")).count()
         .filter(col("count") > 1).limit(1).count() == 0L,

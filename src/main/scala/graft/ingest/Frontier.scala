@@ -288,8 +288,13 @@ object Frontier {
     require(budget >= 0, s"budget must be non-negative: $budget")
     val spark = mass.sparkSession
     import spark.implicits._
+    // materialized once: four consumers (two precondition probes, the
+    // total aggregate, the base/remainder pass) would otherwise each
+    // re-derive the host-mass frame from its source (q177: the per-host
+    // mass aggregation over the corpus, re-run per consumer)
     val m = mass.select(col(hostCol).as("host"),
       col(massCol).cast("long").as("mass"))
+      .localCheckpoint()
     // enforce the documented precondition up front (the PageRank/Hits
     // convention): a negative mass corrupts the div/% pair silently,
     // and an all-zero table would emit all-NULL quotas instead of the

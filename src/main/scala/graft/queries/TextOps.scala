@@ -125,12 +125,17 @@ object TextOps {
   private def hostGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
+    // materialized once: PageRank/Hits consume the edge frame AND the
+    // node frame (derived from it) across several eager lineage cuts —
+    // left lazy, every cut re-runs the outlink extraction (r13
+    // measurement: the extraction executed 6× per q165 invocation)
     val edges = graft.textops.TextAnalysis.outlinkEdges(
         linkedPages(s, dir), "doc_id", "page")
       .filter($"host".isNotNull)
       .join(docs.select($"doc_id", $"source"), "doc_id")
       .select($"source".as("src"), $"host".as("dst"))
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
     val nodes = edges.select($"src".as("host"))
       .union(edges.select($"dst")).distinct()
     (nodes, edges)

@@ -91,13 +91,47 @@ object GzipMembers {
     } finally inf.end()
   }
 
-  /** One record's bytes as a standalone gzip member (the write side). */
+  // One Deflater per writer thread, reset per member: record-gzip
+  // writes one member PER RECORD, and a fresh GZIPOutputStream there
+  // allocated (and finalizer-released) a native zlib stream per record
+  // — the dominant per-record cost for small records. Bounded: one
+  // ~256 KiB native context per pool thread, reused for the thread's
+  // lifetime. Same level/strategy as GZIPOutputStream, so the emitted
+  // bytes are identical to the previous implementation's.
+  private val threadDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  }
+
+  /** One record's bytes as a standalone gzip member (the write side):
+    * the fixed 10-byte header (FLG/MTIME/XFL/OS all zero, matching
+    * `GZIPOutputStream`), raw deflate body, CRC32+ISIZE trailer.
+    */
   def gzipMember(data: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(data)
-    gz.finish()
-    gz.close()
+    val d = threadDeflater.get()
+    d.reset()
+    d.setInput(data)
+    d.finish()
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
+    bos.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      bos.write(buf, 0, n)
+    }
+    val crc = new CRC32()
+    crc.update(data)
+    val c = crc.getValue
+    val isize = data.length.toLong & 0xffffffffL
+    val tr = new Array[Byte](8)
+    var i = 0
+    while (i < 4) {
+      tr(i) = ((c >>> (8 * i)) & 0xff).toByte
+      tr(4 + i) = ((isize >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    bos.write(tr)
     bos.toByteArray
   }
 }

@@ -449,10 +449,23 @@ final class WarcChunkReader(p: WarcChunk, required: StructType,
     buf((off - bufOff).toInt)
   }
 
+  /** Absolute-range read SERVED THROUGH the sliding window: the
+    * record-gzip path calls this once per member (header probe + body
+    * chunks + trailer), and a positioned FS read per call amplified a
+    * ~200-byte member into a fresh 64 KiB readFully each time. Ranges
+    * beyond the window size bypass it (one direct read; large payloads
+    * should not churn the window).
+    */
   private def bytesAt(off: Long, len: Int): Array[Byte] = {
-    val out = new Array[Byte](len)
-    in.readFully(off, out, 0, len)
-    out
+    if (len <= 0) return Array.emptyByteArray
+    if (len > (1 << 16)) {
+      val out = new Array[Byte](len)
+      in.readFully(off, out, 0, len)
+      return out
+    }
+    if (off < bufOff || off + len > bufOff + bufLen) load(off, 1 << 16)
+    val s = (off - bufOff).toInt
+    java.util.Arrays.copyOfRange(buf, s, s + len)
   }
 
   private val Marker = "WARC/1.0\r\n".getBytes("US-ASCII")
@@ -679,20 +692,34 @@ final class WarcChunkReader(p: WarcChunk, required: StructType,
     materializeVals(r.warcType, r.uri, r.date,
       () => bytesAt(r.payloadStart, r.payloadLen), host)
 
+  // column dispatch resolved ONCE at reader construction (name→slot),
+  // not per row per field by string comparison
+  private val fieldCodes: Array[Int] = required.fields.map(_.name match {
+    case "segment" => 0
+    case "host" => 1
+    case "warc_type" => 2
+    case "target_uri" => 3
+    case "warc_date" => 4
+    case "payload" => 5
+    case other => throw new IllegalStateException(s"unknown column $other")
+  })
+
   private def materializeVals(warcType: String, uri: String, date: String,
       payload: () => Array[Byte], host: String): InternalRow = {
-    val vals = required.fields.map { f =>
-      f.name match {
-        case "segment" => segmentU
-        case "host" => UTF8String.fromString(host)
-        case "warc_type" => UTF8String.fromString(warcType)
-        case "target_uri" => UTF8String.fromString(uri)
-        case "warc_date" => UTF8String.fromString(date)
-        case "payload" => payload()
-        case other => throw new IllegalStateException(s"unknown column $other")
+    val vals = new Array[Any](fieldCodes.length)
+    var i = 0
+    while (i < fieldCodes.length) {
+      vals(i) = fieldCodes(i) match {
+        case 0 => segmentU
+        case 1 => UTF8String.fromString(host)
+        case 2 => UTF8String.fromString(warcType)
+        case 3 => UTF8String.fromString(uri)
+        case 4 => UTF8String.fromString(date)
+        case 5 => payload()
       }
+      i += 1
     }
-    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+    new GenericInternalRow(vals)
   }
 
   override def get(): InternalRow = row
