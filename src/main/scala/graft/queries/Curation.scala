@@ -471,11 +471,14 @@ object Curation {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = docsParallel(s, dir)
-      val bm = graft.textops.Retrieval.bm25TopK(docs, "doc_id", "text",
+      // one tokenization pass serves BM25 (stats + hits) and the
+      // coverage table — the digest is checkpointed inside
+      val dig = graft.textops.Retrieval.queryTermDigest(
+        docs, "doc_id", "text", Bm25Query)
+      val bm = graft.textops.Retrieval.bm25FromDigest(dig, "doc_id",
         Bm25Query, k = Bm25K).select($"doc_id", $"rk")
-      val tf = docs
-        .select($"doc_id", explode(graft.textops.TextTokens.wordsCol($"text")).as("term"))
-        .filter($"term".isin(Bm25Query: _*))
+      val tf = dig
+        .select($"doc_id", explode($"__qhits").as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       // bounded top-k rank (post-limit frame): non-foldable constant
       // partition key, the bm25TopK convention — no global window
@@ -501,12 +504,15 @@ object Curation {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = docsParallel(s, dir)
-      val bm = graft.textops.Retrieval.bm25TopK(docs, "doc_id", "text",
+      // one tokenization pass serves BM25 (stats + hits), coverage,
+      // and relevance — the digest is checkpointed inside
+      val dig = graft.textops.Retrieval.queryTermDigest(
+        docs, "doc_id", "text", Bm25Query)
+      val bm = graft.textops.Retrieval.bm25FromDigest(dig, "doc_id",
           Bm25Query, k = Bm25K)
         .select(lit("bm25").as("query_id"), $"doc_id", $"rk")
-      val tf = docs
-        .select($"doc_id", explode(graft.textops.TextTokens.wordsCol($"text")).as("term"))
-        .filter($"term".isin(Bm25Query: _*))
+      val tf = dig
+        .select($"doc_id", explode($"__qhits").as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       // bounded top-k rank (post-limit frame): non-foldable constant
       // partition key, the bm25TopK convention — no global window

@@ -2038,7 +2038,9 @@ object CurationOps {
     */
   def knBigramLm(df: DataFrame, textCol: String, minCount: Int = 5): DataFrame =
     knLmFromCounts(
-      bigramCounts(df, textCol).localCheckpoint(), // three consumers
+      // three consumers; lazy — materializes inside the first
+      // consumer's job (the final action's broadcast builds)
+      bigramCounts(df, textCol).localCheckpoint(eager = false),
       minCount)
 
   /** The mergeable SUFFICIENT STATISTIC of [[knBigramLm]]: corpus-wide
@@ -2514,6 +2516,12 @@ object CurationOps {
       minCount: Int, broadcastTypeLimit: Long = 1L << 20): DataFrame = {
     val spark = tri0.sparkSession
     import spark.implicits._
+    // Checkpoint discipline re-measured r13: tri/cont23/big stay EAGER
+    // — each is forced to materialize early anyway (size-gate counts,
+    // broadcast builds), and lazy variants measured flat-to-slower
+    // (lazy tri pushed the whole explode+groupBy into the first gate
+    // count, ~0.4 s worse; lazy big makes two concurrent broadcast
+    // builds race on the same uncomputed blocks).
     val tri = tri0.localCheckpoint() // five aggregate consumers below
     val ctx3 = tri.groupBy($"w1", $"w2")
       .agg(sum($"n").as("ctx3"), count(lit(1)).as("f3"))

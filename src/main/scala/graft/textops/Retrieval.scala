@@ -33,18 +33,49 @@ object Retrieval {
     */
   def bm25TopK(
       df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame =
+    bm25FromDigest(queryTermDigest(df, idCol, textCol, queryTerms),
+      idCol, queryTerms, k)
+
+  /** One-pass per-doc query-term digest `(id, dl, __qhits)`: the doc's
+    * token count and its tokens RESTRICTED to the query set, from a
+    * single tokenization of each document. The corpus stats pass and
+    * the hit-explode pass of [[bm25TopK]] both derive from this frame
+    * (lazily checkpointed — materialized by whichever consumer runs
+    * first), so one invocation tokenizes the corpus ONCE instead of
+    * twice; gates that additionally build coverage/relevance tables
+    * from the same query-term hits (q75/q76) reuse it for those too.
+    * The materialized rows are narrow — id, one long, and the (rare)
+    * matching tokens — never the full token stream. NULL texts keep
+    * the historical semantics exactly: `size(null) = -1` flows into
+    * `dl` and the stats sum, and a null hits array explodes to zero
+    * rows.
+    */
+  def queryTermDigest(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val ws = TextTokens.wordsCol(col(textCol))
+    val qset = array(queryTerms.map(lit): _*)
+    df.select(col(idCol), size(ws).cast("long").as("dl"),
+        filter(ws, t => array_contains(qset, t)).as("__qhits"))
+      .localCheckpoint(eager = false)
+  }
+
+  /** [[bm25TopK]] over a prebuilt [[queryTermDigest]] — identical
+    * integer inputs (tf, df, dl, N, total tokens) feed the identical
+    * contribution expression, so scores and ranks are unchanged.
+    */
+  def bm25FromDigest(digest: DataFrame, idCol: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
-    val ws = TextTokens.wordsCol(col(textCol))
-    // corpus-wide stats come from the UNFILTERED table: one scan, two
-    // scalar aggregates, broadcast as a single row
-    val stats = df.select(
+    // corpus-wide stats come from the UNFILTERED digest: one row per
+    // document, two scalar aggregates, broadcast as a single row
+    val stats = digest.select(
       count(lit(1)).as("n_docs"),
-      sum(size(ws)).cast("long").as("total_tokens"))
-    val hits = df.select(col(idCol), size(ws).cast("long").as("dl"),
-        explode(ws).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+      sum(col("dl")).cast("long").as("total_tokens"))
+    val hits = digest.select(col(idCol), col("dl"),
+      explode(col("__qhits")).as("term"))
     val tf = hits.groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     // (doc, term) is unique in tf, so df is a plain count per term
