@@ -861,14 +861,27 @@ object Vectors {
       if (planes > 0) planes
       else graft.textops.NearDup.autoPlanes(layerCount(j), targetBucket)
     def members(j: Int): DataFrame = c.filter($"h60" % lit(layerMods(j)) === 0)
-    // top-degree out-edges per node within layer j, symmetrized
+    // top-degree out-edges per node within layer j, symmetrized.
+    // r13 shape (layer-graph construction measured as 3.2 of q88's
+    // 4.2 s of job time): ALL tables' bucket keys come from ONE
+    // projection over the members (the hyperplane dot products are the
+    // per-row cost — one pass instead of one per table), lazily
+    // checkpointed so each table's self-join and both scoring joins
+    // read materialized narrow rows; and the symmetrized result skips
+    // its final distinct — the descent's `expanded.distinct()` dedups
+    // candidates anyway, so edge multiplicity cannot reach a result
+    // (kept: the PAIR distinct before scoring, which row_number needs
+    // for correct top-degree ranks).
     def layerEdges(j: Int): DataFrame = {
       val mem = members(j)
+      val bk = mem.select(($"id" +: (0 until tables).map { t =>
+          hyperplaneBucket($"v", planesFor(j), dim, seed + j * tables + t)
+            .as(s"b$t")
+        }): _*)
+        .localCheckpoint(eager = false)
       val pairs = (0 until tables).map { t =>
-        val b = mem.select($"id",
-          hyperplaneBucket($"v", planesFor(j), dim, seed + j * tables + t).as("bucket"))
-        b.as("x").join(b.as("y"),
-            col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+        bk.as("x").join(bk.as("y"),
+            col(s"x.b$t") === col(s"y.b$t") && col("x.id") =!= col("y.id"))
           .select(col("x.id").as("src"), col("y.id").as("dst"))
       }.reduce(_ union _).distinct()
       val scored = pairs
@@ -878,7 +891,7 @@ object Vectors {
       val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst".asc)
       val top = scored.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= degree).select($"src", $"dst")
-      top.union(top.select($"dst".as("src"), $"src".as("dst"))).distinct()
+      top.union(top.select($"dst".as("src"), $"src".as("dst")))
     }
     // entry at the deepest NON-empty layer: a small corpus can roll an
     // empty top layer (P ≈ e^(-N/fanout^(layers-1))) and an empty entry
@@ -928,19 +941,30 @@ object Vectors {
     // even when it equals the query; dropping it can empty the beam
     // when it is an upper layer's only member). Self is excluded only
     // in the final re-rank.
+    val sc = spark.sparkContext
+    def labeled[T](desc: String)(f: => T): T = {
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(desc)
+      try f finally sc.setJobDescription(prev)
+    }
     val entry = q.select($"query_id")
       .crossJoin(broadcast(entryMembers.select($"id".as("cand"))))
-    var b = rankBeam(entry, beam).localCheckpoint()
+    var b = labeled("hnsw: entry beam")(rankBeam(entry, beam).localCheckpoint())
+    var li = 0
     for (edges0 <- layerEdgesDesc) {
-      val edges = if (hops > 1) edges0.localCheckpoint() else edges0
-      for (_ <- 1 to hops) {
+      val edges = if (hops > 1)
+        labeled(s"hnsw: layer $li edges")(edges0.localCheckpoint())
+      else edges0
+      for (h <- 1 to hops) {
         val expanded = b.select($"query_id", $"cand".as("src"))
           .join(edges, "src")
           .select($"query_id", $"dst".as("cand"))
           .union(b.select($"query_id", $"cand"))
           .distinct()
-        b = rankBeam(expanded, beam).localCheckpoint()
+        b = labeled(s"hnsw: layer $li hop $h beam")(
+          rankBeam(expanded, beam).localCheckpoint())
       }
+      li += 1
     }
     val wf = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand".asc)
     b.filter($"cand" =!= $"query_id")
