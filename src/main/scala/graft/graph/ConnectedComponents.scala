@@ -55,7 +55,9 @@ object ConnectedComponents {
     // not be recomputed every propagation round
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .localCheckpoint()
-    if (sym.count() <= localEdgeLimit) labelsLocal(sym)
+    // localEdgeLimit = 0 forces the distributed path — don't pay the
+    // size-probe count job it can never satisfy
+    if (localEdgeLimit > 0 && sym.count() <= localEdgeLimit) labelsLocal(sym)
     else if (algorithm == "star") labelsStar(sym, maxIter)
     else labelsDistributed(sym, maxIter)
   }
@@ -186,12 +188,19 @@ object ConnectedComponents {
       canon(emitted)
     }
 
-    var cur = canon(sym).localCheckpoint()
+    val sc = sym.sparkSession.sparkContext
+    def jobLabel[T](desc: String)(f: => T): T = {
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(desc)
+      try f finally sc.setJobDescription(prev)
+    }
+    var cur = jobLabel("star-cc: canon")(canon(sym).localCheckpoint())
     var curCount = cur.count()
     var iter = 0
     var converged = curCount == 0
     while (!converged) {
-      val next = phase(phase(cur, large = true), large = false).localCheckpoint()
+      val next = jobLabel(s"star-cc: round ${iter + 1}")(
+        phase(phase(cur, large = true), large = false).localCheckpoint())
       val nextCount = next.count()
       // fixed point: same canonical set (counts first — cheap — then an
       // anti-join only when counts agree)
