@@ -527,9 +527,27 @@ object Multimodal {
     * in, one batch out) is the contract.
     */
   object StubDecoder {
+    // one digest per worker thread (getInstance per ROW was the
+    // per-record cost), hex via a table instead of String.format per
+    // byte — same bytes, same hex
+    private val Sha256Local = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("SHA-256")
+    }
+    private val HexChars = "0123456789abcdef".toCharArray
+    private def hexOf(d: Array[Byte]): String = {
+      val out = new Array[Char](d.length * 2)
+      var i = 0
+      while (i < d.length) {
+        out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+        out(2 * i + 1) = HexChars(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
     def decode(row: MediaRow): MediaFeatures = {
-      val digest = java.security.MessageDigest.getInstance("SHA-256").digest(row.bytes)
-      val hex = digest.map("%02x".format(_)).mkString
+      val digest = Sha256Local.get().digest(row.bytes) // digest() resets
+      val hex = hexOf(digest)
       def b(i: Int): Int = digest(i) & 0xff
       MediaFeatures(
         media_id = row.media_id,
