@@ -114,7 +114,10 @@ object GzipMembers {
     d.setInput(data)
     d.finish()
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 32)
-    bos.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    // OS byte 0xFF = "unknown", matching GZIPOutputStream exactly
+    // (byte-identity spec-pinned in GzipMembersSpec)
+    bos.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+      0xff.toByte))
     val buf = new Array[Byte](8192)
     while (!d.finished()) {
       val n = d.deflate(buf)

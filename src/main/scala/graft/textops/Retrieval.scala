@@ -47,9 +47,11 @@ object Retrieval {
     * from the same query-term hits (q75/q76) reuse it for those too.
     * The materialized rows are narrow — id, one long, and the (rare)
     * matching tokens — never the full token stream. NULL texts keep
-    * the historical semantics exactly: `size(null) = -1` flows into
-    * `dl` and the stats sum, and a null hits array explodes to zero
-    * rows.
+    * the historical semantics exactly (spec-pinned): the doc counts
+    * toward `n_docs`, its NULL `size()` (ANSI) drops out of the
+    * token-total sum, and a null hits array explodes to zero rows —
+    * identical to the old two-pass form, which used the same
+    * `size`/`explode` expressions.
     */
   def queryTermDigest(df: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String]): DataFrame = {

@@ -75,4 +75,28 @@ class HnswSpec extends SparkSpec {
     assert(dense >= sparse + 0.3,
       s"degree16=$dense vs degree4=$sparse — the lever claim collapsed")
   }
+
+  test("beam descent is invariant to edge multiplicity (r13 symmetrize change)") {
+    // the r13 layerEdges drops its final distinct, so the adjacency may
+    // carry duplicate (src, dst) rows — the descent's candidate distinct
+    // must make that unobservable in the result
+    import org.apache.spark.sql.functions._
+    val c = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", graft.vectors.Vectors.normCol(col("v")))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", graft.vectors.Vectors.normCol(col("qv")))
+    val entry = c.select(col("id")).filter(col("id") % 7 === 0)
+    val ids = c.select(col("id")).as[Long].collect().sorted
+    val edges = spark.createDataFrame(
+      ids.sliding(2).filter(_.length == 2).flatMap { w =>
+        Seq((w(0), w(1)), (w(1), w(0)))
+      }.toSeq).toDF("src", "dst")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      graft.vectors.Vectors.hnswBeamDescent(c, q, entry, Seq(e),
+          k = 3, beam = 8, hops = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(edges) === run(edges.union(edges).union(edges)))
+  }
 }

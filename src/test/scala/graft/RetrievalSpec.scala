@@ -166,4 +166,23 @@ class RetrievalSpec extends SparkSpec {
       .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
     assert(sym === p(3))
   }
+
+  test("digest path keeps the historical NULL-text stats semantics") {
+    // r13 rewrote bm25TopK over a one-pass digest; a NULL text must
+    // still count in n_docs while its NULL size() (ANSI) drops out of
+    // the token total, exactly like the old two-pass form
+    val withNull = docs.union(Seq((5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    // N = 5, total stays 12 (the null doc's size is NULL, sum skips it)
+    val got = Retrieval.bm25TopK(withNull, "doc_id", "text", query, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = Map(
+      1L -> (contrib(2, 2, 3, 5, 12) + contrib(1, 2, 3, 5, 12)),
+      2L -> (contrib(1, 2, 2, 5, 12) + contrib(1, 1, 2, 5, 12)),
+      4L -> contrib(4, 2, 4, 5, 12))
+    assert(got.keySet === expected.keySet) // the null doc never ranks
+    expected.foreach { case (id, exp) =>
+      assert(math.abs(got(id) - exp) < 2e-6, s"doc $id")
+    }
+  }
 }
