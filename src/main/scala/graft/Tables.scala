@@ -34,7 +34,13 @@ object Tables {
     * absolute path; the driver's testdata is immutable for a process
     * lifetime. `None` records a file whose footer the vectorized
     * reader rejects at inference (TIMESTAMP(NANOS) events — see
-    * [[loadEvents]]).
+    * [[loadEvents]]). Scope caveat: entries are never invalidated, a
+    * transient IO failure caches `None` permanently (self-healing —
+    * the bare-read fallback surfaces the real error, at inference cost
+    * per call), and a schema inferred under one session's conf is
+    * reused process-wide. Fine for the immutable-testdata mains this
+    * serves; a reuse beyond them should key on (session, path) or
+    * cache successes only.
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[StructType]]()

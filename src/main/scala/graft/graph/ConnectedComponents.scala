@@ -50,13 +50,22 @@ object ConnectedComponents {
     require(algorithm == "min-label" || algorithm == "star",
       s"unknown algorithm '$algorithm' (expected min-label | star)")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // localEdgeLimit = 0 forces the distributed path — don't pay the
+    // size-probe count job it can never satisfy; and the star path
+    // needs only the canonical undirected edge set plus the node set,
+    // both derivable from the RAW pair list — one narrow lazy
+    // checkpoint of the pairs (materialized inside the round-0 canon
+    // job) replaces the symmetrize-union + distinct shuffle and its
+    // eager materialization job outright (r14: that preamble was the
+    // single largest q84 job). Size bound for the localCheckpoint:
+    // near-dup PAIRS, two ids per row — |pairs| ≪ corpus rows.
+    if (localEdgeLimit == 0 && algorithm == "star")
+      return labelsStar(e.localCheckpoint(eager = false), maxIter)
     // materialize the (symmetrized) edge list ONCE: the input is
     // typically the output of the whole MinHash pipeline, which must
     // not be recomputed every propagation round
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       .localCheckpoint()
-    // localEdgeLimit = 0 forces the distributed path — don't pay the
-    // size-probe count job it can never satisfy
     if (localEdgeLimit > 0 && sym.count() <= localEdgeLimit) labelsLocal(sym)
     else if (algorithm == "star") labelsStar(sym, maxIter)
     else labelsDistributed(sym, maxIter)
@@ -163,44 +172,62 @@ object ConnectedComponents {
     * the star edges. Each round is localCheckpointed so plans don't
     * nest `maxIter` deep, mirroring the min-label loop.
     */
-  private def labelsStar(sym: DataFrame, maxIter: Int): DataFrame = {
+  /** `edges` may be ANY directed frame (cols `src`, `dst`) whose
+    * undirected closure is the graph — raw pairs, symmetrized, deduped
+    * or not: `canon` normalizes orientation and multiplicity, and the
+    * node set unions both endpoint columns. Callers pass the cheapest
+    * frame they have.
+    */
+  private def labelsStar(edges: DataFrame, maxIter: Int): DataFrame = {
     // canonical undirected form (lo, hi) for the fixed-point test
     def canon(e: DataFrame): DataFrame =
       e.select(least(col("src"), col("dst")).as("lo"),
                greatest(col("src"), col("dst")).as("hi"))
         .filter(col("lo") =!= col("hi")).distinct()
 
-    // one star phase over the BIDIRECTED view of the canonical edges:
+    // one star phase over the BIDIRECTED view of an edge frame
+    // (directed (src, dst) rows, duplicates tolerated — min() is
+    // multiplicity-blind and the round's closing canon dedups):
     // m(u) = min(Γ(u) ∪ {u}); large connects v > u, small connects
-    // v <= u and u itself
-    def phase(cur: DataFrame, large: Boolean): DataFrame = {
-      val bidir = cur.select(col("lo").as("u"), col("hi").as("v"))
-        .union(cur.select(col("hi").as("u"), col("lo").as("v")))
+    // v <= u and u itself. Returns the emitted edges UNCANONICALIZED
+    // so the two phases of a round fuse under one final distinct —
+    // the intermediate canon was a full extra exchange per round
+    // whose only effect (dedup) the closing canon reproduces.
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val bidir = e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
       val m = bidir.groupBy(col("u"))
         .agg(min(least(col("v"), col("u"))).as("m"))
       val joined = bidir.join(m, "u")
-      val emitted =
-        if (large) joined.filter(col("v") > col("u"))
-          .select(col("v").as("src"), col("m").as("dst"))
-        else joined.filter(col("v") <= col("u"))
-          .select(col("v").as("src"), col("m").as("dst"))
-          .union(m.select(col("u").as("src"), col("m").as("dst")))
-      canon(emitted)
+      if (large) joined.filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+      else joined.filter(col("v") <= col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(m.select(col("u").as("src"), col("m").as("dst")))
     }
 
-    val sc = sym.sparkSession.sparkContext
+    val sc = edges.sparkSession.sparkContext
     def jobLabel[T](desc: String)(f: => T): T = {
       val prev = sc.getLocalProperty("spark.job.description")
       sc.setJobDescription(desc)
       try f finally sc.setJobDescription(prev)
     }
-    var cur = jobLabel("star-cc: canon")(canon(sym).localCheckpoint())
+    var cur = jobLabel("star-cc: canon")(canon(edges).localCheckpoint())
     var curCount = cur.count()
     var iter = 0
     var converged = curCount == 0
     while (!converged) {
+      // one round = large star then small star, ONE canon at the end:
+      // large-star's emitted multiset has the same SET of undirected
+      // edges as its canon (every edge is (v, m(u)) with m(u) < v, so
+      // orientation is already canonical and only duplicates differ),
+      // min() over duplicates equals min() over the set, and the
+      // closing canon dedups — so the fused round computes exactly the
+      // canonical set the unfused one did, one distinct cheaper.
+      val curDirected = cur.select(col("lo").as("src"), col("hi").as("dst"))
       val next = jobLabel(s"star-cc: round ${iter + 1}")(
-        phase(phase(cur, large = true), large = false).localCheckpoint())
+        canon(phase(phase(curDirected, large = true), large = false))
+          .localCheckpoint())
       val nextCount = next.count()
       // fixed point: same canonical set (counts first — cheap — then an
       // anti-join only when counts agree)
@@ -223,8 +250,12 @@ object ConnectedComponents {
     val labeled = members.union(roots).distinct()
     // canon drops self-loops, so nodes whose ONLY edges were self-loops
     // vanish from the star iteration — restore them as their own labels
-    // (min-label keeps them; the two paths must agree exactly)
-    val isolated = sym.select(col("src").as("node")).distinct()
+    // (min-label keeps them; the two paths must agree exactly). The
+    // node set unions BOTH endpoint columns: `edges` need not be
+    // symmetrized (src-only sufficed only for the old pre-symmetrized
+    // input).
+    val isolated = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
       .join(labeled.select(col("node")), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("label"))
     labeled.union(isolated)

@@ -44,7 +44,14 @@ object Redirects {
     require(rounds >= 0, s"rounds must be non-negative: $rounds")
     // materialized once: three consumers (functionality probe, initial
     // map, terminal probe) would otherwise each re-derive the edge
-    // frame from the source
+    // frame from the source. Size bound for the localCheckpoint
+    // (executor-local, not fault tolerant): the map is FUNCTIONAL —
+    // one outgoing edge per source, enforced below — so the frame is
+    // one narrow row per redirecting URL, a small fraction of the
+    // crawl's URL table (redirects are ~single-digit % of responses).
+    // An executor loss fails and re-runs the query; at a scale where
+    // that is unacceptable, point spark.checkpoint.dir at reliable
+    // storage and switch this (and hostGraph's edges) to checkpoint().
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     // enforce functionality up front (bounded job: stops at first dup)

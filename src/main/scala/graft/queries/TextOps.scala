@@ -128,7 +128,15 @@ object TextOps {
     // materialized once: PageRank/Hits consume the edge frame AND the
     // node frame (derived from it) across several eager lineage cuts —
     // left lazy, every cut re-runs the outlink extraction (r13
-    // measurement: the extraction executed 6× per q165 invocation)
+    // measurement: the extraction executed 6× per q165 invocation).
+    // Size bound for the localCheckpoint (executor-local, not fault
+    // tolerant): this is the HOST graph — the groupBy collapses the
+    // per-page outlinks to one row per (src host, dst host), bounded
+    // by |hosts|² in theory and by the web's host-level link graph in
+    // practice (~10⁸ rows at full crawl scale, ~GBs), not by corpus
+    // bytes. If an executor is lost mid-query the query fails and
+    // re-runs — acceptable for a frame this size; a corpus-scale frame
+    // would want spark.checkpoint.dir instead.
     val edges = graft.textops.TextAnalysis.outlinkEdges(
         linkedPages(s, dir), "doc_id", "page")
       .filter($"host".isNotNull)

@@ -105,8 +105,13 @@ object GzipMembers {
   }
 
   /** One record's bytes as a standalone gzip member (the write side):
-    * the fixed 10-byte header (FLG/MTIME/XFL/OS all zero, matching
-    * `GZIPOutputStream`), raw deflate body, CRC32+ISIZE trailer.
+    * the fixed 10-byte header (FLG/MTIME/XFL zero, OS 0xFF "unknown" —
+    * what `GZIPOutputStream` writes since JDK 16, JDK-8244706; on JDK
+    * <= 15 it wrote OS 0, so the byte-identity pin in GzipMembersSpec
+    * assumes JDK 16+), raw deflate body, CRC32+ISIZE trailer. The
+    * per-thread Deflater's native zlib context is never `end()`ed —
+    * bounded at one per pool thread here; a long-lived executor with
+    * thread churn relies on Deflater's Cleaner to reclaim them.
     */
   def gzipMember(data: Array[Byte]): Array[Byte] = {
     val d = threadDeflater.get()

@@ -456,7 +456,7 @@ final class WarcChunkReader(p: WarcChunk, required: StructType,
     * beyond the window size bypass it (one direct read; large payloads
     * should not churn the window).
     */
-  private def bytesAt(off: Long, len: Int): Array[Byte] = {
+  private[sources] def bytesAt(off: Long, len: Int): Array[Byte] = {
     if (len <= 0) return Array.emptyByteArray
     if (len > (1 << 16)) {
       val out = new Array[Byte](len)
@@ -464,6 +464,12 @@ final class WarcChunkReader(p: WarcChunk, required: StructType,
       return out
     }
     if (off < bufOff || off + len > bufOff + bufLen) load(off, 1 << 16)
+    // load() clamps to fileLen: a range past EOF (truncated/corrupt
+    // member) must fail loudly like the old positioned readFully did,
+    // not return stale/zero window bytes
+    if (off + len > bufOff + bufLen)
+      throw new java.io.EOFException(
+        s"range [$off, ${off + len}) past EOF ${p.fileLen} in ${p.path}")
     val s = (off - bufOff).toInt
     java.util.Arrays.copyOfRange(buf, s, s + len)
   }

@@ -866,8 +866,11 @@ object Vectors {
     // 4.2 s of job time): ALL tables' bucket keys come from ONE
     // projection over the members (the hyperplane dot products are the
     // per-row cost — one pass instead of one per table), lazily
-    // checkpointed so each table's self-join and both scoring joins
-    // read materialized narrow rows; and the symmetrized result skips
+    // checkpointed so each table's TWO self-join sides read
+    // materialized narrow rows (the scoring joins read `mem` — they
+    // need v/n, which bk drops, so they re-filter the persisted
+    // corpus: an in-memory scan, not a recompute); and the
+    // symmetrized result skips
     // its final distinct — the descent's `expanded.distinct()` dedups
     // candidates anyway, so edge multiplicity cannot reach a result
     // (kept: the PAIR distinct before scoring, which row_number needs
