@@ -39,9 +39,10 @@ object ConnectedComponents {
     * entries) keeps the transient driver footprint small even under a
     * default 1g driver heap; pass 0 to force the distributed path.
     *
-    * Mixed src/dst column types are fine: the symmetrizing union
-    * widens both endpoints to their common type before either path
-    * runs, so local and distributed paths see identical values.
+    * Mixed src/dst column types are fine: the canonicalizing
+    * least/greatest projection widens both endpoints to their common
+    * type before either path runs, so local and distributed paths see
+    * identical values.
     */
   def labels(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -61,14 +62,36 @@ object ConnectedComponents {
     // near-dup PAIRS, two ids per row — |pairs| ≪ corpus rows.
     if (localEdgeLimit == 0 && algorithm == "star")
       return labelsStar(e.localCheckpoint(eager = false), maxIter)
-    // materialize the (symmetrized) edge list ONCE: the input is
+    // materialize the edge list ONCE, in CANONICAL form — one distinct
+    // (lo, hi) row per undirected edge, self-loops kept: the input is
     // typically the output of the whole MinHash pipeline, which must
-    // not be recomputed every propagation round
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // not be recomputed per consumer, and the canonical form carries
+    // the same information as the old symmetrized frame at HALF the
+    // rows (half the distinct shuffle, half the checkpoint, half the
+    // local path's collect; least/greatest also widens mixed src/dst
+    // types exactly like the union did)
+    val cu = e.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
       .localCheckpoint()
-    if (localEdgeLimit > 0 && sym.count() <= localEdgeLimit) labelsLocal(sym)
-    else if (algorithm == "star") labelsStar(sym, maxIter)
-    else labelsDistributed(sym, maxIter)
+    // the size gate counts DISTINCT DIRECTED edges (the old sym frame):
+    // each non-loop canonical row stands for 2, each self-loop for 1 —
+    // derived in the one probe aggregate instead of materializing 2|E|.
+    // localEdgeLimit = 0 forces the distributed path — skip the probe
+    // job it can never satisfy (the r13 fix, preserved).
+    def symCount: Long = {
+      val cnt = cu.agg(count(lit(1)).as("n"),
+        count(when(col("src") =!= col("dst"), 1)).as("nl")).head
+      cnt.getLong(0) + cnt.getLong(1)
+    }
+    if (localEdgeLimit > 0 && symCount <= localEdgeLimit) labelsLocal(cu)
+    else if (algorithm == "star") labelsStar(cu, maxIter)
+    else labelsDistributed(
+      // min-label propagation needs BOTH directions; rebuild them from
+      // the checkpointed canonical frame (a projection, not a shuffle —
+      // non-loop rows swap, loops appear once so no distinct needed)
+      cu.union(cu.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst"))),
+      maxIter)
   }
 
   /** Driver-side union-find with path halving; min element becomes the

@@ -73,9 +73,13 @@ object EditDistance {
     a.join(b,
         a("__vh") === b("__vh") && col("id_a") < col("id_b") &&
           abs(length(col("__sa")) - length(col("__sb"))) <= maxDist)
+      // bounded form: levenshtein(a, b, k) early-exits past k (banded
+      // O(n·k) DP instead of the full O(n²) matrix — the verify is the
+      // per-candidate cost) and returns -1 for pruned pairs; kept rows
+      // and their dist values are identical to the unbounded form
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("__sa"), col("__sb"), maxDist).as("dist"))
+      .filter(col("dist").between(0, maxDist))
       .distinct()
   }
 

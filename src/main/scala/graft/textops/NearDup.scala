@@ -270,7 +270,7 @@ object NearDup {
         $"x.band" === $"y.band" && $"x.band_key" === $"y.band_key")
       .select($"x.id".as("id_a"), $"y.id".as("id_b"))
       .distinct()
-    verifyJaccard(candidates, shA.union(shB)).filter($"jaccard" >= threshold)
+    verifyJaccard(candidates, shA, shB).filter($"jaccard" >= threshold)
   }
 
   /** Phase 1 of [[minhashLshPairs]] (shared with the streaming twin —
@@ -337,18 +337,33 @@ object NearDup {
     * applies its threshold.
     */
   private[graft] def verifyJaccard(
-      candidates: DataFrame, sh: DataFrame): DataFrame = {
-    val spark = sh.sparkSession
+      candidates: DataFrame, sh: DataFrame): DataFrame =
+    verifyJaccard(candidates, sh, sh)
+
+  /** Split form of [[verifyJaccard]] for callers whose `id_a` and
+    * `id_b` come from DISJOINT id spaces ([[crossCorpusPairs]]): each
+    * join side and each size aggregate reads only the relation that
+    * can match it — probing a union of both would scan every relation
+    * twice per consumer for rows that cannot join (r14 measurement on
+    * the cross-corpus gate). With `shA eq shB` this is exactly the
+    * self-join verify.
+    */
+  private[graft] def verifyJaccard(
+      candidates: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame = {
+    val spark = shA.sparkSession
     import spark.implicits._
-    val sizes = sh.groupBy($"id").agg(count(lit(1)).as("n_shingles"))
+    val sizesA = shA.groupBy($"id").agg(count(lit(1)).as("n_shingles"))
+    val sizesB =
+      if (shB eq shA) sizesA
+      else shB.groupBy($"id").agg(count(lit(1)).as("n_shingles"))
     val common = candidates
-      .join(sh.toDF("id_a", "h"), "id_a")
-      .join(sh.toDF("id_b", "h"), Seq("id_b", "h"))
+      .join(shA.toDF("id_a", "h"), "id_a")
+      .join(shB.toDF("id_b", "h"), Seq("id_b", "h"))
       .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("n_common"))
     candidates.join(common, Seq("id_a", "id_b"), "left")
       .na.fill(0, Seq("n_common"))
-      .join(sizes.toDF("id_a", "size_a"), "id_a")
-      .join(sizes.toDF("id_b", "size_b"), "id_b")
+      .join(sizesA.toDF("id_a", "size_a"), "id_a")
+      .join(sizesB.toDF("id_b", "size_b"), "id_b")
       .withColumn("jaccard",
         $"n_common".cast("double") / ($"size_a" + $"size_b" - $"n_common").cast("double"))
       .select($"id_a", $"id_b", $"jaccard")

@@ -736,10 +736,19 @@ object Vectors {
       scored.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
         .select($"src", $"rank", $"dst", $"cosine")
     }
+    // ONE projection computes every LSH table's bucket key (the r13
+    // hnswTopK layerEdges shape): the hyperplane dot products are the
+    // per-row cost, so computing all tables in one pass — lazily
+    // checkpointed so each table's two self-join sides read
+    // materialized narrow rows — replaces `tables` separate
+    // projections over the corpus (2 per table via the self-join)
+    val bk = c.select(($"id" +: (0 until tables).map { t =>
+        hyperplaneBucket($"v", planes, dim, seed + t).as(s"b$t")
+      }): _*)
+      .localCheckpoint(eager = false)
     val seedPairs = (0 until tables).map { t =>
-      val b = c.select($"id", hyperplaneBucket($"v", planes, dim, seed + t).as("bucket"))
-      b.as("x").join(b.as("y"),
-          col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      bk.as("x").join(bk.as("y"),
+          col(s"x.b$t") === col(s"y.b$t") && col("x.id") =!= col("y.id"))
         .select(col("x.id").as("src"), col("y.id").as("dst"))
     }.reduce(_ union _)
     // each round reads the previous graph three times (two symmetrize
