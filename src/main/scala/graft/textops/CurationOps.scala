@@ -1346,6 +1346,16 @@ object CurationOps {
         .select(col(idCol),
           (NearDup.shingleHash60(col("__f")) % buckets).as("bucket"))
     }
+    // NOTE (r14, examined and left as-is): tCounts/rCounts each feed
+    // the stats broadcast AND the totals aggregate, so the corpus/
+    // target feature pass behind each runs twice — but the duplicate
+    // passes run CONCURRENTLY (independent broadcast builds) on idle
+    // cores, and materializing the bucket tables (eager or lazy
+    // localCheckpoint) measured flat-to-worse across repeated local
+    // A/B sessions: the serialization costs what the dedup saves
+    // here. At cluster scale, where a redundant corpus pass is real
+    // cost and cores are not idle, checkpoint both frames (they are
+    // at most `buckets` rows) and accept the serialization.
     val tCounts = feats(target).groupBy(col("bucket"))
       .agg(count(lit(1)).as("ct"))
     val rCounts = feats(corpus).groupBy(col("bucket"))
@@ -2128,11 +2138,21 @@ object CurationOps {
       minCount: Int, k: Int): DataFrame = {
     val spark = big.sparkSession
     import spark.implicits._
-    val nb = big.agg(sum($"n").as("n_b"))
-    val nu = uni.agg(sum($"nu").as("n_u"))
-    big.filter($"n" >= minCount)
-      .join(broadcast(uni.select($"w".as("w1"), $"nu".as("n1"))), Seq("w1"))
-      .join(broadcast(uni.select($"w".as("w2"), $"nu".as("n2"))), Seq("w2"))
+    // materialize each count table once: `uni` feeds TWO broadcast
+    // builds plus the n_u total and `big` the n_b total plus the main
+    // join side — left lazy, each consumer re-runs the corpus
+    // explode+groupBy behind it (r14 profile: 3 concurrent corpus-pass
+    // jobs per q126 invocation). EAGER, the r13 rule: lazy blocks race
+    // when the first consumers are concurrent broadcast builds. Both
+    // frames are count tables (vocabulary/bigram-type-sized), not
+    // corpus-sized.
+    val bigC = big.localCheckpoint()
+    val uniC = uni.localCheckpoint()
+    val nb = bigC.agg(sum($"n").as("n_b"))
+    val nu = uniC.agg(sum($"nu").as("n_u"))
+    bigC.filter($"n" >= minCount)
+      .join(broadcast(uniC.select($"w".as("w1"), $"nu".as("n1"))), Seq("w1"))
+      .join(broadcast(uniC.select($"w".as("w2"), $"nu".as("n2"))), Seq("w2"))
       .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
       .select($"w1", $"w2", $"n".as("n12"), $"n1", $"n2",
         ($"n".cast("double") * $"n_u".cast("double") / $"n1".cast("double")

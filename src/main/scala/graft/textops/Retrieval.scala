@@ -54,13 +54,13 @@ object Retrieval {
     * `size`/`explode` expressions.
     */
   def queryTermDigest(df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String]): DataFrame = {
+      queryTerms: Seq[String], eager: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val ws = TextTokens.wordsCol(col(textCol))
     val qset = array(queryTerms.map(lit): _*)
     df.select(col(idCol), size(ws).cast("long").as("dl"),
         filter(ws, t => array_contains(qset, t)).as("__qhits"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = eager)
   }
 
   /** [[bm25TopK]] over a prebuilt [[queryTermDigest]] — identical
@@ -212,11 +212,15 @@ object Retrieval {
       queryTerms: Seq[String], k: Int, mu: Double = 2000.0): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive, got $k")
-    val ws = TextTokens.wordsCol(col(textCol))
-    val stats = df.select(sum(size(ws)).cast("long").as("total_tokens"))
-    val base = df.select(col(idCol), size(ws).cast("long").as("dl"),
-      explode(ws).as("term"))
-    val hits = base.filter(col("term").isin(queryTerms: _*))
+    // ONE tokenization pass via the shared digest (the r13 bm25 shape,
+    // applied here in r14: stats, the cf broadcast build, and tf each
+    // re-tokenized the corpus — three full passes per query). The
+    // digest's filtered-array form yields the same (id, dl, term)
+    // multiset as explode+isin, so cf/tf/candidates are identical.
+    val digest = queryTermDigest(df, idCol, textCol, queryTerms, eager = true)
+    val stats = digest.select(sum(col("dl")).cast("long").as("total_tokens"))
+    val hits = digest.select(col(idCol), col("dl"),
+      explode(col("__qhits")).as("term"))
     // collection frequency with multiplicity, over the FULL corpus
     val cf = hits.groupBy(col("term")).agg(count(lit(1)).as("cf"))
     val tf = hits.groupBy(col(idCol), col("term"), col("dl"))

@@ -728,9 +728,13 @@ object Vectors {
       .withColumn("n", normCol($"v"))
       .persist()
     def topk(pairs: DataFrame): DataFrame = {
+      // dst join first, src join last: the rank window partitions by
+      // src — ending the join chain on src lets the window reuse the
+      // join's partitioning when the joins shuffle (the layerEdges
+      // rationale; inner equi-joins commute, values identical)
       val scored = pairs
-        .join(c.select($"id".as("src"), $"v".as("sv"), $"n".as("sn")), "src")
         .join(c.select($"id".as("dst"), $"v".as("dv"), $"n".as("dn")), "dst")
+        .join(c.select($"id".as("src"), $"v".as("sv"), $"n".as("sn")), "src")
         .withColumn("cosine", round(cosineWithNorms($"sv", $"sn", $"dv", $"dn"), 6))
       val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst".asc)
       scored.withColumn("rank", row_number().over(w)).filter($"rank" <= k)
@@ -896,9 +900,15 @@ object Vectors {
             col(s"x.b$t") === col(s"y.b$t") && col("x.id") =!= col("y.id"))
           .select(col("x.id").as("src"), col("y.id").as("dst"))
       }.reduce(_ union _).distinct()
+      // dst join FIRST, src join LAST: the top-degree window partitions
+      // by src, so ending the join chain on the src key lets the window
+      // reuse that partitioning when the joins shuffle (at gate scale
+      // mem broadcasts and this is moot; at corpus scale it saves one
+      // full exchange of the scored pair relation per layer). Inner
+      // equi-joins commute — values identical.
       val scored = pairs
-        .join(mem.select($"id".as("src"), $"v".as("sv"), $"n".as("sn")), "src")
         .join(mem.select($"id".as("dst"), $"v".as("dv"), $"n".as("dn")), "dst")
+        .join(mem.select($"id".as("src"), $"v".as("sv"), $"n".as("sn")), "src")
         .withColumn("cosine", round6(cosineWithNorms($"sv", $"sn", $"dv", $"dn")))
       val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst".asc)
       val top = scored.withColumn("rnk", row_number().over(w))
